@@ -1,0 +1,42 @@
+"""Table catalog over the fixture parquet datasets.
+
+The reference's "file view" is a virtual table over a folder scope
+(synapseformation_templates/default.yaml:5-10); here the analogous catalog
+maps logical table names to parquet paths and registers temp views, so both
+the DataFrame API and ``spark.sql`` address the same tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Plain ``spark.read.parquet`` so Catalyst gets
+    predicate pushdown / column pruning for free (SURVEY.md §4)."""
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register each table as a temp view for the SQL API."""
+    for name in tables:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
