@@ -1,0 +1,88 @@
+"""Join operators beyond plain equi-joins (SURVEY.md §2.3).
+
+Spark covers inner/outer/semi/anti/cross natively; this module adds the two
+compositions the reference's data model implies but Spark lacks as
+primitives:
+
+* :func:`asof_join` — nearest-earlier-event alignment (J8), the semantics of
+  matching each event to the latest schedule change at or before its
+  timestamp (reference date columns ``scheduleModifiedOn``/``eventTimestamp``,
+  /root/reference/src/copy_from_template.py:179-182).
+* :func:`range_join` — interval containment (J7), the
+  ``sessionInstanceStartDay..EndDay`` window shape
+  (/root/reference/src/copy_from_template.py:187-190).
+
+Scale notes: ``asof_join`` is the union+window formulation — one shuffle on
+the join keys, no row blowup, no per-group Python — which survives arbitrary
+fact sizes (a naive range-join + top-1 materializes every (left, earlier
+right) pair first). ``range_join`` broadcasts the interval side; it is meant
+for dimension-sized interval tables (bands, calendars), which is the only
+shape that works at 100 TB anyway without an interval index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` within the same key group (left-outer: unmatched
+    left rows keep nulls). Equal timestamps match (``>=`` semantics, same as
+    DuckDB's ASOF JOIN).
+
+    Implementation: tag sides, union by position, and run one window pass
+    ordered by (ts, side) with ``last(value, ignorenulls=True)`` over an
+    unbounded-preceding frame. Right rows sort before left rows at equal ts
+    so ties are included.
+    """
+    out_right = [f"{c}{suffix}" for c in right_cols]
+    l2 = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left.columns if c not in keys],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(o) for c, o in zip(right_cols, out_right)],
+    )
+    r2 = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in keys],
+        *[F.col(c).alias(o) for c, o in zip(right_cols, out_right)],
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l2.unionByName(r2).select(
+        *[F.col(k) for k in keys],
+        F.col("_ts"),
+        F.col("_side"),
+        *[F.col(c) for c in left.columns if c not in keys],
+        *[F.last(F.col(o), ignorenulls=True).over(w).alias(o) for o in out_right],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side", "_ts")
+
+
+def range_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    value: Column,
+    lo: Column,
+    hi: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-containment join ``lo <= value < hi``; the interval side is
+    broadcast (dimension-sized by design)."""
+    return facts.join(F.broadcast(intervals), (value >= lo) & (value < hi), how)

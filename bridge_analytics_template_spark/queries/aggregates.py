@@ -1,1 +1,275 @@
-"""Placeholder — filled in incrementally."""
+"""Aggregation inventory A1-A8 (SURVEY.md §2.4).
+
+Every aggregate here is a hash aggregate with map-side partial combine —
+the only shape that scales: the shuffle carries one row per (key, partial)
+pair, not the data. Double-typed sums are decimal-through (combine-order
+independent, see functions/numeric.py); stddev is computed from exact
+decimal moments rather than the streaming estimator so results are
+bit-stable across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.numeric import davg, dmoney, dsum, sql_davg, sql_dsum, sql_money
+from .registry import query
+
+
+@query(
+    "agg_count_guard",
+    sql="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CASE WHEN COUNT(*) = 0 THEN 'none'
+                WHEN COUNT(*) = 1 THEN 'unique' ELSE 'many' END AS cardinality
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_count_guard(spark, sf_dir):
+    """A1: count with 0/1/many classification — the reference's
+    assert-unique guard as data (copy_from_template.py:113-121)."""
+    o = load(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            n.alias("n"),
+            F.when(n == 0, "none").when(n == 1, "unique").otherwise("many").alias("cardinality"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "agg_groupby",
+    sql=f"""
+    SELECT n.n_name AS nation, COUNT(*) AS n_supp,
+           {sql_dsum(sql_money("s.s_acctbal"), "total_bal")},
+           {sql_davg(sql_money("s.s_acctbal"), "avg_bal")},
+           MIN(s.s_acctbal) AS min_bal, MAX(s.s_acctbal) AS max_bal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_groupby(spark, sf_dir):
+    """A2: per-group hash aggregate with the full agg family (the per-study
+    rollups the reference's wiki dashboards graph, copy_from_template.py:15-16)."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            dsum(dmoney("s_acctbal"), "total_bal"),
+            davg(dmoney("s_acctbal"), "avg_bal"),
+            F.min("s_acctbal").alias("min_bal"),
+            F.max("s_acctbal").alias("max_bal"),
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
+    "agg_count_distinct",
+    sql="""
+    SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n_custs
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def agg_count_distinct(spark, sf_dir):
+    """A3: count-distinct (expand + two-phase agg under the hood)."""
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_custs"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query("agg_approx_count_distinct")  # rows-only: approximate by design
+def agg_approx_count_distinct(spark, sf_dir):
+    """A4: HyperLogLog++ cardinality — the 100 TB substitute for exact
+    distinct. Verified rows-only (approximate), plus a sanity window
+    asserted in tests/test_aggregates.py."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "agg_rollup",
+    sql=f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           GROUPING(r.r_name) AS g_region, GROUPING(n.n_name) AS g_nation,
+           COUNT(*) AS n_custs, {sql_dsum(sql_money("c.c_acctbal"), "total_bal")}
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY g_region, g_nation, region NULLS FIRST, nation NULLS FIRST
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    """A5: hierarchy rollup region → nation → grand total (the
+    app/study partition hierarchy of copy_from_template.py:316)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"), "c_acctbal")
+        .rollup("region", "nation")
+        .agg(
+            F.grouping("region").alias("g_region"),
+            F.grouping("nation").alias("g_nation"),
+            F.count(F.lit(1)).alias("n_custs"),
+            dsum(dmoney("c_acctbal"), "total_bal"),
+        )
+        .orderBy("g_region", "g_nation", F.col("region").asc_nulls_first(), F.col("nation").asc_nulls_first())
+    )
+
+
+@query(
+    "agg_cube",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """A5: full cube over the two flag dimensions."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").alias("g_rf"),
+            F.grouping("l_linestatus").alias("g_ls"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(
+            "g_rf", "g_ls",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "agg_conditional",
+    sql=f"""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           {sql_dsum(f"CASE WHEN o_orderstatus = 'O' THEN {sql_money('o_totalprice')} ELSE CAST(0 AS DECIMAL(12,2)) END", "open_value")}
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_conditional(spark, sf_dir):
+    """A6: filtered/conditional aggregates (count of isFirstAssessment-style
+    boolean flags, copy_from_template.py:183-186)."""
+    o = load(spark, sf_dir, "orders")
+    zero = F.lit(0).cast("decimal(12,2)")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+            F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+            dsum(F.when(F.col("o_orderstatus") == "O", dmoney("o_totalprice")).otherwise(zero), "open_value"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_collect_set",
+    sql="""
+    SELECT n_regionkey AS regionkey, list_sort(list(DISTINCT n_name)) AS nations
+    FROM nation GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_collect_set(spark, sf_dir):
+    """A7: rebuild array cells from rows — the scopeIds array shape
+    (copy_from_template.py:109-111). Sorted for deterministic comparison."""
+    return (
+        load(spark, sf_dir, "nation")
+        .groupBy(F.col("n_regionkey").alias("regionkey"))
+        .agg(F.array_sort(F.collect_set("n_name")).alias("nations"))
+        .orderBy("regionkey")
+    )
+
+
+@query(
+    "agg_percentiles",
+    sql="""
+    SELECT c_mktsegment,
+           quantile_cont(c_acctbal, 0.5) AS p50,
+           quantile_cont(c_acctbal, 0.9) AS p90
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    """A8: exact interpolated percentiles (score-distribution semantics for
+    the reference's scores folder, default.yaml:3-4). The approx variant for
+    100 TB is `percentile_approx`, exercised rows-only in tests."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.percentile("c_acctbal", 0.5).alias("p50"),
+            F.percentile("c_acctbal", 0.9).alias("p90"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "agg_stddev_moments",
+    sql="""
+    SELECT c_nationkey,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS s2,
+           CASE WHEN COUNT(*) > 1 THEN
+             sqrt(greatest(0.0,
+               (CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                - CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                  * CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+               / (COUNT(*) - 1)))
+           END AS stddev_bal
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def agg_stddev_moments(spark, sf_dir):
+    """A8: sample stddev from exact decimal moments — deterministic under
+    any combine order (the built-in streaming estimator is not bit-stable
+    across partitionings; the final double arithmetic here is identical on
+    both engines)."""
+    c = load(spark, sf_dir, "customer")
+    d = dmoney("c_acctbal")
+    n = F.count(F.lit(1))
+    s1 = F.sum(d).cast("double")
+    s2 = F.sum(d * d).cast("double")
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1))
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            n.alias("n"),
+            s1.alias("s1"),
+            s2.alias("s2"),
+            F.when(n > 1, F.sqrt(F.greatest(F.lit(0.0), var))).alias("stddev_bal"),
+        )
+        .orderBy("c_nationkey")
+    )

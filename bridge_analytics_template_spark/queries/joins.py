@@ -1,1 +1,252 @@
-"""Placeholder — filled in incrementally."""
+"""Join inventory J1-J10 (SURVEY.md §2.3).
+
+The reference joins implicitly — every cross-referencing lookup matches one
+collection against another by key (created-entities × template names,
+copy_from_template.py:128-132; ACL entries × principal, :253-261; entityMap
+old-id → new-id, :355-356). Here each join shape is explicit and planned for
+scale: dimension sides broadcast, large-large goes sort-merge, and the as-of
+join is a single-shuffle union+window composition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.numeric import dmoney, drate, dsum, sql_dsum, sql_money, sql_rate
+from ..operators.joins import asof_join, range_join
+from .registry import query
+
+
+@query(
+    "join_inner",
+    sql=f"""
+    SELECT o.o_orderkey, o.o_orderdate,
+           {sql_dsum(f"{sql_money('l.l_extendedprice')} * (1 - {sql_rate('l.l_discount')})", "revenue")}
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def join_inner(spark, sf_dir):
+    """J1: inner equi-join, fact × fact, aggregated per order."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(dsum(dmoney("l_extendedprice") * (1 - drate("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(50)
+    )
+
+
+@query(
+    "join_left",
+    sql="""
+    SELECT o.o_orderkey, COUNT(r.l_orderkey) AS n_returned
+    FROM orders o
+    LEFT JOIN (SELECT * FROM lineitem WHERE l_returnflag = 'R') r
+      ON o.o_orderkey = r.l_orderkey
+    GROUP BY o.o_orderkey
+    ORDER BY o.o_orderkey
+    """,
+)
+def join_left(spark, sf_dir):
+    """J2: left outer join — every order kept, enriched when returns exist
+    (the reference's ACL-enrichment shape, copy_from_template.py:253-261)."""
+    o = load(spark, sf_dir, "orders")
+    r = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(r, o.o_orderkey == r.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_returned"))
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "join_broadcast_dims",
+    sql=f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_custs,
+           {sql_dsum(sql_money("c.c_acctbal"), "total_bal")}
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    ORDER BY region, nation
+    """,
+)
+def join_broadcast_dims(spark, sf_dir):
+    """J3: star-schema dim joins — both dims broadcast, zero shuffle on the
+    fact side until the aggregate."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_custs"), dsum(dmoney("c_acctbal"), "total_bal"))
+        .orderBy("region", "nation")
+    )
+
+
+@query(
+    "join_sort_merge",
+    sql="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_totalprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 300000
+    ORDER BY l.l_orderkey, l.l_linenumber
+    """,
+)
+def join_sort_merge(spark, sf_dir):
+    """J4: large-large join forced to sort-merge (the strategy that scales
+    when neither side fits in memory)."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        l.join(o.hint("merge"), l.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_linenumber", "o_totalprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "join_semi",
+    sql="""
+    SELECT o_orderkey, o_totalprice FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    ORDER BY o_orderkey
+    """,
+)
+def join_semi(spark, sf_dir):
+    """J5: left-semi join (EXISTS) — no row duplication from the build side."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "join_anti",
+    sql="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def join_anti(spark, sf_dir):
+    """J6: left-anti join (NOT EXISTS) — customers with no orders; the
+    exclusion semantics of the reference's ACL skip
+    (copy_from_template.py:253-255)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_range_bands",
+    sql="""
+    SELECT b.band, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN (VALUES ('low', 0.0, 100.0), ('mid', 100.0, 250.0), ('high', 250.0, 1000.0))
+         AS b(band, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    ORDER BY b.band
+    """,
+)
+def join_range_bands(spark, sf_dir):
+    """J7: theta/range join — interval containment against a broadcast
+    band table (the sessionInstanceStartDay..EndDay window shape,
+    copy_from_template.py:187-190)."""
+    e = load(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100.0), ("mid", 100.0, 250.0), ("high", 250.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    joined = range_join(e, bands, F.col("value"), F.col("lo"), F.col("hi"))
+    return (
+        joined.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(dmoney("value"), "total_value"))
+        .orderBy("band")
+    )
+
+
+@query(
+    "join_asof",
+    sql="""
+    SELECT l.event_id, l.user_id, CAST(l.ts AS TIMESTAMP) AS ts,
+           CAST(r.ts AS TIMESTAMP) AS signup_ts_asof
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY l.event_id
+    """,
+)
+def join_asof(spark, sf_dir):
+    """J8: as-of join — each purchase aligned with the user's latest signup
+    at or before it (nearest-earlier-event semantics of scheduleModifiedOn /
+    eventTimestamp, copy_from_template.py:179-182). Union+window: one
+    shuffle, no pair blowup."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    signups = e.filter(F.col("event_type") == "signup").select("user_id", F.col("ts").alias("signup_ts"))
+    out = asof_join(
+        purchases, signups, keys=["user_id"], left_ts="ts", right_ts="signup_ts",
+        right_cols=["signup_ts"],
+    )
+    return out.select("event_id", "user_id", "ts", F.col("signup_ts_asof")).orderBy("event_id")
+
+
+@query(
+    "join_cross",
+    sql="""
+    SELECT r.r_name AS region, f.l_returnflag AS returnflag
+    FROM region r CROSS JOIN (SELECT DISTINCT l_returnflag FROM lineitem) f
+    ORDER BY region, returnflag
+    """,
+)
+def join_cross(spark, sf_dir):
+    """J9: cartesian panel of two small sides (the all-pairs scaffold used
+    by the similarity ops at dimension scale)."""
+    r = load(spark, sf_dir, "region").select(F.col("r_name").alias("region"))
+    f = load(spark, sf_dir, "lineitem").select(F.col("l_returnflag").alias("returnflag")).distinct()
+    return r.crossJoin(f).orderBy("region", "returnflag")
+
+
+@query(
+    "join_stream_static_equiv",
+    sql="""
+    SELECT n.n_name AS nation, COUNT(*) AS n_events
+    FROM events e JOIN nation n ON (e.user_id % 25) = n.n_nationkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_stream_static_equiv(spark, sf_dir):
+    """J10 (batch equivalent): enrich the event stream with a static
+    broadcast dim. The streaming form (readStream → join → memory sink) is
+    exercised in tests/test_streaming.py; this query verifies the same plan
+    shape and result batch-side."""
+    e = load(spark, sf_dir, "events")
+    n = load(spark, sf_dir, "nation")
+    return (
+        e.join(F.broadcast(n), (F.col("user_id") % 25) == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("nation")
+    )
