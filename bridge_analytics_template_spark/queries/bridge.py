@@ -1,1 +1,125 @@
-"""Placeholder — filled in incrementally."""
+"""Bridge-semantics queries — the part that makes this engine
+*bridge-analytics*, not generic (SURVEY.md §7 step 2).
+
+Each query exercises one reference behavior end-to-end through the engine
+modules (coercion spec, file view, partitioned sink, annotation promotion,
+scoped lookups) against the fixture tables.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..coercion import CoercionSpec, apply_coercion
+from ..sources.fileview import file_view, promote_annotations
+from ..sources.sink import read_partitioned, write_partitioned
+from .registry import query
+
+
+@query(
+    "bridge_coercion",
+    sql="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP) AS exportedOn,
+           CAST(CAST(o_orderstatus = 'O' AS VARCHAR) AS BOOLEAN) AS schedulePublished,
+           CAST(CAST(o_custkey AS VARCHAR) AS BIGINT) AS participantVersion,
+           CAST(o_orderpriority AS VARCHAR) AS name
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def bridge_coercion(spark, sf_dir):
+    """The reference's schema-change transaction (modify_file_view_types,
+    copy_from_template.py:164-232) end-to-end: a raw all-strings frame —
+    the permissive schema-on-read state — is promoted to typed columns by
+    the declarative CoercionSpec. Column names reuse the reference's own
+    (exportedOn → DATE, schedulePublished → BOOLEAN, participantVersion →
+    INTEGER, name → ignored)."""
+    o = load(spark, sf_dir, "orders")
+    raw = o.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("string").alias("exportedOn"),
+        (F.col("o_orderstatus") == "O").cast("string").alias("schedulePublished"),
+        F.col("o_custkey").cast("string").alias("participantVersion"),
+        F.col("o_orderpriority").alias("name"),
+    )
+    return apply_coercion(raw, CoercionSpec()).orderBy("o_orderkey")
+
+
+@query(
+    "bridge_lookup_unique",
+    sql="""
+    SELECT r_regionkey, r_name FROM region
+    WHERE r_name = 'ASIA'
+    """,
+)
+def bridge_lookup_unique(spark, sf_dir):
+    """P2/P4: equality-filter lookup that must match exactly one row (the
+    get_folder shape, copy_from_template.py:125-142). The raising guard
+    (`assert_unique` / limit(2) early-stop) is unit-tested in
+    tests/test_lookups.py; the filter itself is oracle-verified here."""
+    r = load(spark, sf_dir, "region")
+    return r.filter(F.col("r_name") == "ASIA").select("r_regionkey", "r_name")
+
+
+@query(
+    "bridge_annotation_promotion",
+    sql="""
+    SELECT doc_id, lang AS ann_lang, source AS ann_source, n_chars
+    FROM documents ORDER BY doc_id
+    """,
+)
+def bridge_annotation_promotion(spark, sf_dir):
+    """Annotation map→column promotion (addAnnotationColumns,
+    default.yaml:10): attributes packed into an open-ended map are promoted
+    back to typed top-level columns via the two-pass key-inference op."""
+    d = load(spark, sf_dir, "documents")
+    bagged = d.select(
+        "doc_id",
+        "n_chars",
+        F.create_map(
+            F.lit("ann_lang"), F.col("lang"), F.lit("ann_source"), F.col("source")
+        ).alias("annotations"),
+    )
+    return promote_annotations(bagged, "annotations").select(
+        "doc_id", "ann_lang", "ann_source", "n_chars"
+    ).orderBy("doc_id")
+
+
+@query(
+    "bridge_partitioned_sink",
+    sql="""
+    SELECT c_mktsegment AS study, c_nationkey, COUNT(*) AS n
+    FROM customer GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def bridge_partitioned_sink(spark, sf_dir):
+    """S1/S5: write the `{app}/{study}` analytics layout
+    (copy_from_template.py:316-327) and read it back with partition
+    discovery; the aggregate over the round-tripped data must match the
+    source exactly. Partition values become directory names — the pruning
+    mechanism at 100 TB."""
+    c = load(spark, sf_dir, "customer").withColumn("study", F.col("c_mktsegment"))
+    out = os.path.join(tempfile.gettempdir(), "bridge_sink_demo")
+    write_partitioned(c, out, partition_cols=("study",))
+    back = read_partitioned(spark, out)
+    return (
+        back.groupBy("study", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("study", "c_nationkey")
+    )
+
+
+@query("bridge_file_view")  # rows-only: file paths/sizes are environment-local
+def bridge_file_view(spark, sf_dir):
+    """S2: the EntityView analog (default.yaml:5-10) — one row per record in
+    the folder scope with file metadata pseudo-columns attached from the
+    scan itself (no secondary lookup)."""
+    fv = file_view(spark, os.path.join(sf_dir, "documents.parquet"))
+    return fv.groupBy("file_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("file_size").alias("file_size"),
+    )

@@ -1,1 +1,264 @@
-"""Placeholder — filled in incrementally."""
+"""Scalar-function inventory F1-F9 (SURVEY.md §2.8).
+
+Each family is exercised as a projection query so the driver verifies the
+function semantics value-by-value against DuckDB. Everything here is
+whole-stage-codegen'd JVM expressions — no Python in the row path.
+
+Cross-engine determinism rules learned the hard way:
+* never ROUND a computed double (Spark rounds the shortest-string repr,
+  DuckDB the binary value) — floor/ceil/abs/sqrt/mod are IEEE-exact and safe;
+* transcendentals (exp/ln/pow) are libm-dependent — kept out of oracle
+  queries (squares are written x*x).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load
+from .registry import query
+
+
+@query(
+    "f_string",
+    sql="""
+    SELECT c_custkey,
+           CAST(replace(c_name, 'Customer#', '') AS BIGINT) AS name_id,
+           upper(c_mktsegment) AS seg_upper,
+           lower(c_mktsegment) AS seg_lower,
+           length(c_name) AS name_len,
+           substr(c_name, 1, 8) AS name_prefix,
+           concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           trim(concat('  ', c_mktsegment, ' ')) AS seg_trim
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def f_string(spark, sf_dir):
+    """F1: string family — the reference's 'syn'-prefix strip
+    (copy_from_template.py:109), template replace (:295), key-path concat
+    (:316) as engine expressions."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("")).cast("long").alias("name_id"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias("seg_nation"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias("seg_trim"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "f_casts_roundtrip",
+    sql="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+           CAST(CAST(o_orderdate AS VARCHAR) AS TIMESTAMP) AS date_roundtrip,
+           CAST(CAST(o_totalprice > 100000 AS VARCHAR) AS BOOLEAN) AS big_flag
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def f_casts_roundtrip(spark, sf_dir):
+    """F2: the reference's STRING→DATE/BOOLEAN/INTEGER coercion family
+    (copy_from_template.py:195-206) as round-trip casts — ingest-as-string
+    then promote-to-typed, the schema regime of SURVEY.md §1.3."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").cast("long").alias("key_roundtrip"),
+        F.col("o_orderdate").cast("string").cast("timestamp").alias("date_roundtrip"),
+        (F.col("o_totalprice") > 100000).cast("string").cast("boolean").alias("big_flag"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "f_datetime",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           CAST(month(l_shipdate) AS INT) AS ship_month,
+           CAST(dayofmonth(l_shipdate) AS INT) AS ship_day,
+           CAST(date_trunc('quarter', l_shipdate) AS TIMESTAMP) AS ship_quarter,
+           CAST(l_shipdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+           CAST(epoch(l_shipdate) AS BIGINT) AS ship_epoch
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def f_datetime(spark, sf_dir):
+    """F3: date/time extraction and bucketing over the fixture instants (the
+    five reference date columns, copy_from_template.py:179-182)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+        F.dayofmonth("l_shipdate").alias("ship_day"),
+        F.date_trunc("quarter", "l_shipdate").alias("ship_quarter"),
+        (F.col("l_shipdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.unix_timestamp("l_shipdate").alias("ship_epoch"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "f_array",
+    sql="""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct_tokens,
+           list_sort(list_distinct(string_split_regex(trim(text), '\\s+')))[1:3] AS first_tokens,
+           list_contains(string_split_regex(trim(text), '\\s+'), 'spark') AS has_spark
+    FROM documents ORDER BY doc_id
+    """,
+)
+def f_array(spark, sf_dir):
+    """F4: array family — contains/size/distinct/sort/slice, the scopeIds
+    array predicates of copy_from_template.py:109-111 generalized to token
+    arrays."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.slice(F.array_sort(F.array_distinct(toks)), 1, 3).alias("first_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "f_json",
+    sql="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 = 0) AS k_round
+    FROM events ORDER BY event_id
+    """,
+)
+def f_json(spark, sf_dir):
+    """F5: JSON blob parsing — the clientInfo/appInfo 512-char JSON columns
+    (copy_from_template.py:177,207-208). from_json into a typed struct, the
+    permissive-ingest half of the coercion regime."""
+    e = load(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), T.StructType([T.StructField("k", T.LongType())]))
+    return e.select(
+        "event_id",
+        parsed["k"].alias("k_value"),
+        ((parsed["k"] % 10) == 0).alias("k_round"),
+    ).orderBy("event_id")
+
+
+@query(
+    "f_map",
+    sql="""
+    SELECT doc_id,
+           concat('lang=', lang, ',source=', source) AS packed,
+           lang AS lang_out, source AS source_out, 2 AS n_keys
+    FROM documents ORDER BY doc_id
+    """,
+)
+def f_map(spark, sf_dir):
+    """F6: map family — annotation key→value bags pre-promotion
+    (addAnnotationColumns, default.yaml:10): pack attributes into a map,
+    read them back with element_at, count keys."""
+    d = load(spark, sf_dir, "documents")
+    m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))
+    packed = F.concat_ws(
+        ",",
+        F.concat(F.lit("lang="), F.element_at(m, "lang")),
+        F.concat(F.lit("source="), F.element_at(m, "source")),
+    )
+    return d.select(
+        "doc_id",
+        packed.alias("packed"),
+        F.element_at(m, "lang").alias("lang_out"),
+        F.element_at(m, "source").alias("source_out"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "f_math",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - l_quantity) AS diff_abs,
+           floor(l_extendedprice / 1000) AS price_kilo,
+           ceil(l_quantity / 7) AS qty_ceil,
+           sqrt(l_extendedprice) AS price_sqrt,
+           l_discount * l_discount AS disc_sq,
+           CAST(l_orderkey % 97 AS BIGINT) AS key_mod
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def f_math(spark, sf_dir):
+    """F7: math family restricted to IEEE-exact ops (see module docstring)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - F.col("l_quantity")).alias("diff_abs"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_kilo"),
+        F.ceil(F.col("l_quantity") / 7).alias("qty_ceil"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        (F.col("l_discount") * F.col("l_discount")).alias("disc_sq"),
+        (F.col("l_orderkey") % 97).alias("key_mod"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "f_conditional",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           greatest(l_discount, l_tax) AS max_rate,
+           least(l_discount, l_tax) AS min_rate,
+           coalesce(nullif(l_returnflag, 'N'), 'NONE') AS flag_or_none,
+           CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'small' END AS qty_class
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def f_conditional(spark, sf_dir):
+    """F8: conditional family — when/otherwise, coalesce/nullif,
+    greatest/least (the retype CASE chain, copy_from_template.py:194-210)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("NONE")).alias("flag_or_none"),
+        F.when(F.col("l_quantity") >= 25, "bulk").otherwise("small").alias("qty_class"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "f_hash",
+    sql="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256
+    FROM documents ORDER BY doc_id
+    """,
+)
+def f_hash(spark, sf_dir):
+    """F9: content hashing for dedup identity (the basis of L1)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+    ).orderBy("doc_id")
+
+
+@query("f_hash_xxhash")  # rows-only: xxhash64 seed/impl is Spark-specific
+def f_hash_xxhash(spark, sf_dir):
+    """F9: xxhash64 + 64-bit identity hashing — the cheap JVM-side hash used
+    by the MinHash/SimHash band ops (no DuckDB equivalent; rows-only)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.xxhash64("text").alias("text_xx64"),
+        F.hash("text").alias("text_hash32"),
+    ).orderBy("doc_id")
