@@ -1,0 +1,91 @@
+"""Text-analysis expression library (SURVEY.md §2.11 L4; north-star "text
+analysis").
+
+All pure Catalyst expressions (split / higher-order array functions /
+regexp) — no Python in the row path, so these run inside whole-stage codegen
+and scale linearly with input bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: BPE-ish surface tokenization: letter runs, digit runs, single punctuation.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Minimal stopword panels for the n-gram language-ID heuristic. Tiny on
+#: purpose: language ID at 100 TB is a per-row expression over the first
+#: K tokens, not a model inference.
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "mit"),
+    "es": ("el", "la", "de", "y", "es", "un", "en", "que"),
+    "fr": ("le", "la", "et", "de", "est", "un", "une", "dans"),
+}
+
+
+def ws_tokens(col: Column | str) -> Column:
+    """Whitespace tokens of lowercased, trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def regex_tokens(col: Column | str) -> Column:
+    """BPE-ish tokens (letters / digits / punctuation as separate tokens)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(TOKEN_REGEX), 0)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(ws_tokens(col))
+
+
+def word_shingles(tokens: Column, n: int) -> Column:
+    """Word n-gram shingles from a token array, via higher-order functions:
+    ``transform(sequence(1, len-n+1), i -> concat_ws(' ', slice(t, i, n)))``.
+    Empty result when the document has fewer than ``n`` tokens."""
+    length = F.size(tokens)
+    idx = F.sequence(F.lit(1), F.greatest(length - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+
+
+def punct_count(col: Column | str) -> Column:
+    """Punctuation characters, counted by deletion (regex parity with
+    DuckDB's 'g'-flagged regexp_replace)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, r"[^A-Za-z0-9\s]", ""))
+
+
+def digit_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    digits = F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    return digits.cast("double") / F.greatest(F.length(c), F.lit(1)).cast("double")
+
+
+def stopword_hits(tokens: Column, lang: str) -> Column:
+    """Occurrences (with multiplicity) of the language's stopwords."""
+    panel = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(panel, t)))
+
+
+def language_id(col: Column | str) -> Column:
+    """Deterministic stopword-panel language ID: the language whose panel
+    hits the most tokens; 'und' (undetermined) when no panel hits. Ties
+    break by language code order (deterministic)."""
+    toks = ws_tokens(col)
+    scored = None
+    for lang in sorted(STOPWORDS):
+        hits = stopword_hits(toks, lang)
+        entry = F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
+        scored = entry if scored is None else F.when(hits > scored["hits"], entry).otherwise(scored)
+    return F.when(scored["hits"] > 0, scored["lang"]).otherwise(F.lit("und"))
+
+
+def normalized_fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: lowercase, strip non-alphanumerics, collapse
+    whitespace, md5. Equal fingerprints ⇔ near-identical text modulo
+    formatting — the cheap first tier of the dedup cascade."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", ""), r"\s+", " "))
+    return F.md5(normalized)

@@ -1,0 +1,201 @@
+"""Deduplication cascade for document corpora.
+
+Four tiers, cheapest first — the shape a 100 TB dedup actually runs as:
+
+1. exact content hash (one hash aggregate);
+2. normalized fingerprint (formatting-insensitive exact, same cost);
+3. MinHash + LSH banding (near-dup candidates in O(n·k), verified by exact
+   Jaccard on the candidates only);
+4. SimHash + banded Hamming (near-dup on short texts / titles).
+
+Everything is built from built-in expressions (xxhash64, explode, min-agg,
+self-join on band keys): no Python row path, and the only shuffles are the
+per-doc signature aggregate and the band-key join — both keyed, both
+AQE-skew-splittable. MinHash permutations use seeded xxhash64 so results are
+deterministic across runs and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_fingerprint, word_shingles, ws_tokens
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Tier 1: keep the lowest-id representative per exact content hash.
+    Returns (content hash, kept id, duplicate count)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_md5"), F.col(id_col))
+        .groupBy("content_md5")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def dedup_normalized(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Tier 2: like :func:`dedup_exact` but on the normalized fingerprint
+    (case / punctuation / whitespace insensitive)."""
+    return (
+        df.select(normalized_fingerprint(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _shingle_table(df: DataFrame, text_col: str, id_col: str, shingle_words: int) -> DataFrame:
+    """(id, shingle) pairs, distinct per doc. Docs shorter than the shingle
+    width contribute their whole text as one shingle so they can still match."""
+    toks = ws_tokens(F.col(text_col))
+    shingles = word_shingles(toks, shingle_words)
+    shingles = F.when(F.size(shingles) > 0, shingles).otherwise(F.array(F.concat_ws(" ", toks)))
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_perm: int = 64
+) -> DataFrame:
+    """Per-doc MinHash signature: permutation *i* is ``xxhash64(i, shingle)``
+    (seeded by position — deterministic), signature element = min over the
+    doc's shingles. One hash aggregate; signature width is a constant."""
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_perm)
+    ]
+    sig = shingled.groupBy("doc").agg(*mins)
+    return sig.select("doc", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16, num_perm: int = 64) -> DataFrame:
+    """Band the signatures and self-join on (band index, band hash): docs
+    agreeing on any band become a candidate pair. The join key space is
+    (bands × hash) — uniformly distributed, no skew by construction."""
+    rows_per_band = max(num_perm // bands, 1)
+    banded = signatures.select(
+        "doc",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def exact_jaccard_pairs(
+    shingled: DataFrame, min_jaccard: float = 0.0, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Exact shingle-set Jaccard for pairs sharing ≥1 shingle (inverted-index
+    self-join). When ``candidates`` (doc_a, doc_b) is given — e.g. LSH
+    output — only those pairs are scored, which is what bounds the cost at
+    corpus scale."""
+    sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Tier 3 end-to-end: shingle → MinHash → LSH bands → exact-Jaccard
+    verification of the candidates only."""
+    shingled = _shingle_table(df, text_col, id_col, shingle_words)
+    sigs = minhash_signatures(shingled, num_perm)
+    cands = lsh_candidate_pairs(sigs, bands, num_perm)
+    return exact_jaccard_pairs(shingled, min_jaccard, candidates=cands)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """Tier 4 signature: 64-bit SimHash — bit *j* is the sign of the sum of
+    (±1) votes from each token's xxhash64 bit *j*. One explode + one
+    aggregate of 64 conditional sums, all codegen'd."""
+    tokens = df.select(
+        F.col(id_col).alias("doc"), F.explode(ws_tokens(F.col(text_col))).alias("tok")
+    ).withColumn("th", F.xxhash64("tok"))
+    # Bit masks as JVM-side shifts: 1<<63 overflows a Python->JVM literal.
+    def mask(j: int):
+        return F.shiftleft(F.lit(1).cast("long"), j)
+
+    votes = [
+        F.sum(F.when(F.col("th").bitwiseAND(mask(j)) != 0, 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = tokens.groupBy("doc").agg(*votes)
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        out = out + F.when(F.col(f"b{j}") > 0, mask(j)).otherwise(F.lit(0).cast("long"))
+    return agg.select("doc", out.alias("simhash"))
+
+
+def simhash_near_dups(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
+    """Banded Hamming join on SimHash: split the 64 bits into 4 16-bit
+    bands; near-identical signatures (≤3 differing bits) must agree on ≥1
+    band, so the self-join runs on band keys, then verifies with
+    ``bit_count(xor)``."""
+    sigs = simhash(df, **kw)
+    bands = sigs.select(
+        "doc",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)) for b in range(4)])
+        ).alias("band", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,66 @@
+"""Multimodal column plumbing (SURVEY.md §2.11 L5; north-star "multimodal
+columns").
+
+Images / audio / video are opaque ``binary`` columns with a typed metadata
+struct alongside. The Spark-side plumbing — schema, Arrow batch shape,
+``mapInPandas`` signature, partition sizing — is real and tested; the actual
+codec decode is STUBBED (this container ships no image/audio libraries):
+``decode_stub=True`` computes deterministic features from the raw bytes,
+``decode_stub=False`` raises ``NotImplementedError`` where a real
+PIL/libav call would go.
+
+Scale note: binary payloads ride the Arrow batches; feature extraction is a
+``mapInPandas`` pass (no shuffle), so throughput is bounded by IO + codec,
+never by row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Output schema of the feature extractor — fixed, engine-owned.
+FEATURE_SCHEMA = "doc_id bigint, n_bytes bigint, magic int, content_type string"
+
+
+def attach_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Model a multimodal table: content as ``binary`` + metadata struct.
+    (Fixtures carry text; a real corpus reads ``binaryFile`` / parquet
+    binary columns — the downstream plumbing is identical.)"""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    meta = F.struct(
+        F.lit("application/octet-stream").alias("content_type"),
+        F.length(payload).alias("n_bytes"),
+    )
+    return df.select(F.col(id_col), payload.alias("content"), meta.alias("meta"))
+
+
+def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    With ``decode_stub`` the "decode" is a deterministic byte-level feature
+    set (payload size + magic byte); without it, the call site where a real
+    codec (PIL / torchaudio / pyav) would run raises ``NotImplementedError``
+    so the gap is explicit, not silent.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real codec decode (PIL/libav) not available in this environment"
+                )
+            content = pdf["content"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": content.map(len).astype("int64"),
+                    "magic": content.map(lambda b: b[0] if len(b) else -1).astype("int32"),
+                    "content_type": pdf["meta"].map(lambda m: m["content_type"]),
+                }
+            )
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)

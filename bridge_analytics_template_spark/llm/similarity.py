@@ -1,0 +1,108 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11 L3).
+
+Two paths:
+
+* :func:`knn_bruteforce` — exact top-k per query by cosine; correct baseline,
+  O(|Q|·|C|). Sensible when |Q| is small (a probe set) or as the verifier.
+* :func:`knn_lsh` — sign-bucket LSH pruning: candidates are restricted to
+  buckets within a Hamming radius of the query's bucket, turning the cross
+  join into a band-keyed join. The scale path for |Q| ≈ |C| ≈ corpus.
+
+Both compute cosine JVM-side via higher-order folds (functions/vectors.py);
+no Python, no collect. Ranks tie-break on the candidate id, so output is
+fully deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, cosine, sign_bucket
+
+
+def _ranked(pairs: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query (self-matches excluded). The query side
+    is broadcast — at scale the probe set is the small side by design."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    pairs = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    return _ranked(pairs, k)
+
+
+def knn_lsh(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    radius: int = 1,
+) -> DataFrame:
+    """Approximate top-k: candidates limited to sign-buckets within
+    ``radius`` bit flips of the query bucket (radius 1 ⇒ n_bits+1 probe
+    buckets per query — multi-probe LSH). Recall is tested against
+    :func:`knn_bruteforce` in tests/test_llm_ops.py."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("qb", sign_bucket(F.col("qv"), n_bits))
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("bucket", sign_bucket(F.col("cv"), n_bits))
+
+    # Probe buckets: the query's own bucket plus every 1-bit flip (radius 1).
+    probes = [F.col("qb")]
+    if radius >= 1:
+        probes += [F.col("qb").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(n_bits)]
+    q_probed = q.select(
+        "query_id", "qv", F.explode(F.array(*probes)).alias("bucket")
+    )
+    pairs = (
+        c.join(F.broadcast(q_probed), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    return _ranked(pairs, k)
+
+
+def near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
+    All-pairs formulation (the verifier); production pruning goes through
+    :func:`knn_lsh`-style bucketing first."""
+    a = vectors.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

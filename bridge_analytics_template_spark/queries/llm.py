@@ -1,1 +1,297 @@
-"""Placeholder — filled in incrementally."""
+"""LLM-data-pipeline query inventory (SURVEY.md §2.11, L1-L5).
+
+Deterministic ops (exact/normalized dedup, exact Jaccard, brute-force KNN,
+text stats, language ID, fingerprints, multimodal byte features) are
+oracle-verified value-by-value. Approximate ops (MinHash-LSH, SimHash,
+LSH-KNN) are rows-only here and property-tested against their exact
+counterparts in tests/test_llm_ops.py.
+
+Similarity outputs expose ids + rank (not the raw cosine): rank is stable
+across engines while the last float ulp is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.text import (
+    digit_ratio,
+    language_id,
+    normalized_fingerprint,
+    punct_count,
+    regex_tokens,
+    word_shingles,
+    ws_tokens,
+)
+from ..llm.dedup import (
+    _shingle_table,
+    dedup_exact,
+    dedup_normalized,
+    exact_jaccard_pairs,
+    minhash_near_dups,
+    simhash_near_dups,
+)
+from ..llm.multimodal import attach_binary, extract_features
+from ..llm.similarity import knn_bruteforce, knn_lsh, near_dup_pairs
+from ..functions.text import STOPWORDS
+from .registry import query
+
+# DuckDB renderings shared by the text oracles.
+_SQL_TOKENS = "string_split_regex(trim(lower(text)), '\\s+')"
+_SQL_SHINGLES5 = (
+    f"list_transform(generate_series(1, greatest(len({_SQL_TOKENS}) - 4, 0)), "
+    f"i -> array_to_string({_SQL_TOKENS}[i:i+4], ' '))"
+)
+
+
+@query(
+    "llm_dedup_exact",
+    sql="""
+    SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1 ORDER BY keep_id
+    """,
+)
+def llm_dedup_exact(spark, sf_dir):
+    """L1: exact dedup by content hash, keep-lowest-id (one hash aggregate —
+    the 100 TB shape; no sort, no window over the corpus)."""
+    return dedup_exact(load(spark, sf_dir, "documents")).orderBy("keep_id")
+
+
+@query(
+    "llm_dedup_normalized",
+    sql="""
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                   '\\s+', ' ', 'g'))) AS fingerprint,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1 ORDER BY keep_id
+    """,
+)
+def llm_dedup_normalized(spark, sf_dir):
+    """L1b: formatting-insensitive dedup on the normalized fingerprint."""
+    return dedup_normalized(load(spark, sf_dir, "documents")).orderBy("keep_id")
+
+
+@query("llm_dedup_minhash")  # rows-only: LSH banding has no SQL oracle
+def llm_dedup_minhash(spark, sf_dir):
+    """L2: MinHash(64) + LSH(16 bands) near-dup candidates, verified by
+    exact Jaccard on candidates only. Deterministic under seeded xxhash64;
+    recall/precision property-tested in tests/test_llm_ops.py."""
+    d = load(spark, sf_dir, "documents")
+    return minhash_near_dups(d, min_jaccard=0.5).orderBy("doc_a", "doc_b")
+
+
+@query("llm_dedup_simhash")  # rows-only
+def llm_dedup_simhash(spark, sf_dir):
+    """L2b: SimHash-64 near-dups via banded Hamming join (≤3 bits)."""
+    return simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=3).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@query(
+    "llm_ngram_jaccard",
+    sql=f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, unnest(list_distinct({_SQL_SHINGLES5})) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.n_inter,
+           CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc
+    JOIN sizes sb ON i.doc_b = sb.doc
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.05
+    ORDER BY doc_a, doc_b
+    """,
+)
+def llm_ngram_jaccard(spark, sf_dir):
+    """L2c: exact word-5-gram Jaccard over pairs sharing ≥1 shingle
+    (inverted-index join — the verification tier of the dedup cascade)."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingle_table(d, "text", "doc_id", 5)
+    return (
+        exact_jaccard_pairs(sh, min_jaccard=0.05)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "llm_embed_neardup",
+    sql="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def llm_embed_neardup(spark, sf_dir):
+    """L2d: embedding-cosine near-dup pairs (ids only; see module note on
+    float stability)."""
+    e = load(spark, sf_dir, "embeddings")
+    return near_dup_pairs(e, threshold=0.4).select("id_a", "id_b").orderBy("id_a", "id_b")
+
+
+@query(
+    "llm_knn_ids",
+    sql="""
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id % 50 = 0)
+    WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def llm_knn_ids(spark, sf_dir):
+    """L3: brute-force cosine top-5 for a probe query set (broadcast query
+    side; exact baseline for the LSH path)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return knn_bruteforce(q, e, k=5).select("query_id", "neighbor_id", "rank").orderBy(
+        "query_id", "rank"
+    )
+
+
+@query("llm_knn_lsh")  # rows-only: approximate by design
+def llm_knn_lsh(spark, sf_dir):
+    """L3b: sign-bucket LSH top-k (multi-probe radius 1) — the scale path;
+    recall vs brute force asserted in tests/test_llm_ops.py."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return knn_lsh(q, e, k=5).select("query_id", "neighbor_id", "rank").orderBy(
+        "query_id", "rank"
+    )
+
+
+@query(
+    "llm_text_stats",
+    sql=f"""
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           len({_SQL_TOKENS}) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_regex_tokens,
+           length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS digit_ratio
+    FROM documents ORDER BY doc_id
+    """,
+)
+def llm_text_stats(spark, sf_dir):
+    """L4: quality-scoring metrics — char/token counts, BPE-ish token count,
+    punctuation count, digit ratio. All codegen'd expressions."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        F.size(ws_tokens("text")).alias("n_tokens"),
+        F.size(regex_tokens("text")).alias("n_regex_tokens"),
+        punct_count("text").alias("n_punct"),
+        digit_ratio("text").alias("digit_ratio"),
+    ).orderBy("doc_id")
+
+
+def _sql_hits(lang: str) -> str:
+    panel = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({_SQL_TOKENS}, x -> list_contains([{panel}], x)))"
+
+
+@query(
+    "llm_langid",
+    sql=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_sql_hits('de')} AS h_de, {_sql_hits('en')} AS h_en,
+             {_sql_hits('es')} AS h_es, {_sql_hits('fr')} AS h_fr
+      FROM documents)
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                WHEN h_es >= h_fr THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM scored ORDER BY doc_id
+    """,
+)
+def llm_langid(spark, sf_dir):
+    """L4b: stopword-panel language ID (deterministic heuristic; ties break
+    to the lexicographically-first language)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        language_id("text").alias("predicted_lang"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "llm_fingerprint",
+    sql=f"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                   '\\s+', ' ', 'g'))) AS norm_fp,
+           (SELECT min(md5(s)) FROM unnest({_SQL_SHINGLES5}) AS t(s)) AS min_shingle_fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def llm_fingerprint(spark, sf_dir):
+    """L4c: document fingerprints — normalized-content md5 plus the
+    min-hashed shingle (a 1-permutation MinHash, the rolling-hash analog)."""
+    d = load(spark, sf_dir, "documents")
+    shingles = word_shingles(ws_tokens("text"), 5)
+    return d.select(
+        "doc_id",
+        normalized_fingerprint("text").alias("norm_fp"),
+        F.array_min(F.transform(shingles, F.md5)).alias("min_shingle_fp"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "llm_token_topk",
+    sql=f"""
+    SELECT tok, COUNT(*) AS n FROM (
+      SELECT unnest({_SQL_TOKENS}) AS tok FROM documents)
+    GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+    """,
+)
+def llm_token_topk(spark, sf_dir):
+    """L4d: corpus token frequency top-k (explode → count → TakeOrdered)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(ws_tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(20)
+    )
+
+
+@query(
+    "llm_multimodal",
+    sql="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           ord(substr(text, 1, 1)) AS magic,
+           'application/octet-stream' AS content_type
+    FROM documents ORDER BY doc_id
+    """,
+)
+def llm_multimodal(spark, sf_dir):
+    """L5: multimodal column pipeline — text → opaque binary + metadata
+    struct → Arrow-batched mapInPandas feature extraction (decode stubbed;
+    see llm/multimodal.py). Byte-level features are oracle-checkable since
+    the payload is the UTF-8 encoding."""
+    d = load(spark, sf_dir, "documents")
+    return extract_features(attach_binary(d)).orderBy("doc_id")

@@ -1,1 +1,137 @@
-"""Placeholder — filled in incrementally."""
+"""Streaming inventory T1-T6 (SURVEY.md §2.9).
+
+Oracle strategy: every window op is verified through its batch-equivalent
+formulation (identical semantics, SQL-expressible); the genuinely-streaming
+executions (readStream → watermark → memory sink) run as rows-only entries
+and are asserted stream==batch in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.numeric import dmoney, dsum
+from ..streaming.windows import (
+    dedup_stream,
+    run_to_memory,
+    sessionize_batch,
+    stream_events,
+    tumbling_counts,
+)
+from .registry import query
+
+
+@query(
+    "t_tumbling_counts",
+    sql="""
+    SELECT to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 600) * 600 AS BIGINT))
+             AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def t_tumbling_counts(spark, sf_dir):
+    """T1 (batch-equivalent): 10-minute tumbling windows per event type.
+    `F.window` epoch-aligns window starts, which is exactly the epoch-floor
+    bucketing the oracle computes."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(dmoney("value"), "total_value"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "t_sliding_counts",
+    sql="""
+    SELECT to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300 - 300 * k AS BIGINT))
+             AS window_start,
+           COUNT(*) AS n
+    FROM events, unnest([0, 1]) AS u(k)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def t_sliding_counts(spark, sf_dir):
+    """T2 (batch-equivalent): 10-minute windows sliding by 5 — every event
+    lands in exactly width/slide = 2 windows."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "t_session_islands",
+    sql="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR date_diff('microsecond', LAG(ts) OVER w, ts) > 300000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessioned AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM flagged)
+    SELECT user_id, session_seq,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+           COUNT(*) AS n_events
+    FROM sessioned GROUP BY 1, 2 ORDER BY user_id, session_seq
+    """,
+)
+def t_session_islands(spark, sf_dir):
+    """T3 (batch-equivalent): 5-minute-gap sessionization via lag + cumsum
+    islands; semantically identical to `session_window(ts, '5 minutes')`,
+    which tests/test_streaming.py asserts."""
+    e = load(spark, sf_dir, "events")
+    return sessionize_batch(e, gap_seconds=300).orderBy("user_id", "session_seq")
+
+
+@query(
+    "t_dedup_equiv",
+    sql="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_unique, COUNT(*) AS n_rows
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def t_dedup_equiv(spark, sf_dir):
+    """T5 (batch-equivalent): dedup on event_id — the fixture is already
+    unique, so n_unique == n_rows is itself part of the verified result."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("event_id").alias("n_unique"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("t_stream_tumbling")  # rows-only: genuinely-streaming execution
+def t_stream_tumbling(spark, sf_dir):
+    """T1/T4 (streaming execution): readStream over the events parquet with
+    a 10-minute watermark, tumbling counts, memory sink driven to
+    completion. Stream==batch equality is asserted in tests."""
+    agg = tumbling_counts(stream_events(spark, sf_dir))
+    return run_to_memory(agg, "complete").orderBy("window_start", "event_type")
+
+
+@query("t_stream_dedup")  # rows-only: stateful streaming dedup
+def t_stream_dedup(spark, sf_dir):
+    """T5 (streaming execution): watermarked dropDuplicates over the stream;
+    returns the per-type counts of the deduped stream."""
+    deduped = dedup_stream(stream_events(spark, sf_dir))
+    out = run_to_memory(deduped, "append")
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).orderBy("event_type")

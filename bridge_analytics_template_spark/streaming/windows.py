@@ -1,0 +1,115 @@
+"""Streaming window operators (T1-T6) and their batch equivalents.
+
+The reference pipeline is batch, triggered per-export
+(/root/reference/src/copy_from_template.py:1-21); the engine adds the
+streaming mirror over the ``events`` fixture. Each streaming op has a
+batch-equivalent formulation with identical semantics — that equivalence is
+the verification strategy (the oracle checks the batch form; the tests drive
+the same logic through ``readStream`` and assert stream == batch).
+
+Watermarks bound state: at 100 TB/day the per-key window state is what
+kills a stateful job, so every aggregation here declares one.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table_path
+
+EVENTS_RAW_SCHEMA = "event_id long, ts long, user_id long, event_type string, value double, props string"
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental scan of the events table (file streaming source). The
+    nanosecond parquet timestamps ride in as longs and are truncated to
+    micro-precision timestamps, same as the batch path (catalog.load)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file streaming source lists a *directory*; scope to the events
+    # table with a glob filter (the file-view "scope" mechanism, streaming).
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, width: str = "10 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """T1: tumbling-window counts per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes") -> DataFrame:
+    """T2: sliding-window counts (each event lands in width/slide windows)."""
+    return (
+        events.withWatermark("ts", width)
+        .groupBy(F.window("ts", width, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_windows_stream(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """T3 (streaming form): native session windows with a gap timeout."""
+    return (
+        events.withWatermark("ts", gap)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_seconds: int = 300) -> DataFrame:
+    """T3 (batch form): gap-based island detection — lag + cumulative sum of
+    session-break flags per user. One shuffle on user_id; no Python."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0),
+    )
+    sessioned = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T5: stateful exactly-once dedup on event_id; the watermark bounds the
+    dedup state to the late-data horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming DataFrame to completion over the finite fixture via
+    a memory sink; returns the sink contents as a batch DataFrame. (Local
+    verification harness — a real deployment writes to a table/queue sink.)"""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = stream_df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(name)
