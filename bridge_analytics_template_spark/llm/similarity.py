@@ -61,30 +61,64 @@ def knn_lsh(
     vec_col: str = "embedding",
     n_bits: int = 8,
     radius: int = 1,
+    tables: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: candidates limited to sign-buckets within
-    ``radius`` bit flips of the query bucket (radius 1 ⇒ n_bits+1 probe
-    buckets per query — multi-probe LSH). Recall is tested against
-    :func:`knn_bruteforce` in tests/test_llm_ops.py."""
+    """Approximate top-k via multi-table sign LSH: table *t* buckets on the
+    sign pattern of dimensions ``[t·n_bits, (t+1)·n_bits)``; a candidate is
+    scored if it shares a probe bucket with the query in ANY table (plus
+    ``radius``-bit-flip multi-probing per table). High-cosine pairs agree on
+    most signs, so they collide with probability → 1 as tables grow; for
+    near-orthogonal (random) vectors, collisions — and therefore recall —
+    are low by construction. The guarantee tested in tests/test_llm_ops.py
+    is planted-near-neighbor retrieval, not top-k on noise."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("qb", sign_bucket(F.col("qv"), n_bits))
+    )
     c = ensure_parallelism(candidates).select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("bucket", sign_bucket(F.col("cv"), n_bits))
-
-    # Probe buckets: the query's own bucket plus every 1-bit flip (radius 1).
-    probes = [F.col("qb")]
-    if radius >= 1:
-        probes += [F.col("qb").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(n_bits)]
-    q_probed = q.select(
-        "query_id", "qv", F.explode(F.array(*probes)).alias("bucket")
     )
+
+    def table_bucket(vec, t):
+        # Slice this table's dimensions, then bucket on their signs.
+        window = F.slice(vec, t * n_bits + 1, n_bits)
+        return sign_bucket(window, n_bits)
+
+    c_bucketed = c.select(
+        "neighbor_id",
+        "cv",
+        F.posexplode(F.array(*[table_bucket(F.col("cv"), t) for t in range(tables)])).alias(
+            "table", "bucket"
+        ),
+    )
+    # Probe set per table: own bucket plus every radius-1 bit flip.
+    def probes(vec, t):
+        base = table_bucket(vec, t)
+        out = [base]
+        if radius >= 1:
+            out += [base.bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(n_bits)]
+        return out
+
+    q_probed = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("table"), p.alias("bucket"))
+                    for t in range(tables)
+                    for p in probes(F.col("qv"), t)
+                ]
+            )
+        ).alias("probe"),
+    ).select("query_id", "qv", F.col("probe.table").alias("table"), F.col("probe.bucket").alias("bucket"))
+
     pairs = (
-        c.join(F.broadcast(q_probed), "bucket")
+        c_bucketed.join(F.broadcast(q_probed), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])  # collide in several tables — score once
         .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
     )
     return _ranked(pairs, k)

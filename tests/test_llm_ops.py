@@ -1,0 +1,98 @@
+"""Property tests for the approximate LLM ops against their exact
+counterparts (the checks the oracle can't express in SQL)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bridge_analytics_template_spark.catalog import load
+from bridge_analytics_template_spark.llm.dedup import (
+    dedup_exact,
+    dedup_normalized,
+    minhash_near_dups,
+    simhash_near_dups,
+)
+from bridge_analytics_template_spark.llm.multimodal import attach_binary, extract_features
+from bridge_analytics_template_spark.llm.similarity import knn_bruteforce, knn_lsh
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the band plays on "
+    "and the data pipeline hums along processing tokens at scale every day"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("lazy", "sleepy")),  # near dup of 0
+        (3, "The quick brown fox, jumps over the lazy dog while the band plays on "
+            "and the data pipeline hums along processing tokens at scale every day"),  # case/punct dup
+        (4, "completely different content about spark catalyst optimizer rules "
+            "and adaptive query execution with whole stage codegen enabled now"),
+        (5, "another unrelated document mentioning parquet columnar storage and "
+            "predicate pushdown with partition pruning for efficient scans"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_keeps_lowest_id(corpus):
+    out = {r["keep_id"]: r["n_copies"] for r in dedup_exact(corpus).collect()}
+    assert out[0] == 2  # docs 0,1 collapse
+    assert 1 not in out
+
+
+def test_dedup_normalized_catches_formatting(corpus):
+    out = {r["keep_id"]: r["n_copies"] for r in dedup_normalized(corpus).collect()}
+    assert out[0] == 3  # 0,1,3 collapse under case/punct normalization
+
+
+def test_minhash_finds_planted_near_dups(corpus):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_near_dups(corpus, min_jaccard=0.3, shingle_words=3).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # exact dup
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5  # one-word edit
+    assert not any({a, b} & {4, 5} and {a, b} & {0, 1, 2, 3} for a, b in pairs)
+
+
+def test_simhash_near_dups(corpus):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in simhash_near_dups(corpus, max_hamming=6).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs
+    assert (4, 5) not in pairs
+
+
+def test_knn_lsh_finds_planted_neighbors(spark, sf_dir):
+    """The LSH guarantee: a genuinely-similar vector (planted perturbation,
+    cosine ≈ 0.99) must be retrieved as the top neighbor. Random fixture
+    vectors are near-orthogonal, so top-k-on-noise recall is not the
+    contract (see knn_lsh docstring)."""
+    e = load(spark, sf_dir, "embeddings")
+    base = e.orderBy("vec_id").limit(20).collect()
+    planted = [
+        (10_000 + r["vec_id"], [x + 0.01 * ((i % 3) - 1) for i, x in enumerate(r["embedding"])], -1)
+        for r in base
+    ]
+    corpus = e.unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<float>, label int")
+    )
+    q = corpus.filter(F.col("vec_id") >= 10_000)
+    exact = {r["query_id"]: r["neighbor_id"] for r in knn_bruteforce(q, corpus, k=1).collect()}
+    approx = {r["query_id"]: r["neighbor_id"] for r in knn_lsh(q, corpus, k=1).collect()}
+    # brute force must recover every planted source; LSH ≥ 90% of them
+    assert all(exact[10_000 + r["vec_id"]] == r["vec_id"] for r in base)
+    hits = sum(approx.get(10_000 + r["vec_id"]) == r["vec_id"] for r in base)
+    assert hits >= 18
+
+
+def test_multimodal_features_and_stub(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in extract_features(attach_binary(df)).collect()}
+    assert out[1]["n_bytes"] == 3 and out[1]["magic"] == ord("a")
+    assert out[2]["n_bytes"] == 0 and out[2]["magic"] == -1
+    with pytest.raises(Exception, match="NotImplementedError|real codec"):
+        extract_features(attach_binary(df), decode_stub=False).collect()

@@ -1,0 +1,58 @@
+"""Operator-semantics unit tests on tiny in-memory frames: as-of join edge
+cases, range join boundaries, set-op semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from bridge_analytics_template_spark.operators.joins import asof_join, range_join
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+def test_asof_basic_and_tie_and_miss(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "p1"), (1, _ts(5), "p2"), (2, _ts(3), "p3"), (3, _ts(1), "p4")],
+        "k long, ts timestamp, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), "s1"), (1, _ts(7), "s2"), (2, _ts(3), "s3"), (2, _ts(9), "s4")],
+        "k long, rts timestamp, tag string",
+    )
+    out = asof_join(left, right, ["k"], "ts", "rts", ["tag"]).collect()
+    got = {r["ev"]: r["tag_asof"] for r in out}
+    assert got["p1"] == "s2"  # latest <= 00:10 is s2@07
+    assert got["p2"] == "s1"  # equal timestamps match (>= semantics)
+    assert got["p3"] == "s3"  # tie at 00:03
+    assert got["p4"] is None  # no earlier right row -> left outer null
+    assert len(out) == 4  # no row blowup
+
+
+def test_asof_multiple_right_cols(spark):
+    left = spark.createDataFrame([(1, _ts(10))], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(2), "a", 10.0), (1, _ts(8), "b", 20.0)],
+        "k long, rts timestamp, tag string, v double",
+    )
+    row = asof_join(left, right, ["k"], "ts", "rts", ["tag", "v"]).collect()[0]
+    assert (row["tag_asof"], row["v_asof"]) == ("b", 20.0)
+
+
+def test_range_join_boundaries(spark):
+    facts = spark.createDataFrame([(1, 0.0), (2, 99.999), (3, 100.0), (4, 250.0)], "id long, v double")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100.0), ("mid", 100.0, 250.0)], "band string, lo double, hi double"
+    )
+    out = range_join(facts, bands, F.col("v"), F.col("lo"), F.col("hi"))
+    got = {r["id"]: r["band"] for r in out.collect()}
+    assert got == {1: "low", 2: "low", 3: "mid"}  # lo inclusive, hi exclusive; 250 drops
+
+
+def test_except_distinct_semantics(spark):
+    a = spark.createDataFrame([(1,), (1,), (2,), (3,)], "x long")
+    b = spark.createDataFrame([(2,)], "x long")
+    assert sorted(r["x"] for r in a.subtract(b).collect()) == [1, 3]  # distinct + removal

@@ -1,0 +1,43 @@
+"""Stream == batch equivalence for the windowed operators (SURVEY.md §2.9
+verification strategy)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bridge_analytics_template_spark.catalog import load
+from bridge_analytics_template_spark.streaming.windows import (
+    dedup_stream,
+    run_to_memory,
+    session_windows_stream,
+    sessionize_batch,
+    stream_events,
+    tumbling_counts,
+)
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    stream_out = run_to_memory(tumbling_counts(stream_events(spark, sf_dir)), "complete")
+    batch = load(spark, sf_dir, "events")
+    batch_out = (
+        batch.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    a = {(r["window_start"], r["event_type"]): r["n"] for r in stream_out.collect()}
+    b = {(r["window_start"], r["event_type"]): r["n"] for r in batch_out.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_stream_sessions_equal_batch_islands(spark, sf_dir):
+    stream_out = run_to_memory(session_windows_stream(stream_events(spark, sf_dir)), "complete")
+    batch_out = sessionize_batch(load(spark, sf_dir, "events"), gap_seconds=300)
+    a = {(r["user_id"], r["session_start"]): r["n_events"] for r in stream_out.collect()}
+    b = {(r["user_id"], r["session_start"]): r["n_events"] for r in batch_out.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_stream_dedup_drops_duplicates(spark, sf_dir):
+    deduped = run_to_memory(dedup_stream(stream_events(spark, sf_dir)), "append")
+    batch = load(spark, sf_dir, "events")
+    assert deduped.count() == batch.select("event_id").distinct().count()
