@@ -17,3 +17,4 @@ from . import scalar_functions  # noqa: E402,F401
 from . import bridge  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
+from . import udf_surface  # noqa: E402,F401

@@ -1,0 +1,165 @@
+"""Pandas-UDF surface X1-X4 (SURVEY.md §2.10) and the CSV/JSON ingest
+sources S6-S7.
+
+The UDF queries intentionally compute integer-valued results (counts,
+ranks): that keeps the oracle comparison exact while still driving the
+Arrow batch path end-to-end. X4 (mapInPandas) is exercised by
+llm_multimodal.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..sources.readers import read_csv, read_json
+from .registry import query
+
+
+@query(
+    "x_scalar_pandas_udf",
+    sql="""
+    SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens_py
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x_scalar_pandas_udf(spark, sf_dir):
+    """X1: scalar pandas UDF (Arrow-vectorized) — Python tokenization per
+    batch; semantics match the JVM-side split so the oracle stays exact."""
+
+    @F.pandas_udf("int")
+    def py_token_count(s: pd.Series) -> pd.Series:
+        return s.str.strip().str.split().map(len).astype("int32")
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", py_token_count("text").alias("n_tokens_py")).orderBy("doc_id")
+
+
+@query(
+    "x_grouped_agg_pandas",
+    sql="""
+    SELECT lang, SUM(n_chars) AS total_chars, COUNT(*) AS n_docs
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def x_grouped_agg_pandas(spark, sf_dir):
+    """X2: grouped-aggregate pandas UDF — per-group reduction in Python
+    (integer sum: exact under any combine order)."""
+
+    @F.pandas_udf("bigint")
+    def py_sum(v: pd.Series) -> int:
+        return int(v.sum())
+
+    @F.pandas_udf("bigint")
+    def py_count(v: pd.Series) -> int:
+        return int(v.count())
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(py_sum("n_chars").alias("total_chars"), py_count("doc_id").alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "x_grouped_map_pandas",
+    sql="""
+    SELECT c_custkey, c_nationkey,
+           ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey) AS bal_rank
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def x_grouped_map_pandas(spark, sf_dir):
+    """X3: grouped-map applyInPandas — whole-group pandas DataFrame in/out
+    (the per-participant session-reconstruction shape). Emits integer ranks
+    so the oracle is exact."""
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["c_acctbal", "c_custkey"], ascending=[False, True])
+        pdf["bal_rank"] = range(1, len(pdf) + 1)
+        return pdf[["c_custkey", "c_nationkey", "bal_rank"]]
+
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .applyInPandas(rank_group, schema="c_custkey long, c_nationkey int, bal_rank long")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "agg_pivot",
+    sql="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_open,
+           COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_finished
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot: linestatus values to columns (bounded value list declared
+    up front, so no extra distinct-values pass)."""
+    l = load(spark, sf_dir, "lineitem")
+    out = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+        .withColumnRenamed("O", "n_open")
+        .withColumnRenamed("F", "n_finished")
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce("n_open", F.lit(0)).alias("n_open"),
+        F.coalesce("n_finished", F.lit(0)).alias("n_finished"),
+    ).orderBy("l_returnflag")
+
+
+_NATION_SCHEMA = "n_nationkey int, n_name string, n_regionkey int"
+
+
+@query(
+    "s_csv_roundtrip",
+    sql="""
+    SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name
+    FROM nation GROUP BY 1 ORDER BY 1
+    """,
+)
+def s_csv_roundtrip(spark, sf_dir):
+    """S7: CSV sink + scan with an explicit schema (no inference pass); the
+    aggregate over the round-tripped data must equal the source."""
+    n = load(spark, sf_dir, "nation")
+    path = os.path.join(tempfile.gettempdir(), "csv_roundtrip_nation")
+    n.write.mode("overwrite").option("header", "true").csv(path)
+    back = read_csv(spark, path, schema=_NATION_SCHEMA)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_name"))
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "s_json_roundtrip",
+    sql="""
+    SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name
+    FROM nation GROUP BY 1 ORDER BY 1
+    """,
+)
+def s_json_roundtrip(spark, sf_dir):
+    """S6: JSON-lines sink + scan with explicit schema (the Bridge raw-data
+    archive shape: JSON records promoted into typed columns)."""
+    n = load(spark, sf_dir, "nation")
+    path = os.path.join(tempfile.gettempdir(), "json_roundtrip_nation")
+    n.write.mode("overwrite").json(path)
+    back = read_json(spark, path, schema=_NATION_SCHEMA)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_name"))
+        .orderBy("n_regionkey")
+    )
