@@ -92,26 +92,30 @@ def knn_lsh(
             "table", "bucket"
         ),
     )
-    # Probe set per table: own bucket plus every radius-1 bit flip.
-    def probes(vec, t):
-        base = table_bucket(vec, t)
-        out = [base]
-        if radius >= 1:
-            out += [base.bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(n_bits)]
-        return out
-
-    q_probed = q.select(
+    # Materialize one bucket column per table first: inlining the
+    # sign-bucket CASE chain into every probe struct blows past the JVM
+    # method-size limit (codegen falls back to interpreted, ~5× slower).
+    q_bucketed = q.select(
         "query_id",
         "qv",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("table"), p.alias("bucket"))
-                    for t in range(tables)
-                    for p in probes(F.col("qv"), t)
-                ]
-            )
-        ).alias("probe"),
+        *[table_bucket(F.col("qv"), t).alias(f"qb{t}") for t in range(tables)],
+    )
+    # Probe set per table: own bucket plus every radius-1 bit flip — now
+    # cheap column references, not repeated expressions.
+    probe_structs = []
+    for t in range(tables):
+        base = F.col(f"qb{t}")
+        probe_structs.append(F.struct(F.lit(t).alias("table"), base.alias("bucket")))
+        if radius >= 1:
+            probe_structs += [
+                F.struct(
+                    F.lit(t).alias("table"),
+                    base.bitwiseXOR(F.lit(1 << i).cast("long")).alias("bucket"),
+                )
+                for i in range(n_bits)
+            ]
+    q_probed = q_bucketed.select(
+        "query_id", "qv", F.explode(F.array(*probe_structs)).alias("probe")
     ).select("query_id", "qv", F.col("probe.table").alias("table"), F.col("probe.bucket").alias("bucket"))
 
     pairs = (
