@@ -18,3 +18,4 @@ from . import bridge  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
 from . import udf_surface  # noqa: E402,F401
+from . import sql_api  # noqa: E402,F401

@@ -1,0 +1,130 @@
+"""SQL-API surface and remaining relational shapes: scalar/correlated
+subqueries, range window frames, unpivot, approximate percentiles.
+
+``spark.sql`` text and the DataFrame API compile to the same Catalyst plans;
+`sql_api_revenue` exercises the text path end-to-end (view registration →
+SQL → result) to pin that the engine exposes both entry points.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load, register_views
+from .registry import query
+
+
+@query(
+    "sql_api_revenue",
+    sql="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def sql_api_revenue(spark, sf_dir):
+    """The SQL text entry point: register the catalog as temp views, run
+    ANSI SQL through spark.sql — same optimizer, same plan as the
+    DataFrame form."""
+    register_views(spark, sf_dir, ("lineitem", "orders", "customer", "nation"))
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1 ORDER BY 1
+        """
+    )
+
+
+@query(
+    "agg_scalar_subquery",
+    sql="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                                     / COUNT(*) FROM orders)
+    ORDER BY o_orderkey
+    """,
+)
+def agg_scalar_subquery(spark, sf_dir):
+    """Scalar subquery: orders above 2× the mean order value (decimal-exact
+    mean on both sides). Catalyst plans the subquery as a one-row broadcast."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 2 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                                         / COUNT(*) FROM orders)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@query(
+    "w_range_frame",
+    sql="""
+    SELECT o_orderkey, o_custkey,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                          RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+             AS n_orders_30d
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def w_range_frame(spark, sf_dir):
+    """W3 variant: RANGE frame over a time interval — trailing 30-day order
+    count per customer (value-based frame, not row-based)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                              RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+                 AS n_orders_30d
+        FROM orders ORDER BY o_orderkey
+        """
+    )
+
+
+@query(
+    "unpivot_stack",
+    sql="""
+    SELECT s_suppkey, metric, val FROM (
+      SELECT s_suppkey, 'acctbal' AS metric, s_acctbal AS val FROM supplier
+      UNION ALL
+      SELECT s_suppkey, 'nationkey' AS metric, CAST(s_nationkey AS DOUBLE) AS val FROM supplier)
+    ORDER BY s_suppkey, metric
+    """,
+)
+def unpivot_stack(spark, sf_dir):
+    """Unpivot (melt): wide columns to (metric, value) rows via the native
+    unpivot operator — the inverse of agg_pivot."""
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_acctbal"), F.col("s_nationkey").cast("double")
+    )
+    return (
+        s.unpivot("s_suppkey", ["s_acctbal", "s_nationkey"], "metric", "val")
+        .withColumn("metric", F.regexp_replace("metric", "^s_", ""))
+        .orderBy("s_suppkey", "metric")
+    )
+
+
+@query("agg_approx_percentile")  # rows-only: approximate by design
+def agg_approx_percentile(spark, sf_dir):
+    """A8 scale path: approximate percentiles (GK sketch) — the 100 TB
+    substitute for exact quantiles; accuracy asserted vs exact in
+    tests/test_aggregates.py."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("pcts")
+    ).orderBy("l_returnflag")
