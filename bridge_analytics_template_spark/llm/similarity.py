@@ -128,6 +128,62 @@ def knn_lsh(
     return _ranked(pairs, k)
 
 
+def ivf_knn(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the other scale path next to
+    :func:`knn_lsh`.
+
+    Build: a deterministic pseudo-random sample of ``n_centroids`` vectors
+    (ordered by ``xxhash64(id)``) acts as the coarse quantizer; every
+    candidate is assigned to its nearest centroid (one broadcast join — the
+    "inverted lists" are just a ``centroid_id`` column, which at corpus
+    scale would also be the partition/bucket key of the stored table).
+    Search: each query probes its ``nprobe`` nearest centroids and ranks
+    only candidates in those lists. Cost drops from |Q|·|C| to
+    |Q|·|C|·nprobe/n_centroids plus the assignment pass.
+    """
+    c = ensure_parallelism(candidates).select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    cents = (
+        candidates.select(F.col(id_col).alias("centroid_id"), as_double(F.col(vec_col)).alias("cent"))
+        .orderBy(F.xxhash64(F.col("centroid_id")), "centroid_id")
+        .limit(n_centroids)
+    )
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.desc("csim"), F.col("centroid_id")
+    )
+    assigned = (
+        c.join(F.broadcast(cents))
+        .withColumn("csim", cosine(F.col("cv"), F.col("cent")))
+        .withColumn("crk", F.row_number().over(w_assign))
+        .filter(F.col("crk") == 1)
+        .select("neighbor_id", "cv", "centroid_id")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("psim"), F.col("centroid_id"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .withColumn("psim", cosine(F.col("qv"), F.col("cent")))
+        .withColumn("prk", F.row_number().over(w_probe))
+        .filter(F.col("prk") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    pairs = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    return _ranked(pairs, k)
+
+
 def near_dup_pairs(
     vectors: DataFrame,
     threshold: float,

@@ -1,0 +1,48 @@
+"""MERGE / upsert emulation (CDC shape) without a table format.
+
+Delta/Iceberg jars aren't in this environment, so MERGE INTO is composed
+from primitives — the standard emulation: matched rows take the source
+version, unmatched target rows pass through, unmatched source rows insert.
+One full-outer-join-shaped plan expressed as anti-join + union; both sides
+shuffle once on the key.
+
+SCD2 (`scd2_close_and_insert`) keeps history: matched target rows are
+closed (valid_to set) and the new version is appended as current.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """Upsert: source wins on key match; otherwise rows pass through.
+    Schemas must align by name."""
+    untouched = target.join(source.select(*keys), keys, "left_anti")
+    return untouched.unionByName(source.select(*target.columns))
+
+
+def scd2_close_and_insert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    effective_col: str,
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: close the current version of every
+    matched key (``valid_to`` ← the incoming row's effective timestamp) and
+    append the incoming rows as open versions (``valid_to`` = null)."""
+    eff = source.select(*keys, F.col(effective_col).alias("_new_eff"))
+    closed = (
+        target.join(eff, keys, "left")
+        .withColumn(
+            valid_to_col,
+            F.when(
+                F.col(valid_to_col).isNull() & F.col("_new_eff").isNotNull(), F.col("_new_eff")
+            ).otherwise(F.col(valid_to_col)),
+        )
+        .drop("_new_eff")
+    )
+    opened = source.withColumn(valid_to_col, F.lit(None).cast(target.schema[valid_to_col].dataType))
+    return closed.unionByName(opened.select(*closed.columns))

@@ -119,6 +119,71 @@ def unpivot_stack(spark, sf_dir):
     )
 
 
+@query(
+    "merge_upsert_cdc",
+    sql="""
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+           CASE WHEN c_custkey % 10 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment
+    FROM customer
+    UNION ALL
+    SELECT -1 AS c_custkey, 0.0 AS c_acctbal, 'INSERTED' AS c_mktsegment
+    ORDER BY c_custkey
+    """,
+)
+def merge_upsert_cdc(spark, sf_dir):
+    """MERGE INTO emulation (operators/merge.py): a CDC batch updates every
+    10th customer and inserts one new key; matched rows take the source
+    version, the rest pass through. Anti-join + union — one keyed shuffle
+    per side, no table-format dependency."""
+    from ..operators.merge import merge_upsert
+
+    target = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal", "c_mktsegment")
+    updates = target.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    inserts = spark.createDataFrame(
+        [(-1, 0.0, "INSERTED")], "c_custkey long, c_acctbal double, c_mktsegment string"
+    )
+    return merge_upsert(target, updates.unionByName(inserts), ["c_custkey"]).orderBy("c_custkey")
+
+
+@query("llm_knn_ivf")  # rows-only: approximate by design
+def llm_knn_ivf(spark, sf_dir):
+    """L3c: IVF approximate top-k — coarse-quantize to 16 deterministic
+    centroids, probe the 4 nearest lists per query (planted-neighbor
+    recall asserted in tests/test_merge_ivf.py)."""
+    from ..catalog import load as _load
+    from ..llm.similarity import ivf_knn
+
+    e = _load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return ivf_knn(q, e, k=5).select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
+
+
+@query("t_stream_stateful")  # rows-only: custom stateful streaming op
+def t_stream_stateful(spark, sf_dir):
+    """T-custom: applyInPandasWithState running per-user totals over the
+    event stream; final state == batch aggregate is asserted in
+    tests/test_stateful_streaming.py."""
+    import uuid
+
+    from ..streaming.stateful import running_user_totals
+    from ..streaming.windows import stream_events
+
+    out = running_user_totals(stream_events(spark, sf_dir))
+    name = f"state_{uuid.uuid4().hex[:8]}"
+    sq = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+    final = spark.table(name).groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    return final.orderBy("user_id")
+
+
 @query("agg_approx_percentile")  # rows-only: approximate by design
 def agg_approx_percentile(spark, sf_dir):
     """A8 scale path: approximate percentiles (GK sketch) — the 100 TB
