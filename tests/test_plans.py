@@ -1,0 +1,65 @@
+"""Physical-plan regression tests: the scale properties of key queries are
+asserted, not assumed. If a refactor drops a pushed filter, un-broadcasts a
+dim, or loses the map-side WindowGroupLimit, these fail before any
+benchmark does.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bridge_analytics_template_spark.queries import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_plan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "flagship")
+    assert "BroadcastHashJoin" in plan  # dims broadcast, fact never shuffled for the join
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "filter_conjunctive")
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # filters reach the scan (DataFilters/PushedFilters), and the unused
+    # o_custkey column is pruned out of the read entirely
+    assert "isnotnull(o_orderstatus" in scan_line
+    assert "o_custkey" not in scan_line
+    assert "o_totalprice" in scan_line
+
+
+def test_sort_merge_join_chosen(spark, sf_dir):
+    assert "SortMergeJoin" in plan_of(spark, sf_dir, "join_sort_merge")
+
+
+def test_broadcast_dims(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_broadcast_dims")
+    assert plan.count("BroadcastExchange") >= 2  # nation AND region broadcast
+
+
+def test_topk_per_group_partial_limit(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "w_topk_per_group")
+    assert "WindowGroupLimit" in plan and "Partial" in plan  # map-side top-k before shuffle
+
+
+def test_asof_single_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_asof")
+    # union+window: exactly one hash-partition exchange (on user_id); the
+    # final rangepartitioning is only the presentation ORDER BY.
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_dedup_exact_single_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "llm_dedup_exact")
+    assert plan.count("Exchange hashpartitioning") == 1  # one agg shuffle, no join
+
+
+def test_semi_anti_joins(spark, sf_dir):
+    assert "LeftSemi" in plan_of(spark, sf_dir, "join_semi")
+    assert "LeftAnti" in plan_of(spark, sf_dir, "join_anti")

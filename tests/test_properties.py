@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis) for the engine invariants SURVEY.md §5
+calls out: dedup idempotence, parquet round-trip fidelity, as-of join
+cardinality, coercion stability.
+
+Each property runs a bounded number of examples (Spark jobs are ~100 ms
+each); strategies generate small but adversarial frames — empty strings,
+duplicate keys, unordered timestamps.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bridge_analytics_template_spark.coercion import apply_coercion
+from bridge_analytics_template_spark.llm.dedup import dedup_exact
+from bridge_analytics_template_spark.operators.joins import asof_join
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+texts = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=12), min_size=1, max_size=12
+)
+
+
+@given(texts)
+@settings(**SETTINGS)
+def test_dedup_exact_idempotent_and_complete(spark, docs):
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    first = dedup_exact(df)
+    rows = first.collect()
+    # completeness: every distinct text keeps exactly one representative
+    assert len(rows) == len(set(docs))
+    # multiplicities add back up to the corpus size
+    assert sum(r["n_copies"] for r in rows) == len(docs)
+    # idempotence: dedup of the kept representatives is the identity
+    kept = df.join(first.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi")
+    again = dedup_exact(kept).collect()
+    assert {r["keep_id"] for r in again} == {r["keep_id"] for r in rows}
+    assert all(r["n_copies"] == 1 for r in again)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.floats(-1e6, 1e6)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_parquet_roundtrip(spark, rows):
+    df = spark.createDataFrame(
+        [(k, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), v) for k, m, v in rows],
+        "k long, ts timestamp, v double",
+    )
+    path = os.path.join(tempfile.mkdtemp(), "rt")
+    df.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=15),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=0, max_size=15),
+)
+@settings(**SETTINGS)
+def test_asof_join_cardinality_and_bound(spark, lefts, rights):
+    """As-of join never changes left cardinality, and every matched value
+    is the max right-ts <= left-ts within the key (checked by recompute)."""
+    base = dt.datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(k, base + dt.timedelta(minutes=m), i) for i, (k, m) in enumerate(lefts)],
+        "k long, ts timestamp, lid long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, base + dt.timedelta(minutes=m)) for k, m in rights] or [(99, base)],
+        "k long, rts timestamp",
+    )
+    out = asof_join(ldf, rdf, ["k"], "ts", "rts", ["rts"]).collect()
+    assert len(out) == len(lefts)
+    rmap: dict[int, list[dt.datetime]] = {}
+    for k, m in rights:
+        rmap.setdefault(k, []).append(base + dt.timedelta(minutes=m))
+    for row in out:
+        expected = max((t for t in rmap.get(row["k"], []) if t <= row["ts"]), default=None)
+        assert row["rts_asof"] == expected
+
+
+@given(st.lists(st.sampled_from(["3", "7", "true", "false", "x", ""]), min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_coercion_stable_under_double_application(spark, vals):
+    df = spark.createDataFrame(
+        [(v, v) for v in vals], "assessmentRevision string, timeWindowPersistent string"
+    )
+    once = apply_coercion(df)
+    twice = apply_coercion(once)
+    assert once.schema == twice.schema
+    assert sorted(map(tuple, once.collect()), key=str) == sorted(map(tuple, twice.collect()), key=str)
