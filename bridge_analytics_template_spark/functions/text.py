@@ -44,10 +44,15 @@ def token_count(col: Column | str) -> Column:
 def word_shingles(tokens: Column, n: int) -> Column:
     """Word n-gram shingles from a token array, via higher-order functions:
     ``transform(sequence(1, len-n+1), i -> concat_ws(' ', slice(t, i, n)))``.
-    Empty result when the document has fewer than ``n`` tokens."""
+    Empty result when the document has fewer than ``n`` tokens.
+
+    The short-doc case must be guarded BEFORE building the index sequence:
+    ``sequence(1, 0)`` in Spark is the *descending* [1, 0], which would emit
+    bogus shingles instead of none."""
     length = F.size(tokens)
-    idx = F.sequence(F.lit(1), F.greatest(length - (n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+    idx = F.sequence(F.lit(1), length - (n - 1))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+    return F.when(length >= n, shingles).otherwise(F.array().cast("array<string>"))
 
 
 def punct_count(col: Column | str) -> Column:

@@ -44,7 +44,9 @@ def dedup_normalized(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def _shingle_table(df: DataFrame, text_col: str, id_col: str, shingle_words: int) -> DataFrame:
+def _shingle_table(
+    df: DataFrame, text_col: str, id_col: str, shingle_words: int, hashed: bool = False
+) -> DataFrame:
     """(id, shingle) pairs, distinct per doc. Docs shorter than the shingle
     width contribute their whole text as one shingle so they can still match.
 
@@ -52,7 +54,12 @@ def _shingle_table(df: DataFrame, text_col: str, id_col: str, shingle_words: int
     inlining ``split()`` inside the ``transform`` lambda would re-tokenize
     the document once per shingle index (O(tokens²) regex work — measured
     10× slower). The input is widened first so the CPU-heavy shingling runs
-    at full parallelism."""
+    at full parallelism.
+
+    ``hashed=True`` maps each shingle to ``xxhash64`` inside the row before
+    dedup/explode — the MinHash/LSH path never needs the string, and long
+    keys make the dedup, the shuffle, and the verification joins all
+    cheaper (collision odds at 64 bits are negligible at corpus scale)."""
     tokenized = ensure_parallelism(df.select(F.col(id_col).alias("doc"), F.col(text_col))).select(
         "doc", ws_tokens(F.col(text_col)).alias("toks")
     )
@@ -65,6 +72,31 @@ def _shingle_table(df: DataFrame, text_col: str, id_col: str, shingle_words: int
         .otherwise(F.array(F.concat_ws(" ", F.col("toks"))))
         .alias("sh"),
     )
+    if hashed:
+        # Hash each token once, then combine w token-hashes per shingle with
+        # position-dependent rotations — O(tokens) hash work per doc instead
+        # of O(tokens·w) string bytes, and equal word sequences still map to
+        # equal longs.
+        def rotl(c, r):
+            r = r % 64
+            return F.shiftleft(c, r).bitwiseOR(F.shiftrightunsigned(c, (64 - r) % 64))
+
+        th = tokenized.select("doc", "toks", F.transform("toks", lambda t: F.xxhash64(t)).alias("th"))
+        idx = F.sequence(F.lit(1), F.greatest(F.size("toks") - (shingle_words - 1), F.lit(0)))
+
+        def shingle_hash(i):
+            out = F.element_at(F.col("th"), i)
+            for j in range(1, shingle_words):
+                out = out.bitwiseXOR(rotl(F.element_at(F.col("th"), i + j), 13 * j))
+            return out
+
+        hashed_sh = th.select(
+            "doc",
+            F.when(
+                F.size("toks") >= shingle_words, F.transform(idx, shingle_hash)
+            ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", F.col("toks"))))).alias("sh"),
+        )
+        return hashed_sh.select("doc", F.explode(F.array_distinct("sh")).alias("shingle"))
     return padded.select("doc", F.explode(F.array_distinct("sh")).alias("shingle"))
 
 
@@ -173,7 +205,8 @@ def minhash_near_dups(
     # The shingle table feeds both the signature aggregate and the exact
     # verification joins — persist so it is computed once (at corpus scale
     # this is the checkpoint between the candidate and verify phases).
-    shingled = _shingle_table(df, text_col, id_col, shingle_words).persist()
+    # Hashed shingles: longs through the whole pipeline, never strings.
+    shingled = _shingle_table(df, text_col, id_col, shingle_words, hashed=True).persist()
     sigs = minhash_signatures(shingled, num_perm)
     cands = lsh_candidate_pairs(sigs, bands, num_perm)
     return exact_jaccard_pairs(shingled, min_jaccard, candidates=cands)

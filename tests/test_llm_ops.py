@@ -59,6 +59,18 @@ def test_minhash_finds_planted_near_dups(corpus):
     assert not any({a, b} & {4, 5} and {a, b} & {0, 1, 2, 3} for a, b in pairs)
 
 
+def test_short_docs_fall_back_to_whole_text(spark):
+    """Docs shorter than the shingle width use their whole text as one
+    shingle (and sequence(1,0)'s descending-range trap stays fixed):
+    identical short docs must still pair up."""
+    df = spark.createDataFrame(
+        [(0, "tiny doc"), (1, "tiny doc"), (2, "other text"), (3, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in minhash_near_dups(df, min_jaccard=0.9, shingle_words=5).collect()}
+    assert pairs == {(0, 1): 1.0}
+
+
 def test_simhash_near_dups(corpus):
     pairs = {(r["doc_a"], r["doc_b"]) for r in simhash_near_dups(corpus, max_hamming=6).collect()}
     assert (0, 1) in pairs
