@@ -1,0 +1,114 @@
+"""Breadth batch: grouping sets, the full rank family, min_by/max_by,
+deterministic-seed sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load, register_views
+from .registry import query
+
+
+@query(
+    "agg_grouping_sets",
+    sql="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """A5: explicit GROUPING SETS (the general form of rollup/cube)."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+@query(
+    "w_rank_family",
+    sql="""
+    SELECT c_custkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           PERCENT_RANK() OVER w AS prnk,
+           CUME_DIST() OVER w AS cdist,
+           NTILE(4) OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def w_rank_family(spark, sf_dir):
+    """W1 extension: the full rank family (rank / dense_rank / percent_rank
+    / cume_dist / ntile) over a unique-tie-broken ordering."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "agg_min_max_by",
+    sql="""
+    SELECT o_orderstatus,
+           max_by(o_custkey, o_orderkey) AS last_cust,
+           min_by(o_custkey, o_orderkey) AS first_cust,
+           MAX(o_orderkey) AS max_key, MIN(o_orderkey) AS min_key
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_min_max_by(spark, sf_dir):
+    """A2 extension: argmin/argmax aggregates (min_by/max_by) keyed on the
+    unique order key so results are deterministic."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.max_by("o_custkey", "o_orderkey").alias("last_cust"),
+            F.min_by("o_custkey", "o_orderkey").alias("first_cust"),
+            F.max("o_orderkey").alias("max_key"),
+            F.min("o_orderkey").alias("min_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "s_sample_hash",
+    sql="""
+    SELECT l_returnflag, COUNT(*) AS n_sampled
+    FROM lineitem
+    WHERE substring(md5(concat(CAST(l_orderkey AS VARCHAR), '_', CAST(l_linenumber AS VARCHAR))), 1, 2) <= '0c'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def s_sample_hash(spark, sf_dir):
+    """Deterministic content-hash sampling (~5%, rows where the md5 prefix
+    of the row key falls under a threshold). Unlike ``df.sample(seed=...)``
+    — which depends on input split order and is NOT stable across runs or
+    engines (measured) — a hash predicate selects the same rows on any
+    cluster, any partitioning, any engine: the only sampling that supports
+    reproducible profiling passes at 100 TB."""
+    l = load(spark, sf_dir, "lineitem")
+    key = F.concat(F.col("l_orderkey").cast("string"), F.lit("_"), F.col("l_linenumber").cast("string"))
+    return (
+        l.filter(F.substring(F.md5(key), 1, 2) <= "0c")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("l_returnflag")
+    )
