@@ -32,6 +32,27 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _ensure_session_defaults(spark: SparkSession) -> None:
+    """Pin the runtime-settable confs correctness and plan quality depend
+    on, so queries behave identically under any caller's session (the
+    verification driver builds its own): UTC timestamps (oracle parity),
+    AQE with partition coalescing, and cores-sized shuffle parallelism
+    instead of the 200 default."""
+    conf = spark.conf
+    conf.set("spark.sql.session.timeZone", "UTC")
+    conf.set("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    try:
+        if int(conf.get("spark.sql.shuffle.partitions")) == 200:
+            conf.set(
+                "spark.sql.shuffle.partitions",
+                str(spark.sparkContext.defaultParallelism),
+            )
+    except Exception:
+        pass
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Plain ``spark.read.parquet`` so Catalyst gets
     predicate pushdown / column pruning for free (SURVEY.md §4).
@@ -41,6 +62,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     truncate to a micro-precision timestamp — the same value DuckDB produces
     with ``CAST(ts AS TIMESTAMP)``.
     """
+    _ensure_session_defaults(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
