@@ -13,7 +13,22 @@ layout (sink.py): directories give partition *pruning*, buckets give join
 
 from __future__ import annotations
 
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _drop_table_and_location(spark: SparkSession, table: str) -> None:
+    """Drop a managed table AND its on-disk location.
+
+    A killed session can leave the warehouse directory behind without the
+    catalog entry; ``saveAsTable`` then fails with LOCATION_ALREADY_EXISTS.
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    path = urlparse(warehouse).path or warehouse
+    shutil.rmtree(f"{path.rstrip('/')}/{table.lower()}", ignore_errors=True)
 
 
 def write_bucketed(
@@ -26,6 +41,8 @@ def write_bucketed(
 ) -> None:
     """Persist ``df`` as a bucketed (and optionally sorted) managed table.
     Sorting within buckets lets the sort-merge join skip its sort too."""
+    if mode == "overwrite":
+        _drop_table_and_location(df.sparkSession, table)
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
