@@ -87,6 +87,18 @@ def language_id(col: Column | str) -> Column:
     return F.when(scored["hits"] > 0, scored["lang"]).otherwise(F.lit("und"))
 
 
+def token_length_sum(tokens: Column) -> Column:
+    """Total characters across tokens, via a higher-order fold (codegen'd)."""
+    return F.aggregate(tokens, F.lit(0), lambda acc, t: acc + F.length(t))
+
+
+def alpha_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are ASCII letters."""
+    c = F.col(col) if isinstance(col, str) else col
+    letters = F.length(c) - F.length(F.regexp_replace(c, r"[A-Za-z]", ""))
+    return letters.cast("double") / F.greatest(F.length(c), F.lit(1)).cast("double")
+
+
 def normalized_fingerprint(col: Column | str) -> Column:
     """Document fingerprint: lowercase, strip non-alphanumerics, collapse
     whitespace, md5. Equal fingerprints ⇔ near-identical text modulo

@@ -212,6 +212,55 @@ def minhash_near_dups(
     return exact_jaccard_pairs(shingled, min_jaccard, candidates=cands)
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-dup pairs into components: (node, cluster_id) where
+    ``cluster_id`` is the minimum node id in the component — the canonical
+    survivor a dedup pipeline keeps.
+
+    Min-label propagation: each round every node takes the minimum label
+    among itself and its neighbors; converged when no label changes. Rounds
+    = graph diameter, and dedup graphs are unions of tiny cliques (diameter
+    ≤ a few hops even at corpus scale), so this beats the O(log n)
+    star-contraction algorithms in practice: each round is ONE shuffle
+    (join + min-aggregate on node id), and labels are localCheckpoint'd per
+    round so the plan doesn't grow with iterations.
+    """
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionAll(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    und = und.persist()
+    labels = (
+        und.select(F.col("u").alias("node")).distinct().select("node", F.col("node").alias("label"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["u"], "left")
+            .select(labels["node"], F.least(labels["label"], F.coalesce("nmin", labels["label"])).alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """Tier 4 signature: 64-bit SimHash — bit *j* is the sign of the sum of
     (±1) votes from each token's xxhash64 bit *j*. One explode + one

@@ -1,0 +1,223 @@
+"""Training-data-pipeline batch 2: composite quality scoring, near-dup
+clustering (connected components), positional tokenization, median
+aggregates, correlated scalar subqueries, ORC round-trip.
+
+All numeric oracle outputs are either integers or single IEEE operations on
+exactly-representable integers (int/int division, (a+b)/2), so Spark and
+DuckDB agree bit-for-bit without rounding tricks.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..catalog import load, register_views
+from ..functions.text import (
+    STOPWORDS,
+    alpha_ratio,
+    stopword_hits,
+    token_length_sum,
+    ws_tokens,
+)
+from ..llm.dedup import _shingle_table, connected_components, exact_jaccard_pairs
+from ..sources.readers import read_orc
+from .registry import query
+
+_SQL_TOKENS = "string_split_regex(trim(lower(text)), '\\s+')"
+_EN_PANEL = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+
+@query(
+    "llm_quality_score",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, {_SQL_TOKENS} AS toks FROM documents)
+    SELECT doc_id, lang,
+           len(toks) AS n_tokens,
+           CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+             / greatest(len(toks), 1) AS mean_token_len,
+           CAST(len(list_filter(toks, x -> list_contains([{_EN_PANEL}], x))) AS DOUBLE)
+             / greatest(len(toks), 1) AS stopword_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS alpha_ratio,
+           (len(toks) BETWEEN 5 AND 100000)
+             AND (CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+                    / greatest(length(text), 1) >= 0.5) AS keep
+    FROM t ORDER BY doc_id
+    """,
+)
+def llm_quality_score(spark, sf_dir):
+    """L4e: composite document quality score — the C4/Gopher-style filter
+    pass (token count bounds, mean token length, English stopword ratio,
+    alphabetic ratio) plus the resulting keep/drop verdict. Pure codegen'd
+    expressions: one projection over the corpus, no shuffle at all."""
+    d = load(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    n_tokens = F.size(toks)
+    denom = F.greatest(n_tokens, F.lit(1)).cast("double")
+    a_ratio = alpha_ratio("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        (token_length_sum(toks).cast("double") / denom).alias("mean_token_len"),
+        (stopword_hits(toks, "en").cast("double") / denom).alias("stopword_ratio"),
+        a_ratio.alias("alpha_ratio"),
+        (n_tokens.between(5, 100000) & (a_ratio >= 0.5)).alias("keep"),
+    ).orderBy("doc_id")
+
+
+_SQL_SHINGLES5 = (
+    f"list_transform(generate_series(1, greatest(len({_SQL_TOKENS}) - 4, 0)), "
+    f"i -> array_to_string({_SQL_TOKENS}[i:i+4], ' '))"
+)
+
+#: Shared with llm_ngram_jaccard: word-5-gram Jaccard edges at >= 0.05.
+_SQL_EDGES = f"""
+    sh AS (
+      SELECT doc_id AS doc,
+             unnest(CASE WHEN len({_SQL_SHINGLES5}) > 0 THEN list_distinct({_SQL_SHINGLES5})
+                         ELSE [array_to_string({_SQL_TOKENS}, ' ')] END) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc
+      JOIN sizes sb ON i.doc_b = sb.doc
+      WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.05
+    )
+"""
+
+
+@query(
+    "llm_dedup_clusters",
+    sql=f"""
+    WITH RECURSIVE
+    {_SQL_EDGES},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach
+    GROUP BY node ORDER BY doc_id
+    """,
+)
+def llm_dedup_clusters(spark, sf_dir):
+    """L2e: near-dup clustering — group the 5-gram-Jaccard edge set into
+    connected components and label every member with the minimum doc id of
+    its component (the canonical survivor). Min-label propagation, one
+    shuffle per round, rounds = component diameter (tiny for dedup
+    graphs); oracle is the same closure via DuckDB's recursive CTE."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingle_table(d, "text", "doc_id", 5)
+    edges = exact_jaccard_pairs(sh, min_jaccard=0.05).select("doc_a", "doc_b")
+    return (
+        connected_components(edges)
+        .select(F.col("node").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "lateral_tokens_pos",
+    sql=f"""
+    SELECT doc_id,
+           unnest(generate_series(1, len(toks))) - 1 AS pos,
+           unnest(toks) AS tok
+    FROM (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents WHERE doc_id % 10 = 0) t
+    ORDER BY doc_id, pos
+    """,
+)
+def lateral_tokens_pos(spark, sf_dir):
+    """UDTF-shaped lateral expansion: one row per (document, token position)
+    via posexplode — the generate-rows-from-a-row primitive (DuckDB oracle
+    zips parallel unnests of the token array and its index list)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return (
+        d.select("doc_id", F.posexplode(ws_tokens("text")).alias("pos", "tok"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+@query(
+    "agg_median",
+    sql="""
+    SELECT l_returnflag,
+           median(l_quantity) AS med_qty,
+           median(l_extendedprice) AS med_price,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_median(spark, sf_dir):
+    """A8 extension: exact grouped median (interpolating percentile). Exact
+    medians need a per-group sort — fine for bounded group counts; the
+    approx_percentile query is the unbounded-cardinality path."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.median("l_quantity").alias("med_qty"),
+            F.median("l_extendedprice").alias("med_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_CORRELATED_SQL = """
+    SELECT l.l_partkey, COUNT(*) AS n_above
+    FROM lineitem l
+    WHERE l.l_quantity > (SELECT 1.2 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY l.l_partkey ORDER BY l.l_partkey
+"""
+
+
+@query("sql_correlated_subquery", sql=_CORRELATED_SQL)
+def sql_correlated_subquery(spark, sf_dir):
+    """Correlated scalar subquery (TPC-H Q17 shape): lineitems above 1.2x
+    the average quantity of their part. Catalyst decorrelates this into an
+    aggregate + join — no per-row re-execution (the plan-regression test
+    asserts a single join, not a nested-loop). AVG over integral doubles is
+    exact, so the comparison is engine-stable."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_CORRELATED_SQL)
+
+
+@query(
+    "s_orc_roundtrip",
+    sql="""
+    SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name
+    FROM nation GROUP BY 1 ORDER BY 1
+    """,
+)
+def s_orc_roundtrip(spark, sf_dir):
+    """S7b: ORC sink + scan — the second columnar format, same vectorized
+    reader and predicate-pushdown machinery as parquet."""
+    n = load(spark, sf_dir, "nation")
+    path = os.path.join(tempfile.gettempdir(), "orc_roundtrip_nation")
+    n.write.mode("overwrite").orc(path)
+    back = read_orc(spark, path)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_name"))
+        .orderBy("n_regionkey")
+    )

@@ -16,6 +16,12 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the other self-describing columnar format in ETL estates;
+    same vectorized reader + pushdown machinery as parquet."""
+    return spark.read.orc(path)
+
+
 def read_csv(spark: SparkSession, path: str, schema: str | None = None, header: bool = True) -> DataFrame:
     reader = spark.read.option("header", str(header).lower())
     if schema:

@@ -108,3 +108,34 @@ def test_multimodal_features_and_stub(spark):
     assert out[2]["n_bytes"] == 0 and out[2]["magic"] == -1
     with pytest.raises(Exception, match="NotImplementedError|real codec"):
         extract_features(attach_binary(df), decode_stub=False).collect()
+
+
+def test_connected_components_labels_min_id(spark):
+    from bridge_analytics_template_spark.llm.dedup import connected_components
+
+    # Two components: a 4-node chain {1-2-3-4} (diameter 3, exercises
+    # multi-round propagation) and a pair {10,11}; 99 has no edges.
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_quality_score_keep_verdict(spark):
+    from bridge_analytics_template_spark.queries.registry import QUERIES
+    import tempfile, os
+
+    rows = [
+        (0, "the cat sat on the mat and it is a fine day in the park", "en", "web", 1),
+        (1, "1234 5678 9012 3456 7890 1111", "en", "web", 1),  # numeric junk
+        (2, "ok", "en", "web", 1),  # too short
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    path = os.path.join(tempfile.gettempdir(), "quality_docs")
+    df.write.mode("overwrite").parquet(os.path.join(path, "documents.parquet"))
+    out = {r["doc_id"]: r for r in QUERIES["llm_quality_score"](spark, path).collect()}
+    assert out[0]["keep"] is True
+    assert out[1]["keep"] is False  # alpha_ratio below threshold
+    assert out[2]["keep"] is False  # under token minimum
+    assert out[0]["stopword_ratio"] > 0.2
