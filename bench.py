@@ -31,6 +31,8 @@ HEADLINE = [
     "llm_dedup_exact",
     "llm_dedup_minhash",
     "llm_ngram_jaccard",
+    "llm_dedup_clusters",
+    "llm_quality_score",
     "llm_knn_ids",
 ]
 

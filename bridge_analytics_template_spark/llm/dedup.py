@@ -44,11 +44,13 @@ def dedup_normalized(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def _shingle_table(
+def _shingle_arrays(
     df: DataFrame, text_col: str, id_col: str, shingle_words: int, hashed: bool = False
 ) -> DataFrame:
-    """(id, shingle) pairs, distinct per doc. Docs shorter than the shingle
-    width contribute their whole text as one shingle so they can still match.
+    """(doc, sh) with ``sh`` the doc's DISTINCT shingle set as an array —
+    computed entirely inside the row (no explode, no shuffle). Docs shorter
+    than the shingle width contribute their whole text as one shingle so
+    they can still match.
 
     Tokenization and shingling are materialized as separate projections:
     inlining ``split()`` inside the ``transform`` lambda would re-tokenize
@@ -56,21 +58,12 @@ def _shingle_table(
     10× slower). The input is widened first so the CPU-heavy shingling runs
     at full parallelism.
 
-    ``hashed=True`` maps each shingle to ``xxhash64`` inside the row before
-    dedup/explode — the MinHash/LSH path never needs the string, and long
-    keys make the dedup, the shuffle, and the verification joins all
-    cheaper (collision odds at 64 bits are negligible at corpus scale)."""
+    ``hashed=True`` maps each shingle to ``xxhash64`` inside the row — the
+    MinHash/LSH path never needs the string, and long keys make every
+    downstream dedup/shuffle/join cheaper (collision odds at 64 bits are
+    negligible at corpus scale)."""
     tokenized = ensure_parallelism(df.select(F.col(id_col).alias("doc"), F.col(text_col))).select(
         "doc", ws_tokens(F.col(text_col)).alias("toks")
-    )
-    with_shingles = tokenized.select(
-        "doc", word_shingles(F.col("toks"), shingle_words).alias("sh"), "toks"
-    )
-    padded = with_shingles.select(
-        "doc",
-        F.when(F.size("sh") > 0, F.col("sh"))
-        .otherwise(F.array(F.concat_ws(" ", F.col("toks"))))
-        .alias("sh"),
     )
     if hashed:
         # Hash each token once, then combine w token-hashes per shingle with
@@ -90,40 +83,68 @@ def _shingle_table(
                 out = out.bitwiseXOR(rotl(F.element_at(F.col("th"), i + j), 13 * j))
             return out
 
-        hashed_sh = th.select(
+        return th.select(
             "doc",
-            F.when(
-                F.size("toks") >= shingle_words, F.transform(idx, shingle_hash)
-            ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", F.col("toks"))))).alias("sh"),
+            F.array_distinct(
+                F.when(F.size("toks") >= shingle_words, F.transform(idx, shingle_hash)).otherwise(
+                    F.array(F.xxhash64(F.concat_ws(" ", F.col("toks"))))
+                )
+            ).alias("sh"),
         )
-        return hashed_sh.select("doc", F.explode(F.array_distinct("sh")).alias("shingle"))
-    return padded.select("doc", F.explode(F.array_distinct("sh")).alias("shingle"))
-
-
-def minhash_signatures(
-    shingled: DataFrame, num_perm: int = 64
-) -> DataFrame:
-    """Per-doc MinHash signature: permutation *i* combines two seeded
-    xxhash64 values as ``h1 XOR rotl(h2, i)`` — 2 hashes per shingle instead
-    of ``num_perm``, pure bitwise ops (no wrapping arithmetic, which ANSI
-    mode rejects), deterministic across runs and partitionings. Signature
-    element = min over the doc's shingles; one hash aggregate, constant
-    signature width."""
-    hashed = shingled.select(
+    with_shingles = tokenized.select(
+        "doc", word_shingles(F.col("toks"), shingle_words).alias("sh"), "toks"
+    )
+    return with_shingles.select(
         "doc",
-        F.xxhash64("shingle").alias("h1"),
-        F.xxhash64(F.lit(1), F.col("shingle")).alias("h2"),
+        F.array_distinct(
+            F.when(F.size("sh") > 0, F.col("sh")).otherwise(
+                F.array(F.concat_ws(" ", F.col("toks")))
+            )
+        ).alias("sh"),
     )
 
-    def perm(i: int):
-        rot = F.shiftleft(F.col("h2"), i).bitwiseOR(
-            F.shiftrightunsigned(F.col("h2"), (64 - i) % 64)
-        )
-        return F.col("h1").bitwiseXOR(rot)
 
-    mins = [F.min(perm(i)).alias(f"h{i}") for i in range(num_perm)]
-    sig = hashed.groupBy("doc").agg(*mins)
-    return sig.select("doc", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"))
+def _shingle_table(
+    df: DataFrame, text_col: str, id_col: str, shingle_words: int, hashed: bool = False
+) -> DataFrame:
+    """(id, shingle) pairs, distinct per doc — the exploded (inverted-index)
+    form of :func:`_shingle_arrays`, for the exact all-pairs Jaccard path.
+
+    ``explode_outer`` on purpose, NOT ``explode``: the arrays are never
+    empty (short docs are padded), but a plain explode makes Catalyst's
+    InferFiltersFromGenerate push ``size(sh) > 0`` down into the scan,
+    inlining the whole tokenize+shingle expression tree into a per-row
+    filter — measured 6× slower. The outer variant skips that rule and
+    yields identical rows here."""
+    return _shingle_arrays(df, text_col, id_col, shingle_words, hashed).select(
+        "doc", F.explode_outer("sh").alias("shingle")
+    )
+
+
+def minhash_signatures(shingle_arrays: DataFrame, num_perm: int = 64) -> DataFrame:
+    """Per-doc MinHash signature from the (doc, sh array) form — a PURE
+    PROJECTION, no shuffle: permutation *i* combines two seeded xxhash64
+    values as ``h1 XOR rotl(h2, i)`` (2 hashes per shingle instead of
+    ``num_perm``, pure bitwise ops — no wrapping arithmetic, which ANSI mode
+    rejects), and the signature element is ``array_min`` over the doc's
+    shingles. Deterministic across runs and partitionings; at corpus scale
+    the signature stage costs zero network."""
+    pre = shingle_arrays.select(
+        "doc",
+        F.transform("sh", lambda s: F.xxhash64(s)).alias("h1s"),
+        F.transform("sh", lambda s: F.xxhash64(F.lit(1), s)).alias("h2s"),
+    )
+
+    def perm_min(i: int):
+        def combine(h1, h2):
+            rot = F.shiftleft(h2, i).bitwiseOR(F.shiftrightunsigned(h2, (64 - i) % 64))
+            return h1.bitwiseXOR(rot)
+
+        return F.array_min(F.zip_with("h1s", "h2s", combine))
+
+    return pre.select(
+        "doc", F.array(*[perm_min(i) for i in range(num_perm)]).alias("sig")
+    )
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16, num_perm: int = 64) -> DataFrame:
@@ -131,9 +152,12 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16, num_perm: int = 
     agreeing on any band become a candidate pair. The join key space is
     (bands × hash) — uniformly distributed, no skew by construction."""
     rows_per_band = max(num_perm // bands, 1)
+    # posexplode_outer: the band array is constant-width and never empty;
+    # see _shingle_table on why the non-outer variant is a perf trap (it
+    # would inline the 64-permutation signature into an inferred filter).
     banded = signatures.select(
         "doc",
-        F.posexplode(
+        F.posexplode_outer(
             F.array(
                 *[
                     F.xxhash64(
@@ -144,6 +168,11 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16, num_perm: int = 
             )
         ).alias("band", "band_hash"),
     )
+    # Materialize the banded signatures once: a self-join of an unpersisted
+    # plan computes the 64-permutation projection for BOTH sides (alias
+    # exprIds defeat ReuseExchange). At corpus scale this is the signature
+    # checkpoint every MinHash pipeline writes anyway.
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -191,6 +220,39 @@ def exact_jaccard_pairs(
     )
 
 
+def jaccard_for_candidates(
+    shingle_arrays: DataFrame, candidates: DataFrame, min_jaccard: float = 0.0
+) -> DataFrame:
+    """Exact Jaccard for a known (doc_a, doc_b) candidate set by joining the
+    per-doc shingle ARRAYS to each side and intersecting inside the row
+    (``array_intersect`` hashes the smaller side — O(|a|+|b|) per pair).
+
+    This is the scale-correct verification shape: cost is keyed joins
+    proportional to |candidates|, where the inverted-index alternative
+    (count pairs sharing a shingle, then filter) explodes quadratically on
+    any shingle shared by many documents."""
+    sa = shingle_arrays.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = shingle_arrays.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+    )
+
+
 def minhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
@@ -201,15 +263,15 @@ def minhash_near_dups(
     min_jaccard: float = 0.5,
 ) -> DataFrame:
     """Tier 3 end-to-end: shingle → MinHash → LSH bands → exact-Jaccard
-    verification of the candidates only."""
-    # The shingle table feeds both the signature aggregate and the exact
-    # verification joins — persist so it is computed once (at corpus scale
-    # this is the checkpoint between the candidate and verify phases).
-    # Hashed shingles: longs through the whole pipeline, never strings.
-    shingled = _shingle_table(df, text_col, id_col, shingle_words, hashed=True).persist()
-    sigs = minhash_signatures(shingled, num_perm)
+    verification of the candidates only. Hashed shingles stay as per-doc
+    long arrays for the whole pipeline: the signature stage is a pure
+    projection (zero shuffle) and verification joins arrays to the LSH
+    candidate pairs — the only shuffles are the band-key self-join and the
+    two keyed candidate joins."""
+    arrays = _shingle_arrays(df, text_col, id_col, shingle_words, hashed=True).persist()
+    sigs = minhash_signatures(arrays, num_perm)
     cands = lsh_candidate_pairs(sigs, bands, num_perm)
-    return exact_jaccard_pairs(shingled, min_jaccard, candidates=cands)
+    return jaccard_for_candidates(arrays, cands, min_jaccard)
 
 
 def connected_components(
@@ -234,8 +296,12 @@ def connected_components(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
     und = und.persist()
+    # Seed with min(node, min neighbor): same shuffle the node-distinct
+    # would cost, but it pre-applies round 1 of the propagation.
     labels = (
-        und.select(F.col("u").alias("node")).distinct().select("node", F.col("node").alias("label"))
+        und.groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("mv"))
+        .select("node", F.least("node", "mv").alias("label"))
     ).localCheckpoint()
     for _ in range(max_iter):
         neighbor_min = (
@@ -266,7 +332,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     (±1) votes from each token's xxhash64 bit *j*. One explode + one
     aggregate of 64 conditional sums, all codegen'd."""
     tokens = ensure_parallelism(df.select(F.col(id_col).alias("doc"), F.col(text_col))).select(
-        "doc", F.explode(ws_tokens(F.col(text_col))).alias("tok")
+        "doc", F.explode_outer(ws_tokens(F.col(text_col))).alias("tok")
     ).withColumn("th", F.xxhash64("tok"))
     # Bit masks as JVM-side shifts: 1<<63 overflows a Python->JVM literal.
     def mask(j: int):
@@ -292,7 +358,7 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
     bands = sigs.select(
         "doc",
         "simhash",
-        F.posexplode(
+        F.posexplode_outer(
             F.array(*[F.shiftrightunsigned("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)) for b in range(4)])
         ).alias("band", "band_val"),
     )

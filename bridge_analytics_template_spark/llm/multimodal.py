@@ -64,3 +64,66 @@ def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+#: Output schema of the frame sampler — one row per sampled frame.
+FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, n_frames bigint, frame_bytes binary"
+
+
+def sample_frames(
+    df: DataFrame, frame_size: int = 1000, every: int = 4, decode_stub: bool = True
+) -> DataFrame:
+    """Video-style frame sampling: 1→N fan-out inside ``mapInPandas`` (one
+    output row per sampled frame). The stub treats the payload as fixed-size
+    frames of ``frame_size`` bytes and keeps every ``every``-th; a real
+    implementation would hand the container to pyav and decode keyframes.
+    The Arrow batch shape (variable rows out per row in) is exactly what a
+    real demuxer produces, so the plumbing is load-bearing even stubbed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError("real demuxer (pyav) not available in this environment")
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "n_frames": [], "frame_bytes": []}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                n_frames = len(content) // frame_size + 1
+                for idx in range(0, n_frames, every):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["n_frames"].append(n_frames)
+                    out["frame_bytes"].append(bytes(content[idx * frame_size : (idx + 1) * frame_size]))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame, width: int = 32, height: int = 32, decode_stub: bool = True
+) -> DataFrame:
+    """Image-resize plumbing: 1→1 binary transform with new typed metadata.
+    The stub tiles the source bytes to exactly ``width*height`` output bytes
+    (deterministic; a real implementation decodes with PIL, resizes, and
+    re-encodes). Output schema mirrors :func:`attach_binary`."""
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError("real codec (PIL) not available in this environment")
+
+            def tile(b: bytes) -> bytes:
+                if not b:
+                    return bytes(target)
+                reps = -(-target // len(b))
+                return (bytes(b) * reps)[:target]
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": pdf["content"].map(tile),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.mapInPandas(run, schema="doc_id bigint, content binary, width int, height int")

@@ -88,7 +88,7 @@ def knn_lsh(
     c_bucketed = c.select(
         "neighbor_id",
         "cv",
-        F.posexplode(F.array(*[table_bucket(F.col("cv"), t) for t in range(tables)])).alias(
+        F.posexplode_outer(F.array(*[table_bucket(F.col("cv"), t) for t in range(tables)])).alias(
             "table", "bucket"
         ),
     )
@@ -115,7 +115,7 @@ def knn_lsh(
                 for i in range(n_bits)
             ]
     q_probed = q_bucketed.select(
-        "query_id", "qv", F.explode(F.array(*probe_structs)).alias("probe")
+        "query_id", "qv", F.explode_outer(F.array(*probe_structs)).alias("probe")
     ).select("query_id", "qv", F.col("probe.table").alias("table"), F.col("probe.bucket").alias("bucket"))
 
     pairs = (

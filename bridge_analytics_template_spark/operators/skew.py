@@ -43,3 +43,28 @@ def salted_agg(
     salted = df.withColumn("_salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt_buckets)))
     phase1 = salted.groupBy(*keys, "_salt").agg(*aggs)
     return phase1.groupBy(*keys).agg(*merges)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-proof equi-join for when AQE's skew splitting can't help (e.g.
+    the skewed side feeds a single hot hash partition and the other side is
+    too big to broadcast outright).
+
+    The fact side gets a row-local salt (no shuffle to assign); the dim side
+    is replicated ``salt_buckets``× via an in-row sequence explode. Joining
+    on (key, salt) spreads each hot key over ``salt_buckets`` reducers.
+    Replication multiplies the dim shuffle by the bucket count — use for
+    mid-sized dims; tiny dims should just broadcast."""
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt_buckets))
+    )
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode_outer(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return salted_fact.join(replicated_dim, [*on, "_salt"], how).drop("_salt")

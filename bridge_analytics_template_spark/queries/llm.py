@@ -270,7 +270,7 @@ def llm_token_topk(spark, sf_dir):
     """L4d: corpus token frequency top-k (explode → count → TakeOrdered)."""
     d = load(spark, sf_dir, "documents")
     return (
-        d.select(F.explode(ws_tokens("text")).alias("tok"))
+        d.select(F.explode_outer(ws_tokens("text")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "tok")

@@ -150,7 +150,7 @@ def lateral_tokens_pos(spark, sf_dir):
     zips parallel unnests of the token array and its index list)."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     return (
-        d.select("doc_id", F.posexplode(ws_tokens("text")).alias("pos", "tok"))
+        d.select("doc_id", F.posexplode_outer(ws_tokens("text")).alias("pos", "tok"))
         .orderBy("doc_id", "pos")
     )
 
@@ -200,6 +200,65 @@ def sql_correlated_subquery(spark, sf_dir):
     exact, so the comparison is engine-stable."""
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(_CORRELATED_SQL)
+
+
+@query(
+    "emb_centroids",
+    sql="""
+    WITH ex AS (
+      SELECT label,
+             unnest(generate_series(1, len(embedding))) - 1 AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+      FROM embeddings)
+    SELECT label, dim, AVG(q) AS centroid_q, COUNT(*) AS n
+    FROM ex GROUP BY label, dim ORDER BY label, dim
+    """,
+)
+def emb_centroids(spark, sf_dir):
+    """Per-label embedding centroid (class prototype) over milli-quantized
+    components. Quantizing with ``floor(x*1000)`` — an exact binary op on
+    the float-widened double — makes the cross-row sum integer-exact, so
+    the centroid is bit-identical on any partitioning AND matches the
+    oracle (a raw float mean is combine-order dependent and would not be).
+    Shuffle volume is rows × dims, keyed by (label, dim) — uniform by
+    construction."""
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode_outer("embedding").alias("dim", "x"))
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.avg(F.floor(F.col("x").cast("double") * 1000)).alias("centroid_q"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+@query(
+    "llm_frame_sample",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes
+      FROM documents WHERE doc_id % 10 = 0)
+    SELECT doc_id,
+           unnest(generate_series(0, CAST(n_bytes // 1000 AS BIGINT), 4)) AS frame_idx,
+           n_bytes // 1000 + 1 AS n_frames
+    FROM t ORDER BY doc_id, frame_idx
+    """,
+)
+def llm_frame_sample(spark, sf_dir):
+    """L5b: video-style frame sampling — 1→N fan-out inside mapInPandas
+    (every 4th fixed-size frame of the binary payload; demuxer stubbed, see
+    llm/multimodal.py). The sampled-index arithmetic is oracle-checked; the
+    frame payload bytes are covered by the unit test."""
+    from ..llm.multimodal import attach_binary, sample_frames
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return (
+        sample_frames(attach_binary(d), frame_size=1000, every=4)
+        .select("doc_id", "frame_idx", "n_frames")
+        .orderBy("doc_id", "frame_idx")
+    )
 
 
 @query(

@@ -29,3 +29,26 @@ def read_partitioned(spark: SparkSession, base_path: str) -> DataFrame:
     """Read the layout back; Spark discovers the partition columns from the
     directory structure, so filters on them prune before any file IO."""
     return spark.read.parquet(base_path)
+
+
+def write_clustered(
+    df: DataFrame,
+    base_path: str,
+    cluster_cols: tuple[str, ...],
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> str:
+    """Range-clustered layout: ``repartitionByRange`` splits the key space
+    into ``num_files`` contiguous ranges and ``sortWithinPartitions`` orders
+    rows inside each file. Every output file then covers a disjoint key
+    range, so parquet row-group min/max statistics skip whole files for
+    point/range predicates on the cluster key — the complement of directory
+    partitioning for high-cardinality keys (where one directory per value
+    would explode the namespace)."""
+    (
+        df.repartitionByRange(num_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(base_path)
+    )
+    return base_path

@@ -102,6 +102,26 @@ def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def run_foreach_batch_parquet(stream_df: DataFrame, path: str, checkpoint: str) -> None:
+    """T7: exactly-once file sink via ``foreachBatch`` — each micro-batch
+    overwrites its own epoch-keyed directory, so a replay after failure
+    rewrites the same epoch instead of duplicating rows (idempotent-by-key,
+    the standard exactly-once recipe for non-transactional sinks). The
+    ``availableNow`` trigger drains the finite source then stops — the
+    batch-backfill-through-the-streaming-path mode."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{path}/epoch={epoch_id}")
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drive a streaming DataFrame to completion over the finite fixture via
     a memory sink; returns the sink contents as a batch DataFrame. (Local

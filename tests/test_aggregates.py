@@ -43,3 +43,20 @@ def test_salted_agg_matches_plain(spark, sf_dir):
         ).collect()
     }
     assert plain == salted
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.operators.skew import salted_join
+
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = l.join(o, "l_orderkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("s")
+    ).collect()[0]
+    salted = salted_join(l, o, ["l_orderkey"], salt_buckets=8).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("s")
+    ).collect()[0]
+    assert plain["n"] == salted["n"] and plain["s"] == salted["s"]

@@ -139,3 +139,34 @@ def test_quality_score_keep_verdict(spark):
     assert out[1]["keep"] is False  # alpha_ratio below threshold
     assert out[2]["keep"] is False  # under token minimum
     assert out[0]["stopword_ratio"] > 0.2
+
+
+def test_frame_sample_fanout_and_bytes(spark):
+    from bridge_analytics_template_spark.llm.multimodal import attach_binary, sample_frames
+
+    df = spark.createDataFrame([(0, "a" * 2500), (1, "b")], "doc_id long, text string")
+    out = sample_frames(attach_binary(df), frame_size=1000, every=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: 2500 bytes -> 3 frames, every 2nd -> idx 0 and 2
+    assert [r["frame_idx"] for r in by_doc[0]] == [0, 2]
+    assert by_doc[0][0]["n_frames"] == 3
+    assert bytes(by_doc[0][0]["frame_bytes"]) == b"a" * 1000
+    assert bytes(by_doc[0][1]["frame_bytes"]) == b"a" * 500  # tail frame
+    # doc 1: 1 byte -> 1 frame
+    assert [r["frame_idx"] for r in by_doc[1]] == [0]
+
+    with pytest.raises(Exception, match="pyav"):
+        sample_frames(attach_binary(df), decode_stub=False).collect()
+
+
+def test_resize_images_tiles_to_target(spark):
+    from bridge_analytics_template_spark.llm.multimodal import attach_binary, resize_images
+
+    df = spark.createDataFrame([(0, "xyz"), (1, "")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in resize_images(attach_binary(df), 4, 4).collect()}
+    assert len(bytes(out[0]["content"])) == 16
+    assert bytes(out[0]["content"])[:6] == b"xyzxyz"
+    assert bytes(out[1]["content"]) == bytes(16)  # empty payload -> zero tile
+    assert out[0]["width"] == 4 and out[0]["height"] == 4

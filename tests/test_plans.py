@@ -63,3 +63,39 @@ def test_dedup_exact_single_shuffle(spark, sf_dir):
 def test_semi_anti_joins(spark, sf_dir):
     assert "LeftSemi" in plan_of(spark, sf_dir, "join_semi")
     assert "LeftAnti" in plan_of(spark, sf_dir, "join_anti")
+
+
+def test_minhash_signatures_shuffle_free(spark, sf_dir):
+    # Signatures from shingle ARRAYS are a pure projection: any Exchange
+    # here means the zero-shuffle signature stage regressed to an aggregate.
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.llm.dedup import _shingle_arrays, minhash_signatures
+
+    d = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(_shingle_arrays(d, "text", "doc_id", 5, hashed=True))
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    # The only allowed exchange is the round-robin input widening; a hash
+    # partitioning would mean the signature stage regressed to an aggregate.
+    assert "Exchange hashpartitioning" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_correlated_subquery_decorrelated(spark, sf_dir):
+    # Catalyst must rewrite the correlated scalar subquery into an
+    # aggregate + equi-join, never a per-row nested loop.
+    plan = plan_of(spark, sf_dir, "sql_correlated_subquery")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_shingle_scan_has_no_inlined_filter(spark, sf_dir):
+    # Regression guard for the InferFiltersFromGenerate trap: a non-outer
+    # explode of the shingle array pushes size(sh)>0 into the scan, inlining
+    # the whole tokenize+shingle tree as a per-row filter (measured 6x).
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.llm.dedup import _shingle_table
+
+    d = load(spark, sf_dir, "documents")
+    plan = _shingle_table(d, "text", "doc_id", 5)._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "split(" not in scan_line

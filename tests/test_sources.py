@@ -47,3 +47,28 @@ def test_partitioned_sink_layout(spark, sf_dir):
     # partition filter prunes: only the one directory is scanned
     plan = back.filter(F.col("study") == "FURNITURE")._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or True  # plan text versions vary; count check above is the gate
+
+
+def test_clustered_layout_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    import glob
+
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.sources.sink import write_clustered
+
+    path = str(tmp_path / "clustered")
+    o = load(spark, sf_dir, "orders")
+    write_clustered(o, path, ("o_orderkey",), num_files=4)
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        r = spark.read.parquet(f).agg(
+            F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+        ).collect()[0]
+        if r["lo"] is not None:
+            ranges.append((r["lo"], r["hi"]))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next  # disjoint key ranges -> min/max file skipping
+    # round-trip completeness
+    assert spark.read.parquet(path).count() == o.count()

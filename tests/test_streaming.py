@@ -41,3 +41,19 @@ def test_stream_dedup_drops_duplicates(spark, sf_dir):
     deduped = run_to_memory(dedup_stream(stream_events(spark, sf_dir)), "append")
     batch = load(spark, sf_dir, "events")
     assert deduped.count() == batch.select("event_id").distinct().count()
+
+
+def test_foreach_batch_sink_idempotent_epochs(spark, sf_dir, tmp_path):
+    from bridge_analytics_template_spark.streaming.windows import (
+        run_foreach_batch_parquet,
+        stream_events,
+    )
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev = stream_events(spark, sf_dir).select("event_id", "user_id", "value")
+    run_foreach_batch_parquet(ev, out, ckpt)
+    back = spark.read.parquet(out)
+    n_batch = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert back.count() == n_batch
+    assert back.select("event_id").distinct().count() == n_batch
