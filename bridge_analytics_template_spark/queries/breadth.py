@@ -112,3 +112,79 @@ def s_sample_hash(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_listagg",
+    sql="""
+    SELECT o_orderstatus,
+           array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS priorities,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_listagg(spark, sf_dir):
+    """A7 extension: LISTAGG/string_agg semantics — deterministic via
+    sort-before-join (an unordered string_agg is engine- and
+    partitioning-dependent, so the engine always sorts)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias("priorities"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "agg_bool_bit",
+    sql="""
+    SELECT l_returnflag,
+           bool_and(l_quantity > 0) AS all_positive,
+           bool_or(l_discount > 0.05) AS any_discounted,
+           bit_and(l_linenumber) AS band,
+           bit_or(l_linenumber) AS bor
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_bool_bit(spark, sf_dir):
+    """A6 extension: boolean (every/any) and bitwise aggregate family."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+            F.bool_or(F.col("l_discount") > 0.05).alias("any_discounted"),
+            F.bit_and("l_linenumber").alias("band"),
+            F.bit_or("l_linenumber").alias("bor"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "w_last_ignore_nulls",
+    sql="""
+    SELECT o_orderkey,
+           last_value(CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END IGNORE NULLS)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_closed_price
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def w_last_ignore_nulls(spark, sf_dir):
+    """W2 extension: last_value(... IGNORE NULLS) — carry the latest
+    non-null observation forward (gap-filling / last-observation-carried-
+    forward, the standard sensor-data repair)."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    masked = F.when(F.col("o_orderstatus") == "O", F.lit(None)).otherwise(F.col("o_totalprice"))
+    return o.select(
+        "o_orderkey", F.last(masked, ignorenulls=True).over(w).alias("last_closed_price")
+    ).orderBy("o_orderkey")

@@ -135,3 +135,26 @@ def t_stream_dedup(spark, sf_dir):
     deduped = dedup_stream(stream_events(spark, sf_dir))
     out = run_to_memory(deduped, "append")
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).orderBy("event_type")
+
+
+@query(
+    "t_attribution_join",
+    sql="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+    ORDER BY purchase_id, click_id
+    """,
+)
+def t_attribution_join(spark, sf_dir):
+    """T8 (batch-equivalent): time-bounded attribution self-join — each
+    purchase matched to the same user's clicks in the preceding 30 minutes.
+    The streaming form (stream_stream_attribution) runs the identical plan
+    as a watermarked stream-stream join; equivalence asserted in
+    tests/test_streaming.py."""
+    from ..streaming.windows import stream_stream_attribution
+
+    e = load(spark, sf_dir, "events")
+    return stream_stream_attribution(e).orderBy("purchase_id", "click_id")

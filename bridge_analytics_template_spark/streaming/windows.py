@@ -102,6 +102,41 @@ def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def stream_stream_attribution(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "1 hour"
+) -> DataFrame:
+    """T8: stream-stream inner join — attribute each purchase to the same
+    user's clicks in the preceding ``gap_minutes``. Both sides carry
+    watermarks and the join condition bounds event time on BOTH ends, so
+    Spark can evict buffered state past ``watermark + gap`` instead of
+    holding the full history (the thing that makes stream-stream joins
+    viable at scale). Batch equivalent: the same time-bounded self-join."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {gap_minutes} MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    return purchases.join(clicks, cond, "inner").select("purchase_id", "click_id")
+
+
 def run_foreach_batch_parquet(stream_df: DataFrame, path: str, checkpoint: str) -> None:
     """T7: exactly-once file sink via ``foreachBatch`` — each micro-batch
     overwrites its own epoch-keyed directory, so a replay after failure

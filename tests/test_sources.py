@@ -72,3 +72,20 @@ def test_clustered_layout_disjoint_file_ranges(spark, sf_dir, tmp_path):
         assert hi_prev <= lo_next  # disjoint key ranges -> min/max file skipping
     # round-trip completeness
     assert spark.read.parquet(path).count() == o.count()
+
+
+def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    import glob
+
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.sources.maintenance import compact_parquet
+
+    path = str(tmp_path / "many_small")
+    o = load(spark, sf_dir, "orders")
+    o.repartition(32).write.parquet(path)
+    before_files = len(glob.glob(f"{path}/part-*.parquet"))
+    n_rows = o.count()
+    compact_parquet(spark, path, target_file_bytes=64 << 20)
+    after_files = len(glob.glob(f"{path}/part-*.parquet"))
+    assert before_files == 32 and after_files < before_files
+    assert spark.read.parquet(path).count() == n_rows

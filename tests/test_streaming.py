@@ -57,3 +57,25 @@ def test_foreach_batch_sink_idempotent_epochs(spark, sf_dir, tmp_path):
     n_batch = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert back.count() == n_batch
     assert back.select("event_id").distinct().count() == n_batch
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    from bridge_analytics_template_spark.streaming.windows import (
+        run_to_memory,
+        stream_events,
+        stream_stream_attribution,
+    )
+    from bridge_analytics_template_spark.catalog import load
+
+    batch = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in stream_stream_attribution(load(spark, sf_dir, "events")).collect()
+    )
+    streamed = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in run_to_memory(
+            stream_stream_attribution(stream_events(spark, sf_dir)), output_mode="append"
+        ).collect()
+    )
+    assert len(batch) > 0
+    assert streamed == batch
