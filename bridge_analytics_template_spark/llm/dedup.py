@@ -134,17 +134,17 @@ def minhash_signatures(shingle_arrays: DataFrame, num_perm: int = 64) -> DataFra
         F.transform("sh", lambda s: F.xxhash64(s)).alias("h1s"),
         F.transform("sh", lambda s: F.xxhash64(F.lit(1), s)).alias("h2s"),
     )
-
-    def perm_min(i: int):
-        def combine(h1, h2):
-            rot = F.shiftleft(h2, i).bitwiseOR(F.shiftrightunsigned(h2, (64 - i) % 64))
-            return h1.bitwiseXOR(rot)
-
-        return F.array_min(F.zip_with("h1s", "h2s", combine))
-
-    return pre.select(
-        "doc", F.array(*[perm_min(i) for i in range(num_perm)]).alias("sig")
+    # Permutation loop lives in DATA (sequence + transform), not in
+    # unrolled codegen: 64 separate array_min(zip_with(...)) expressions
+    # generate a huge class whose JIT alone costs seconds and whose
+    # steady-state runs 5× slower than this single nested-lambda form
+    # (measured both, same output).
+    sig = (
+        f"transform(sequence(0, {num_perm - 1}), i -> "
+        "array_min(zip_with(h1s, h2s, (a, b) -> "
+        "a ^ (shiftleft(b, i) | shiftrightunsigned(b, (64 - i) % 64)))))"
     )
+    return pre.select("doc", F.expr(sig).alias("sig"))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16, num_perm: int = 64) -> DataFrame:

@@ -125,7 +125,10 @@ def llm_dedup_clusters(spark, sf_dir):
     shuffle per round, rounds = component diameter (tiny for dedup
     graphs); oracle is the same closure via DuckDB's recursive CTE."""
     d = load(spark, sf_dir, "documents")
-    sh = _shingle_table(d, "text", "doc_id", 5)
+    # Hashed (long) shingles: the clustering only consumes the PAIR SET, so
+    # the strings never need to survive tokenization — same pairs as the
+    # string form modulo 2^-64 collisions, at a fraction of the join bytes.
+    sh = _shingle_table(d, "text", "doc_id", 5, hashed=True)
     edges = exact_jaccard_pairs(sh, min_jaccard=0.05).select("doc_a", "doc_b")
     return (
         connected_components(edges)
