@@ -42,9 +42,11 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("bench")
 
-    # Warm the JVM/codegen on the smallest fixture so measured times are the
-    # query, not first-call JIT.
+    # Warm the JVM/codegen and the Python worker pool on the smallest
+    # fixture so measured times are the query, not first-call JIT or
+    # executor-side interpreter spawn.
     QUERIES["flagship"](spark, "/root/testdata/sf0.001").collect()
+    QUERIES["llm_knn_ids"](spark, "/root/testdata/sf0.001").collect()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

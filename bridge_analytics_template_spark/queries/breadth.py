@@ -188,3 +188,87 @@ def w_last_ignore_nulls(spark, sf_dir):
     return o.select(
         "o_orderkey", F.last(masked, ignorenulls=True).over(w).alias("last_closed_price")
     ).orderBy("o_orderkey")
+
+
+@query(
+    "join_full_outer",
+    sql="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS n_customers_without_orders,
+           COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS n_orphan_orders
+    FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    """J2 completion: FULL OUTER join — both unmatched sides survive with
+    nulls (the reconciliation-report shape)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("n_customers_without_orders"),
+        F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("n_orphan_orders"),
+    )
+
+
+@query(
+    "set_ops_all",
+    sql="""
+    SELECT 'except_all' AS op, o_orderstatus, COUNT(*) AS n FROM (
+      SELECT o_orderstatus FROM orders WHERE o_totalprice > 1000
+      EXCEPT ALL
+      SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT')
+    GROUP BY 2
+    UNION ALL
+    SELECT 'intersect_all' AS op, o_orderstatus, COUNT(*) AS n FROM (
+      SELECT o_orderstatus FROM orders WHERE o_totalprice > 1000
+      INTERSECT ALL
+      SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT')
+    GROUP BY 2
+    ORDER BY op, o_orderstatus
+    """,
+)
+def set_ops_all(spark, sf_dir):
+    """U2 completion: bag-semantics set ops (EXCEPT ALL / INTERSECT ALL) —
+    multiplicity-aware, unlike the DISTINCT forms in intersect_except."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 1000).select("o_orderstatus")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderstatus")
+    ex = (
+        a.exceptAll(b)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "o_orderstatus", "n")
+    )
+    it = (
+        a.intersectAll(b)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "o_orderstatus", "n")
+    )
+    return ex.unionAll(it).orderBy("op", "o_orderstatus")
+
+
+@query(
+    "join_null_safe",
+    sql="""
+    SELECT a.n_nationkey AS left_key, b.n_nationkey AS right_key
+    FROM (SELECT n_nationkey, nullif(n_regionkey, 2) AS k FROM nation) a
+    JOIN (SELECT n_nationkey, nullif(n_regionkey, 2) AS k FROM nation) b
+      ON a.k IS NOT DISTINCT FROM b.k
+    ORDER BY left_key, right_key
+    """,
+)
+def join_null_safe(spark, sf_dir):
+    """J1 edge semantics: null-safe equality join (`<=>` / IS NOT DISTINCT
+    FROM) — null keys match EACH OTHER instead of vanishing, the contract a
+    dedup-on-nullable-key pipeline needs."""
+    n = load(spark, sf_dir, "nation")
+    keyed = n.select("n_nationkey", F.nullif("n_regionkey", F.lit(2)).alias("k"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, F.col("a.k").eqNullSafe(F.col("b.k")))
+        .select(F.col("a.n_nationkey").alias("left_key"), F.col("b.n_nationkey").alias("right_key"))
+        .orderBy("left_key", "right_key")
+    )

@@ -170,3 +170,21 @@ def test_resize_images_tiles_to_target(spark):
     assert bytes(out[0]["content"])[:6] == b"xyzxyz"
     assert bytes(out[1]["content"]) == bytes(16)  # empty payload -> zero tile
     assert out[0]["width"] == 4 and out[0]["height"] == 4
+
+
+def test_knn_numpy_matches_fold_exactly(spark, sf_dir):
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.llm.similarity import knn_bruteforce, knn_bruteforce_np
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    fold = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in knn_bruteforce(q, e, k=5).collect()
+    )
+    gemm = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in knn_bruteforce_np(q, e, k=5).collect()
+    )
+    assert len(fold) > 0
+    assert fold == gemm
