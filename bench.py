@@ -34,6 +34,7 @@ HEADLINE = [
     "llm_dedup_clusters",
     "llm_quality_score",
     "llm_knn_ids",
+    "train_vocab_encode",
 ]
 
 

@@ -21,3 +21,4 @@ from . import udf_surface  # noqa: E402,F401
 from . import sql_api  # noqa: E402,F401
 from . import breadth  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
+from . import training  # noqa: E402,F401

@@ -1,0 +1,127 @@
+"""Training-data assembly: vocabulary build + token-id encoding,
+deterministic split assignment, mixture sampling, sequence packing.
+
+These are the steps between a filtered/deduped corpus and a pretraining
+dataloader. Everything deterministic by construction: splits and mixtures
+key on content hashes (stable on any cluster, any engine), the vocabulary
+ranks ties lexicographically, and packing shards greedily by doc-id order
+within hash buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.text import ws_tokens
+from ..llm.packing import pack_sequences
+from .registry import query
+
+_SQL_TOKENS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+@query(
+    "train_vocab_encode",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len({_SQL_TOKENS}))) - 1 AS pos,
+             unnest({_SQL_TOKENS}) AS tok
+      FROM documents),
+    vocab AS (
+      SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) - 1 AS id
+      FROM toks GROUP BY tok)
+    SELECT t.doc_id, list(v.id ORDER BY t.pos) AS ids
+    FROM toks t JOIN vocab v USING (tok)
+    WHERE t.doc_id % 20 = 0
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)
+def train_vocab_encode(spark, sf_dir):
+    """Vocabulary build + encoding: rank tokens by corpus frequency (ties
+    lexicographic → deterministic ids), then encode a document sample as
+    id sequences. The vocab is a broadcast-sized dim by construction, so
+    the encode join never shuffles the corpus."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.posexplode_outer(ws_tokens("text")).alias("pos", "tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "tok",
+            (F.row_number().over(Window.orderBy(F.desc("cnt"), "tok")) - 1).alias("id"),
+        )
+    )
+    sample = toks.filter(F.col("doc_id") % 20 == 0)
+    encoded = (
+        sample.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "id"))), lambda s: s["id"]
+            ).alias("ids")
+        )
+    )
+    return encoded.orderBy("doc_id")
+
+
+@query(
+    "train_split_assign",
+    sql="""
+    SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '0c'
+                THEN 'val' ELSE 'train' END AS split,
+           lang, COUNT(*) AS n
+    FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def train_split_assign(spark, sf_dir):
+    """Deterministic train/validation assignment by content-hash bucket
+    (~5% val): the same document lands in the same split on any engine,
+    any partitioning, any rerun — row-position or RNG splits do not."""
+    d = load(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) <= "0c", "val"
+    ).otherwise("train")
+    return (
+        d.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split", "lang")
+    )
+
+
+@query(
+    "train_mixture_sample",
+    sql="""
+    SELECT lang, COUNT(*) AS n_kept
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
+          CASE lang WHEN 'en' THEN 'bf' WHEN 'zh' THEN '7f' ELSE '3f' END
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def train_mixture_sample(spark, sf_dir):
+    """Mixture reweighting: per-language keep rates (en 75%, zh 50%, rest
+    25%) applied via the same deterministic hash predicate as the split —
+    the upsample/downsample step that sets a pretraining data mixture."""
+    d = load(spark, sf_dir, "documents")
+    threshold = (
+        F.when(F.col("lang") == "en", "bf").when(F.col("lang") == "zh", "7f").otherwise("3f")
+    )
+    return (
+        d.filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) <= threshold)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+@query("train_pack_sequences")  # rows-only: greedy packing is order-dependent, not SQL
+def train_pack_sequences(spark, sf_dir):
+    """Sequence packing (llm/packing.py): greedy first-fit into 512-token
+    training sequences, sharded over hash buckets for parallelism.
+    Determinism + budget invariants are unit-tested; the oracle check is
+    rows-only."""
+    d = load(spark, sf_dir, "documents")
+    return pack_sequences(d, seq_len=512, buckets=32).orderBy("bucket", "pack_id")

@@ -188,3 +188,29 @@ def test_knn_numpy_matches_fold_exactly(spark, sf_dir):
     )
     assert len(fold) > 0
     assert fold == gemm
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    from bridge_analytics_template_spark.llm.packing import pack_sequences
+
+    # One bucket (buckets=1): docs of 300/300/500/100 tokens at seq_len 512
+    # -> greedy packs [300], [300], [500+...? no: 300+300>512 so pack0=300?]
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate([300, 300, 500, 100])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [
+        (r["pack_id"], r["n_docs"], r["total_tokens"])
+        for r in pack_sequences(df, seq_len=512, buckets=1).orderBy("pack_id").collect()
+    ]
+    # greedy in doc order: [300], [300+... 300+500>512 -> close], [500], [500+100>512? no wait]
+    # doc0=300; doc1: 300+300>512 -> close pack0(1 doc,300); doc2: 300+500>512 -> close pack1(1,300); doc3: 500+100>512 -> close pack2(1,500); pack3(1,100)
+    assert out == [(0, 1, 300), (1, 1, 300), (2, 1, 500), (3, 1, 100)]
+    # invariant: every pack fits the budget
+    big = spark.createDataFrame(
+        [(i, " ".join(["w"] * (17 + (i * 37) % 200))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    packs = pack_sequences(big, seq_len=256, buckets=4).collect()
+    assert all(r["total_tokens"] <= 256 for r in packs)
+    assert sum(r["n_docs"] for r in packs) == 200
+    again = pack_sequences(big, seq_len=256, buckets=4).collect()
+    assert sorted(map(tuple, packs)) == sorted(map(tuple, again))
