@@ -125,3 +125,35 @@ def train_pack_sequences(spark, sf_dir):
     rows-only."""
     d = load(spark, sf_dir, "documents")
     return pack_sequences(d, seq_len=512, buckets=32).orderBy("bucket", "pack_id")
+
+
+@query(
+    "train_pii_scrub",
+    sql="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g'),
+             '\\+?[0-9][0-9()\\s.-]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed,
+           length(text)
+             - length(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                                     '', 'g')) AS n_email_chars
+    FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id
+    """,
+)
+def train_pii_scrub(spark, sf_dir):
+    """PII scrubbing: mask email addresses and phone-number-shaped spans
+    before training (regex parity with the oracle's 'g'-flagged
+    replacements). Pure codegen'd regexp_replace — one projection, no
+    shuffle, linear in corpus bytes."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?[0-9][0-9()\s.-]{7,}[0-9]"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        (F.length("text") - F.length(F.regexp_replace("text", email, ""))).alias("n_email_chars"),
+    ).orderBy("doc_id")
