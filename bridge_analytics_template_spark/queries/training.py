@@ -157,3 +157,21 @@ def train_pii_scrub(spark, sf_dir):
         scrubbed.alias("scrubbed"),
         (F.length("text") - F.length(F.regexp_replace("text", email, ""))).alias("n_email_chars"),
     ).orderBy("doc_id")
+
+
+@query(
+    "train_row_ids",
+    sql="""
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS row_id
+    FROM documents ORDER BY doc_id
+    """,
+)
+def train_row_ids(spark, sf_dir):
+    """Contiguous sample ids 0..n-1 in doc_id order WITHOUT the
+    single-partition window the naive row_number needs: range-partition +
+    per-partition offsets + local index (operators/rowids.py). The oracle
+    is the naive window — same ids, but the engine path scales."""
+    from ..operators.rowids import assign_contiguous_ids
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return assign_contiguous_ids(d, "doc_id").orderBy("doc_id")

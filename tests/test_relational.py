@@ -56,3 +56,16 @@ def test_except_distinct_semantics(spark):
     a = spark.createDataFrame([(1,), (1,), (2,), (3,)], "x long")
     b = spark.createDataFrame([(2,)], "x long")
     assert sorted(r["x"] for r in a.subtract(b).collect()) == [1, 3]  # distinct + removal
+
+
+def test_contiguous_ids_match_sort_order(spark, sf_dir):
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.operators.rowids import assign_contiguous_ids
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    out = assign_contiguous_ids(o, "o_orderkey", num_partitions=8).collect()
+    n = len(out)
+    ids = sorted(r["row_id"] for r in out)
+    assert ids == list(range(n))  # contiguous, no gaps or dups
+    by_key = sorted(out, key=lambda r: r["o_orderkey"])
+    assert [r["row_id"] for r in by_key] == list(range(n))  # order-aligned
