@@ -272,3 +272,43 @@ def join_null_safe(spark, sf_dir):
         .select(F.col("a.n_nationkey").alias("left_key"), F.col("b.n_nationkey").alias("right_key"))
         .orderBy("left_key", "right_key")
     )
+
+
+@query(
+    "star_join_revenue",
+    sql="""
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY r_name, n_name ORDER BY r_name, n_name
+    """,
+)
+def star_join_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: the full star — fact through orders/customer to the
+    nation/region dims, revenue by region and nation. The two large tables
+    sort-merge; the three dims broadcast; the status filter pushes into the
+    orders scan. Decimal-through revenue for combine-order independence."""
+    from ..functions.numeric import dmoney, drate, dsum
+
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    revenue = dmoney("l_extendedprice") * (F.lit(1) - drate("l_discount"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("r_name", "n_name")
+    )

@@ -283,3 +283,43 @@ def s_orc_roundtrip(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_name"))
         .orderBy("n_regionkey")
     )
+
+
+@query(
+    "s_python_datasource",
+    sql="""
+    WITH g AS (
+      SELECT i AS event_id,
+             CASE WHEN substring(md5(CAST(i AS VARCHAR)), 1, 2) <= '55' THEN 'a'
+                  WHEN substring(md5(CAST(i AS VARCHAR)), 1, 2) <= 'aa' THEN 'b'
+                  ELSE 'c' END AS kind,
+             (i * 2654435761) % 1000 AS val
+      FROM generate_series(0, 1999) AS t(i))
+    SELECT kind, COUNT(*) AS n, SUM(val) AS total, MIN(event_id) AS first_id
+    FROM g GROUP BY kind ORDER BY kind
+    """,
+)
+def s_python_datasource(spark, sf_dir):
+    """S9: custom batch connector via the Python DataSource API (Spark 4) —
+    driver-planned splits, per-partition iteration (sources/pydatasource.py).
+    The generator is deterministic, so the custom-source read is verified
+    value-exactly against DuckDB reproducing the same rows from
+    generate_series."""
+    from ..sources.pydatasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("num_rows", 2000)
+        .option("partitions", 8)
+        .load()
+    )
+    return (
+        df.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("val").alias("total"),
+            F.min("event_id").alias("first_id"),
+        )
+        .orderBy("kind")
+    )

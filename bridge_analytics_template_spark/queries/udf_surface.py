@@ -163,3 +163,45 @@ def s_json_roundtrip(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_name"))
         .orderBy("n_regionkey")
     )
+
+
+@query(
+    "x_cogrouped_pandas",
+    sql="""
+    WITH c AS (SELECT user_id, MIN(ts) AS first_click
+               FROM events WHERE event_type = 'click' GROUP BY 1),
+         p AS (SELECT user_id, MIN(ts) AS first_purchase
+               FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           CAST(floor(epoch(first_purchase)) - floor(epoch(first_click)) AS BIGINT)
+             AS lag_seconds
+    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    ORDER BY user_id
+    """,
+)
+def x_cogrouped_pandas(spark, sf_dir):
+    """X5: cogrouped pandas (groupBy.cogroup().applyInPandas) — align two
+    grouped streams per key in one Python function; here first-click to
+    first-purchase conversion lag per user. Arrow delivers both sides of a
+    key as pandas frames; the oracle is the equivalent min-aggregate FULL
+    OUTER join."""
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+
+    def lag(key, c_pdf, p_pdf):
+        epoch0 = pd.Timestamp("1970-01-01")
+        fc = c_pdf["ts"].min() if len(c_pdf) else None
+        fp = p_pdf["ts"].min() if len(p_pdf) else None
+        secs = lambda t: (t - epoch0) // pd.Timedelta("1s")  # noqa: E731
+        lag_s = secs(fp) - secs(fc) if fc is not None and fp is not None else None
+        return pd.DataFrame({"user_id": [key[0]], "lag_seconds": [lag_s]})
+
+    out = (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(lag, schema="user_id long, lag_seconds bigint")
+    )
+    return out.orderBy("user_id")

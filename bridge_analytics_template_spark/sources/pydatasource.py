@@ -1,0 +1,69 @@
+"""Custom batch source via the Python DataSource API (Spark 4).
+
+The reference's ingest boundary is a REST/S3 client pull
+(`/root/reference/src/copy_from_template.py:298-327`); the engine's analog
+for "a source Spark has no built-in connector for" is a DataSource V2
+implementation: declare partitions up front (parallelism = partition list,
+planned on the driver), then each executor reads only its split.
+
+`synthetic_events` here is a deterministic generator (row fields derived
+from the row index via md5 prefixes and integer arithmetic), which makes a
+custom-source read ORACLE-CHECKABLE: DuckDB reproduces the same rows from
+``generate_series``. The mechanics — option handling, split planning,
+per-partition iteration — are exactly what a real REST/queue connector
+implements.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+def _kind(i: int) -> str:
+    h = hashlib.md5(str(i).encode()).hexdigest()[:2]
+    return "a" if h <= "55" else ("b" if h <= "aa" else "c")
+
+
+def _val(i: int) -> int:
+    return (i * 2654435761) % 1000
+
+
+class _Range(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class SyntheticEventsDataSource(DataSource):
+    """`spark.read.format("synthetic_events").option("num_rows", N)
+    .option("partitions", P)` — N rows split into P planned splits."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return "event_id bigint, kind string, val bigint"
+
+    def reader(self, schema) -> DataSourceReader:
+        return _Reader(int(self.options.get("num_rows", 1000)), int(self.options.get("partitions", 8)))
+
+
+class _Reader(DataSourceReader):
+    def __init__(self, num_rows: int, partitions: int):
+        self.num_rows, self.n_parts = num_rows, max(1, partitions)
+
+    def partitions(self):
+        step = -(-self.num_rows // self.n_parts)
+        return [
+            _Range(lo, min(lo + step, self.num_rows)) for lo in range(0, self.num_rows, step)
+        ]
+
+    def read(self, partition: _Range):
+        for i in range(partition.start, partition.end):
+            yield (i, _kind(i), _val(i))
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SyntheticEventsDataSource)
