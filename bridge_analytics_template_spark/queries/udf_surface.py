@@ -15,7 +15,7 @@ import tempfile
 import pandas as pd
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, register_views
 from ..sources.readers import read_csv, read_json
 from .registry import query
 
@@ -205,3 +205,45 @@ def x_cogrouped_pandas(spark, sf_dir):
         .applyInPandas(lag, schema="user_id long, lag_seconds bigint")
     )
     return out.orderBy("user_id")
+
+
+@query(
+    "x_python_udtf",
+    sql="""
+    WITH parts AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, '.'), x -> trim(x, ' ')),
+                         x -> x <> '') AS ps
+      FROM documents WHERE doc_id % 20 = 0)
+    SELECT doc_id,
+           unnest(generate_series(1, len(ps))) - 1 AS pos,
+           unnest(ps) AS sentence
+    FROM parts ORDER BY doc_id, pos
+    """,
+)
+def x_python_udtf(spark, sf_dir):
+    """X6: Python UDTF (Spark 4 @udtf) — a table function yielding N rows
+    per input (sentence segmentation with positions), usable from SQL via
+    LATERAL. Deterministic splitting keeps it oracle-checkable."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            parts = [p.strip(" ") for p in (text or "").split(".")]
+            i = 0
+            for p in parts:
+                if p:
+                    yield i, p
+                    i += 1
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.sentence
+        FROM documents d, LATERAL split_sentences(d.text) s
+        WHERE d.doc_id % 20 = 0
+        ORDER BY d.doc_id, s.pos
+        """
+    )
