@@ -105,3 +105,55 @@ def test_coercion_stable_under_double_application(spark, vals):
     twice = apply_coercion(once)
     assert once.schema == twice.schema
     assert sorted(map(tuple, once.collect()), key=str) == sorted(map(tuple, twice.collect()), key=str)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_invariants(spark, edges):
+    from bridge_analytics_template_spark.llm.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    labels = {r["node"]: r["cluster_id"] for r in connected_components(df).collect()}
+    # reference components via union-find in plain Python
+    parent = {n: n for e in edges for n in e}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    expected = {}
+    for n in parent:
+        root = find(n)
+        expected.setdefault(root, []).append(n)
+    for members in expected.values():
+        lo = min(members)
+        for m in members:
+            assert labels[m] == lo
+
+
+@given(
+    st.lists(st.integers(0, 1000), min_size=1, max_size=8, unique=True),
+    st.lists(st.integers(0, 1000), min_size=1, max_size=8, unique=True),
+)
+@settings(**SETTINGS)
+def test_minhash_signature_union_is_elementwise_min(spark, sa, sb):
+    """MinHash algebra: sig(A ∪ B) == elementwise min(sig(A), sig(B)) —
+    the property LSH banding relies on."""
+    from bridge_analytics_template_spark.llm.dedup import minhash_signatures
+
+    union = sorted(set(sa) | set(sb))
+    df = spark.createDataFrame(
+        [(0, sa), (1, sb), (2, union)], "doc long, sh array<long>"
+    )
+    sigs = {r["doc"]: r["sig"] for r in minhash_signatures(df, num_perm=16).collect()}
+    assert sigs[2] == [min(x, y) for x, y in zip(sigs[0], sigs[1])]
