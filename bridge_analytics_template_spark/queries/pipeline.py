@@ -323,3 +323,24 @@ def s_python_datasource(spark, sf_dir):
         )
         .orderBy("kind")
     )
+
+
+@query(
+    "profile_documents",
+    sql="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(doc_id) AS nn_doc_id, MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+           COUNT(text) AS nn_text, MIN(text) AS min_text, MAX(text) AS max_text,
+           COUNT(lang) AS nn_lang, MIN(lang) AS min_lang, MAX(lang) AS max_lang,
+           COUNT(source) AS nn_source, MIN(source) AS min_source, MAX(source) AS max_source,
+           COUNT(n_chars) AS nn_n_chars, MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars
+    FROM documents
+    """,
+)
+def profile_documents(spark, sf_dir):
+    """Schema-driven dataset profile (profiling.py): the aggregate list is
+    generated from df.schema, one partial+final aggregate pass regardless
+    of column count."""
+    from ..profiling import profile
+
+    return profile(load(spark, sf_dir, "documents"))

@@ -89,3 +89,21 @@ def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     after_files = len(glob.glob(f"{path}/part-*.parquet"))
     assert before_files == 32 and after_files < before_files
     assert spark.read.parquet(path).count() == n_rows
+
+
+def test_versioned_snapshots_pin_and_latest(spark, sf_dir, tmp_path):
+    import pytest
+
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.sources.versioning import read_version, write_version
+
+    base = str(tmp_path / "snapshots")
+    n = load(spark, sf_dir, "nation")
+    v1 = write_version(n, base)
+    v2 = write_version(n.limit(10), base)
+    assert (v1, v2) == (1, 2)
+    assert read_version(spark, base, 1).count() == n.count()
+    assert read_version(spark, base, 2).count() == 10
+    assert read_version(spark, base).count() == 10  # latest
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, base, 7)
