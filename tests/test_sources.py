@@ -107,3 +107,15 @@ def test_versioned_snapshots_pin_and_latest(spark, sf_dir, tmp_path):
     assert read_version(spark, base).count() == 10  # latest
     with pytest.raises(FileNotFoundError):
         read_version(spark, base, 7)
+
+
+def test_observed_sink_reports_write_metrics(spark, sf_dir, tmp_path):
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.sources.sink import write_partitioned_observed
+
+    o = load(spark, sf_dir, "orders").withColumn("app", F.lit("app1")).withColumn(
+        "study", (F.col("o_orderkey") % 3).cast("string")
+    )
+    metrics = write_partitioned_observed(o, str(tmp_path / "obs"))
+    assert metrics["rows_written"] == o.count()
+    assert metrics["n_study"] == 3
