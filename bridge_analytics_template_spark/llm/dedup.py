@@ -17,7 +17,7 @@ deterministic across runs and partitionings.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalized_fingerprint, word_shingles, ws_tokens
@@ -292,9 +292,16 @@ def connected_components(
     (join + min-aggregate on node id), and labels are localCheckpoint'd per
     round so the plan doesn't grow with iterations.
     """
-    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionAll(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    )
+    # Both orientations in ONE pass over the edge pipeline: a unionAll of
+    # two selects would compute the (possibly expensive) edge lineage twice.
+    und = edges.select(
+        F.explode_outer(
+            F.array(
+                F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
     und = und.persist()
     # Seed with min(node, min neighbor): same shuffle the node-distinct
     # would cost, but it pre-applies round 1 of the propagation.
@@ -309,18 +316,19 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        # The changed flag rides the same materialization (labels only ever
+        # decrease, so changed ⇔ nmin < old label) — no compare-join with
+        # the previous round needed.
+        flagged = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["u"], "left")
-            .select(labels["node"], F.least(labels["label"], F.coalesce("nmin", labels["label"])).alias("label"))
+            .select(
+                labels["node"],
+                F.least(labels["label"], F.coalesce("nmin", labels["label"])).alias("label"),
+                (F.coalesce("nmin", labels["label"]) < labels["label"]).alias("changed"),
+            )
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = flagged.filter("changed").limit(1).count()
+        labels = flagged.drop("changed")
         if changed == 0:
             break
     und.unpersist()

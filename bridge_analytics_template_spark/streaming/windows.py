@@ -18,7 +18,6 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import table_path
 
 EVENTS_RAW_SCHEMA = "event_id long, ts long, user_id long, event_type string, value double, props string"
 
