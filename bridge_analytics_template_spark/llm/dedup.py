@@ -8,11 +8,13 @@ Four tiers, cheapest first — the shape a 100 TB dedup actually runs as:
    Jaccard on the candidates only);
 4. SimHash + banded Hamming (near-dup on short texts / titles).
 
-Everything is built from built-in expressions (xxhash64, explode, min-agg,
-self-join on band keys): no Python row path, and the only shuffles are the
-per-doc signature aggregate and the band-key join — both keyed, both
-AQE-skew-splittable. MinHash permutations use seeded xxhash64 so results are
-deterministic across runs and partitionings.
+Everything is built from built-in expressions (xxhash64, higher-order array
+functions, self-join on band keys): no Python row path. Shingles stay as
+per-doc long arrays, so the MinHash signature stage is a pure projection
+(zero shuffle); the only shuffles in the near-dup path are the band-key
+self-join and the keyed candidate-verification joins — uniform keys, all
+AQE-skew-splittable. Seeded xxhash64 everywhere keeps results deterministic
+across runs and partitionings.
 """
 
 from __future__ import annotations

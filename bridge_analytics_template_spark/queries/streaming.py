@@ -158,3 +158,14 @@ def t_attribution_join(spark, sf_dir):
 
     e = load(spark, sf_dir, "events")
     return stream_stream_attribution(e).orderBy("purchase_id", "click_id")
+
+
+@query("t_stream_session")  # rows-only: genuinely-streaming execution
+def t_stream_session(spark, sf_dir):
+    """T3 (streaming form): native session_window with a 5-minute gap,
+    driven through readStream → memory sink. Equivalence with the batch
+    island formulation is asserted in tests/test_streaming.py."""
+    from ..streaming.windows import session_windows_stream
+
+    sess = session_windows_stream(stream_events(spark, sf_dir))
+    return run_to_memory(sess, "complete").orderBy("session_start", "user_id")
