@@ -214,3 +214,21 @@ def test_pack_sequences_budget_and_determinism(spark):
     assert sum(r["n_docs"] for r in packs) == 200
     again = pack_sequences(big, seq_len=256, buckets=4).collect()
     assert sorted(map(tuple, packs)) == sorted(map(tuple, again))
+
+
+def test_operators_handle_empty_inputs(spark):
+    """Empty-input composability: each operator returns an empty (not
+    crashing) result when its input has zero rows."""
+    from bridge_analytics_template_spark.llm.dedup import (
+        connected_components,
+        dedup_exact,
+        minhash_near_dups,
+    )
+    from bridge_analytics_template_spark.llm.packing import pack_sequences
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup_exact(empty_docs).count() == 0
+    assert minhash_near_dups(empty_docs).count() == 0
+    assert connected_components(empty_edges).count() == 0
+    assert pack_sequences(empty_docs).count() == 0
