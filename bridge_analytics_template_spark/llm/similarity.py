@@ -182,6 +182,45 @@ def knn_lsh(
     return _ranked(pairs, k)
 
 
+def _nearest_centroids_np(
+    df: DataFrame, id_alias: str, vec_alias: str, cents_rows, topn: int
+) -> DataFrame:
+    """(id, vec, centroid_id) for each row's ``topn`` nearest centroids by
+    cosine — one numpy GEMM per Arrow batch against the driver-collected
+    centroid matrix (centroids are broadcast-tiny by construction)."""
+    import numpy as np
+    import pandas as pd
+
+    cids = np.array([r["centroid_id"] for r in cents_rows], dtype=np.int64)
+    cm = np.array([list(r[1]) for r in cents_rows], dtype=np.float64)
+    cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((cids, cm))
+    topn = min(topn, len(cents_rows))
+
+    def run(batches):
+        cids_l, cm_l = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(pdf[vec_alias].tolist(), dtype=np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ cm_l.T
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :topn]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_alias: pdf[id_alias].to_numpy().repeat(topn),
+                    vec_alias: [v for v in pdf[vec_alias] for _ in range(topn)],
+                    "centroid_id": cids_l[order.ravel()],
+                }
+            )
+
+    return df.mapInPandas(
+        run, schema=f"{id_alias} long, {vec_alias} array<double>, centroid_id long"
+    )
+
+
 def ivf_knn(
     queries: DataFrame,
     candidates: DataFrame,
@@ -206,30 +245,21 @@ def ivf_knn(
     c = ensure_parallelism(candidates).select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     )
-    cents = (
+    cents_rows = (
         candidates.select(F.col(id_col).alias("centroid_id"), as_double(F.col(vec_col)).alias("cent"))
         .orderBy(F.xxhash64(F.col("centroid_id")), "centroid_id")
         .limit(n_centroids)
+        .orderBy("centroid_id")
+        .collect()
     )
-    w_assign = Window.partitionBy("neighbor_id").orderBy(
-        F.desc("csim"), F.col("centroid_id")
-    )
-    assigned = (
-        c.join(F.broadcast(cents))
-        .withColumn("csim", cosine(F.col("cv"), F.col("cent")))
-        .withColumn("crk", F.row_number().over(w_assign))
-        .filter(F.col("crk") == 1)
-        .select("neighbor_id", "cv", "centroid_id")
-    )
+    # Coarse quantization is a dense |rows|×|centroids| scoring pass —
+    # numpy GEMM against the broadcast (tiny) centroid matrix instead of an
+    # interpreted per-pair fold (see knn_bruteforce_np). Stable argsort on
+    # -sims breaks ties toward the lower centroid_id, same as the SQL
+    # row_number ordering it replaces.
+    assigned = _nearest_centroids_np(c, "neighbor_id", "cv", cents_rows, 1)
     q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
-    w_probe = Window.partitionBy("query_id").orderBy(F.desc("psim"), F.col("centroid_id"))
-    probes = (
-        q.join(F.broadcast(cents))
-        .withColumn("psim", cosine(F.col("qv"), F.col("cent")))
-        .withColumn("prk", F.row_number().over(w_probe))
-        .filter(F.col("prk") <= nprobe)
-        .select("query_id", "qv", "centroid_id")
-    )
+    probes = _nearest_centroids_np(q, "query_id", "qv", cents_rows, nprobe)
     pairs = (
         assigned.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
