@@ -40,3 +40,37 @@ def read_version(spark: SparkSession, base: str, version: int | None = None) -> 
     if v not in vs:
         raise FileNotFoundError(f"version {v} not in {vs}")
     return spark.read.parquet(f"{base}/v={v}")
+
+
+def snapshot_diff(
+    spark: SparkSession, base: str, v_old: int, v_new: int, key_cols: list[str]
+) -> DataFrame:
+    """Change feed between two snapshots: one row per key that was inserted,
+    deleted, or updated (any non-key column differs), tagged ``change``.
+    FULL OUTER join on the key + a row-hash comparison — the CDC read a
+    table format derives from its log, computed directly from the immutable
+    snapshot pair."""
+    from pyspark.sql import functions as F
+
+    old = read_version(spark, base, v_old)
+    new = read_version(spark, base, v_new)
+    value_cols = [c for c in new.columns if c not in key_cols]
+    o = old.select(
+        *[F.col(c).alias(f"k_{c}") for c in key_cols],
+        F.xxhash64(*[F.col(c) for c in value_cols]).alias("old_hash"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"k_{c}") for c in key_cols],
+        F.xxhash64(*[F.col(c) for c in value_cols]).alias("new_hash"),
+    )
+    j = o.join(n, [f"k_{c}" for c in key_cols], "full_outer")
+    return (
+        j.select(
+            *[F.col(f"k_{c}").alias(c) for c in key_cols],
+            F.when(F.col("old_hash").isNull(), "insert")
+            .when(F.col("new_hash").isNull(), "delete")
+            .when(F.col("old_hash") != F.col("new_hash"), "update")
+            .alias("change"),
+        )
+        .filter(F.col("change").isNotNull())
+    )

@@ -99,3 +99,32 @@ def test_shingle_scan_has_no_inlined_filter(spark, sf_dir):
     plan = _shingle_table(d, "text", "doc_id", 5)._jdf.queryExecution().executedPlan().toString()
     scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
     assert "split(" not in scan_line
+
+
+def test_dynamic_partition_pruning_on_layout(spark, sf_dir, tmp_path):
+    # The {app}/{study} layout's payoff at scale: joining the partitioned
+    # fact to a filtered dim must inject a dynamicpruning expression into
+    # the scan's PartitionFilters, so only the dim's studies are read.
+    from pyspark.sql import functions as F
+    from bridge_analytics_template_spark.catalog import load
+
+    path = str(tmp_path / "dpp")
+    o = load(spark, sf_dir, "orders").withColumn(
+        "study", (F.col("o_orderkey") % 10).cast("string")
+    )
+    o.write.mode("overwrite").partitionBy("study").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        spark.range(10)
+        .select(F.col("id").cast("string").alias("study"), (F.col("id") * 2).alias("w"))
+        .filter(F.col("w") < 6)
+    )
+    plan = (
+        fact.join(dim, "study")
+        .groupBy("study")
+        .count()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower()

@@ -119,3 +119,24 @@ def test_observed_sink_reports_write_metrics(spark, sf_dir, tmp_path):
     metrics = write_partitioned_observed(o, str(tmp_path / "obs"))
     assert metrics["rows_written"] == o.count()
     assert metrics["n_study"] == 3
+
+
+def test_snapshot_diff_classifies_changes(spark, sf_dir, tmp_path):
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.sources.versioning import snapshot_diff, write_version
+
+    base = str(tmp_path / "diffsnap")
+    n = load(spark, sf_dir, "nation")
+    write_version(n, base)  # v1: all 25 nations
+    v2 = (
+        n.filter(F.col("n_nationkey") != 0)  # delete key 0
+        .withColumn(  # update key 1's name
+            "n_name", F.when(F.col("n_nationkey") == 1, F.lit("RENAMED")).otherwise(F.col("n_name"))
+        )
+        .unionByName(  # insert key 99
+            spark.createDataFrame([(99, "NEWLAND", 0)], "n_nationkey int, n_name string, n_regionkey int")
+        )
+    )
+    write_version(v2, base)
+    changes = {r["n_nationkey"]: r["change"] for r in snapshot_diff(spark, base, 1, 2, ["n_nationkey"]).collect()}
+    assert changes == {0: "delete", 1: "update", 99: "insert"}
