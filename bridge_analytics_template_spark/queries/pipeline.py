@@ -344,3 +344,22 @@ def profile_documents(spark, sf_dir):
     from ..profiling import profile
 
     return profile(load(spark, sf_dir, "documents"))
+
+
+@query("llm_dedup_clusters_lsh")  # rows-only: LSH candidate recall is not SQL
+def llm_dedup_clusters_lsh(spark, sf_dir):
+    """L2f: the SCALE path of near-dup clustering — edges from the full
+    MinHash-LSH cascade at jaccard >= 0.5 (where 16-band/4-row LSH recall
+    is ~1), then connected components. Unlike llm_dedup_clusters (exact
+    inverted-index edges at 0.05, oracle-checked), this never scores
+    all pairs sharing a shingle: cost is the banded self-join + candidate
+    verification, the shape that survives a corpus-sized input."""
+    from ..llm.dedup import minhash_near_dups
+
+    d = load(spark, sf_dir, "documents")
+    edges = minhash_near_dups(d, min_jaccard=0.5).select("doc_a", "doc_b")
+    return (
+        connected_components(edges)
+        .select(F.col("node").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )

@@ -232,3 +232,14 @@ def test_operators_handle_empty_inputs(spark):
     assert minhash_near_dups(empty_docs).count() == 0
     assert connected_components(empty_edges).count() == 0
     assert pack_sequences(empty_docs).count() == 0
+
+
+def test_lsh_clustering_groups_planted_dups(corpus):
+    from bridge_analytics_template_spark.llm.dedup import connected_components, minhash_near_dups
+
+    edges = minhash_near_dups(corpus, min_jaccard=0.5).select("doc_a", "doc_b")
+    labels = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    # docs 0,1,2,3 are exact/near/formatting dups -> one cluster rooted at 0
+    assert labels[1] == 0 and labels[2] == 0 and labels[3] == 0
+    # unrelated docs 4,5 must not join that cluster
+    assert labels.get(4, 4) != 0 and labels.get(5, 5) != 0
