@@ -375,3 +375,50 @@ def f_bitwise(spark, sf_dir):
         )
         .orderBy("l_linenumber")
     )
+
+
+@query(
+    "f_try_arith",
+    sql="""
+    SELECT l_linenumber,
+           o_total / nullif(l_linenumber - 1, 0) AS safe_div,
+           CAST(NULL AS BIGINT) AS overflow_add
+    FROM (SELECT l_linenumber, CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS o_total
+          FROM lineitem GROUP BY l_linenumber)
+    ORDER BY l_linenumber
+    """,
+)
+def f_try_arith(spark, sf_dir):
+    """F8 extension: ANSI-safe arithmetic — try_divide returns NULL on
+    division by zero instead of raising (ANSI mode is on session-wide;
+    try_add shows the overflow-to-NULL contract on a forced overflow)."""
+    from ..functions.numeric import dmoney, dsum
+
+    l = load(spark, sf_dir, "lineitem")
+    per_line = l.groupBy("l_linenumber").agg(dsum(dmoney("l_extendedprice"), "o_total"))
+    max_long = 9223372036854775807
+    return per_line.select(
+        "l_linenumber",
+        F.try_divide(F.col("o_total"), F.col("l_linenumber") - 1).alias("safe_div"),
+        F.try_add(F.lit(max_long).cast("long"), F.col("l_linenumber").cast("long")).alias(
+            "overflow_add"
+        ),
+    ).orderBy("l_linenumber")
+
+
+@query("agg_corr")  # rows-only: float co-moments are combine-order dependent
+def agg_corr(spark, sf_dir):
+    """A8 extension: Pearson correlation / sample covariance between price
+    and quantity per return flag. Rows-only by design — co-moment sums are
+    combine-order dependent in the last ulp; the unit test asserts numeric
+    agreement with numpy to 1e-9."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
+            F.covar_samp("l_quantity", "l_extendedprice").alias("qty_price_covar"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -60,3 +60,16 @@ def test_salted_join_matches_plain(spark, sf_dir):
         F.count(F.lit(1)).alias("n"), F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("s")
     ).collect()[0]
     assert plain["n"] == salted["n"] and plain["s"] == salted["s"]
+
+
+def test_corr_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.queries.registry import QUERIES
+
+    out = {r["l_returnflag"]: r for r in QUERIES["agg_corr"](spark, sf_dir).collect()}
+    pdf = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity", "l_extendedprice").toPandas()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        expected = np.corrcoef(grp["l_quantity"], grp["l_extendedprice"])[0, 1]
+        assert abs(out[flag]["qty_price_corr"] - expected) < 1e-9
