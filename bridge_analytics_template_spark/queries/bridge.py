@@ -123,3 +123,39 @@ def bridge_file_view(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.max("file_size").alias("file_size"),
     )
+
+
+@query(
+    "bridge_validate",
+    sql="""
+    WITH wide AS (
+      SELECT COUNT(*) AS n_checked,
+             SUM(CASE WHEN length(lang) > 2 THEN 1 ELSE 0 END) AS lang_max_length_2,
+             SUM(CASE WHEN lang NOT IN ('en','de','es','fr','zh') THEN 1 ELSE 0 END) AS lang_in_set,
+             SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS n_chars_consistent,
+             SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS text_not_null,
+             COUNT(doc_id) - COUNT(DISTINCT doc_id) AS doc_id_unique
+      FROM documents)
+    SELECT rule, n_violations, n_checked FROM (
+      SELECT 'lang_max_length_2' AS rule, lang_max_length_2 AS n_violations, n_checked FROM wide
+      UNION ALL SELECT 'lang_in_set', lang_in_set, n_checked FROM wide
+      UNION ALL SELECT 'n_chars_consistent', n_chars_consistent, n_checked FROM wide
+      UNION ALL SELECT 'text_not_null', text_not_null, n_checked FROM wide
+      UNION ALL SELECT 'doc_id_unique', doc_id_unique, n_checked FROM wide)
+    ORDER BY rule
+    """,
+)
+def bridge_validate(spark, sf_dir):
+    """Declarative expectations (validation.py) — the engine form of the
+    reference's string-size contract (copy_from_template.py:164-176): rules
+    compile into one conditional-aggregate pass, reported per rule."""
+    from ..validation import expression, in_set, max_length, not_null, validate
+
+    d = load(spark, sf_dir, "documents")
+    rules = [
+        max_length("lang", 2),
+        in_set("lang", ("en", "de", "es", "fr", "zh")),
+        expression("n_chars_consistent", F.col("n_chars") != F.length("text")),
+        not_null("text"),
+    ]
+    return validate(d, rules, unique_cols=["doc_id"])

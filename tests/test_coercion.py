@@ -91,3 +91,40 @@ def test_max_size_flags(spark):
     assert row["clientInfo_oversize"] is False  # fits in 512
     # ignore_cols get no flag
     assert "name_oversize" not in flagged.columns
+
+
+def test_validate_counts_planted_violations(spark):
+    from pyspark.sql import functions as F
+
+    from bridge_analytics_template_spark.validation import (
+        expression,
+        in_set,
+        max_length,
+        not_null,
+        validate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en", "ok"), (2, "english", "ok"), (3, "xx", None), (1, "de", "ok")],
+        "id long, lang string, text string",
+    )
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in validate(
+            df,
+            [
+                max_length("lang", 2),
+                in_set("lang", ("en", "de")),
+                not_null("text"),
+                expression("id_positive", F.col("id") <= 0),
+            ],
+            unique_cols=["id"],
+        ).collect()
+    }
+    assert out == {
+        "lang_max_length_2": 1,   # "english"
+        "lang_in_set": 2,         # "english", "xx"
+        "text_not_null": 1,
+        "id_positive": 0,
+        "id_unique": 1,           # id=1 twice
+    }
