@@ -193,3 +193,52 @@ def agg_approx_percentile(spark, sf_dir):
     return l.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("pcts")
     ).orderBy("l_returnflag")
+
+
+@query(
+    "merge_scd2_history",
+    sql="""
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus, o_orderdate,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM orders WHERE o_orderkey % 7 = 0),
+    s AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus,
+             o_orderdate + INTERVAL 30 DAY AS o_orderdate
+      FROM orders WHERE o_orderkey % 14 = 0)
+    SELECT t.o_orderkey, t.o_orderstatus, t.o_orderdate,
+           s.o_orderdate AS valid_to
+    FROM t LEFT JOIN s ON t.o_orderkey = s.o_orderkey
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_orderdate, CAST(NULL AS TIMESTAMP)
+    FROM s
+    ORDER BY o_orderkey, o_orderstatus
+    """,
+)
+def merge_scd2_history(spark, sf_dir):
+    """SCD2 close-and-insert (operators/merge.py) over a derived CDC batch:
+    current versions of matched keys get valid_to = the incoming effective
+    timestamp; incoming rows append as open versions. Oracle is the
+    equivalent left-join + union."""
+    from ..operators.merge import scd2_close_and_insert
+
+    o = load(spark, sf_dir, "orders")
+    target = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderdate",
+            F.lit(None).cast("timestamp").alias("valid_to"),
+        )
+    )
+    source = (
+        o.filter(F.col("o_orderkey") % 14 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("o_orderdate"),
+        )
+    )
+    out = scd2_close_and_insert(target, source, ["o_orderkey"], "o_orderdate")
+    return out.orderBy("o_orderkey", "o_orderstatus")
