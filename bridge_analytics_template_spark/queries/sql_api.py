@@ -242,3 +242,59 @@ def merge_scd2_history(spark, sf_dir):
     )
     out = scd2_close_and_insert(target, source, ["o_orderkey"], "o_orderdate")
     return out.orderBy("o_orderkey", "o_orderstatus")
+
+
+@query(
+    "sql_udf_revenue",
+    sql="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def sql_udf_revenue(spark, sf_dir):
+    """SQL-language UDF (Spark 4 CREATE FUNCTION ... RETURN expr): the
+    revenue expression becomes a catalog-registered, reusable SQL function
+    that Catalyst INLINES — zero overhead vs writing the expression, unlike
+    a Python UDF. The oracle is the inlined form."""
+    register_views(spark, sf_dir, ("lineitem",))
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_rev(p DECIMAL(12,2), d DECIMAL(3,2))
+        RETURNS DECIMAL(16,4) RETURN p * (1 - d)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(disc_rev(CAST(l_extendedprice AS DECIMAL(12,2)),
+                                 CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+@query(
+    "sql_parameterized",
+    sql="""
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE o_totalprice > 150000 AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark, sf_dir):
+    """Parameterized spark.sql (named-arg binding, no string interpolation
+    — the injection-safe templated-query API). Oracle inlines the same
+    constants."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={"min_price": 150000, "status": "O"},
+    )
