@@ -114,3 +114,25 @@ def test_checkpoint_resume_processes_only_new_files(spark, sf_dir, tmp_path):
     run()
     n2 = spark.read.parquet(out).count()
     assert n2 == 2 * n_src  # second run appended ONLY the new file's rows
+
+
+def test_update_mode_emits_only_changed_windows(spark, sf_dir):
+    """Update output mode re-emits only windows touched by the batch —
+    with one availableNow pass every window appears at least once, and the
+    final per-window counts equal the complete-mode result."""
+    from bridge_analytics_template_spark.streaming.windows import (
+        run_to_memory,
+        stream_events,
+        tumbling_counts,
+    )
+
+    agg = tumbling_counts(stream_events(spark, sf_dir))
+    updates = run_to_memory(agg, "update").collect()
+    complete = run_to_memory(
+        tumbling_counts(stream_events(spark, sf_dir)), "complete"
+    ).collect()
+    last = {}
+    for r in updates:  # memory sink appends updates in emission order
+        last[(r["window_start"], r["event_type"])] = r["n"]
+    want = {(r["window_start"], r["event_type"]): r["n"] for r in complete}
+    assert last == want
