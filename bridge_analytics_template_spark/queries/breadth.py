@@ -422,3 +422,33 @@ def agg_corr(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "gen_date_dim",
+    sql="""
+    SELECT CAST(d AS DATE) AS cal_date,
+           EXTRACT(year FROM d) AS y,
+           EXTRACT(month FROM d) AS m,
+           EXTRACT(dow FROM d) AS dow,
+           EXTRACT(dow FROM d) IN (0, 6) AS is_weekend
+    FROM generate_series(DATE '2024-01-01', DATE '2024-03-31', INTERVAL 1 DAY) AS t(d)
+    ORDER BY cal_date
+    """,
+)
+def gen_date_dim(spark, sf_dir):
+    """Generated calendar dimension — sequence + explode, no input table
+    (the dim every warehouse joins dates against; broadcast-sized by
+    construction). Spark dayofweek is 1=Sunday; normalized to DuckDB's
+    0=Sunday dow."""
+    d = spark.sql(
+        "SELECT explode(sequence(DATE '2024-01-01', DATE '2024-03-31', INTERVAL 1 DAY)) AS cal_date"
+    )
+    dow = F.dayofweek("cal_date") - 1
+    return d.select(
+        "cal_date",
+        F.year("cal_date").cast("long").alias("y"),
+        F.month("cal_date").cast("long").alias("m"),
+        dow.cast("long").alias("dow"),
+        dow.isin(0, 6).alias("is_weekend"),
+    ).orderBy("cal_date")
