@@ -190,29 +190,36 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16, num_perm: int = 
 
 
 def exact_jaccard_pairs(
-    shingled: DataFrame, min_jaccard: float = 0.0, candidates: DataFrame | None = None
+    shingle_arrays: DataFrame, min_jaccard: float = 0.0, candidates: DataFrame | None = None
 ) -> DataFrame:
     """Exact shingle-set Jaccard for pairs sharing ≥1 shingle (inverted-index
-    self-join). When ``candidates`` (doc_a, doc_b) is given — e.g. LSH
-    output — only those pairs are scored, which is what bounds the cost at
-    corpus scale."""
-    shingled = shingled.persist()  # read 3x below (sizes + both join sides)
-    sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = shingled.alias("a")
-    b = shingled.alias("b")
+    self-join). Takes the (doc, sh array) form of :func:`_shingle_arrays`:
+    the set size is computed IN-ROW (``size(sh)``) and rides the inverted
+    index, so the union term of Jaccard needs no separate sizes aggregate
+    and no post-join size lookups — the whole op is one self-join + one
+    pair aggregate (2 shuffles, was 4). When ``candidates`` (doc_a, doc_b)
+    is given — e.g. LSH output — only those pairs are scored, which is
+    what bounds the cost at corpus scale."""
+    sh = shingle_arrays.select(
+        "doc", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle")
+    ).persist()  # read twice (both join sides); explode_outer per _shingle_table note
+    a = sh.alias("a")
+    b = sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            # n is functionally dependent on doc: same groups, sizes for free.
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     if candidates is not None:
         inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("n_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
@@ -305,6 +312,16 @@ def connected_components(
         ).alias("e")
     ).select("e.u", "e.v")
     und = und.persist()
+    # Materialize the (possibly expensive) edge lineage exactly once, and
+    # size the iterative state to the GRAPH, not the session shuffle width:
+    # a dedup edge set is typically orders of magnitude smaller than the
+    # corpus that produced it, and per-round cost on a small graph is pure
+    # task scheduling — narrow-coalescing the cached edges shrinks every
+    # downstream map side, and AQE coalesces the reduce sides to match.
+    n_und = und.count()
+    target_parts = int(n_und // 2_000_000) + 1
+    if target_parts < und.rdd.getNumPartitions():
+        und = und.coalesce(target_parts)
     # Seed with min(node, min neighbor): same shuffle the node-distinct
     # would cost, but it pre-applies round 1 of the propagation.
     labels = (

@@ -25,7 +25,7 @@ from ..functions.text import (
     ws_tokens,
 )
 from ..llm.dedup import (
-    _shingle_table,
+    _shingle_arrays,
     dedup_exact,
     dedup_normalized,
     exact_jaccard_pairs,
@@ -113,11 +113,14 @@ def llm_dedup_simhash(spark, sf_dir):
 )
 def llm_ngram_jaccard(spark, sf_dir):
     """L2c: exact word-5-gram Jaccard over pairs sharing ≥1 shingle
-    (inverted-index join — the verification tier of the dedup cascade)."""
+    (inverted-index join — the verification tier of the dedup cascade).
+    The output carries only ids/counts, so the index joins HASHED (long)
+    shingles — same pairs as the string form modulo 2^-64 collisions, at a
+    fraction of the join bytes (and the oracle checks the values)."""
     d = load(spark, sf_dir, "documents")
-    sh = _shingle_table(d, "text", "doc_id", 5)
+    arrays = _shingle_arrays(d, "text", "doc_id", 5, hashed=True)
     return (
-        exact_jaccard_pairs(sh, min_jaccard=0.05)
+        exact_jaccard_pairs(arrays, min_jaccard=0.05)
         .select("doc_a", "doc_b", "n_inter", "jaccard")
         .orderBy("doc_a", "doc_b")
     )

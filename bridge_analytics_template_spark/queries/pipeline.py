@@ -22,7 +22,7 @@ from ..functions.text import (
     token_length_sum,
     ws_tokens,
 )
-from ..llm.dedup import _shingle_table, connected_components, exact_jaccard_pairs
+from ..llm.dedup import _shingle_arrays, connected_components, exact_jaccard_pairs
 from ..sources.readers import read_orc
 from .registry import query
 
@@ -128,8 +128,8 @@ def llm_dedup_clusters(spark, sf_dir):
     # Hashed (long) shingles: the clustering only consumes the PAIR SET, so
     # the strings never need to survive tokenization — same pairs as the
     # string form modulo 2^-64 collisions, at a fraction of the join bytes.
-    sh = _shingle_table(d, "text", "doc_id", 5, hashed=True)
-    edges = exact_jaccard_pairs(sh, min_jaccard=0.05).select("doc_a", "doc_b")
+    arrays = _shingle_arrays(d, "text", "doc_id", 5, hashed=True)
+    edges = exact_jaccard_pairs(arrays, min_jaccard=0.05).select("doc_a", "doc_b")
     return (
         connected_components(edges)
         .select(F.col("node").alias("doc_id"), "cluster_id")
