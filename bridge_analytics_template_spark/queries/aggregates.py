@@ -104,6 +104,58 @@ def agg_approx_count_distinct(spark, sf_dir):
     ).orderBy("l_returnflag")
 
 
+@query("agg_hll_sketch")  # rows-only: sketch estimates are engine-specific
+def agg_hll_sketch(spark, sf_dir):
+    """A4b: mergeable HLL sketches (Apache DataSketches binary form) — the
+    re-aggregatable cardinality path at 100 TB: per-group sketches UNION
+    into coarser rollups without rescanning the fact table, which
+    approx_count_distinct cannot do (its partials aren't a value you can
+    store and merge later). The ALL row is hll_union_agg over the five
+    per-priority sketches; estimate accuracy vs exact distinct is asserted
+    in tests/test_aggregates.py."""
+    o = load(spark, sf_dir, "orders")
+    per = (
+        o.groupBy("o_orderpriority")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"), F.count(F.lit(1)).alias("n_rows"))
+        .persist()  # read twice: leaf rows + the union rollup
+    )
+    leaf = per.select(
+        "o_orderpriority", F.hll_sketch_estimate("sk").alias("est_custs"), "n_rows"
+    )
+    total = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_custs"),
+        F.sum("n_rows").alias("n_rows"),
+    ).select(F.lit("ALL").alias("o_orderpriority"), "est_custs", "n_rows")
+    return leaf.unionByName(total).orderBy("o_orderpriority")
+
+
+@query(
+    "agg_histogram",
+    sql="""
+    SELECT CAST(FLOOR(l_extendedprice / 10000.0) + 1 AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           10000.0 * FLOOR(l_extendedprice / 10000.0) AS lo,
+           10000.0 * (FLOOR(l_extendedprice / 10000.0) + 1) AS hi
+    FROM lineitem GROUP BY 1, 3, 4 ORDER BY bucket
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    """Equi-width histogram via width_bucket — the one-pass distribution
+    profile (bounds chosen so the bucket step 110000/11 is the exact double
+    10000.0, making Spark's width-bucket division bit-identical to the
+    oracle's floor(v/10000)). All prices sit inside [0, 110000), so the
+    under/overflow buckets 0 and 12 are provably empty."""
+    l = load(spark, sf_dir, "lineitem")
+    b = F.width_bucket("l_extendedprice", F.lit(0.0), F.lit(110000.0), F.lit(11))
+    return (
+        l.groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("lo", (F.col("bucket") - 1).cast("double") * 10000.0)
+        .withColumn("hi", F.col("bucket").cast("double") * 10000.0)
+        .orderBy("bucket")
+    )
+
+
 @query(
     "agg_rollup",
     sql=f"""

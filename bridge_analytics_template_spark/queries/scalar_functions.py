@@ -152,6 +152,44 @@ def f_json(spark, sf_dir):
 
 
 @query(
+    "f_variant",
+    sql="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,
+           event_type AS t,
+           value AS v0
+    FROM events ORDER BY event_id
+    """,
+)
+def f_variant(spark, sf_dir):
+    """F5b: semi-structured VARIANT column (Spark 4) — ingest the JSON blob
+    once as an open-schema variant and extract TYPED fields lazily at query
+    time: the schema-on-read half of the coercion regime
+    (copy_from_template.py:164-232) without committing to a struct schema at
+    ingest, and the storage shape for open-ended annotation bags
+    (default.yaml:10) at scale. The nested path round-trips typed columns
+    through in-row JSON to exercise object/array traversal; the oracle
+    shortcuts to the original columns (shortest-repr double round-trip is
+    exact)."""
+    e = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    nested = F.parse_json(
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("t"),
+                F.array(F.col("value")).alias("vals"),
+            )
+        )
+    )
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "long").alias("k_long"),
+        F.variant_get(nested, "$.t", "string").alias("t"),
+        F.variant_get(nested, "$.vals[0]", "double").alias("v0"),
+    ).orderBy("event_id")
+
+
+@query(
     "f_map",
     sql="""
     SELECT doc_id,

@@ -17,6 +17,25 @@ def test_approx_count_distinct_accuracy(spark, sf_dir):
     assert abs(approx - exact) / exact < 0.05
 
 
+def test_hll_sketch_union_accuracy(spark, sf_dir):
+    """Per-group HLL estimates AND the merged-union estimate stay within 5%
+    of exact — the union path re-aggregates stored sketches, so its accuracy
+    is the whole point (approx_count_distinct can't do this)."""
+    o = load(spark, sf_dir, "orders")
+    exact_total = o.select(F.countDistinct("o_custkey")).collect()[0][0]
+    per = o.groupBy("o_orderpriority").agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    union_est = per.select(F.hll_sketch_estimate(F.hll_union_agg("sk"))).collect()[0][0]
+    assert abs(union_est - exact_total) / exact_total < 0.05
+    exact_per = {
+        r["o_orderpriority"]: r["n"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for r in per.select("o_orderpriority", F.hll_sketch_estimate("sk").alias("est")).collect():
+        assert abs(r["est"] - exact_per[r["o_orderpriority"]]) / exact_per[r["o_orderpriority"]] < 0.05
+
+
 def test_approx_percentile_accuracy(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
     exact = l.select(F.percentile("l_extendedprice", 0.5)).collect()[0][0]
