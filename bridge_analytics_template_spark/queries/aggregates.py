@@ -325,3 +325,37 @@ def agg_stddev_moments(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "agg_mode_pdisc",
+    sql="""
+    SELECT l_returnflag,
+           mode(CASE WHEN l_quantity <= 30 THEN 'small' ELSE 'big' END) AS qty_mode,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS qty_p50_disc,
+           percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS price_p90_disc
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_mode_pdisc(spark, sf_dir):
+    """Inverse-distribution aggregates: mode + percentile_disc (WITHIN
+    GROUP). percentile_disc returns an ACTUAL data value (no interpolation),
+    so the double compare is exact on both engines; mode is computed over a
+    deliberately skewed bucket (quantity is uniform 1..50, so 'small' wins
+    3:2 at any SF) — the raw columns here are near-uniform and would make
+    mode a coin-flip tie."""
+    l = load(spark, sf_dir, "lineitem")
+    bucket = F.when(F.col("l_quantity") <= 30, F.lit("small")).otherwise(F.lit("big"))
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.mode(bucket).alias("qty_mode"),
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)"
+            ).alias("qty_p50_disc"),
+            F.expr(
+                "percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias("price_p90_disc"),
+        )
+        .orderBy("l_returnflag")
+    )

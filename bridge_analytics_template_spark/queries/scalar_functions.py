@@ -300,3 +300,94 @@ def f_hash_xxhash(spark, sf_dir):
         F.xxhash64("text").alias("text_xx64"),
         F.hash("text").alias("text_hash32"),
     ).orderBy("doc_id")
+
+
+@query(
+    "f_regexp",
+    sql="""
+    SELECT c_custkey,
+           len(regexp_extract_all(c_name, '[0-9]+')) AS n_digit_runs,
+           regexp_extract_all(c_name, '[0-9]+') AS digit_runs,
+           split_part(c_name, '#', 2) AS name_num,
+           CASE WHEN regexp_matches(c_mktsegment, '^[A-Z]+$') THEN 1 ELSE 0 END AS seg_alpha,
+           strpos(c_name, '#') AS hash_pos
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def f_regexp(spark, sf_dir):
+    """F1b: modern regexp family — regexp_count / regexp_extract_all /
+    split_part / regexp_like / instr. All JVM codegen expressions; the
+    oracle spells each with DuckDB's names (regexp_count == len of
+    extract_all, instr == strpos)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_count("c_name", F.lit("[0-9]+")).alias("n_digit_runs"),
+        F.regexp_extract_all("c_name", F.lit("[0-9]+"), 0).alias("digit_runs"),
+        F.split_part("c_name", F.lit("#"), F.lit(2)).alias("name_num"),
+        F.regexp_like("c_mktsegment", F.lit("^[A-Z]+$")).cast("int").alias("seg_alpha"),
+        F.instr("c_name", "#").alias("hash_pos"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "f_xml",
+    sql="""
+    SELECT event_id, event_type AS t, value AS v, user_id AS uid
+    FROM events ORDER BY event_id
+    """,
+)
+def f_xml(spark, sf_dir):
+    """F5c: XML ingest (Spark 4 to_xml/from_xml) — typed columns round-trip
+    through an in-row XML document and back out through an explicit
+    schema. Doubles survive exactly (shortest-repr serialization, same
+    guarantee the JSON/VARIANT paths rely on), so the oracle shortcuts to
+    the original columns."""
+    e = load(spark, sf_dir, "events")
+    xml = F.to_xml(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.col("value").alias("v"),
+            F.col("user_id").alias("uid"),
+        )
+    )
+    parsed = F.from_xml(xml, "t STRING, v DOUBLE, uid BIGINT")
+    return e.select(
+        "event_id",
+        parsed.getField("t").alias("t"),
+        parsed.getField("v").alias("v"),
+        parsed.getField("uid").alias("uid"),
+    ).orderBy("event_id")
+
+
+@query(
+    "f_url",
+    sql="""
+    SELECT event_id,
+           event_type AS path_seg,
+           CAST(user_id AS VARCHAR) AS uid_param,
+           'events.example.com' AS host
+    FROM events ORDER BY event_id
+    """,
+)
+def f_url(spark, sf_dir):
+    """F1c: URL functions — build a URL from columns (url_encode), then
+    tear it apart with parse_url (HOST / PATH / QUERY key) and url_decode.
+    Encoded bytes never reach the comparator (Java uses '+' for space,
+    others use %20): the oracle sees only the decoded round-trip, which is
+    the identity."""
+    e = load(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://events.example.com/"),
+        F.url_encode("event_type"),
+        F.lit("?uid="),
+        F.col("user_id").cast("string"),
+    )
+    return e.select(
+        "event_id",
+        F.url_decode(
+            F.regexp_extract(F.parse_url(url, F.lit("PATH")), "^/(.*)$", 1)
+        ).alias("path_seg"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("uid")).alias("uid_param"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+    ).orderBy("event_id")

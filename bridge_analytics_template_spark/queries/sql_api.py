@@ -298,3 +298,33 @@ def sql_parameterized(spark, sf_dir):
         """,
         args={"min_price": 150000, "status": "O"},
     )
+
+
+_RECURSIVE_WALK = """
+    WITH RECURSIVE edges AS (
+      SELECT n_nationkey AS child,
+             lag(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS parent,
+             n_name AS name, n_regionkey AS region
+      FROM nation
+    ),
+    walk AS (
+      SELECT child AS node, name, region, 0 AS depth, name AS path
+      FROM edges WHERE parent IS NULL
+      UNION ALL
+      SELECT e.child, e.name, e.region, w.depth + 1, w.path || '/' || e.name
+      FROM edges e JOIN walk w ON e.parent = w.node
+    )
+    SELECT node, name, region, depth, path FROM walk ORDER BY node
+"""
+
+
+@query("sql_recursive_cte", sql=_RECURSIVE_WALK)
+def sql_recursive_cte(spark, sf_dir):
+    """Recursive CTE (Spark 4, SPARK-24497): transitive hierarchy walk —
+    depth and root-path over a parent chain derived from nations within
+    each region. The oracle is the IDENTICAL SQL text run by DuckDB; the
+    fixpoint iterates ~5 rounds (longest chain within a region). At scale
+    the same shape resolves org trees / thread ancestry without a driver
+    loop."""
+    register_views(spark, sf_dir, ("nation",))
+    return spark.sql(_RECURSIVE_WALK)

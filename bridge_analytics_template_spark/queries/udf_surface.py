@@ -247,3 +247,70 @@ def x_python_udtf(spark, sf_dir):
         ORDER BY d.doc_id, s.pos
         """
     )
+
+
+@query(
+    "x_map_in_arrow",
+    sql="""
+    SELECT doc_id, n_chars, n_chars * 2 AS n_chars_x2
+    FROM documents ORDER BY doc_id
+    """,
+)
+def x_map_in_arrow(spark, sf_dir):
+    """X7: mapInArrow — the zero-copy batch path: pyarrow RecordBatch in,
+    RecordBatch out, no pandas materialization. The cheapest Python hook
+    for per-batch logic over wide binary/tensor columns (no Series
+    boxing); integer arithmetic keeps the oracle exact."""
+    import pyarrow as pa
+
+    def double_chars(batches):
+        for batch in batches:
+            n = batch.column("n_chars")
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), n, pa.compute.multiply(n, 2)],
+                ["doc_id", "n_chars", "n_chars_x2"],
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return d.mapInArrow(
+        double_chars, schema="doc_id long, n_chars long, n_chars_x2 long"
+    ).orderBy("doc_id")
+
+
+@query(
+    "x_grouped_map_arrow",
+    sql="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def x_grouped_map_arrow(spark, sf_dir):
+    """X8: grouped-map applyInArrow — whole group as a pyarrow Table
+    (columnar, no pandas conversion cost). Integer min/max/count per
+    group keep the oracle exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def group_stats(table: "pa.Table") -> "pa.Table":
+        n = table.column("n_chars")
+        return pa.table(
+            {
+                "lang": [table.column("lang")[0].as_py()],
+                "n_docs": [table.num_rows],
+                "min_chars": [pc.min(n).as_py()],
+                "max_chars": [pc.max(n).as_py()],
+            }
+        )
+
+    d = load(spark, sf_dir, "documents").select("lang", "n_chars")
+    return (
+        d.groupBy("lang")
+        .applyInArrow(
+            group_stats,
+            schema="lang string, n_docs long, min_chars long, max_chars long",
+        )
+        .orderBy("lang")
+    )
