@@ -363,3 +363,55 @@ def llm_dedup_clusters_lsh(spark, sf_dir):
         .select(F.col("node").alias("doc_id"), "cluster_id")
         .orderBy("doc_id")
     )
+
+
+@query("graph_pagerank")  # rows-only: iterative fixpoint, not SQL-expressible
+def graph_pagerank(spark, sf_dir):
+    """Iterative PageRank (operators/pagerank.py) over the event hand-off
+    graph: an arc from each event's user to the next event's user in
+    event_id order (parallel arcs keep their multiplicity — random-surfer
+    weights). 10 fixed iterations, damping 0.85; exact per-node agreement
+    with a numpy reference is pinned in tests/test_graph.py. Ranks are
+    floats from an iterative sum, hence rows-only here."""
+    from ..operators.pagerank import pagerank
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id")
+    # event_id is dense-sequential, so "next event" is an equi-join on
+    # id+1 — a co-partitioned shuffle join, NOT a global-order window
+    # (which would funnel 100 TB through one partition).
+    nxt = e.select((F.col("event_id") - 1).alias("event_id"), F.col("user_id").alias("next_user"))
+    arcs = (
+        e.join(nxt, "event_id")
+        .where(F.col("next_user") != F.col("user_id"))
+        .select(F.col("user_id").alias("src"), F.col("next_user").alias("dst"))
+    )
+    return pagerank(arcs, iterations=10).orderBy("node")
+
+
+from ..operators.zorder import zorder_key, zorder_sql  # noqa: E402
+
+
+@query(
+    "f_zorder",
+    sql=f"""
+    SELECT l_orderkey, l_linenumber,
+           {zorder_sql("CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT)",
+                       "CAST(l_quantity AS BIGINT)", bits=8)} AS zkey
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def f_zorder(spark, sf_dir):
+    """Z-order (Morton) key over (price-bucket, quantity) — the
+    multi-dimensional clustering sort key (operators/zorder.py). The
+    oracle runs the IDENTICAL interleave arithmetic emitted as SQL, so
+    the bit mapping is value-checked end to end; the layout property
+    (per-file min/max tightness on both dims) is pinned in
+    tests/test_zorder.py."""
+    l = load(spark, sf_dir, "lineitem")
+    x = F.floor(F.col("l_extendedprice") / 1000.0).cast("long")
+    y = F.col("l_quantity").cast("long")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_key(x, y, bits=8).alias("zkey"),
+    ).orderBy("l_orderkey", "l_linenumber")

@@ -1,0 +1,67 @@
+"""PageRank: exact agreement with a dense numpy reference on the same
+graph, plus the mass-conservation invariant."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bridge_analytics_template_spark.operators.pagerank import pagerank
+
+DAMPING = 0.85
+ITERS = 10
+
+
+def _numpy_pagerank(edges: pd.DataFrame) -> dict[int, float]:
+    nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = edges.groupby("src").size().to_dict()
+    rank = np.full(n, 1.0 / n)
+    for _ in range(ITERS):
+        contrib = np.zeros(n)
+        for s, d in zip(edges["src"], edges["dst"]):
+            contrib[idx[d]] += rank[idx[s]] / out_deg[s]
+        dangling = sum(rank[idx[v]] for v in nodes if v not in out_deg)
+        rank = (1 - DAMPING) / n + DAMPING * (contrib + dangling / n)
+    return {v: rank[i] for v, i in idx.items()}
+
+
+@pytest.fixture(scope="module")
+def chain_edges(spark):
+    # src chain 0->1->2->0 plus a hub and a dangling sink (node 9)
+    rows = [(0, 1), (1, 2), (2, 0), (0, 2), (3, 0), (3, 1), (3, 9), (4, 3)]
+    return rows
+
+
+def test_pagerank_matches_numpy(spark, chain_edges):
+    edges = spark.createDataFrame(chain_edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=ITERS).collect()}
+    want = _numpy_pagerank(pd.DataFrame(chain_edges, columns=["src", "dst"]))
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+
+
+def test_pagerank_mass_conserved(spark, chain_edges):
+    edges = spark.createDataFrame(chain_edges, "src long, dst long")
+    total = pagerank(edges, iterations=3).agg(F.sum("rank")).collect()[0][0]
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_query_against_numpy(spark, sf_dir):
+    """The full graph_pagerank query on real sf0.001 events vs numpy."""
+    from bridge_analytics_template_spark.queries.pipeline import graph_pagerank
+
+    got = {r["node"]: r["rank"] for r in graph_pagerank(spark, sf_dir).collect()}
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+    ev = ev.sort_values("event_id")
+    u = ev["user_id"].to_numpy()
+    mask = u[:-1] != u[1:]
+    edges = pd.DataFrame({"src": u[:-1][mask], "dst": u[1:][mask]})
+    want = _numpy_pagerank(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)

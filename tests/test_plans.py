@@ -128,3 +128,43 @@ def test_dynamic_partition_pruning_on_layout(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "dynamicpruning" in plan.lower()
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """Runtime row-level filtering: for a shuffle join with a selective
+    creation side, the optimizer builds a bloom filter over the small
+    side's keys and applies might_contain on the big side's SCAN — rows
+    that cannot join die before the shuffle. Default thresholds gate this
+    to big inputs (applicationSideScanSizeThreshold=10GB), i.e. it arms
+    itself exactly at the scale this engine targets; the test lowers them
+    to prove the session config keeps the rewrite reachable."""
+    keep = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        assert (
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+        )
+        big = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        small = spark.read.parquet(f"{sf_dir}/part.parquet").where("p_partkey % 97 = 0")
+        j = big.join(small, big.l_partkey == small.p_partkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+    finally:
+        for k, v in keep.items():
+            spark.conf.set(k, v)
