@@ -415,3 +415,15 @@ def f_zorder(spark, sf_dir):
         "l_linenumber",
         zorder_key(x, y, bits=8).alias("zkey"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query("emb_kmeans")  # rows-only: iterative fixpoint, not SQL-expressible
+def emb_kmeans(spark, sf_dir):
+    """Lloyd's k-means over the embeddings table (llm/kmeans.py): 5
+    deterministic iterations from hash-rank seeds, one GEMM pass + tiny
+    partial-sum collect per iteration, zero shuffles. Exact agreement with
+    a global numpy reference is pinned in tests/test_kmeans.py."""
+    from ..llm.kmeans import kmeans_assign
+
+    e = load(spark, sf_dir, "embeddings")
+    return kmeans_assign(e, k=8, iterations=5).orderBy("vec_id")

@@ -43,3 +43,50 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- transformWithState (Spark 4 StatefulProcessor API) -------------------
+# The successor to applyInPandasWithState: named state variables on a
+# handle (value/list/map state), timers, and TTL — composable state instead
+# of one monolithic tuple. Same operator implemented both ways so either
+# runtime surface is available; equivalence is pinned in
+# tests/test_stateful_streaming.py (skipped where google.protobuf — the
+# state-server wire protocol's runtime dependency — is not installed).
+
+try:  # pragma: no cover - import shape differs across 4.x point releases
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    _HAS_TWS = True
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    _HAS_TWS = False
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """Per-user running (count, sum) via a named ValueState."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._totals.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The same running-totals operator on the transformWithState API."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotalsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
