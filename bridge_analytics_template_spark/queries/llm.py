@@ -12,7 +12,7 @@ across engines while the last float ulp is not.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from ..catalog import load
 from ..functions.text import (
@@ -299,3 +299,56 @@ def llm_multimodal(spark, sf_dir):
     the payload is the UTF-8 encoding."""
     d = load(spark, sf_dir, "documents")
     return extract_features(attach_binary(d)).orderBy("doc_id")
+
+
+@query(
+    "llm_tfidf",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, tok) AS rk
+      FROM scored
+    )
+    SELECT doc_id, rk, tok, tf, df, score FROM ranked WHERE rk <= 3
+    ORDER BY doc_id, rk
+    """,
+)
+def llm_tfidf(spark, sf_dir):
+    """L4f: TF-IDF salient terms — top-3 terms per document by
+    tf × N / df. The idf keeps the exact rational N/df instead of the
+    conventional log(N/df): log is libm-dependent (breaks cross-engine
+    exactness) and monotone, and tf·N/df already exposes tf/df/N so any
+    downstream weighting can be rebuilt. tf·N is exact int64; ONE double
+    division matches IEEE on both engines. Plan: two hash aggs + a
+    broadcast of df per token + WindowGroupLimit top-3 per doc."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode_outer(ws_tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(df_, "tok").crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "tok",
+        "tf",
+        "df",
+        ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "rk", "tok", "tf", "df", "score")
+        .orderBy("doc_id", "rk")
+    )

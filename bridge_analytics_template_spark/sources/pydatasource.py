@@ -67,3 +67,55 @@ class _Reader(DataSourceReader):
 
 def register(spark) -> None:
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# --- streaming form ---------------------------------------------------------
+# The same deterministic generator as an incremental STREAM: offsets are row
+# indices, each micro-batch reads [start, end) — the protocol a real queue /
+# REST-poll connector implements (initialOffset / latestOffset / read).
+# SimpleDataSourceStreamReader is the driver-side form (no partition
+# planning per batch); the rows it yields are identical to the batch source,
+# so stream==batch equivalence is testable end-to-end.
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+
+class _StreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, num_rows: int, batch_rows: int):
+        self.num_rows, self.batch_rows = num_rows, max(1, batch_rows)
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def read(self, start: dict):
+        lo = start["index"]
+        hi = min(lo + self.batch_rows, self.num_rows)
+        return (
+            iter([(i, _kind(i), _val(i)) for i in range(lo, hi)]),
+            {"index": hi},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([(i, _kind(i), _val(i)) for i in range(start["index"], end["index"])])
+
+
+class SyntheticEventsStreamDataSource(DataSource):
+    """`spark.readStream.format("synthetic_events_stream")` — the generator
+    as an exhaustible micro-batch stream."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_stream"
+
+    def schema(self) -> str:
+        return "event_id bigint, kind string, val bigint"
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _StreamReader(
+            int(self.options.get("num_rows", 1000)),
+            int(self.options.get("batch_rows", 100)),
+        )
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(SyntheticEventsStreamDataSource)

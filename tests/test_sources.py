@@ -140,3 +140,37 @@ def test_snapshot_diff_classifies_changes(spark, sf_dir, tmp_path):
     write_version(v2, base)
     changes = {r["n_nationkey"]: r["change"] for r in snapshot_diff(spark, base, 1, 2, ["n_nationkey"]).collect()}
     assert changes == {0: "delete", 1: "update", 99: "insert"}
+
+
+def test_python_stream_datasource_matches_batch(spark):
+    """The Python streaming DataSource replays exactly the batch source's
+    rows across micro-batches (offset protocol: initialOffset/read)."""
+    import uuid
+
+    from bridge_analytics_template_spark.sources.pydatasource import (
+        register,
+        register_stream,
+    )
+
+    register(spark)
+    register_stream(spark)
+    batch = spark.read.format("synthetic_events").option("num_rows", 500).load()
+    stream = (
+        spark.readStream.format("synthetic_events_stream")
+        .option("num_rows", 500)
+        .option("batch_rows", 128)
+        .load()
+    )
+    name = f"pyds_{uuid.uuid4().hex[:8]}"
+    q = stream.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table(name).count() < 500:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = {tuple(r) for r in spark.table(name).collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
