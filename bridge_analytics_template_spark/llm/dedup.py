@@ -412,3 +412,61 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def prefix_filtered_pairs(
+    shingle_arrays: DataFrame, min_jaccard: float = 0.5
+) -> DataFrame:
+    """EXACT set-similarity self-join with prefix filtering (the
+    PPJoin/AllPairs family — Bayardo et al. WWW'07, Xiao et al. WWW'08):
+    same answer as the full inverted-index join of
+    :func:`exact_jaccard_pairs`, a fraction of the candidate pairs.
+
+    Two sound prunes before any pair is formed:
+    * **Prefix filter**: order every doc's shingle set by ascending global
+      frequency (rarest first, ties by value — a total order, no global
+      rank assignment needed). Two sets with Jaccard >= t MUST share a
+      token among each one's first ``n - ceil(t*n) + 1`` tokens, so only
+      PREFIX tokens enter the inverted index — and prefixes are built from
+      the RAREST tokens, exactly the ones with short posting lists (the
+      quadratic blowup of common-token posting lists never happens).
+    * **Size filter**: |a| >= t*|b| and |b| >= t*|a| as a join predicate —
+      size-incompatible pairs are dropped inside the join, before the
+      distinct.
+
+    Survivors are verified exactly by :func:`jaccard_for_candidates`
+    (in-row ``array_intersect``, cost ∝ |candidates|).
+    """
+    sh = shingle_arrays.select(
+        "doc", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle")
+    )
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    # Re-assemble each doc's set ordered rarest-first: array_sort on
+    # (freq, shingle) structs — deterministic, shuffle count 2 (freq join +
+    # per-doc collect).
+    ordered = (
+        sh.join(freq, "shingle")
+        .groupBy("doc", "n")
+        .agg(F.array_sort(F.collect_list(F.struct("freq", "shingle"))).alias("os"))
+    )
+    prefix_len = (F.col("n") - F.ceil(F.lit(min_jaccard) * F.col("n")) + 1).cast("int")
+    prefixes = ordered.select(
+        "doc",
+        "n",
+        F.explode_outer(
+            F.transform(F.slice("os", F.lit(1), prefix_len), lambda s: s["shingle"])
+        ).alias("shingle"),
+    ).persist()
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (F.col("b.n") >= F.ceil(F.lit(min_jaccard) * F.col("a.n")))
+            & (F.col("a.n") >= F.ceil(F.lit(min_jaccard) * F.col("b.n"))),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    return jaccard_for_candidates(shingle_arrays, cand, min_jaccard)

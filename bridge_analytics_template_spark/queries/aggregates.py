@@ -359,3 +359,25 @@ def agg_mode_pdisc(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_approx_top_k",
+    sql="""
+    SELECT o_orderpriority AS item, COUNT(*) AS n
+    FROM orders GROUP BY 1 ORDER BY n DESC, item LIMIT 5
+    """,
+)
+def agg_approx_top_k(spark, sf_dir):
+    """Heavy hitters via approx_top_k (Spark 4) — a bounded-memory sketch
+    whose counts are EXACT whenever distinct values fit maxItemsTracked
+    (here 5 distinct <= 100 tracked), which makes the oracle a plain
+    top-5 group-count. Re-sorted deterministically after explode because
+    the sketch's own tie order is not defined."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.agg(F.expr("approx_top_k(o_orderpriority, 5, 100)").alias("t"))
+        .select(F.explode("t").alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").alias("n"))
+        .orderBy(F.desc("n"), "item")
+    )

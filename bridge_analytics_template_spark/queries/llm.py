@@ -30,6 +30,7 @@ from ..llm.dedup import (
     dedup_normalized,
     exact_jaccard_pairs,
     minhash_near_dups,
+    prefix_filtered_pairs,
     simhash_near_dups,
 )
 from ..llm.multimodal import attach_binary, extract_features
@@ -351,4 +352,43 @@ def llm_tfidf(spark, sf_dir):
         .where(F.col("rk") <= 3)
         .select("doc_id", "rk", "tok", "tf", "df", "score")
         .orderBy("doc_id", "rk")
+    )
+
+
+@query(
+    "llm_simjoin_prefix",
+    sql=f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, unnest(list_distinct({_SQL_SHINGLES5})) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.n_inter,
+           CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc
+    JOIN sizes sb ON i.doc_b = sb.doc
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def llm_simjoin_prefix(spark, sf_dir):
+    """L2g: EXACT set-similarity join via prefix filtering
+    (llm/dedup.py::prefix_filtered_pairs, PPJoin family) at jaccard >= 0.5
+    — identical answer to the naive inverted-index join (the oracle IS the
+    naive form), but only rarest-prefix tokens enter the index, so common
+    shingles never build quadratic posting lists. The scale path for exact
+    near-dup thresholds where LSH recall is already high but exactness is
+    required."""
+    d = load(spark, sf_dir, "documents")
+    arrays = _shingle_arrays(d, "text", "doc_id", 5, hashed=True)
+    return (
+        prefix_filtered_pairs(arrays, min_jaccard=0.5)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+        .orderBy("doc_a", "doc_b")
     )

@@ -243,3 +243,26 @@ def test_lsh_clustering_groups_planted_dups(corpus):
     assert labels[1] == 0 and labels[2] == 0 and labels[3] == 0
     # unrelated docs 4,5 must not join that cluster
     assert labels.get(4, 4) != 0 and labels.get(5, 5) != 0
+
+
+def test_prefix_filter_equals_inverted_index(spark, sf_dir):
+    """Prefix filtering is a sound optimization: identical pair set and
+    jaccard values to the naive inverted-index join at the same
+    threshold."""
+    from bridge_analytics_template_spark.llm.dedup import (
+        _shingle_arrays,
+        exact_jaccard_pairs,
+        prefix_filtered_pairs,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    arrays = _shingle_arrays(d, "text", "doc_id", 5, hashed=True)
+    fast = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["jaccard"])
+        for r in prefix_filtered_pairs(arrays, min_jaccard=0.5).collect()
+    }
+    slow = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["jaccard"])
+        for r in exact_jaccard_pairs(arrays, min_jaccard=0.5).collect()
+    }
+    assert fast == slow
