@@ -391,3 +391,44 @@ def f_url(spark, sf_dir):
         F.parse_url(url, F.lit("QUERY"), F.lit("uid")).alias("uid_param"),
         F.parse_url(url, F.lit("HOST")).alias("host"),
     ).orderBy("event_id")
+
+
+@query(
+    "f_vector",
+    sql="""
+    SELECT vec_id,
+           len(v) AS n_dims,
+           v[1] AS x1,
+           v[2] AS x2,
+           2.0 * v[1] AS x1_scaled,
+           list_aggregate(list_transform(v, x -> x * x), 'sum') AS sq_norm,
+           sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS l2,
+           list_aggregate(v, 'max') AS max_elem,
+           list_aggregate(v, 'min') AS min_elem
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    ORDER BY vec_id
+    """,
+)
+def f_vector(spark, sf_dir):
+    """F4b: vector arithmetic over embedding arrays — element access,
+    scaling, squared-norm fold, l2, min/max. Both engines fold the
+    float32-exact doubles sequentially, and sqrt is IEEE-exact, so the
+    whole family oracle-compares bit-for-bit. (The hot-path GEMM versions
+    of these live in llm/similarity.py; this is the expression-level
+    surface.)"""
+    e = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    sq = F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return e.select(
+        "vec_id",
+        F.size(v).alias("n_dims"),
+        F.element_at(v, 1).alias("x1"),
+        F.element_at(v, 2).alias("x2"),
+        (F.element_at(v, 1) * 2.0).alias("x1_scaled"),
+        sq.alias("sq_norm"),
+        F.sqrt(sq).alias("l2"),
+        F.array_max(v).alias("max_elem"),
+        F.array_min(v).alias("min_elem"),
+    ).orderBy("vec_id")

@@ -8,7 +8,7 @@ and are asserted stream==batch in tests/test_streaming.py.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from ..catalog import load
 from ..functions.numeric import dmoney, dsum
@@ -169,3 +169,62 @@ def t_stream_session(spark, sf_dir):
 
     sess = session_windows_stream(stream_events(spark, sf_dir))
     return run_to_memory(sess, "complete").orderBy("session_start", "user_id")
+
+
+@query(
+    "t_resample_locf",
+    sql="""
+    WITH obs AS (
+      SELECT user_id,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) * 900 AS BIGINT) AS bucket,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS bucket_sum
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM obs GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, 900)) AS bucket FROM spans
+    )
+    SELECT g.user_id, g.bucket,
+           COALESCE(o.n_events, 0) AS n_events,
+           last_value(o.bucket_sum IGNORE NULLS)
+             OVER (PARTITION BY g.user_id ORDER BY g.bucket) AS filled_sum
+    FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket
+    ORDER BY g.user_id, g.bucket
+    """,
+)
+def t_resample_locf(spark, sf_dir):
+    """Gap-filled downsample (the hypertable-rollup / timeseries-resample
+    shape): per user, 15-minute buckets over the user's own observed span,
+    empty buckets materialized from a generated grid (sequence+explode, no
+    driver loop) and value carried forward (LOCF via last_value IGNORE
+    NULLS). Everything partitions by user_id — grid generation, join and
+    fill window all co-key, so the whole query is two shuffles at any
+    scale. Buckets are epoch-second integers (tz-proof); sums go
+    decimal-through."""
+    e = load(spark, sf_dir, "events")
+    bucket = (F.unix_timestamp("ts") / F.lit(900)).cast("long") * 900
+    obs = e.groupBy(F.col("user_id"), bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"), dsum(dmoney("value"), "bucket_sum")
+    )
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.lit(900))).alias("bucket"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("bucket")
+    return (
+        grid.join(obs, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            "bucket",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("bucket_sum", ignorenulls=True).over(w).alias("filled_sum"),
+        )
+        .orderBy("user_id", "bucket")
+    )

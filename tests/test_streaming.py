@@ -136,3 +136,28 @@ def test_update_mode_emits_only_changed_windows(spark, sf_dir):
         last[(r["window_start"], r["event_type"])] = r["n"]
     want = {(r["window_start"], r["event_type"]): r["n"] for r in complete}
     assert last == want
+
+
+def test_incremental_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming MERGE-maintained rollup == one-shot batch aggregate."""
+    from bridge_analytics_template_spark.streaming.windows import (
+        run_incremental_rollup,
+        stream_events,
+    )
+
+    rollup = str(tmp_path / "rollup")
+    run_incremental_rollup(
+        stream_events(spark, sf_dir), rollup, str(tmp_path / "ckpt")
+    )
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.read.parquet(rollup).collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["t"], 6))
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert got == want
