@@ -336,6 +336,9 @@ def llm_tfidf(spark, sf_dir):
         d.select("doc_id", F.explode_outer(ws_tokens("text")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()  # feeds BOTH df and the score join; without this the
+        # corpus-wide tokenize+agg runs twice (alias exprIds defeat
+        # ReuseExchange — NOTES.md lesson 3)
     )
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))

@@ -168,3 +168,26 @@ def test_runtime_bloom_filter_injected(spark, sf_dir):
     finally:
         for k, v in keep.items():
             spark.conf.set(k, v)
+
+
+def test_tfidf_caches_tf_and_group_limits(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "llm_tfidf")
+    # the corpus-wide tokenize+agg materializes once and is re-read, not rebuilt
+    assert plan.count("InMemoryTableScan") >= 2
+    # per-doc top-3 prunes map-side before the window shuffle
+    assert "WindowGroupLimit" in plan
+
+
+def test_resample_coherent_partitioning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "t_resample_locf")
+    # grid generation, join and fill-window all key on user_id: the span agg
+    # and the fill window add no extra wide exchange beyond the presentation
+    # sort (hashpartitioning appears only for user-keyed ops)
+    import re
+
+    wide = [
+        l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning" in l and "user_id" not in l
+    ]
+    assert wide == []
