@@ -175,3 +175,18 @@ def train_row_ids(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents").select("doc_id")
     return assign_contiguous_ids(d, "doc_id").orderBy("doc_id")
+
+
+@query("train_bpe_merges")  # rows-only: iterative trainer, not SQL-expressible
+def train_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training (llm/bpe.py): 8 merge rounds on the corpus
+    word-frequency table. One corpus-sized aggregate, then every round is
+    vocabulary-sized; merge choices + counts match a pure-Python reference
+    exactly (tests/test_bpe.py). Returned as (rank, sym_a, sym_b, cnt)."""
+    from ..llm.bpe import train_bpe
+
+    merges = train_bpe(load(spark, sf_dir, "documents"), n_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "rank int, sym_a string, sym_b string, cnt long",
+    )
