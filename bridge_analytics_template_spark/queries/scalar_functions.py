@@ -432,3 +432,31 @@ def f_vector(spark, sf_dir):
         F.array_max(v).alias("max_elem"),
         F.array_min(v).alias("min_elem"),
     ).orderBy("vec_id")
+
+
+@query(
+    "f_edit_distance",
+    sql="""
+    SELECT p_partkey,
+           levenshtein(p_name, p_type) AS lev,
+           levenshtein(p_brand, p_type) AS lev_short,
+           CASE WHEN levenshtein(p_brand, p_type) <= 5
+                THEN levenshtein(p_brand, p_type) ELSE -1 END AS lev_capped
+    FROM part ORDER BY p_partkey
+    """,
+)
+def f_edit_distance(spark, sf_dir):
+    """String edit distance (Levenshtein) — the fuzzy-match primitive for
+    entity resolution over the reference's name-keyed lookups
+    (copy_from_template.py:128-132 matches folders by exact name; the
+    engine generalizes to approximate matching). The threshold-capped form
+    is the scale path: Spark's bounded levenshtein short-circuits the DP
+    once the budget is exceeded, turning O(len^2) worst cases into
+    O(len*k) — essential when this runs inside a similarity join."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", "p_type").alias("lev"),
+        F.levenshtein("p_brand", "p_type").alias("lev_short"),
+        F.levenshtein("p_brand", "p_type", 5).alias("lev_capped"),
+    ).orderBy("p_partkey")

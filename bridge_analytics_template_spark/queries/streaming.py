@@ -228,3 +228,179 @@ def t_resample_locf(spark, sf_dir):
         )
         .orderBy("user_id", "bucket")
     )
+
+
+@query(
+    "events_funnel",
+    sql="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
+          JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e
+          JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           p.t_purchase IS NOT NULL AS completed
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    ORDER BY v.user_id
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase): earliest completion
+    times per stage, each stage constrained to strictly after the previous
+    one. Three conditional-min aggregates chained by keyed joins — the
+    decomposed form of MATCH_RECOGNIZE's simplest pattern, all
+    user_id-keyed (co-partitioned at scale, no per-event state)."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.join(v, "user_id")
+        .where((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.join(c, "user_id")
+        .where((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.col("t_purchase").isNotNull().alias("completed"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "events_retention",
+    sql="""
+    WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_d
+               FROM events GROUP BY 1),
+    a AS (SELECT DISTINCT e.user_id, f.cohort_d,
+                 datediff('day', f.cohort_d, CAST(e.ts AS DATE)) AS day_offset
+          FROM events e JOIN f USING (user_id))
+    SELECT cohort_d, day_offset, COUNT(*) AS n_users
+    FROM a GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen date, counted
+    once per (cohort, day-offset) cell. Every stage is user_id-keyed until
+    the final low-cardinality rollup — the first-touch aggregate, the
+    enrichment join, and the per-user-day distinct all reuse one user_id
+    shuffle partitioning, so at 100 TB the only data movement after the
+    initial shuffle is the tiny (cohort, offset) combine."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    return (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_d",
+            F.datediff("d", "cohort_d").cast("bigint").alias("day_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_d", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_d", "day_offset")
+    )
+
+
+@query(
+    "events_transitions",
+    sql="""
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM (SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev_type
+          FROM events)
+    WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_transitions(spark, sf_dir):
+    """Event-type transition matrix (first-order Markov counts) — lag
+    within each user's timeline then a count per (prev, next) pair. The
+    window partitions by user_id, so the sequence reconstruction
+    distributes; deterministic because (user_id, ts) is unique in the
+    fixture."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return (
+        e.select("event_type", F.lag("event_type").over(w).alias("prev_type"))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@query(
+    "events_time_weighted_avg",
+    sql="""
+    WITH seg AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(12,2)) AS v,
+             (epoch_us(CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            AS TIMESTAMP))
+               - epoch_us(CAST(ts AS TIMESTAMP))) // 1000000 AS secs
+      FROM events)
+    SELECT user_id,
+           CAST(SUM(v * secs) AS DOUBLE) AS weighted_sum,
+           SUM(secs) AS total_secs,
+           CAST(SUM(v * secs) AS DOUBLE) / CAST(SUM(secs) AS DOUBLE) AS twa
+    FROM seg WHERE secs IS NOT NULL AND secs > 0
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average of a held value per user (hypertable
+    `time_weight('locf')` semantics): each observation is weighted by how
+    long it was the latest one. Durations are exact integer seconds
+    (floored from microsecond epochs — keeps the decimal sums under 15
+    significant digits, where the decimal→double cast is unambiguous
+    across engines) and values go decimal-through, so the sums are
+    order-independent — safe under any partial-aggregate combine order at
+    scale. One window + one aggregate, both partitioned on user_id
+    (single shuffle reused)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", dmoney("value").alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    seg = (
+        e.select(
+            "user_id",
+            "v",
+            (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("us"),
+        )
+        .select("user_id", "v", F.expr("us div 1000000").alias("secs"))
+        .where(F.col("secs").isNotNull() & (F.col("secs") > 0))
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum(F.col("v") * F.col("secs")).cast("double").alias("weighted_sum"),
+            F.sum("secs").alias("total_secs"),
+            (
+                F.sum(F.col("v") * F.col("secs")).cast("double")
+                / F.sum("secs").cast("double")
+            ).alias("twa"),
+        )
+        .orderBy("user_id")
+    )

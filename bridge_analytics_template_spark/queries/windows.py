@@ -128,3 +128,48 @@ def w_topk_per_group(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .orderBy("c_nationkey", "rk")
     )
+
+
+@query(
+    "w_interval_overlap",
+    sql="""
+    WITH iv AS (
+      SELECT CAST(o.o_orderdate AS DATE) AS open_d,
+             MAX(CAST(l.l_shipdate AS DATE)) AS close_d
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)),
+    deltas AS (
+      SELECT open_d AS d, 1 AS delta FROM iv
+      UNION ALL
+      SELECT CAST(close_d + INTERVAL 1 DAY AS DATE), -1 FROM iv),
+    daily AS (SELECT d, SUM(delta) AS net FROM deltas GROUP BY 1)
+    SELECT d, CAST(SUM(net) OVER (ORDER BY d) AS BIGINT) AS open_orders
+    FROM daily ORDER BY d
+    """,
+)
+def w_interval_overlap(spark, sf_dir):
+    """Sweep-line interval overlap: how many orders are 'open' (placed but
+    not fully shipped) on each calendar day. Each order's interval is
+    [o_orderdate, max lineitem shipdate]; the count of concurrent intervals
+    is the running sum of +1/-1 boundary deltas. Scale shape: the interval
+    build and the delta aggregation are orderkey-/date-keyed (fully
+    distributed); the one global window runs over the per-DAY table —
+    cardinality |distinct dates| (~2.5k), not |rows| — so the single-
+    partition prefix sum touches kilobytes regardless of fact size."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("close_d"))
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("open_d")
+    )
+    iv = o.join(li, o.o_orderkey == li.l_orderkey).select("open_d", "close_d")
+    deltas = iv.select(F.col("open_d").alias("d"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.date_add("close_d", 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("d").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "d", F.sum("net").over(w).cast("bigint").alias("open_orders")
+    ).orderBy("d")
