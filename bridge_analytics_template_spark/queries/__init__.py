@@ -22,3 +22,4 @@ from . import sql_api  # noqa: E402,F401
 from . import breadth  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
 from . import training  # noqa: E402,F401
+from . import curation  # noqa: E402,F401

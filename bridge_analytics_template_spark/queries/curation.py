@@ -1,0 +1,215 @@
+"""Training-data curation batch 3: eval-set decontamination, sliding-window
+token chunking, and cross-document passage dedup.
+
+These are the corpus-preparation passes a pretraining pipeline runs after
+filtering/dedup (SURVEY.md §2.11 family): drop eval-contaminated documents,
+cut documents into model-context-sized chunks, and strip boilerplate passages
+repeated across documents. All pure Catalyst expressions — tokenization,
+shingling and slicing happen inside the row (whole-stage codegen), and every
+cross-row step is a keyed hash aggregate or a broadcastable join.
+
+All numeric outputs are integers or a single IEEE division of two integers,
+so Spark and DuckDB agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.text import word_shingles, ws_tokens
+from .registry import query
+
+_SQL_TOKENS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+#: Chunking geometry: model-context-sized windows with overlap so no
+#: training example straddles a hard boundary (size 64, stride 48 → 16-token
+#: overlap). Passages for boilerplate detection are non-overlapping.
+_CHUNK, _STRIDE, _PASSAGE = 64, 48, 10
+
+_DECON_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 7, 0)),
+               i -> array_to_string(t[i:i+7], ' ')))) AS gram
+      FROM toks),
+    eval_grams AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+    hits AS (
+      SELECT g.doc_id, COUNT(*) AS n_shared
+      FROM grams g JOIN eval_grams e ON g.gram = e.gram
+      WHERE g.doc_id % 50 <> 0
+      GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           COALESCE(h.n_shared, 0) AS n_shared,
+           COALESCE(h.n_shared, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 50 <> 0
+    ORDER BY d.doc_id
+"""
+
+
+@query("llm_decontaminate", sql=_DECON_SQL)
+def llm_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag every training document sharing at
+    least one word-8-gram with the held-out eval slice (doc_id % 50 == 0) —
+    the standard n-gram-overlap check run before pretraining. The eval-side
+    gram set is tiny relative to the corpus by construction, so it is
+    BROADCAST: the scan-heavy side never shuffles, and cost is one pass
+    over the training corpus plus a per-doc count aggregate. Documents
+    shorter than the gram width have no 8-grams and cannot be flagged
+    (deliberate, matched by the oracle)."""
+    d = load(spark, sf_dir, "documents")
+    eval_pred = F.col("doc_id") % 50 == 0
+    grams = d.select(
+        "doc_id",
+        F.explode_outer(F.array_distinct(word_shingles(ws_tokens("text"), 8))).alias("gram"),
+    )
+    eval_grams = grams.filter(eval_pred).select("gram").distinct()
+    hits = (
+        grams.filter(~eval_pred)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        d.filter(~eval_pred)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CHUNK_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks, len({_SQL_TOKENS}) AS n
+      FROM documents),
+    c AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(
+               0, (greatest(n - {_CHUNK}, 0) + {_STRIDE} - 1) // {_STRIDE})) AS chunk_idx
+      FROM t)
+    SELECT doc_id,
+           chunk_idx,
+           CAST(least({_CHUNK}, n - chunk_idx * {_STRIDE}) AS INT) AS n_chunk_tokens,
+           array_to_string(
+             toks[chunk_idx * {_STRIDE} + 1 : least(chunk_idx * {_STRIDE} + {_CHUNK}, n)],
+             ' ') AS chunk_text
+    FROM c ORDER BY doc_id, chunk_idx
+"""
+
+
+@query("llm_chunking", sql=_CHUNK_SQL)
+def llm_chunking(spark, sf_dir):
+    """Context-window chunking: cut each document into overlapping
+    {size=64, stride=48} token windows — the 1→N fan-out that turns a
+    document corpus into training examples. The window arithmetic and the
+    slices are built IN-ROW (sequence + transform + slice, all codegen'd):
+    no shuffle at all, output cost is exactly the fan-out bytes. The last
+    chunk is the tail shorter than the window; every token lands in ≥1
+    chunk (covered by tests/test_curation.py)."""
+    d = load(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    t = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    # Integer chunk count: ((max(n-C,0) + S-1) // S) + 1 slots — integer
+    # ceil, no float detour; floor yields long, matching the oracle's
+    # BIGINT generate_series.
+    n_chunks_minus1 = F.floor(
+        (F.greatest(F.col("n") - _CHUNK, F.lit(0)) + (_STRIDE - 1)) / _STRIDE
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks_minus1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.slice("toks", (i * _STRIDE + 1).cast("int"), _CHUNK).alias("chunk"),
+        ),
+    )
+    return (
+        t.select("doc_id", F.explode_outer(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.size("c.chunk").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "c.chunk").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+_PASSAGE_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks, len({_SQL_TOKENS}) AS n
+      FROM documents),
+    p AS (
+      SELECT doc_id,
+             array_to_string(
+               toks[i * {_PASSAGE} + 1 : least((i + 1) * {_PASSAGE}, n)], ' ') AS ptext
+      FROM (SELECT doc_id, toks, n,
+                   unnest(generate_series(0, (n - 1) // {_PASSAGE})) AS i
+            FROM t) q),
+    shared AS (
+      SELECT ptext FROM p GROUP BY ptext HAVING COUNT(DISTINCT doc_id) >= 2)
+    SELECT p.doc_id,
+           COUNT(*) AS n_passages,
+           COUNT(s.ptext) AS n_dup_passages,
+           CAST(COUNT(s.ptext) AS DOUBLE) / COUNT(*) AS dup_frac
+    FROM p LEFT JOIN shared s ON p.ptext = s.ptext
+    GROUP BY p.doc_id ORDER BY p.doc_id
+"""
+
+
+@query("llm_passage_dedup", sql=_PASSAGE_SQL)
+def llm_passage_dedup(spark, sf_dir):
+    """Cross-document repeated-passage detection (the passage-granularity
+    form of substring dedup à la Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): split each document into non-overlapping
+    10-token passages, mark passages occurring in ≥2 DISTINCT documents
+    (boilerplate/quotation candidates), and report the per-document
+    duplicated fraction. Passage keys are uniform hash-aggregate keys — the
+    heavy side is one groupBy on passage text (map-side partial
+    count-distinct via the doc set), which partitions evenly at corpus
+    scale; no self-join ever forms."""
+    d = load(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    t = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    slots = F.sequence(F.lit(0).cast("long"), F.floor((F.col("n") - 1) / _PASSAGE))
+    passages = t.select(
+        "doc_id",
+        F.explode_outer(
+            F.transform(
+                slots,
+                lambda i: F.concat_ws(
+                    " ", F.slice("toks", (i * _PASSAGE + 1).cast("int"), _PASSAGE)
+                ),
+            )
+        ).alias("ptext"),
+    ).persist()  # read twice: shared-passage aggregate + per-doc rollup
+    shared = (
+        passages.groupBy("ptext")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("ptext", F.lit(True).alias("is_dup"))
+    )
+    return (
+        passages.join(shared, "ptext", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.count("is_dup").alias("n_dup_passages"),
+        )
+        .select(
+            "doc_id",
+            "n_passages",
+            "n_dup_passages",
+            (F.col("n_dup_passages").cast("double") / F.col("n_passages")).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )

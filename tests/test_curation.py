@@ -1,0 +1,84 @@
+"""Unit/property tests for the curation batch (queries/curation.py):
+decontamination flags planted overlaps, chunking covers every token with the
+declared geometry, passage dedup finds planted cross-document passages."""
+
+from __future__ import annotations
+
+from bridge_analytics_template_spark.queries.curation import (
+    _CHUNK,
+    _STRIDE,
+    llm_chunking,
+    llm_decontaminate,
+    llm_passage_dedup,
+)
+
+from conftest import SF_SMALL
+
+
+def test_chunking_geometry(spark):
+    rows = llm_chunking(spark, SF_SMALL).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc, "no chunks produced"
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        # Contiguous indices from 0; every chunk ≤ window; stride geometry
+        # means consecutive chunks overlap by window - stride tokens.
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        assert all(1 <= c.n_chunk_tokens <= _CHUNK for c in chunks)
+        # Full coverage: last chunk ends at the token count, so the union
+        # of [idx*stride, idx*stride + len) covers [0, n).
+        last = chunks[-1]
+        n_tokens = last.chunk_idx * _STRIDE + last.n_chunk_tokens
+        covered = set()
+        for c in chunks:
+            covered.update(range(c.chunk_idx * _STRIDE, c.chunk_idx * _STRIDE + c.n_chunk_tokens))
+        assert covered == set(range(n_tokens))
+        assert all(len(c.chunk_text.split(" ")) == c.n_chunk_tokens for c in chunks)
+
+
+def _docs(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("it_documents")
+    return df
+
+
+def test_decontaminate_planted(spark, tmp_path):
+    # doc 0 is eval (doc_id % 50 == 0); doc 1 repeats one of its 8-grams,
+    # doc 2 is disjoint. Route through a parquet dir so the query's
+    # load() path works unchanged.
+    eight = "a b c d e f g h"
+    rows = [
+        (0, eight + " tail tokens here"),
+        (1, "prefix words " + eight + " suffix"),
+        (2, "totally different content with no overlap at all whatsoever"),
+    ]
+    _docs(spark, rows).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in llm_decontaminate(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].contaminated and out[1].n_shared >= 1
+    assert not out[2].contaminated and out[2].n_shared == 0
+
+
+def test_passage_dedup_planted(spark, tmp_path):
+    # Two docs share an aligned 10-token passage; the third shares nothing.
+    passage = " ".join(f"tok{i}" for i in range(10))
+    rows = [
+        (1, passage + " " + " ".join(f"x{i}" for i in range(10))),
+        (2, passage + " " + " ".join(f"y{i}" for i in range(10))),
+        (3, " ".join(f"z{i}" for i in range(20))),
+    ]
+    _docs(spark, rows).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in llm_passage_dedup(spark, str(tmp_path)).collect()}
+    assert out[1].n_passages == 2 and out[1].n_dup_passages == 1
+    assert out[2].n_dup_passages == 1 and out[2].dup_frac == 0.5
+    assert out[3].n_dup_passages == 0 and out[3].dup_frac == 0.0
+
+
+def test_chunk_short_doc_single_chunk(spark, tmp_path):
+    rows = [(1, "only four tokens here")]
+    _docs(spark, rows).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = llm_chunking(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0].chunk_idx == 0 and out[0].n_chunk_tokens == 4
