@@ -34,11 +34,19 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     suffix: str = "_asof",
+    tolerance_s: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     ``right_ts <= left_ts`` within the same key group (left-outer: unmatched
     left rows keep nulls). Equal timestamps match (``>=`` semantics, same as
     DuckDB's ASOF JOIN).
+
+    ``tolerance_s`` (seconds) additionally
+    bounds the match age: a nearest-earlier row older than the tolerance is
+    treated as no match (its columns null out) — the financial-tick /
+    sensor-alignment semantics where stale state must not propagate. The
+    bound is applied AFTER the window fill, so it costs one projection and
+    changes nothing about the single-shuffle plan.
 
     Implementation: tag sides, union by position, and run one window pass
     ordered by (ts, side) with ``last(value, ignorenulls=True)`` over an
@@ -46,6 +54,10 @@ def asof_join(
     so ties are included.
     """
     out_right = [f"{c}{suffix}" for c in right_cols]
+    if tolerance_s is not None and right_ts not in right_cols:
+        # Carry the matched right timestamp so the age bound can be applied.
+        right_cols = [*right_cols, right_ts]
+        out_right = [*out_right, f"{right_ts}{suffix}"]
     l2 = left.select(
         *[F.col(k) for k in keys],
         F.col(left_ts).alias("_ts"),
@@ -72,7 +84,22 @@ def asof_join(
         *[F.col(c) for c in left.columns if c not in keys],
         *[F.last(F.col(o), ignorenulls=True).over(w).alias(o) for o in out_right],
     )
-    return filled.filter(F.col("_side") == 1).drop("_side", "_ts")
+    out = filled.filter(F.col("_side") == 1)
+    if tolerance_s is not None:
+        matched_ts = F.col(f"{right_ts}{suffix}")
+        # Epoch-seconds doubles: exact microsecond arithmetic, no interval
+        # type juggling between legacy and ANSI interval modes.
+        within = matched_ts.isNotNull() & (
+            F.col("_ts").cast("double") - matched_ts.cast("double") <= F.lit(float(tolerance_s))
+        )
+        out = out.select(
+            *[F.col(k) for k in keys],
+            "_ts",
+            "_side",
+            *[F.col(c) for c in left.columns if c not in keys],
+            *[F.when(within, F.col(o)).alias(o) for o in out_right],
+        )
+    return out.drop("_side", "_ts")
 
 
 def range_join(

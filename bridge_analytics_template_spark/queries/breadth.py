@@ -452,3 +452,101 @@ def gen_date_dim(spark, sf_dir):
         dow.cast("long").alias("dow"),
         dow.isin(0, 6).alias("is_weekend"),
     ).orderBy("cal_date")
+
+
+@query(
+    "f_datetime_parts",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(quarter(l_shipdate) AS INT) AS qtr,
+           CAST(dayofyear(l_shipdate) AS INT) AS doy,
+           CAST(weekofyear(l_shipdate) AS INT) AS iso_week,
+           CAST(dayofweek(l_shipdate) + 1 AS INT) AS dow1,
+           CAST(last_day(l_shipdate) AS DATE) AS month_end,
+           make_date(CAST(year(l_shipdate) AS INT), CAST(month(l_shipdate) AS INT), 1)
+             AS month_start,
+           CAST(date_diff('day', CAST(l_shipdate AS DATE), DATE '1998-12-01') AS INT)
+             AS days_to_cutoff
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def f_datetime_parts(spark, sf_dir):
+    """F3 extension: the calendar-part family beyond year/month/day —
+    quarter, day-of-year, ISO week, day-of-week (Spark's 1=Sunday
+    convention, the oracle normalizes its 0=Sunday to match), month
+    start/end via make_date/last_day, and day distance to a cutoff. All
+    codegen'd per-row expressions; nothing shuffles."""
+    l = load(spark, sf_dir, "lineitem")
+    d = F.col("l_shipdate")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.quarter(d).alias("qtr"),
+        F.dayofyear(d).alias("doy"),
+        F.weekofyear(d).alias("iso_week"),
+        F.dayofweek(d).alias("dow1"),
+        F.last_day(d).alias("month_end"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("month_start"),
+        F.datediff(F.lit("1998-12-01").cast("date"), d).alias("days_to_cutoff"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "join_asof_tolerance",
+    sql="""
+    SELECT l.event_id, l.user_id, CAST(l.ts AS TIMESTAMP) AS ts,
+           CASE WHEN r.ts IS NOT NULL AND l.ts - r.ts <= INTERVAL '1 hour'
+                THEN CAST(r.ts AS TIMESTAMP) END AS signup_ts_asof
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY l.event_id
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """J8 extension: as-of join with a match-age bound — each purchase takes
+    the user's latest signup AT MOST one hour old; staler matches null out
+    (tick-alignment semantics). Same single-shuffle union+window plan as
+    join_asof plus one bounding projection (operators/joins.py)."""
+    from ..operators.joins import asof_join
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts")
+    )
+    out = asof_join(
+        purchases, signups, keys=["user_id"], left_ts="ts", right_ts="signup_ts",
+        right_cols=["signup_ts"], tolerance_s=3600,
+    )
+    return out.select("event_id", "user_id", "ts", "signup_ts_asof").orderBy("event_id")
+
+
+@query(
+    "events_paths",
+    sql="""
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n_events,
+           list(event_type ORDER BY ts, event_id) AS path
+    FROM events GROUP BY 1, 2 ORDER BY user_id, day
+    """,
+)
+def events_paths(spark, sf_dir):
+    """Per-user-day ordered event path (clickstream path extraction): the
+    order-SENSITIVE list aggregate. collect_list has no intra-group order
+    guarantee, so the order is imposed in-row — collect structs of
+    (ts, event_id, event_type), array_sort (lexicographic on the leading
+    sort fields, event_id as the unique tiebreak), then project the type.
+    One hash-aggregate shuffle on (user, day) — no window, no second pass."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ).alias("path"),
+        )
+        .orderBy("user_id", "day")
+    )

@@ -42,6 +42,22 @@ def test_asof_multiple_right_cols(spark):
     assert (row["tag_asof"], row["v_asof"]) == ("b", 20.0)
 
 
+def test_asof_tolerance_bound_inclusive(spark):
+    # Matches at exactly the tolerance age stay; older matches null out;
+    # row count never changes (left-outer semantics preserved).
+    left = spark.createDataFrame(
+        [(1, _ts(10), "fresh"), (1, _ts(20), "exact"), (1, _ts(40), "stale")],
+        "k long, ts timestamp, ev string",
+    )
+    right = spark.createDataFrame([(1, _ts(8), "s")], "k long, rts timestamp, tag string")
+    out = asof_join(
+        left, right, ["k"], "ts", "rts", ["tag"], tolerance_s=12 * 60
+    ).collect()
+    got = {r["ev"]: r["tag_asof"] for r in out}
+    assert got == {"fresh": "s", "exact": "s", "stale": None}
+    assert len(out) == 3
+
+
 def test_range_join_boundaries(spark):
     facts = spark.createDataFrame([(1, 0.0), (2, 99.999), (3, 100.0), (4, 250.0)], "id long, v double")
     bands = spark.createDataFrame(
