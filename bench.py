@@ -65,6 +65,10 @@ def main() -> None:
             elapsed = time.time() - t0
             best = elapsed if best is None else min(best, elapsed)
         times[name] = round(best, 3)
+        # Queries are independent: drop persisted blocks so one query's
+        # cache (dedup shingle tables etc.) doesn't pressure the next
+        # query's executors — each measurement starts from a clean store.
+        spark.catalog.clearCache()
     total = round(sum(times.values()), 3)
     print(
         json.dumps(

@@ -550,3 +550,37 @@ def events_paths(spark, sf_dir):
         )
         .orderBy("user_id", "day")
     )
+
+
+@query(
+    "agg_order_distribution",
+    sql="""
+    WITH c_orders AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def agg_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape — two-level aggregation: per-customer order counts
+    INCLUDING zero-order customers (the left join with an extra join-side
+    predicate is the part a naive groupBy misses), then the distribution of
+    those counts. First agg shuffles on custkey, second on the tiny c_count
+    domain; the zero bucket rides the outer join, not a separate union."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )

@@ -13,7 +13,20 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.numeric import dmoney, drate, dsum, sql_dsum, sql_money, sql_rate
+from ..functions.numeric import (
+    dmoney,
+    drate,
+    dsum,
+    money_units,
+    rate_units,
+    sql_dsum,
+    sql_money,
+    sql_money_units,
+    sql_rate,
+    sql_rate_units,
+    sql_usum,
+    usum,
+)
 from ..operators.joins import asof_join, range_join
 from .registry import query
 
@@ -22,7 +35,7 @@ from .registry import query
     "join_inner",
     sql=f"""
     SELECT o.o_orderkey, o.o_orderdate,
-           {sql_dsum(f"{sql_money('l.l_extendedprice')} * (1 - {sql_rate('l.l_discount')})", "revenue")}
+           {sql_usum(f"{sql_money_units('l.l_extendedprice')} * (100 - {sql_rate_units('l.l_discount')})", 4, "revenue")}
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderstatus = 'F'
     GROUP BY o.o_orderkey, o.o_orderdate
@@ -37,7 +50,7 @@ def join_inner(spark, sf_dir):
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(dsum(dmoney("l_extendedprice") * (1 - drate("l_discount")), "revenue"))
+        .agg(usum(money_units("l_extendedprice") * (100 - rate_units("l_discount")), 4, "revenue"))
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(50)
     )

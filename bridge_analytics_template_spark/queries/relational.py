@@ -14,13 +14,36 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.numeric import davg, dmoney, drate, dsum, sql_davg, sql_dsum, sql_money, sql_rate
+from ..functions.numeric import (
+    davg,
+    dmoney,
+    drate,
+    dsum,
+    money_units,
+    rate_units,
+    sql_davg,
+    sql_dsum,
+    sql_money,
+    sql_money_units,
+    sql_rate,
+    sql_rate_units,
+    sql_uavg,
+    sql_usum,
+    uavg,
+    usum,
+)
 from .registry import query
 
 # Decimal renderings of the lineitem money expressions (see
 # functions/numeric.py for why arithmetic is decimal-through).
 _DISC_PRICE = f"{sql_money('l_extendedprice')} * (1 - {sql_rate('l_discount')})"
 _CHARGE = f"{_DISC_PRICE} * (1 + {sql_rate('l_tax')})"
+
+# Integer-unit renderings (scale in the name): the headline aggregates sum
+# exact int64 units and rescale once at the end — same values, no
+# BigDecimal accumulator (functions/numeric.py).
+_DISC_PRICE_U4 = f"{sql_money_units('l_extendedprice')} * (100 - {sql_rate_units('l_discount')})"
+_CHARGE_U6 = f"{_DISC_PRICE_U4} * (100 + {sql_rate_units('l_tax')})"
 
 # --- flagship: scan → filter → join → agg → sort → limit -------------------
 # The "minimum slice" of SURVEY.md §7: revenue of urgent open orders by
@@ -34,7 +57,7 @@ _CHARGE = f"{_DISC_PRICE} * (1 + {sql_rate('l_tax')})"
     SELECT c.c_mktsegment AS mktsegment,
            CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS order_month,
            COUNT(*) AS n_items,
-           {sql_dsum(f"{sql_money('l.l_extendedprice')} * (1 - {sql_rate('l.l_discount')})", "revenue")}
+           {sql_usum(f"{sql_money_units('l.l_extendedprice')} * (100 - {sql_rate_units('l.l_discount')})", 4, "revenue")}
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -58,7 +81,7 @@ def flagship(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            dsum(dmoney("l_extendedprice") * (1 - drate("l_discount")), "revenue"),
+            usum(money_units("l_extendedprice") * (100 - rate_units("l_discount")), 4, "revenue"),
         )
         .orderBy(F.desc("revenue"), "mktsegment", "order_month")
         .limit(20)
@@ -72,12 +95,12 @@ def flagship(spark, sf_dir):
     "pricing_summary",
     sql=f"""
     SELECT l_returnflag, l_linestatus,
-           {sql_dsum(sql_money("l_quantity"), "sum_qty")},
-           {sql_dsum(sql_money("l_extendedprice"), "sum_base_price")},
-           {sql_dsum(_DISC_PRICE, "sum_disc_price")},
-           {sql_dsum(_CHARGE, "sum_charge")},
-           {sql_davg(sql_money("l_quantity"), "avg_qty")},
-           {sql_davg(sql_rate("l_discount"), "avg_disc")},
+           {sql_usum(sql_money_units("l_quantity"), 2, "sum_qty")},
+           {sql_usum(sql_money_units("l_extendedprice"), 2, "sum_base_price")},
+           {sql_usum(_DISC_PRICE_U4, 4, "sum_disc_price")},
+           {sql_usum(_CHARGE_U6, 6, "sum_charge")},
+           {sql_uavg(sql_money_units("l_quantity"), 2, "avg_qty")},
+           {sql_uavg(sql_rate_units("l_discount"), 2, "avg_disc")},
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -87,17 +110,17 @@ def flagship(spark, sf_dir):
 )
 def pricing_summary(spark, sf_dir):
     l = load(spark, sf_dir, "lineitem")
-    disc_price = dmoney("l_extendedprice") * (1 - drate("l_discount"))
+    disc_price_u4 = money_units("l_extendedprice") * (100 - rate_units("l_discount"))
     return (
         l.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(dmoney("l_quantity"), "sum_qty"),
-            dsum(dmoney("l_extendedprice"), "sum_base_price"),
-            dsum(disc_price, "sum_disc_price"),
-            dsum(disc_price * (1 + drate("l_tax")), "sum_charge"),
-            davg(dmoney("l_quantity"), "avg_qty"),
-            davg(drate("l_discount"), "avg_disc"),
+            usum(money_units("l_quantity"), 2, "sum_qty"),
+            usum(money_units("l_extendedprice"), 2, "sum_base_price"),
+            usum(disc_price_u4, 4, "sum_disc_price"),
+            usum(disc_price_u4 * (100 + rate_units("l_tax")), 6, "sum_charge"),
+            uavg(money_units("l_quantity"), 2, "avg_qty"),
+            uavg(rate_units("l_discount"), 2, "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

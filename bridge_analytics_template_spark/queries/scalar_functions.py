@@ -460,3 +460,39 @@ def f_edit_distance(spark, sf_dir):
         F.levenshtein("p_brand", "p_type").alias("lev_short"),
         F.levenshtein("p_brand", "p_type", 5).alias("lev_capped"),
     ).orderBy("p_partkey")
+
+
+@query(
+    "f_map_transform",
+    sql="""
+    SELECT doc_id,
+           n_chars * 2 AS dbl_chars,
+           CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS n_big,
+           n_chars + doc_id AS zipped_sum,
+           lang AS parsed_lang
+    FROM documents ORDER BY doc_id
+    """,
+)
+def f_map_transform(spark, sf_dir):
+    """F6 extension: higher-order map functions — transform_values,
+    map_filter, map_zip_with, str_to_map. The Spark side routes every value
+    through REAL map expressions; the oracle states the algebraically equal
+    scalar results (DuckDB's MAP surface differs, the VALUES are what's
+    checked). All in-row codegen'd expressions."""
+    d = load(spark, sf_dir, "documents")
+    m = F.create_map(F.lit("chars"), F.col("n_chars").cast("long"))
+    m2 = F.create_map(F.lit("chars"), F.col("doc_id"))
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    big_only = F.map_filter(m, lambda k, v: v > 300)
+    zipped = F.map_zip_with(m, m2, lambda k, v1, v2: v1 + v2)
+    parsed = F.str_to_map(
+        F.concat(F.lit("lang:"), F.col("lang"), F.lit(",id:"), F.col("doc_id")),
+        F.lit(","), F.lit(":"),
+    )
+    return d.select(
+        "doc_id",
+        F.element_at(doubled, "chars").alias("dbl_chars"),
+        F.size(big_only).alias("n_big"),
+        F.element_at(zipped, "chars").alias("zipped_sum"),
+        F.element_at(parsed, "lang").alias("parsed_lang"),
+    ).orderBy("doc_id")

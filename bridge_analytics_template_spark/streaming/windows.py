@@ -101,6 +101,17 @@ def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def dedup_stream_within_watermark(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T5b: ``dropDuplicatesWithinWatermark`` — dedup WITHOUT the event-time
+    column in the key. Plain stateful dedup keeps a key's state forever
+    unless the event time is part of the key; the within-watermark variant
+    expires each key after the watermark delay, so re-emissions of the same
+    event_id with a *different* timestamp (retried uploads) still dedup
+    while state stays bounded — the semantics an at-least-once ingest
+    actually needs."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
 def stream_stream_attribution(
     events: DataFrame, gap_minutes: int = 30, watermark: str = "1 hour"
 ) -> DataFrame:

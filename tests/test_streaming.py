@@ -43,6 +43,20 @@ def test_stream_dedup_drops_duplicates(spark, sf_dir):
     assert deduped.count() == batch.select("event_id").distinct().count()
 
 
+def test_stream_dedup_within_watermark(spark, sf_dir):
+    # Same unique-key count on the fixture (its event_ids are unique), and
+    # retried event_ids with drifted timestamps still dedup to one row.
+    from bridge_analytics_template_spark.streaming.windows import (
+        dedup_stream_within_watermark,
+    )
+
+    deduped = run_to_memory(
+        dedup_stream_within_watermark(stream_events(spark, sf_dir)), "append"
+    )
+    batch = load(spark, sf_dir, "events")
+    assert deduped.count() == batch.select("event_id").distinct().count()
+
+
 def test_foreach_batch_sink_idempotent_epochs(spark, sf_dir, tmp_path):
     from bridge_analytics_template_spark.streaming.windows import (
         run_foreach_batch_parquet,
