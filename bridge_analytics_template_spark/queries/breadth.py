@@ -584,3 +584,114 @@ def agg_order_distribution(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+@query(
+    "graph_triangles",
+    sql="""
+    WITH arcs AS (
+      SELECT e.user_id AS src, n.user_id AS dst
+      FROM events e JOIN events n ON n.event_id = e.event_id + 1
+      WHERE e.user_id <> n.user_id),
+    edges AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM arcs)
+    SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+           (SELECT COUNT(*)
+            FROM edges e1
+            JOIN edges e2 ON e2.u = e1.v
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    """,
+)
+def graph_triangles(spark, sf_dir):
+    """Triangle count over the event hand-off graph (same arc derivation as
+    graph_pagerank): canonicalize edges to u < v, then the standard
+    wedge-close two-join — e1=(a,b), e2=(b,c) forms a wedge, e3=(a,c)
+    closes it; the a<b<c canonical order counts each triangle exactly once.
+    Both joins are keyed equi-joins on node ids (shuffle or broadcast as
+    sizes dictate — the edge list of a dedup/interaction graph is far
+    smaller than the corpus)."""
+    e = load(spark, sf_dir, "events").select("event_id", "user_id")
+    nxt = e.select((F.col("event_id") - 1).alias("event_id"), F.col("user_id").alias("next_user"))
+    arcs = (
+        e.join(nxt, "event_id")
+        .where(F.col("next_user") != F.col("user_id"))
+        .select(F.col("user_id").alias("src"), F.col("next_user").alias("dst"))
+    )
+    edges = (
+        arcs.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .persist()  # three join appearances; materialize the edge build once
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(tri)
+
+
+@query(
+    "f_struct",
+    sql="""
+    SELECT doc_id, lang AS lang_f, n_chars * 2 AS chars2,
+           concat('{"lang":"', lang, '","n_chars":', n_chars, '}') AS packed_json
+    FROM documents ORDER BY doc_id
+    """,
+)
+def f_struct(spark, sf_dir):
+    """Struct-column surgery: build a struct, rewrite one field in place
+    (withField), drop a field (dropFields), read one back (getField), and
+    serialize the result (to_json — field order is declaration order, which
+    the oracle reproduces textually). The nested-struct form of the
+    reference's entity records (SURVEY.md §1.1)."""
+    d = load(spark, sf_dir, "documents")
+    s = F.struct(F.col("lang"), F.col("source"), F.col("n_chars").cast("long").alias("n_chars"))
+    s2 = s.withField("n_chars", F.col("n_chars").cast("long") * 2)
+    dropped = s.dropFields("source")
+    return d.select(
+        "doc_id",
+        s.getField("lang").alias("lang_f"),
+        s2.getField("n_chars").alias("chars2"),
+        F.to_json(dropped).alias("packed_json"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "s_bucketed_join",
+    sql="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_items,
+           CAST(SUM(CAST(CAST(l.l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS DOUBLE)
+             / 100.0 AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def s_bucketed_join(spark, sf_dir):
+    """Bucketed-table co-located join: both fact tables are stored
+    bucketed+sorted on the join key (sources/bucketing.py), so the
+    sort-merge join reads matching buckets directly — ZERO exchanges for a
+    fact x fact join, the storage-level answer to the dominant 100 TB
+    shuffle (plan asserted in tests/test_bucketing.py). The oracle computes
+    the same aggregate from the unbucketed source."""
+    from ..functions.numeric import money_units, usum
+    from ..sources.bucketing import read_table, write_bucketed
+
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(l, "q_li_bucketed", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    write_bucketed(o, "q_ord_bucketed", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    lb, ob = read_table(spark, "q_li_bucketed"), read_table(spark, "q_ord_bucketed")
+    return (
+        lb.join(ob.hint("merge"), lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            usum(money_units("l_quantity"), 2, "sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )

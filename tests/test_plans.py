@@ -191,3 +191,17 @@ def test_resample_coherent_partitioning(spark, sf_dir):
         if "Exchange hashpartitioning" in l and "user_id" not in l
     ]
     assert wide == []
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "llm_decontaminate")
+    # The held-out gram set is the small side by construction: it must
+    # broadcast so the training-corpus scan never shuffles for the probe.
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chunking_has_no_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "llm_chunking")
+    # In-row fan-out: the only exchange allowed is the presentation sort's
+    # range partitioning — no hash exchange anywhere.
+    assert "Exchange hashpartitioning" not in plan
