@@ -695,3 +695,58 @@ def s_bucketed_join(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "agg_grouping_id",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           CASE WHEN l_returnflag IS NULL AND l_linestatus IS NULL THEN 3
+                WHEN l_linestatus IS NULL THEN 1
+                ELSE 0 END AS gid,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def agg_grouping_id(spark, sf_dir):
+    """A5 companion: grouping_id() distinguishes a REAL null key from a
+    rollup-generated subtotal row — the disambiguator every rollup consumer
+    needs. The oracle reconstructs the id from null patterns (the fixture
+    keys are non-null, so the patterns map 1:1)."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().cast("int").alias("gid"), F.count(F.lit(1)).alias("n"))
+        .select("l_returnflag", "l_linestatus", "gid", "n")
+        .orderBy(
+            "gid",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "f_format",
+    sql="""
+    SELECT doc_id,
+           printf('%s-%05d', lang, doc_id) AS tag,
+           printf('%.2f', CAST(n_chars AS DOUBLE) / 100) AS chars_pct,
+           format('{} chars in {}', n_chars, lang) AS sentence
+    FROM documents ORDER BY doc_id
+    """,
+)
+def f_format(spark, sf_dir):
+    """String formatting family: printf-style format_string with width /
+    zero-pad / fixed-decimal conversions (ids, percentages, log lines).
+    DuckDB's printf implements the same C conversions; the brace-style
+    format maps to concat on the Spark side."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.format_string("%s-%05d", F.col("lang"), F.col("doc_id")).alias("tag"),
+        F.format_string("%.2f", F.col("n_chars").cast("double") / 100).alias("chars_pct"),
+        F.concat(F.col("n_chars"), F.lit(" chars in "), F.col("lang")).alias("sentence"),
+    ).orderBy("doc_id")

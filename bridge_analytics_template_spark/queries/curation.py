@@ -213,3 +213,120 @@ def llm_passage_dedup(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_REP_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks, len({_SQL_TOKENS}) AS n FROM documents),
+    g AS (
+      SELECT doc_id, n,
+             CASE WHEN n >= 3
+                  THEN list_transform(generate_series(1, n - 2),
+                                      i -> array_to_string(toks[i:i+2], ' '))
+                  ELSE [] END AS tg,
+             toks
+      FROM t),
+    tok_counts AS (
+      SELECT doc_id, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM g)
+      GROUP BY doc_id, tok),
+    top_tok AS (SELECT doc_id, MAX(cnt) AS top_cnt FROM tok_counts GROUP BY doc_id)
+    SELECT g.doc_id,
+           g.n AS n_tokens,
+           len(g.tg) AS n_trigrams,
+           len(g.tg) - len(list_distinct(g.tg)) AS n_dup_trigrams,
+           CASE WHEN len(g.tg) > 0
+                THEN CAST(len(g.tg) - len(list_distinct(g.tg)) AS DOUBLE) / len(g.tg)
+                ELSE 0.0 END AS dup_trigram_frac,
+           CAST(top_tok.top_cnt AS DOUBLE) / g.n AS top_token_frac
+    FROM g JOIN top_tok ON g.doc_id = top_tok.doc_id
+    ORDER BY g.doc_id
+"""
+
+
+@query("llm_repetition", sql=_REP_SQL)
+def llm_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition signals: the duplicated
+    word-trigram fraction and the most-frequent-token share — the two
+    filters that catch boilerplate loops and keyword-stuffed spam that
+    length/stopword heuristics miss. Everything computes IN-ROW from the
+    token array (trigram build, distinct, top-count via aggregate over the
+    grouped token multiset): zero shuffles, fractions are single IEEE
+    divisions of exact ints on both engines."""
+    d = load(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    t = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    tg = F.when(
+        F.col("n") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - 2),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = t.select("doc_id", "n", "toks", tg.alias("tg"))
+    # Top-token count without leaving the row: sort the tokens, then the
+    # longest run of equal neighbors == the max multiplicity. aggregate()
+    # carries (best, run, prev) through the sorted array.
+    sorted_toks = F.array_sort("toks")
+    top_cnt = F.aggregate(
+        sorted_toks,
+        F.struct(F.lit(0).alias("best"), F.lit(0).alias("run"), F.lit(None).cast("string").alias("prev")),
+        lambda acc, x: F.struct(
+            F.greatest(
+                acc["best"],
+                F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            x.alias("prev"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_tg = F.size("tg")
+    n_dup = n_tg - F.size(F.array_distinct("tg"))
+    return g.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        n_tg.alias("n_trigrams"),
+        n_dup.alias("n_dup_trigrams"),
+        F.when(n_tg > 0, n_dup.cast("double") / n_tg).otherwise(F.lit(0.0)).alias(
+            "dup_trigram_frac"
+        ),
+        (top_cnt.cast("double") / F.col("n")).alias("top_token_frac"),
+    ).orderBy("doc_id")
+
+
+_LM_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           SUM(v.cnt) AS freq_sum,
+           CAST(SUM(v.cnt) AS DOUBLE) / COUNT(*) AS avg_tok_freq
+    FROM t JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+@query("llm_doc_lm_score", sql=_LM_SQL)
+def llm_doc_lm_score(spark, sf_dir):
+    """Corpus-frequency document scoring — the exact-arithmetic stand-in for
+    unigram-LM perplexity (rare-token-heavy docs score low, natural prose
+    scores high; no float logs, so the score is engine-stable). Two-pass
+    shape a 100 TB pipeline uses: build the vocabulary count table (heavy
+    side: one hash aggregate over all tokens), BROADCAST it back onto the
+    token stream, and reduce per document. The vocab is Zipf-bounded — far
+    smaller than the corpus — which is what makes the broadcast legal."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode_outer(ws_tokens("text")).alias("tok"))
+    vocab = t.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        t.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").alias("freq_sum"),
+            (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("avg_tok_freq"),
+        )
+        .orderBy("doc_id")
+    )

@@ -82,3 +82,39 @@ def test_chunk_short_doc_single_chunk(spark, tmp_path):
     out = llm_chunking(spark, str(tmp_path)).collect()
     assert len(out) == 1
     assert out[0].chunk_idx == 0 and out[0].n_chunk_tokens == 4
+
+
+def test_repetition_planted(spark, tmp_path):
+    from bridge_analytics_template_spark.queries.curation import llm_repetition
+
+    rows = [
+        # "a b c" trigram repeated: tokens a b c a b c -> trigrams
+        # [abc, bca, cab, abc]: 4 total, 3 distinct -> 1 dup; top token 2/6.
+        (1, "a b c a b c"),
+        # all-distinct tokens: no dup trigrams, top token 1/5
+        (2, "v w x y z"),
+        # short doc (< 3 tokens): zero trigrams, frac 0
+        (3, "hi there"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in llm_repetition(spark, str(tmp_path)).collect()}
+    assert out[1].n_trigrams == 4 and out[1].n_dup_trigrams == 1
+    assert out[1].dup_trigram_frac == 0.25 and out[1].top_token_frac == 2 / 6
+    assert out[2].n_dup_trigrams == 0 and out[2].top_token_frac == 0.2
+    assert out[3].n_trigrams == 0 and out[3].dup_trigram_frac == 0.0
+
+
+def test_doc_lm_score_planted(spark, tmp_path):
+    from bridge_analytics_template_spark.queries.curation import llm_doc_lm_score
+
+    rows = [
+        (1, "common common rare1"),   # common appears 4x in corpus, rare1 once
+        (2, "common common unique2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in llm_doc_lm_score(spark, str(tmp_path)).collect()}
+    # freq(common)=4; doc1 = 4+4+1 = 9 over 3 tokens
+    assert out[1].freq_sum == 9 and out[1].avg_tok_freq == 3.0
+    assert out[2].freq_sum == 9
