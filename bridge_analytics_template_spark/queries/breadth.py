@@ -750,3 +750,160 @@ def f_format(spark, sf_dir):
         F.format_string("%.2f", F.col("n_chars").cast("double") / 100).alias("chars_pct"),
         F.concat(F.col("n_chars"), F.lit(" chars in "), F.col("lang")).alias("sentence"),
     ).orderBy("doc_id")
+
+
+@query(
+    "events_outliers",
+    sql="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+             COUNT(*) OVER w AS n,
+             SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) OVER w AS s,
+             SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                 * CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) OVER w AS q
+      FROM events
+      WINDOW w AS (PARTITION BY user_id))
+    SELECT user_id, MAX(n) AS n_events,
+           COUNT(CASE WHEN (x * n - s) * (x * n - s) > 4 * (n * q - s * s) THEN 1 END)
+             AS n_outliers
+    FROM u GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_outliers(spark, sf_dir):
+    """Per-user z-score anomaly detection with EXACT integer arithmetic:
+    |x - mean| > 2*std rewritten as (x*n - s)^2 > 4*(n*q - s^2) over int64
+    value-units — no float mean/std, so the boundary is engine- and
+    partition-order-stable. One shuffle: the per-user moment window and the
+    per-user count reuse the same hash partitioning (no second exchange —
+    Catalyst sees the aggregation keys already clustered). Magnitude bound:
+    safe while n_per_user * max_units < 2^31.5 units-rows; past that, the
+    same inequality runs in double (identically on both engines)."""
+    e = load(spark, sf_dir, "events")
+    from ..functions.numeric import money_units
+
+    x = money_units("value")
+    w = Window.partitionBy("user_id")
+    u = e.select(
+        "user_id",
+        x.alias("x"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(x).over(w).alias("s"),
+        F.sum(x * x).over(w).alias("q"),
+    )
+    dev = F.col("x") * F.col("n") - F.col("s")
+    is_out = dev * dev > 4 * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    return (
+        u.groupBy("user_id")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.count(F.when(is_out, 1)).alias("n_outliers"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "agg_winsorized",
+    sql="""
+    WITH p AS (
+      SELECT l_returnflag,
+             CAST(floor(quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT), 0.05)) AS BIGINT) AS lo,
+             CAST(floor(quantile_cont(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT), 0.95)) AS BIGINT) AS hi
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(least(greatest(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT), p.lo), p.hi)) AS DOUBLE)
+             / 100.0 AS winsorized_sum
+    FROM lineitem l JOIN p ON l.l_returnflag = p.l_returnflag
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+)
+def agg_winsorized(spark, sf_dir):
+    """Winsorized (clipped) aggregation — robust statistics at scale: clip
+    each value into the group's [p05, p95] band, then sum. Percentile
+    bounds are floored to integer units so the clipped SUM stays exact
+    int64 (an interpolated-percentile clip would reintroduce float sums).
+    Two passes over the fact: tiny per-group percentile table, broadcast
+    back, clipped exact re-aggregate — the shape that holds when the group
+    count is bounded and the fact is not."""
+    from ..functions.numeric import money_units
+
+    l = load(spark, sf_dir, "lineitem")
+    u = money_units("l_extendedprice")
+    p = l.groupBy("l_returnflag").agg(
+        F.floor(F.percentile(u, 0.05)).alias("lo"),
+        F.floor(F.percentile(u, 0.95)).alias("hi"),
+    )
+    return (
+        l.select("l_returnflag", u.alias("u"))
+        .join(F.broadcast(p), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.least(F.greatest(F.col("u"), F.col("lo")), F.col("hi"))).cast("double")
+                / 100.0
+            ).alias("winsorized_sum"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "f_timezone",
+    sql="""
+    SELECT event_id,
+           CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York' AS ny_ts,
+           CAST(hour(CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York') AS INT) AS ny_hour,
+           CAST(ts AS TIMESTAMP) AS roundtrip
+    FROM events WHERE event_id % 100 = 0 ORDER BY event_id
+    """,
+)
+def f_timezone(spark, sf_dir):
+    """Timezone conversion: UTC instants rendered as wall-clock time in a
+    named IANA zone (from_utc_timestamp), the local hour, and the
+    to_utc_timestamp round-trip identity. Both engines use the IANA tzdb,
+    so DST transitions agree."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0)
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    return e.select(
+        "event_id",
+        ny.alias("ny_ts"),
+        F.hour(ny).alias("ny_hour"),
+        F.to_utc_timestamp(ny, "America/New_York").alias("roundtrip"),
+    ).orderBy("event_id")
+
+
+@query(
+    "f_array_edit",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+')[1:4] AS a
+      FROM documents)
+    SELECT doc_id,
+           list_append(a, 'zz') AS appended,
+           list_prepend('aa', a) AS prepended,
+           a[1:1] || ['mid'] || a[2:] AS inserted,
+           list_filter(a, x -> x <> 'the') AS removed,
+           list_filter(['x', NULL, 'y'], v -> v IS NOT NULL) AS compacted
+    FROM t ORDER BY doc_id
+    """,
+)
+def f_array_edit(spark, sf_dir):
+    """Array-edit family (Spark 3.4/3.5 surface): append / prepend /
+    positional insert / remove-by-value / null compaction — the mutations a
+    feature-engineering pipeline applies to list columns. All in-row."""
+    d = load(spark, sf_dir, "documents")
+    from ..functions.text import ws_tokens
+
+    a = F.slice(ws_tokens("text"), 1, 4)
+    t = d.select("doc_id", a.alias("a"))
+    return t.select(
+        "doc_id",
+        F.array_append("a", F.lit("zz")).alias("appended"),
+        F.array_prepend("a", F.lit("aa")).alias("prepended"),
+        F.array_insert("a", 2, F.lit("mid")).alias("inserted"),
+        F.array_remove("a", "the").alias("removed"),
+        F.array_compact(F.array(F.lit("x"), F.lit(None), F.lit("y"))).alias("compacted"),
+    ).orderBy("doc_id")
