@@ -35,6 +35,10 @@ HEADLINE = [
     "llm_quality_score",
     "llm_knn_ids",
     "train_vocab_encode",
+    "llm_decontaminate",
+    "llm_chunking",
+    "llm_repetition",
+    "llm_doc_lm_score",
 ]
 
 

@@ -330,3 +330,72 @@ def llm_doc_lm_score(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_BIGRAM_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    big AS (
+      SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS b
+      FROM t WHERE len(toks) >= 2),
+    pair_counts AS (
+      SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS n_pair FROM big GROUP BY 1, 2),
+    uni AS (
+      SELECT w1, SUM(n_pair) AS n_ctx FROM pair_counts GROUP BY w1),
+    ranked AS (
+      SELECT p.w1, p.w2, p.n_pair, u.n_ctx,
+             CAST(p.n_pair AS DOUBLE) / u.n_ctx AS cond_p,
+             ROW_NUMBER() OVER (PARTITION BY p.w1 ORDER BY p.n_pair DESC, p.w2) AS rnk
+      FROM pair_counts p JOIN uni u ON p.w1 = u.w1)
+    SELECT w1, w2, n_pair, n_ctx, cond_p, rnk
+    FROM ranked WHERE rnk <= 3 AND n_ctx >= 100
+    ORDER BY w1, rnk
+"""
+
+
+@query("llm_bigram_lm", sql=_BIGRAM_SQL)
+def llm_bigram_lm(spark, sf_dir):
+    """Bigram language model built on the engine: corpus-wide bigram counts,
+    context totals, and the top-3 continuations per context word with their
+    exact conditional probabilities (one integer division — engine-stable).
+    The shape is the canonical two-aggregate + windowed top-k: bigram
+    extraction is IN-ROW (adjacent-pair transform, no explode-join), counts
+    are uniform hash keys, and the per-context normalization reuses the
+    first aggregate's output rather than re-scanning the corpus. Contexts
+    under 100 occurrences are dropped (rare-context estimates are noise —
+    and the filter demonstrates HAVING pushdown over the window)."""
+    d = load(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    t = d.select(toks.alias("toks")).filter(F.size("toks") >= 2)
+    pairs = t.select(
+        F.explode_outer(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("w1"),
+                    F.element_at("toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    pair_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    # Context totals derive from the pair counts (already tiny), not from a
+    # second corpus scan.
+    uni = pair_counts.groupBy("w1").agg(F.sum("n_pair").alias("n_ctx"))
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(W.partitionBy("w1").orderBy(F.desc("n_pair"), "w2"))
+    return (
+        pair_counts.join(uni, "w1")
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_ctx",
+            (F.col("n_pair").cast("double") / F.col("n_ctx")).alias("cond_p"),
+            rnk.alias("rnk"),
+        )
+        .filter((F.col("rnk") <= 3) & (F.col("n_ctx") >= 100))
+        .orderBy("w1", "rnk")
+    )
