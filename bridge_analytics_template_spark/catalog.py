@@ -12,7 +12,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -57,17 +57,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Plain ``spark.read.parquet`` so Catalyst gets
     predicate pushdown / column pruning for free (SURVEY.md §4).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read it as long nanos (runtime-settable legacy conf) and
-    truncate to a micro-precision timestamp — the same value DuckDB produces
-    with ``CAST(ts AS TIMESTAMP)``.
+    ``events.ts`` has shipped as either parquet TIMESTAMP(NANOS) (rides in
+    as long nanos under the legacy conf) or naive TIMESTAMP(MICROS)
+    (``isAdjustedToUTC=false`` → Spark ``timestamp_ntz``). Normalize both to
+    a session-zone (UTC) micro-precision ``timestamp`` — the same wall-clock
+    values DuckDB produces with ``CAST(ts AS TIMESTAMP)``.
     """
     _ensure_session_defaults(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        if isinstance(df.schema["ts"].dataType, LongType):
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            # Session TZ is pinned to UTC, so this cast keeps the wall clock.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 

@@ -19,23 +19,36 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-EVENTS_RAW_SCHEMA = "event_id long, ts long, user_id long, event_type string, value double, props string"
+EVENTS_RAW_SCHEMA_NANOS = "event_id long, ts long, user_id long, event_type string, value double, props string"
+EVENTS_RAW_SCHEMA_NTZ = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental scan of the events table (file streaming source). The
-    nanosecond parquet timestamps ride in as longs and are truncated to
-    micro-precision timestamps, same as the batch path (catalog.load)."""
+    """Incremental scan of the events table (file streaming source).
+
+    The fixture's ``ts`` has shipped as either TIMESTAMP(NANOS) (long nanos
+    under the legacy conf) or naive TIMESTAMP(MICROS) (``timestamp_ntz``);
+    probe the footer via a batch read (driver-side, metadata only) and
+    normalize to a session-zone timestamp, same as the batch path
+    (catalog.load)."""
+    import os
+
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probed = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema["ts"].dataType
+    nanos = isinstance(probed, LongType)
     # The file streaming source lists a *directory*; scope to the events
     # table with a glob filter (the file-view "scope" mechanism, streaming).
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(EVENTS_RAW_SCHEMA_NANOS if nanos else EVENTS_RAW_SCHEMA_NTZ)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, width: str = "10 minutes", watermark: str = "10 minutes") -> DataFrame:

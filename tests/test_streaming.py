@@ -109,7 +109,9 @@ def test_checkpoint_resume_processes_only_new_files(spark, sf_dir, tmp_path):
     shutil.copy(f"{sf_dir}/events.parquet", src / "events_a.parquet")
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
 
-    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    # Subset schema: only the projected columns, so the test is agnostic to
+    # the fixture's ts physical type (nanos-long vs ntz-micros).
+    schema = "event_id long, user_id long"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def run():
