@@ -23,3 +23,5 @@ from . import breadth  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
 from . import training  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
+from . import tpch_shapes  # noqa: E402,F401
+from . import stats  # noqa: E402,F401

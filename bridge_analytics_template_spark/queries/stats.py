@@ -1,0 +1,264 @@
+"""Statistical and sketch-based aggregates, engine-stable by construction.
+
+The reference's `scores` folder exists to hold score distributions
+(/root/reference/synapseformation_templates/default.yaml:3-4); regression,
+robust-outlier, and distinct-sketch summaries are the distribution
+analytics a dashboard over it runs. Float discipline follows NOTES.md: all
+cross-row accumulation happens in exact int64 units; any final float math
+is a fixed, explicitly-parenthesized expression evaluated identically by
+Spark and the DuckDB oracle (IEEE ops on identical inputs are
+deterministic — only *accumulation order* is not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.numeric import money_units, sql_money_units
+from .registry import query
+
+# --- Exact linear regression (slope / intercept / r2) ----------------------
+#
+# regr_slope & co. as a ratio of co-moments. Built-in regr_* / corr
+# aggregate *doubles* — combine-order dependent in the last ulp (see
+# agg_corr, rows-only for that reason). Here the four co-moment sums are
+# exact int64 unit sums, so the aggregation is order-independent and the
+# closed-form division is one deterministic double expression per group.
+# Magnitude bound: sum(x*y) units² ~ 5e10/row → safe past 1e8 rows/group;
+# beyond that, widen to decimal(38,0) sums (same shape, BigDecimal path).
+
+_REGR_SQL = f"""
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM({sql_money_units('l_quantity')}) AS sx,
+         SUM({sql_money_units('l_extendedprice')}) AS sy,
+         SUM({sql_money_units('l_quantity')} * {sql_money_units('l_extendedprice')}) AS sxy,
+         SUM({sql_money_units('l_quantity')} * {sql_money_units('l_quantity')}) AS sxx,
+         SUM({sql_money_units('l_extendedprice')} * {sql_money_units('l_extendedprice')}) AS syy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+       ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+         / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS slope,
+       (((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+         * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))))
+         / (((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+            * ((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)) - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS r2
+FROM m ORDER BY l_returnflag
+"""
+
+
+@query("agg_regr_exact", sql=_REGR_SQL)
+def agg_regr_exact(spark, sf_dir):
+    """Least-squares slope and r² of extendedprice ~ quantity per return
+    flag, from exact integer co-moments (one hash aggregate, one shuffle)."""
+    l = load(spark, sf_dir, "lineitem")
+    x = money_units("l_quantity")
+    y = money_units("l_extendedprice")
+    m = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = F.col("sxy").cast("double"), F.col("sxx").cast("double"), F.col("syy").cast("double")
+    num = (n * sxy) - (sx * sy)
+    denx = (n * sxx) - (sx * sx)
+    deny = (n * syy) - (sy * sy)
+    return m.select(
+        "l_returnflag",
+        "n",
+        (num / denx).alias("slope"),
+        ((num * num) / (denx * deny)).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+# --- Robust outliers: median absolute deviation ----------------------------
+#
+# events.value is NOT 2-decimal exact in the fixture, so quantize with
+# floor(value*100) — one IEEE multiply + floor, identical on both engines —
+# instead of a decimal cast (whose double→decimal rounding differs between
+# engines; see .claude/skills/verify gotchas).
+
+_MAD_SQL = """
+WITH q AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS ux FROM events),
+med AS (
+  SELECT event_type, quantile_cont(ux, 0.5) AS med FROM q GROUP BY event_type),
+dev AS (
+  SELECT q.event_type, q.ux, abs(CAST(q.ux AS DOUBLE) - m.med) AS adev
+  FROM q JOIN med m ON q.event_type = m.event_type),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY event_type)
+SELECT d.event_type,
+       COUNT(*) AS n,
+       COUNT(CASE WHEN d.adev > (4.4478 * m.mad) THEN 1 END) AS n_outliers
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+
+@query("events_mad_outliers", sql=_MAD_SQL)
+def events_mad_outliers(spark, sf_dir):
+    """Robust per-type outlier counts: |x - median| > 3σ-equivalent
+    (4.4478 ≈ 3 × 1.4826) of the median absolute deviation. Two exact
+    median passes (Spark `percentile` == DuckDB `quantile_cont` on integer
+    units) joined back broadcast — the grouped medians are one row per
+    event_type, so neither join reshuffles the fact."""
+    e = load(spark, sf_dir, "events")
+    q = e.select("event_type", F.floor(F.col("value") * 100).cast("long").alias("ux"))
+    med = q.groupBy("event_type").agg(F.percentile("ux", 0.5).alias("med"))
+    dev = q.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("ux").cast("double") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", 0.5).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("adev") > (F.lit(4.4478) * F.col("mad")), 1)).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- Bitmap-exact distinct counting ----------------------------------------
+
+
+@query(
+    "agg_bitmap_distinct",
+    sql="""
+    SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """Exact distinct via RoaringBitmap-style fixed bitmaps
+    (`bitmap_construct_agg` over `bitmap_bit_position`, bucketed by
+    `bitmap_bucket_number`): the partial state per (group, bucket) is a
+    4KB bitmap instead of a hash set of longs, so the shuffle for a
+    100-TB COUNT(DISTINCT id) moves O(id-range/32768) constant-size
+    blocks, not O(rows) values — the same two-level plan Spark generates
+    for exact distinct, with a denser intermediate."""
+    l = load(spark, sf_dir, "lineitem")
+    per_bucket = (
+        l.select(
+            "l_returnflag",
+            F.expr("bitmap_bucket_number(l_orderkey)").alias("bucket"),
+            F.col("l_orderkey"),
+        )
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(l_orderkey))").alias("bm"))
+    )
+    return (
+        per_bucket.groupBy("l_returnflag")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n_orders"))
+        .orderBy("l_returnflag")
+    )
+
+
+# --- Stratified deterministic sampling -------------------------------------
+
+
+@query(
+    "s_sample_stratified",
+    sql="""
+    SELECT l_returnflag, COUNT(*) AS n_sampled
+    FROM lineitem
+    WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)), 1, 2)
+          <= CASE l_returnflag WHEN 'A' THEN '19' WHEN 'N' THEN '05' ELSE '0c' END
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def s_sample_stratified(spark, sf_dir):
+    """Per-stratum hash sampling at different rates (~10% of A, ~2% of N,
+    ~5% of R): the rate threshold is a function of the stratum, the
+    membership test is still a pure content-hash predicate — the same rows
+    on any engine, any partitioning (`df.sampleBy(seed=...)`'s per-split
+    state is not; see s_sample_hash)."""
+    l = load(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"), F.lit("_"), F.col("l_linenumber").cast("string")
+    )
+    threshold = (
+        F.when(F.col("l_returnflag") == "A", "19")
+        .when(F.col("l_returnflag") == "N", "05")
+        .otherwise("0c")
+    )
+    return (
+        l.filter(F.substring(F.md5(key), 1, 2) <= threshold)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("l_returnflag")
+    )
+
+
+# --- OHLC downsampling bars ------------------------------------------------
+
+
+@query(
+    "ts_ohlc_bars",
+    sql="""
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '10 minutes', ts) AS bar_start, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS ux, ts, event_id,
+             first_value(CAST(floor(value * 100) AS BIGINT))
+               OVER (PARTITION BY time_bucket(INTERVAL '10 minutes', ts), event_type
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open_u,
+             last_value(CAST(floor(value * 100) AS BIGINT))
+               OVER (PARTITION BY time_bucket(INTERVAL '10 minutes', ts), event_type
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_u
+      FROM events)
+    SELECT bar_start, event_type,
+           CAST(min(open_u) AS DOUBLE) / 100.0 AS open,
+           CAST(max(ux) AS DOUBLE) / 100.0 AS high,
+           CAST(min(ux) AS DOUBLE) / 100.0 AS low,
+           CAST(min(close_u) AS DOUBLE) / 100.0 AS close,
+           COUNT(*) AS n
+    FROM w GROUP BY bar_start, event_type ORDER BY bar_start, event_type
+    """,
+)
+def ts_ohlc_bars(spark, sf_dir):
+    """Open-high-low-close downsampling into 10-minute bars per event type —
+    the canonical time-series rollup. Open/close are first/last by (ts,
+    event_id) (unique tie-break) over an unbounded frame; the window and
+    the final aggregate share the same (bar, type) hash partitioning, so
+    the whole query is one shuffle. Epoch-aligned buckets: Spark
+    `window()` and DuckDB `time_bucket` agree for divisors of an hour."""
+    e = load(spark, sf_dir, "events")
+    bar = F.window("ts", "10 minutes").start.alias("bar_start")
+    q = e.select(
+        bar,
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("ux"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("bar_start", "event_type").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    q = q.select(
+        "bar_start",
+        "event_type",
+        "ux",
+        F.first("ux").over(frame).alias("open_u"),
+        F.last("ux").over(frame).alias("close_u"),
+    )
+    return (
+        q.groupBy("bar_start", "event_type")
+        .agg(
+            (F.min("open_u").cast("double") / 100.0).alias("open"),
+            (F.max("ux").cast("double") / 100.0).alias("high"),
+            (F.min("ux").cast("double") / 100.0).alias("low"),
+            (F.min("close_u").cast("double") / 100.0).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("bar_start", "event_type")
+    )

@@ -1,0 +1,197 @@
+"""Classic warehouse query shapes over the star fixtures.
+
+The reference's wiki dashboards run rollup queries over its file view
+(/root/reference/src/copy_from_template.py:15-16, 343-356); these are the
+canonical analytics shapes such dashboards generate, expressed Spark-first:
+broadcast the dimensions, keep money math in exact integer units
+(functions/numeric.py), let Catalyst pick join order. Names follow the
+TPC-H queries whose *shape* they mirror (the fixture schema is TPC-H-ish
+but not TPC-H; predicates are adapted to the fixture's value domains).
+
+Every aggregate here is engine-stable by construction: exact int64 unit
+sums, with any final float arithmetic expressed operation-for-operation
+identically in the Spark plan and the DuckDB oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.numeric import (
+    money_units,
+    rate_units,
+    sql_money_units,
+    sql_rate_units,
+    sql_usum,
+    usum,
+)
+from .registry import query
+
+_DISC_U4 = f"{sql_money_units('l_extendedprice')} * (100 - {sql_rate_units('l_discount')})"
+
+
+def _disc_u4():
+    return money_units("l_extendedprice") * (100 - rate_units("l_discount"))
+
+
+# --- Q10 shape: returned-items report (top customers by lost revenue) ------
+
+
+@query(
+    "q_returned_items",
+    sql=f"""
+    SELECT c.c_custkey AS custkey, c.c_name AS cust_name, n.n_name AS nation,
+           COUNT(*) AS n_items,
+           {sql_usum(_DISC_U4, 4, "revenue")}
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, custkey
+    LIMIT 20
+    """,
+)
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: who returned the most revenue. Fact-side filter
+    first (returnflag pushed to the scan), then two broadcast dims and one
+    large join; final TakeOrderedAndProject keeps the shuffle to the
+    aggregate only. Tie-broken by the unique custkey."""
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_items"), usum(_disc_u4(), 4, "revenue"))
+        .orderBy(F.desc("revenue"), "custkey")
+        .limit(20)
+    )
+
+
+# --- Q14 shape: promo revenue share ----------------------------------------
+
+
+@query(
+    "q_promo_revenue",
+    sql=f"""
+    SELECT (100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_DISC_U4} ELSE 0 END) AS DOUBLE))
+             / CAST(SUM({_DISC_U4}) AS DOUBLE) AS promo_pct,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01' AND l.l_shipdate < TIMESTAMP '1998-04-01'
+    """,
+)
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: share of revenue from promo parts in a date window.
+    Conditional aggregate over one broadcast join; the ratio is one IEEE
+    division of two exact integer-unit sums (order-independent)."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    d = _disc_u4()
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                (F.lit(100.0) * F.sum(F.when(F.col("p_type") == "PROMO", d).otherwise(F.lit(0))).cast("double"))
+                / F.sum(d).cast("double")
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --- Q19 shape: disjunctive brand/size/quantity predicate ------------------
+
+
+@query(
+    "q_disjunctive_pred",
+    sql=f"""
+    SELECT {sql_usum(_DISC_U4, 4, "revenue")}, COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 35)
+    """,
+)
+def q_disjunctive_pred(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst splits
+    the common `l_partkey = p_partkey` conjunct out as the join key and
+    keeps the disjunction as a post-join filter; the per-side prunable
+    pieces (p_brand/p_size disjunction, l_quantity range hull) are what an
+    optimizer can push — the plan-shape test asserts the join stays a
+    broadcast hash join rather than a nested-loop."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    b, s = F.col("p_brand"), F.col("p_size")
+    pred = (
+        ((b == "Brand#12") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(10, 30) & q.between(10, 20))
+        | ((b == "Brand#3") & s.between(20, 50) & q.between(20, 35))
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(pred)
+        .agg(usum(_disc_u4(), 4, "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+# --- Q7 shape: volume shipping between nation pairs ------------------------
+
+
+@query(
+    "q_volume_shipping",
+    sql=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           EXTRACT(year FROM l.l_shipdate) AS ship_year,
+           {sql_usum(_DISC_U4, 4, "volume")},
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE sn.n_name < cn.n_name AND l.l_shipdate >= TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume by (supplier nation, customer
+    nation, year). Five joins — four broadcastable dims (supplier, customer,
+    nation twice under different aliases) around the one fact-fact join; the
+    nation inequality cross-filters the pair space."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(usum(_disc_u4(), 4, "volume"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )

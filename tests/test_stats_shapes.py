@@ -1,0 +1,94 @@
+"""Unit/plan tests for the TPC-H-shape queries (queries/tpch_shapes.py) and
+the statistical/sketch aggregates (queries/stats.py). Value-level parity
+with DuckDB is covered by the oracle gate; these assert the *plan shapes*
+and the numeric/structural properties the oracle can't see."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from bridge_analytics_template_spark.queries import QUERIES
+
+
+def test_disjunctive_pred_keeps_hash_join(spark, sf_dir):
+    # The OR-of-ANDs predicate shares the l_partkey=p_partkey conjunct;
+    # Catalyst must extract it as the equi-join key (broadcast hash join),
+    # not fall back to a nested-loop over the disjunction.
+    plan = QUERIES["q_disjunctive_pred"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_volume_shipping_nation_pairs_ordered(spark, sf_dir):
+    rows = QUERIES["q_volume_shipping"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["supp_nation"] < r["cust_nation"] for r in rows)
+
+
+def test_returned_items_only_returnflag_r(spark, sf_dir):
+    out = QUERIES["q_returned_items"](spark, sf_dir)
+    assert out.count() <= 20
+    # revenue strictly ordered desc with unique custkey tiebreak
+    rows = out.collect()
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_regr_exact_matches_numpy(spark, sf_dir):
+    rows = {r["l_returnflag"]: r for r in QUERIES["agg_regr_exact"](spark, sf_dir).collect()}
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    for flag, grp in li.groupby("l_returnflag"):
+        x = np.round(grp["l_quantity"].to_numpy() * 100)
+        y = np.round(grp["l_extendedprice"].to_numpy() * 100)
+        slope, _ = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        got = rows[flag]
+        assert abs(got["slope"] - slope) < 1e-6 * max(1.0, abs(slope))
+        assert abs(got["r2"] - r * r) < 1e-9
+
+
+def test_mad_outliers_bounded(spark, sf_dir):
+    rows = QUERIES["events_mad_outliers"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r["n_outliers"] < r["n"]
+
+
+def test_bitmap_distinct_equals_count_distinct(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from bridge_analytics_template_spark.catalog import load
+
+    got = {r["l_returnflag"]: r["n_orders"] for r in QUERIES["agg_bitmap_distinct"](spark, sf_dir).collect()}
+    want = {
+        r["l_returnflag"]: r["n"]
+        for r in load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    a = {r["l_returnflag"]: r["n_sampled"] for r in QUERIES["s_sample_stratified"](spark, sf_dir).collect()}
+    b = {r["l_returnflag"]: r["n_sampled"] for r in QUERIES["s_sample_stratified"](spark, sf_dir).collect()}
+    assert a == b  # content-hash predicate: identical rows every run
+    # A (~10%) must out-sample N (~2%) relative to stratum sizes
+    from bridge_analytics_template_spark.catalog import load
+
+    totals = {
+        r["l_returnflag"]: r["cnt"]
+        for r in load(spark, sf_dir, "lineitem").groupBy("l_returnflag").count().withColumnRenamed("count", "cnt").collect()
+    }
+    assert a["A"] / totals["A"] > a["N"] / totals["N"]
+
+
+def test_ohlc_bars_invariants(spark, sf_dir):
+    rows = QUERIES["ts_ohlc_bars"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["n"] >= 1
