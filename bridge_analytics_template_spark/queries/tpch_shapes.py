@@ -21,6 +21,7 @@ from ..catalog import load
 from ..functions.numeric import (
     money_units,
     rate_units,
+    sql_money,
     sql_money_units,
     sql_rate_units,
     sql_usum,
@@ -194,4 +195,169 @@ def q_volume_shipping(spark, sf_dir):
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("ship_year"))
         .agg(usum(_disc_u4(), 4, "volume"), F.count(F.lit(1)).alias("n_items"))
         .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+# --- Q15 shape: top supplier by revenue (max-equality join-back) -----------
+
+
+@query(
+    "q_top_supplier",
+    sql=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey, {sql_usum(_DISC_U4, 4, "total_revenue")}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-07-01'
+      GROUP BY 1)
+    SELECT r.suppkey, s.s_name AS supp_name, r.total_revenue
+    FROM rev r JOIN supplier s ON r.suppkey = s.s_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY r.suppkey
+    """,
+)
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) achieving the maximum revenue in a
+    window. The max is an unpartitioned window aggregate over the grouped
+    result (a few thousand supplier rows, NOT the fact table — cheap single
+    partition by then), avoiding a second scan of lineitem for the scalar
+    subquery. Revenue equality is exact: integer-unit sums rescaled by the
+    same single division on both sides."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp"))
+    )
+    from pyspark.sql import Window
+
+    rev = l.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        usum(_disc_u4(), 4, "total_revenue")
+    )
+    top = rev.withColumn("mx", F.max("total_revenue").over(Window.partitionBy())).filter(
+        F.col("total_revenue") == F.col("mx")
+    )
+    s = load(spark, sf_dir, "supplier")
+    return (
+        top.join(F.broadcast(s), F.col("suppkey") == F.col("s_suppkey"))
+        .select("suppkey", F.col("s_name").alias("supp_name"), "total_revenue")
+        .orderBy("suppkey")
+    )
+
+
+# --- Q16 shape: supplier diversity with NOT-IN exclusion -------------------
+
+
+@query(
+    "q_supplier_diversity",
+    sql="""
+    SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS n_suppliers
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size IN (1, 14, 23, 45)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY n_suppliers DESC, p.p_brand, p.p_size
+    """,
+)
+def q_supplier_diversity(spark, sf_dir):
+    """TPC-H Q16 shape: how many distinct (non-excluded) suppliers serve
+    each brand/size bucket. The NOT IN becomes a broadcast anti-join
+    against the tiny excluded-supplier set (no null-key trap: s_suppkey is
+    non-null, so anti-join == NOT IN here)."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 14, 23, 45))
+    excluded = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        l.join(F.broadcast(excluded), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+        .orderBy(F.desc("n_suppliers"), "p_brand", "p_size")
+    )
+
+
+# --- Q17 shape: small-quantity revenue (correlated per-part average) -------
+
+
+@query(
+    "q_small_qty_revenue",
+    sql=f"""
+    WITH pa AS (
+      SELECT l_partkey,
+             COUNT(*) AS n_pp,
+             SUM({sql_money_units('l_quantity')}) AS sq
+      FROM lineitem GROUP BY l_partkey)
+    SELECT {sql_usum(sql_money_units('l.l_extendedprice'), 2, "small_qty_revenue")},
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE 5 * {sql_money_units('l.l_quantity')} * pa.n_pp < pa.sq
+    """,
+)
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from below-one-fifth-of-average-quantity
+    line items. The correlated per-part AVG decorrelates into one grouped
+    aggregate joined back on partkey; `qty < 0.2*avg` is rewritten exact:
+    `5*qty*n < sum` over integer units (no float threshold at the
+    boundary). Both sides reuse the same partkey hash partitioning."""
+    from ..functions.numeric import money_units as mu
+
+    l = load(spark, sf_dir, "lineitem")
+    pa = l.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_pp"), F.sum(mu("l_quantity")).alias("sq")
+    )
+    joined = l.join(pa.withColumnRenamed("l_partkey", "pa_key"), F.col("l_partkey") == F.col("pa_key"))
+    return joined.filter(
+        5 * mu("l_quantity") * F.col("n_pp") < F.col("sq")
+    ).agg(
+        usum(mu("l_extendedprice"), 2, "small_qty_revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# --- Q18 shape: large-volume orders (HAVING on a grouped fact) -------------
+
+
+@query(
+    "q_large_orders",
+    sql=f"""
+    WITH big AS (
+      SELECT l_orderkey, SUM({sql_money_units('l_quantity')}) AS sum_qty_u
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM({sql_money_units('l_quantity')}) > 18000)
+    SELECT c.c_name AS cust_name, o.o_orderkey AS orderkey,
+           CAST(o.o_orderdate AS TIMESTAMP) AS orderdate,
+           {sql_money('o.o_totalprice')} AS totalprice,
+           CAST(big.sum_qty_u AS DOUBLE) / 100.0 AS sum_qty
+    FROM big
+    JOIN orders o ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY totalprice DESC, orderkey
+    LIMIT 20
+    """,
+)
+def q_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: top customers by order value among orders whose
+    total quantity exceeds a threshold. HAVING on the grouped fact first —
+    the aggregate shrinks 60k lineitems to ~1.5k qualifying orders BEFORE
+    any join, so the join inputs are small; exact integer-unit threshold."""
+    from ..functions.numeric import money_units as mu
+
+    l = load(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(mu("l_quantity")).alias("sum_qty_u"))
+        .filter(F.col("sum_qty_u") > 18000)
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_name").alias("cust_name"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("timestamp").alias("orderdate"),
+            F.col("o_totalprice").cast("decimal(12,2)").alias("totalprice"),
+            (F.col("sum_qty_u").cast("double") / 100.0).alias("sum_qty"),
+        )
+        .orderBy(F.desc("totalprice"), "orderkey")
+        .limit(20)
     )

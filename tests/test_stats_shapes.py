@@ -92,3 +92,38 @@ def test_ohlc_bars_invariants(spark, sf_dir):
         assert r["low"] <= r["open"] <= r["high"]
         assert r["low"] <= r["close"] <= r["high"]
         assert r["n"] >= 1
+
+
+def test_top_supplier_is_argmax(spark, sf_dir):
+    rows = QUERIES["q_top_supplier"](spark, sf_dir).collect()
+    assert len(rows) >= 1
+    # every returned supplier carries the same (maximum) revenue
+    assert len({r["total_revenue"] for r in rows}) == 1
+
+
+def test_supplier_diversity_excludes_negative_acctbal(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from bridge_analytics_template_spark.catalog import load
+
+    out = QUERIES["q_supplier_diversity"](spark, sf_dir)
+    # upper bound: distinct supplier count can never exceed the non-excluded
+    # supplier population
+    n_ok = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") >= 0).count()
+    assert all(r["n_suppliers"] <= n_ok for r in out.collect())
+
+
+def test_small_qty_revenue_subset_of_total(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from bridge_analytics_template_spark.catalog import load
+
+    r = QUERIES["q_small_qty_revenue"](spark, sf_dir).collect()[0]
+    total = load(spark, sf_dir, "lineitem").count()
+    assert 0 < r["n_items"] < total
+
+
+def test_large_orders_threshold(spark, sf_dir):
+    rows = QUERIES["q_large_orders"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["sum_qty"] > 180.0 for r in rows)
