@@ -395,3 +395,20 @@ def llm_simjoin_prefix(spark, sf_dir):
         .select("doc_a", "doc_b", "n_inter", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query("llm_semdedup")
+def llm_semdedup(spark, sf_dir):
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): k-means shards the
+    embedding space, one applyInPandas GEMM block per cluster marks
+    within-cluster cosine near-dups, greedy keep-first by id. Rows-only:
+    the k-means assignment is iterative (not SQL-expressible); the unit
+    test asserts the keep-rule invariants and determinism."""
+    from ..llm.semdedup import semdedup
+
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        semdedup(e, threshold=0.95, k=8, iterations=3)
+        .orderBy("vec_id")
+        .select("vec_id", "cluster", "keep")
+    )

@@ -496,3 +496,31 @@ def f_map_transform(spark, sf_dir):
         F.element_at(zipped, "chars").alias("zipped_sum"),
         F.element_at(parsed, "lang").alias("parsed_lang"),
     ).orderBy("doc_id")
+
+
+@query(
+    "f_collation",
+    sql="""
+    SELECT lower(CASE WHEN o_orderkey % 2 = 0 THEN o_orderpriority ELSE lower(o_orderpriority) END) AS priority,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def f_collation(spark, sf_dir):
+    """Collation-aware grouping (Spark 4 `collate`): group a mixed-case
+    column under UTF8_LCASE so 'URGENT' and 'urgent' are one group —
+    collation is an attribute of the comparison, not a lower() rewrite of
+    the data. The emitted key is lower(representative): representative
+    choice within a collation group is engine-arbitrary, its lowercase
+    form is not."""
+    o = load(spark, sf_dir, "orders")
+    mixed = F.when(F.col("o_orderkey") % 2 == 0, F.col("o_orderpriority")).otherwise(
+        F.lower(F.col("o_orderpriority"))
+    )
+    return (
+        o.select(F.collate(mixed, "UTF8_LCASE").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lower(F.col("k")).alias("priority"), "n")
+        .orderBy("priority")
+    )

@@ -190,3 +190,30 @@ def train_bpe_merges(spark, sf_dir):
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
         "rank int, sym_a string, sym_b string, cnt long",
     )
+
+
+@query(
+    "train_shuffle_order",
+    sql="""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) - 1 AS global_pos,
+           (CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) - 1) % 4 AS shard
+    FROM documents ORDER BY doc_id
+    """,
+)
+def train_shuffle_order(spark, sf_dir):
+    """Deterministic global shuffle for training-data ordering: rank every
+    doc by a content hash (md5 of its id) — an engine- and
+    partitioning-independent permutation, unlike any seeded
+    ``df.orderBy(rand())``. Round-robin sharding off the global position
+    spreads consecutive hash-ranked docs across output shards. The global
+    row_number is the scale caveat: one ordered pass (range partitioner +
+    per-partition offsets via operators/rowids.py is the 100-TB path;
+    Spark's window here collapses to one partition, fine to ~1e8 rows)."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    pos = F.row_number().over(w).cast("long") - 1
+    return (
+        d.select("doc_id", pos.alias("global_pos"), (pos % 4).alias("shard"))
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,48 @@
+"""SemDeDup keep-rule invariants (llm/semdedup.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from bridge_analytics_template_spark.catalog import load
+from bridge_analytics_template_spark.llm.semdedup import semdedup
+
+THRESHOLD = 0.95
+
+
+def _cos(a, b):
+    na, nb = np.linalg.norm(a), np.linalg.norm(b)
+    return float(a @ b / ((na or 1.0) * (nb or 1.0)))
+
+
+def test_semdedup_invariants_and_determinism(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    out1 = {r["vec_id"]: (r["cluster"], r["keep"]) for r in semdedup(e, THRESHOLD).collect()}
+    out2 = {r["vec_id"]: (r["cluster"], r["keep"]) for r in semdedup(e, THRESHOLD).collect()}
+    assert out1 == out2  # hash-seeded k-means + greedy-by-id: fully deterministic
+    assert len(out1) == e.count()  # partitioning: every vector classified once
+    assert any(k for _, (_, k) in out1.items())  # something kept
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in e.collect()}
+    # Every dropped vector must have a KEPT lower-id near-dup in its cluster;
+    # every kept pair within a cluster must be below the threshold ONLY when
+    # the earlier one is kept (greedy rule, not a clique rule).
+    by_cluster: dict[int, list[int]] = {}
+    for vid, (cl, _) in sorted(out1.items()):
+        by_cluster.setdefault(cl, []).append(vid)
+    n_dropped = 0
+    for cl, ids in by_cluster.items():
+        for i, vid in enumerate(ids):
+            if out1[vid][1]:
+                continue
+            n_dropped += 1
+            assert any(
+                out1[w][1] and _cos(vecs[w], vecs[vid]) >= THRESHOLD
+                for w in ids[:i]
+            ), f"dropped {vid} has no kept near-dup predecessor"
+    # kept set is an independent set under the greedy order
+    for cl, ids in by_cluster.items():
+        kept = [v for v in ids if out1[v][1]]
+        for i in range(len(kept)):
+            for j in range(i + 1, len(kept)):
+                assert _cos(vecs[kept[i]], vecs[kept[j]]) < THRESHOLD

@@ -177,3 +177,14 @@ def test_incremental_rollup_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_sliding_equals_batch(spark, sf_dir):
+    """T2: sliding-window counts, streaming execution == batch execution."""
+    from bridge_analytics_template_spark.streaming.windows import sliding_counts
+
+    stream_out = run_to_memory(sliding_counts(stream_events(spark, sf_dir)), "complete")
+    batch_out = sliding_counts(load(spark, sf_dir, "events"))
+    a = {(r["window_start"], r["event_type"]): r["n"] for r in stream_out.collect()}
+    b = {(r["window_start"], r["event_type"]): r["n"] for r in batch_out.collect()}
+    assert a == b and len(a) > 0
