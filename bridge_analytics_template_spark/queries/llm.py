@@ -412,3 +412,19 @@ def llm_semdedup(spark, sf_dir):
         .orderBy("vec_id")
         .select("vec_id", "cluster", "keep")
     )
+
+
+@query("llm_dedup_minhash_ml")
+def llm_dedup_minhash_ml(spark, sf_dir):
+    """L2 via pyspark.ml (HashingTF + MinHashLSH.approxSimilarityJoin) —
+    the MLlib-native build of the MinHash path. Rows-only (LSH candidate
+    sets are probabilistic); the unit test bounds recall against the exact
+    Jaccard pairs."""
+    from ..llm.ml_lsh import minhash_near_dups_ml
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        minhash_near_dups_ml(d, max_jaccard_distance=0.7, shingle_words=5)
+        .select("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b")
+    )

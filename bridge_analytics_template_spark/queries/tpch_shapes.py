@@ -361,3 +361,54 @@ def q_large_orders(spark, sf_dir):
         .orderBy(F.desc("totalprice"), "orderkey")
         .limit(20)
     )
+
+
+# --- Q22 shape: sales opportunity (above-avg balance, never ordered) -------
+
+
+@query(
+    "q_sales_opportunity",
+    sql=f"""
+    WITH pos AS (
+      SELECT COUNT(*) AS n_pos, SUM({sql_money_units('c_acctbal')}) AS s_pos
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_cust,
+           {sql_usum(sql_money_units('c.c_acctbal'), 2, "total_bal")}
+    FROM customer c, pos
+    WHERE {sql_money_units('c.c_acctbal')} * pos.n_pos > pos.s_pos
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1998-06-01')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: dormant high-value customers — above-average
+    positive balance and no order since mid-1998 (every fixture customer
+    has *some* order, so the classic never-ordered predicate is vacuous;
+    recency keeps the anti-join selective). The scalar average broadcasts
+    as a 1-row cross join; `bal > avg(pos)` is exact integer
+    `bal_u * n > sum_u`; the NOT EXISTS is an anti-join on custkey."""
+    from ..functions.numeric import money_units as mu
+
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).alias("n_pos"), F.sum(mu("c_acctbal")).alias("s_pos")
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(mu("c_acctbal") * F.col("n_pos") > F.col("s_pos"))
+        .join(
+            o.filter(F.col("o_orderdate") >= F.lit("1998-06-01").cast("timestamp")).select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            usum(mu("c_acctbal"), 2, "total_bal"),
+        )
+        .orderBy("mktsegment")
+    )

@@ -46,3 +46,34 @@ def test_semdedup_invariants_and_determinism(spark, sf_dir):
         for i in range(len(kept)):
             for j in range(i + 1, len(kept)):
                 assert _cos(vecs[kept[i]], vecs[kept[j]]) < THRESHOLD
+
+
+def test_ml_lsh_recall_vs_exact_jaccard(spark, sf_dir):
+    """MLlib MinHashLSH must recover ≥90% of the exact Jaccard≥0.5 pairs
+    (the planted near-dups) within distance ≤ 0.7 (i.e. similarity ≥ 0.3)."""
+    from bridge_analytics_template_spark.llm.dedup import _shingle_arrays, exact_jaccard_pairs
+    from bridge_analytics_template_spark.llm.ml_lsh import minhash_near_dups_ml
+
+    d = load(spark, sf_dir, "documents")
+    sh = _shingle_arrays(d, "text", "doc_id", shingle_words=5)
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in exact_jaccard_pairs(sh, min_jaccard=0.5).collect()
+    }
+    assert exact, "fixture should contain planted near-dups"
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_dups_ml(d, max_jaccard_distance=0.7, shingle_words=5).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.2f}"
+
+
+def test_sales_opportunity_excludes_order_placers(spark, sf_dir):
+    from bridge_analytics_template_spark.queries import QUERIES
+
+    rows = QUERIES["q_sales_opportunity"](spark, sf_dir).collect()
+    assert len(rows) > 0  # at least one dormant high-balance customer
+    total = sum(r["n_cust"] for r in rows)
+    n_customers = load(spark, sf_dir, "customer").count()
+    assert 0 < total < n_customers
