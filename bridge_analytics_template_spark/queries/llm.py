@@ -428,3 +428,32 @@ def llm_dedup_minhash_ml(spark, sf_dir):
         .select("doc_a", "doc_b")
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query("llm_cluster_topics")
+def llm_cluster_topics(spark, sf_dir):
+    """Corpus topic discovery: k-means the embedding space, then surface
+    each cluster's top-3 terms by frequency (len≥4 tokens, deterministic
+    (count, term) tie-break). The composite the curation loop actually
+    runs — cluster assignments come from llm/kmeans.py's zero-shuffle
+    Lloyd's loop, term ranking is one hash aggregate + WindowGroupLimit
+    top-k per cluster. Rows-only: k-means is iterative, not
+    SQL-expressible."""
+    from ..llm.kmeans import kmeans_assign
+
+    e = load(spark, sf_dir, "embeddings")
+    d = load(spark, sf_dir, "documents")
+    assigned = kmeans_assign(e, k=8, iterations=3)
+    toks = (
+        d.join(assigned, d.doc_id == assigned.vec_id)
+        .select("cluster", F.explode(F.split(F.lower("text"), r"[^a-z]+")).alias("term"))
+        .filter(F.length("term") >= 4)
+    )
+    counts = toks.groupBy("cluster", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("cluster").orderBy(F.desc("n"), "term")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("cluster", "term", "n", "rank")
+        .orderBy("cluster", "rank")
+    )

@@ -524,3 +524,32 @@ def f_collation(spark, sf_dir):
         .select(F.lower(F.col("k")).alias("priority"), "n")
         .orderBy("priority")
     )
+
+
+@query(
+    "f_interval",
+    sql="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 90 MINUTE AS plus_90m,
+           o_orderdate + INTERVAL 7 DAY AS plus_7d,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS TIMESTAMP) AS plus_2mo,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_95
+    FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey
+    """,
+)
+def f_interval(spark, sf_dir):
+    """Interval arithmetic family: timestamp +/- calendar intervals
+    (minute/day/month — month addition clamps to month end identically on
+    both engines) and exact day distances. months_between and
+    sub-day boundary-crossing counts are deliberately absent: their
+    fractional/crossing semantics differ across engines."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return o.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 MINUTES")).alias("plus_90m"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("plus_7d"),
+        F.add_months(F.to_date("o_orderdate"), 2).cast("timestamp").alias("plus_2mo"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_95"),
+    ).orderBy("o_orderkey")

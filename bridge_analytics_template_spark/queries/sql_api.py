@@ -361,3 +361,56 @@ def sql_pipe_revenue(spark, sf_dir):
         |> SELECT l_returnflag, n_items, revenue
         """
     )
+
+
+@query(
+    "join_lateral_topn",
+    sql="""
+    SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey,
+           CAST(t.o_totalprice AS DECIMAL(12,2)) AS totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    ORDER BY custkey, orderkey
+    """,
+)
+def join_lateral_topn(spark, sf_dir):
+    """LATERAL correlated subquery join (Spark 3.2+): top-2 orders per
+    customer written as a per-row subquery. Catalyst decorrelates it into
+    the same window top-k plan as `w_topk_per_group` — the LATERAL text
+    form is the operator under test; the unique (o_totalprice, o_orderkey)
+    ordering makes the top-2 deterministic."""
+    register_views(spark, sf_dir, tables=("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey,
+               CAST(t.o_totalprice AS DECIMAL(12,2)) AS totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        ORDER BY custkey, orderkey
+        """
+    )
+
+
+@query(
+    "sql_group_by_all",
+    sql="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+    FROM lineitem GROUP BY ALL ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def sql_group_by_all(spark, sf_dir):
+    """GROUP BY ALL (infer grouping keys from the non-aggregate select
+    list) — identical text runs on both engines."""
+    register_views(spark, sf_dir, tables=("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+        FROM lineitem GROUP BY ALL ORDER BY l_returnflag, l_linestatus
+        """
+    )

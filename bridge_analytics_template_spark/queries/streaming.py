@@ -404,3 +404,43 @@ def events_time_weighted_avg(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "t_session_native_batch",
+    sql="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR date_diff('microsecond', LAG(ts) OVER w, ts) > 300000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessioned AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM flagged)
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           COUNT(*) AS n_events
+    FROM sessioned GROUP BY user_id, session_seq ORDER BY user_id, session_start
+    """,
+)
+def t_session_native_batch(spark, sf_dir):
+    """T3 via the NATIVE `session_window` aggregate run in batch mode — the
+    same physical operator the streaming form uses (merging session state),
+    oracle-checked against the lag+cumsum island formulation. One shuffle
+    on user_id; the session merge happens inside the aggregate."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

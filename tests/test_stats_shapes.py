@@ -127,3 +127,37 @@ def test_large_orders_threshold(spark, sf_dir):
     rows = QUERIES["q_large_orders"](spark, sf_dir).collect()
     assert len(rows) > 0
     assert all(r["sum_qty"] > 180.0 for r in rows)
+
+
+def test_lateral_topn_matches_window_topk(spark, sf_dir):
+    """LATERAL correlated subquery == window row_number top-k."""
+    from pyspark.sql import Window, functions as F
+
+    from bridge_analytics_template_spark.catalog import load
+
+    got = {
+        (r["custkey"], r["orderkey"])
+        for r in QUERIES["join_lateral_topn"](spark, sf_dir).collect()
+    }
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    want = {
+        (r["o_custkey"], r["o_orderkey"])
+        for r in o.withColumn("rn", F.row_number().over(w)).filter("rn <= 2").collect()
+    }
+    assert got == want
+
+
+def test_cluster_topics_shape(spark, sf_dir):
+    rows1 = QUERIES["llm_cluster_topics"](spark, sf_dir).collect()
+    rows2 = QUERIES["llm_cluster_topics"](spark, sf_dir).collect()
+    assert [tuple(r) for r in rows1] == [tuple(r) for r in rows2]  # deterministic
+    per_cluster = {}
+    for r in rows1:
+        per_cluster.setdefault(r["cluster"], []).append(r)
+    for cl, rs in per_cluster.items():
+        assert 1 <= len(rs) <= 3
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        # counts are non-increasing with rank
+        ns = [r["n"] for r in rs]
+        assert ns == sorted(ns, reverse=True)
