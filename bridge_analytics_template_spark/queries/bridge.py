@@ -159,3 +159,52 @@ def bridge_validate(spark, sf_dir):
         not_null("text"),
     ]
     return validate(d, rules, unique_cols=["doc_id"])
+
+
+@query(
+    "bridge_acl_copy",
+    sql="""
+    WITH source_acl AS (
+      SELECT s_nationkey AS entity_id, s_suppkey AS principal_id, 'read' AS access
+      FROM supplier),
+    copied AS (
+      SELECT entity_id, principal_id, access FROM source_acl
+      WHERE principal_id NOT IN (7, 11, 13)),
+    granted AS (
+      SELECT entity_id, principal_id, access FROM copied
+      UNION ALL
+      SELECT DISTINCT entity_id, -1 AS principal_id, 'admin' AS access FROM source_acl)
+    SELECT entity_id, COUNT(*) AS n_grants,
+           SUM(CASE WHEN access = 'admin' THEN 1 ELSE 0 END) AS n_admin
+    FROM granted GROUP BY entity_id ORDER BY entity_id
+    """,
+)
+def bridge_acl_copy(spark, sf_dir):
+    """ACL copy-with-exception (reference semantics:
+    /root/reference/src/copy_from_template.py:244-277 — copy the
+    benefactor's ACL, *skipping* the excluded principal's entries
+    (:253-255), then add the service's own grant (:256-261)). Mapped onto
+    the fixture: suppliers are grants (nation = entity), three principals
+    are excluded, and one admin grant per entity is appended. Exclusion is
+    a pushed-down NOT IN filter; the append is a unionByName of a
+    distinct-entity projection — no join anywhere."""
+    s = load(spark, sf_dir, "supplier")
+    source_acl = s.select(
+        F.col("s_nationkey").alias("entity_id"),
+        F.col("s_suppkey").alias("principal_id"),
+        F.lit("read").alias("access"),
+    )
+    copied = source_acl.filter(~F.col("principal_id").isin(7, 11, 13))
+    new_grants = (
+        source_acl.select("entity_id").distinct()
+        .select("entity_id", F.lit(-1).alias("principal_id"), F.lit("admin").alias("access"))
+    )
+    granted = copied.unionByName(new_grants)
+    return (
+        granted.groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grants"),
+            F.sum(F.when(F.col("access") == "admin", 1).otherwise(0)).alias("n_admin"),
+        )
+        .orderBy("entity_id")
+    )

@@ -262,3 +262,44 @@ def ts_ohlc_bars(spark, sf_dir):
         )
         .orderBy("bar_start", "event_type")
     )
+
+
+# --- Vector-column profiling ----------------------------------------------
+
+
+@query(
+    "profile_embeddings",
+    sql="""
+    SELECT label,
+           COUNT(*) AS n,
+           MIN(len(embedding)) AS dim_min,
+           MAX(len(embedding)) AS dim_max,
+           CAST(SUM(CAST(floor(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1000) AS BIGINT)) AS DOUBLE)
+             / (1000.0 * COUNT(*)) AS avg_norm_q
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+)
+def profile_embeddings(spark, sf_dir):
+    """Vector-column profiling for dataset cards: per-label count,
+    dimension bounds (a ragged embedding column is a pipeline bug), and
+    mean L2 norm. The norm is quantized (floor at 1e-3) BEFORE the
+    cross-row mean — the in-row fold runs in identical sequential order on
+    both engines, but the cross-row sum would not (NOTES.md float
+    discipline)."""
+    e = load(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norm_q = F.floor(F.sqrt(sq_sum) * 1000).cast("long")
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.size("embedding")).alias("dim_min"),
+            F.max(F.size("embedding")).alias("dim_max"),
+            (F.sum(norm_q).cast("double") / (F.lit(1000.0) * F.count(F.lit(1)))).alias("avg_norm_q"),
+        )
+        .orderBy("label")
+    )

@@ -444,3 +444,29 @@ def t_session_native_batch(spark, sf_dir):
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "t_window_distinct_users",
+    sql="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def t_window_distinct_users(spark, sf_dir):
+    """Windowed distinct cardinality — the per-window unique-actor count
+    every dashboard wants. Exact COUNT(DISTINCT) expands to a two-level
+    aggregate (distinct-ize on (window, user), then count); at 100 TB the
+    drop-in is approx_count_distinct (single pass, mergeable HLL state —
+    see agg_hll_sketch for the sketch-union form)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").start.alias("window_start"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("window_start")
+    )
