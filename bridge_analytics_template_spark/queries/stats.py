@@ -303,3 +303,70 @@ def profile_embeddings(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+# --- Skew-proof aggregation and join under the driver's gate ----------------
+
+
+@query(
+    "agg_salted_skew",
+    sql="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_salted_skew(spark, sf_dir):
+    """Two-phase salted aggregation (operators/skew.py) under the oracle:
+    phase 1 aggregates on (key, salt) so a hot key spreads over 32
+    reducers, phase 2 merges per key — same result as the plain group-by
+    because count/sum are algebraic. The 3-key returnflag column is the
+    worst case salting is built for: 3 reducers do all the work unsalted."""
+    from ..functions.numeric import money_units
+    from ..operators.skew import salted_agg
+
+    l = load(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        l,
+        keys=["l_returnflag"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money_units("l_quantity")).alias("sq"),
+        ],
+        merges=[F.sum("n").alias("n"), F.sum("sq").alias("sq")],
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        (F.col("sq").cast("double") / 100.0).alias("sum_qty"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "join_salted_skew",
+    sql="""
+    SELECT o.o_orderpriority, COUNT(*) AS n
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """Salted fact×dim equi-join (operators/skew.py): the fact side gets a
+    row-local salt (no shuffle to assign), the dim side replicates
+    salt_buckets× via an in-row explode, and the join key becomes
+    (key, salt) — a hot orderkey's rows land on 16 reducers instead of
+    one. Oracle = the plain join; result identity is the correctness
+    claim."""
+    from ..operators.skew import salted_join
+
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(l, o, on=["l_orderkey"], salt_buckets=16)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority")
+    )

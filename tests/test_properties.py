@@ -157,3 +157,42 @@ def test_minhash_signature_union_is_elementwise_min(spark, sa, sb):
     )
     sigs = {r["doc"]: r["sig"] for r in minhash_signatures(df, num_perm=16).collect()}
     assert sigs[2] == [min(x, y) for x, y in zip(sigs[0], sigs[1])]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 2000)),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_native_session_window_equals_islands(spark, rows):
+    """Batch session_window == lag+cumsum islands on arbitrary event sets.
+
+    Timestamps step in 1_000_003-µs units (prime), so no inter-event gap
+    ever equals the 300 s boundary exactly — the two formulations may
+    legitimately differ only AT the boundary (window-merge is exclusive,
+    the island rule's `>` is inclusive)."""
+    from pyspark.sql import functions as F
+
+    from bridge_analytics_template_spark.streaming.windows import sessionize_batch
+
+    df = spark.createDataFrame(
+        [(u, k * 1_000_003, i) for i, (u, k) in enumerate(sorted(rows))],
+        "user_id long, micros long, event_id long",
+    ).select("user_id", F.timestamp_micros(F.col("micros")).alias("ts"), "event_id")
+
+    native = {
+        (r["user_id"], r["session_start"], r["n"])
+        for r in df.groupBy(F.session_window("ts", "5 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "n")
+        .collect()
+    }
+    islands = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in sessionize_batch(df, gap_seconds=300).collect()
+    }
+    assert native == islands
