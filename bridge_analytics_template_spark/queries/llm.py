@@ -457,3 +457,33 @@ def llm_cluster_topics(spark, sf_dir):
         .select("cluster", "term", "n", "rank")
         .orderBy("cluster", "rank")
     )
+
+
+@query(
+    "llm_pretokenize_regex",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+') AS tk
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct
+    FROM toks ORDER BY doc_id
+    """,
+)
+def llm_pretokenize_regex(spark, sf_dir):
+    """BPE-style regex pre-tokenization (the GPT-2 splitter's RE2-safe
+    core: letter runs | digit runs | punctuation runs): per-doc token and
+    distinct-token counts, computed entirely in-row (no explode, no
+    shuffle; the ORDER BY is the only exchange). The token stream this
+    induces is what train_bpe_merges consumes."""
+    d = load(spark, sf_dir, "documents")
+    tk = F.expr(r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+', 0)")
+    return (
+        d.select(
+            "doc_id",
+            F.size(tk).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(tk)).cast("long").alias("n_distinct"),
+        )
+        .orderBy("doc_id")
+    )
