@@ -412,3 +412,77 @@ def q_sales_opportunity(spark, sf_dir):
         )
         .orderBy("mktsegment")
     )
+
+
+# --- Q4 shape: order priority checking (grouped EXISTS) --------------------
+
+
+@query(
+    "q_priority_checking",
+    sql="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_priority_checking(spark, sf_dir):
+    """TPC-H Q4 shape: orders per priority having at least one late
+    line item (shipped >60 days after order). The EXISTS with a
+    cross-relation inequality becomes a left-semi join whose non-equi
+    conjunct rides the equi-join as a post-probe filter — still a hash
+    semi-join on orderkey, never a nested loop."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- Q6 shape: forecast revenue change (pure scan-filter-aggregate) --------
+
+
+@query(
+    "q_forecast_revenue",
+    sql=f"""
+    SELECT {sql_usum(f"{sql_money_units('l_extendedprice')} * {sql_rate_units('l_discount')}", 4, "revenue_delta")},
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: the simplest full-scan aggregate — every predicate
+    pushes to the parquet scan (shipdate range, discount band, quantity
+    cap all appear in PushedFilters), no join, no groupBy keys: partial
+    sums combine into a single row with no hash table. The discount-band
+    boundary compares the raw double column against exact literals, which
+    both engines evaluate identically."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            usum(money_units("l_extendedprice") * rate_units("l_discount"), 4, "revenue_delta"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -161,3 +161,16 @@ def test_cluster_topics_shape(spark, sf_dir):
         # counts are non-increasing with rank
         ns = [r["n"] for r in rs]
         assert ns == sorted(ns, reverse=True)
+
+
+def test_priority_checking_semi_join_plan(spark, sf_dir):
+    plan = QUERIES["q_priority_checking"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_forecast_revenue_single_row(spark, sf_dir):
+    rows = QUERIES["q_forecast_revenue"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_items"] > 0
+    assert rows[0]["revenue_delta"] > 0
