@@ -46,3 +46,17 @@ def scd2_close_and_insert(
     )
     opened = source.withColumn(valid_to_col, F.lit(None).cast(target.schema[valid_to_col].dataType))
     return closed.unionByName(opened.select(*closed.columns))
+
+
+def merge_apply_cdc(
+    target: DataFrame, cdc: DataFrame, keys: list[str], op_col: str = "op"
+) -> DataFrame:
+    """Full CDC apply: ``cdc`` rows carry an op marker — ``'U'``/``'I'``
+    rows win on their key (upsert), ``'D'`` rows delete their key. One
+    anti-join removes every CDC-touched key from the target (updated AND
+    deleted — both stop passing through), then the non-delete CDC rows
+    union in. Same single-shuffle-per-side shape as :func:`merge_upsert`;
+    deletes are free (they only enlarge the anti-join's build side)."""
+    untouched = target.join(cdc.select(*keys), keys, "left_anti")
+    surviving = cdc.filter(F.col(op_col) != "D").select(*target.columns)
+    return untouched.unionByName(surviving)

@@ -370,3 +370,61 @@ def join_salted_skew(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("o_orderpriority")
     )
+
+
+# --- CDC merge with deletes ------------------------------------------------
+
+
+@query(
+    "merge_cdc_deletes",
+    sql="""
+    WITH target AS (
+      SELECT o_orderkey, o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_u
+      FROM orders WHERE o_orderkey < 12000),
+    cdc AS (
+      SELECT o_orderkey,
+             o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) + 100 AS price_u,
+             CASE WHEN o_orderkey % 10 < 2 THEN 'D'
+                  WHEN o_orderkey < 12000 THEN 'U' ELSE 'I' END AS op
+      FROM orders WHERE o_orderkey >= 11000 AND o_orderkey < 12500),
+    merged AS (
+      SELECT t.* FROM target t WHERE NOT EXISTS (SELECT 1 FROM cdc c WHERE c.o_orderkey = t.o_orderkey)
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, price_u FROM cdc WHERE op <> 'D')
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(price_u) AS DOUBLE) / 100.0 AS total_price
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def merge_cdc_deletes(spark, sf_dir):
+    """CDC apply with deletes (operators/merge.py::merge_apply_cdc): a
+    change feed of updates (+1.00 price), inserts, and deletes (key%10<2)
+    against an orders snapshot. Deletes ride the same anti-join that
+    removes updated keys — no extra pass. Output is the post-merge
+    per-status rollup, value-checked against the set-algebra formulation."""
+    from ..functions.numeric import money_units
+    from ..operators.merge import merge_apply_cdc
+
+    o = load(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_orderstatus", money_units("o_totalprice").alias("price_u"))
+    target = base.filter(F.col("o_orderkey") < 12000)
+    cdc = (
+        base.filter((F.col("o_orderkey") >= 11000) & (F.col("o_orderkey") < 12500))
+        .withColumn("price_u", F.col("price_u") + 100)
+        .withColumn(
+            "op",
+            F.when(F.col("o_orderkey") % 10 < 2, "D")
+            .when(F.col("o_orderkey") < 12000, "U")
+            .otherwise("I"),
+        )
+    )
+    merged = merge_apply_cdc(target, cdc, keys=["o_orderkey"])
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("price_u").cast("double") / 100.0).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

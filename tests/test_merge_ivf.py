@@ -63,3 +63,17 @@ def test_ivf_deterministic(spark, sf_dir):
     a = [(r["query_id"], r["neighbor_id"], r["rank"]) for r in ivf_knn(q, e, k=3).collect()]
     b = [(r["query_id"], r["neighbor_id"], r["rank"]) for r in ivf_knn(q, e, k=3).collect()]
     assert sorted(a) == sorted(b)
+
+
+def test_merge_apply_cdc_semantics(spark):
+    """U rows replace, I rows insert, D rows remove — exact key algebra."""
+    from bridge_analytics_template_spark.operators.merge import merge_apply_cdc
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    cdc = spark.createDataFrame(
+        [(2, "B", "U"), (3, None, "D"), (4, "d", "I")], "k long, v string, op string"
+    )
+    got = {(r["k"], r["v"]) for r in merge_apply_cdc(target, cdc, ["k"]).collect()}
+    assert got == {(1, "a"), (2, "B"), (4, "d")}
