@@ -486,3 +486,71 @@ def q_forecast_revenue(spark, sf_dir):
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# --- Q8 shape: national market share ---------------------------------------
+
+
+@query(
+    "q_market_share",
+    sql=f"""
+    WITH sales AS (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS order_year,
+             sn.n_name AS supp_nation,
+             {sql_money_units('l.l_extendedprice')} * (100 - {sql_rate_units('l.l_discount')}) AS rev_u4
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region r ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE r.r_name = 'ASIA')
+    SELECT CAST(order_year AS BIGINT) AS order_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_u4 ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(rev_u4) AS DOUBLE) AS mkt_share,
+           COUNT(*) AS n_items
+    FROM sales GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one supplier nation's share of a region's market by
+    year. Six joins — five broadcast dims (customer, nation×2, region,
+    supplier) around the lineitem⋈orders fact join; the share is one IEEE
+    division of two exact integer-unit sums per year. The region filter
+    prunes through TWO join hops (region → customer-nation → customer →
+    orders) before the fact join — the join-order freedom Catalyst's CBO
+    exists for."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    rev = _disc_u4()
+    sales = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.col("supp_nation"),
+            rev.alias("rev_u4"),
+        )
+    )
+    return (
+        sales.groupBy("order_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("rev_u4")).otherwise(F.lit(0))).cast("double")
+                / F.sum("rev_u4").cast("double")
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("order_year")
+    )

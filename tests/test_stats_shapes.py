@@ -174,3 +174,11 @@ def test_forecast_revenue_single_row(spark, sf_dir):
     assert len(rows) == 1
     assert rows[0]["n_items"] > 0
     assert rows[0]["revenue_delta"] > 0
+
+
+def test_market_share_bounded(spark, sf_dir):
+    rows = QUERIES["q_market_share"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r["mkt_share"] <= 1.0
+        assert r["n_items"] > 0
