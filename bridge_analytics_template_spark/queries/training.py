@@ -217,3 +217,66 @@ def train_shuffle_order(spark, sf_dir):
         d.select("doc_id", pos.alias("global_pos"), (pos % 4).alias("shard"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "train_seq_length_stats",
+    sql="""
+    WITH t AS (
+      SELECT lang, len(string_split(trim(text), ' ')) AS n_toks FROM documents)
+    SELECT lang, COUNT(*) AS n_docs,
+           MIN(n_toks) AS min_toks, MAX(n_toks) AS max_toks,
+           quantile_cont(n_toks, 0.5) AS p50_toks,
+           quantile_cont(n_toks, 0.9) AS p90_toks
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def train_seq_length_stats(spark, sf_dir):
+    """Sequence-length distribution per language — the diagnostic that
+    sizes packing budgets (llm/packing.py) and context-window chunking.
+    Exact interpolated percentiles over integer token counts (Spark
+    `percentile` == DuckDB `quantile_cont`); whitespace token counts are
+    computed in-row."""
+    d = load(spark, sf_dir, "documents")
+    n_toks = F.size(F.split(F.trim("text"), " "))
+    return (
+        d.select("lang", n_toks.alias("n_toks"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_toks").alias("min_toks"),
+            F.max("n_toks").alias("max_toks"),
+            F.percentile("n_toks", 0.5).alias("p50_toks"),
+            F.percentile("n_toks", 0.9).alias("p90_toks"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "train_length_histogram",
+    sql="""
+    SELECT lang,
+           CAST(CASE WHEN n_chars >= 4000 THEN 9
+                     ELSE CAST(FLOOR(n_chars / 500.0) AS INTEGER) + 1 END AS INTEGER) AS bucket,
+           COUNT(*) AS n
+    FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def train_length_histogram(spark, sf_dir):
+    """Per-language document-length histogram (equi-width buckets over
+    n_chars) — the shape every data card plots; one hash aggregate. Spark
+    side uses width_bucket(0, 4000, 8); DuckDB has no width_bucket, so the
+    oracle spells out the same floor(v/500)+1 with a 4000+ overflow bucket
+    (n_chars ≥ 0 always, so the underflow bucket is provably empty; the
+    500.0 step divides exactly)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            F.width_bucket("n_chars", F.lit(0), F.lit(4000), F.lit(8)).cast("int").alias("bucket"),
+        )
+        .groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "bucket")
+    )
