@@ -188,3 +188,73 @@ def test_stream_sliding_equals_batch(spark, sf_dir):
     a = {(r["window_start"], r["event_type"]): r["n"] for r in stream_out.collect()}
     b = {(r["window_start"], r["event_type"]): r["n"] for r in batch_out.collect()}
     assert a == b and len(a) > 0
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """T4: an event older than (max seen ts - watermark) arriving in a
+    LATER micro-batch is dropped from an append-mode windowed aggregate.
+    Two files + maxFilesPerTrigger=1 force two batches: batch 1 advances
+    the watermark past the late event's window; batch 2's late row must
+    not resurrect it."""
+    import uuid
+
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    on_time = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": [base, base + pd.Timedelta(hours=2)],
+            "user_id": [10, 11],
+        }
+    )
+    filler = pd.DataFrame(
+        {"event_id": [9], "ts": [base + pd.Timedelta(hours=2, minutes=30)], "user_id": [13]}
+    )
+    late = pd.DataFrame(
+        {"event_id": [3], "ts": [base + pd.Timedelta(minutes=5)], "user_id": [12]}
+    )
+    # micro-precision timestamps: the session's nanosAsLong conf would
+    # otherwise surface pandas' default nanos as INT64. A watermark
+    # computed from batch N's data takes effect in batch N+1 (one-batch
+    # lag, measured), so the late row rides the THIRD batch: a advances
+    # max event time, b lets the 01:50 watermark become effective, c is
+    # late. FileStreamSource orders batches by mtime.
+    import os, time
+
+    on_time.to_parquet(src / "a.parquet", index=False, coerce_timestamps="us")
+    filler.to_parquet(src / "b.parquet", index=False, coerce_timestamps="us")
+    late.to_parquet(src / "c.parquet", index=False, coerce_timestamps="us")
+    now = time.time()
+    os.utime(src / "a.parquet", (now - 120, now - 120))
+    os.utime(src / "b.parquet", (now - 60, now - 60))
+    os.utime(src / "c.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(src))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .count()
+        .select(F.col("window.start").alias("ws"), "count")
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = {(r["ws"], r["count"]) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    # Append mode emits only windows finalized by the watermark: the
+    # base-hour window closed at count 1 — event 3 (same window, late
+    # beyond the 10-minute watermark) must NOT have been counted.
+    assert (base.to_pydatetime(), 1) in rows
+    assert (base.to_pydatetime(), 2) not in rows
