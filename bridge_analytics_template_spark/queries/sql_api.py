@@ -414,3 +414,29 @@ def sql_group_by_all(spark, sf_dir):
         FROM lineitem GROUP BY ALL ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+@query(
+    "sql_identifier_binding",
+    sql="""
+    SELECT r_name AS name, COUNT(*) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+)
+def sql_identifier_binding(spark, sf_dir):
+    """IDENTIFIER(:param) clause — table names bound as parameters, not
+    spliced into SQL text (the injection-safe form of the reference's
+    entityMap id-rebinding, /root/reference/src/copy_from_template.py:
+    355-356, where wiki query text is rewritten old-id→new-id). The
+    identifier resolves at analysis time; the plan is identical to the
+    literal-name query."""
+    register_views(spark, sf_dir, tables=("region", "nation"))
+    return spark.sql(
+        """
+        SELECT r_name AS name, COUNT(*) AS n_nations
+        FROM IDENTIFIER(:dim) r JOIN IDENTIFIER(:fact) n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r_name ORDER BY r_name
+        """,
+        args={"dim": "region", "fact": "nation"},
+    )
