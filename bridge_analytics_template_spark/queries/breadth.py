@@ -907,3 +907,27 @@ def f_array_edit(spark, sf_dir):
         F.array_remove("a", "the").alias("removed"),
         F.array_compact(F.array(F.lit("x"), F.lit(None), F.lit("y"))).alias("compacted"),
     ).orderBy("doc_id")
+
+
+@query("graph_label_prop")
+def graph_label_prop(spark, sf_dir):
+    """Community detection via deterministic synchronous label propagation
+    (operators/labelprop.py) over the same event hand-off graph as
+    graph_pagerank/graph_triangles. Rows-only (iterative fixpoint, not
+    SQL-expressible); the unit test replays the exact algorithm in plain
+    Python and asserts identical labels."""
+    from ..operators.labelprop import label_propagation
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id")
+    nxt = e.select((F.col("event_id") - 1).alias("event_id"), F.col("user_id").alias("next_user"))
+    arcs = (
+        e.join(nxt, "event_id")
+        .where(F.col("next_user") != F.col("user_id"))
+        .select(F.col("user_id").alias("src"), F.col("next_user").alias("dst"))
+    )
+    labels = label_propagation(arcs, iterations=5)
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), "label")
+    )

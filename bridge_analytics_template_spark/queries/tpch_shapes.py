@@ -554,3 +554,42 @@ def q_market_share(spark, sf_dir):
         )
         .orderBy("order_year")
     )
+
+
+# --- Co-purchase pairs (market-basket co-occurrence) -----------------------
+
+
+@query(
+    "q_copurchase_pairs",
+    sql="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+    SELECT part_a, part_b, COUNT(*) AS n_orders
+    FROM pairs GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+    """,
+)
+def q_copurchase_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: part pairs bought together most often.
+    Distinct-ize (order, part) first — the self-join then blows up only by
+    the true per-order basket size (~4), not line-item multiplicity; the
+    canonical a<b ordering halves the pair space. At 100 TB the same plan
+    holds because both join sides share the orderkey hash partitioning
+    (one shuffle, reused); a hot mega-order would hit the AQE skew-join
+    splitter. Top-20 with full (count, a, b) tie-break is deterministic."""
+    l = load(spark, sf_dir, "lineitem")
+    items = l.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )

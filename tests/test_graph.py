@@ -65,3 +65,41 @@ def test_pagerank_query_against_numpy(spark, sf_dir):
     assert set(got) == set(want)
     for v in want:
         assert got[v] == pytest.approx(want[v], abs=1e-9)
+
+
+def test_label_propagation_matches_python_reference(spark, sf_dir):
+    """Spark LPA == plain-Python synchronous LPA with the same
+    (max count, min label) deterministic update, iteration for iteration."""
+    import pandas as pd
+
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.operators.labelprop import label_propagation
+    from pyspark.sql import functions as F
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id")
+    nxt = e.select((F.col("event_id") - 1).alias("event_id"), F.col("user_id").alias("next_user"))
+    arcs = (
+        e.join(nxt, "event_id")
+        .where(F.col("next_user") != F.col("user_id"))
+        .select(F.col("user_id").alias("src"), F.col("next_user").alias("dst"))
+    )
+    got = {r["node"]: r["label"] for r in label_propagation(arcs, iterations=5).collect()}
+
+    pairs = {(r["src"], r["dst"]) for r in arcs.collect()}
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(5):
+        new = {}
+        for n, nbrs in adj.items():
+            counts: dict[int, int] = {}
+            for m in nbrs:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            new[n] = best
+        labels = new
+    assert got == labels
