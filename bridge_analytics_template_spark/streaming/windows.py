@@ -246,3 +246,41 @@ def run_incremental_rollup(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_stream_attribution_outer(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "1 hour"
+) -> DataFrame:
+    """T8b: stream-stream LEFT OUTER join — every purchase emits, matched
+    to preceding clicks or with a null click_id once the watermark proves
+    no match can still arrive. The null-side emission is the semantic
+    step past the inner form: an unmatched purchase can only be emitted
+    when the click-side watermark passes p_ts + gap (before that, a
+    matching click could still be buffered), so outer results trail the
+    inner ones by up to watermark + gap — and a final otherwise-empty
+    batch is what flushes the last unmatched rows (see the test's filler
+    file; the same one-batch watermark lag as aggregation)."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {gap_minutes} MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    return purchases.join(clicks, cond, "left_outer").select("purchase_id", "click_id")

@@ -236,7 +236,7 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         spark.readStream.schema("event_id long, ts timestamp, user_id long")
         .option("maxFilesPerTrigger", 1)
         .format("parquet")
-        .load(str(src))
+        .load(str(src) + "/*")
         .withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "10 minutes"))
         .count()
@@ -258,3 +258,64 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # beyond the 10-minute watermark) must NOT have been counted.
     assert (base.to_pydatetime(), 1) in rows
     assert (base.to_pydatetime(), 2) not in rows
+
+
+def test_stream_stream_outer_join_equals_batch(spark, sf_dir, tmp_path):
+    """T8b: left-outer stream-stream join == the batch left join — matched
+    pairs AND watermark-flushed unmatched purchases (null click_id).
+
+    Outer rows only emit once the watermark proves no match can arrive,
+    and the watermark only advances in a LATER batch — so the fixture
+    rides as batch 1 and a far-future heartbeat file (one purchase + one
+    click, both excluded from the comparison) rides as batch 2 to flush
+    the tail. Without it the last unmatched purchases never emit."""
+    import os
+    import time
+
+    from bridge_analytics_template_spark.streaming.windows import (
+        stream_stream_attribution_outer,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ev = load(spark, sf_dir, "events")
+    ev.coalesce(1).write.parquet(str(src / "a.parquet"))
+    hb_ts = "2100-01-01 00:00:00"
+    heartbeat = spark.createDataFrame(
+        [
+            (-999, hb_ts, -1, "purchase", 0.0, "{}"),
+            (-998, hb_ts, -2, "click", 0.0, "{}"),
+        ],
+        "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "event_type", "value", "props"
+    )
+    heartbeat.coalesce(1).write.parquet(str(src / "b.parquet"))
+    now = time.time()
+    for root, _dirs, files in os.walk(src):
+        for f in files:
+            full = os.path.join(root, f)
+            os.utime(full, (now - 60, now - 60) if "a.parquet" in root else (now, now))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(src) + "/*")
+    )
+    both = ev.unionByName(heartbeat)
+    batch = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in stream_stream_attribution_outer(both).collect()
+        if r["purchase_id"] != -999
+    )
+    streamed = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in run_to_memory(
+            stream_stream_attribution_outer(stream), output_mode="append"
+        ).collect()
+        if r["purchase_id"] != -999
+    )
+    assert len(batch) > 0
+    assert any(c is None for _, c in batch)  # fixture has unmatched purchases
+    assert streamed == batch
