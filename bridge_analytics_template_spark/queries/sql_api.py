@@ -440,3 +440,30 @@ def sql_identifier_binding(spark, sf_dir):
         """,
         args={"dim": "region", "fact": "nation"},
     )
+
+
+@query(
+    "sql_unpivot_clause",
+    sql="""
+    SELECT p_partkey, metric, val FROM (
+      UNPIVOT (SELECT p_partkey, CAST(p_size AS DOUBLE) AS size, p_retailprice AS retailprice
+               FROM part)
+      ON size, retailprice INTO NAME metric VALUE val)
+    ORDER BY p_partkey, metric
+    """,
+)
+def sql_unpivot_clause(spark, sf_dir):
+    """Native SQL UNPIVOT clause (wide→long without stack()): Spark's
+    `UNPIVOT (val FOR metric IN ...)` vs DuckDB's `UNPIVOT ... INTO NAME
+    ... VALUE ...` — different dialects, identical relational op. The
+    value columns are pre-cast to one type (UNPIVOT requires a common
+    value type on both engines)."""
+    register_views(spark, sf_dir, tables=("part",))
+    return spark.sql(
+        """
+        SELECT p_partkey, metric, val FROM (
+          SELECT p_partkey, CAST(p_size AS DOUBLE) AS size, p_retailprice AS retailprice FROM part)
+        UNPIVOT (val FOR metric IN (size, retailprice))
+        ORDER BY p_partkey, metric
+        """
+    )
