@@ -381,3 +381,37 @@ def agg_approx_top_k(spark, sf_dir):
         .select(F.col("e.item").alias("item"), F.col("e.count").alias("n"))
         .orderBy(F.desc("n"), "item")
     )
+
+
+@query("agg_hll_intersect")  # rows-only: sketch estimates are engine-specific
+def agg_hll_intersect(spark, sf_dir):
+    """Sketch algebra: estimated customer overlap between two order-date
+    halves by inclusion-exclusion — |A∩B| ≈ |A| + |B| − |A∪B| with every
+    term an HLL estimate. HLL has no native intersect (only union is
+    lossless on sketches); inclusion-exclusion is the standard recipe and
+    its error grows with |A∪B|/|A∩B| — the unit test bounds it against
+    the exact overlap. At 100 TB this runs from STORED per-partition
+    sketches with zero fact rescan."""
+    o = load(spark, sf_dir, "orders")
+    half = F.when(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"), "early"
+    ).otherwise("late")
+    per = o.groupBy(half.alias("half")).agg(F.hll_sketch_agg("o_custkey").alias("sk")).persist()
+    singles = per.select(
+        "half", F.hll_sketch_estimate("sk").cast("long").alias("est_distinct")
+    )
+    union = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est_union")
+    )
+    wide = (
+        singles.groupBy()
+        .pivot("half", ["early", "late"])
+        .agg(F.first("est_distinct"))
+        .crossJoin(union)
+    )
+    return wide.select(
+        F.col("early").alias("est_early"),
+        F.col("late").alias("est_late"),
+        "est_union",
+        (F.col("early") + F.col("late") - F.col("est_union")).alias("est_overlap"),
+    )

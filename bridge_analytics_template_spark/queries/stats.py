@@ -428,3 +428,40 @@ def merge_cdc_deletes(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --- Referential-integrity audit -------------------------------------------
+
+
+@query(
+    "profile_referential_integrity",
+    sql="""
+    SELECT
+      (SELECT COUNT(*) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphan_lineitems,
+      (SELECT COUNT(*) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) AS childless_orders,
+      (SELECT COUNT(*) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS orphan_orders
+    """,
+)
+def profile_referential_integrity(spark, sf_dir):
+    """Referential-integrity audit — the FK half of data quality that
+    bridge_validate's per-column rules can't see (the reference's
+    assert-unique lookups are its 1-row version of the same contract,
+    /root/reference/src/copy_from_template.py:113-121). Three anti-join
+    counts; each is one shuffle-or-broadcast keyed join feeding a 1-row
+    count, crossed into one audit row."""
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    orphan_l = l.join(o, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti").agg(
+        F.count(F.lit(1)).alias("orphan_lineitems")
+    )
+    childless_o = o.join(l, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti").agg(
+        F.count(F.lit(1)).alias("childless_orders")
+    )
+    orphan_o = o.join(c, F.col("o_custkey") == F.col("c_custkey"), "left_anti").agg(
+        F.count(F.lit(1)).alias("orphan_orders")
+    )
+    return orphan_l.crossJoin(childless_o).crossJoin(orphan_o)

@@ -92,3 +92,25 @@ def test_corr_matches_numpy(spark, sf_dir):
     for flag, grp in pdf.groupby("l_returnflag"):
         expected = np.corrcoef(grp["l_quantity"], grp["l_extendedprice"])[0, 1]
         assert abs(out[flag]["qty_price_corr"] - expected) < 1e-9
+
+
+def test_hll_intersect_estimate_accuracy(spark, sf_dir):
+    """Inclusion-exclusion overlap estimate within 10% of the exact overlap
+    (both halves cover most customers, so the conditioning is benign)."""
+    from pyspark.sql import functions as F
+
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.queries import QUERIES
+
+    est = QUERIES["agg_hll_intersect"](spark, sf_dir).collect()[0]["est_overlap"]
+    o = load(spark, sf_dir, "orders")
+    half = F.when(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"), "early").otherwise("late")
+    sets = {
+        r["half"]: set(r["cs"])
+        for r in o.groupBy(half.alias("half"))
+        .agg(F.collect_set("o_custkey").alias("cs"))
+        .collect()
+    }
+    exact = len(sets["early"] & sets["late"])
+    assert exact > 0
+    assert abs(est - exact) <= 0.10 * exact
