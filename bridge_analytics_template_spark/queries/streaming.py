@@ -470,3 +470,26 @@ def t_window_distinct_users(spark, sf_dir):
         )
         .orderBy("window_start")
     )
+
+
+@query(
+    "t_attribution_outer",
+    sql="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+    ORDER BY purchase_id, click_id
+    """,
+)
+def t_attribution_outer(spark, sf_dir):
+    """T8b (batch-equivalent): LEFT OUTER attribution — every purchase
+    appears, matched or with a null click. The streaming form
+    (stream_stream_attribution_outer) runs the same join with
+    watermark-gated null emission; equivalence (modulo the final-batch
+    flush) is asserted in tests/test_streaming.py."""
+    from ..streaming.windows import stream_stream_attribution_outer
+
+    e = load(spark, sf_dir, "events")
+    return stream_stream_attribution_outer(e).orderBy("purchase_id", "click_id")
