@@ -487,3 +487,60 @@ def llm_pretokenize_regex(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_CASCADE_SQL = f"""
+WITH k1 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+d1 AS (SELECT d.* FROM documents d JOIN k1 USING (doc_id)),
+k2 AS (SELECT MIN(doc_id) AS doc_id FROM d1
+       GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                        '\\s+', ' ', 'g')))),
+d2 AS (SELECT d.* FROM d1 d JOIN k2 USING (doc_id)),
+sh AS (SELECT doc_id AS doc, unnest(list_distinct({_SQL_SHINGLES5})) AS shingle FROM d2),
+sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+pairs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2),
+near AS (
+  SELECT DISTINCT p.doc_b FROM pairs p
+  JOIN sizes sa ON p.doc_a = sa.doc
+  JOIN sizes sb ON p.doc_b = sb.doc
+  WHERE CAST(p.n_inter AS DOUBLE) / (sa.n + sb.n - p.n_inter) >= 0.5)
+SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM k1) AS n_exact_removed,
+       (SELECT COUNT(*) FROM k1) - (SELECT COUNT(*) FROM k2) AS n_norm_removed,
+       (SELECT COUNT(*) FROM near) AS n_neardup_removed,
+       (SELECT COUNT(*) FROM k2) - (SELECT COUNT(*) FROM near) AS n_final
+"""
+
+
+@query("llm_dedup_cascade", sql=_CASCADE_SQL)
+def llm_dedup_cascade(spark, sf_dir):
+    """The assembled dedup cascade as one report row: exact → normalized →
+    exact-Jaccard near-dup (≥0.5, earlier-id wins), each stage filtering
+    the next stage's input — cheapest tier first, so the quadratic-ish
+    tier sees the smallest corpus (the production ordering; Lee et al.
+    'Deduplicating Training Data Makes Language Models Better' motivates
+    the tiers). Near-dup removal here is the SQL-expressible
+    any-earlier-neighbor rule, NOT survivor-chaining (that variant is
+    llm_dedup_clusters)."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()
+    w_exact = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    k1 = d.withColumn("rn", F.row_number().over(w_exact)).filter("rn = 1").drop("rn")
+    n_k1 = k1.count()
+    w_norm = Window.partitionBy(normalized_fingerprint(F.col("text"))).orderBy("doc_id")
+    k2 = k1.withColumn("rn", F.row_number().over(w_norm)).filter("rn = 1").drop("rn").persist()
+    n_k2 = k2.count()
+    arrays = _shingle_arrays(k2, "text", "doc_id", 5, hashed=True)
+    near = (
+        exact_jaccard_pairs(arrays, min_jaccard=0.5)
+        .select("doc_b")
+        .distinct()
+    )
+    n_near = near.count()
+    return spark.createDataFrame(
+        [(n_docs, n_docs - n_k1, n_k1 - n_k2, n_near, n_k2 - n_near)],
+        "n_docs long, n_exact_removed long, n_norm_removed long, n_neardup_removed long, n_final long",
+    )
