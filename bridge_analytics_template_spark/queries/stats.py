@@ -465,3 +465,45 @@ def profile_referential_integrity(spark, sf_dir):
         F.count(F.lit(1)).alias("orphan_orders")
     )
     return orphan_l.crossJoin(childless_o).crossJoin(orphan_o)
+
+
+# --- Exponential moving average (order-sensitive recursive aggregate) ------
+
+
+@query(
+    "ts_ewma",
+    sql="""
+    WITH arr AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS xs, COUNT(*) AS n
+      FROM events GROUP BY user_id)
+    SELECT user_id, n,
+           list_reduce(xs, (acc, x) -> 0.5 * acc + 0.5 * x) AS ewma
+    FROM arr ORDER BY user_id
+    """,
+)
+def ts_ewma(spark, sf_dir):
+    """Per-user EWMA (α=0.5) — the recursive, order-sensitive aggregate
+    SQL's commutative SUM cannot express. Gather each user's series into
+    an ordered array IN the aggregate (one shuffle), then fold it
+    sequentially in-row: a left fold is deterministic where a cross-row
+    float sum is not, and both engines execute the identical IEEE op
+    sequence, so the oracle compares exact doubles. Scale bound: one
+    user's history must fit a row (~1e6 points); beyond that, segment the
+    fold per window and chain segments (the classic scan decomposition —
+    EWMA's (acc,x)→½acc+½x is associative-decomposable via weight
+    products)."""
+    e = load(spark, sf_dir, "events")
+    gathered = (
+        e.groupBy("user_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias("rows"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("user_id", "n", F.transform("rows", lambda r: r["value"]).alias("xs"))
+    )
+    ewma = F.aggregate(
+        F.slice("xs", 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.element_at("xs", 1),
+        lambda acc, x: F.lit(0.5) * acc + F.lit(0.5) * x,
+    )
+    return gathered.select("user_id", "n", ewma.alias("ewma")).orderBy("user_id")
