@@ -931,3 +931,53 @@ def graph_label_prop(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy(F.desc("n_nodes"), "label")
     )
+
+
+@query(
+    "w_running_distinct",
+    sql="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_of_type
+      FROM events),
+    seq AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step,
+             SUM(first_of_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_types
+      FROM flagged)
+    SELECT user_id,
+           CAST(MIN(CASE WHEN n_types >= 3 THEN step END) AS BIGINT) AS steps_to_3_types,
+           CAST(MAX(n_types) AS BIGINT) AS total_types,
+           COUNT(*) AS n_events
+    FROM seq GROUP BY user_id ORDER BY user_id
+    """,
+)
+def w_running_distinct(spark, sf_dir):
+    """Running DISTINCT via first-occurrence flags — windows can't take
+    COUNT(DISTINCT), so the standard rewrite flags each (user, type)'s
+    first event and cumulative-sums the flags. Emitted as a
+    time-to-breadth metric: how many events until a user has touched 3
+    distinct types. All three windows and the final aggregate share the
+    user_id hash partitioning — one shuffle."""
+    e = load(spark, sf_dir, "events")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.row_number().over(w_user).cast("long").alias("step"),
+        F.sum(F.when(F.row_number().over(w_type) == 1, 1).otherwise(0))
+        .over(w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("n_types"),
+    )
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("n_types") >= 3, F.col("step"))).alias("steps_to_3_types"),
+            F.max("n_types").alias("total_types"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -280,3 +280,49 @@ def train_length_histogram(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "bucket")
     )
+
+
+@query(
+    "train_char_coverage",
+    sql="""
+    WITH chars AS (
+      SELECT unnest(string_split_regex(lower(text), '')) AS ch FROM documents),
+    freq AS (
+      SELECT ch, COUNT(*) AS n FROM chars WHERE ch <> '' GROUP BY ch),
+    ranked AS (
+      SELECT ch, n,
+             row_number() OVER (ORDER BY n DESC, ch) AS rnk,
+             SUM(n) OVER (ORDER BY n DESC, ch ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(n) OVER () AS total
+      FROM freq)
+    SELECT CAST(rnk AS BIGINT) AS rnk, ch, n,
+           CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+    FROM ranked WHERE rnk <= 20 ORDER BY rnk
+    """,
+)
+def train_char_coverage(spark, sf_dir):
+    """Character-coverage table for tokenizer training (the sentencepiece
+    `character_coverage` decision): top-20 characters by frequency with
+    cumulative corpus coverage. Chars are exploded from lowercased text;
+    coverage is an exact-integer cumsum divided once at the end. The
+    explode is the scale cost — at 100 TB, per-doc in-row char histograms
+    (map aggregate) then one merge would replace the row blowup."""
+    d = load(spark, sf_dir, "documents")
+    chars = (
+        d.select(F.explode(F.split(F.lower("text"), "")).alias("ch"))
+        .filter(F.col("ch") != "")
+    )
+    freq = chars.groupBy("ch").agg(F.count(F.lit(1)).alias("n"))
+    w_rank = Window.orderBy(F.desc("n"), "ch")
+    ranked = freq.select(
+        "ch",
+        "n",
+        F.row_number().over(w_rank).cast("long").alias("rnk"),
+        F.sum("n").over(w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 20)
+        .select("rnk", "ch", "n", (F.col("cum").cast("double") / F.col("total").cast("double")).alias("coverage"))
+        .orderBy("rnk")
+    )
