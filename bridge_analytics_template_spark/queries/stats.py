@@ -507,3 +507,50 @@ def ts_ewma(spark, sf_dir):
         lambda acc, x: F.lit(0.5) * acc + F.lit(0.5) * x,
     )
     return gathered.select("user_id", "n", ewma.alias("ewma")).orderBy("user_id")
+
+
+# --- Burst detection over window counts ------------------------------------
+
+
+@query(
+    "events_bursts",
+    sql="""
+    WITH wc AS (
+      SELECT event_type, time_bucket(INTERVAL '10 minutes', ts) AS w, COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT event_type, COUNT(*) AS k, SUM(c) AS s, SUM(c * c) AS q
+      FROM wc GROUP BY event_type)
+    SELECT wc.event_type,
+           CAST(m.k AS BIGINT) AS n_windows,
+           COUNT(CASE WHEN (wc.c * m.k - m.s) > 0
+                       AND (wc.c * m.k - m.s) * (wc.c * m.k - m.s) > 9 * (m.k * m.q - m.s * m.s)
+                      THEN 1 END) AS n_bursts
+    FROM wc JOIN m ON wc.event_type = m.event_type
+    GROUP BY wc.event_type, m.k ORDER BY wc.event_type
+    """,
+)
+def events_bursts(spark, sf_dir):
+    """Burst detection: 10-minute windows whose event count exceeds
+    mean + 3σ of that type's window counts — `(c·k − s)² > 9(k·q − s²)`
+    over exact integer window counts (the events_outliers inequality
+    lifted one aggregation level: counts of counts). Two stacked
+    aggregates + a broadcast-back join of the per-type moments (5 rows);
+    the first aggregate's (type, window) partitioning feeds both."""
+    e = load(spark, sf_dir, "events")
+    wc = (
+        e.groupBy("event_type", F.window("ts", "10 minutes").start.alias("w"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    m = wc.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"), F.sum("c").alias("s"), F.sum(F.col("c") * F.col("c")).alias("q")
+    )
+    j = wc.join(F.broadcast(m), "event_type")
+    dev = F.col("c") * F.col("k") - F.col("s")
+    burst = (dev > 0) & (dev * dev > 9 * (F.col("k") * F.col("q") - F.col("s") * F.col("s")))
+    return (
+        j.groupBy("event_type", F.col("k").alias("n_windows"))
+        .agg(F.count(F.when(burst, 1)).alias("n_bursts"))
+        .select("event_type", F.col("n_windows").cast("long").alias("n_windows"), "n_bursts")
+        .orderBy("event_type")
+    )

@@ -15,6 +15,7 @@ identically in the Spark plan and the DuckDB oracle SQL.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -593,3 +594,36 @@ def q_copurchase_pairs(spark, sf_dir):
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
     )
+
+
+# --- Year-over-year growth --------------------------------------------------
+
+
+@query(
+    "q_yoy_growth",
+    sql=f"""
+    WITH yearly AS (
+      SELECT EXTRACT(year FROM l_shipdate) AS y,
+             SUM({_DISC_U4}) AS rev_u
+      FROM lineitem GROUP BY 1)
+    SELECT CAST(y AS BIGINT) AS ship_year,
+           CAST(rev_u AS DOUBLE) / 10000.0 AS revenue,
+           CAST(rev_u AS DOUBLE) / CAST(lag(rev_u) OVER (ORDER BY y) AS DOUBLE) - 1.0 AS yoy_growth
+    FROM yearly ORDER BY ship_year
+    """,
+)
+def q_yoy_growth(spark, sf_dir):
+    """Year-over-year revenue growth: window lag over a grouped aggregate
+    (the aggregate shrinks the fact to ~7 rows BEFORE the unpartitioned
+    window, so the single-partition sort is free at any scale). Growth is
+    one IEEE division of exact integer-unit year totals."""
+    l = load(spark, sf_dir, "lineitem")
+    yearly = l.groupBy(F.year("l_shipdate").cast("long").alias("ship_year")).agg(
+        F.sum(_disc_u4()).alias("rev_u")
+    )
+    w = Window.orderBy("ship_year")
+    return yearly.select(
+        "ship_year",
+        (F.col("rev_u").cast("double") / 10000.0).alias("revenue"),
+        (F.col("rev_u").cast("double") / F.lag("rev_u").over(w).cast("double") - 1.0).alias("yoy_growth"),
+    ).orderBy("ship_year")
