@@ -493,3 +493,63 @@ def t_attribution_outer(spark, sf_dir):
 
     e = load(spark, sf_dir, "events")
     return stream_stream_attribution_outer(e).orderBy("purchase_id", "click_id")
+
+
+@query(
+    "t_activity_matrix",
+    sql="""
+    SELECT CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def t_activity_matrix(spark, sf_dir):
+    """Day-of-week × hour-of-day activity matrix — the canonical usage
+    heatmap. Spark's dayofweek is 1-based Sunday=1; DuckDB's dow is
+    0-based Sunday=0 — normalized to the DuckDB convention here. One
+    hash aggregate; the distinct rides the same grouping."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users"))
+        .orderBy("dow", "hod")
+    )
+
+
+@query(
+    "t_trending_type",
+    sql="""
+    WITH wc AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type, COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT window_start, event_type, c,
+             row_number() OVER (PARTITION BY window_start ORDER BY c DESC, event_type) AS rn
+      FROM wc)
+    SELECT window_start, event_type AS top_type, c AS n_events
+    FROM ranked WHERE rn = 1 ORDER BY window_start
+    """,
+)
+def t_trending_type(spark, sf_dir):
+    """Trending event type per 30-minute window — argmax over grouped
+    counts with a deterministic (count desc, type) tiebreak. The count
+    aggregate and the per-window argmax window function share the
+    window_start partitioning; WindowGroupLimit prunes to the top row
+    map-side."""
+    e = load(spark, sf_dir, "events")
+    wc = (
+        e.groupBy(F.window("ts", "30 minutes").start.alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("window_start").orderBy(F.desc("c"), "event_type")
+    return (
+        wc.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("window_start", F.col("event_type").alias("top_type"), F.col("c").alias("n_events"))
+        .orderBy("window_start")
+    )
