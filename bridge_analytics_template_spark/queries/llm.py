@@ -26,6 +26,7 @@ from ..functions.text import (
 )
 from ..llm.dedup import (
     _shingle_arrays,
+    _shingle_table,
     dedup_exact,
     dedup_normalized,
     exact_jaccard_pairs,
@@ -543,4 +544,42 @@ def llm_dedup_cascade(spark, sf_dir):
     return spark.createDataFrame(
         [(n_docs, n_docs - n_k1, n_k1 - n_k2, n_near, n_k2 - n_near)],
         "n_docs long, n_exact_removed long, n_norm_removed long, n_neardup_removed long, n_final long",
+    )
+
+
+@query(
+    "llm_ngram_novelty",
+    sql=f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, unnest(list_distinct({_SQL_SHINGLES5})) AS shingle
+      FROM documents),
+    firsts AS (SELECT shingle, MIN(doc) AS first_doc FROM sh GROUP BY shingle)
+    SELECT s.doc AS doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(CASE WHEN f.first_doc = s.doc THEN 1 END) AS n_novel,
+           CAST(COUNT(CASE WHEN f.first_doc = s.doc THEN 1 END) AS DOUBLE) / COUNT(*) AS novelty
+    FROM sh s JOIN firsts f ON s.shingle = f.shingle
+    GROUP BY s.doc ORDER BY doc_id
+    """,
+)
+def llm_ngram_novelty(spark, sf_dir):
+    """Corpus novelty per document: the fraction of its distinct 5-grams
+    that no earlier doc (by id) used — low novelty flags boilerplate and
+    near-copies without any pairwise comparison (one inverted-index
+    aggregate instead of a self-join; O(postings), not O(pairs)). The
+    min-doc-per-shingle table and the per-doc rollup reuse the shingle
+    hash partitioning."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingle_table(d, "text", "doc_id", 5, hashed=True)
+    firsts = sh.groupBy("shingle").agg(F.min("doc").alias("first_doc"))
+    novel = F.count(F.when(F.col("first_doc") == F.col("doc"), 1))
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.alias("n_novel"),
+            (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
+        )
+        .orderBy("doc_id")
     )

@@ -627,3 +627,49 @@ def q_yoy_growth(spark, sf_dir):
         (F.col("rev_u").cast("double") / 10000.0).alias("revenue"),
         (F.col("rev_u").cast("double") / F.lag("rev_u").over(w).cast("double") - 1.0).alias("yoy_growth"),
     ).orderBy("ship_year")
+
+
+# --- Revenue Pareto ---------------------------------------------------------
+
+
+@query(
+    "q_revenue_pareto",
+    sql=f"""
+    WITH per_part AS (
+      SELECT l_partkey, SUM({_DISC_U4}) AS rev_u
+      FROM lineitem GROUP BY l_partkey),
+    ranked AS (
+      SELECT l_partkey, rev_u,
+             row_number() OVER (ORDER BY rev_u DESC, l_partkey) AS rnk,
+             SUM(rev_u) OVER (ORDER BY rev_u DESC, l_partkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_u,
+             SUM(rev_u) OVER () AS total_u
+      FROM per_part)
+    SELECT CAST(COUNT(*) FILTER (WHERE 5 * cum_u < 4 * total_u) + 1 AS BIGINT) AS parts_for_80pct,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MAX(total_u) AS DOUBLE) / 10000.0 AS total_revenue
+    FROM ranked
+    """,
+)
+def q_revenue_pareto(spark, sf_dir):
+    """Revenue Pareto: how many top parts cover 80% of revenue. Grouped
+    aggregate shrinks the fact to one row per part BEFORE the ranked
+    cumulative window (single partition by then, like q_yoy_growth); the
+    80% boundary is the exact integer inequality 5·cum < 4·total — no
+    float threshold. Count+1 converts 'strictly below 80%' into 'first
+    rank reaching it' (total revenue > 0 guarantees existence)."""
+    l = load(spark, sf_dir, "lineitem")
+    per_part = l.groupBy("l_partkey").agg(F.sum(_disc_u4()).alias("rev_u"))
+    w = Window.orderBy(F.desc("rev_u"), "l_partkey")
+    ranked = per_part.select(
+        "rev_u",
+        F.sum("rev_u").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum_u"),
+        F.sum("rev_u").over(Window.partitionBy()).alias("total_u"),
+    )
+    return ranked.agg(
+        (F.count(F.when(5 * F.col("cum_u") < 4 * F.col("total_u"), 1)) + 1)
+        .cast("long")
+        .alias("parts_for_80pct"),
+        F.count(F.lit(1)).alias("n_parts"),
+        (F.max("total_u").cast("double") / 10000.0).alias("total_revenue"),
+    )
