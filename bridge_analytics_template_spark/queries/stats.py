@@ -554,3 +554,104 @@ def events_bursts(spark, sf_dir):
         .select("event_type", F.col("n_windows").cast("long").alias("n_windows"), "n_bursts")
         .orderBy("event_type")
     )
+
+
+# --- Inter-arrival time distribution ---------------------------------------
+
+
+@query(
+    "events_inter_arrival",
+    sql="""
+    WITH gaps AS (
+      SELECT event_type,
+             date_diff('microsecond',
+                       lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id),
+                       ts) AS gap_us
+      FROM events)
+    SELECT event_type,
+           COUNT(gap_us) AS n_gaps,
+           quantile_cont(gap_us, 0.5) AS p50_us,
+           quantile_cont(gap_us, 0.9) AS p90_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_us
+    FROM gaps GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_inter_arrival(spark, sf_dir):
+    """Inter-arrival time distribution per event type — the arrival-rate
+    profile that sizes streaming watermarks and session gaps. Exact
+    microsecond lag differences (integer), exact interpolated
+    percentiles; the lag window and the aggregate share the event_type
+    partitioning."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.percentile("gap_us", 0.5).alias("p50_us"),
+            F.percentile("gap_us", 0.9).alias("p90_us"),
+            F.max("gap_us").alias("max_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- Market concentration (HHI) --------------------------------------------
+
+
+@query(
+    "q_nation_hhi",
+    sql="""
+    WITH per_nation AS (
+      SELECT n.n_name AS nation,
+             SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                 * (100 - CAST(CAST(l.l_discount AS DECIMAL(3,2)) * 100 AS BIGINT))) AS rev_u
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1),
+    shares AS (
+      SELECT nation,
+             CAST(floor((1000000.0 * CAST(rev_u AS DOUBLE)) / CAST(SUM(rev_u) OVER () AS DOUBLE)) AS BIGINT) AS share_ppm
+      FROM per_nation)
+    SELECT COUNT(*) AS n_nations,
+           SUM(share_ppm * share_ppm) AS hhi_ppm2,
+           CAST(MAX(share_ppm) AS BIGINT) AS top_share_ppm
+    FROM shares
+    """,
+)
+def q_nation_hhi(spark, sf_dir):
+    """Market concentration: Herfindahl-Hirschman index of revenue across
+    customer nations. Shares are quantized to exact ppm integers (one
+    identical IEEE divide+floor per nation on both engines) BEFORE the
+    cross-row sum of squares — float discipline for a sum that would
+    otherwise be combine-order dependent. 25 nation rows by the window
+    stage, so the unpartitioned share window is free."""
+    from ..functions.numeric import money_units, rate_units
+
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    rev = money_units("l_extendedprice") * (100 - rate_units("l_discount"))
+    per_nation = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).alias("rev_u"))
+    )
+    share_ppm = F.floor(
+        (F.lit(1000000.0) * F.col("rev_u").cast("double"))
+        / F.sum("rev_u").over(Window.partitionBy()).cast("double")
+    ).cast("long")
+    return per_nation.select(share_ppm.alias("share_ppm")).agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum(F.col("share_ppm") * F.col("share_ppm")).alias("hhi_ppm2"),
+        F.max("share_ppm").alias("top_share_ppm"),
+    )
