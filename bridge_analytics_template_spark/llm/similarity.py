@@ -268,6 +268,84 @@ def ivf_knn(
     return _ranked(pairs, k)
 
 
+def blocked_cosine_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 128,
+) -> DataFrame:
+    """EXACT cosine-threshold self-join via blocked GEMM — the distributed
+    shape for exhaustive similarity joins.
+
+    Sign-LSH pruning cannot guarantee recall 1 (and on this corpus's
+    moderate-similarity pairs its recall is far below 1), so the exact
+    entry-point does the O(n²) *flops* — unavoidable for an exact answer —
+    while avoiding the O(n²) *rows*: no cartesian join, no per-pair row
+    materialization before the filter.
+
+    Plan: contiguous block ids in id order (operators/rowids.py — range
+    partition, no global window), pack each block into ONE row
+    (collect_list of (id, vec): B·d doubles ≈ block_size·dim·8 bytes), then
+    equi-join a driver-built block-pair index (nb(nb+1)/2 tiny rows)
+    against the packed blocks twice, and GEMM each block pair in an
+    Arrow-batched mapInPandas kernel that emits ONLY pairs ≥ threshold.
+
+    Shuffle volume is n²d/B (each block replicated n/B times) instead of
+    the n²d a pair-materializing join moves — with B=4096 that is three
+    orders of magnitude less traffic, and the flops run at BLAS speed
+    instead of per-pair interpreted folds. Block ids ascend with the vector
+    id, so blk_a ≤ blk_b plus an elementwise id_a < id_b mask yields each
+    unordered pair exactly once.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.rowids import assign_contiguous_ids
+
+    spark = vectors.sparkSession
+    v = vectors.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v"))
+    n = v.count()
+    n_blocks = max(1, -(-n // block_size))
+    ranked = assign_contiguous_ids(v, "vid", id_name="_rk")
+    packed = (
+        ranked.withColumn("_blk", (F.col("_rk") / F.lit(block_size)).cast("long"))
+        .groupBy("_blk")
+        .agg(F.collect_list(F.struct(F.col("vid"), F.col("v"))).alias("rows"))
+    )
+    pair_index = spark.createDataFrame(
+        [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)],
+        "blk_a long, blk_b long",
+    )
+    a = packed.select(F.col("_blk").alias("blk_a"), F.col("rows").alias("rows_a"))
+    b = packed.select(F.col("_blk").alias("blk_b"), F.col("rows").alias("rows_b"))
+    joined = a.join(F.broadcast(pair_index), "blk_a").join(b, "blk_b")
+
+    def unpack(cell):
+        ids = np.array([r["vid"] for r in cell], dtype=np.int64)
+        m = np.array([list(r["v"]) for r in cell], dtype=np.float64)
+        return ids, m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    def gemm(batches):
+        for pdf in batches:
+            for rows_a, rows_b in zip(pdf["rows_a"], pdf["rows_b"]):
+                ids_a, ma = unpack(rows_a)
+                ids_b, mb = unpack(rows_b)
+                sims = ma @ mb.T
+                hit = (sims >= threshold) & (ids_a[:, None] < ids_b[None, :])
+                ii, jj = np.nonzero(hit)
+                if len(ii):
+                    yield pd.DataFrame(
+                        {
+                            "id_a": ids_a[ii],
+                            "id_b": ids_b[jj],
+                            "sim": sims[ii, jj],
+                        }
+                    )
+
+    return joined.mapInPandas(gemm, schema="id_a long, id_b long, sim double")
+
+
 def near_dup_pairs(
     vectors: DataFrame,
     threshold: float,
@@ -275,8 +353,8 @@ def near_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
-    All-pairs formulation (the verifier); production pruning goes through
-    :func:`knn_lsh`-style bucketing first."""
+    All-pairs formulation (the verifier for :func:`blocked_cosine_pairs`,
+    which is the shipped scale path)."""
     vectors = ensure_parallelism(vectors)
     a = vectors.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
     b = vectors.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))

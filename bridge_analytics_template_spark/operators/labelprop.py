@@ -4,8 +4,8 @@ to group near-duplicate or same-site documents beyond what pure connected
 components gives.
 
 Synchronous LPA with a deterministic update: each node adopts the
-smallest-frequency-then-smallest-id winner among its neighbors' current
-labels. Deterministic tie-breaking matters twice over: it makes runs
+highest-frequency-then-smallest-id winner among its neighbors' current
+labels (orderBy desc(count), asc(label)). Deterministic tie-breaking matters twice over: it makes runs
 reproducible on any partitioning (the oracle-style property tests depend
 on it), and it is what the classic "random" LPA sacrifices for speed.
 

@@ -49,14 +49,34 @@ def scd2_close_and_insert(
 
 
 def merge_apply_cdc(
-    target: DataFrame, cdc: DataFrame, keys: list[str], op_col: str = "op"
+    target: DataFrame,
+    cdc: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Full CDC apply: ``cdc`` rows carry an op marker — ``'U'``/``'I'``
     rows win on their key (upsert), ``'D'`` rows delete their key. One
     anti-join removes every CDC-touched key from the target (updated AND
     deleted — both stop passing through), then the non-delete CDC rows
     union in. Same single-shuffle-per-side shape as :func:`merge_upsert`;
-    deletes are free (they only enlarge the anti-join's build side)."""
+    deletes are free (they only enlarge the anti-join's build side).
+
+    PRECONDITION without ``order_col``: at most ONE cdc row per key — with
+    several (I then U, U then D, ...) every non-D row would survive the
+    union, duplicating keys. Pass ``order_col`` (a change sequence /
+    timestamp column on ``cdc``) to apply only the LATEST op per key —
+    one row_number window over the cdc side (the small side; the target is
+    never windowed)."""
+    if order_col is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+        cdc = (
+            cdc.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     untouched = target.join(cdc.select(*keys), keys, "left_anti")
     surviving = cdc.filter(F.col(op_col) != "D").select(*target.columns)
     return untouched.unionByName(surviving)

@@ -16,10 +16,20 @@ from pyspark.sql import functions as F
 
 
 def assign_contiguous_ids(
-    df: DataFrame, order_col: str, id_name: str = "row_id", num_partitions: int = 32
+    df: DataFrame,
+    order_col: str | list[str],
+    id_name: str = "row_id",
+    num_partitions: int = 32,
 ) -> DataFrame:
-    """Add ``id_name`` = 0..n-1 in ``order_col`` order, fully distributed."""
-    parts = df.repartitionByRange(num_partitions, order_col).sortWithinPartitions(order_col)
+    """Add ``id_name`` = 0..n-1 in ``order_col`` order, fully distributed.
+
+    ``order_col`` may be a list of column names for a composite order; the
+    columns must form a TOTAL order (unique key) — rows with equal keys can
+    straddle a range-partition boundary, which would make their relative ids
+    partition-order-dependent.
+    """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    parts = df.repartitionByRange(num_partitions, *order_cols).sortWithinPartitions(*order_cols)
     counts = (
         parts.withColumn("_pid", F.spark_partition_id())
         .groupBy("_pid")

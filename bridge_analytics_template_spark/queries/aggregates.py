@@ -248,17 +248,21 @@ def agg_conditional(spark, sf_dir):
 @query(
     "agg_collect_set",
     sql="""
-    SELECT n_regionkey AS regionkey, list_sort(list(DISTINCT n_name)) AS nations
+    SELECT n_regionkey AS regionkey,
+           array_to_string(list_sort(list(DISTINCT n_name)), '|') AS nations
     FROM nation GROUP BY 1 ORDER BY 1
     """,
 )
 def agg_collect_set(spark, sf_dir):
     """A7: rebuild array cells from rows — the scopeIds array shape
-    (copy_from_template.py:109-111). Sorted for deterministic comparison."""
+    (copy_from_template.py:109-111). Sorted for determinism, then emitted as
+    '|'-joined text: the driver's pandas canon cannot sort/hash list cells
+    (r1 'unhashable type' failure), so every oracle query renders arrays as
+    scalar text on BOTH engines. The array-typed form stays unit-tested."""
     return (
         load(spark, sf_dir, "nation")
         .groupBy(F.col("n_regionkey").alias("regionkey"))
-        .agg(F.array_sort(F.collect_set("n_name")).alias("nations"))
+        .agg(F.array_join(F.array_sort(F.collect_set("n_name")), "|").alias("nations"))
         .orderBy("regionkey")
     )
 

@@ -527,7 +527,7 @@ def join_asof_tolerance(spark, sf_dir):
     sql="""
     SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            COUNT(*) AS n_events,
-           list(event_type ORDER BY ts, event_id) AS path
+           array_to_string(list(event_type ORDER BY ts, event_id), '>') AS path
     FROM events GROUP BY 1, 2 ORDER BY user_id, day
     """,
 )
@@ -537,15 +537,20 @@ def events_paths(spark, sf_dir):
     guarantee, so the order is imposed in-row — collect structs of
     (ts, event_id, event_type), array_sort (lexicographic on the leading
     sort fields, event_id as the unique tiebreak), then project the type.
-    One hash-aggregate shuffle on (user, day) — no window, no second pass."""
+    One hash-aggregate shuffle on (user, day) — no window, no second pass.
+    The path is emitted '>'-joined text (driver canon cannot hash list
+    cells; see agg_collect_set)."""
     e = load(spark, sf_dir, "events")
     return (
         e.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
-                lambda s: s["event_type"],
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ">",
             ).alias("path"),
         )
         .orderBy("user_id", "day")
@@ -882,18 +887,20 @@ def f_timezone(spark, sf_dir):
       SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+')[1:4] AS a
       FROM documents)
     SELECT doc_id,
-           list_append(a, 'zz') AS appended,
-           list_prepend('aa', a) AS prepended,
-           a[1:1] || ['mid'] || a[2:] AS inserted,
-           list_filter(a, x -> x <> 'the') AS removed,
-           list_filter(['x', NULL, 'y'], v -> v IS NOT NULL) AS compacted
+           array_to_string(list_append(a, 'zz'), '|') AS appended,
+           array_to_string(list_prepend('aa', a), '|') AS prepended,
+           array_to_string(a[1:1] || ['mid'] || a[2:], '|') AS inserted,
+           array_to_string(list_filter(a, x -> x <> 'the'), '|') AS removed,
+           array_to_string(list_filter(['x', NULL, 'y'], v -> v IS NOT NULL), '|') AS compacted
     FROM t ORDER BY doc_id
     """,
 )
 def f_array_edit(spark, sf_dir):
     """Array-edit family (Spark 3.4/3.5 surface): append / prepend /
     positional insert / remove-by-value / null compaction — the mutations a
-    feature-engineering pipeline applies to list columns. All in-row."""
+    feature-engineering pipeline applies to list columns. All in-row; each
+    edited array is emitted '|'-joined because the driver canon cannot hash
+    list cells (see agg_collect_set)."""
     d = load(spark, sf_dir, "documents")
     from ..functions.text import ws_tokens
 
@@ -901,11 +908,13 @@ def f_array_edit(spark, sf_dir):
     t = d.select("doc_id", a.alias("a"))
     return t.select(
         "doc_id",
-        F.array_append("a", F.lit("zz")).alias("appended"),
-        F.array_prepend("a", F.lit("aa")).alias("prepended"),
-        F.array_insert("a", 2, F.lit("mid")).alias("inserted"),
-        F.array_remove("a", "the").alias("removed"),
-        F.array_compact(F.array(F.lit("x"), F.lit(None), F.lit("y"))).alias("compacted"),
+        F.array_join(F.array_append("a", F.lit("zz")), "|").alias("appended"),
+        F.array_join(F.array_prepend("a", F.lit("aa")), "|").alias("prepended"),
+        F.array_join(F.array_insert("a", 2, F.lit("mid")), "|").alias("inserted"),
+        F.array_join(F.array_remove("a", "the"), "|").alias("removed"),
+        F.array_join(
+            F.array_compact(F.array(F.lit("x"), F.lit(None), F.lit("y"))), "|"
+        ).alias("compacted"),
     ).orderBy("doc_id")
 
 

@@ -35,7 +35,7 @@ from ..llm.dedup import (
     simhash_near_dups,
 )
 from ..llm.multimodal import attach_binary, extract_features
-from ..llm.similarity import knn_bruteforce_np, knn_lsh, near_dup_pairs
+from ..llm.similarity import blocked_cosine_pairs, knn_bruteforce_np, knn_lsh
 from ..functions.text import STOPWORDS
 from .registry import query
 
@@ -140,9 +140,17 @@ def llm_ngram_jaccard(spark, sf_dir):
 )
 def llm_embed_neardup(spark, sf_dir):
     """L2d: embedding-cosine near-dup pairs (ids only; see module note on
-    float stability)."""
+    float stability). EXACT blocked-GEMM self-join
+    (llm/similarity.py::blocked_cosine_pairs): equi-joined block pairs +
+    per-block BLAS scoring — no cartesian join, no O(n²) pair rows before
+    the threshold filter; identical answer to the all-pairs oracle by
+    construction (tests assert the equivalence against near_dup_pairs)."""
     e = load(spark, sf_dir, "embeddings")
-    return near_dup_pairs(e, threshold=0.4).select("id_a", "id_b").orderBy("id_a", "id_b")
+    return (
+        blocked_cosine_pairs(e, threshold=0.4, block_size=128)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
 
 
 @query(
@@ -541,6 +549,7 @@ def llm_dedup_cascade(spark, sf_dir):
         .distinct()
     )
     n_near = near.count()
+    k2.unpersist()  # all counts are driver-side now; the returned DF is a literal
     return spark.createDataFrame(
         [(n_docs, n_docs - n_k1, n_k1 - n_k2, n_near, n_k2 - n_near)],
         "n_docs long, n_exact_removed long, n_norm_removed long, n_neardup_removed long, n_final long",

@@ -109,7 +109,8 @@ def f_datetime(spark, sf_dir):
     SELECT doc_id,
            len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
            len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct_tokens,
-           list_sort(list_distinct(string_split_regex(trim(text), '\\s+')))[1:3] AS first_tokens,
+           array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\\s+')))[1:3],
+                           '|') AS first_tokens,
            list_contains(string_split_regex(trim(text), '\\s+'), 'spark') AS has_spark
     FROM documents ORDER BY doc_id
     """,
@@ -117,14 +118,15 @@ def f_datetime(spark, sf_dir):
 def f_array(spark, sf_dir):
     """F4: array family — contains/size/distinct/sort/slice, the scopeIds
     array predicates of copy_from_template.py:109-111 generalized to token
-    arrays."""
+    arrays. The sliced array is emitted '|'-joined: the driver canon cannot
+    hash list cells (see agg_collect_set)."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        F.slice(F.array_sort(F.array_distinct(toks)), 1, 3).alias("first_tokens"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), "|").alias("first_tokens"),
         F.array_contains(toks, "spark").alias("has_spark"),
     ).orderBy("doc_id")
 
@@ -223,8 +225,8 @@ def f_map(spark, sf_dir):
     sql="""
     SELECT l_orderkey, l_linenumber,
            abs(l_extendedprice - l_quantity) AS diff_abs,
-           floor(l_extendedprice / 1000) AS price_kilo,
-           ceil(l_quantity / 7) AS qty_ceil,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_kilo,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_ceil,
            sqrt(l_extendedprice) AS price_sqrt,
            l_discount * l_discount AS disc_sq,
            CAST(l_orderkey % 97 AS BIGINT) AS key_mod
@@ -232,7 +234,10 @@ def f_map(spark, sf_dir):
     """,
 )
 def f_math(spark, sf_dir):
-    """F7: math family restricted to IEEE-exact ops (see module docstring)."""
+    """F7: math family restricted to IEEE-exact ops (see module docstring).
+    Spark floor/ceil return LONG while DuckDB's return DOUBLE, and the
+    driver's pandas canon hashes 1 and 1.0 differently — the oracle casts
+    them to BIGINT so both engines emit int64."""
     l = load(spark, sf_dir, "lineitem")
     return l.select(
         "l_orderkey",
@@ -307,7 +312,7 @@ def f_hash_xxhash(spark, sf_dir):
     sql="""
     SELECT c_custkey,
            len(regexp_extract_all(c_name, '[0-9]+')) AS n_digit_runs,
-           regexp_extract_all(c_name, '[0-9]+') AS digit_runs,
+           array_to_string(regexp_extract_all(c_name, '[0-9]+'), '|') AS digit_runs,
            split_part(c_name, '#', 2) AS name_num,
            CASE WHEN regexp_matches(c_mktsegment, '^[A-Z]+$') THEN 1 ELSE 0 END AS seg_alpha,
            strpos(c_name, '#') AS hash_pos
@@ -318,12 +323,13 @@ def f_regexp(spark, sf_dir):
     """F1b: modern regexp family — regexp_count / regexp_extract_all /
     split_part / regexp_like / instr. All JVM codegen expressions; the
     oracle spells each with DuckDB's names (regexp_count == len of
-    extract_all, instr == strpos)."""
+    extract_all, instr == strpos). digit_runs is '|'-joined text — the
+    driver canon cannot hash list cells (see agg_collect_set)."""
     c = load(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
         F.regexp_count("c_name", F.lit("[0-9]+")).alias("n_digit_runs"),
-        F.regexp_extract_all("c_name", F.lit("[0-9]+"), 0).alias("digit_runs"),
+        F.array_join(F.regexp_extract_all("c_name", F.lit("[0-9]+"), 0), "|").alias("digit_runs"),
         F.split_part("c_name", F.lit("#"), F.lit(2)).alias("name_num"),
         F.regexp_like("c_mktsegment", F.lit("^[A-Z]+$")).cast("int").alias("seg_alpha"),
         F.instr("c_name", "#").alias("hash_pos"),

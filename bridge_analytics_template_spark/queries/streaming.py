@@ -432,7 +432,13 @@ def t_session_native_batch(spark, sf_dir):
     """T3 via the NATIVE `session_window` aggregate run in batch mode — the
     same physical operator the streaming form uses (merging session state),
     oracle-checked against the lag+cumsum island formulation. One shuffle
-    on user_id; the session merge happens inside the aggregate."""
+    on user_id; the session merge happens inside the aggregate.
+
+    Boundary semantics: Spark merges session windows when next.start <=
+    prev.end (INCLUSIVE), so an event at exactly the 5-minute gap stays in
+    the previous session — the oracle's islands rule is strict `gap >
+    300000000us`, empirically pinned at the boundary by
+    tests/test_properties.py::test_native_session_window_equals_islands."""
     e = load(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", "5 minutes"), "user_id")

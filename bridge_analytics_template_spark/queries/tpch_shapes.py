@@ -653,20 +653,28 @@ def q_yoy_growth(spark, sf_dir):
 )
 def q_revenue_pareto(spark, sf_dir):
     """Revenue Pareto: how many top parts cover 80% of revenue. Grouped
-    aggregate shrinks the fact to one row per part BEFORE the ranked
-    cumulative window (single partition by then, like q_yoy_growth); the
-    80% boundary is the exact integer inequality 5·cum < 4·total — no
-    float threshold. Count+1 converts 'strictly below 80%' into 'first
-    rank reaching it' (total revenue > 0 guarantees existence)."""
+    aggregate shrinks the fact to one row per part, then the ranked
+    cumulative sum runs DISTRIBUTED — range-partitioned prefix sums
+    (operators/prefix.py), not the unpartitioned window that collapses the
+    part table (which GROWS with SF) into one task. Order key is
+    (-rev_u, l_partkey): exact int64 negation gives the descending-revenue
+    total order range partitioning understands natively. The grand total
+    falls out of the same offset pass — no SUM() OVER () either. The 80%
+    boundary is the exact integer inequality 5·cum < 4·total — no float
+    threshold. Count+1 converts 'strictly below 80%' into 'first rank
+    reaching it' (total revenue > 0 guarantees existence)."""
+    from ..operators.prefix import partitioned_cumsum
+
     l = load(spark, sf_dir, "lineitem")
-    per_part = l.groupBy("l_partkey").agg(F.sum(_disc_u4()).alias("rev_u"))
-    w = Window.orderBy(F.desc("rev_u"), "l_partkey")
-    ranked = per_part.select(
-        "rev_u",
-        F.sum("rev_u").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum_u"),
-        F.sum("rev_u").over(Window.partitionBy()).alias("total_u"),
+    per_part = (
+        l.groupBy("l_partkey")
+        .agg(F.sum(_disc_u4()).alias("rev_u"))
+        .withColumn("_negrev", -F.col("rev_u"))
     )
-    return ranked.agg(
+    cum = partitioned_cumsum(
+        per_part, ["_negrev", "l_partkey"], "rev_u", cum_name="cum_u", total_name="total_u"
+    )
+    return cum.agg(
         (F.count(F.when(5 * F.col("cum_u") < 4 * F.col("total_u"), 1)) + 1)
         .cast("long")
         .alias("parts_for_80pct"),

@@ -32,7 +32,7 @@ _SQL_TOKENS = "string_split_regex(trim(lower(text)), '\\s+')"
     vocab AS (
       SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) - 1 AS id
       FROM toks GROUP BY tok)
-    SELECT t.doc_id, list(v.id ORDER BY t.pos) AS ids
+    SELECT t.doc_id, to_json(list(v.id ORDER BY t.pos)) AS ids
     FROM toks t JOIN vocab v USING (tok)
     WHERE t.doc_id % 20 = 0
     GROUP BY t.doc_id ORDER BY t.doc_id
@@ -41,25 +41,34 @@ _SQL_TOKENS = "string_split_regex(trim(lower(text)), '\\s+')"
 def train_vocab_encode(spark, sf_dir):
     """Vocabulary build + encoding: rank tokens by corpus frequency (ties
     lexicographic → deterministic ids), then encode a document sample as
-    id sequences. The vocab is a broadcast-sized dim by construction, so
-    the encode join never shuffles the corpus."""
+    id sequences. Vocab ids come from range-partitioned contiguous-id
+    assignment (operators/rowids.py) on the total order (-cnt, tok) — a
+    corpus-scale vocabulary (millions of types) never funnels through the
+    one-task row_number window. The vocab is a broadcast-sized dim by
+    construction, so the encode join never shuffles the corpus. The id
+    sequence is emitted as JSON text (driver canon cannot hash list cells;
+    see aggregates.agg_collect_set)."""
+    from ..operators.rowids import assign_contiguous_ids
+
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.posexplode_outer(ws_tokens("text")).alias("pos", "tok"))
-    vocab = (
+    counts = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            "tok",
-            (F.row_number().over(Window.orderBy(F.desc("cnt"), "tok")) - 1).alias("id"),
-        )
+        .withColumn("_negcnt", -F.col("cnt"))
+    )
+    vocab = assign_contiguous_ids(counts, ["_negcnt", "tok"], id_name="id").select(
+        "tok", F.col("id").cast("int").alias("id")
     )
     sample = toks.filter(F.col("doc_id") % 20 == 0)
     encoded = (
         sample.join(F.broadcast(vocab), "tok")
         .groupBy("doc_id")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "id"))), lambda s: s["id"]
+            F.to_json(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "id"))), lambda s: s["id"]
+                )
             ).alias("ids")
         )
     )
@@ -206,15 +215,17 @@ def train_shuffle_order(spark, sf_dir):
     doc by a content hash (md5 of its id) — an engine- and
     partitioning-independent permutation, unlike any seeded
     ``df.orderBy(rand())``. Round-robin sharding off the global position
-    spreads consecutive hash-ranked docs across output shards. The global
-    row_number is the scale caveat: one ordered pass (range partitioner +
-    per-partition offsets via operators/rowids.py is the 100-TB path;
-    Spark's window here collapses to one partition, fine to ~1e8 rows)."""
+    spreads consecutive hash-ranked docs across output shards. The ranking
+    runs DISTRIBUTED via range-partition + per-partition offsets
+    (operators/rowids.py) on the total order (md5, doc_id) — no
+    unpartitioned row_number window, no single-task sort."""
+    from ..operators.rowids import assign_contiguous_ids
+
     d = load(spark, sf_dir, "documents")
-    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-    pos = F.row_number().over(w).cast("long") - 1
+    keyed = d.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("_h"))
+    ranked = assign_contiguous_ids(keyed, ["_h", "doc_id"], id_name="global_pos")
     return (
-        d.select("doc_id", pos.alias("global_pos"), (pos % 4).alias("shard"))
+        ranked.select("doc_id", "global_pos", (F.col("global_pos") % 4).alias("shard"))
         .orderBy("doc_id")
     )
 

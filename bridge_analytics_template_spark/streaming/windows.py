@@ -35,6 +35,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.types import LongType
 
+    from ..catalog import _ensure_session_defaults
+
+    # Pin session defaults (UTC session zone above all): the ntz→timestamp
+    # cast below renders wall clocks in the SESSION zone — without this, a
+    # caller that never touched catalog.load would get shifted clocks
+    # relative to the batch path.
+    _ensure_session_defaults(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     probed = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema["ts"].dataType
     nanos = isinstance(probed, LongType)
@@ -87,7 +94,14 @@ def session_windows_stream(events: DataFrame, gap: str = "5 minutes") -> DataFra
 
 def sessionize_batch(events: DataFrame, gap_seconds: int = 300) -> DataFrame:
     """T3 (batch form): gap-based island detection — lag + cumulative sum of
-    session-break flags per user. One shuffle on user_id; no Python."""
+    session-break flags per user. One shuffle on user_id; no Python.
+
+    Break rule is STRICT ``gap > gap_seconds``, matching the native
+    ``session_window`` aggregate exactly: Spark merges two session windows
+    when next.start <= prev.end (inclusive), so an event at exactly the gap
+    still belongs to the previous session. Verified at the boundary by
+    tests/test_properties.py::test_native_session_window_equals_islands,
+    whose minute-stepped timestamps hit exact 300 s gaps on purpose."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     flagged = events.withColumn(

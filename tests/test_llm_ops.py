@@ -266,3 +266,25 @@ def test_prefix_filter_equals_inverted_index(spark, sf_dir):
         for r in exact_jaccard_pairs(arrays, min_jaccard=0.5).collect()
     }
     assert fast == slow
+
+
+def test_blocked_cosine_pairs_matches_all_pairs(spark, sf_dir):
+    # The shipped exact scale path (blocked GEMM, equi-joined block pairs)
+    # must return the identical pair set as the all-pairs verifier — at a
+    # block size small enough to force many blocks AND the self-block path.
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.llm.similarity import (
+        blocked_cosine_pairs,
+        near_dup_pairs,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    blocked = sorted(
+        (r["id_a"], r["id_b"])
+        for r in blocked_cosine_pairs(e, threshold=0.35, block_size=64).collect()
+    )
+    naive = sorted(
+        (r["id_a"], r["id_b"]) for r in near_dup_pairs(e, threshold=0.35).collect()
+    )
+    assert len(naive) > 0
+    assert blocked == naive

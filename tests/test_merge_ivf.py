@@ -77,3 +77,27 @@ def test_merge_apply_cdc_semantics(spark):
     )
     got = {(r["k"], r["v"]) for r in merge_apply_cdc(target, cdc, ["k"]).collect()}
     assert got == {(1, "a"), (2, "B"), (4, "d")}
+
+
+def test_merge_apply_cdc_latest_op_per_key(spark):
+    """With order_col, several ops on one key collapse to the LATEST:
+    I-then-U keeps only the U row, U-then-D deletes, D-then-I re-inserts."""
+    from bridge_analytics_template_spark.operators.merge import merge_apply_cdc
+
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    cdc = spark.createDataFrame(
+        [
+            (3, "x0", "I", 1),
+            (3, "x1", "U", 2),  # I then U: one row, v=x1
+            (2, "b1", "U", 1),
+            (2, None, "D", 2),  # U then D: deleted
+            (1, None, "D", 1),
+            (1, "a2", "I", 2),  # D then I: re-inserted
+        ],
+        "k long, v string, op string, seq long",
+    )
+    got = {
+        (r["k"], r["v"])
+        for r in merge_apply_cdc(target, cdc, ["k"], order_col="seq").collect()
+    }
+    assert got == {(1, "a2"), (3, "x1")}

@@ -205,3 +205,20 @@ def test_chunking_has_no_shuffle(spark, sf_dir):
     # In-row fan-out: the only exchange allowed is the presentation sort's
     # range partitioning — no hash exchange anywhere.
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_embed_neardup_no_quadratic_join(spark, sf_dir):
+    # The shipped near-dup entry is the blocked-GEMM equi-join: a cartesian
+    # or nested-loop self-join here means the O(n^2)-row plan regressed.
+    plan = plan_of(spark, sf_dir, "llm_embed_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_unpartitioned_windows(spark, sf_dir):
+    # These three route through range-partitioned prefix ops
+    # (operators/rowids.py, operators/prefix.py); any WindowExec in their
+    # plans means a one-task global sort crept back in.
+    for name in ("train_shuffle_order", "train_vocab_encode", "q_revenue_pareto"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Window [" not in plan, name

@@ -25,12 +25,19 @@ from bridge_analytics_template_spark.session import get_spark  # noqa: E402
 
 
 def norm_cell(v):
+    # Type-TAGGED normalization: the driver's pandas canon hashes int64 and
+    # float64 columns differently, so 1 must NOT equal 1.0 here (a bare
+    # Python `1 == 1.0` comparison masked the driver's f_math failure in r1).
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("bool", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return float(v)
+            return ("float", "NaN")
+        return ("float", v)
+    if isinstance(v, int):
+        return ("int", v)
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
     if hasattr(v, "isoformat"):  # datetime/date — compare on ISO text
@@ -95,6 +102,10 @@ def main() -> int:
             n_fail += 1
             print(f"[ERR ] {name:28s} {time.time()-t0:6.1f}s  {ex}")
             traceback.print_exc(limit=3)
+        finally:
+            # Queries that persist intermediates (tfidf, cascade, ml-lsh)
+            # must not accumulate storage memory across a 225-query run.
+            spark.catalog.clearCache()
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
