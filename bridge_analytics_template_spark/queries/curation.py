@@ -399,3 +399,224 @@ def llm_bigram_lm(spark, sf_dir):
         .filter((F.col("rnk") <= 3) & (F.col("n_ctx") >= 100))
         .orderBy("w1", "rnk")
     )
+
+
+_DSIR_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS tok FROM documents),
+    bucketed AS (
+      SELECT doc_id, lang, substr(md5(tok), 1, 2) AS bucket FROM toks),
+    stats AS (
+      SELECT bucket,
+             COUNT(*) AS cnt_r,
+             COUNT(CASE WHEN lang = 'en' THEN 1 END) AS cnt_t
+      FROM bucketed GROUP BY bucket),
+    totals AS (
+      SELECT SUM(cnt_r) AS n_r, SUM(cnt_t) AS n_t FROM stats),
+    weights AS (
+      SELECT bucket,
+             (cnt_t * n_r * 1000000) // (cnt_r * n_t) AS w_ppm
+      FROM stats CROSS JOIN totals)
+    SELECT b.doc_id,
+           COUNT(*) AS n_tokens,
+           SUM(w.w_ppm) AS score_ppm
+    FROM bucketed b JOIN weights w USING (bucket)
+    WHERE b.doc_id % 10 = 0
+    GROUP BY b.doc_id ORDER BY b.doc_id
+"""
+
+
+@query("llm_dsir_weights", sql=_DSIR_SQL)
+def llm_dsir_weights(spark, sf_dir):
+    """Data-selection importance weighting (the DSIR shape, Xie et al.
+    2023): score each raw document by how much its hashed token features
+    look like a target distribution (here: the 'en' slice) relative to the
+    raw corpus. Features are 256 md5-prefix hash buckets — string bucket
+    keys hash identically on both engines, no cross-engine integer-hash
+    parity problem. The per-bucket likelihood ratio is kept EXACT:
+    w_ppm = (cnt_target·N_raw·1e6) div (cnt_raw·N_target), all int64 (no
+    log, no float sum — at real corpus scale the products approach int64
+    range and the weights would move to quantized log-space doubles).
+    Plan: one explode+aggregate builds the 256-row weight table (broadcast),
+    then the corpus re-joins it and sums ints per doc — the raw side
+    shuffles once on (doc_id) for the final rollup."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode_outer(ws_tokens("text")).alias("tok")
+    )
+    bucketed = toks.select(
+        "doc_id", "lang", F.substring(F.md5("tok"), 1, 2).alias("bucket")
+    )
+    stats = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt_r"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("cnt_t"),
+    )
+    totals = stats.agg(
+        F.sum("cnt_r").alias("n_r"), F.sum("cnt_t").alias("n_t")
+    )
+    weights = stats.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.expr("(cnt_t * n_r * 1000000) div (cnt_r * n_t)").alias("w_ppm"),
+    )
+    return (
+        bucketed.filter(F.col("doc_id") % 10 == 0)
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_ppm").alias("score_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "llm_token_fertility",
+    sql=f"""
+    WITH t AS (
+      SELECT lang,
+             length(text) AS n_chars,
+             octet_length(encode(text)) AS n_bytes,
+             len({_SQL_TOKENS}) AS n_ws,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe
+      FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           SUM(n_bytes) AS total_bytes,
+           SUM(n_ws) AS total_ws_tokens,
+           SUM(n_bpe) AS total_bpe_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / SUM(n_ws) AS chars_per_ws_token,
+           CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws) AS bpe_per_ws_token,
+           CAST(SUM(n_bytes) AS DOUBLE) / SUM(n_chars) AS bytes_per_char
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def llm_token_fertility(spark, sf_dir):
+    """Tokenizer fertility diagnostics per language: characters per
+    whitespace token, BPE-ish subtokens per word, bytes per char (UTF-8
+    expansion) — the data-card numbers that size token budgets across a
+    multilingual mixture. All integer sums; each ratio is ONE IEEE
+    division of exact int64 totals, so both engines agree bit-for-bit.
+    One hash aggregate, everything else in-row."""
+    from ..functions.text import regex_tokens
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        F.size(ws_tokens("text")).alias("n_ws"),
+        F.size(regex_tokens("text")).alias("n_bpe"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("n_ws").alias("total_ws_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            (F.sum("n_chars").cast("double") / F.sum("n_ws")).alias("chars_per_ws_token"),
+            (F.sum("n_bpe").cast("double") / F.sum("n_ws")).alias("bpe_per_ws_token"),
+            (F.sum("n_bytes").cast("double") / F.sum("n_chars")).alias("bytes_per_char"),
+        )
+        .orderBy("lang")
+    )
+
+
+_DIVERSITY_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_SQL_TOKENS} AS t FROM documents),
+    grams AS (
+      SELECT lang,
+             unnest(list_transform(
+               generate_series(1, greatest(len(t) - 4, 0)),
+               i -> array_to_string(t[i:i+4], ' '))) AS gram
+      FROM toks)
+    SELECT lang,
+           COUNT(*) AS n_grams,
+           COUNT(DISTINCT gram) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT gram) AS DOUBLE) / COUNT(*) AS dup_fraction
+    FROM grams GROUP BY lang ORDER BY lang
+"""
+
+
+@query("llm_ngram_diversity", sql=_DIVERSITY_SQL)
+def llm_ngram_diversity(spark, sf_dir):
+    """Corpus diversity per language: the fraction of word-5-gram
+    occurrences that repeat an already-seen gram (1 − distinct/total) —
+    the self-repetition number that flags template-generated or boilerplate
+    slices before training. Exact integer counts + ONE division. The
+    distinct-count expands to the standard two-level aggregate; at 100 TB
+    the drop-in is an HLL sketch per language (see agg_hll_sketch)."""
+    d = load(spark, sf_dir, "documents")
+    grams = d.select(
+        "lang",
+        F.explode_outer(word_shingles(ws_tokens("text"), 5)).alias("gram"),
+    ).filter(F.col("gram").isNotNull())
+    n, nd = F.count(F.lit(1)), F.countDistinct("gram")
+    return (
+        grams.groupBy("lang")
+        .agg(
+            n.alias("n_grams"),
+            nd.alias("n_distinct"),
+            ((n - nd).cast("double") / n).alias("dup_fraction"),
+        )
+        .orderBy("lang")
+    )
+
+
+_URL_DEDUP_SQL = """
+    WITH urls AS (
+      SELECT doc_id,
+             'HTTPS://www.' || source || '.Example.com/p/' ||
+             CAST(doc_id % 40 AS VARCHAR) || '/?utm_source=feed&ref=rss' AS url
+      FROM documents),
+    canon AS (
+      SELECT doc_id,
+             lower(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(url, '^[A-Za-z]+://', ''),
+               '^www\\.', ''), '\\?.*$', ''), '/+$', '')) AS canon_url
+      FROM urls)
+    SELECT canon_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM canon GROUP BY canon_url ORDER BY keep_id
+"""
+
+
+@query("llm_url_dedup", sql=_URL_DEDUP_SQL)
+def llm_url_dedup(spark, sf_dir):
+    """Canonical-URL dedup — the web-pipeline first pass (dedupe fetches of
+    the same page before any content hashing): strip scheme, leading www,
+    query string and trailing slashes, lowercase, then keep the lowest id
+    per canonical URL. The URL is synthesized in-row from the fixture's
+    source column (the fixture stores no URLs) so the NORMALIZATION chain —
+    the actual operator — is oracle-verified end to end. One hash
+    aggregate; normalization is codegen'd regexp_replace."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://www."),
+        F.col("source"),
+        F.lit(".Example.com/p/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit("/?utm_source=feed&ref=rss"),
+    )
+    canon = F.lower(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(url, r"^[A-Za-z]+://", ""), r"^www\.", ""
+                ),
+                r"\?.*$",
+                "",
+            ),
+            r"/+$",
+            "",
+        )
+    )
+    return (
+        d.select("doc_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .orderBy("keep_id")
+    )

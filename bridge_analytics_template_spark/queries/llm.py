@@ -179,6 +179,22 @@ def llm_knn_ids(spark, sf_dir):
     )
 
 
+@query("llm_knn_pq")  # rows-only: approximate by design (quantized scores)
+def llm_knn_pq(spark, sf_dir):
+    """L3d: product-quantization ANN (llm/pq.py) — the memory-bound scale
+    path: 16 subspace codebooks compress each embedding to 16 one-byte
+    codes, queries score candidates by ADC table lookups without touching
+    a float vector at scan time. Planted-neighbor recall and determinism
+    asserted in tests/test_llm_ops.py."""
+    from ..llm.pq import pq_knn
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return pq_knn(q, e, k=5).select("query_id", "neighbor_id", "rank").orderBy(
+        "query_id", "rank"
+    )
+
+
 @query("llm_knn_lsh")  # rows-only: approximate by design
 def llm_knn_lsh(spark, sf_dir):
     """L3b: sign-bucket LSH top-k (multi-probe radius 1) — the scale path;
@@ -590,5 +606,95 @@ def llm_ngram_novelty(spark, sf_dir):
             novel.alias("n_novel"),
             (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
         )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "llm_containment_pairs",
+    sql=f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, unnest(list_distinct({_SQL_SHINGLES5})) AS shingle
+      FROM documents),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc <> b.doc
+      GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b, i.n_inter,
+           CAST(i.n_inter AS DOUBLE) / sa.n AS containment
+    FROM inter i JOIN sizes sa ON i.doc_a = sa.doc
+    WHERE 2 * i.n_inter >= sa.n
+    ORDER BY doc_a, doc_b
+    """,
+)
+def llm_containment_pairs(spark, sf_dir):
+    """L2h: one-sided shingle CONTAINMENT |A∩B|/|A| ≥ 0.5 — the asymmetric
+    near-dup measure Jaccard misses: a short document wholly quoted inside
+    a long one scores high containment but low Jaccard (union-dominated).
+    The standard check for quote/excerpt contamination. Same inverted-index
+    join as llm_ngram_jaccard (hashed shingles, O(postings) not O(pairs));
+    the threshold is applied as the exact integer inequality 2·inter ≥ |A|
+    and the emitted ratio is one IEEE division. Ordered pairs (doc_a ⊂
+    doc_b differs from doc_b ⊂ doc_a), so both directions can flag."""
+    d = load(spark, sf_dir, "documents")
+    arrays = _shingle_arrays(d, "text", "doc_id", 5, hashed=True)
+    sh = arrays.select(
+        F.col("doc").alias("doc"), F.explode_outer("sh").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc") != F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a"), "doc_a")
+        .filter(2 * F.col("n_inter") >= F.col("n"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            (F.col("n_inter").cast("double") / F.col("n")).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "llm_dedup_incremental",
+    sql="""
+    WITH old AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+    new AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1)
+    SELECT n.doc_id, EXISTS (SELECT 1 FROM old o WHERE o.h = n.h) AS seen_before
+    FROM new n ORDER BY n.doc_id
+    """,
+)
+def llm_dedup_incremental(spark, sf_dir):
+    """Incremental dedup against a prior corpus snapshot (the daily-crawl
+    shape: only NEW documents are checked, the old corpus is never
+    rescanned beyond its hash index). The even-id half plays the stored
+    snapshot, the odd-id half the new batch.
+
+    Plan: one semi-join of the new batch's content hashes against the
+    snapshot hash index. The scan-time pruning at 100 TB is Spark's OWN
+    runtime bloom filter — for a shuffle join with a selective build side
+    the optimizer injects bloom_filter_agg/might_contain into the probe
+    scan automatically (the session keeps that rewrite armed; guarded by
+    tests/test_plans.py::test_runtime_bloom_filter_injected) — so the
+    operator stays a declarative join rather than hand-rolling filter
+    plumbing the optimizer already owns."""
+    d = load(spark, sf_dir, "documents")
+    old_h = d.filter(F.col("doc_id") % 2 == 0).select(F.md5("text").alias("h")).distinct()
+    new = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", F.md5("text").alias("h"))
+    confirmed = new.join(old_h, "h", "left_semi").select(
+        "doc_id", F.lit(True).alias("seen_before")
+    )
+    return (
+        new.select("doc_id")
+        .join(confirmed, "doc_id", "left")
+        .select("doc_id", F.coalesce("seen_before", F.lit(False)).alias("seen_before"))
         .orderBy("doc_id")
     )

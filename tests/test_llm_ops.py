@@ -288,3 +288,29 @@ def test_blocked_cosine_pairs_matches_all_pairs(spark, sf_dir):
     )
     assert len(naive) > 0
     assert blocked == naive
+
+
+def test_pq_knn_finds_planted_neighbors(spark, sf_dir):
+    """The PQ guarantee (same contract as LSH): a planted near-identical
+    vector (cosine ≈ 0.99) survives quantization — its source must come
+    back as the top neighbor. Fixture noise-pair recall is NOT the
+    contract (neighbor/background cosine gap ~0.1 is below quantization
+    resolution by design). Also asserts run-to-run determinism."""
+    from bridge_analytics_template_spark.llm.pq import pq_knn
+    from bridge_analytics_template_spark.llm.similarity import knn_bruteforce
+
+    e = load(spark, sf_dir, "embeddings")
+    base = e.orderBy("vec_id").limit(20).collect()
+    planted = [
+        (10_000 + r["vec_id"], [x + 0.01 * ((i % 3) - 1) for i, x in enumerate(r["embedding"])], -1)
+        for r in base
+    ]
+    corpus = e.unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<float>, label int")
+    )
+    q = corpus.filter(F.col("vec_id") >= 10_000)
+    approx = {r["query_id"]: r["neighbor_id"] for r in pq_knn(q, corpus, k=1).collect()}
+    hits = sum(approx.get(10_000 + r["vec_id"]) == r["vec_id"] for r in base)
+    assert hits >= 18
+    rerun = {r["query_id"]: r["neighbor_id"] for r in pq_knn(q, corpus, k=1).collect()}
+    assert approx == rerun

@@ -85,3 +85,54 @@ def test_contiguous_ids_match_sort_order(spark, sf_dir):
     assert ids == list(range(n))  # contiguous, no gaps or dups
     by_key = sorted(out, key=lambda r: r["o_orderkey"])
     assert [r["row_id"] for r in by_key] == list(range(n))  # order-aligned
+
+
+def test_partitioned_cumsum_matches_window(spark):
+    """Range-partitioned prefix sums == the single-partition window cumsum,
+    on a composite (desc-via-negation, tiebreak) total order with negative
+    values and many partitions; the grand-total column matches SUM() OVER()."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bridge_analytics_template_spark.operators.prefix import partitioned_cumsum
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(-500, 500)) for i in range(997)]
+    df = (
+        spark.createDataFrame(rows, "k long, v long")
+        .withColumn("_negv", -F.col("v"))
+    )
+    got = {
+        r["k"]: (r["cum"], r["total"])
+        for r in partitioned_cumsum(
+            df, ["_negv", "k"], "v", cum_name="cum", total_name="total", num_partitions=16
+        ).collect()
+    }
+    w = Window.orderBy(F.desc("v"), "k")
+    expect = {
+        r["k"]: (r["cum"], r["total"])
+        for r in df.select(
+            "k",
+            F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+            F.sum("v").over(Window.partitionBy()).alias("total"),
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_assign_contiguous_ids_composite_order(spark):
+    """Composite order keys: ids follow (-cnt, tok) exactly — the vocab
+    ranking shape (frequency desc, lexicographic tiebreak)."""
+    from pyspark.sql import functions as F
+
+    from bridge_analytics_template_spark.operators.rowids import assign_contiguous_ids
+
+    rows = [("b", 5), ("a", 5), ("c", 9), ("d", 1), ("e", 5), ("f", 9)]
+    df = spark.createDataFrame(rows, "tok string, cnt long").withColumn(
+        "_negcnt", -F.col("cnt")
+    )
+    out = assign_contiguous_ids(df, ["_negcnt", "tok"], id_name="id", num_partitions=4).collect()
+    got = {r["tok"]: r["id"] for r in out}
+    assert got == {"c": 0, "f": 1, "a": 2, "b": 3, "e": 4, "d": 5}
