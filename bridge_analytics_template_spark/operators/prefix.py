@@ -32,7 +32,13 @@ def partitioned_cumsum(
     order, fully distributed. When ``total_name`` is given, also add the
     grand total as a constant column (it falls out of the offset pass for
     free — no extra job, no unpartitioned window)."""
-    parts = df.repartitionByRange(num_partitions, *order_cols).sortWithinPartitions(*order_cols)
+    # persist: read twice (offsets job, then the cumsum pass) — see the
+    # matching note in operators/rowids.py.
+    parts = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .persist()
+    )
     with_pid = parts.withColumn("_pid", F.spark_partition_id())
     sums = with_pid.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect()
     by_pid = {r["_pid"]: r["s"] for r in sums}

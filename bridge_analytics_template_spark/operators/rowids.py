@@ -29,7 +29,15 @@ def assign_contiguous_ids(
     partition-order-dependent.
     """
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
-    parts = df.repartitionByRange(num_partitions, *order_cols).sortWithinPartitions(*order_cols)
+    # persist: the partitioned+sorted form is read twice (offsets job, then
+    # the id pass) — caching both skips the second sort AND pins one range
+    # partitioning for both passes instead of leaning on RangePartitioner's
+    # deterministic re-sampling. Freed by the harness clearCache.
+    parts = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .persist()
+    )
     counts = (
         parts.withColumn("_pid", F.spark_partition_id())
         .groupBy("_pid")

@@ -118,3 +118,53 @@ def test_doc_lm_score_planted(spark, tmp_path):
     # freq(common)=4; doc1 = 4+4+1 = 9 over 3 tokens
     assert out[1].freq_sum == 9 and out[1].avg_tok_freq == 3.0
     assert out[2].freq_sum == 9
+
+
+def test_containment_planted_quote(spark, tmp_path):
+    """A short doc quoted verbatim inside a long one: containment flags the
+    short side at 1.0 while its Jaccard vs the long doc stays below any
+    near-dup threshold (union-dominated) — the case this measure exists for."""
+    from bridge_analytics_template_spark.queries.llm import llm_containment_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta"  # 6 tokens -> 2 distinct 5-grams
+    filler = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, quote),
+        (2, f"{filler} {quote} {filler}"),
+        (3, " ".join(f"z{i}" for i in range(30))),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in llm_containment_pairs(spark, str(tmp_path)).collect()
+    }
+    assert out[(1, 2)] == 1.0  # every 5-gram of the quote is in the long doc
+    assert (2, 1) not in out   # long doc is NOT contained in the quote
+    assert not any(3 in pair for pair in out)
+
+
+def test_dsir_weights_prefer_target_like_docs(spark, tmp_path):
+    """DSIR sanity on a constructed corpus with disjoint vocabularies: docs
+    written in the target slice's vocabulary must outscore docs that are
+    not (score_ppm is the summed per-token target/raw likelihood ratio)."""
+    from bridge_analytics_template_spark.queries.curation import llm_dsir_weights
+
+    en_words = "aurora borealis cascade dynamo ember"
+    de_words = "quark wolke zugzwang fernweh himmel"
+    rows = (
+        [(i * 10, en_words, "en", "s", 1) for i in range(6)]
+        + [(i * 10 + 5000, de_words, "de", "s", 1) for i in range(6)]
+    )
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r["score_ppm"] for r in llm_dsir_weights(spark, str(tmp_path)).collect()}
+    en_scores = [v for k, v in out.items() if k < 5000]
+    de_scores = [v for k, v in out.items() if k >= 5000]
+    assert en_scores and de_scores
+    assert min(en_scores) > max(de_scores)
+    # disjoint vocab: en buckets have ratio 2x (target==half the corpus),
+    # de buckets ratio 0 -> per-token weight 2e6 vs 0
+    assert all(v == 0 for v in de_scores)
