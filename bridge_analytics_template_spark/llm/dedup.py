@@ -470,3 +470,69 @@ def prefix_filtered_pairs(
         .distinct()
     )
     return jaccard_for_candidates(shingle_arrays, cand, min_jaccard)
+
+
+def containment_filtered_pairs(
+    shingle_arrays: DataFrame, min_containment: float = 0.5
+) -> DataFrame:
+    """EXACT one-sided containment self-join |A∩B|/|A| >= t with the
+    asymmetric prefix filter: if the contained side A shares >= ceil(t·|A|)
+    tokens with B, A must share one among its FIRST ``|A| - ceil(t·|A|) + 1``
+    tokens under any total order both sides agree on — ordered rarest-first
+    (corpus frequency asc, value tiebreak), so only A's rare tokens enter
+    the probe side. B indexes ALL its tokens (containment bounds nothing on
+    B), but every posting list is only met by rare-prefix probes, so the
+    common-token quadratic blowup of the naive inverted-index join cannot
+    happen on the pair-forming side. The size prune |B| >= ceil(t·|A|)
+    (|A∩B| <= |B|) drops size-incompatible pairs inside the join.
+    Survivors are verified exactly in-row (``array_intersect``), cost
+    ∝ |candidates|. Ordered pairs: (a contained-in b) ≠ (b contained-in a).
+    """
+    sh = shingle_arrays.select(
+        "doc", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle")
+    )
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    indexed = sh.join(freq, "shingle").persist()
+    needed = F.ceil(F.lit(min_containment) * F.col("n"))
+    # A-side probe: rarest (n - ceil(t*n) + 1) tokens per doc.
+    ordered = indexed.groupBy("doc", "n").agg(
+        F.array_sort(F.collect_list(F.struct("freq", "shingle"))).alias("os")
+    )
+    prefix_len = (F.col("n") - F.ceil(F.lit(min_containment) * F.col("n")) + 1).cast("int")
+    probes = ordered.select(
+        F.col("doc").alias("doc_a"),
+        F.col("n").alias("n_a"),
+        F.explode_outer(
+            F.transform(F.slice("os", F.lit(1), prefix_len), lambda s: s["shingle"])
+        ).alias("shingle"),
+    )
+    full = indexed.select(
+        F.col("doc").alias("doc_b"), F.col("n").alias("n_b"), "shingle"
+    )
+    cand = (
+        probes.join(
+            full,
+            (probes["shingle"] == full["shingle"])
+            & (probes["doc_a"] != full["doc_b"])
+            & (full["n_b"] >= F.ceil(F.lit(min_containment) * probes["n_a"])),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = shingle_arrays.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = shingle_arrays.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+            F.size("sh_a").alias("n_a"),
+        )
+        .filter(F.col("n_inter") >= F.ceil(F.lit(min_containment) * F.col("n_a")))
+        .withColumn(
+            "containment", F.col("n_inter").cast("double") / F.col("n_a").cast("double")
+        )
+        .select("doc_a", "doc_b", "n_inter", "containment")
+    )

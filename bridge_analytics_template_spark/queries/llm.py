@@ -634,38 +634,21 @@ def llm_containment_pairs(spark, sf_dir):
     a long one scores high containment but low Jaccard (union-dominated).
     The standard check for quote/excerpt contamination. Same inverted-index
     join as llm_ngram_jaccard (hashed shingles, O(postings) not O(pairs));
-    the threshold is applied as the exact integer inequality 2·inter ≥ |A|
-    and the emitted ratio is one IEEE division. Ordered pairs (doc_a ⊂
-    doc_b differs from doc_b ⊂ doc_a), so both directions can flag.
-    |A| rides the inverted index in-row (size before explode — the
-    exact_jaccard_pairs trick), so there is no separate sizes aggregate:
-    one persisted self-join + one pair aggregate, 2 shuffles total."""
+    the threshold is applied as the exact integer inequality inter ≥
+    ceil(t·|A|) and the emitted ratio is one IEEE division. Ordered pairs
+    (doc_a ⊂ doc_b differs from doc_b ⊂ doc_a), so both directions can
+    flag. The engine path is the asymmetric PREFIX-FILTERED join
+    (llm/dedup.py::containment_filtered_pairs): only the contained side's
+    rarest |A|−⌈t·|A|⌉+1 tokens probe the index, so common-shingle posting
+    lists never form quadratic pair counts — identical answer to the naive
+    inverted-index oracle (equivalence-tested)."""
+    from ..llm.dedup import containment_filtered_pairs
+
     d = load(spark, sf_dir, "documents")
     arrays = _shingle_arrays(d, "text", "doc_id", 5, hashed=True)
-    sh = arrays.select(
-        "doc", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle")
-    ).persist()  # read twice (both join sides)
-    inter = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") != F.col("b.doc")),
-        )
-        .groupBy(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.n").alias("n_a"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     return (
-        inter.filter(2 * F.col("n_inter") >= F.col("n_a"))
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_inter",
-            (F.col("n_inter").cast("double") / F.col("n_a")).alias("containment"),
-        )
+        containment_filtered_pairs(arrays, min_containment=0.5)
+        .select("doc_a", "doc_b", "n_inter", "containment")
         .orderBy("doc_a", "doc_b")
     )
 

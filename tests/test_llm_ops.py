@@ -314,3 +314,35 @@ def test_pq_knn_finds_planted_neighbors(spark, sf_dir):
     assert hits >= 18
     rerun = {r["query_id"]: r["neighbor_id"] for r in pq_knn(q, corpus, k=1).collect()}
     assert approx == rerun
+
+
+def test_containment_prefix_filter_equals_naive(spark, sf_dir):
+    """The asymmetric prefix-filtered containment join must return the
+    IDENTICAL ordered pair set as the naive inverted-index formulation, at
+    a threshold low enough to produce matches on the fixture."""
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.llm.dedup import (
+        _shingle_arrays,
+        containment_filtered_pairs,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    arrays = _shingle_arrays(d, "text", "doc_id", 5, hashed=True).persist()
+    filtered = sorted(
+        (r["doc_a"], r["doc_b"], r["n_inter"])
+        for r in containment_filtered_pairs(arrays, min_containment=0.2).collect()
+    )
+    sh = arrays.select("doc", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle"))
+    naive_df = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"), F.col("a.n").alias("n_a"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .filter(F.col("n_inter") >= F.ceil(F.lit(0.2) * F.col("n_a")))
+    )
+    naive = sorted((r["doc_a"], r["doc_b"], r["n_inter"]) for r in naive_df.collect())
+    assert len(filtered) > 0
+    assert filtered == naive
