@@ -688,3 +688,103 @@ def llm_dedup_incremental(spark, sf_dir):
         .select("doc_id", F.coalesce("seen_before", F.lit(False)).alias("seen_before"))
         .orderBy("doc_id")
     )
+
+
+@query("llm_ann_recall_report")  # rows-only: scores ANN paths against brute force
+def llm_ann_recall_report(spark, sf_dir):
+    """ANN quality harness: recall@5 of every approximate similarity path
+    (sign-LSH multiprobe, IVF, product quantization) against the exact
+    brute-force top-5 on the fixture probe set — the accept/reject
+    diagnostic an index rollout runs before switching the corpus over.
+    Deterministic (every path is seeded/tie-broken): emits exact hit
+    counts and ONE division per method. Rows-only by nature (the ANN
+    paths have no SQL equivalent); the per-method planted-recall
+    guarantees live in tests/test_llm_ops.py."""
+    from ..llm.pq import pq_knn
+    from ..llm.similarity import ivf_knn
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    brute = knn_bruteforce_np(q, e, k=5).select("query_id", "neighbor_id")
+    methods = {
+        "lsh": knn_lsh(q, e, k=5),
+        "ivf": ivf_knn(q, e, k=5),
+        "pq": pq_knn(q, e, k=5),
+    }
+    reports = []
+    for name, df in methods.items():
+        hits = brute.join(df.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        reports.append(
+            brute.agg(F.count(F.lit(1)).alias("n_brute"))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+            .select(
+                F.lit(name).alias("method"),
+                "n_brute",
+                "n_hits",
+                (F.col("n_hits").cast("double") / F.col("n_brute")).alias("recall_at_5"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("method")
+
+
+@query(
+    "llm_crossdup_jaccard",
+    sql=f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, unnest(list_distinct({_SQL_SHINGLES5})) AS shingle
+      FROM documents),
+    a AS (SELECT * FROM sh WHERE doc % 2 = 1),
+    b AS (SELECT * FROM sh WHERE doc % 2 = 0),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS new_doc, b.doc AS old_doc, COUNT(*) AS n_inter
+      FROM a JOIN b ON a.shingle = b.shingle
+      GROUP BY 1, 2)
+    SELECT i.new_doc, i.old_doc, i.n_inter,
+           CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.new_doc = sa.doc
+    JOIN sizes sb ON i.old_doc = sb.doc
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.2
+    ORDER BY new_doc, old_doc
+    """,
+)
+def llm_crossdup_jaccard(spark, sf_dir):
+    """Cross-corpus near-dup: exact word-5-gram Jaccard of every NEW doc
+    (odd ids) against the STORED corpus (even ids) — the near-dup analog
+    of llm_dedup_incremental, and the fuzzy tier of crawl-vs-archive
+    decontamination. The inverted-index join is A×B (not a self-join), so
+    only cross pairs form; set sizes ride the index in-row. At corpus
+    scale the candidate tier is MinHash bands on both sides (the machinery
+    of llm_dedup_minhash) with this exact join demoted to verification on
+    candidates — here the exact form IS the entry so the oracle can check
+    values."""
+    d = load(spark, sf_dir, "documents")
+    arrays = _shingle_arrays(d, "text", "doc_id", 5, hashed=True)
+    sh = arrays.select(
+        "doc", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle")
+    ).persist()
+    a = sh.filter(F.col("doc") % 2 == 1).alias("a")
+    b = sh.filter(F.col("doc") % 2 == 0).alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .groupBy(
+            F.col("a.doc").alias("new_doc"),
+            F.col("b.doc").alias("old_doc"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.2)
+        .select("new_doc", "old_doc", "n_inter", "jaccard")
+        .orderBy("new_doc", "old_doc")
+    )
