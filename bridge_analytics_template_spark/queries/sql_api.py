@@ -188,11 +188,22 @@ def t_stream_stateful(spark, sf_dir):
 def agg_approx_percentile(spark, sf_dir):
     """A8 scale path: approximate percentiles (GK sketch) — the 100 TB
     substitute for exact quantiles; accuracy asserted vs exact in
-    tests/test_aggregates.py."""
+    tests/test_aggregates.py. The sketch returns one array per group;
+    flattened to scalar columns so no registered query emits a list cell
+    (the driver canon cannot hash those — see aggregates.agg_collect_set)."""
     l = load(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("pcts")
-    ).orderBy("l_returnflag")
+    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
+    return (
+        l.groupBy("l_returnflag")
+        .agg(pcts.alias("pcts"))
+        .select(
+            "l_returnflag",
+            F.element_at("pcts", 1).alias("p50"),
+            F.element_at("pcts", 2).alias("p90"),
+            F.element_at("pcts", 3).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
 
 
 @query(
