@@ -346,3 +346,39 @@ def test_containment_prefix_filter_equals_naive(spark, sf_dir):
     naive = sorted((r["doc_a"], r["doc_b"], r["n_inter"]) for r in naive_df.collect())
     assert len(filtered) > 0
     assert filtered == naive
+
+
+def test_new_operators_handle_empty_and_tiny_inputs(spark):
+    """Edge-shape composability for the r2 operators: zero rows, one row,
+    and inputs smaller than one block all return sane results."""
+    from bridge_analytics_template_spark.llm.dedup import (
+        _shingle_arrays,
+        containment_filtered_pairs,
+    )
+    from bridge_analytics_template_spark.llm.similarity import blocked_cosine_pairs
+    from bridge_analytics_template_spark.operators.prefix import partitioned_cumsum
+    from bridge_analytics_template_spark.operators.rowids import assign_contiguous_ids
+
+    empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert blocked_cosine_pairs(empty_vecs, threshold=0.5).count() == 0
+
+    one_vec = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    assert blocked_cosine_pairs(one_vec, threshold=0.5).count() == 0  # no self-pairs
+
+    two_vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.001])], "vec_id long, embedding array<float>"
+    )
+    # both vectors land in ONE block (n << block_size): the self-block path
+    pairs = blocked_cosine_pairs(two_vecs, threshold=0.9, block_size=128).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+    empty_kv = spark.createDataFrame([], "k long, v long")
+    assert partitioned_cumsum(empty_kv, ["k"], "v").count() == 0
+    assert assign_contiguous_ids(empty_kv, "k").count() == 0
+
+    one_kv = spark.createDataFrame([(3, 7)], "k long, v long")
+    row = partitioned_cumsum(one_kv, ["k"], "v", total_name="total").collect()[0]
+    assert (row["cum"], row["total"]) == (7, 7)
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert containment_filtered_pairs(_shingle_arrays(empty_docs, "text", "doc_id", 5)).count() == 0
