@@ -217,24 +217,23 @@ def q_volume_shipping(spark, sf_dir):
     """,
 )
 def q_top_supplier(spark, sf_dir):
-    """TPC-H Q15 shape: supplier(s) achieving the maximum revenue in a
-    window. The max is an unpartitioned window aggregate over the grouped
-    result (a few thousand supplier rows, NOT the fact table — cheap single
-    partition by then), avoiding a second scan of lineitem for the scalar
-    subquery. Revenue equality is exact: integer-unit sums rescaled by the
-    same single division on both sides."""
+    """TPC-H Q15 shape: supplier(s) achieving the maximum revenue. The
+    scalar max comes from a real AGGREGATE (map-side partials, no
+    one-task stage) broadcast back onto the persisted per-supplier table —
+    NOT from ``max() OVER ()``, whose unpartitioned WindowExec funnels the
+    supplier table (which GROWS with SF) through a single task. The
+    persist keeps the lineitem scan+agg from running twice. Revenue
+    equality is exact: integer-unit sums rescaled by the same single
+    division on both sides."""
     l = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp"))
     )
-    from pyspark.sql import Window
-
     rev = l.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
         usum(_disc_u4(), 4, "total_revenue")
-    )
-    top = rev.withColumn("mx", F.max("total_revenue").over(Window.partitionBy())).filter(
-        F.col("total_revenue") == F.col("mx")
-    )
+    ).persist()
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(F.col("total_revenue") == F.col("mx"))
     s = load(spark, sf_dir, "supplier")
     return (
         top.join(F.broadcast(s), F.col("suppkey") == F.col("s_suppkey"))

@@ -219,6 +219,11 @@ def test_no_unpartitioned_windows(spark, sf_dir):
     # These three route through range-partitioned prefix ops
     # (operators/rowids.py, operators/prefix.py); any WindowExec in their
     # plans means a one-task global sort crept back in.
-    for name in ("train_shuffle_order", "train_vocab_encode", "q_revenue_pareto"):
+    for name in (
+        "train_shuffle_order",
+        "train_vocab_encode",
+        "q_revenue_pareto",
+        "q_top_supplier",  # scalar max via aggregate+broadcast, not max() OVER ()
+    ):
         plan = plan_of(spark, sf_dir, name)
         assert "Window [" not in plan, name
