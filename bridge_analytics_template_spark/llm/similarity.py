@@ -313,9 +313,13 @@ def blocked_cosine_pairs(
         .groupBy("_blk")
         .agg(F.collect_list(F.struct(F.col("vid"), F.col("v"))).alias("rows"))
     )
-    pair_index = spark.createDataFrame(
-        [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)],
-        "blk_a long, blk_b long",
+    # Block-pair index built DISTRIBUTED (range + in-row sequence fan-out):
+    # at corpus scale nb can reach 1e4+, and nb²/2 pairs materialized on
+    # the driver would be its own memory cliff. One spark.range scan,
+    # zero joins, never touches the driver.
+    pair_index = spark.range(n_blocks).select(
+        F.col("id").alias("blk_a"),
+        F.explode(F.sequence(F.col("id"), F.lit(n_blocks - 1))).alias("blk_b"),
     )
     a = packed.select(F.col("_blk").alias("blk_a"), F.col("rows").alias("rows_a"))
     b = packed.select(F.col("_blk").alias("blk_b"), F.col("rows").alias("rows_b"))
