@@ -149,15 +149,14 @@ def minhash_signatures(shingle_arrays: DataFrame, num_perm: int = 64) -> DataFra
     return pre.select("doc", F.expr(sig).alias("sig"))
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16, num_perm: int = 64) -> DataFrame:
-    """Band the signatures and self-join on (band index, band hash): docs
-    agreeing on any band become a candidate pair. The join key space is
-    (bands × hash) — uniformly distributed, no skew by construction."""
+def _banded_signatures(signatures: DataFrame, bands: int, num_perm: int) -> DataFrame:
+    """(doc, band, band_hash) rows: each signature cut into ``bands`` band
+    hashes. posexplode_outer: the band array is constant-width and never
+    empty; see _shingle_table on why the non-outer variant is a perf trap
+    (it would inline the 64-permutation signature into an inferred
+    filter)."""
     rows_per_band = max(num_perm // bands, 1)
-    # posexplode_outer: the band array is constant-width and never empty;
-    # see _shingle_table on why the non-outer variant is a perf trap (it
-    # would inline the 64-permutation signature into an inferred filter).
-    banded = signatures.select(
+    return signatures.select(
         "doc",
         F.posexplode_outer(
             F.array(
@@ -170,11 +169,17 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16, num_perm: int = 
             )
         ).alias("band", "band_hash"),
     )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16, num_perm: int = 64) -> DataFrame:
+    """Band the signatures and self-join on (band index, band hash): docs
+    agreeing on any band become a candidate pair. The join key space is
+    (bands × hash) — uniformly distributed, no skew by construction."""
     # Materialize the banded signatures once: a self-join of an unpersisted
     # plan computes the 64-permutation projection for BOTH sides (alias
     # exprIds defeat ReuseExchange). At corpus scale this is the signature
     # checkpoint every MinHash pipeline writes anyway.
-    banded = banded.persist()
+    banded = _banded_signatures(signatures, bands, num_perm).persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -535,4 +540,26 @@ def containment_filtered_pairs(
             "containment", F.col("n_inter").cast("double") / F.col("n_a").cast("double")
         )
         .select("doc_a", "doc_b", "n_inter", "containment")
+    )
+
+
+def lsh_cross_candidate_pairs(
+    sig_new: DataFrame, sig_old: DataFrame, bands: int = 16, num_perm: int = 64
+) -> DataFrame:
+    """Cross-corpus LSH candidates: band BOTH signature sets with the same
+    permutations and join new-side bands against old-side bands — the
+    candidate tier of snapshot near-dedup (new crawl × stored corpus).
+    Cost is linear in each side's docs plus band-collisions; nothing is
+    ever compared all-pairs. Returns ordered (doc_a=new, doc_b=old)."""
+    banded_new = _banded_signatures(sig_new, bands, num_perm)
+    banded_old = _banded_signatures(sig_old, bands, num_perm)
+    return (
+        banded_new.alias("a")
+        .join(
+            banded_old.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
     )

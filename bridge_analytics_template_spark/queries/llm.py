@@ -788,3 +788,31 @@ def llm_crossdup_jaccard(spark, sf_dir):
         .select("new_doc", "old_doc", "n_inter", "jaccard")
         .orderBy("new_doc", "old_doc")
     )
+
+
+@query("llm_crossdup_minhash")  # rows-only: LSH candidate tier, exact-verified
+def llm_crossdup_minhash(spark, sf_dir):
+    """The SCALE tier of cross-corpus near-dedup: MinHash signatures on
+    both halves, cross-banded candidate join
+    (llm/dedup.py::lsh_cross_candidate_pairs), exact Jaccard verification
+    on candidates only (j >= 0.5). Precision 1 by construction (every
+    emitted pair is exactly verified); recall vs the exact inverted-index
+    cross join is the LSH band guarantee, asserted in
+    tests/test_llm_ops.py. This is what llm_crossdup_jaccard demotes to
+    at corpus scale."""
+    from ..llm.dedup import jaccard_for_candidates, lsh_cross_candidate_pairs, minhash_signatures
+
+    d = load(spark, sf_dir, "documents")
+    arrays = _shingle_arrays(d, "text", "doc_id", 5, hashed=True).persist()
+    new_a = arrays.filter(F.col("doc") % 2 == 1)
+    old_a = arrays.filter(F.col("doc") % 2 == 0)
+    cand = lsh_cross_candidate_pairs(minhash_signatures(new_a), minhash_signatures(old_a))
+    return (
+        jaccard_for_candidates(arrays, cand, min_jaccard=0.5)
+        .select(
+            F.col("doc_a").alias("new_doc"),
+            F.col("doc_b").alias("old_doc"),
+            "n_inter",
+        )
+        .orderBy("new_doc", "old_doc")
+    )

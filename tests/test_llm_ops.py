@@ -382,3 +382,39 @@ def test_new_operators_handle_empty_and_tiny_inputs(spark):
 
     empty_docs = spark.createDataFrame([], "doc_id long, text string")
     assert containment_filtered_pairs(_shingle_arrays(empty_docs, "text", "doc_id", 5)).count() == 0
+
+
+def test_crossdup_minhash_recall_vs_exact(spark, sf_dir):
+    """Cross-corpus LSH tier: every emitted pair is exactly verified
+    (precision 1 — must be a subset of the exact cross join at the same
+    threshold), and band recall over the fixture's true cross near-dups
+    is >= 90%."""
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.llm.dedup import _shingle_arrays, jaccard_for_candidates
+    from bridge_analytics_template_spark.queries.llm import llm_crossdup_minhash
+
+    approx = {
+        (r["new_doc"], r["old_doc"])
+        for r in llm_crossdup_minhash(spark, sf_dir).collect()
+    }
+    d = load(spark, sf_dir, "documents")
+    arrays = _shingle_arrays(d, "text", "doc_id", 5, hashed=True).persist()
+    sh = arrays.select("doc", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle"))
+    exact_pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") % 2 == 1)
+            & (F.col("b.doc") % 2 == 0),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_for_candidates(arrays, exact_pairs, min_jaccard=0.5).collect()
+    }
+    assert approx <= exact          # precision 1: all emitted pairs are true
+    assert len(exact) > 0
+    assert len(approx) >= 0.9 * len(exact)  # band recall
