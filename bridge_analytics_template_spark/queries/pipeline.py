@@ -18,6 +18,7 @@ from ..catalog import load, register_views
 from ..functions.text import (
     STOPWORDS,
     alpha_ratio,
+    normalized_fingerprint,
     stopword_hits,
     token_length_sum,
     ws_tokens,
@@ -427,3 +428,95 @@ def emb_kmeans(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     return kmeans_assign(e, k=8, iterations=5).orderBy("vec_id")
+
+
+@query(
+    "llm_mixture_stratified",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             (len({_SQL_TOKENS}) BETWEEN 5 AND 100000)
+               AND (CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+                      / greatest(length(text), 1) >= 0.5) AS keep
+      FROM documents)
+    SELECT lang, keep,
+           COUNT(*) AS n_total,
+           COUNT(CASE WHEN keep OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '1f'
+                      THEN 1 END) AS n_sampled
+    FROM t GROUP BY lang, keep ORDER BY lang, keep
+    """,
+)
+def llm_mixture_stratified(spark, sf_dir):
+    """Quality-stratified mixture: documents passing the C4/Gopher-style
+    filter (llm_quality_score's keep rule) are kept at 100%; failing docs
+    are downsampled to ~12.5% by the same deterministic content-hash
+    predicate the split/mixture ops use — the standard 'keep some
+    low-quality mass for robustness' mixture step. One projection + one
+    hash aggregate; reproducible on any partitioning (no RNG)."""
+    d = load(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    n_tokens = F.size(toks)
+    a_ratio = alpha_ratio("text")
+    keep = n_tokens.between(5, 100000) & (a_ratio >= 0.5)
+    sampled = keep | (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) <= "1f")
+    return (
+        d.select("lang", keep.alias("keep"), sampled.alias("sampled"))
+        .groupBy("lang", "keep")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("sampled"), 1)).alias("n_sampled"),
+        )
+        .orderBy("lang", "keep")
+    )
+
+
+@query(
+    "llm_curation_report",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, md5(text) AS h,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                     '\\s+', ' ', 'g'))) AS nh,
+             len({_SQL_TOKENS}) AS n_toks,
+             (len({_SQL_TOKENS}) BETWEEN 5 AND 100000)
+               AND (CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+                      / greatest(length(text), 1) >= 0.5) AS keep
+      FROM documents)
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(*) - COUNT(DISTINCT h) AS n_exact_dups,
+           COUNT(*) - COUNT(DISTINCT nh) AS n_norm_dups,
+           COUNT(CASE WHEN keep THEN 1 END) AS n_keep,
+           SUM(n_toks) AS total_tokens,
+           CAST(SUM(n_toks) AS DOUBLE) / COUNT(*) AS mean_doc_tokens
+    FROM t
+    """,
+)
+def llm_curation_report(spark, sf_dir):
+    """The corpus data-card headline row: doc/language counts, exact and
+    normalized duplicate mass, quality-filter survivors, token budget and
+    mean document length — the one-glance summary every curation run
+    publishes. Exact integer counts + ONE division; the distinct counts
+    expand to standard two-level aggregates (HLL sketches are the 100 TB
+    drop-in, see agg_hll_sketch)."""
+    d = load(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    n_tokens = F.size(toks)
+    a_ratio = alpha_ratio("text")
+    keep = n_tokens.between(5, 100000) & (a_ratio >= 0.5)
+    t = d.select(
+        "lang",
+        F.md5("text").alias("h"),
+        normalized_fingerprint("text").alias("nh"),
+        n_tokens.alias("n_toks"),
+        keep.alias("keep"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_exact_dups"),
+        (F.count(F.lit(1)) - F.countDistinct("nh")).alias("n_norm_dups"),
+        F.count(F.when(F.col("keep"), 1)).alias("n_keep"),
+        F.sum("n_toks").alias("total_tokens"),
+        (F.sum("n_toks").cast("double") / F.count(F.lit(1))).alias("mean_doc_tokens"),
+    )
