@@ -655,3 +655,46 @@ def q_nation_hhi(spark, sf_dir):
         F.sum(F.col("share_ppm") * F.col("share_ppm")).alias("hhi_ppm2"),
         F.max("share_ppm").alias("top_share_ppm"),
     )
+
+
+@query(
+    "emb_dim_stats",
+    sql="""
+    WITH flat AS (
+      SELECT t.i - 1 AS dim,
+             CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1048576) AS BIGINT) AS vq
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i))
+    SELECT CAST(dim AS INT) AS dim,
+           COUNT(*) AS n,
+           SUM(vq) AS sum_q,
+           SUM(vq * vq) AS sumsq_q,
+           CAST(SUM(vq) AS DOUBLE) / (COUNT(*) * 1048576.0) AS mean
+    FROM flat GROUP BY dim ORDER BY dim
+    """,
+)
+def emb_dim_stats(spark, sf_dir):
+    """Per-DIMENSION embedding statistics — the feature-scaling table a
+    standardization / whitening step consumes (and the drift check a
+    re-embedding run diffs against). Values are quantized to exact 2^-20
+    integers IN-ROW, so the cross-row sums are exact int64 on any combine
+    order (float sums are not; NOTES.md discipline); the mean is one IEEE
+    division at the end. Raw exact moments (sum, sum of squares) ride
+    along so variance/std derive downstream without a second scan.
+    posexplode is the per-row fan-out; one hash aggregate on the 64
+    dimension keys. int64 bound: |v|<=8 -> vq^2 < 2^47, safe to ~1e5 rows
+    per dim at these magnitudes; a corpus-scale run moves sumsq to
+    DECIMAL(38,0) (same discipline, wider accumulator)."""
+    e = load(spark, sf_dir, "embeddings")
+    flat = e.select(
+        F.posexplode("embedding").alias("dim", "x")
+    ).select("dim", F.floor(F.col("x").cast("double") * 1048576).cast("long").alias("vq"))
+    return (
+        flat.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vq").alias("sum_q"),
+            F.sum(F.col("vq") * F.col("vq")).alias("sumsq_q"),
+            (F.sum("vq").cast("double") / (F.count(F.lit(1)) * F.lit(1048576.0))).alias("mean"),
+        )
+        .orderBy("dim")
+    )
