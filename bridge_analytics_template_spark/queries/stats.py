@@ -698,3 +698,60 @@ def emb_dim_stats(spark, sf_dir):
         )
         .orderBy("dim")
     )
+
+
+@query(
+    "emb_standardize",
+    sql="""
+    WITH flat AS (
+      SELECT vec_id, t.i - 1 AS dim,
+             CAST(embedding[t.i] AS DOUBLE) AS v,
+             CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1048576) AS BIGINT) AS vq
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+    stats AS (
+      SELECT dim,
+             CAST(SUM(vq) AS DOUBLE) / COUNT(*) AS s1,
+             CAST(SUM(vq * vq) AS DOUBLE) / COUNT(*) AS s2
+      FROM flat GROUP BY dim)
+    SELECT f.vec_id, CAST(f.dim AS INT) AS dim,
+           CAST(floor(((f.v - s.s1 / 1048576.0)
+                       / (sqrt(s.s2 - s.s1 * s.s1) / 1048576.0)) * 1000) AS BIGINT) AS z_q
+    FROM flat f JOIN stats s ON f.dim = s.dim
+    WHERE f.vec_id % 25 = 0
+    ORDER BY f.vec_id, dim
+    """,
+)
+def emb_standardize(spark, sf_dir):
+    """Feature standardization: z-score each embedding dimension against
+    the corpus moments (the transform consuming emb_dim_stats' table).
+    The per-dim stats derive from EXACT quantized integer sums, so both
+    engines compute bit-identical means/stds; the z-score is the same
+    IEEE op sequence on both sides and is emitted quantized (floor at
+    1e-3). Plan: one explode + aggregate builds the 64-row stats dim
+    (broadcast), the value stream joins it without shuffling, sampled
+    output keeps the checked rows bounded. At corpus scale the stats
+    table is a stored artifact; the transform stays one broadcast-join
+    projection."""
+    e = load(spark, sf_dir, "embeddings")
+    flat = e.select("vec_id", F.posexplode("embedding").alias("dim", "x")).select(
+        "vec_id",
+        "dim",
+        F.col("x").cast("double").alias("v"),
+        F.floor(F.col("x").cast("double") * 1048576).cast("long").alias("vq"),
+    )
+    stats = flat.groupBy("dim").agg(
+        (F.sum("vq").cast("double") / F.count(F.lit(1))).alias("s1"),
+        (F.sum(F.col("vq") * F.col("vq")).cast("double") / F.count(F.lit(1))).alias("s2"),
+    )
+    mean = F.col("s1") / F.lit(1048576.0)
+    std = F.sqrt(F.col("s2") - F.col("s1") * F.col("s1")) / F.lit(1048576.0)
+    return (
+        flat.filter(F.col("vec_id") % 25 == 0)
+        .join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            F.col("dim").cast("int").alias("dim"),
+            F.floor(((F.col("v") - mean) / std) * 1000).cast("long").alias("z_q"),
+        )
+        .orderBy("vec_id", "dim")
+    )
