@@ -755,3 +755,42 @@ def emb_standardize(spark, sf_dir):
         )
         .orderBy("vec_id", "dim")
     )
+
+
+@query(
+    "profile_key_skew",
+    sql="""
+    WITH per_key AS (
+      SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY l_partkey)
+    SELECT COUNT(*) AS n_keys,
+           SUM(n) AS n_rows,
+           MAX(n) AS max_rows,
+           quantile_cont(n, 0.5) AS p50_rows,
+           quantile_cont(n, 0.99) AS p99_rows,
+           CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_rows,
+           CAST(MAX(n) AS DOUBLE) / (CAST(SUM(n) AS DOUBLE) / COUNT(*)) AS skew_ratio
+    FROM per_key
+    """,
+)
+def profile_key_skew(spark, sf_dir):
+    """Join-key skew diagnosis — the number that decides between a plain
+    shuffle join, AQE skew splitting, and explicit salting
+    (agg_salted_skew / join_salted_skew are the treatments; this is the
+    triage): per-key row counts for the prospective join key, rolled up
+    to cardinality, max, exact p50/p99, mean, and max/mean skew ratio.
+    Two hash aggregates (per-key then summary — the second input is one
+    row per key); exact integer counts, interpolated percentiles
+    (Spark `percentile` == DuckDB `quantile_cont`), two final
+    divisions."""
+    l = load(spark, sf_dir, "lineitem")
+    per_key = l.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    mean_rows = F.sum("n").cast("double") / F.count(F.lit(1))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_rows"),
+        F.percentile("n", 0.5).alias("p50_rows"),
+        F.percentile("n", 0.99).alias("p99_rows"),
+        mean_rows.alias("mean_rows"),
+        (F.max("n").cast("double") / mean_rows).alias("skew_ratio"),
+    )
