@@ -195,6 +195,22 @@ def llm_knn_pq(spark, sf_dir):
     )
 
 
+@query("llm_knn_ivfpq")  # rows-only: approximate by design (pruned + quantized)
+def llm_knn_ivfpq(spark, sf_dir):
+    """L3e: IVF-PQ ANN (llm/pq.py::ivfpq_knn) — the composite billion-scale
+    index: coarse inverted lists prune candidates (nprobe/n_centroids),
+    product-quantized RESIDUAL codes score them by ADC table lookups.
+    Planted-neighbor recall and determinism asserted in
+    tests/test_llm_ops.py."""
+    from ..llm.pq import ivfpq_knn
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return ivfpq_knn(q, e, k=5).select("query_id", "neighbor_id", "rank").orderBy(
+        "query_id", "rank"
+    )
+
+
 @query("llm_knn_lsh")  # rows-only: approximate by design
 def llm_knn_lsh(spark, sf_dir):
     """L3b: sign-bucket LSH top-k (multi-probe radius 1) — the scale path;
@@ -700,7 +716,7 @@ def llm_ann_recall_report(spark, sf_dir):
     counts and ONE division per method. Rows-only by nature (the ANN
     paths have no SQL equivalent); the per-method planted-recall
     guarantees live in tests/test_llm_ops.py."""
-    from ..llm.pq import pq_knn
+    from ..llm.pq import ivfpq_knn, pq_knn
     from ..llm.similarity import ivf_knn
 
     e = load(spark, sf_dir, "embeddings")
@@ -710,6 +726,7 @@ def llm_ann_recall_report(spark, sf_dir):
         "lsh": knn_lsh(q, e, k=5),
         "ivf": ivf_knn(q, e, k=5),
         "pq": pq_knn(q, e, k=5),
+        "ivfpq": ivfpq_knn(q, e, k=5),
     }
     reports = []
     for name, df in methods.items():

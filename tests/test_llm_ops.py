@@ -418,3 +418,27 @@ def test_crossdup_minhash_recall_vs_exact(spark, sf_dir):
     assert approx <= exact          # precision 1: all emitted pairs are true
     assert len(exact) > 0
     assert len(approx) >= 0.9 * len(exact)  # band recall
+
+
+def test_ivfpq_knn_finds_planted_neighbors(spark, sf_dir):
+    """IVF-PQ contract: a planted near-identical vector shares its source's
+    coarse list (cosine ~0.99 to the same centroid) and survives residual
+    quantization — the source must come back as the top neighbor.
+    Deterministic across runs."""
+    from bridge_analytics_template_spark.llm.pq import ivfpq_knn
+
+    e = load(spark, sf_dir, "embeddings")
+    base = e.orderBy("vec_id").limit(20).collect()
+    planted = [
+        (10_000 + r["vec_id"], [x + 0.01 * ((i % 3) - 1) for i, x in enumerate(r["embedding"])], -1)
+        for r in base
+    ]
+    corpus = e.unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<float>, label int")
+    )
+    q = corpus.filter(F.col("vec_id") >= 10_000)
+    approx = {r["query_id"]: r["neighbor_id"] for r in ivfpq_knn(q, corpus, k=1).collect()}
+    hits = sum(approx.get(10_000 + r["vec_id"]) == r["vec_id"] for r in base)
+    assert hits >= 18
+    rerun = {r["query_id"]: r["neighbor_id"] for r in ivfpq_knn(q, corpus, k=1).collect()}
+    assert approx == rerun
