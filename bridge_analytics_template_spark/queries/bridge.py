@@ -136,7 +136,7 @@ def bridge_file_view(spark, sf_dir):
              SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS text_not_null,
              COUNT(doc_id) - COUNT(DISTINCT doc_id) AS doc_id_unique
       FROM documents)
-    SELECT rule, n_violations, n_checked FROM (
+    SELECT rule, CAST(n_violations AS BIGINT) AS n_violations, n_checked FROM (
       SELECT 'lang_max_length_2' AS rule, lang_max_length_2 AS n_violations, n_checked FROM wide
       UNION ALL SELECT 'lang_in_set', lang_in_set, n_checked FROM wide
       UNION ALL SELECT 'n_chars_consistent', n_chars_consistent, n_checked FROM wide
@@ -175,7 +175,7 @@ def bridge_validate(spark, sf_dir):
       UNION ALL
       SELECT DISTINCT entity_id, -1 AS principal_id, 'admin' AS access FROM source_acl)
     SELECT entity_id, COUNT(*) AS n_grants,
-           SUM(CASE WHEN access = 'admin' THEN 1 ELSE 0 END) AS n_admin
+           CAST(SUM(CASE WHEN access = 'admin' THEN 1 ELSE 0 END) AS BIGINT) AS n_admin
     FROM granted GROUP BY entity_id ORDER BY entity_id
     """,
 )

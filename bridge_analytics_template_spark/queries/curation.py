@@ -301,7 +301,7 @@ _LM_SQL = f"""
     vocab AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok)
     SELECT t.doc_id,
            COUNT(*) AS n_tokens,
-           SUM(v.cnt) AS freq_sum,
+           CAST(SUM(v.cnt) AS BIGINT) AS freq_sum,
            CAST(SUM(v.cnt) AS DOUBLE) / COUNT(*) AS avg_tok_freq
     FROM t JOIN vocab v ON t.tok = v.tok
     GROUP BY t.doc_id ORDER BY t.doc_id
@@ -342,7 +342,7 @@ _BIGRAM_SQL = f"""
     pair_counts AS (
       SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS n_pair FROM big GROUP BY 1, 2),
     uni AS (
-      SELECT w1, SUM(n_pair) AS n_ctx FROM pair_counts GROUP BY w1),
+      SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_ctx FROM pair_counts GROUP BY w1),
     ranked AS (
       SELECT p.w1, p.w2, p.n_pair, u.n_ctx,
              CAST(p.n_pair AS DOUBLE) / u.n_ctx AS cond_p,
@@ -419,7 +419,7 @@ _DSIR_SQL = f"""
       FROM stats CROSS JOIN totals)
     SELECT b.doc_id,
            COUNT(*) AS n_tokens,
-           SUM(w.w_ppm) AS score_ppm
+           CAST(SUM(w.w_ppm) AS BIGINT) AS score_ppm
     FROM bucketed b JOIN weights w USING (bucket)
     WHERE b.doc_id % 10 = 0
     GROUP BY b.doc_id ORDER BY b.doc_id
@@ -482,10 +482,10 @@ def llm_dsir_weights(spark, sf_dir):
       FROM documents)
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
-           SUM(n_bytes) AS total_bytes,
-           SUM(n_ws) AS total_ws_tokens,
-           SUM(n_bpe) AS total_bpe_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
            CAST(SUM(n_chars) AS DOUBLE) / SUM(n_ws) AS chars_per_ws_token,
            CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws) AS bpe_per_ws_token,
            CAST(SUM(n_bytes) AS DOUBLE) / SUM(n_chars) AS bytes_per_char

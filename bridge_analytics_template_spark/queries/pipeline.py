@@ -296,7 +296,7 @@ def s_orc_roundtrip(spark, sf_dir):
                   ELSE 'c' END AS kind,
              (i * 2654435761) % 1000 AS val
       FROM generate_series(0, 1999) AS t(i))
-    SELECT kind, COUNT(*) AS n, SUM(val) AS total, MIN(event_id) AS first_id
+    SELECT kind, COUNT(*) AS n, CAST(SUM(val) AS BIGINT) AS total, MIN(event_id) AS first_id
     FROM g GROUP BY kind ORDER BY kind
     """,
 )
@@ -487,7 +487,7 @@ def llm_mixture_stratified(spark, sf_dir):
            COUNT(*) - COUNT(DISTINCT h) AS n_exact_dups,
            COUNT(*) - COUNT(DISTINCT nh) AS n_norm_dups,
            COUNT(CASE WHEN keep THEN 1 END) AS n_keep,
-           SUM(n_toks) AS total_tokens,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
            CAST(SUM(n_toks) AS DOUBLE) / COUNT(*) AS mean_doc_tokens
     FROM t
     """,

@@ -620,7 +620,7 @@ def events_inter_arrival(spark, sf_dir):
              CAST(floor((1000000.0 * CAST(rev_u AS DOUBLE)) / CAST(SUM(rev_u) OVER () AS DOUBLE)) AS BIGINT) AS share_ppm
       FROM per_nation)
     SELECT COUNT(*) AS n_nations,
-           SUM(share_ppm * share_ppm) AS hhi_ppm2,
+           CAST(SUM(share_ppm * share_ppm) AS BIGINT) AS hhi_ppm2,
            CAST(MAX(share_ppm) AS BIGINT) AS top_share_ppm
     FROM shares
     """,
@@ -666,8 +666,8 @@ def q_nation_hhi(spark, sf_dir):
       FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i))
     SELECT CAST(dim AS INT) AS dim,
            COUNT(*) AS n,
-           SUM(vq) AS sum_q,
-           SUM(vq * vq) AS sumsq_q,
+           CAST(SUM(vq) AS BIGINT) AS sum_q,
+           CAST(SUM(vq * vq) AS BIGINT) AS sumsq_q,
            CAST(SUM(vq) AS DOUBLE) / (COUNT(*) * 1048576.0) AS mean
     FROM flat GROUP BY dim ORDER BY dim
     """,
@@ -763,7 +763,7 @@ def emb_standardize(spark, sf_dir):
     WITH per_key AS (
       SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY l_partkey)
     SELECT COUNT(*) AS n_keys,
-           SUM(n) AS n_rows,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
            MAX(n) AS max_rows,
            quantile_cont(n, 0.5) AS p50_rows,
            quantile_cont(n, 0.99) AS p99_rows,

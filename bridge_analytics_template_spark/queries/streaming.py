@@ -79,9 +79,9 @@ def t_sliding_counts(spark, sf_dir):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessioned AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_seq
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_seq
       FROM flagged)
     SELECT user_id, session_seq,
            CAST(MIN(ts) AS TIMESTAMP) AS session_start,
@@ -363,7 +363,7 @@ def events_transitions(spark, sf_dir):
       FROM events)
     SELECT user_id,
            CAST(SUM(v * secs) AS DOUBLE) AS weighted_sum,
-           SUM(secs) AS total_secs,
+           CAST(SUM(secs) AS BIGINT) AS total_secs,
            CAST(SUM(v * secs) AS DOUBLE) / CAST(SUM(secs) AS DOUBLE) AS twa
     FROM seg WHERE secs IS NOT NULL AND secs > 0
     GROUP BY 1 ORDER BY 1
@@ -418,9 +418,9 @@ def events_time_weighted_avg(spark, sf_dir):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessioned AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_seq
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_seq
       FROM flagged)
     SELECT user_id,
            CAST(MIN(ts) AS TIMESTAMP) AS session_start,

@@ -42,7 +42,7 @@ def x_scalar_pandas_udf(spark, sf_dir):
 @query(
     "x_grouped_agg_pandas",
     sql="""
-    SELECT lang, SUM(n_chars) AS total_chars, COUNT(*) AS n_docs
+    SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total_chars, COUNT(*) AS n_docs
     FROM documents GROUP BY lang ORDER BY lang
     """,
 )

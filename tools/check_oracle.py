@@ -11,6 +11,7 @@ iterating:
 from __future__ import annotations
 
 import argparse
+import decimal
 import math
 import sys
 import time
@@ -28,10 +29,17 @@ def norm_cell(v):
     # Type-TAGGED normalization: the driver's pandas canon hashes int64 and
     # float64 columns differently, so 1 must NOT equal 1.0 here (a bare
     # Python `1 == 1.0` comparison masked the driver's f_math failure in r1).
+    # Decimal is tagged by its string rendering for the same reason:
+    # Decimal('1.5') == 1.5 in Python, but the two render differently, so a
+    # decimal-on-one-side/double-on-the-other query must FAIL here. Matching
+    # Decimals (same scale both engines, e.g. untouched decimal(12,2)
+    # columns) still compare equal.
     if v is None:
         return None
     if isinstance(v, bool):
         return ("bool", v)
+    if isinstance(v, decimal.Decimal):
+        return ("decimal", str(v))
     if isinstance(v, float):
         if math.isnan(v):
             return ("float", "NaN")
