@@ -263,3 +263,52 @@ def join_stream_static_equiv(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("nation")
     )
+
+
+# --- Blocked fuzzy record linkage -------------------------------------------
+
+_FUZZY_SQL = """
+    WITH p AS (
+      SELECT p_partkey, p_name,
+             array_to_string(list_slice(string_split(p_name, ' '), 1, 2), ' ') AS blk
+      FROM part)
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 12
+    ORDER BY key_a, key_b
+"""
+
+
+@query("join_fuzzy_blocked", sql=_FUZZY_SQL)
+def join_fuzzy_blocked(spark, sf_dir):
+    """Record linkage / fuzzy entity resolution: candidate pairs via a
+    BLOCKING key (first two words of the name), verified by bounded edit
+    distance. The blocking equi-join is the whole scale story — pairs are
+    enumerated only within a block, never all-pairs, so cost is
+    sum(|block|²) with blocks sized by the key's selectivity (tighten the
+    key to three words if a corpus makes two-word blocks heavy). The Spark
+    side uses the THRESHOLDED levenshtein (DP short-circuits past the
+    bound, returns -1 above it) — the verify step is O(k·len), not
+    O(len²), per candidate; the oracle's unbounded levenshtein agrees
+    exactly on every kept pair."""
+    p = (
+        load(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            "p_name",
+            F.concat_ws(" ", F.slice(F.split("p_name", " "), 1, 2)).alias("blk"),
+        )
+    )
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 12)
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+        .orderBy("key_a", "key_b")
+    )

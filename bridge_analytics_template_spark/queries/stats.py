@@ -794,3 +794,54 @@ def profile_key_skew(spark, sf_dir):
         mean_rows.alias("mean_rows"),
         (F.max("n").cast("double") / mean_rows).alias("skew_ratio"),
     )
+
+
+# --- Behavioral diversity (Simpson index) ----------------------------------
+
+_DIVERSITY_SQL = """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+    u AS (
+      SELECT user_id,
+             CAST(SUM(n) AS BIGINT) AS n_events,
+             COUNT(*) AS n_types,
+             CAST(SUM(n * n) AS BIGINT) AS sum_sq
+      FROM c GROUP BY 1)
+    SELECT user_id, n_events, n_types,
+           1.0 - (CAST(sum_sq AS DOUBLE)
+                  / (CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE)))
+             AS simpson_diversity
+    FROM u ORDER BY user_id
+"""
+
+
+@query("events_type_diversity", sql=_DIVERSITY_SQL)
+def events_type_diversity(spark, sf_dir):
+    """Per-user behavioral diversity as the Gini-Simpson index
+    1 - sum(p_i^2) over the user's event-type distribution. Shannon entropy
+    is the textbook form, but ln() is libm-dependent and so not engine-
+    stable (NOTES.md float discipline); Simpson is the same monotone
+    diversity signal as an exact rational of integer counts, finished by
+    one deterministic double division. Two hash aggregates — (user, type)
+    then user — both partial-agg'd map-side; the second shuffle input is
+    |users|x|types| rows, so the whole query stays two narrow shuffles at
+    any corpus scale."""
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    u = c.groupBy("user_id").agg(
+        F.sum("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+    )
+    return u.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        (
+            F.lit(1.0)
+            - (
+                F.col("sum_sq").cast("double")
+                / (F.col("n_events").cast("double") * F.col("n_events").cast("double"))
+            )
+        ).alias("simpson_diversity"),
+    ).orderBy("user_id")

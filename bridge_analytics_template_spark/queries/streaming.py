@@ -559,3 +559,102 @@ def t_trending_type(spark, sf_dir):
         .select("window_start", F.col("event_type").alias("top_type"), F.col("c").alias("n_events"))
         .orderBy("window_start")
     )
+
+
+# --- Gap-filled resample with LINEAR interpolation --------------------------
+
+_INTERP_SQL = """
+    WITH obs AS (
+      SELECT user_id,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT) AS bucket,
+             MAX(value) AS v
+      FROM events WHERE user_id % 7 = 0 GROUP BY 1, 2),
+    spans AS (
+      SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM obs GROUP BY 1),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS bucket FROM spans),
+    j AS (
+      SELECT g.user_id, g.bucket, o.v,
+             last_value(o.v IGNORE NULLS)
+               OVER (PARTITION BY g.user_id ORDER BY g.bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN o.v IS NOT NULL THEN g.bucket END IGNORE NULLS)
+               OVER (PARTITION BY g.user_id ORDER BY g.bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(o.v IGNORE NULLS)
+               OVER (PARTITION BY g.user_id ORDER BY g.bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN o.v IS NOT NULL THEN g.bucket END IGNORE NULLS)
+               OVER (PARTITION BY g.user_id ORDER BY g.bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket)
+    SELECT user_id, bucket,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + ((nv - pv) * (CAST(bucket - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)))
+           END AS v_interp
+    FROM j ORDER BY user_id, bucket
+"""
+
+
+@query("t_resample_interp", sql=_INTERP_SQL)
+def t_resample_interp(spark, sf_dir):
+    """Gap-filled resample with LINEAR interpolation — the companion to
+    t_resample_locf for continuous signals (sensor feeds, metrics): per
+    user, hourly buckets over the user's own span, empty buckets filled
+    by interpolating between the bracketing observations (per-bucket MAX
+    as the deterministic node value). The bracketing scan is two
+    ignore-nulls frame windows (last preceding / first following value and
+    its bucket), NOT an as-of self-join — grid generation, the obs join,
+    and both windows all partition by user_id, so the whole query is two
+    co-keyed shuffles at any scale. The interpolation itself is one
+    fixed-parenthesization double expression over epoch-second integers
+    (engine-stable per NOTES.md: identical IEEE ops on identical inputs);
+    rows ON an observation short-circuit to the exact observed value. The
+    user_id % 7 subset bounds the VERIFIED output (dense grids make rows,
+    and a row-compare gate pays per row) — the operator itself has no such
+    limit."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    bucket = (F.unix_timestamp("ts") / F.lit(3600)).cast("long") * 3600
+    obs = e.groupBy(F.col("user_id"), bucket.alias("bucket")).agg(F.max("value").alias("v"))
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select("user_id", F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("bucket"))
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    j = grid.join(obs, ["user_id", "bucket"], "left").select(
+        "user_id",
+        "bucket",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(F.when(F.col("v").isNotNull(), F.col("bucket")), ignorenulls=True)
+        .over(wb)
+        .alias("pt"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(F.when(F.col("v").isNotNull(), F.col("bucket")), ignorenulls=True)
+        .over(wf)
+        .alias("nt"),
+    )
+    frac = (F.col("bucket") - F.col("pt")).cast("double") / (
+        F.col("nt") - F.col("pt")
+    ).cast("double")
+    return j.select(
+        "user_id",
+        "bucket",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + ((F.col("nv") - F.col("pv")) * frac))
+        .alias("v_interp"),
+    ).orderBy("user_id", "bucket")

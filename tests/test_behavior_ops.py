@@ -1,0 +1,92 @@
+"""Unit tests for the behavior-analytics operators: Simpson diversity,
+linear-interpolation resampling, and blocked fuzzy record linkage."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from bridge_analytics_template_spark.queries import QUERIES
+
+
+def test_simpson_diversity_crafted(spark, sf_dir):
+    out = {r["user_id"]: r for r in QUERIES["events_type_diversity"](spark, sf_dir).collect()}
+    # Independently recompute from the raw fixture for a few users.
+    from bridge_analytics_template_spark.catalog import load
+
+    e = load(spark, sf_dir, "events")
+    counts = (
+        e.groupBy("user_id", "event_type").count().groupBy("user_id")
+        .agg(F.collect_list("count").alias("ns"))
+        .collect()
+    )
+    for row in counts[:10]:
+        ns = row["ns"]
+        total = sum(ns)
+        expected = 1.0 - (sum(n * n for n in ns) / (float(total) * float(total)))
+        got = out[row["user_id"]]
+        assert got["n_events"] == total
+        assert got["n_types"] == len(ns)
+        assert abs(got["simpson_diversity"] - expected) < 1e-12
+
+
+def test_simpson_bounds(spark, sf_dir):
+    rows = QUERIES["events_type_diversity"](spark, sf_dir).collect()
+    assert rows, "fixture users expected"
+    for r in rows:
+        # 0 <= 1 - sum(p^2) <= 1 - 1/k for k observed types
+        assert 0.0 <= r["simpson_diversity"] <= 1.0 - 1.0 / r["n_types"] + 1e-12
+
+
+def test_linear_interp_crafted(spark):
+    # One user, observations at hours 0 and 3 (values 10 and 40): the two
+    # interior grid points must be exactly 20 and 30 (exact doubles).
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    df = spark.createDataFrame(
+        [
+            (1, 7, base, "view", 10.0, None),
+            (2, 7, base + datetime.timedelta(hours=3), "view", 40.0, None),
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string, value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")  # the query reads only events
+        rows = QUERIES["t_resample_interp"](spark, d).collect()
+    got = {(r["user_id"], r["bucket"]): r["v_interp"] for r in rows}
+    b0 = int(base.replace(tzinfo=datetime.timezone.utc).timestamp())
+    assert got[(7, b0)] == 10.0
+    assert got[(7, b0 + 3600)] == 20.0
+    assert got[(7, b0 + 7200)] == 30.0
+    assert got[(7, b0 + 10800)] == 40.0
+
+
+def test_fuzzy_blocked_properties(spark, sf_dir):
+    from bridge_analytics_template_spark.catalog import load
+
+    pairs = QUERIES["join_fuzzy_blocked"](spark, sf_dir).collect()
+    names = {
+        r["p_partkey"]: r["p_name"] for r in load(spark, sf_dir, "part").collect()
+    }
+
+    def block(name: str) -> str:
+        return " ".join(name.split(" ")[:2])
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    assert pairs, "expected at least one fuzzy pair in the fixture"
+    for r in pairs[:50]:
+        a, b = names[r["key_a"]], names[r["key_b"]]
+        assert block(a) == block(b), "pair must come from one block"
+        assert r["key_a"] < r["key_b"]
+        assert r["dist"] == lev(a, b)
+        assert r["dist"] <= 12
