@@ -208,3 +208,37 @@ def bridge_acl_copy(spark, sf_dir):
         )
         .orderBy("entity_id")
     )
+
+
+# --- Per-row quarantine routing ---------------------------------------------
+
+_QUARANTINE_SQL = """
+    SELECT doc_id,
+           concat_ws(',',
+             CASE WHEN lang NOT IN ('en','de','es','fr','zh') THEN 'lang_in_set' END,
+             CASE WHEN length(lang) > 2 THEN 'lang_max_length_2' END,
+             CASE WHEN n_chars <> length(text) THEN 'n_chars_consistent' END,
+             CASE WHEN text IS NULL THEN 'text_not_null' END) AS violated
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
+@query("bridge_quarantine", sql=_QUARANTINE_SQL)
+def bridge_quarantine(spark, sf_dir):
+    """Row-level companion to bridge_validate (the reference's contract,
+    copy_from_template.py:164-176, enforced per row instead of summarized):
+    each document annotated with the comma-joined sorted list of rules it
+    violates — '' means route onward, anything else routes to the
+    quarantine sink with the reason attached. All rule predicates evaluate
+    in ONE codegen'd projection; no shuffle."""
+    from ..validation import expression, in_set, max_length, not_null, quarantine
+
+    d = load(spark, sf_dir, "documents")
+    rules = [
+        max_length("lang", 2),
+        in_set("lang", ("en", "de", "es", "fr", "zh")),
+        expression("n_chars_consistent", F.col("n_chars") != F.length("text")),
+        not_null("text"),
+    ]
+    return quarantine(d, rules).select("doc_id", "violated").orderBy("doc_id")

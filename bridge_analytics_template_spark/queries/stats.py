@@ -845,3 +845,78 @@ def events_type_diversity(spark, sf_dir):
             )
         ).alias("simpson_diversity"),
     ).orderBy("user_id")
+
+
+# --- Lag-k autocorrelation (exact co-moments) -------------------------------
+
+_ACF_SQL = """
+    WITH q AS (
+      SELECT user_id, ts, event_id, CAST(floor(value * 100) AS BIGINT) AS ux
+      FROM events),
+    p AS (
+      SELECT user_id,
+             LAG(ux) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x,
+             ux AS y
+      FROM q),
+    m AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM p WHERE x IS NOT NULL GROUP BY user_id)
+    SELECT user_id, n,
+           ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             / sqrt(((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * ((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)) - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+             AS acf1
+    FROM m
+    WHERE n >= 3
+      AND ((n * sxx) - (sx * sx)) > 0
+      AND ((n * syy) - (sy * sy)) > 0
+    ORDER BY user_id
+"""
+
+
+@query("ts_autocorr", sql=_ACF_SQL)
+def ts_autocorr(spark, sf_dir):
+    """Per-user lag-1 autocorrelation of the event value series — the
+    signal-vs-noise diagnostic a time-series pipeline runs before modeling.
+    Same engine-stability recipe as agg_regr_exact: the five co-moment sums
+    accumulate exact int64 (values quantized floor(v*100), combine-order
+    independent); the Pearson ratio is ONE fixed-parenthesization double
+    expression per user (sqrt is IEEE correctly-rounded, so identical on
+    both engines). The lag pairs come from a user-partitioned window and
+    the moments from a user-keyed aggregate — one co-keyed shuffle
+    pipeline, no skew (users bound the partition size)."""
+    e = load(spark, sf_dir, "events")
+    q = e.select(
+        "user_id", "ts", "event_id", F.floor(F.col("value") * 100).cast("long").alias("ux")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = q.select("user_id", F.lag("ux").over(w).alias("x"), F.col("ux").alias("y")).filter(
+        F.col("x").isNotNull()
+    )
+    m = p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    acf = ((n * sxy) - (sx * sy)) / F.sqrt(((n * sxx) - (sx * sx)) * ((n * syy) - (sy * sy)))
+    return (
+        m.filter(
+            (F.col("n") >= 3)
+            & ((F.col("n") * F.col("sxx")) - (F.col("sx") * F.col("sx")) > 0)
+            & ((F.col("n") * F.col("syy")) - (F.col("sy") * F.col("sy")) > 0)
+        )
+        .select("user_id", "n", acf.alias("acf1"))
+        .orderBy("user_id")
+    )

@@ -57,3 +57,19 @@ def validate(df: DataFrame, rules: list[Rule], unique_cols: list[str] = ()) -> D
     return wide.selectExpr(
         f"stack({len(names)}, {stack}) as (rule, n_violations)", "n_checked"
     ).orderBy("rule")
+
+
+def quarantine(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Per-row routing: every input row plus a ``violated`` column listing
+    the comma-joined (rule-name-sorted) rules it breaks, empty string for
+    clean rows. The split a 100-TB ingest pipeline makes — valid rows
+    onward, violators to a quarantine sink with the reason attached — costs
+    ONE narrow projection (all rule predicates evaluate in a single
+    codegen'd pass; no join, no shuffle); callers filter
+    ``violated == ''`` / ``!= ''`` for the two routes and both filters push
+    into the same scan. Rule names are emitted pre-sorted as TEXT, not
+    array, so the result is canon-comparable row-wise."""
+    flags = [F.when(r.violation, F.lit(r.name)) for r in sorted(rules, key=lambda r: r.name)]
+    return df.withColumn(
+        "violated", F.concat_ws(",", F.array_compact(F.array(*flags)))
+    )

@@ -90,3 +90,62 @@ def test_fuzzy_blocked_properties(spark, sf_dir):
         assert r["key_a"] < r["key_b"]
         assert r["dist"] == lev(a, b)
         assert r["dist"] <= 12
+
+
+def test_quarantine_routing(spark):
+    from bridge_analytics_template_spark.validation import (
+        expression,
+        in_set,
+        max_length,
+        not_null,
+        quarantine,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello", "en", 5),
+            (2, None, "en", 0),          # text_not_null (and n_chars mismatch is null-safe false)
+            (3, "hey", "xx", 3),         # lang_in_set
+            (4, "hi", "eng", 2),         # lang_max_length_2 + lang_in_set
+            (5, "yo", "en", 99),         # n_chars_consistent
+        ],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    rules = [
+        max_length("lang", 2),
+        in_set("lang", ("en", "de")),
+        expression("n_chars_consistent", F.col("n_chars") != F.length("text")),
+        not_null("text"),
+    ]
+    got = {r["doc_id"]: r["violated"] for r in quarantine(df, rules).collect()}
+    assert got[1] == ""
+    assert got[2] == "text_not_null"
+    assert got[3] == "lang_in_set"
+    assert got[4] == "lang_in_set,lang_max_length_2"  # sorted rule names
+    assert got[5] == "n_chars_consistent"
+
+
+def test_autocorr_matches_numpy(spark, sf_dir):
+    import math
+
+    from bridge_analytics_template_spark.catalog import load
+
+    out = {r["user_id"]: r for r in QUERIES["ts_autocorr"](spark, sf_dir).collect()}
+    e = load(spark, sf_dir, "events").orderBy("user_id", "ts", "event_id").collect()
+    series: dict[int, list[int]] = {}
+    for r in e:
+        series.setdefault(r["user_id"], []).append(math.floor(r["value"] * 100))
+    for uid, xs in list(series.items())[:10]:
+        if len(xs) < 4:
+            continue
+        x, y = xs[:-1], xs[1:]
+        n = len(x)
+        sx, sy = sum(x), sum(y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        sxx, syy = sum(a * a for a in x), sum(b * b for b in y)
+        den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        if den <= 0:
+            continue
+        expected = (n * sxy - sx * sy) / math.sqrt(den)
+        assert abs(out[uid]["acf1"] - expected) < 1e-12
+        assert out[uid]["n"] == n
