@@ -52,10 +52,16 @@ def train_vocab_encode(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.posexplode_outer(ws_tokens("text")).alias("pos", "tok"))
+    # persist: assign_contiguous_ids range-partitions its input, and the
+    # RangePartitioner's sampling job plus the shuffle-map stage would each
+    # recompute the full tokenize+groupBy lineage from scratch (measured
+    # ~2x wall on this query). The aggregate is |vocab types| rows — cheap
+    # to cache; freed by the harness clearCache.
     counts = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("_negcnt", -F.col("cnt"))
+        .persist()
     )
     vocab = assign_contiguous_ids(counts, ["_negcnt", "tok"], id_name="id").select(
         "tok", F.col("id").cast("int").alias("id")
