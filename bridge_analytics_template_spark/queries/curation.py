@@ -14,7 +14,7 @@ so Spark and DuckDB agree bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from ..catalog import load
 from ..functions.text import word_shingles, ws_tokens
@@ -619,4 +619,98 @@ def llm_url_dedup(spark, sf_dir):
         .groupBy("canon_url")
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
         .orderBy("keep_id")
+    )
+
+
+_DUPSPAN_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, i.i AS pos,
+             md5(array_to_string(t[i.i:i.i+7], ' ')) AS gh
+      FROM toks, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i(i)),
+    df AS (
+      SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) <= 100),
+    g AS (SELECT grams.* FROM grams JOIN df USING (gh)),
+    hits AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, a.pos - b.pos AS diag
+      FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+    runs AS (
+      SELECT doc_a, doc_b, diag, pa,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                     ORDER BY pa) AS isl
+      FROM hits),
+    islands AS (
+      SELECT doc_a, doc_b, COUNT(*) + 7 AS span_tokens
+      FROM runs GROUP BY doc_a, doc_b, diag, isl)
+    SELECT doc_a, doc_b,
+           CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_spans
+    FROM islands
+    GROUP BY doc_a, doc_b
+    HAVING MAX(span_tokens) >= 16
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query("llm_dup_spans", sql=_DUPSPAN_SQL)
+def llm_dup_spans(spark, sf_dir):
+    """Exact duplicated-SUBSTRING spans between document pairs — the
+    ExactSubstr shape from the dedup-makes-LMs-better line of work: two
+    documents sharing a run of >= 16 consecutive tokens are flagged with
+    the length of their longest shared span. Word-8-gram rolling windows
+    are built IN-ROW (zero-shuffle), hashed (md5 here for oracle parity;
+    xxhash64 at scale to halve shuffle bytes), and positions of equal
+    grams are equi-joined. A shared k-token substring is a diagonal run:
+    pos_a - pos_b constant and pos_a consecutive, so the gaps-and-islands
+    trick over (pair, diagonal) turns each maximal shared substring into
+    one group; its token length is run_length + 7. Grams appearing in
+    more than 100 documents are dropped BEFORE the self-join — the hub
+    guard that keeps boilerplate grams from quadratic pair blowup at
+    corpus scale (same role as the stop-gram filter in suffix-array
+    dedup). All cross-row steps are keyed hash joins/aggregates on the
+    gram hash or the (pair, diagonal) key — no all-pairs stage."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", ws_tokens("text").alias("t"))
+    grams = (
+        toks.select(
+            "doc_id", F.posexplode_outer(word_shingles(F.col("t"), 8)).alias("p0", "gram")
+        )
+        .filter(F.col("gram").isNotNull())
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), F.md5("gram").alias("gh"))
+        .persist()  # feeds the df aggregate AND both self-join sides; the
+        # tokenize+shingle lineage would otherwise run 3x (alias exprIds
+        # defeat ReuseExchange — NOTES.md lesson 3). Freed by the harness
+        # clearCache.
+    )
+    rare = grams.groupBy("gh").agg(F.count_distinct("doc_id").alias("df")).filter(
+        F.col("df") <= 100
+    )
+    g = grams.join(rare.select("gh"), "gh")
+    a, b = g.alias("a"), g.alias("b")
+    hits = a.join(
+        b,
+        (F.col("a.gh") == F.col("b.gh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = hits.select(
+        "doc_a", "doc_b", "diag", "pa", (F.col("pa") - F.row_number().over(w)).alias("isl")
+    )
+    islands = runs.groupBy("doc_a", "doc_b", "diag", "isl").agg(
+        (F.count(F.lit(1)) + 7).alias("span_tokens")
+    )
+    return (
+        islands.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("span_tokens").alias("max_span_tokens"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+        .filter(F.col("max_span_tokens") >= 16)
+        .orderBy("doc_a", "doc_b")
     )

@@ -833,3 +833,99 @@ def llm_crossdup_minhash(spark, sf_dir):
         )
         .orderBy("new_doc", "old_doc")
     )
+
+
+_BM25_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
+    probe AS (
+      SELECT DISTINCT tok FROM toks WHERE doc_id = 3),
+    dl AS (
+      SELECT doc_id, CAST(len({_SQL_TOKENS}) AS BIGINT) AS dl FROM documents),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS l FROM documents),
+    tf AS (
+      SELECT t.doc_id, t.tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks t JOIN probe p ON t.tok = p.tok
+      GROUP BY t.doc_id, t.tok),
+    df AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               (CAST(2 * s.n - 2 * df.df + 1 AS DOUBLE) * CAST(22 * tf.tf AS DOUBLE)
+                * CAST(s.l AS DOUBLE))
+               / (CAST(2 * df.df + 1 AS DOUBLE)
+                  * CAST(10 * tf.tf * s.l + 3 * s.l + 9 * dl.dl * s.n AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS c_ppm
+      FROM tf
+      JOIN df ON tf.tok = df.tok
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s)
+    SELECT doc_id,
+           CAST(SUM(c_ppm) AS BIGINT) AS score_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_terms
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY score_ppm DESC, doc_id
+    LIMIT 10
+"""
+
+
+@query("llm_bm25_topk", sql=_BM25_SQL)
+def llm_bm25_topk(spark, sf_dir):
+    """BM25 retrieval: top-10 documents for a probe query (the distinct
+    tokens of doc 3), k1=1.2, b=0.75 — the lexical-retrieval baseline a
+    RAG/data-curation pipeline runs next to embedding KNN. Cross-engine
+    float discipline (NOTES.md): the conventional log-idf is libm-
+    dependent, so the idf keeps Robertson's exact RATIONAL
+    (N - df + 0.5)/(df + 0.5) = (2N-2df+1)/(2df+1), and the whole per-term
+    score is one ratio of exact integers evaluated as an IDENTICAL IEEE
+    expression tree on both engines, quantized to ppm (floor) per term,
+    then INTEGER-summed per doc — combine-order independent, bit-equal.
+    Denominator is BM25's multiplied through by 10*L:
+    tf + k1*(1 - b + b*dl/avgdl) -> (10*tf*L + 3*L + 9*dl*N) / (10*L).
+    Plan shape: probe terms and per-term df are broadcast dims; tf is one
+    hash aggregate over the (corpus x probe-terms) semi-join; dl rides
+    in-row from the scan; top-10 is TakeOrderedAndProject (no global
+    window). Scales as one pass over the corpus."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode_outer(ws_tokens("text")).alias("tok"))
+    probe = toks.filter(F.col("doc_id") == 3).select("tok").distinct()
+    dl = d.select("doc_id", F.size(ws_tokens("text")).cast("long").alias("dl"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(ws_tokens("text"))).cast("long").alias("l"),
+    )
+    tf = (
+        toks.join(F.broadcast(probe), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()  # feeds df AND the score join (NOTES.md lesson 3);
+        # freed by the harness clearCache.
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    num = (
+        (2 * F.col("n") - 2 * F.col("df") + 1).cast("double")
+        * (22 * F.col("tf")).cast("double")
+        * F.col("l").cast("double")
+    )
+    den = (2 * F.col("df") + 1).cast("double") * (
+        10 * F.col("tf") * F.col("l") + 3 * F.col("l") + 9 * F.col("dl") * F.col("n")
+    ).cast("double")
+    contrib = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.floor(num / den * 1000000.0).alias("c_ppm"))
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum("c_ppm").cast("long").alias("score_ppm"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .orderBy(F.desc("score_ppm"), "doc_id")
+        .limit(10)
+    )

@@ -168,3 +168,79 @@ def test_dsir_weights_prefer_target_like_docs(spark, tmp_path):
     # disjoint vocab: en buckets have ratio 2x (target==half the corpus),
     # de buckets ratio 0 -> per-token weight 2e6 vs 0
     assert all(v == 0 for v in de_scores)
+
+
+def test_dup_spans_planted(spark):
+    """A planted 16-token shared run is reported at exactly 16; a pair
+    sharing only a single 8-gram falls below the threshold."""
+    import tempfile
+
+    from bridge_analytics_template_spark.queries.registry import QUERIES
+
+    w = [f"w{i}" for i in range(20)]
+    x = [f"x{i}" for i in range(10)]
+    y = [f"y{i}" for i in range(12)]
+    docs = [
+        (0, " ".join(w), "en", "s", 0),
+        # shares w[4:20] (16 tokens) with doc 0, flanked by fresh tokens
+        (1, " ".join(x[:3] + w[4:20] + x[3:6]), "en", "s", 0),
+        # shares only w[0:8] (one 8-gram, span 8 < 16) with doc 0
+        (2, " ".join(y[:6] + w[0:8] + y[6:]), "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        rows = QUERIES["llm_dup_spans"](spark, d).collect()
+    assert [(r.doc_a, r.doc_b, r.max_span_tokens, r.n_spans) for r in rows] == [(0, 1, 16, 1)]
+
+
+def test_bm25_matches_python_reference(spark):
+    """score_ppm is bit-equal to a pure-Python IEEE evaluation of the same
+    rational-idf BM25 expression tree."""
+    import math
+    import tempfile
+
+    from bridge_analytics_template_spark.queries.registry import QUERIES
+
+    texts = {
+        0: "apple banana apple cherry date",
+        1: "banana banana banana fig",
+        2: "cherry date elderberry fig grape",
+        3: "apple banana",  # the probe document
+        4: "apple apple apple apple banana cherry",
+        5: "grape fig elderberry",
+    }
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    toks = {i: t.split() for i, t in texts.items()}
+    probe = set(toks[3])
+    n = len(texts)
+    l_tot = sum(len(t) for t in toks.values())
+    df_cnt = {
+        t: sum(1 for d in toks.values() if t in d) for t in probe
+    }
+    expected = {}
+    for i, d in toks.items():
+        score, hits = 0, 0
+        for t in probe:
+            tf = d.count(t)
+            if tf == 0:
+                continue
+            num = float(2 * n - 2 * df_cnt[t] + 1) * float(22 * tf) * float(l_tot)
+            den = float(2 * df_cnt[t] + 1) * float(
+                10 * tf * l_tot + 3 * l_tot + 9 * len(d) * n
+            )
+            score += math.floor(num / den * 1000000.0)
+            hits += 1
+        if hits:
+            expected[i] = (score, hits)
+    want = sorted(expected.items(), key=lambda kv: (-kv[1][0], kv[0]))[:10]
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(f"{tmp}/documents.parquet")
+        rows = QUERIES["llm_bm25_topk"](spark, tmp).collect()
+    got = [(r.doc_id, (r.score_ppm, r.n_terms)) for r in rows]
+    assert got == want
