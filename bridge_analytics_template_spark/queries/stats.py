@@ -920,3 +920,60 @@ def ts_autocorr(spark, sf_dir):
         .select("user_id", "n", acf.alias("acf1"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "emb_covariance",
+    sql="""
+    WITH flat AS (
+      SELECT vec_id, t.i - 1 AS dim,
+             CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1048576) AS BIGINT) AS vq
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+    pairs AS (
+      SELECT a.dim AS dim_i, b.dim AS dim_j, a.vq AS vi, b.vq AS vj
+      FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.dim <= b.dim)
+    SELECT CAST(dim_i AS INT) AS dim_i, CAST(dim_j AS INT) AS dim_j,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(vi * vj) AS BIGINT) AS sxy_q,
+           CAST(SUM(vi) AS BIGINT) AS sx_q,
+           CAST(SUM(vj) AS BIGINT) AS sy_q,
+           (CAST(SUM(vi * vj) AS DOUBLE) / COUNT(*)
+            - (CAST(SUM(vi) AS DOUBLE) / COUNT(*))
+              * (CAST(SUM(vj) AS DOUBLE) / COUNT(*))) / 1099511627776.0 AS cov
+    FROM pairs GROUP BY dim_i, dim_j ORDER BY dim_i, dim_j
+    """,
+)
+def emb_covariance(spark, sf_dir):
+    """Exact embedding covariance matrix (upper triangle, 2080 rows at
+    d=64) — the input to PCA whitening / ZCA and the drift diagnostic a
+    re-embedding run diffs. Spark side is operators/pca.py::
+    covariance_moments — one numpy int64 GEMM per Arrow batch emitting
+    d(d+1)/2 partial rows, reduced by a d²-keyed hash aggregate; the
+    DuckDB oracle computes the same exact integer moments relationally
+    (per-vector self-join on dims). Quantize-then-sum makes the moments
+    combine-order independent; `cov` is one fixed IEEE expression of
+    exact int64s on both engines. Scale: map-side GEMM partials +
+    a bounded-key aggregate — no shuffle of the corpus."""
+    from ..operators.pca import covariance_moments
+
+    e = load(spark, sf_dir, "embeddings")
+    return covariance_moments(e).orderBy("dim_i", "dim_j")
+
+
+@query("emb_pca_project")  # rows-only: eigenvector basis (driver-side eigh)
+def emb_pca_project(spark, sf_dir):
+    """PCA projection of a sample of embeddings onto the top-8 principal
+    components (operators/pca.py::pca_project): exact distributed moments
+    -> driver eigh on the d×d matrix (bounded metadata) -> broadcast GEMM
+    projection pass. Deterministic up to the documented sign convention
+    (largest-|coordinate| positive); pinned against a numpy full-matrix
+    reference in tests/test_pca.py, rows-only for the driver gate
+    (eigen basis is not SQL-expressible)."""
+    from ..operators.pca import pca_project
+
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        pca_project(e)
+        .filter(F.col("vec_id") % 25 == 0)
+        .orderBy("vec_id", "component")
+    )
