@@ -680,3 +680,144 @@ def q_revenue_pareto(spark, sf_dir):
         F.count(F.lit(1)).alias("n_parts"),
         (F.max("total_u").cast("double") / 10000.0).alias("total_revenue"),
     )
+
+
+# --- Customer order-count distribution (Q13 shape) ---------------------------
+
+
+@query(
+    "q_custdist",
+    sql="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_custdist(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of per-customer order counts, with a
+    join-time predicate (the fixture has no o_comment, so the 'special
+    requests' exclusion becomes an order-priority exclusion — same
+    outer-join-with-ON-filter semantics: excluded orders count as zero,
+    customers with no orders still appear). Plan: one shuffle on custkey
+    for the outer join + first aggregate, then a tiny second hash
+    aggregate over |distinct counts| keys. Both engines count the
+    non-null join side (COUNT(column), not COUNT(*)) so no-order
+    customers land in the c_count=0 bucket."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --- Shipping priority (Q3 shape) --------------------------------------------
+
+
+@query(
+    "q_shipping_priority",
+    sql=f"""
+    SELECT l.l_orderkey AS orderkey,
+           {sql_usum(_DISC_U4, 4, "revenue")},
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           o.o_orderpriority AS orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: top unshipped orders by revenue for one market
+    segment (the fixture has no o_shippriority, so o_orderpriority rides
+    along instead — same group-by-orderkey top-10 semantics). Both date
+    predicates and the segment filter push to their scans; the segment-
+    filtered customer side broadcasts; the lineitem/orders join is the
+    only big shuffle and the top-10 is TakeOrderedAndProject, so nothing
+    global materializes. Revenue is exact integer-units summed then
+    rendered once (functions/numeric.py)."""
+    cut = "1998-06-01"
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.to_date("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(usum(_disc_u4(), 4, "revenue"))
+        .select("orderkey", "revenue", "orderdate", "orderpriority")
+        .orderBy(F.desc("revenue"), "orderkey")
+        .limit(10)
+    )
+
+
+# --- Local supplier volume (Q5 proper) ---------------------------------------
+
+
+@query(
+    "q_local_supplier",
+    sql=f"""
+    SELECT n.n_name AS nation,
+           {sql_usum(_DISC_U4, 4, "revenue")},
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    ORDER BY revenue DESC, nation
+    """,
+)
+def q_local_supplier(spark, sf_dir):
+    """TPC-H Q5 proper — revenue from LOCAL supply chains: the supplier
+    join carries the correlated predicate s_nationkey = c_nationkey, the
+    piece the plain star join (star_join_revenue) doesn't exercise. The
+    year filter pushes into the orders scan; supplier/customer/nation
+    broadcast; the correlated nation equality rides ON the broadcast
+    hash join of supplier (no extra shuffle, no post-filter of a wider
+    join). One shuffle: lineitem⋈orders."""
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(usum(_disc_u4(), 4, "revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.desc("revenue"), "nation")
+    )
