@@ -227,3 +227,36 @@ def test_no_unpartitioned_windows(spark, sf_dir):
     ):
         plan = plan_of(spark, sf_dir, name)
         assert "Window [" not in plan, name
+
+
+def test_dup_spans_no_cartesian_and_cached_grams(spark, sf_dir):
+    # The gram self-join must stay an equi-join on the gram hash; a
+    # cartesian/nested-loop here means the diagonal-islands path regressed
+    # to all-pairs. The gram table is persisted (it feeds the df aggregate
+    # and both self-join sides).
+    plan = plan_of(spark, sf_dir, "llm_dup_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_bm25_broadcasts_dims_no_global_window(spark, sf_dir):
+    # Probe terms, df and the scalar stats all broadcast; top-10 must be
+    # TakeOrderedAndProject, not a global sort or an unpartitioned window.
+    plan = plan_of(spark, sf_dir, "llm_bm25_topk")
+    assert plan.count("BroadcastExchange") >= 3
+    assert "TakeOrderedAndProject" in plan
+    assert "Window [" not in plan
+
+
+def test_q3_q5_broadcast_shapes(spark, sf_dir):
+    # Q3: segment-filtered customer broadcast, top-10 TakeOrdered.
+    plan = plan_of(spark, sf_dir, "q_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # pushed to the scan
+    # Q5: the correlated s_nationkey = c_nationkey must ride ON the
+    # broadcast hash join, not survive as a post-join filter.
+    plan5 = plan_of(spark, sf_dir, "q_local_supplier")
+    assert "BroadcastHashJoin" in plan5
+    assert "CartesianProduct" not in plan5
