@@ -343,3 +343,59 @@ def train_char_coverage(spark, sf_dir):
         .select("rnk", "ch", "n", (F.col("cum").cast("double") / F.col("total").cast("double")).alias("coverage"))
         .orderBy("rnk")
     )
+
+
+@query(
+    "train_temperature_mix",
+    sql="""
+    WITH per_lang AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+    scaled AS (
+      SELECT lang, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS s_q
+      FROM per_lang),
+    tot AS (SELECT CAST(SUM(s_q) AS BIGINT) AS t FROM scaled)
+    SELECT lang, n_docs,
+           CAST(floor(CAST(s_q AS DOUBLE) * 1000000.0 / CAST(t AS DOUBLE)) AS BIGINT)
+             AS weight_ppm,
+           CAST(floor(CAST(s_q AS DOUBLE) * 1000000.0 / CAST(t AS DOUBLE))
+                  * CAST((SELECT SUM(n_docs) FROM per_lang) AS DOUBLE)
+                  / (1000000.0 * n_docs) >= 1.0 AS BOOLEAN) AS upsampled
+    FROM scaled CROSS JOIN tot
+    ORDER BY lang
+    """,
+)
+def train_temperature_mix(spark, sf_dir):
+    """Temperature-based mixture weights (alpha = 0.5): sampling weight per
+    language ∝ n^alpha — the standard multilingual rebalancing (smaller
+    languages upsampled relative to their share). Float discipline: sqrt
+    IS correctly-rounded IEEE on both engines (unlike pow/log), so n^0.5
+    is the one exactly-portable temperature; each per-language sqrt is
+    quantized to an integer BEFORE the cross-row normalization sum, and
+    the final weight is one IEEE division. `upsampled` flags languages
+    whose mixture share exceeds their natural share. Two tiny hash
+    aggregates over |languages| keys; nothing corpus-wide but the first
+    count."""
+    d = load(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    scaled = per_lang.select(
+        "lang",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000000.0).alias("s_q"),
+    )
+    tot = scaled.agg(
+        F.sum("s_q").alias("t"), F.sum("n_docs").alias("n_total")
+    )
+    w = F.floor(F.col("s_q").cast("double") * 1000000.0 / F.col("t").cast("double"))
+    return (
+        scaled.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            w.alias("weight_ppm"),
+            (
+                w * F.col("n_total").cast("double") / (1000000.0 * F.col("n_docs")) >= 1.0
+            ).alias("upsampled"),
+        )
+        .orderBy("lang")
+    )
