@@ -714,3 +714,119 @@ def llm_dup_spans(spark, sf_dir):
         .filter(F.col("max_span_tokens") >= 16)
         .orderBy("doc_a", "doc_b")
     )
+
+
+_TRIM_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, i.i AS pos,
+             md5(array_to_string(t[i.i:i.i+7], ' ')) AS gh
+      FROM toks, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i(i)),
+    df AS (
+      SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) <= 100),
+    g AS (SELECT grams.* FROM grams JOIN df USING (gh)),
+    hits AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, a.pos - b.pos AS diag
+      FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+    runs AS (
+      SELECT doc_a, doc_b, diag, pa,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                     ORDER BY pa) AS isl
+      FROM hits),
+    islands AS (
+      SELECT doc_a, doc_b, diag,
+             COUNT(*) + 7 AS span_tokens,
+             MIN(pa) - diag AS start_b
+      FROM runs GROUP BY doc_a, doc_b, diag, isl),
+    best AS (
+      SELECT doc_b, doc_a, span_tokens, start_b,
+             row_number() OVER (PARTITION BY doc_b
+                                ORDER BY span_tokens DESC, doc_a, diag, start_b) AS rk
+      FROM islands WHERE span_tokens >= 16)
+    SELECT b.doc_b AS doc_id, b.doc_a AS dup_of,
+           CAST(b.span_tokens AS BIGINT) AS span_removed,
+           CAST(len(k.t) AS BIGINT) AS n_tokens_before,
+           CAST(len(k.t) - b.span_tokens AS BIGINT) AS n_tokens_after,
+           COALESCE(array_to_string(
+             list_concat(k.t[1:b.start_b - 1],
+                         k.t[b.start_b + b.span_tokens:len(k.t)]), ' '), '') AS trimmed_text
+    FROM best b JOIN toks k ON k.doc_id = b.doc_b
+    WHERE b.rk = 1
+    ORDER BY doc_id
+"""
+
+
+@query("llm_dup_span_trim", sql=_TRIM_SQL)
+def llm_dup_span_trim(spark, sf_dir):
+    """The APPLY step of exact-substring dedup: for every document flagged
+    by the llm_dup_spans detector, cut its single longest duplicated span
+    (>= 16 tokens, shared with a lower-id document — the keeper) out of
+    the token stream and re-emit the trimmed text. Span choice is totally
+    ordered (length desc, then partner id / diagonal / start) so the
+    transform is deterministic; the splice is an in-row slice+concat over
+    the token array (codegen, no Python). Only flagged docs rejoin the
+    corpus table — a broadcast-sized set after the hub-gram-capped
+    detection, so the rewrite pass never shuffles the corpus."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", ws_tokens("text").alias("t"))
+    grams = (
+        toks.select(
+            "doc_id", F.posexplode_outer(word_shingles(F.col("t"), 8)).alias("p0", "gram")
+        )
+        .filter(F.col("gram").isNotNull())
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), F.md5("gram").alias("gh"))
+        .persist()  # shared by the df aggregate and both self-join sides;
+        # freed by the harness clearCache.
+    )
+    rare = grams.groupBy("gh").agg(F.count_distinct("doc_id").alias("df")).filter(
+        F.col("df") <= 100
+    )
+    g = grams.join(rare.select("gh"), "gh")
+    hits = g.alias("a").join(
+        g.alias("b"),
+        (F.col("a.gh") == F.col("b.gh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = hits.select(
+        "doc_a", "doc_b", "diag", "pa", (F.col("pa") - F.row_number().over(w)).alias("isl")
+    )
+    islands = runs.groupBy("doc_a", "doc_b", "diag", "isl").agg(
+        (F.count(F.lit(1)) + 7).alias("span_tokens"),
+        (F.min("pa") - F.col("diag")).alias("start_b"),
+    )
+    wb = Window.partitionBy("doc_b").orderBy(
+        F.desc("span_tokens"), "doc_a", "diag", "start_b"
+    )
+    best = (
+        islands.filter(F.col("span_tokens") >= 16)
+        .withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+    )
+    n = F.size("t")
+    tail_start = F.col("start_b") + F.col("span_tokens")
+    tail_len = n - tail_start + 1
+    trimmed = F.concat(
+        F.slice(F.col("t"), 1, F.col("start_b") - 1),
+        F.when(tail_len > 0, F.slice(F.col("t"), tail_start, tail_len)).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+    return (
+        best.join(toks, F.col("doc_b") == F.col("doc_id"))
+        .select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("dup_of"),
+            F.col("span_tokens").alias("span_removed"),
+            n.cast("long").alias("n_tokens_before"),
+            (n - F.col("span_tokens")).cast("long").alias("n_tokens_after"),
+            F.array_join(trimmed, " ").alias("trimmed_text"),
+        )
+        .orderBy("doc_id")
+    )

@@ -244,3 +244,29 @@ def test_bm25_matches_python_reference(spark):
         rows = QUERIES["llm_bm25_topk"](spark, tmp).collect()
     got = [(r.doc_id, (r.score_ppm, r.n_terms)) for r in rows]
     assert got == want
+
+
+def test_dup_span_trim_planted(spark):
+    """The trimmed doc loses exactly the planted shared run; the keeper
+    (lower id) is untouched (absent from the output)."""
+    import tempfile
+
+    from bridge_analytics_template_spark.queries.registry import QUERIES
+
+    w = [f"w{i}" for i in range(20)]
+    x = [f"x{i}" for i in range(10)]
+    docs = [
+        (0, " ".join(w), "en", "s", 0),
+        (1, " ".join(x[:3] + w[4:20] + x[3:6]), "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        rows = QUERIES["llm_dup_span_trim"](spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_id, r.dup_of, r.span_removed) == (1, 0, 16)
+    assert r.n_tokens_before == 22 and r.n_tokens_after == 6
+    assert r.trimmed_text == " ".join(x[:3] + x[3:6])
