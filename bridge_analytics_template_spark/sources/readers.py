@@ -34,3 +34,21 @@ def read_json(spark: SparkSession, path: str, schema: str | None = None) -> Data
     if schema:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """``binaryFile`` ingest — one row per object with ``(path, modificationTime,
+    length, content binary)``: the entry point for image/audio/video corpora
+    before the mapInPandas decode stage (llm/multimodal.py). Listing is
+    distributed and the ``pathGlobFilter`` prunes at the file index, so a
+    100 TB object store never gets a driver-side listing loop."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def read_text_files(spark: SparkSession, path: str, whole: bool = False) -> DataFrame:
+    """Line-oriented (or whole-file) text ingest: ``wholetext=True`` gives
+    one row per document — the raw-corpus shape upstream of tokenization."""
+    return spark.read.text(path, wholetext=whole)

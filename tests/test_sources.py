@@ -174,3 +174,27 @@ def test_python_stream_datasource_matches_batch(spark):
     got = {tuple(r) for r in spark.table(name).collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got == want
+
+
+def test_binary_file_reader(spark, tmp_path):
+    from bridge_analytics_template_spark.sources.readers import read_binary_files
+
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01payload-a")
+    (tmp_path / "b.bin").write_bytes(b"payload-b")
+    (tmp_path / "skip.txt").write_text("not binary target")
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.bin", "b.bin"}
+    assert bytes(rows["a.bin"].content) == b"\x00\x01payload-a"
+    assert rows["b.bin"].length == 9
+
+
+def test_wholetext_reader_one_row_per_file(spark, tmp_path):
+    from bridge_analytics_template_spark.sources.readers import read_text_files
+
+    (tmp_path / "d1.txt").write_text("line one\nline two\n")
+    (tmp_path / "d2.txt").write_text("solo")
+    whole = read_text_files(spark, str(tmp_path), whole=True)
+    assert sorted(r.value for r in whole.collect()) == ["line one\nline two\n", "solo"]
+    lines = read_text_files(spark, str(tmp_path))
+    assert sorted(r.value for r in lines.collect()) == ["line one", "line two", "solo"]
