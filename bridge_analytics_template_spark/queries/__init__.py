@@ -61,14 +61,14 @@ _WINDOW = [
     "bridge_acl_copy",
     # LLM-pipeline operators
     "llm_dedup_exact",
-    "llm_dedup_normalized",
+    "llm_dup_spans",  # r2 addition: ExactSubstr-shaped span detection
     "llm_dedup_minhash",
     "llm_ngram_jaccard",
     "llm_knn_ids",
     "llm_text_stats",
     "llm_langid",
-    "llm_fingerprint",
-    "llm_token_topk",
+    "emb_covariance",  # r2 addition: exact GEMM-partial moments
+    "llm_bm25_topk",  # r2 addition: rational-idf BM25 retrieval
     "llm_multimodal",
     "llm_tfidf",
     "llm_simjoin_prefix",
