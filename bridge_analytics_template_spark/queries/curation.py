@@ -654,25 +654,17 @@ _DUPSPAN_SQL = f"""
 """
 
 
-@query("llm_dup_spans", sql=_DUPSPAN_SQL)
-def llm_dup_spans(spark, sf_dir):
-    """Exact duplicated-SUBSTRING spans between document pairs — the
-    ExactSubstr shape from the dedup-makes-LMs-better line of work: two
-    documents sharing a run of >= 16 consecutive tokens are flagged with
-    the length of their longest shared span. Word-8-gram rolling windows
-    are built IN-ROW (zero-shuffle), hashed (md5 here for oracle parity;
-    xxhash64 at scale to halve shuffle bytes), and positions of equal
-    grams are equi-joined. A shared k-token substring is a diagonal run:
-    pos_a - pos_b constant and pos_a consecutive, so the gaps-and-islands
-    trick over (pair, diagonal) turns each maximal shared substring into
-    one group; its token length is run_length + 7. Grams appearing in
-    more than 100 documents are dropped BEFORE the self-join — the hub
-    guard that keeps boilerplate grams from quadratic pair blowup at
-    corpus scale (same role as the stop-gram filter in suffix-array
-    dedup). All cross-row steps are keyed hash joins/aggregates on the
-    gram hash or the (pair, diagonal) key — no all-pairs stage."""
-    d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", ws_tokens("text").alias("t"))
+def dup_span_islands(toks):
+    """Maximal shared token runs (>= 8 tokens) between document pairs, from
+    a ``(doc_id, t array<string>)`` frame: in-row word-8-gram windows,
+    md5-hashed (xxhash64 at scale halves shuffle bytes), a df<=100
+    hub-gram cap BEFORE the gram-hash equi-self-join (the stop-gram guard
+    against quadratic pair blowup on boilerplate), then the diagonal
+    gaps-and-islands: a shared k-token substring is pos_a - pos_b constant
+    with consecutive pos_a, so each maximal run collapses to one
+    (pair, diagonal, island) group of length count + 7. Returns
+    (doc_a, doc_b, diag, span_tokens, start_b). All cross-row steps are
+    keyed hash joins/aggregates — no all-pairs stage."""
     grams = (
         toks.select(
             "doc_id", F.posexplode_outer(word_shingles(F.col("t"), 8)).alias("p0", "gram")
@@ -688,9 +680,8 @@ def llm_dup_spans(spark, sf_dir):
         F.col("df") <= 100
     )
     g = grams.join(rare.select("gh"), "gh")
-    a, b = g.alias("a"), g.alias("b")
-    hits = a.join(
-        b,
+    hits = g.alias("a").join(
+        g.alias("b"),
         (F.col("a.gh") == F.col("b.gh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(
         F.col("a.doc_id").alias("doc_a"),
@@ -702,11 +693,24 @@ def llm_dup_spans(spark, sf_dir):
     runs = hits.select(
         "doc_a", "doc_b", "diag", "pa", (F.col("pa") - F.row_number().over(w)).alias("isl")
     )
-    islands = runs.groupBy("doc_a", "doc_b", "diag", "isl").agg(
-        (F.count(F.lit(1)) + 7).alias("span_tokens")
+    return runs.groupBy("doc_a", "doc_b", "diag", "isl").agg(
+        (F.count(F.lit(1)) + 7).alias("span_tokens"),
+        (F.min("pa") - F.col("diag")).alias("start_b"),
     )
+
+
+@query("llm_dup_spans", sql=_DUPSPAN_SQL)
+def llm_dup_spans(spark, sf_dir):
+    """Exact duplicated-SUBSTRING spans between document pairs — the
+    ExactSubstr shape from the dedup-makes-LMs-better line of work: two
+    documents sharing a run of >= 16 consecutive tokens are flagged with
+    the length of their longest shared span (detection machinery:
+    dup_span_islands above)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", ws_tokens("text").alias("t"))
     return (
-        islands.groupBy("doc_a", "doc_b")
+        dup_span_islands(toks)
+        .groupBy("doc_a", "doc_b")
         .agg(
             F.max("span_tokens").alias("max_span_tokens"),
             F.count(F.lit(1)).alias("n_spans"),
@@ -771,36 +775,7 @@ def llm_dup_span_trim(spark, sf_dir):
     detection, so the rewrite pass never shuffles the corpus."""
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", ws_tokens("text").alias("t"))
-    grams = (
-        toks.select(
-            "doc_id", F.posexplode_outer(word_shingles(F.col("t"), 8)).alias("p0", "gram")
-        )
-        .filter(F.col("gram").isNotNull())
-        .select("doc_id", (F.col("p0") + 1).alias("pos"), F.md5("gram").alias("gh"))
-        .persist()  # shared by the df aggregate and both self-join sides;
-        # freed by the harness clearCache.
-    )
-    rare = grams.groupBy("gh").agg(F.count_distinct("doc_id").alias("df")).filter(
-        F.col("df") <= 100
-    )
-    g = grams.join(rare.select("gh"), "gh")
-    hits = g.alias("a").join(
-        g.alias("b"),
-        (F.col("a.gh") == F.col("b.gh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.pos").alias("pa"),
-        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
-    )
-    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    runs = hits.select(
-        "doc_a", "doc_b", "diag", "pa", (F.col("pa") - F.row_number().over(w)).alias("isl")
-    )
-    islands = runs.groupBy("doc_a", "doc_b", "diag", "isl").agg(
-        (F.count(F.lit(1)) + 7).alias("span_tokens"),
-        (F.min("pa") - F.col("diag")).alias("start_b"),
-    )
+    islands = dup_span_islands(toks)
     wb = Window.partitionBy("doc_b").orderBy(
         F.desc("span_tokens"), "doc_a", "diag", "start_b"
     )

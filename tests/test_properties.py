@@ -198,3 +198,48 @@ def test_native_session_window_equals_islands(spark, rows):
         for r in sessionize_batch(df, gap_seconds=300).collect()
     }
     assert native == islands
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(list("abcdef")), min_size=0, max_size=40),
+        min_size=2,
+        max_size=5,
+    )
+)
+@settings(**SETTINGS)
+def test_dup_span_islands_match_lcs_reference(spark, token_lists):
+    """The max island span per pair equals the token-level longest common
+    substring (when >= the 8-gram width) computed by a quadratic python
+    reference — on a 6-token alphabet that forces heavy gram collisions."""
+    from bridge_analytics_template_spark.queries.curation import dup_span_islands
+
+    df = spark.createDataFrame(
+        [(i, toks) for i, toks in enumerate(token_lists)],
+        "doc_id long, t array<string>",
+    )
+    rows = dup_span_islands(df).collect()
+    got_max: dict[tuple[int, int], int] = {}
+    for r in rows:
+        key = (r.doc_a, r.doc_b)
+        got_max[key] = max(got_max.get(key, 0), r.span_tokens)
+
+    def lcs(a, b):  # token-level longest common substring, O(n*m)
+        best = 0
+        prev = [0] * (len(b) + 1)
+        for x in a:
+            cur = [0] * (len(b) + 1)
+            for j, y in enumerate(b, 1):
+                if x == y:
+                    cur[j] = prev[j - 1] + 1
+                    best = max(best, cur[j])
+            prev = cur
+        return best
+
+    for i in range(len(token_lists)):
+        for j in range(i + 1, len(token_lists)):
+            want = lcs(token_lists[i], token_lists[j])
+            if want >= 8:
+                assert got_max.get((i, j)) == want, (i, j)
+            else:
+                assert (i, j) not in got_max
