@@ -399,3 +399,55 @@ def train_temperature_mix(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "train_weighted_sample",
+    sql="""
+    WITH w AS (
+      SELECT doc_id, lang,
+             least(943718, greatest(104858, (n_chars * 1048576) // 500)) AS w_q
+      FROM documents),
+    k AS (
+      SELECT lang, w_q,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 5)
+               < lpad(lower(to_hex(w_q)), 5, '0') AS keep
+      FROM w)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(w_q) AS DOUBLE) / 1048576.0 AS expected_kept
+    FROM k GROUP BY lang ORDER BY lang
+    """,
+)
+def train_weighted_sample(spark, sf_dir):
+    """Per-ROW weighted Bernoulli sampling — keep each document with
+    probability proportional to a quality proxy (length, clamped to
+    [0.1, 0.9]) — the quality-weighted corpus subsampling step, where
+    mixture_sample's per-CLASS rates don't fit. Fully deterministic and
+    engine-portable: the keep probability is an exact integer on the 2^-20
+    grid (integer div, no float), the uniform draw is the first 5 hex
+    chars of md5(doc_id), and the comparison happens in HEX-STRING space
+    (zero-padded) — no pow/ln/float anywhere, so the same doc keeps or
+    drops on any engine, partitioning, or rerun. expected_kept (Σw/2^20)
+    rides along as the sampling-calibration check. One codegen projection
+    + a per-lang aggregate."""
+    d = load(spark, sf_dir, "documents")
+    w_q = F.least(
+        F.lit(943718),
+        F.greatest(F.lit(104858), F.expr("(n_chars * 1048576) div 500")),
+    )
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 5) < F.lpad(
+        F.lower(F.hex(F.col("w_q"))), 5, "0"
+    )
+    return (
+        d.select("doc_id", "lang", w_q.alias("w_q"))
+        .select("lang", "w_q", keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+            (F.sum("w_q").cast("double") / 1048576.0).alias("expected_kept"),
+        )
+        .orderBy("lang")
+    )
