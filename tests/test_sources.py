@@ -198,3 +198,38 @@ def test_wholetext_reader_one_row_per_file(spark, tmp_path):
     assert sorted(r.value for r in whole.collect()) == ["line one\nline two\n", "solo"]
     lines = read_text_files(spark, str(tmp_path))
     assert sorted(r.value for r in lines.collect()) == ["line one", "line two", "solo"]
+
+
+def test_file_index_prunes_scan_and_preserves_results(spark, sf_dir, tmp_path):
+    """Manifest pruning: a range-clustered write gives tight per-file
+    bounds; a narrow range query reads a strict subset of files yet returns
+    exactly the full-scan answer; a disjoint range reads zero files."""
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.sources.fileindex import (
+        build_file_index,
+        prune_files,
+        pruned_read,
+    )
+
+    path = str(tmp_path / "orders_rc")
+    load(spark, sf_dir, "orders").repartitionByRange(8, "o_totalprice").write.parquet(path)
+    idx = build_file_index(spark, path, ["o_totalprice"])
+    n_files = idx.count()
+    assert n_files == 8
+
+    lo, hi = 1000.0, 2000.0
+    picked = prune_files(idx, {"o_totalprice": (lo, hi)})
+    assert 0 < len(picked) < n_files  # pruning actually happened
+
+    got = pruned_read(spark, idx, {"o_totalprice": (lo, hi)}, path)
+    want = (
+        spark.read.parquet(path)
+        .filter((F.col("o_totalprice") >= lo) & (F.col("o_totalprice") <= hi))
+    )
+    assert got.count() == want.count()
+    assert got.subtract(want).count() == 0 and want.subtract(got).count() == 0
+
+    # disjoint range: zero files selected, empty result, full schema kept
+    none = pruned_read(spark, idx, {"o_totalprice": (1e12, None)}, path)
+    assert none.count() == 0
+    assert none.schema == spark.read.parquet(path).schema
