@@ -70,3 +70,26 @@ def pruned_read(
         if hi is not None:
             df = df.filter(F.col(c) <= hi)
     return df
+
+
+def update_file_index(
+    spark: SparkSession, index: DataFrame, path: str, cols: list[str]
+) -> DataFrame:
+    """Incremental manifest upkeep for an append-only dataset: bound-scan
+    ONLY files absent from the existing manifest and union their rows in.
+    The existing manifest is the anti-join's broadcast side (bounded
+    metadata); appended files are discovered from the listing, so upkeep
+    cost is proportional to NEW data, never a re-index of the corpus."""
+    df = spark.read.parquet(path)
+    known = index.select("file")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    fresh = (
+        df.withColumn("file", F.input_file_name())
+        .join(F.broadcast(known), "file", "left_anti")
+        .groupBy("file")
+        .agg(*aggs)
+    )
+    return index.unionByName(fresh)

@@ -233,3 +233,27 @@ def test_file_index_prunes_scan_and_preserves_results(spark, sf_dir, tmp_path):
     none = pruned_read(spark, idx, {"o_totalprice": (1e12, None)}, path)
     assert none.count() == 0
     assert none.schema == spark.read.parquet(path).schema
+
+
+def test_file_index_incremental_update(spark, sf_dir, tmp_path):
+    """Appending files and updating the manifest indexes ONLY the new
+    files; the updated manifest equals a from-scratch rebuild."""
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.sources.fileindex import (
+        build_file_index,
+        update_file_index,
+    )
+
+    path = str(tmp_path / "orders_inc")
+    o = load(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(4, "o_totalprice").write.parquet(path)
+    idx0 = build_file_index(spark, path, ["o_totalprice"]).persist()
+    assert idx0.count() == 4
+    o.filter(F.col("o_orderkey") % 2 == 1).repartitionByRange(3, "o_totalprice").write.mode(
+        "append"
+    ).parquet(path)
+    idx1 = update_file_index(spark, idx0, path, ["o_totalprice"])
+    rebuilt = build_file_index(spark, path, ["o_totalprice"])
+    assert idx1.count() == 7
+    assert idx1.subtract(rebuilt).count() == 0 and rebuilt.subtract(idx1).count() == 0
+    idx0.unpersist()
