@@ -977,3 +977,67 @@ def emb_pca_project(spark, sf_dir):
         .filter(F.col("vec_id") % 25 == 0)
         .orderBy("vec_id", "component")
     )
+
+
+@query(
+    "emb_knn_classify",
+    sql="""
+    WITH ranked AS (
+      SELECT * FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nlabel,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                 CAST(c.embedding AS DOUBLE[])) DESC,
+                          c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id % 50 = 0)
+      WHERE rank <= 5),
+    votes AS (
+      SELECT query_id, nlabel, COUNT(*) AS n FROM ranked GROUP BY 1, 2),
+    winner AS (
+      SELECT query_id, nlabel AS predicted,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY n DESC, nlabel) AS rk
+      FROM votes)
+    SELECT w.query_id, CAST(w.predicted AS INT) AS predicted,
+           CAST(e.label AS INT) AS actual,
+           w.predicted = e.label AS correct
+    FROM winner w JOIN embeddings e ON w.query_id = e.vec_id
+    WHERE w.rk = 1
+    ORDER BY query_id
+    """,
+)
+def emb_knn_classify(spark, sf_dir):
+    """k-NN majority-vote classification over the embedding space: predict
+    each probe vector's label from its 5 nearest neighbors (exact GEMM
+    brute force — llm/similarity.py::knn_bruteforce_np), majority with
+    smallest-label tie-break, reported against the stored label. Outputs
+    ids/labels only (not raw cosines): neighbor RANK is stable across
+    engines while the last float ulp is not — same determinism contract
+    as llm_knn_ids. The vote is a tiny aggregate over |probes|·k rows;
+    the heavy stage is the same broadcast-GEMM scoring pass as KNN."""
+    from ..llm.similarity import knn_bruteforce_np
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    nn = knn_bruteforce_np(q, e, k=5).select("query_id", "neighbor_id")
+    labels = e.select("vec_id", "label")
+    votes = (
+        nn.join(F.broadcast(labels), nn.neighbor_id == labels.vec_id)
+        .groupBy("query_id", F.col("label").alias("nlabel"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n"), "nlabel")
+    winner = votes.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    truth = e.select(F.col("vec_id").alias("query_id"), F.col("label").alias("actual"))
+    return (
+        winner.join(F.broadcast(truth), "query_id")
+        .select(
+            "query_id",
+            F.col("nlabel").cast("int").alias("predicted"),
+            F.col("actual").cast("int").alias("actual"),
+            (F.col("nlabel") == F.col("actual")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )
