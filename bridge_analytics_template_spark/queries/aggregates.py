@@ -419,3 +419,78 @@ def agg_hll_intersect(spark, sf_dir):
         "est_union",
         (F.col("early") + F.col("late") - F.col("est_union")).alias("est_overlap"),
     )
+
+
+@query(
+    "agg_skew_kurtosis",
+    sql="""
+    WITH m AS (
+      SELECT c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(u) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(u AS HUGEINT) * u) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(u AS HUGEINT) * u * u) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(u AS HUGEINT) * u * u * u) AS DOUBLE) AS s4
+      FROM (SELECT c_nationkey,
+                   CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS u
+            FROM customer) q
+      GROUP BY c_nationkey)
+    SELECT c_nationkey, n,
+           s1 / n / 100.0 AS mean_bal,
+           (s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+             / ((s2 / n - (s1 / n) * (s1 / n))
+                * sqrt(s2 / n - (s1 / n) * (s1 / n))) AS skewness,
+           (s4 / n - 4.0 * (s1 / n) * (s3 / n)
+              + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+              - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+             / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)))
+             - 3.0 AS ex_kurtosis
+    FROM m WHERE n > 3 AND s2 / n - (s1 / n) * (s1 / n) > 0
+    ORDER BY c_nationkey
+    """,
+)
+def agg_skew_kurtosis(spark, sf_dir):
+    """A8+: population skewness and excess kurtosis from EXACT raw moments —
+    the built-in skewness()/kurtosis() stream central moments in floats and
+    are not bit-stable across partitionings; here Σu, Σu², Σu³, Σu⁴ are
+    exact integers (int64 cents widened to DECIMAL(38,0)/HUGEINT for the
+    cubes/quartics — 1e28 per row fits both), and the final expression is
+    identical IEEE arithmetic on both engines. Skewness/kurtosis are
+    scale-invariant, so the cents unit cancels; x^1.5 is written
+    x*sqrt(x) (sqrt is correctly rounded; pow is not). One hash aggregate,
+    map-side partials, 25 group keys."""
+    from ..functions.numeric import money_units
+
+    c = load(spark, sf_dir, "customer")
+    u = money_units("c_acctbal")
+    uw = u.cast("decimal(38,0)")
+    m = c.select(F.col("c_nationkey"), u.alias("u"), uw.alias("uw")).groupBy(
+        "c_nationkey"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("u").cast("double").alias("s1"),
+        F.sum(F.col("uw") * F.col("u")).cast("double").alias("s2"),
+        F.sum(F.col("uw") * F.col("u") * F.col("u")).cast("double").alias("s3"),
+        F.sum(F.col("uw") * F.col("u") * F.col("u") * F.col("u")).cast("double").alias("s4"),
+    )
+    s1, s2, s3, s4, n = (F.col(x) for x in ("s1", "s2", "s3", "s4", "n"))
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - F.lit(3.0) * mean * (s2 / n) + F.lit(2.0) * mean * mean * mean
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * mean * (s3 / n)
+        + F.lit(6.0) * mean * mean * (s2 / n)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    return (
+        m.filter((n > 3) & (m2 > 0))
+        .select(
+            "c_nationkey",
+            "n",
+            (s1 / n / F.lit(100.0)).alias("mean_bal"),
+            (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+            (m4 / (m2 * m2) - F.lit(3.0)).alias("ex_kurtosis"),
+        )
+        .orderBy("c_nationkey")
+    )
