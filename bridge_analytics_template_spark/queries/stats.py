@@ -1041,3 +1041,77 @@ def emb_knn_classify(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "events_cusum",
+    sql="""
+    WITH q AS (
+      SELECT user_id, event_id, ts, CAST(floor(value * 100) AS BIGINT) AS vq
+      FROM events),
+    tot AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(vq) AS BIGINT) AS s
+      FROM q GROUP BY user_id),
+    run AS (
+      SELECT q.user_id, t.n, t.s,
+             row_number() OVER w AS k,
+             CAST(SUM(q.vq) OVER (PARTITION BY q.user_id ORDER BY q.ts, q.event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS tk
+      FROM q JOIN tot t ON q.user_id = t.user_id
+      WINDOW w AS (PARTITION BY q.user_id ORDER BY q.ts, q.event_id)),
+    c AS (
+      SELECT user_id, n, k, n * tk - k * s AS cu,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY abs(n * tk - k * s) DESC, k) AS rk
+      FROM run)
+    SELECT user_id, n, CAST(k AS BIGINT) AS cp_index,
+           CAST(cu AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS cusum_peak
+    FROM c WHERE rk = 1 AND n >= 8
+    ORDER BY user_id
+    """,
+)
+def events_cusum(spark, sf_dir):
+    """CUSUM changepoint detection per user series: the index where the
+    cumulative deviation from the series mean peaks — the standard
+    level-shift locator. Float discipline: the naive cusum Σ(v - mean)
+    accumulates doubles in engine-specific order (DuckDB windows aggregate
+    via segment trees — different ADD order than a sequential fold), so
+    the mean divide is CLEARED instead: C_k = n·T_k − k·S with T_k the
+    integer running sum — every intermediate is exact int64 on any
+    evaluation order, and the one IEEE division happens at output. Both
+    windows and both aggregates co-key on user_id: ONE hash exchange end
+    to end."""
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        "user_id", "event_id", "ts", F.floor(F.col("value") * 100).alias("vq")
+    )
+    tot = q.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("vq").alias("s")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        q.join(tot, "user_id")
+        .select(
+            "user_id",
+            "n",
+            "s",
+            F.row_number().over(w).alias("k"),
+            F.sum("vq").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("tk"),
+        )
+    )
+    cu = F.col("n") * F.col("tk") - F.col("k") * F.col("s")
+    wr = Window.partitionBy("user_id").orderBy(F.abs(cu).desc(), "k")
+    return (
+        run.select("user_id", "n", "k", cu.alias("cu"), F.row_number().over(wr).alias("rk"))
+        .filter((F.col("rk") == 1) & (F.col("n") >= 8))
+        .select(
+            "user_id",
+            "n",
+            F.col("k").cast("long").alias("cp_index"),
+            (F.col("cu").cast("double") / (F.col("n").cast("double") * F.lit(100.0))).alias(
+                "cusum_peak"
+            ),
+        )
+        .orderBy("user_id")
+    )
