@@ -1115,3 +1115,84 @@ def events_cusum(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_ab_welch",
+    sql="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(user_id % 2 AS INT) AS grp,
+             CAST(floor(value * 100) AS BIGINT) AS vq
+      FROM events),
+    m AS (
+      SELECT event_type, grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(vq) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(vq AS HUGEINT) * vq) AS DOUBLE) AS s2
+      FROM q GROUP BY event_type, grp),
+    w AS (
+      SELECT a.event_type,
+             a.n AS n_a, b.n AS n_b,
+             a.s1 / a.n AS mean_a, b.s1 / b.n AS mean_b,
+             (a.s2 - a.s1 * a.s1 / a.n) / (a.n - 1) / a.n AS va,
+             (b.s2 - b.s1 * b.s1 / b.n) / (b.n - 1) / b.n AS vb
+      FROM m a JOIN m b ON a.event_type = b.event_type
+      WHERE a.grp = 0 AND b.grp = 1 AND a.n > 1 AND b.n > 1)
+    SELECT event_type, n_a, n_b,
+           (mean_a - mean_b) / 100.0 AS mean_diff,
+           (mean_a - mean_b) / sqrt(va + vb) AS t_welch,
+           (va + vb) * (va + vb)
+             / (va * va / (n_a - 1) + vb * vb / (n_b - 1)) AS dof_welch
+    FROM w ORDER BY event_type
+    """,
+)
+def events_ab_welch(spark, sf_dir):
+    """Two-sample Welch test per event type (users hash-split into A/B by
+    user_id parity — the deterministic assignment an experimentation
+    pipeline uses): mean difference, Welch t statistic, and
+    Welch–Satterthwaite degrees of freedom, all from EXACT integer
+    moments (value quantized to cents, squares widened to
+    DECIMAL(38,0)/HUGEINT) finished by one identical IEEE expression —
+    sqrt only, never pow, so both engines agree bitwise. Plan: one hash
+    aggregate on (event_type, arm), then a 2-row-per-type self-join —
+    group count is bounded, nothing corpus-wide after the scan."""
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("grp"),
+        F.floor(F.col("value") * 100).alias("vq"),
+    )
+    m = q.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vq").cast("double").alias("s1"),
+        F.sum(F.col("vq").cast("decimal(38,0)") * F.col("vq")).cast("double").alias("s2"),
+    )
+    a = m.filter((F.col("grp") == 0) & (F.col("n") > 1)).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        (F.col("s1") / F.col("n")).alias("mean_a"),
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1) / F.col("n")).alias("va"),
+    )
+    b = m.filter((F.col("grp") == 1) & (F.col("n") > 1)).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        (F.col("s1") / F.col("n")).alias("mean_b"),
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1) / F.col("n")).alias("vb"),
+    )
+    va, vb = F.col("va"), F.col("vb")
+    na, nb = F.col("n_a"), F.col("n_b")
+    return (
+        a.join(b, "event_type")
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            ((F.col("mean_a") - F.col("mean_b")) / F.lit(100.0)).alias("mean_diff"),
+            ((F.col("mean_a") - F.col("mean_b")) / F.sqrt(va + vb)).alias("t_welch"),
+            (
+                (va + vb) * (va + vb) / (va * va / (na - 1) + vb * vb / (nb - 1))
+            ).alias("dof_welch"),
+        )
+        .orderBy("event_type")
+    )
