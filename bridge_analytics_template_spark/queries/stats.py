@@ -1196,3 +1196,66 @@ def events_ab_welch(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_benford_audit",
+    sql="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS d
+      FROM orders WHERE o_totalprice > 0),
+    obs AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits GROUP BY d),
+    exp AS (
+      SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+                            (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+                            (9, 45757)) e(d, p_ppm)),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
+    SELECT e.d AS leading_digit,
+           COALESCE(o.n_obs, 0) AS n_obs,
+           CAST(e.p_ppm AS BIGINT) AS expected_ppm,
+           (CAST(COALESCE(o.n_obs, 0) AS DOUBLE) / t.n
+              - CAST(e.p_ppm AS DOUBLE) / 1000000.0)
+             * (CAST(COALESCE(o.n_obs, 0) AS DOUBLE) / t.n
+                - CAST(e.p_ppm AS DOUBLE) / 1000000.0)
+             / (CAST(e.p_ppm AS DOUBLE) / 1000000.0) AS chi2_term
+    FROM exp e LEFT JOIN obs o ON e.d = o.d CROSS JOIN tot t
+    ORDER BY leading_digit
+    """,
+)
+def q_benford_audit(spark, sf_dir):
+    """Benford first-digit audit of order totals — the fraud/synthetic-data
+    screen a data-quality pass runs on financial columns. The leading
+    digit comes from the exact integer cents rendering (no float
+    formatting divergence); expected frequencies are the standard Benford
+    table as ppm LITERALS (log10 is libm-unsafe, so the constants are
+    pinned, not computed); each digit's chi-square term is one identical
+    IEEE expression of exact integers. One scan + a 9-key aggregate
+    against a 9-row broadcast values table."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(F.floor(F.col("o_totalprice") * 100).cast("string"), 1, 1)
+        .cast("int")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n_obs"))
+    exp = spark.createDataFrame(
+        [(1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+         (6, 66947), (7, 57992), (8, 51153), (9, 45757)],
+        "d int, p_ppm int",
+    )
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    frac = F.coalesce(F.col("n_obs"), F.lit(0)).cast("double") / F.col("n")
+    p = F.col("p_ppm").cast("double") / F.lit(1000000.0)
+    return (
+        exp.join(obs, "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("leading_digit"),
+            F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+            F.col("p_ppm").cast("long").alias("expected_ppm"),
+            ((frac - p) * (frac - p) / p).alias("chi2_term"),
+        )
+        .orderBy("leading_digit")
+    )
