@@ -181,3 +181,89 @@ def pcm_frame_energy(
     return df.select(F.col(id_col).alias("doc_id"), F.col(content_col)).mapInPandas(
         run, schema="doc_id bigint, frame_idx int, n_samples int, energy bigint"
     )
+
+
+def ppm_image_stats(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL image-path compute with no codec dependency: binary P6 PPM
+    (uncompressed RGB — the interchange format every imaging tool writes)
+    parsed per Arrow batch: header → (width, height), pixel block → exact
+    int64 per-channel sums. This is the real shape of an image-curation
+    stats pass (resolution filter, black/blank-frame detection, channel
+    balance); for compressed formats the numpy block is swapped for a
+    PIL/turbojpeg call (env-gated stub, extract_features). Malformed
+    payloads produce ok=false rows instead of failing the batch —
+    quarantine semantics, one row per input either way. mapInPandas, no
+    shuffle."""
+    import numpy as np
+
+    def parse(b: bytes):
+        # P6 header: magic, whitespace-separated width/height/maxval, one
+        # whitespace, then width*height*3 raw bytes.
+        if not b.startswith(b"P6"):
+            return None
+        fields, i = [], 2
+        while len(fields) < 3 and i < len(b):
+            while i < len(b) and b[i : i + 1].isspace():
+                i += 1
+            if b[i : i + 1] == b"#":  # comment line
+                while i < len(b) and b[i : i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < len(b) and not b[j : j + 1].isspace():
+                j += 1
+            fields.append(b[i:j])
+            i = j
+        if len(fields) < 3:
+            return None
+        try:
+            w, h, maxval = (int(x) for x in fields)
+        except ValueError:
+            return None
+        i += 1  # single whitespace after maxval
+        px = b[i : i + w * h * 3]
+        if maxval != 255 or len(px) != w * h * 3 or w <= 0 or h <= 0:
+            return None
+        return w, h, np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "ok": [], "width": [], "height": [],
+                "sum_r": [], "sum_g": [], "sum_b": [],
+            }
+            for i, buf in zip(pdf[id_col], pdf[content_col]):
+                parsed = parse(bytes(buf))
+                out["doc_id"].append(i)
+                if parsed is None:
+                    out["ok"].append(False)
+                    for c in ("width", "height", "sum_r", "sum_g", "sum_b"):
+                        out[c].append(0)
+                    continue
+                w, h, px = parsed
+                s = px.astype(np.int64).sum(axis=(0, 1))
+                out["ok"].append(True)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(int(s[0]))
+                out["sum_g"].append(int(s[1]))
+                out["sum_b"].append(int(s[2]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "ok": pd.Series(out["ok"], dtype="bool"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "sum_r": pd.Series(out["sum_r"], dtype="int64"),
+                    "sum_g": pd.Series(out["sum_g"], dtype="int64"),
+                    "sum_b": pd.Series(out["sum_b"], dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(id_col).alias("doc_id"), F.col(content_col)).mapInPandas(
+        run,
+        schema="doc_id bigint, ok boolean, width int, height int, "
+        "sum_r bigint, sum_g bigint, sum_b bigint",
+    )

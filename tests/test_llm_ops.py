@@ -473,3 +473,28 @@ def test_pcm_frame_energy_numpy_reference(spark):
             want[(i, k)] = (len(w), int((w * w).sum()))
     assert got == want
     assert (4, 0) not in got  # empty payload emits nothing
+
+
+def test_ppm_image_stats_real_decode(spark):
+    """A crafted P6 image decodes to exact dimensions and channel sums;
+    malformed payloads are quarantined as ok=false, one row per input."""
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.multimodal import ppm_image_stats
+
+    w, h = 5, 3
+    px = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    good = b"P6\n# comment\n%d %d\n255\n" % (w, h) + px.tobytes()
+    rows = ppm_image_stats(
+        spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(b"JFIF not ppm")), (3, bytearray(b"P6 2 2"))],
+            "doc_id long, content binary",
+        )
+    ).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert len(by_id) == 3
+    r = by_id[1]
+    s = px.astype(np.int64).sum(axis=(0, 1))
+    assert (r.ok, r.width, r.height) == (True, w, h)
+    assert (r.sum_r, r.sum_g, r.sum_b) == (int(s[0]), int(s[1]), int(s[2]))
+    assert not by_id[2].ok and not by_id[3].ok
