@@ -3,11 +3,13 @@ columns").
 
 Images / audio / video are opaque ``binary`` columns with a typed metadata
 struct alongside. The Spark-side plumbing — schema, Arrow batch shape,
-``mapInPandas`` signature, partition sizing — is real and tested; the actual
-codec decode is STUBBED (this container ships no image/audio libraries):
-``decode_stub=True`` computes deterministic features from the raw bytes,
-``decode_stub=False`` raises ``NotImplementedError`` where a real
-PIL/libav call would go.
+``mapInPandas`` signature, partition sizing — is real and tested.
+Uncompressed formats decode FOR REAL with no codec dependency:
+``pcm_frame_energy`` (16-bit PCM audio framing) and ``ppm_image_stats``
+(P6 RGB parsing). Compressed-codec decode is STUBBED (this container ships
+no image/audio libraries): ``decode_stub=True`` computes deterministic
+features from the raw bytes, ``decode_stub=False`` raises
+``NotImplementedError`` where a real PIL/libav call would go.
 
 Scale note: binary payloads ride the Arrow batches; feature extraction is a
 ``mapInPandas`` pass (no shuffle), so throughput is bounded by IO + codec,
