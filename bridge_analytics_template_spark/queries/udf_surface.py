@@ -192,9 +192,11 @@ def x_cogrouped_pandas(spark, sf_dir):
     purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
 
     def lag(key, c_pdf, p_pdf):
+        # A key absent from one side arrives as an EMPTY frame — and Spark
+        # may deliver it without column metadata, so probe columns too.
         epoch0 = pd.Timestamp("1970-01-01")
-        fc = c_pdf["ts"].min() if len(c_pdf) else None
-        fp = p_pdf["ts"].min() if len(p_pdf) else None
+        fc = c_pdf["ts"].min() if "ts" in c_pdf.columns and len(c_pdf) else None
+        fp = p_pdf["ts"].min() if "ts" in p_pdf.columns and len(p_pdf) else None
         secs = lambda t: (t - epoch0) // pd.Timedelta("1s")  # noqa: E731
         lag_s = secs(fp) - secs(fc) if fc is not None and fp is not None else None
         return pd.DataFrame({"user_id": [key[0]], "lag_seconds": [lag_s]})

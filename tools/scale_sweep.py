@@ -1,0 +1,52 @@
+"""Scale sweep: execute EVERY queries() entry against a replicated fixture
+(default /tmp/scale10 — sf0.1 × 10 with offset ids) and log wall time + row
+count. Not a correctness gate (the replica breaks oracle values by
+construction — every doc/vector gains copies); it is the cliff detector:
+a query that OOMs, one-tasks, or goes quadratic shows up here long before
+a cluster run would.
+
+    python tools/scale_sweep.py [--dir /tmp/scale10] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+from bridge_analytics_template_spark.queries import QUERIES  # noqa: E402
+from bridge_analytics_template_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default="/tmp/scale10")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+    spark = get_spark("scale-sweep")
+    names = args.names or list(QUERIES)
+    failures, slow = [], []
+    for name in names:
+        t0 = time.time()
+        try:
+            n = QUERIES[name](spark, args.dir).count()
+            dt = time.time() - t0
+            flag = " SLOW" if dt > 60 else ""
+            if dt > 60:
+                slow.append(name)
+            print(f"[ok]   {name:32s} {dt:7.2f}s rows={n}{flag}", flush=True)
+        except Exception:
+            dt = time.time() - t0
+            failures.append(name)
+            print(f"[FAIL] {name:32s} {dt:7.2f}s", flush=True)
+            traceback.print_exc(limit=2)
+        spark.catalog.clearCache()
+    print(f"\n{len(names) - len(failures)}/{len(names)} ok; slow(>60s): {slow}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
