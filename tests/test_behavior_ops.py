@@ -149,3 +149,27 @@ def test_autocorr_matches_numpy(spark, sf_dir):
         expected = (n * sxy - sx * sy) / math.sqrt(den)
         assert abs(out[uid]["acf1"] - expected) < 1e-12
         assert out[uid]["n"] == n
+
+
+def test_cogrouped_lag_handles_one_sided_keys(spark):
+    """A user with only clicks (or only purchases) must yield a NULL lag
+    row, not crash: Spark can hand the cogroup UDF an empty frame WITHOUT
+    column metadata for the absent side (found by the 10x sweep)."""
+    import datetime
+    import tempfile
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, 10, base, "click", 1.0, None),
+        (2, 10, base + datetime.timedelta(seconds=30), "purchase", 1.0, None),
+        (3, 11, base, "click", 1.0, None),          # click-only user
+        (4, 12, base, "purchase", 1.0, None),       # purchase-only user
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        got = {r.user_id: r.lag_seconds for r in QUERIES["x_cogrouped_pandas"](spark, d).collect()}
+    assert got == {10: 30, 11: None, 12: None}
