@@ -821,3 +821,80 @@ def q_local_supplier(spark, sf_dir):
         .agg(usum(_disc_u4(), 4, "revenue"), F.count(F.lit(1)).alias("n_items"))
         .orderBy(F.desc("revenue"), "nation")
     )
+
+
+# --- RFM segmentation --------------------------------------------------------
+
+
+@query(
+    "q_rfm_segments",
+    sql="""
+    WITH maxd AS (SELECT MAX(o_orderdate) AS d0 FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', MAX(o_orderdate), (SELECT d0 FROM maxd)) AS BIGINT)
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey),
+    seg AS (
+      SELECT CASE WHEN recency_days <= 180 THEN 'R1'
+                  WHEN recency_days <= 720 THEN 'R2' ELSE 'R3' END
+             || CASE WHEN frequency >= 20 THEN 'F1'
+                     WHEN frequency >= 8 THEN 'F2' ELSE 'F3' END
+             || CASE WHEN monetary_cents >= 300000000 THEN 'M1'
+                     WHEN monetary_cents >= 100000000 THEN 'M2' ELSE 'M3' END
+               AS segment,
+             recency_days, frequency, monetary_cents
+      FROM rfm)
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS total_cents,
+           CAST(MIN(recency_days) AS BIGINT) AS min_recency,
+           CAST(MAX(frequency) AS BIGINT) AS max_frequency
+    FROM seg GROUP BY segment ORDER BY segment
+    """,
+)
+def q_rfm_segments(spark, sf_dir):
+    """RFM segmentation — the classic customer-value partition (recency /
+    frequency / monetary), with FIXED business thresholds so bucket edges
+    are exact integer comparisons (quantile-derived edges would be
+    float-fragile and engine-dependent; a production run derives them once
+    and pins them exactly like this). Recency anchors on the corpus max
+    order date (one broadcast scalar); money is exact cents. Two hash
+    aggregates: per-customer RFM, then the bounded segment rollup."""
+    o = load(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("d0"))
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+    rfm = (
+        o.crossJoin(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("d0"), F.max("o_orderdate")).cast("long").alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(cents).alias("monetary_cents"),
+        )
+    )
+    seg = F.concat(
+        F.when(F.col("recency_days") <= 180, "R1")
+        .when(F.col("recency_days") <= 720, "R2")
+        .otherwise("R3"),
+        F.when(F.col("frequency") >= 20, "F1")
+        .when(F.col("frequency") >= 8, "F2")
+        .otherwise("F3"),
+        F.when(F.col("monetary_cents") >= 300000000, "M1")
+        .when(F.col("monetary_cents") >= 100000000, "M2")
+        .otherwise("M3"),
+    )
+    return (
+        rfm.select(seg.alias("segment"), "recency_days", "frequency", "monetary_cents")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary_cents").alias("total_cents"),
+            F.min("recency_days").alias("min_recency"),
+            F.max("frequency").alias("max_frequency"),
+        )
+        .orderBy("segment")
+    )
