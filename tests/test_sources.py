@@ -257,3 +257,22 @@ def test_file_index_incremental_update(spark, sf_dir, tmp_path):
     assert idx1.count() == 7
     assert idx1.subtract(rebuilt).count() == 0 and rebuilt.subtract(idx1).count() == 0
     idx0.unpersist()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Appended files with an added column read back under mergeSchema:
+    union schema, NULLs for pre-evolution rows — the append-only schema
+    drift a long-lived {app}/{study} prefix accumulates."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+    # without mergeSchema the picked footer may miss the new column —
+    # the option is the contract, not a default behavior assumption
+    plain = spark.read.parquet(path)
+    assert set(plain.columns) <= {"id", "v", "score"}
