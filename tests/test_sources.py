@@ -276,3 +276,30 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     # the option is the contract, not a default behavior assumption
     plain = spark.read.parquet(path)
     assert set(plain.columns) <= {"id", "v", "score"}
+
+
+def test_json_corrupt_record_modes(spark, tmp_path):
+    """Malformed ingest rows: PERMISSIVE captures the raw line in the
+    corrupt-record column, DROPMALFORMED silently drops, FAILFAST raises —
+    the three contracts a permissive-ingest pipeline chooses between."""
+    import pytest
+
+    p = tmp_path / "data.jsonl"
+    p.write_text('{"id": 1, "v": "ok"}\n{broken json!!\n{"id": 2, "v": "fine"}\n')
+    schema = "id long, v string, _corrupt_record string"
+    perm = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    rows = perm.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(bad) == 1 and bad[0]._corrupt_record.startswith("{broken")
+    dropped = (
+        spark.read.schema("id long, v string").option("mode", "DROPMALFORMED").json(str(p))
+    )
+    assert sorted(r.id for r in dropped.collect()) == [1, 2]
+    with pytest.raises(Exception):
+        spark.read.schema("id long, v string").option("mode", "FAILFAST").json(str(p)).collect()
