@@ -478,3 +478,51 @@ def sql_unpivot_clause(spark, sf_dir):
         ORDER BY p_partkey, metric
         """
     )
+
+
+@query(
+    "sql_scripting_share",
+    sql="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents,
+           CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS DOUBLE)
+             / (SELECT CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                                     AS BIGINT)) AS DOUBLE)
+                FROM orders) AS share
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def sql_scripting_share(spark, sf_dir):
+    """Spark 4 SQL SCRIPTING (BEGIN … END with DECLARE/SET): the grand
+    total lands in a session variable via one scripted statement, then the
+    final SELECT uses it — procedural control flow around set-based
+    statements, the migration path for warehouse stored procedures. The
+    oracle is the equivalent scalar-subquery formulation (a variable bound
+    once IS a scalar subquery, semantically). Money stays exact cents;
+    the share is one IEEE division per nation."""
+    register_views(spark, sf_dir, ("orders", "customer", "nation"))
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE total DOUBLE;
+          SET total = (
+            SELECT CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                                 AS BIGINT)) AS DOUBLE)
+            FROM orders);
+          SELECT n.n_name AS nation,
+                 CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                               AS BIGINT)) AS BIGINT) AS cents,
+                 CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100
+                               AS BIGINT)) AS DOUBLE) / total AS share
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY 1 ORDER BY 1;
+        END
+        """
+    )
