@@ -1259,3 +1259,47 @@ def q_benford_audit(spark, sf_dir):
         )
         .orderBy("leading_digit")
     )
+
+
+@query(
+    "q_k_anonymity",
+    sql="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+                  AS BIGINT) AS l_div
+      FROM customer GROUP BY c_nationkey, c_mktsegment)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(k) AS BIGINT) AS k_anonymity,
+           CAST(MIN(l_div) AS BIGINT) AS l_diversity,
+           CAST(SUM(CASE WHEN k < 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_k10,
+           CAST(SUM(CASE WHEN k < 10 THEN k ELSE 0 END) AS BIGINT)
+             AS rows_needing_suppression
+    FROM g
+    """,
+)
+def q_k_anonymity(spark, sf_dir):
+    """Privacy audit before data release: k-anonymity (smallest
+    quasi-identifier group — here nation × market segment) and l-diversity
+    (distinct sensitive-value buckets per group, account balance in $1000
+    bands with an exact floor). Reports the groups below k=10 and how many
+    rows suppression would touch — the governance gate a de-identified
+    export runs. Two hash aggregates; the distinct count rides the same
+    shuffle as the group count."""
+    c = load(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000)
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.count_distinct(band).alias("l_div"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("k").alias("k_anonymity"),
+        F.min("l_div").alias("l_diversity"),
+        F.sum(F.when(F.col("k") < 10, 1).otherwise(0)).cast("long").alias("groups_below_k10"),
+        F.sum(F.when(F.col("k") < 10, F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("rows_needing_suppression"),
+    )
