@@ -1303,3 +1303,39 @@ def q_k_anonymity(spark, sf_dir):
         .cast("long")
         .alias("rows_needing_suppression"),
     )
+
+
+@query(
+    "q_k_anonymize",
+    sql="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS k
+      FROM customer GROUP BY 1, 2),
+    rel AS (
+      SELECT CASE WHEN g.k < 10 THEN -1 ELSE c.c_nationkey END AS nation_gen,
+             CASE WHEN g.k < 10 THEN 'ANY' ELSE c.c_mktsegment END AS seg_gen
+      FROM customer c
+      JOIN g ON c.c_nationkey = g.c_nationkey AND c.c_mktsegment = g.c_mktsegment)
+    SELECT nation_gen, seg_gen, CAST(COUNT(*) AS BIGINT) AS k
+    FROM rel GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_k_anonymize(spark, sf_dir):
+    """The APPLY step of the k-anonymity audit: quasi-identifier groups
+    below k=10 are GENERALIZED (nation → -1, segment → 'ANY') so their
+    rows merge into one release-safe bucket; released groups keep their
+    values. Output is the released group table — every published group's
+    k is re-derived post-generalization. The group-size table is a
+    broadcast dim by construction (bounded QI domain), so the rewrite is
+    one broadcast join + one aggregate over the released keys."""
+    c = load(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count(F.lit(1)).alias("k"))
+    rel = c.join(F.broadcast(g), ["c_nationkey", "c_mktsegment"]).select(
+        F.when(F.col("k") < 10, -1).otherwise(F.col("c_nationkey")).alias("nation_gen"),
+        F.when(F.col("k") < 10, "ANY").otherwise(F.col("c_mktsegment")).alias("seg_gen"),
+    )
+    return (
+        rel.groupBy("nation_gen", "seg_gen")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .orderBy("nation_gen", "seg_gen")
+    )
