@@ -1339,3 +1339,68 @@ def q_k_anonymize(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("k"))
         .orderBy("nation_gen", "seg_gen")
     )
+
+
+@query(
+    "ts_holt",
+    sql="""
+    WITH RECURSIVE arr AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS xs,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id),
+    step AS (
+      SELECT user_id, n, xs, 2 AS t,
+             xs[1] AS l, xs[2] - xs[1] AS b
+      FROM arr WHERE n >= 3
+      UNION ALL
+      SELECT user_id, n, xs, t + 1,
+             0.3 * xs[t + 1] + 0.7 * (l + b),
+             0.1 * ((0.3 * xs[t + 1] + 0.7 * (l + b)) - l) + 0.9 * b
+      FROM step WHERE t < n)
+    SELECT user_id, n, l AS level, b AS trend, l + b AS forecast_1
+    FROM step WHERE t = n ORDER BY user_id
+    """,
+)
+def ts_holt(spark, sf_dir):
+    """Holt double-exponential smoothing per user series (α=0.3, β=0.1):
+    level + trend state folded sequentially — the forecasting step up from
+    ts_ewma, same determinism argument: the recursion is order-sensitive,
+    so it runs as ONE in-row left fold over the gathered series (struct
+    accumulator), and the oracle replays the identical IEEE op sequence
+    via a recursive CTE (one step per element). forecast_1 = level +
+    trend is the one-step-ahead forecast. Scale bound: a user's history
+    must fit a row; beyond that, checkpoint the (level, trend) state per
+    segment and chain — the streaming formulation
+    (applyInPandasWithState) is the unbounded-history path."""
+    e = load(spark, sf_dir, "events")
+    gathered = (
+        e.groupBy("user_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias("rows"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 3)
+        .select("user_id", "n", F.transform("rows", lambda r: r["value"]).alias("xs"))
+    )
+    x1 = F.element_at("xs", 1)
+    x2 = F.element_at("xs", 2)
+
+    def _step(acc, x):
+        l_new = F.lit(0.3) * x + F.lit(0.7) * (acc["l"] + acc["b"])
+        b_new = F.lit(0.1) * (
+            (F.lit(0.3) * x + F.lit(0.7) * (acc["l"] + acc["b"])) - acc["l"]
+        ) + F.lit(0.9) * acc["b"]
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    state = F.aggregate(
+        F.slice("xs", 3, F.greatest(F.col("n").cast("int") - 2, F.lit(0))),
+        F.struct(x1.alias("l"), (x2 - x1).alias("b")),
+        _step,
+    )
+    return gathered.select(
+        "user_id",
+        "n",
+        state["l"].alias("level"),
+        state["b"].alias("trend"),
+        (state["l"] + state["b"]).alias("forecast_1"),
+    ).orderBy("user_id")
