@@ -976,3 +976,43 @@ def llm_pcm_energy(spark, sf_dir):
         F.octet_length("text") == F.length("text")
     )
     return pcm_frame_energy(attach_binary(d)).orderBy("doc_id", "frame_idx")
+
+
+@query("llm_compression_ratio")  # rows-only: zlib is not SQL-expressible
+def llm_compression_ratio(spark, sf_dir):
+    """L4+: compression-ratio quality signal — zlib-compressed bytes over
+    raw bytes per document, the cheap entropy proxy corpus filters use to
+    drop boilerplate/template spam (highly repetitive text compresses far
+    below ~0.4) and binary-ish junk (ratio ≈ 1). DEFLATE at a fixed level
+    is bit-deterministic for fixed input, so the per-doc ratio is stable
+    across engines and reruns; pinned against direct zlib in
+    tests/test_llm_ops.py (no SQL oracle — DuckDB has no zlib). One
+    mapInPandas projection, no shuffle; ratio_pct is an exact integer
+    (bytes*100 // bytes)."""
+    import pandas as pd
+    import zlib
+
+    def run(batches):
+        for pdf in batches:
+            raw = pdf["text"].map(lambda t: t.encode("utf-8"))
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            n = raw.map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n.astype("int64"),
+                    "n_compressed": comp.astype("int64"),
+                    "ratio_pct": (comp.astype("int64") * 100 // n.clip(lower=1)).astype(
+                        "int64"
+                    ),
+                }
+            )
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "text")
+        .mapInPandas(
+            run, schema="doc_id long, n_bytes long, n_compressed long, ratio_pct long"
+        )
+        .orderBy("doc_id")
+    )

@@ -498,3 +498,25 @@ def test_ppm_image_stats_real_decode(spark):
     assert (r.ok, r.width, r.height) == (True, w, h)
     assert (r.sum_r, r.sum_g, r.sum_b) == (int(s[0]), int(s[1]), int(s[2]))
     assert not by_id[2].ok and not by_id[3].ok
+
+
+def test_compression_ratio_matches_zlib(spark, sf_dir):
+    """Per-doc compressed sizes equal direct zlib at the same level, and
+    repetitive text scores lower than diverse text."""
+    import zlib
+
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.queries.registry import QUERIES
+
+    rows = QUERIES["llm_compression_ratio"](spark, sf_dir).collect()
+    texts = {r.doc_id: r.text for r in load(spark, sf_dir, "documents").collect()}
+    assert len(rows) == len(texts)
+    for r in rows[:50]:
+        raw = texts[r.doc_id].encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        assert (r.n_bytes, r.n_compressed) == (len(raw), comp)
+        assert r.ratio_pct == comp * 100 // max(len(raw), 1)
+    # sanity: a pathological repeat compresses far better than word soup
+    assert zlib.compress(b"spam " * 200, 6).__len__() * 100 // 1000 < min(
+        r.ratio_pct for r in rows
+    )
