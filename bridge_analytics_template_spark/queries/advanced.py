@@ -1,0 +1,384 @@
+"""Advanced corpus / graph / lifecycle analytics.
+
+Operators a production curation stack layers on top of the §2 core
+(reference scope: the score/table folders of
+/root/reference/synapseformation_templates/default.yaml:3-10 hold exactly
+these derived analytics): sketch-pruned heavy hitters, bounded-hop BFS,
+snapshot diffing for dataset versioning, association rules, crypto
+round-trip, and calendar seasonality. Every query keeps the float
+discipline from NOTES.md (exact integer accumulation; any final float op is
+a fixed expression evaluated identically by both engines).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.text import ws_tokens
+from .registry import query
+
+# --- Heavy hitters: local-candidate prune + exact verify -------------------
+#
+# The two-pass Misra-Gries/CMS shape for "frequent tokens over a 100-TB
+# corpus" WITHOUT shuffling the full distinct-token domain: pass 1 counts
+# tokens per partition in an Arrow-batched mapInPandas and emits only tokens
+# with local_count * DEN >= local_total (a candidate SUPERSET by pigeonhole:
+# if a token's global share is >= 1/DEN, some partition must hold it with
+# local share >= 1/DEN — otherwise summing the strict inequalities over
+# partitions contradicts the global share). Pass 2 exact-counts ONLY the
+# candidates (broadcast semi-join prunes the token stream before the
+# groupBy), so the shuffle carries candidate rows, not the whole vocabulary.
+# All thresholds are exact integer comparisons (c * DEN >= n).
+
+_HH_DEN = 50  # support threshold: share >= 1/50 = 2% of all tokens
+
+
+@query(
+    "llm_heavy_hitters",
+    sql=rf"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents)
+    SELECT tok, COUNT(*) AS n
+    FROM toks
+    GROUP BY tok
+    HAVING COUNT(*) * {_HH_DEN} >= (SELECT COUNT(*) FROM toks)
+    ORDER BY n DESC, tok
+    """,
+)
+def llm_heavy_hitters(spark, sf_dir):
+    """Exact frequent-token mining, sketch-pruned: per-partition candidate
+    generation (mapInPandas, emits only locally-frequent tokens) + exact
+    verify of candidates only. The oracle is the plain GROUP BY ... HAVING
+    — the pruned plan must reproduce it exactly."""
+    d = load(spark, sf_dir, "documents")
+    toks_arr = d.select(ws_tokens("text").alias("toks"))
+
+    def local_candidates(batches):
+        from collections import Counter
+
+        counts: Counter = Counter()
+        n = 0
+        for pdf in batches:
+            if "toks" not in pdf.columns:  # empty batch may lack columns
+                continue
+            for arr in pdf["toks"]:
+                if arr is None:
+                    continue
+                counts.update(arr)
+                n += len(arr)
+        out = [t for t, c in counts.items() if c * _HH_DEN >= n]
+        yield pd.DataFrame({"tok": pd.Series(out, dtype="object")})
+
+    cands = toks_arr.mapInPandas(local_candidates, "tok string").distinct()
+    toks = d.select(F.explode_outer(ws_tokens("text")).alias("tok"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        toks.join(F.broadcast(cands), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n") * _HH_DEN >= F.col("n_tokens"))
+        .select("tok", "n")
+        .orderBy(F.desc("n"), "tok")
+    )
+
+
+# --- Bounded-hop BFS (shortest paths from a source set) --------------------
+
+
+@query(
+    "graph_shortest_paths",
+    sql="""
+    WITH RECURSIVE arcs AS (
+      SELECT e.user_id AS src, n.user_id AS dst
+      FROM events e JOIN events n ON n.event_id = e.event_id + 1
+      WHERE e.user_id <> n.user_id),
+    edges AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM arcs),
+    bi AS (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL
+      SELECT v AS src, u AS dst FROM edges),
+    srcs AS (SELECT DISTINCT src AS node FROM bi WHERE src % 50 = 0),
+    w(node, hop) AS (
+      SELECT node, 0 FROM srcs
+      UNION
+      SELECT bi.dst, w.hop + 1 FROM w JOIN bi ON bi.src = w.node
+      WHERE w.hop < 3),
+    dist AS (SELECT node, MIN(hop) AS hops FROM w GROUP BY node)
+    SELECT hops, COUNT(*) AS n_nodes, SUM(node) AS sum_node
+    FROM dist GROUP BY hops ORDER BY hops
+    """,
+)
+def graph_shortest_paths(spark, sf_dir):
+    """Multi-source BFS, <= 3 hops, over the event hand-off graph (same edge
+    derivation as graph_triangles). Level-synchronous frontier expansion —
+    each hop is one equi-join frontier x edges plus an anti-join against the
+    settled set, so per-level work is O(frontier-degree sum), never the
+    path-explosion a naive transitive closure pays. The oracle's recursive
+    CTE uses UNION (not ALL) for the same dedup-per-level semantics."""
+    e = load(spark, sf_dir, "events").select("event_id", "user_id")
+    nxt = e.select(
+        (F.col("event_id") - 1).alias("event_id"), F.col("user_id").alias("next_user")
+    )
+    arcs = (
+        e.join(nxt, "event_id")
+        .where(F.col("next_user") != F.col("user_id"))
+        .select(F.col("user_id").alias("src"), F.col("next_user").alias("dst"))
+    )
+    edges = arcs.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    # Both orientations with ONE explode (NOTES.md lesson: unionAll of the
+    # same build recomputes the distinct twice).
+    bi = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+                    F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
+                )
+            ).alias("a")
+        )
+        .select("a.src", "a.dst")
+        .persist()  # reused by every BFS level
+    )
+    dist = (
+        bi.select(F.col("src").alias("node"))
+        .where(F.col("node") % 50 == 0)
+        .distinct()
+        .withColumn("hops", F.lit(0))
+    )
+    frontier = dist
+    for h in (1, 2, 3):
+        expanded = (
+            frontier.join(bi, frontier["node"] == bi["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        fresh = expanded.join(dist.select("node"), "node", "left_anti").withColumn(
+            "hops", F.lit(h)
+        )
+        dist = dist.union(fresh).persist()
+        frontier = fresh
+    return (
+        dist.groupBy("hops")
+        .agg(F.count(F.lit(1)).alias("n_nodes"), F.sum("node").alias("sum_node"))
+        .orderBy("hops")
+    )
+
+
+# --- Snapshot diff (dataset versioning) ------------------------------------
+
+
+@query(
+    "snapshot_diff",
+    sql="""
+    WITH v1 AS (
+      SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 7 <> 0),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN CAST(floor(o_totalprice * 100) AS BIGINT) * 2
+                  ELSE CAST(floor(o_totalprice * 100) AS BIGINT) END AS cents,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 5 <> 0),
+    d AS (
+      SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS k,
+             CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                  WHEN v2.o_orderkey IS NULL THEN 'removed'
+                  WHEN v1.cents <> v2.cents
+                       OR v1.o_orderstatus <> v2.o_orderstatus THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM v1 FULL JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+    SELECT status, COUNT(*) AS n, SUM(k) AS key_sum
+    FROM d GROUP BY status ORDER BY status
+    """,
+)
+def snapshot_diff(spark, sf_dir):
+    """Version-to-version dataset diff (added / removed / changed /
+    unchanged) — the audit step of every incremental-snapshot pipeline
+    (pairs with llm_dedup_incremental). One full outer join on the key;
+    value comparison in exact integer cents. At scale both snapshots
+    arrive partitioned by the key, so the join is co-located; counts
+    aggregate map-side."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    v1 = o.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", cents.alias("cents"), "o_orderstatus"
+    )
+    v2 = o.where(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, cents * 2).otherwise(cents).alias("cents"),
+        "o_orderstatus",
+    )
+    j = v1.alias("v1").join(
+        v2.alias("v2"), F.col("v1.o_orderkey") == F.col("v2.o_orderkey"), "full_outer"
+    )
+    status = (
+        F.when(F.col("v1.o_orderkey").isNull(), "added")
+        .when(F.col("v2.o_orderkey").isNull(), "removed")
+        .when(
+            (F.col("v1.cents") != F.col("v2.cents"))
+            | (F.col("v1.o_orderstatus") != F.col("v2.o_orderstatus")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("v1.o_orderkey"), F.col("v2.o_orderkey")).alias("k"),
+            status.alias("status"),
+        )
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("key_sum"))
+        .orderBy("status")
+    )
+
+
+# --- Association rules (support / confidence / lift) -----------------------
+
+
+@query(
+    "q_assoc_rules",
+    sql="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM ob),
+    bc AS (SELECT brand, COUNT(*) AS bn FROM ob GROUP BY brand),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS pair_n
+      FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY 1, 2)
+    SELECT p.brand_a, p.brand_b, p.pair_n, ba.bn AS a_n, bb.bn AS b_n,
+           (p.pair_n * 1000000) // ba.bn AS conf_ppm,
+           (p.pair_n * n.n_orders * 1000000) // (ba.bn * bb.bn) AS lift_ppm
+    FROM pairs p
+    JOIN bc ba ON ba.brand = p.brand_a
+    JOIN bc bb ON bb.brand = p.brand_b, n
+    WHERE p.pair_n >= 5
+    ORDER BY lift_ppm DESC, p.brand_a, p.brand_b LIMIT 50
+    """,
+)
+def q_assoc_rules(spark, sf_dir):
+    """Market-basket association rules over brands co-occurring in an order:
+    support counts by self-joining the (order, brand) set on the order key
+    (brand_a < brand_b canonical), confidence/lift as exact integer
+    parts-per-million (BIGINT multiply then floor-div — no float division to
+    disagree on). The per-order distinct set bounds pair fan-out at
+    (basket size choose 2); brand counts are broadcast back onto pairs."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .persist()  # three appearances (pair self-join + brand counts + total)
+    )
+    n_orders = ob.agg(F.countDistinct("okey").alias("n_orders"))
+    bc = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("bn"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.brand") < F.col("b.brand")))
+        .groupBy(F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .where(F.col("pair_n") >= 5)
+    )
+    ba = bc.select(F.col("brand").alias("brand_a"), F.col("bn").alias("a_n"))
+    bb = bc.select(F.col("brand").alias("brand_b"), F.col("bn").alias("b_n"))
+    return (
+        pairs.join(F.broadcast(ba), "brand_a")
+        .join(F.broadcast(bb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_n",
+            "a_n",
+            "b_n",
+            F.expr("pair_n * 1000000 DIV a_n").alias("conf_ppm"),
+            F.expr("pair_n * n_orders * 1000000 DIV (a_n * b_n)").alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "brand_a", "brand_b")
+        .limit(50)
+    )
+
+
+# --- Crypto round-trip -----------------------------------------------------
+
+_AES_KEY = "0123456789abcdef"  # 16-byte demo key (AES-128)
+
+
+@query(
+    "f_crypto_roundtrip",
+    sql=f"""
+    SELECT c_custkey, c_name AS name_rt,
+           (octet_length(encode(c_name)) // 16 + 1) * 16 AS ct_len
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def f_crypto_roundtrip(spark, sf_dir):
+    """Column-level encryption round-trip (PII-at-rest shape):
+    aes_encrypt -> aes_decrypt must restore the plaintext, and ECB/PKCS
+    ciphertext length is deterministic (next full 16-byte block), which the
+    oracle computes arithmetically. Runs entirely in codegen'd JVM
+    expressions — no UDF."""
+    c = load(spark, sf_dir, "customer")
+    enc = F.expr(f"aes_encrypt(c_name, '{_AES_KEY}', 'ECB', 'PKCS')")
+    dec = F.expr(
+        f"CAST(aes_decrypt(aes_encrypt(c_name, '{_AES_KEY}', 'ECB', 'PKCS'),"
+        f" '{_AES_KEY}', 'ECB', 'PKCS') AS STRING)"
+    )
+    return c.select(
+        "c_custkey",
+        dec.alias("name_rt"),
+        F.octet_length(enc).cast("long").alias("ct_len"),
+    ).orderBy("c_custkey")
+
+
+# --- Calendar seasonality --------------------------------------------------
+
+
+@query(
+    "events_seasonality",
+    sql="""
+    WITH b AS (
+      SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+             user_id, CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events)
+    SELECT (es // 86400 + 4) % 7 AS dow,
+           (es % 86400) // 3600 AS hr,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           SUM(cents) AS cents_sum
+    FROM b GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_seasonality(spark, sf_dir):
+    """Day-of-week x hour-of-day activity heatmap. Both engines derive the
+    calendar buckets from the SAME integer epoch arithmetic (1970-01-01 was
+    a Thursday; +4 makes 0=Sunday) instead of locale-dependent dayofweek
+    functions, and values quantize to integer cents before summing."""
+    e = load(spark, sf_dir, "events")
+    es = F.unix_timestamp("ts")
+    return (
+        e.select(
+            (((es / F.lit(86400)).cast("long") + 4) % 7).alias("dow"),
+            ((es % 86400) / F.lit(3600)).cast("long").alias("hr"),
+            "user_id",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("dow", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("cents").alias("cents_sum"),
+        )
+        .orderBy("dow", "hr")
+    )

@@ -166,6 +166,36 @@ def s_json_roundtrip(spark, sf_dir):
 
 
 @query(
+    "s_xml_roundtrip",
+    sql="""
+    SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name
+    FROM nation GROUP BY 1 ORDER BY 1
+    """,
+)
+def s_xml_roundtrip(spark, sf_dir):
+    """S6b: XML sink + scan (Spark 4 native XML data source, one row per
+    ``rowTag`` element) with an explicit schema — the remaining
+    semi-structured ingest format after JSON/CSV. The aggregate over the
+    round-tripped rows must equal the source table."""
+    n = load(spark, sf_dir, "nation")
+    path = os.path.join(tempfile.gettempdir(), "xml_roundtrip_nation")
+    n.write.mode("overwrite").format("xml").option("rootTag", "nations").option(
+        "rowTag", "nation"
+    ).save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema(_NATION_SCHEMA)
+        .load(path)
+    )
+    return (
+        back.groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_name"))
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
     "x_cogrouped_pandas",
     sql="""
     WITH c AS (SELECT user_id, MIN(ts) AS first_click

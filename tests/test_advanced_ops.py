@@ -1,0 +1,127 @@
+"""Unit tests for the advanced analytics operators: sketch-pruned heavy
+hitters, bounded-hop BFS, snapshot diff, association rules, crypto
+round-trip, and calendar seasonality."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from bridge_analytics_template_spark.catalog import load
+from bridge_analytics_template_spark.queries import QUERIES
+
+
+def test_heavy_hitters_equals_bruteforce(spark, sf_dir):
+    """The pruned plan must equal the naive full groupBy + HAVING."""
+    from bridge_analytics_template_spark.functions.text import ws_tokens
+    from bridge_analytics_template_spark.queries.advanced import _HH_DEN
+
+    got = [(r["tok"], r["n"]) for r in QUERIES["llm_heavy_hitters"](spark, sf_dir).collect()]
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode_outer(ws_tokens("text")).alias("tok")
+    )
+    total = toks.count()
+    brute = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") * _HH_DEN >= total)
+        .orderBy(F.desc("n"), "tok")
+        .collect()
+    )
+    assert got == [(r["tok"], r["n"]) for r in brute]
+    assert got, "fixture should contain frequent tokens"
+
+
+def test_heavy_hitters_superset_guarantee(spark, sf_dir):
+    """Every reported token really meets the global threshold (no local
+    candidate was required: the filter re-verifies exactly)."""
+    from bridge_analytics_template_spark.queries.advanced import _HH_DEN
+    from bridge_analytics_template_spark.functions.text import ws_tokens
+
+    total = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode_outer(ws_tokens("text")).alias("tok"))
+        .count()
+    )
+    for r in QUERIES["llm_heavy_hitters"](spark, sf_dir).collect():
+        assert r["n"] * _HH_DEN >= total
+
+
+def test_bfs_hops_monotone(spark, sf_dir):
+    rows = QUERIES["graph_shortest_paths"](spark, sf_dir).collect()
+    hops = [r["hops"] for r in rows]
+    assert hops == sorted(hops)
+    assert hops[0] == 0, "sources themselves are hop 0"
+    # every settled node is counted exactly once across hop levels
+    assert all(r["n_nodes"] > 0 for r in rows)
+
+
+def test_snapshot_diff_partition_of_keys(spark, sf_dir):
+    """added+removed+changed+unchanged counts must account for exactly the
+    union of both snapshot key sets."""
+    rows = {r["status"]: r for r in QUERIES["snapshot_diff"](spark, sf_dir).collect()}
+    o = load(spark, sf_dir, "orders")
+    n_v1 = o.where(F.col("o_orderkey") % 7 != 0).count()
+    n_v2 = o.where(F.col("o_orderkey") % 5 != 0).count()
+    n_union = o.where((F.col("o_orderkey") % 7 != 0) | (F.col("o_orderkey") % 5 != 0)).count()
+    total = sum(r["n"] for r in rows.values())
+    assert total == n_union
+    assert rows["added"]["n"] == n_union - n_v1
+    assert rows["removed"]["n"] == n_union - n_v2
+    # a changed row needs o_orderkey % 3 == 0 (price doubled) and presence in both
+    changed_expected = o.where(
+        (F.col("o_orderkey") % 7 != 0)
+        & (F.col("o_orderkey") % 5 != 0)
+        & (F.col("o_orderkey") % 3 == 0)
+    ).count()
+    assert rows["changed"]["n"] == changed_expected
+
+
+def test_assoc_rules_bounds(spark, sf_dir):
+    rows = QUERIES["q_assoc_rules"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["pair_n"] >= 5
+        assert r["pair_n"] <= min(r["a_n"], r["b_n"])
+        assert 0 < r["conf_ppm"] <= 1_000_000
+        assert r["brand_a"] < r["brand_b"]
+
+
+def test_crypto_roundtrip_restores_plaintext(spark, sf_dir):
+    rows = QUERIES["f_crypto_roundtrip"](spark, sf_dir).collect()
+    names = {
+        r["c_custkey"]: r["c_name"]
+        for r in load(spark, sf_dir, "customer").select("c_custkey", "c_name").collect()
+    }
+    assert rows
+    for r in rows:
+        assert r["name_rt"] == names[r["c_custkey"]]
+        assert r["ct_len"] % 16 == 0 and r["ct_len"] > len(r["name_rt"].encode())
+
+
+def test_seasonality_crafted(spark):
+    # 2024-01-01 is a Monday; epoch-arith dow uses 0=Sunday so Monday=1.
+    base = datetime.datetime(2024, 1, 1, 5, 30, 0)
+    df = spark.createDataFrame(
+        [
+            (1, 7, base, "view", 1.25, None),
+            (2, 8, base, "view", 2.50, None),
+            (3, 7, base + datetime.timedelta(days=6), "view", 1.0, None),  # Sunday
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string, value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        rows = {(r["dow"], r["hr"]): r for r in QUERIES["events_seasonality"](spark, d).collect()}
+    assert rows[(1, 5)]["n"] == 2 and rows[(1, 5)]["n_users"] == 2
+    assert rows[(1, 5)]["cents_sum"] == 125 + 250
+    assert rows[(0, 5)]["n"] == 1  # the Sunday event
+
+
+def test_xml_roundtrip_counts(spark, sf_dir):
+    rows = QUERIES["s_xml_roundtrip"](spark, sf_dir).collect()
+    n = load(spark, sf_dir, "nation")
+    assert sum(r["n_nations"] for r in rows) == n.count()
