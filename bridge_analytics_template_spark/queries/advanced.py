@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.text import ws_tokens
+from ..functions.text import word_shingles, ws_tokens
 from .registry import query
 
 # --- Heavy hitters: local-candidate prune + exact verify -------------------
@@ -381,4 +381,219 @@ def events_seasonality(spark, sf_dir):
             F.sum("cents").alias("cents_sum"),
         )
         .orderBy("dow", "hr")
+    )
+
+
+# --- Windowed funnel (ClickHouse windowFunnel shape) -----------------------
+
+
+@query(
+    "events_window_funnel",
+    sql="""
+    WITH v AS (SELECT user_id, ts AS t0 FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts AS tc FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts AS tp FROM events WHERE event_type = 'purchase'),
+    vc AS (
+      SELECT v.user_id, v.t0, MIN(c.tc) AS t1
+      FROM v JOIN c ON c.user_id = v.user_id
+       AND c.tc > v.t0 AND c.tc <= v.t0 + INTERVAL 1 HOUR
+      GROUP BY 1, 2),
+    vcp AS (
+      SELECT DISTINCT vc.user_id
+      FROM vc JOIN p ON p.user_id = vc.user_id
+       AND p.tp > vc.t1 AND p.tp <= vc.t0 + INTERVAL 1 HOUR),
+    lvl AS (
+      SELECT u.user_id,
+             CASE WHEN u3.user_id IS NOT NULL THEN 3
+                  WHEN u2.user_id IS NOT NULL THEN 2
+                  ELSE 1 END AS level
+      FROM (SELECT DISTINCT user_id FROM v) u
+      LEFT JOIN (SELECT DISTINCT user_id FROM vc) u2 ON u2.user_id = u.user_id
+      LEFT JOIN vcp u3 ON u3.user_id = u.user_id)
+    SELECT level, COUNT(*) AS n_users FROM lvl GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_window_funnel(spark, sf_dir):
+    """Time-bounded funnel (view -> click -> purchase, all within 1 hour of
+    the anchoring view): the windowFunnel semantics events_funnel's
+    unbounded-greedy chain can't express. Per anchor view the EARLIEST
+    qualifying click is provably optimal (it maximizes the remaining
+    window), so one min-aggregate per stage suffices — no per-path search.
+    Every join is user_id-keyed: co-partitioned at scale, per-user range
+    predicates evaluated within the partition."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = F.expr("INTERVAL 1 HOUR")
+    v = e.where(F.col("event_type") == "view").select("user_id", F.col("ts").alias("t0"))
+    c = e.where(F.col("event_type") == "click").select("user_id", F.col("ts").alias("tc"))
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("tp")
+    )
+    vc = (
+        v.join(c, "user_id")
+        .where((F.col("tc") > F.col("t0")) & (F.col("tc") <= F.col("t0") + w))
+        .groupBy("user_id", "t0")
+        .agg(F.min("tc").alias("t1"))
+    )
+    vcp = (
+        vc.join(p, "user_id")
+        .where((F.col("tp") > F.col("t1")) & (F.col("tp") <= F.col("t0") + w))
+        .select("user_id")
+        .distinct()
+        .withColumn("l3", F.lit(True))
+    )
+    u2 = vc.select("user_id").distinct().withColumn("l2", F.lit(True))
+    level = (
+        F.when(F.col("l3").isNotNull(), 3).when(F.col("l2").isNotNull(), 2).otherwise(1)
+    )
+    return (
+        v.select("user_id")
+        .distinct()
+        .join(u2, "user_id", "left")
+        .join(vcp, "user_id", "left")
+        .select(level.alias("level"))
+        .groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("level")
+    )
+
+
+# --- Sequence pattern matching (MATCH_RECOGNIZE shape) ---------------------
+
+
+@query(
+    "events_pattern_runs",
+    sql="""
+    WITH s AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id)
+    SELECT user_id, len(seq) AS n_events,
+           length(regexp_replace(seq, '[^v]', '', 'g')) AS n_v,
+           len(regexp_extract_all(seq, 'vc*p')) AS n_funnel_runs
+    FROM s ORDER BY user_id
+    """,
+)
+def events_pattern_runs(spark, sf_dir):
+    """Complex-event regex over per-user ordered event sequences (the
+    MATCH_RECOGNIZE pattern 'V C* P' as a string regex): encode each event
+    as one char (types have distinct initials), assemble the ordered
+    sequence via array_sort over (ts, event_id, char) structs — collect_list
+    alone is order-nondeterministic — and count non-overlapping matches.
+    One user-keyed aggregate; the per-user sequence is bounded by events
+    per user, not corpus size."""
+    e = load(spark, sf_dir, "events")
+    item = F.struct(
+        F.col("ts"), F.col("event_id"), F.substring("event_type", 1, 1).alias("ch")
+    )
+    seq = F.array_join(
+        F.transform(F.array_sort(F.collect_list(item)), lambda x: x["ch"]), ""
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(seq.alias("seq"))
+        .select(
+            "user_id",
+            F.length("seq").cast("long").alias("n_events"),
+            F.length(F.regexp_replace("seq", "[^v]", "")).cast("long").alias("n_v"),
+            F.regexp_count("seq", F.lit("vc*p")).cast("long").alias("n_funnel_runs"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- Winnowing fingerprints (Schleimer et al., MOSS) -----------------------
+
+_WIN_K = 4  # shingle width (words)
+_WIN_W = 4  # winnowing window (shingle hashes per window)
+
+
+@query(
+    "llm_winnowing",
+    sql=f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(
+                 generate_series(1, greatest(len({{toks}}) - {_WIN_K - 1}, 0)),
+                 i -> array_to_string({{toks}}[i:i+{_WIN_K - 1}], ' ')),
+               s -> substr(md5(s), 1, 16)) AS hs
+      FROM documents)
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(
+             list_transform(
+               generate_series(1, greatest(len(hs) - {_WIN_W - 1}, 0)),
+               i -> list_min(hs[i:i+{_WIN_W - 1}])))), ',') AS fp
+    FROM g ORDER BY doc_id
+    """.replace("{toks}", "string_split_regex(trim(lower(text)), '\\s+')"),
+)
+def llm_winnowing(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003, the
+    MOSS scheme): hash every k-word shingle, slide a w-hash window, keep
+    each window's minimum — guarantees any shared run of >= k+w-1 words
+    between two documents shares a fingerprint, at ~2/(w+1) selection
+    density. All in-row higher-order functions (zero shuffle until the
+    final sort); fingerprints emit as canonical sorted text for the
+    driver's scalar canon."""
+    d = load(spark, sf_dir, "documents")
+    sh = word_shingles(ws_tokens("text"), _WIN_K)
+    # Materialize the hash array as a named column FIRST: referencing the
+    # raw expression inside the window lambda would re-evaluate the whole
+    # shingle+md5 tree once per window — O(n^2) md5 calls per document
+    # (measured ~100x on this fixture). As a multi-referenced alias it is
+    # computed once per row and the lambda slices the cached array.
+    hsdf = d.select(
+        "doc_id",
+        F.transform(sh, lambda s: F.substring(F.md5(s), 1, 16)).alias("hs"),
+    )
+    hs = F.col("hs")
+    m = F.size(hs)
+    wins = F.when(
+        m >= _WIN_W,
+        F.transform(
+            F.sequence(F.lit(1), m - (_WIN_W - 1)),
+            lambda i: F.array_min(F.slice(hs, i, _WIN_W)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return hsdf.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_distinct(wins)), ",").alias("fp"),
+    ).orderBy("doc_id")
+
+
+# --- Cohort lifetime value -------------------------------------------------
+
+
+@query(
+    "q_cohort_ltv",
+    sql="""
+    WITH o AS (
+      SELECT o_custkey, year(o_orderdate) * 12 + month(o_orderdate) AS m,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    first AS (SELECT o_custkey, MIN(m) AS m0 FROM o GROUP BY 1)
+    SELECT first.m0 AS cohort, o.m - first.m0 AS offset_m,
+           COUNT(DISTINCT o.o_custkey) AS n_active, SUM(o.cents) AS cents_sum
+    FROM o JOIN first ON o.o_custkey = first.o_custkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_cohort_ltv(spark, sf_dir):
+    """Cohorted lifetime value: customers grouped by first-order month
+    (integer month index — no calendar-diff function to disagree on),
+    revenue and active-customer counts per month offset. Two custkey-keyed
+    aggregates sharing one shuffle partitioning; cents stay exact int64."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    return (
+        o.join(first, "o_custkey")
+        .groupBy(F.col("m0").alias("cohort"), (F.col("m") - F.col("m0")).alias("offset_m"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.sum("cents").alias("cents_sum"),
+        )
+        .orderBy("cohort", "offset_m")
     )

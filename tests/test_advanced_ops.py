@@ -125,3 +125,77 @@ def test_xml_roundtrip_counts(spark, sf_dir):
     rows = QUERIES["s_xml_roundtrip"](spark, sf_dir).collect()
     n = load(spark, sf_dir, "nation")
     assert sum(r["n_nations"] for r in rows) == n.count()
+
+
+def test_window_funnel_levels_partition_users(spark, sf_dir):
+    rows = {r["level"]: r["n_users"] for r in QUERIES["events_window_funnel"](spark, sf_dir).collect()}
+    e = load(spark, sf_dir, "events")
+    n_viewers = e.where(F.col("event_type") == "view").select("user_id").distinct().count()
+    assert sum(rows.values()) == n_viewers
+    # the bounded funnel can never beat the unbounded one
+    unbounded = QUERIES["events_funnel"](spark, sf_dir).where(F.col("completed")).count()
+    assert rows.get(3, 0) <= unbounded
+
+
+def test_pattern_runs_crafted(spark):
+    import datetime
+    import tempfile
+
+    base = datetime.datetime(2024, 1, 1)
+    seq = ["view", "click", "click", "purchase", "error", "view", "purchase"]
+    df = spark.createDataFrame(
+        [(i, 1, base + datetime.timedelta(minutes=i), t, 1.0, None) for i, t in enumerate(seq)],
+        "event_id long, user_id long, ts timestamp, event_type string, value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        r = QUERIES["events_pattern_runs"](spark, d).collect()[0]
+    # sequence is 'vccpevp': two matches of vc*p ('vccp' and 'vp')
+    assert r["n_events"] == 7 and r["n_v"] == 2 and r["n_funnel_runs"] == 2
+
+
+def test_winnowing_matches_python_reference(spark, sf_dir):
+    import hashlib
+
+    rows = QUERIES["llm_winnowing"](spark, sf_dir).limit(20).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").limit(20).collect()
+    }
+    import re
+
+    for r in rows:
+        toks = re.split(r"\s+", docs[r["doc_id"]].strip().lower())
+        shingles = [" ".join(toks[i : i + 4]) for i in range(len(toks) - 3)]
+        hs = [hashlib.md5(s.encode()).hexdigest()[:16] for s in shingles]
+        fps = sorted({min(hs[i : i + 4]) for i in range(len(hs) - 3)}) if len(hs) >= 4 else []
+        assert r["fp"] == ",".join(fps)
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Two docs sharing a run of >= k+w-1 words must share a fingerprint."""
+    import tempfile
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 = k+w-1 words
+    df = spark.createDataFrame(
+        [
+            (1, f"xx yy {shared} zz ww qq rr", "en", "a", 1),
+            (2, f"aa bb cc dd {shared} ee ff gg", "en", "a", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        rows = {r["doc_id"]: set(r["fp"].split(",")) for r in QUERIES["llm_winnowing"](spark, d).collect()}
+    assert rows[1] & rows[2], "shared 7-word run must produce a common fingerprint"
+
+
+def test_cohort_ltv_conservation(spark, sf_dir):
+    rows = QUERIES["q_cohort_ltv"](spark, sf_dir).collect()
+    o = load(spark, sf_dir, "orders")
+    total_cents = o.select(F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))).collect()[0][0]
+    assert sum(r["cents_sum"] for r in rows) == total_cents
+    assert all(r["offset_m"] >= 0 for r in rows)
+    # offset-0 actives per cohort == cohort sizes; sum == all customers with orders
+    n_cust = o.select("o_custkey").distinct().count()
+    assert sum(r["n_active"] for r in rows if r["offset_m"] == 0) == n_cust
