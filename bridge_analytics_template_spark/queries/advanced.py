@@ -597,3 +597,174 @@ def q_cohort_ltv(spark, sf_dir):
         )
         .orderBy("cohort", "offset_m")
     )
+
+
+# --- Hybrid retrieval: reciprocal-rank fusion ------------------------------
+
+
+from .llm import _BM25_SQL
+from .pipeline import _SQL_EDGES
+
+_RRF_SQL = f"""
+    WITH bm AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS r
+      FROM ({_BM25_SQL})),
+    kn AS (
+      SELECT CAST(neighbor_id AS BIGINT) AS doc_id, CAST(rank AS BIGINT) AS r FROM (
+        SELECT c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                 CAST(c.embedding AS DOUBLE[])) DESC,
+                          c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id = 3 AND c.vec_id <> 3)
+      WHERE rank <= 10)
+    SELECT COALESCE(bm.doc_id, kn.doc_id) AS doc_id,
+           COALESCE(1000000 // (60 + bm.r), 0)
+             + COALESCE(1000000 // (60 + kn.r), 0) AS rrf_ppm,
+           COALESCE(bm.r, 0) AS r_lex, COALESCE(kn.r, 0) AS r_sem
+    FROM bm FULL JOIN kn ON bm.doc_id = kn.doc_id
+    ORDER BY rrf_ppm DESC, doc_id
+    """
+
+
+@query("llm_hybrid_rrf", sql=_RRF_SQL)
+def llm_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval for probe id 3: fuse the BM25 lexical top-10 (doc
+    3's tokens as the query) with the embedding cosine top-10 (vec 3 as the
+    query) by reciprocal-rank fusion, RRF_k=60, scores as exact integer ppm
+    (1e6 DIV (60+rank)) so the fusion is bit-stable. Both input rankings
+    are k-bounded, so the fusion join and its row_number are over <= 2k
+    rows — constant-size at any corpus scale; all the heavy lifting stays
+    in the BM25/KNN operators' scale-shaped plans."""
+    from pyspark.sql import Window
+
+    from ..llm.similarity import knn_bruteforce_np
+    from .llm import llm_bm25_topk
+
+    bm10 = llm_bm25_topk(spark, sf_dir)
+    bm = bm10.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_ppm"), "doc_id"))
+        .cast("long")
+        .alias("r_lex"),
+    )
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 3)
+    kn = knn_bruteforce_np(q, e, k=10).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").cast("long").alias("r_sem")
+    )
+    j = bm.alias("bm").join(kn.alias("kn"), "doc_id", "full_outer")
+    rrf = F.coalesce(F.expr("1000000 DIV (60 + r_lex)"), F.lit(0)) + F.coalesce(
+        F.expr("1000000 DIV (60 + r_sem)"), F.lit(0)
+    )
+    return j.select(
+        "doc_id",
+        rrf.cast("long").alias("rrf_ppm"),
+        F.coalesce("r_lex", F.lit(0)).cast("long").alias("r_lex"),
+        F.coalesce("r_sem", F.lit(0)).cast("long").alias("r_sem"),
+    ).orderBy(F.desc("rrf_ppm"), "doc_id")
+
+
+# --- Leakage-safe train/val split (cluster-aware) --------------------------
+
+
+_LEAKAGE_SAFE_SQL = f"""
+    WITH RECURSIVE
+    {_SQL_EDGES},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs),
+    reach(node, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node),
+    cc AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+    rep AS (
+      SELECT d.doc_id, d.lang, COALESCE(cc.cluster_id, d.doc_id) AS rep_id
+      FROM documents d LEFT JOIN cc ON d.doc_id = cc.node)
+    SELECT CASE WHEN substring(md5(CAST(rep_id AS VARCHAR)), 1, 2) <= '0c'
+                THEN 'val' ELSE 'train' END AS split,
+           lang, COUNT(*) AS n
+    FROM rep GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@query("train_split_leakage_safe", sql=_LEAKAGE_SAFE_SQL)
+def train_split_leakage_safe(spark, sf_dir):
+    """Cluster-aware train/val split: hash the near-dup CLUSTER
+    representative (min doc id of the 5-gram-Jaccard component, same edge
+    set as llm_dedup_clusters) instead of the document id, so near-duplicate
+    documents can never straddle the split — the eval-leakage failure mode
+    of naive per-doc hashing. Singleton docs hash their own id; split rule
+    matches train_split_assign (~5% val)."""
+    from ..llm.dedup import _shingle_arrays, connected_components, exact_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    arrays = _shingle_arrays(d, "text", "doc_id", 5, hashed=True)
+    edges = exact_jaccard_pairs(arrays, min_jaccard=0.05).select("doc_a", "doc_b")
+    cc = connected_components(edges).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    rep = d.join(cc, "doc_id", "left").select(
+        "lang", F.coalesce("cluster_id", "doc_id").alias("rep_id")
+    )
+    split = F.when(
+        F.substring(F.md5(F.col("rep_id").cast("string")), 1, 2) <= "0c", "val"
+    ).otherwise("train")
+    return (
+        rep.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split", "lang")
+    )
+
+
+# --- Gini concentration (distributed rank, no global window) ----------------
+
+
+@query(
+    "q_gini_revenue",
+    sql="""
+    WITH pc AS (
+      SELECT o_custkey,
+             SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1),
+    r AS (
+      SELECT cents,
+             CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i
+      FROM pc)
+    SELECT COUNT(*) AS n_customers, SUM(cents) AS total_cents,
+           CAST(2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents) AS DOUBLE)
+             / CAST(COUNT(*) * SUM(cents) AS DOUBLE) AS gini
+    FROM r
+    """,
+)
+def q_gini_revenue(spark, sf_dir):
+    """Gini coefficient of per-customer revenue. The rank-weighted form
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) needs a GLOBAL rank of
+    customers by revenue — routed through assign_contiguous_ids
+    (range-partition + per-partition offsets), not an unpartitioned
+    window, so no one-task sort at scale. Ties are ordered by custkey; the
+    rank-weighted sum is tie-order invariant (equal x values contribute
+    the same regardless of rank permutation). All sums exact int64; the
+    final division is one IEEE op on identical operands."""
+    from ..operators.rowids import assign_contiguous_ids
+
+    o = load(spark, sf_dir, "orders")
+    pc = (
+        o.select("o_custkey", F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    ranked = assign_contiguous_ids(pc, ["cents", "o_custkey"], id_name="i0")
+    return ranked.select("cents", (F.col("i0") + 1).alias("i")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        (
+            (2 * F.sum(F.col("i") * F.col("cents")) - (F.count(F.lit(1)) + 1) * F.sum("cents")).cast("double")
+            / (F.count(F.lit(1)) * F.sum("cents")).cast("double")
+        ).alias("gini"),
+    )

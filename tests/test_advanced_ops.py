@@ -199,3 +199,59 @@ def test_cohort_ltv_conservation(spark, sf_dir):
     # offset-0 actives per cohort == cohort sizes; sum == all customers with orders
     n_cust = o.select("o_custkey").distinct().count()
     assert sum(r["n_active"] for r in rows if r["offset_m"] == 0) == n_cust
+
+
+def test_hybrid_rrf_structure(spark, sf_dir):
+    rows = QUERIES["llm_hybrid_rrf"](spark, sf_dir).collect()
+    assert 10 <= len(rows) <= 20  # union of two top-10 lists
+    scores = [r["rrf_ppm"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert (r["r_lex"] > 0) or (r["r_sem"] > 0)
+        expected = (1000000 // (60 + r["r_lex"]) if r["r_lex"] else 0) + (
+            1000000 // (60 + r["r_sem"]) if r["r_sem"] else 0
+        )
+        assert r["rrf_ppm"] == expected
+
+
+def test_leakage_safe_keeps_clusters_together(spark, sf_dir):
+    """No near-dup cluster may straddle the split."""
+    from bridge_analytics_template_spark.llm.dedup import (
+        _shingle_arrays,
+        connected_components,
+        exact_jaccard_pairs,
+    )
+    import hashlib
+
+    d = load(spark, sf_dir, "documents")
+    arrays = _shingle_arrays(d, "text", "doc_id", 5, hashed=True)
+    edges = exact_jaccard_pairs(arrays, min_jaccard=0.05).select("doc_a", "doc_b")
+    cc = connected_components(edges).collect()
+    by_cluster = {}
+    for r in cc:
+        rep = r["cluster_id"]
+        split = "val" if hashlib.md5(str(rep).encode()).hexdigest()[:2] <= "0c" else "train"
+        by_cluster.setdefault(r["cluster_id"], set()).add(split)
+    assert by_cluster, "fixture has planted near-dup clusters"
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # and the aggregate counts add up to the corpus
+    rows = QUERIES["train_split_leakage_safe"](spark, sf_dir).collect()
+    assert sum(r["n"] for r in rows) == d.count()
+
+
+def test_gini_matches_python_reference(spark, sf_dir):
+    r = QUERIES["q_gini_revenue"](spark, sf_dir).collect()[0]
+    o = load(spark, sf_dir, "orders")
+    per = (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("c"))
+        .collect()
+    )
+    xs = sorted(row["c"] for row in per)
+    n = len(xs)
+    s1 = sum((i + 1) * x for i, x in enumerate(xs))
+    s0 = sum(xs)
+    expected = (2 * s1 - (n + 1) * s0) / (n * s0)
+    assert r["n_customers"] == n and r["total_cents"] == s0
+    assert abs(r["gini"] - expected) < 1e-15
+    assert 0.0 <= r["gini"] <= 1.0
