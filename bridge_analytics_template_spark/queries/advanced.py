@@ -768,3 +768,176 @@ def q_gini_revenue(spark, sf_dir):
             / (F.count(F.lit(1)) * F.sum("cents")).cast("double")
         ).alias("gini"),
     )
+
+
+# --- PMI co-occurrence (collocation mining) ---------------------------------
+
+# Relative floors (exact integer comparisons, SF-independent): a token must
+# appear in >= 1/25 of documents, a pair must co-occur in >= 1/100.
+_PMI_DF_DEN = 25
+_PMI_AB_DEN = 100
+
+
+@query(
+    "llm_pmi_pairs",
+    sql=f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    df AS (SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok
+           HAVING COUNT(*) * {_PMI_DF_DEN} >= (SELECT n_docs FROM n)),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS n_ab
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      JOIN df fa ON fa.tok = a.tok JOIN df fb ON fb.tok = b.tok
+      GROUP BY 1, 2 HAVING COUNT(*) * {_PMI_AB_DEN} >= (SELECT n_docs FROM n))
+    SELECT p.tok_a, p.tok_b, p.n_ab, fa.df AS df_a, fb.df AS df_b,
+           (p.n_ab * n.n_docs * 1000000) // (fa.df * fb.df) AS pmi_ratio_ppm
+    FROM pairs p JOIN df fa ON fa.tok = p.tok_a
+                 JOIN df fb ON fb.tok = p.tok_b, n
+    ORDER BY pmi_ratio_ppm DESC, tok_a, tok_b LIMIT 40
+    """,
+)
+def llm_pmi_pairs(spark, sf_dir):
+    """Collocation mining: document-level PMI for frequent token pairs. The
+    PMI *ratio* p(a,b)/(p(a)p(b)) = n_ab*N/(df_a*df_b) stays an exact
+    integer ppm — no cross-engine log. Scale shape: the document-frequency
+    floor is applied BEFORE the per-doc pair self-join (broadcast semi-join
+    on the tiny hot-vocabulary), so pair fan-out is (hot tokens per doc
+    choose 2), not (tokens per doc choose 2)."""
+    d = load(spark, sf_dir, "documents")
+    dt = d.select("doc_id", F.explode_outer(ws_tokens("text")).alias("tok")).distinct()
+    n_docs = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    df_ = (
+        dt.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") * _PMI_DF_DEN >= F.col("n_docs"))
+        .select("tok", "df")
+        .persist()  # three appearances (prune + two count joins)
+    )
+    hot = dt.join(F.broadcast(df_.select("tok")), "tok").select("doc_id", "tok")
+    a, b = hot.alias("a"), hot.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.tok") < F.col("b.tok")))
+        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("n_ab") * _PMI_AB_DEN >= F.col("n_docs"))
+        .select("tok_a", "tok_b", "n_ab")
+    )
+    fa = df_.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    fb = df_.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(fa), "tok_a")
+        .join(F.broadcast(fb), "tok_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            "df_a",
+            "df_b",
+            F.expr("n_ab * n_docs * 1000000 DIV (df_a * df_b)").alias("pmi_ratio_ppm"),
+        )
+        .orderBy(F.desc("pmi_ratio_ppm"), "tok_a", "tok_b")
+        .limit(40)
+    )
+
+
+# --- Binary-quantization retrieval quality (NDCG@10) ------------------------
+#
+# NDCG weights 1/log2(i+1) quantized once driver-side to integer ppm and
+# embedded as LITERALS in both engines — the log never runs inside either
+# engine, so there is no cross-engine libm exposure. Sign-vector cosines are
+# exact rationals m/64 on a 64-dim embedding (every product is ±1/64), so
+# the proxy ranking ties deterministically on vec_id in both engines.
+
+import math as _math
+
+_NDCG_K = 10
+_NDCG_W = [round(1_000_000 / _math.log2(i + 1)) for i in range(1, _NDCG_K + 1)]
+_NDCG_IDCG = sum((_NDCG_K + 1 - i) * _NDCG_W[i - 1] for i in range(1, _NDCG_K + 1))
+
+_NDCG_CASE = "CASE rnk " + " ".join(
+    f"WHEN {i} THEN {_NDCG_W[i - 1]}" for i in range(1, _NDCG_K + 1)
+) + " END"
+
+
+@query(
+    "llm_binary_quant_ndcg",
+    sql=f"""
+    WITH s AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CASE WHEN x >= 0 THEN 1.0 ELSE -1.0 END) AS semb
+      FROM embeddings),
+    true10 AS (
+      SELECT * FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id) AS rnk
+        FROM s q JOIN s c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+      WHERE rnk <= {_NDCG_K}),
+    proxy10 AS (
+      SELECT * FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.semb, c.semb) DESC, c.vec_id) AS rnk
+        FROM s q JOIN s c ON q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id)
+      WHERE rnk <= {_NDCG_K}),
+    j AS (
+      SELECT p.query_id, p.rnk,
+             COALESCE({_NDCG_K + 1} - t.rnk, 0) AS rel
+      FROM proxy10 p LEFT JOIN true10 t
+        ON t.query_id = p.query_id AND t.neighbor_id = p.neighbor_id)
+    SELECT query_id, SUM(rel * {_NDCG_CASE}) AS dcg,
+           (SUM(rel * {_NDCG_CASE}) * 1000000) // {_NDCG_IDCG} AS ndcg_ppm
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def llm_binary_quant_ndcg(spark, sf_dir):
+    """Retrieval-quality report for 1-bit (sign) embedding quantization:
+    NDCG@10 of the sign-cosine ranking against the full-precision cosine
+    ranking as graded truth (rel = 11 - true rank). The binary-quantization
+    recall/quality check every embedding-compression rollout runs. Both
+    rankings are the proven GEMM brute-force path; the NDCG arithmetic is
+    exact integers end to end."""
+    from ..llm.similarity import knn_bruteforce_np
+
+    e = load(spark, sf_dir, "embeddings")
+    sgn = F.transform(
+        F.col("embedding"),
+        lambda x: F.when(x >= 0, F.lit(1.0)).otherwise(F.lit(-1.0)).cast("float"),
+    )
+    es = e.select("vec_id", sgn.alias("embedding"))
+    probes = e.filter(F.col("vec_id") % 50 == 0)
+    probes_s = es.filter(F.col("vec_id") % 50 == 0)
+    true10 = knn_bruteforce_np(probes, e, k=_NDCG_K).select(
+        "query_id", "neighbor_id", (_NDCG_K + 1 - F.col("rank")).cast("long").alias("rel")
+    )
+    proxy10 = knn_bruteforce_np(probes_s, es, k=_NDCG_K).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rnk")
+    )
+    j = proxy10.join(true10, ["query_id", "neighbor_id"], "left").select(
+        "query_id", "rnk", F.coalesce("rel", F.lit(0)).alias("rel")
+    )
+    w = F.col("rnk")
+    weight = F.lit(None).cast("long")
+    for i in range(1, _NDCG_K + 1):
+        weight = F.when(w == i, F.lit(_NDCG_W[i - 1])).otherwise(weight)
+    return (
+        j.select("query_id", (F.col("rel") * weight).alias("t"))
+        .groupBy("query_id")
+        .agg(F.sum("t").alias("dcg"))
+        .select(
+            "query_id",
+            "dcg",
+            F.expr(f"dcg * 1000000 DIV {_NDCG_IDCG}").alias("ndcg_ppm"),
+        )
+        .orderBy("query_id")
+    )

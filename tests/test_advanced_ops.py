@@ -255,3 +255,22 @@ def test_gini_matches_python_reference(spark, sf_dir):
     assert r["n_customers"] == n and r["total_cents"] == s0
     assert abs(r["gini"] - expected) < 1e-15
     assert 0.0 <= r["gini"] <= 1.0
+
+
+def test_pmi_bounds_and_symmetric_counts(spark, sf_dir):
+    rows = QUERIES["llm_pmi_pairs"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["tok_a"] < r["tok_b"]
+        assert r["n_ab"] <= min(r["df_a"], r["df_b"])
+        assert r["pmi_ratio_ppm"] > 0
+
+
+def test_ndcg_bounds_and_perfect_self_ranking(spark, sf_dir):
+    rows = QUERIES["llm_binary_quant_ndcg"](spark, sf_dir).collect()
+    assert rows
+    from bridge_analytics_template_spark.queries.advanced import _NDCG_IDCG
+
+    for r in rows:
+        assert 0 <= r["dcg"] <= _NDCG_IDCG
+        assert 0 <= r["ndcg_ppm"] <= 1_000_000
