@@ -260,3 +260,38 @@ def test_q3_q5_broadcast_shapes(spark, sf_dir):
     plan5 = plan_of(spark, sf_dir, "q_local_supplier")
     assert "BroadcastHashJoin" in plan5
     assert "CartesianProduct" not in plan5
+
+
+def test_advanced_ops_plan_shapes(spark, sf_dir):
+    # heavy hitters: the exact-verify pass joins the token stream against
+    # BROADCAST candidates — the whole point is never shuffling the full
+    # distinct-token domain.
+    plan = plan_of(spark, sf_dir, "llm_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    # assoc rules / PMI: brand- and df-count dims ride broadcast; the only
+    # shuffles are the keyed aggregates.
+    for name in ("q_assoc_rules", "llm_pmi_pairs"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+    # BFS: every frontier expansion is a keyed equi-join — no cartesian.
+    plan = plan_of(spark, sf_dir, "graph_shortest_paths")
+    assert "CartesianProduct" not in plan
+
+    # windowed funnel: user-keyed joins only, and no window operator at all
+    # (per-anchor min-aggregates instead).
+    plan = plan_of(spark, sf_dir, "events_window_funnel")
+    assert "CartesianProduct" not in plan
+    assert "Window [" not in plan
+
+    # gini: global rank routed through range-partitioned contiguous ids —
+    # no unpartitioned WindowExec.
+    plan = plan_of(spark, sf_dir, "q_gini_revenue")
+    assert "Window [" not in plan
+
+    # winnowing: in-row pipeline — no shuffle before the output sort.
+    plan = plan_of(spark, sf_dir, "llm_winnowing")
+    assert plan.count("Exchange") <= 1  # only the final orderBy range exchange
