@@ -941,3 +941,93 @@ def llm_binary_quant_ndcg(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+# --- Exact decile binning (feature bucketization) ---------------------------
+
+
+@query(
+    "q_decile_bins",
+    sql="""
+    WITH pc AS (
+      SELECT o_custkey, SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1),
+    r AS (
+      SELECT cents,
+             CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT) - 1 AS i,
+             (SELECT COUNT(*) FROM pc) AS n
+      FROM pc)
+    SELECT (i * 10) // n + 1 AS decile, COUNT(*) AS n_members,
+           MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+           SUM(cents) AS cents_sum
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_decile_bins(spark, sf_dir):
+    """Exact decile bucketization of per-customer revenue — the quantile
+    binning step of feature engineering, WITHOUT ntile's unpartitioned
+    window: global position i comes from assign_contiguous_ids
+    (range-partition + offsets) and the bucket is the explicit integer
+    formula (i*10)//n + 1, identical in both engines (ntile's
+    remainder-distribution rule would be a semantics trap)."""
+    from ..operators.rowids import assign_contiguous_ids
+
+    o = load(spark, sf_dir, "orders")
+    pc = (
+        o.select("o_custkey", F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    ranked = assign_contiguous_ids(pc, ["cents", "o_custkey"], id_name="i")
+    n_tot = pc.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_tot))
+        .select("cents", F.expr("i * 10 DIV n + 1").alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.sum("cents").alias("cents_sum"),
+        )
+        .orderBy("decile")
+    )
+
+
+# --- Within-group quantile normalization ------------------------------------
+
+
+@query(
+    "llm_length_quantile",
+    sql="""
+    WITH r AS (
+      SELECT doc_id, lang,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+                  AS BIGINT) - 1 AS i,
+             CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+      FROM documents)
+    SELECT doc_id, lang, (i * 1000000) // greatest(n - 1, 1) AS pct_ppm
+    FROM r ORDER BY doc_id
+    """,
+)
+def llm_length_quantile(spark, sf_dir):
+    """Quantile normalization of document length WITHIN language (the
+    per-group score calibration every mixed-corpus quality filter needs —
+    raw length thresholds are incomparable across languages). The window is
+    PARTITIONED by lang, so each group sorts within its own partitions at
+    scale; the percentile is the exact integer (i*1e6)//(n-1)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    wo = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            (F.row_number().over(wo).cast("long") - 1).alias("i"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .select("doc_id", "lang", F.expr("i * 1000000 DIV greatest(n - 1, 1)").alias("pct_ppm"))
+        .orderBy("doc_id")
+    )

@@ -274,3 +274,24 @@ def test_ndcg_bounds_and_perfect_self_ranking(spark, sf_dir):
     for r in rows:
         assert 0 <= r["dcg"] <= _NDCG_IDCG
         assert 0 <= r["ndcg_ppm"] <= 1_000_000
+
+
+def test_decile_bins_structure(spark, sf_dir):
+    rows = QUERIES["q_decile_bins"](spark, sf_dir).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    sizes = [r["n_members"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1  # near-equal buckets
+    # bucket ranges are non-overlapping and increasing
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["max_cents"] <= hi["min_cents"]
+
+
+def test_length_quantile_bounds(spark, sf_dir):
+    rows = QUERIES["llm_length_quantile"](spark, sf_dir).collect()
+    assert rows
+    by_lang = {}
+    for r in rows:
+        assert 0 <= r["pct_ppm"] <= 1_000_000
+        by_lang.setdefault(r["lang"], []).append(r["pct_ppm"])
+    for lang, ps in by_lang.items():
+        assert min(ps) == 0 and max(ps) == 1_000_000, lang
