@@ -1031,3 +1031,88 @@ def llm_length_quantile(spark, sf_dir):
         .select("doc_id", "lang", F.expr("i * 1000000 DIV greatest(n - 1, 1)").alias("pct_ppm"))
         .orderBy("doc_id")
     )
+
+
+# --- Lexical vs semantic dedup agreement ------------------------------------
+
+
+@query(
+    "llm_dedup_agreement",
+    sql="""
+    WITH docs AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN embeddings e ON d.doc_id = e.vec_id),
+    sh AS (
+      SELECT doc_id AS doc,
+             unnest(CASE WHEN len(list_transform(
+                      generate_series(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 4, 0)),
+                      i -> array_to_string(string_split_regex(trim(lower(text)), '\\s+')[i:i+4], ' '))) > 0
+                    THEN list_distinct(list_transform(
+                      generate_series(1, greatest(len(string_split_regex(trim(lower(text)), '\\s+')) - 4, 0)),
+                      i -> array_to_string(string_split_regex(trim(lower(text)), '\\s+')[i:i+4], ' ')))
+                    ELSE [array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ')] END) AS shingle
+      FROM docs),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2),
+    lex AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i JOIN sizes sa ON i.doc_a = sa.doc
+                   JOIN sizes sb ON i.doc_b = sb.doc
+      WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.3),
+    sem AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.4),
+    j AS (
+      SELECT CASE WHEN lex.doc_a IS NULL THEN 'sem_only'
+                  WHEN sem.doc_a IS NULL THEN 'lex_only'
+                  ELSE 'both' END AS status,
+             COALESCE(lex.doc_a, sem.doc_a) + COALESCE(lex.doc_b, sem.doc_b) AS key_sum
+      FROM lex FULL JOIN sem ON lex.doc_a = sem.doc_a AND lex.doc_b = sem.doc_b)
+    SELECT status, COUNT(*) AS n_pairs, SUM(key_sum) AS keys_sum
+    FROM j GROUP BY status ORDER BY status
+    """,
+)
+def llm_dedup_agreement(spark, sf_dir):
+    """Multi-signal dedup agreement matrix: which near-dup pairs does the
+    LEXICAL detector (exact 5-gram Jaccard >= 0.3) flag vs the SEMANTIC one
+    (exact blocked-GEMM cosine >= 0.4, embeddings keyed by the same ids)?
+    The lex_only/sem_only/both contingency is the calibration report that
+    decides cascade thresholds. Both pair sets are the proven exact
+    operators; the fusion is one pair-keyed full outer join."""
+    from ..llm.dedup import _shingle_arrays, exact_jaccard_pairs
+    from ..llm.similarity import blocked_cosine_pairs
+
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    docs = d.join(e.select(F.col("vec_id").alias("doc_id")), "doc_id").select(
+        "doc_id", "text"
+    )
+    arrays = _shingle_arrays(docs, "text", "doc_id", 5, hashed=True)
+    lex = exact_jaccard_pairs(arrays, min_jaccard=0.3).select("doc_a", "doc_b")
+    sem = blocked_cosine_pairs(e, threshold=0.4).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    j = lex.alias("l").join(
+        sem.alias("s"),
+        (F.col("l.doc_a") == F.col("s.doc_a")) & (F.col("l.doc_b") == F.col("s.doc_b")),
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("l.doc_a").isNull(), "sem_only")
+        .when(F.col("s.doc_a").isNull(), "lex_only")
+        .otherwise("both")
+    )
+    key_sum = F.coalesce(F.col("l.doc_a"), F.col("s.doc_a")) + F.coalesce(
+        F.col("l.doc_b"), F.col("s.doc_b")
+    )
+    return (
+        j.select(status.alias("status"), key_sum.alias("key_sum"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("key_sum").alias("keys_sum"))
+        .orderBy("status")
+    )

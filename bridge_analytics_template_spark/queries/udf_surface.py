@@ -346,3 +346,27 @@ def x_grouped_map_arrow(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "x_arrow_udf",
+    sql="""
+    SELECT c_custkey,
+           CAST(length(regexp_replace(lower(c_name), '[^aeiou]', '', 'g')) AS BIGINT)
+             AS n_vowels
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def x_arrow_udf(spark, sf_dir):
+    """X5: Arrow-optimized scalar Python UDF (``useArrow=True`` — Spark
+    3.5+'s third lane between the legacy pickled UDF and the pandas UDF:
+    row-at-a-time Python semantics, Arrow batch transfer). Integer-valued
+    result keeps the oracle exact."""
+    import re
+
+    @F.udf("long", useArrow=True)
+    def n_vowels(name: str) -> int:
+        return len(re.sub(r"[^aeiou]", "", name.lower()))
+
+    c = load(spark, sf_dir, "customer")
+    return c.select("c_custkey", n_vowels("c_name").alias("n_vowels")).orderBy("c_custkey")

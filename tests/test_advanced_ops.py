@@ -295,3 +295,32 @@ def test_length_quantile_bounds(spark, sf_dir):
         by_lang.setdefault(r["lang"], []).append(r["pct_ppm"])
     for lang, ps in by_lang.items():
         assert min(ps) == 0 and max(ps) == 1_000_000, lang
+
+
+def test_dedup_agreement_consistency(spark, sf_dir):
+    """Contingency counts must equal the standalone detectors' pair counts."""
+    from bridge_analytics_template_spark.llm.dedup import _shingle_arrays, exact_jaccard_pairs
+    from bridge_analytics_template_spark.llm.similarity import blocked_cosine_pairs
+
+    rows = {r["status"]: r["n_pairs"] for r in QUERIES["llm_dedup_agreement"](spark, sf_dir).collect()}
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    docs = d.join(e.select(F.col("vec_id").alias("doc_id")), "doc_id").select("doc_id", "text")
+    n_lex = exact_jaccard_pairs(
+        _shingle_arrays(docs, "text", "doc_id", 5, hashed=True), min_jaccard=0.3
+    ).count()
+    n_sem = blocked_cosine_pairs(e, threshold=0.4).count()
+    assert rows.get("lex_only", 0) + rows.get("both", 0) == n_lex
+    assert rows.get("sem_only", 0) + rows.get("both", 0) == n_sem
+
+
+def test_arrow_udf_exact(spark, sf_dir):
+    rows = QUERIES["x_arrow_udf"](spark, sf_dir).limit(50).collect()
+    import re
+
+    names = {
+        r["c_custkey"]: r["c_name"]
+        for r in load(spark, sf_dir, "customer").select("c_custkey", "c_name").collect()
+    }
+    for r in rows:
+        assert r["n_vowels"] == len(re.sub(r"[^aeiou]", "", names[r["c_custkey"]].lower()))
