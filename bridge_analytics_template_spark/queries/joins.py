@@ -312,3 +312,32 @@ def join_fuzzy_blocked(spark, sf_dir):
         .filter(F.col("dist") >= 0)
         .orderBy("key_a", "key_b")
     )
+
+
+@query(
+    "join_shuffled_hash",
+    sql="""
+    SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def join_shuffled_hash(spark, sf_dir):
+    """J11: shuffled hash join — the third equi-join strategy after
+    broadcast and sort-merge. Right for a mid-size build side that exceeds
+    the broadcast threshold but fits per-partition memory: both sides
+    shuffle on the key, the smaller builds an in-memory hash table per
+    partition, NO sort of the big probe side (SMJ's dominant cost). Forced
+    via the SHUFFLE_HASH hint; the plan guard asserts ShuffledHashJoin."""
+    s = load(spark, sf_dir, "supplier").hint("SHUFFLE_HASH")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(dmoney("l_quantity"), "total_qty"),
+        )
+        .orderBy("s_suppkey")
+    )

@@ -295,3 +295,9 @@ def test_advanced_ops_plan_shapes(spark, sf_dir):
     # winnowing: in-row pipeline — no shuffle before the output sort.
     plan = plan_of(spark, sf_dir, "llm_winnowing")
     assert plan.count("Exchange") <= 1  # only the final orderBy range exchange
+
+
+def test_shuffled_hash_join_chosen(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_shuffled_hash")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
