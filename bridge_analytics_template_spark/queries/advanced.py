@@ -1116,3 +1116,109 @@ def llm_dedup_agreement(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("key_sum").alias("keys_sum"))
         .orderBy("status")
     )
+
+
+# --- int8 embedding quantization calibration --------------------------------
+
+
+@query(
+    "emb_quantize_error",
+    sql="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s AS (
+      SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM v),
+    qz AS (
+      SELECT vec_id, e, scale,
+             list_transform(e, x -> CAST(floor(x / scale * 127.0 + 0.5) AS BIGINT)) AS codes
+      FROM s),
+    err AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(list_zip(e, codes),
+               p -> CAST(floor(abs(p[1] / scale - p[2] / 127.0) * 1000000.0 + 0.5)
+                         AS BIGINT))) AS BIGINT) AS abs_err_ppm,
+             list_min(codes) AS min_code, list_max(codes) AS max_code,
+             len(list_filter(codes, c -> abs(c) = 127)) AS n_saturated
+      FROM qz)
+    SELECT vec_id, abs_err_ppm, min_code, max_code, n_saturated
+    FROM err ORDER BY vec_id
+    """,
+)
+def emb_quantize_error(spark, sf_dir):
+    """int8 scalar-quantization calibration report: per-vector max-abs
+    scale, symmetric round-to-127 codes, and the reconstruction error in
+    scale-relative integer ppm PER DIMENSION (floored before summation, so
+    the cross-dim sum is an exact integer — a float sum would be
+    accumulation-order-dependent across engines). The go/no-go report
+    before shipping quantized embeddings to the ANN tier; in-row
+    higher-order functions, zero shuffle."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = e.select("vec_id", emb.alias("e"))
+    scale = F.array_max(F.transform(F.col("e"), F.abs))
+    s = v.select("vec_id", "e", scale.alias("scale"))
+    codes = F.transform(
+        F.col("e"), lambda x: F.floor(x / F.col("scale") * 127.0 + 0.5).cast("long")
+    )
+    qz = s.select("vec_id", "e", "scale", codes.alias("codes"))
+    err_units = F.zip_with(
+        F.col("e"),
+        F.col("codes"),
+        lambda x, c: F.floor(
+            F.abs(x / F.col("scale") - c.cast("double") / 127.0) * 1000000.0 + 0.5
+        ).cast("long"),
+    )
+    return qz.select(
+        "vec_id",
+        F.aggregate(err_units, F.lit(0).cast("long"), lambda acc, u: acc + u).alias(
+            "abs_err_ppm"
+        ),
+        F.array_min("codes").alias("min_code"),
+        F.array_max("codes").alias("max_code"),
+        F.size(F.filter(F.col("codes"), lambda c: F.abs(c) == 127)).cast("long").alias(
+            "n_saturated"
+        ),
+    ).orderBy("vec_id")
+
+
+# --- Balanced dataloader sharding -------------------------------------------
+
+_N_SHARDS = 8
+
+
+@query(
+    "train_shard_assign",
+    sql=f"""
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) - 1 AS i
+      FROM documents)
+    SELECT i % {_N_SHARDS} AS shard, COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           MIN(doc_id) AS first_doc
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+)
+def train_shard_assign(spark, sf_dir):
+    """Balanced dataloader sharding: documents ranked by size descending,
+    dealt round-robin into N shards (the classic LPT-lite heuristic —
+    round-robin over a sorted order bounds shard skew by one max-size doc).
+    The global rank routes through assign_contiguous_ids, so no
+    unpartitioned window at scale; output is the per-shard balance
+    report."""
+    from ..operators.rowids import assign_contiguous_ids
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", (-F.col("n_chars")).alias("neg_chars")
+    )
+    ranked = assign_contiguous_ids(d, ["neg_chars", "doc_id"], id_name="i")
+    return (
+        ranked.select("doc_id", "n_chars", (F.col("i") % _N_SHARDS).alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("shard")
+    )

@@ -324,3 +324,27 @@ def test_arrow_udf_exact(spark, sf_dir):
     }
     for r in rows:
         assert r["n_vowels"] == len(re.sub(r"[^aeiou]", "", names[r["c_custkey"]].lower()))
+
+
+def test_quantize_error_bounds(spark, sf_dir):
+    rows = QUERIES["emb_quantize_error"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -127 <= r["min_code"] <= r["max_code"] <= 127
+        assert r["n_saturated"] >= 1  # the max-abs dim always saturates
+        # per-dim error of round-to-127 is <= scale/254 + rounding ppm
+        assert 0 <= r["abs_err_ppm"] <= 64 * (1_000_000 // 254 + 1)
+
+
+def test_shard_assign_balanced(spark, sf_dir):
+    from bridge_analytics_template_spark.queries.advanced import _N_SHARDS
+
+    rows = QUERIES["train_shard_assign"](spark, sf_dir).collect()
+    assert [r["shard"] for r in rows] == list(range(_N_SHARDS))
+    sizes = [r["n_docs"] for r in rows]
+    chars = [r["total_chars"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    d = load(spark, sf_dir, "documents")
+    max_doc = d.agg(F.max("n_chars")).collect()[0][0]
+    # LPT-lite round-robin bounds char skew by ~one max doc per boundary
+    assert max(chars) - min(chars) <= max_doc * 2
