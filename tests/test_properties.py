@@ -243,3 +243,137 @@ def test_dup_span_islands_match_lcs_reference(spark, token_lists):
                 assert got_max.get((i, j)) == want, (i, j)
             else:
                 assert (i, j) not in got_max
+
+
+# --- third-wave operator properties -----------------------------------------
+
+hh_corpora = st.lists(
+    st.text(alphabet="xy z", min_size=0, max_size=20), min_size=1, max_size=15
+)
+
+
+@given(hh_corpora, st.integers(min_value=1, max_value=6))
+@settings(**SETTINGS)
+def test_heavy_hitters_pruned_equals_bruteforce(spark, docs, n_parts):
+    """The pigeonhole candidate prune must be lossless under ANY
+    partitioning of the corpus (the guarantee is per-partition)."""
+    import tempfile as _tf
+
+    from bridge_analytics_template_spark.functions.text import ws_tokens
+    from bridge_analytics_template_spark.queries import QUERIES
+    from bridge_analytics_template_spark.queries.advanced import _HH_DEN
+
+    rows = [(i, t, "en", "src", len(t)) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).repartition(n_parts)
+    with _tf.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        got = [(r["tok"], r["n"]) for r in QUERIES["llm_heavy_hitters"](spark, d).collect()]
+        toks = (
+            spark.read.parquet(f"{d}/documents.parquet")
+            .select(F.explode_outer(ws_tokens("text")).alias("tok"))
+        )
+        total = toks.count()
+        brute = (
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") * _HH_DEN >= total)
+            .orderBy(F.desc("n"), "tok")
+            .collect()
+        )
+    assert got == [(r["tok"], r["n"]) for r in brute]
+
+
+event_seqs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user
+        st.sampled_from(["view", "click", "purchase", "error"]),
+        st.integers(min_value=0, max_value=7200),  # seconds offset
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(event_seqs)
+@settings(**SETTINGS)
+def test_window_funnel_matches_bruteforce(spark, evs):
+    """Funnel levels must equal the brute-force triple-loop reference
+    (any view -> later click within 1h of the view -> later purchase
+    within 1h of the SAME view)."""
+    import tempfile as _tf
+
+    from bridge_analytics_template_spark.queries import QUERIES
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + dt.timedelta(seconds=s), t, 1.0, None)
+        for i, (u, t, s) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double, props string",
+    )
+    with _tf.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        got = {r["level"]: r["n_users"] for r in QUERIES["events_window_funnel"](spark, d).collect()}
+
+    # python reference
+    by_user: dict[int, list[tuple[str, int]]] = {}
+    for u, t, s in evs:
+        by_user.setdefault(u, []).append((t, s))
+    expected: dict[int, int] = {}
+    for u, items in by_user.items():
+        views = [s for t, s in items if t == "view"]
+        clicks = [s for t, s in items if t == "click"]
+        purch = [s for t, s in items if t == "purchase"]
+        if not views:
+            continue
+        level = 1
+        for v in views:
+            cands = [c for c in clicks if v < c <= v + 3600]
+            if cands:
+                level = max(level, 2)
+                c0 = min(cands)
+                if any(c0 < p <= v + 3600 for p in purch):
+                    level = 3
+                    break
+        expected[level] = expected.get(level, 0) + 1
+    assert got == expected
+
+
+@given(st.lists(st.integers(min_value=-1000, max_value=1000), min_size=2, max_size=30))
+@settings(**SETTINGS)
+def test_gini_formula_invariants(spark, balances):
+    """Gini of per-customer revenue: permutation of equal values cannot
+    change the result, and scaling all values leaves it fixed (tested via
+    the exact closed form on crafted orders)."""
+    import tempfile as _tf
+
+    from bridge_analytics_template_spark.queries import QUERIES
+
+    base = dt.datetime(2024, 1, 1)
+    # all positive cents so total > 0
+    cents = [abs(b) + 1 for b in balances]
+    rows = [
+        (i, i, "O", c / 100.0, base, "1-URGENT") for i, c in enumerate(cents)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double,"
+        " o_orderdate timestamp, o_orderpriority string",
+    )
+    with _tf.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/orders.parquet")
+        r = QUERIES["q_gini_revenue"](spark, d).collect()[0]
+    import math
+
+    # mirror the query's quantization: floor(double_price * 100) — the
+    # cents->double->cents round trip can land one ulp below the integer
+    xs = sorted(math.floor((c / 100.0) * 100) for c in cents)
+    n = len(xs)
+    s0 = sum(xs)
+    s1 = sum((i + 1) * x for i, x in enumerate(xs))
+    assert r["n_customers"] == n and r["total_cents"] == s0
+    assert abs(r["gini"] - (2 * s1 - (n + 1) * s0) / (n * s0)) < 1e-12
