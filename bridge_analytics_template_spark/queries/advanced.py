@@ -1222,3 +1222,91 @@ def train_shard_assign(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+# --- MMR diversified re-ranking ---------------------------------------------
+
+
+@query("llm_mmr_rerank")  # rows-only: iterative greedy selection, not SQL-expressible
+def llm_mmr_rerank(spark, sf_dir):
+    """Maximal Marginal Relevance re-ranking for probe vec 3: from the
+    cosine top-30 candidates, greedily pick 10 maximizing
+    0.7*sim(q,d) - 0.3*max_{s in selected} sim(d,s) — the diversity pass a
+    retrieval stack runs after ANN. Candidate scoring is the distributed
+    GEMM path; the greedy loop runs driver-side over the k-bounded
+    candidate set (30 vectors — bounded at ANY corpus scale, same
+    precondition as every re-ranker). Ties break on vec_id."""
+    import numpy as np
+
+    from ..llm.similarity import knn_bruteforce_np
+
+    e = load(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 3)
+    cand_ids = [
+        r["neighbor_id"]
+        for r in knn_bruteforce_np(probe, e, k=30).orderBy("rank").collect()
+    ]
+    rows = (
+        e.filter(F.col("vec_id").isin([3] + cand_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    for k in vecs:
+        vecs[k] = vecs[k] / np.linalg.norm(vecs[k])
+    q = vecs[3]
+    selected: list[int] = []
+    remaining = list(cand_ids)
+    while remaining and len(selected) < 10:
+        best, best_score = None, None
+        for c in remaining:
+            rel = float(vecs[c] @ q)
+            div = max((float(vecs[c] @ vecs[s]) for s in selected), default=0.0)
+            score = 0.7 * rel - 0.3 * div
+            # deterministic: strictly-better, or equal score with smaller id
+            if best is None or score > best_score or (score == best_score and c < best):
+                best, best_score = c, score
+        selected.append(best)
+        remaining.remove(best)
+    out = [(i + 1, v) for i, v in enumerate(selected)]
+    return spark.createDataFrame(out, "rank long, vec_id long")
+
+
+# --- Join-explosion preflight profiler ---------------------------------------
+
+
+@query(
+    "profile_join_explosion",
+    sql="""
+    WITH a AS (SELECT l_orderkey AS k, COUNT(*) AS n_a FROM lineitem GROUP BY 1),
+    b AS (SELECT o_orderkey AS k, COUNT(*) AS n_b FROM orders GROUP BY 1),
+    j AS (SELECT a.k, a.n_a, b.n_b, a.n_a * b.n_b AS out_rows
+          FROM a JOIN b ON a.k = b.k)
+    SELECT COUNT(*) AS n_join_keys,
+           SUM(out_rows) AS est_output_rows,
+           MAX(out_rows) AS worst_key_rows,
+           MAX(n_a) AS max_mult_left, MAX(n_b) AS max_mult_right
+    FROM j
+    """,
+)
+def profile_join_explosion(spark, sf_dir):
+    """Pre-flight join-cardinality profile (run BEFORE a 100 TB fact-fact
+    join): per-key multiplicities on both sides, exact expected output rows
+    = sum(n_a*n_b), and the worst single key — the number that decides
+    between a plain join, AQE skew split, and salting. Two key-partitioned
+    count aggregates and one co-keyed join of the (small) key-count
+    tables; the facts themselves are touched once each."""
+    li = load(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_a"))
+    o = load(spark, sf_dir, "orders").groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    j = li.join(o, "k").select("n_a", "n_b", (F.col("n_a") * F.col("n_b")).alias("out_rows"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_join_keys"),
+        F.sum("out_rows").alias("est_output_rows"),
+        F.max("out_rows").alias("worst_key_rows"),
+        F.max("n_a").alias("max_mult_left"),
+        F.max("n_b").alias("max_mult_right"),
+    )

@@ -348,3 +348,41 @@ def test_shard_assign_balanced(spark, sf_dir):
     max_doc = d.agg(F.max("n_chars")).collect()[0][0]
     # LPT-lite round-robin bounds char skew by ~one max doc per boundary
     assert max(chars) - min(chars) <= max_doc * 2
+
+
+def test_mmr_rerank_reference(spark, sf_dir):
+    """Independent recomputation of the greedy MMR selection."""
+    import numpy as np
+
+    got = [r["vec_id"] for r in QUERIES["llm_mmr_rerank"](spark, sf_dir).orderBy("rank").collect()]
+    e = load(spark, sf_dir, "embeddings").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in e}
+    for k in vecs:
+        vecs[k] = vecs[k] / np.linalg.norm(vecs[k])
+    q = vecs[3]
+    sims = sorted(
+        ((float(vecs[c] @ q), -c) for c in vecs if c != 3), reverse=True
+    )
+    cands = [-negid for _, negid in sims[:30]]
+    selected = []
+    remaining = list(cands)
+    while remaining and len(selected) < 10:
+        scored = []
+        for c in remaining:
+            rel = float(vecs[c] @ q)
+            div = max((float(vecs[c] @ vecs[s]) for s in selected), default=0.0)
+            scored.append((0.7 * rel - 0.3 * div, -c))
+        best = -max(scored)[1]
+        selected.append(best)
+        remaining.remove(best)
+    assert got == selected
+    assert len(set(got)) == 10
+
+
+def test_join_explosion_profile_exact(spark, sf_dir):
+    r = QUERIES["profile_join_explosion"](spark, sf_dir).collect()[0]
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    true_out = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    assert r["est_output_rows"] == true_out  # exact, not an estimate
+    assert r["worst_key_rows"] <= r["max_mult_left"] * r["max_mult_right"]
