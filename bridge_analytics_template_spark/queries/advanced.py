@@ -1310,3 +1310,61 @@ def profile_join_explosion(spark, sf_dir):
         F.max("n_a").alias("max_mult_left"),
         F.max("n_b").alias("max_mult_right"),
     )
+
+
+# --- Event-time lateness report (watermark calibration) ----------------------
+
+
+@query(
+    "events_watermark_report",
+    sql="""
+    WITH l AS (
+      SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS es,
+             MAX(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm
+      FROM events),
+    b AS (
+      SELECT CASE WHEN hwm - es <= 0 THEN 'a_on_time'
+                  WHEN hwm - es <= 60 THEN 'b_late_1m'
+                  WHEN hwm - es <= 300 THEN 'c_late_5m'
+                  WHEN hwm - es <= 1800 THEN 'd_late_30m'
+                  ELSE 'e_later' END AS bucket,
+             hwm - es AS late_s
+      FROM l)
+    SELECT bucket, COUNT(*) AS n, MAX(late_s) AS max_late_s
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def events_watermark_report(spark, sf_dir):
+    """Watermark calibration: how late does event time arrive behind each
+    stream's high-water mark? Lateness = per-user running max(event time)
+    in ARRIVAL order (event_id) minus the event's own time, bucketed. The
+    histogram is exactly the evidence that picks `withWatermark`'s delay —
+    the bucket that still keeps (say) 99.9% of events. The window is
+    PARTITIONED by user, so state is per-key — the same shape the streaming
+    engine itself maintains."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    es = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = (F.max(es).over(w) - es).alias("late_s")
+    bucket = (
+        F.when(F.col("late_s") <= 0, "a_on_time")
+        .when(F.col("late_s") <= 60, "b_late_1m")
+        .when(F.col("late_s") <= 300, "c_late_5m")
+        .when(F.col("late_s") <= 1800, "d_late_30m")
+        .otherwise("e_later")
+    )
+    return (
+        e.select(late)
+        .select(bucket.alias("bucket"), "late_s")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("late_s").alias("max_late_s"))
+        .orderBy("bucket")
+    )

@@ -19,10 +19,29 @@ ORACLES: dict[str, str] = {}
 
 
 def query(name: str, sql: str | None = None):
-    """Register a query (and its oracle SQL, when SQL-expressible)."""
+    """Register a query (and its oracle SQL, when SQL-expressible).
+
+    The REGISTERED callable clears leftover cached data before building its
+    plan: several operators persist() intermediates whose lifetime spans the
+    returned plan (so they cannot unpersist themselves), and a caller
+    iterating hundreds of registry entries — the verification driver — would
+    otherwise accumulate them in executor storage memory. Clearing BEFORE
+    the build only drops previous queries' leftovers, never this query's
+    own. Module-level callers (queries composing other queries, tests that
+    import the function directly) get the UNWRAPPED function back from the
+    decorator, so a composite build never clears its own intermediates."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass  # session being torn down — proceed without hygiene
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if sql is not None:
             ORACLES[name] = sql
         return fn

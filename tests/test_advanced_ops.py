@@ -386,3 +386,16 @@ def test_join_explosion_profile_exact(spark, sf_dir):
     true_out = li.join(o, li.l_orderkey == o.o_orderkey).count()
     assert r["est_output_rows"] == true_out  # exact, not an estimate
     assert r["worst_key_rows"] <= r["max_mult_left"] * r["max_mult_right"]
+
+
+def test_watermark_report_accounts_all_events(spark, sf_dir):
+    rows = QUERIES["events_watermark_report"](spark, sf_dir).collect()
+    total = sum(r["n"] for r in rows)
+    assert total == load(spark, sf_dir, "events").count()
+    by = {r["bucket"]: r for r in rows}
+    assert by["a_on_time"]["max_late_s"] <= 0
+    # bucket edges respected
+    edges = {"b_late_1m": 60, "c_late_5m": 300, "d_late_30m": 1800}
+    for b, e in edges.items():
+        if b in by:
+            assert by[b]["max_late_s"] <= e
