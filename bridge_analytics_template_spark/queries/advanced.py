@@ -1368,3 +1368,121 @@ def events_watermark_report(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"), F.max("late_s").alias("max_late_s"))
         .orderBy("bucket")
     )
+
+
+# --- Smoothed target encoding ------------------------------------------------
+
+_TE_M = 10  # smoothing pseudo-count
+
+
+@query(
+    "q_target_encoding",
+    sql=f"""
+    WITH o AS (
+      SELECT o_custkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    c AS (SELECT c_custkey, c_nationkey FROM customer),
+    j AS (SELECT c.c_nationkey, o.cents FROM o JOIN c ON o.o_custkey = c.c_custkey),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all, SUM(cents) AS sum_all FROM j),
+    per AS (
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n, SUM(cents) AS sum_cents
+      FROM j GROUP BY 1)
+    SELECT per.c_nationkey, per.n, per.sum_cents,
+           CAST((CAST(per.sum_cents AS DOUBLE) * g.n_all + {_TE_M}.0 * g.sum_all)
+                / (CAST(per.n AS DOUBLE) * g.n_all + {_TE_M}.0 * g.n_all)
+                AS DOUBLE) AS encoded_cents
+    FROM per, g ORDER BY per.c_nationkey
+    """,
+)
+def q_target_encoding(spark, sf_dir):
+    """Smoothed target encoding of nation → mean order value (the
+    feature-engineering step for tabular models): enc = (sum + m*prior) /
+    (n + m) with prior = global mean, rewritten over a COMMON denominator
+    so the only float ops are one multiply-add tree on exact int64 sums and
+    ONE division — identical IEEE expression both engines. Two key-
+    partitioned aggregates; the global stats broadcast."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select("c_nationkey", "cents")
+    g = j.agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("cents").alias("sum_all")
+    )
+    per = j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents")
+    )
+    enc = (
+        F.col("sum_cents").cast("double") * F.col("n_all") + float(_TE_M) * F.col("sum_all")
+    ) / (F.col("n").cast("double") * F.col("n_all") + float(_TE_M) * F.col("n_all"))
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select("c_nationkey", "n", "sum_cents", enc.alias("encoded_cents"))
+        .orderBy("c_nationkey")
+    )
+
+
+# --- Distribution drift (total variation distance) ----------------------------
+
+
+@query(
+    "profile_distribution_drift",
+    sql="""
+    WITH v1 AS (
+      SELECT o_orderpriority AS v, COUNT(*) AS n1 FROM orders
+      WHERE o_orderkey % 7 <> 0 GROUP BY 1),
+    v2 AS (
+      SELECT o_orderpriority AS v, COUNT(*) AS n2 FROM orders
+      WHERE o_orderkey % 5 <> 0 GROUP BY 1),
+    t AS (SELECT (SELECT SUM(n1) FROM v1) AS t1, (SELECT SUM(n2) FROM v2) AS t2),
+    j AS (
+      SELECT COALESCE(v1.v, v2.v) AS v, COALESCE(n1, 0) AS n1, COALESCE(n2, 0) AS n2
+      FROM v1 FULL JOIN v2 ON v1.v = v2.v)
+    SELECT j.v, j.n1, j.n2,
+           abs(j.n1 * t.t2 - j.n2 * t.t1) AS tvd_num,
+           (SELECT SUM(abs(jj.n1 * t.t2 - jj.n2 * t.t1)) * 1000000
+                   // (2 * t.t1 * t.t2)
+            FROM j jj) AS tvd_ppm
+    FROM j, t ORDER BY j.v
+    """,
+)
+def profile_distribution_drift(spark, sf_dir):
+    """Snapshot-to-snapshot distribution drift of a categorical column as
+    total variation distance — the drift gate a data-quality monitor runs
+    on every refresh. TVD = 1/2 * sum |p1 - p2| stays EXACT integers over
+    the common denominator t1*t2 (|n1*t2 - n2*t1|), quantized once to ppm
+    — no per-bucket float division, no log (PSI's weakness). Two
+    partitioned counts + one tiny full outer join on the category."""
+    o = load(spark, sf_dir, "orders")
+    v1 = (
+        o.where(F.col("o_orderkey") % 7 != 0)
+        .groupBy(F.col("o_orderpriority").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n1"))
+    )
+    v2 = (
+        o.where(F.col("o_orderkey") % 5 != 0)
+        .groupBy(F.col("o_orderpriority").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n2"))
+    )
+    j = (
+        v1.join(v2, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("n1", F.lit(0)).alias("n1"),
+            F.coalesce("n2", F.lit(0)).alias("n2"),
+        )
+        .persist()  # reused for the total and the per-bucket rows
+    )
+    tots = j.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    withT = j.crossJoin(F.broadcast(tots))
+    num = F.abs(F.col("n1") * F.col("t2") - F.col("n2") * F.col("t1"))
+    tvd = withT.agg(
+        F.expr("SUM(abs(n1 * t2 - n2 * t1)) * 1000000 DIV (2 * first(t1) * first(t2))").alias(
+            "tvd_ppm"
+        )
+    )
+    return (
+        withT.select("v", "n1", "n2", num.alias("tvd_num"))
+        .crossJoin(F.broadcast(tvd))
+        .orderBy("v")
+    )

@@ -399,3 +399,26 @@ def test_watermark_report_accounts_all_events(spark, sf_dir):
     for b, e in edges.items():
         if b in by:
             assert by[b]["max_late_s"] <= e
+
+
+def test_target_encoding_shrinks_toward_prior(spark, sf_dir):
+    rows = QUERIES["q_target_encoding"](spark, sf_dir).collect()
+    assert rows
+    total_n = sum(r["n"] for r in rows)
+    total_sum = sum(r["sum_cents"] for r in rows)
+    prior = total_sum / total_n
+    for r in rows:
+        raw = r["sum_cents"] / r["n"]
+        lo, hi = sorted((raw, prior))
+        assert lo - 1e-9 <= r["encoded_cents"] <= hi + 1e-9  # between raw mean and prior
+
+
+def test_distribution_drift_bounds(spark, sf_dir):
+    rows = QUERIES["profile_distribution_drift"](spark, sf_dir).collect()
+    assert rows
+    tvd = rows[0]["tvd_ppm"]
+    assert all(r["tvd_ppm"] == tvd for r in rows)
+    assert 0 <= tvd <= 1_000_000
+    # identical snapshots would give 0; these two modular filters overlap
+    # heavily, so drift must be small but the per-bucket numerators nonneg
+    assert all(r["tvd_num"] >= 0 for r in rows)
