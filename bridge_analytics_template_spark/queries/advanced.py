@@ -1486,3 +1486,46 @@ def profile_distribution_drift(spark, sf_dir):
         .crossJoin(F.broadcast(tvd))
         .orderBy("v")
     )
+
+
+# --- DAU / WAU stickiness -----------------------------------------------------
+
+
+@query(
+    "events_dau_wau",
+    sql="""
+    WITH du AS (
+      SELECT DISTINCT CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400 AS d,
+             user_id
+      FROM events),
+    dau AS (SELECT d, COUNT(*) AS dau FROM du GROUP BY d),
+    credit AS (
+      SELECT du.d + k.k AS target_d, du.user_id
+      FROM du, (SELECT unnest(range(7)) AS k) k),
+    wau AS (SELECT target_d AS d, COUNT(DISTINCT user_id) AS wau FROM credit GROUP BY 1)
+    SELECT dau.d, dau.dau, wau.wau,
+           (dau.dau * 1000000) // wau.wau AS stickiness_ppm
+    FROM dau JOIN wau ON dau.d = wau.d
+    ORDER BY dau.d
+    """,
+)
+def events_dau_wau(spark, sf_dir):
+    """DAU / trailing-7-day WAU / stickiness (DAU/WAU) — the product-health
+    triple. The rolling distinct avoids a 7-day range self-join by the
+    credit trick: each distinct (day, user) fans out to the 7 future days
+    it keeps the user 'weekly-active' for, then one count-distinct per day
+    — a fixed 7x fan-out of the already-deduped pairs, never a range join
+    over raw events. Stickiness stays an exact integer ppm."""
+    e = load(spark, sf_dir, "events")
+    day = (F.unix_timestamp("ts") / F.lit(86400)).cast("long")
+    du = e.select(day.alias("d"), "user_id").distinct().persist()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    credit = du.select(
+        F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("d"), "user_id"
+    )
+    wau = credit.groupBy("d").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "d")
+        .select("d", "dau", "wau", F.expr("dau * 1000000 DIV wau").alias("stickiness_ppm"))
+        .orderBy("d")
+    )

@@ -422,3 +422,23 @@ def test_distribution_drift_bounds(spark, sf_dir):
     # identical snapshots would give 0; these two modular filters overlap
     # heavily, so drift must be small but the per-bucket numerators nonneg
     assert all(r["tvd_num"] >= 0 for r in rows)
+
+
+def test_dau_wau_invariants(spark, sf_dir):
+    rows = QUERIES["events_dau_wau"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["dau"] <= r["wau"]  # weekly actives include today's
+        assert 0 < r["stickiness_ppm"] <= 1_000_000
+    # spot-check one mid-range day against a brute-force recount
+    mid = rows[len(rows) // 2]
+    e = load(spark, sf_dir, "events").select(
+        (F.unix_timestamp("ts") / F.lit(86400)).cast("long").alias("d"), "user_id"
+    )
+    brute_wau = (
+        e.where((F.col("d") >= mid["d"] - 6) & (F.col("d") <= mid["d"]))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert mid["wau"] == brute_wau
