@@ -1529,3 +1529,47 @@ def events_dau_wau(spark, sf_dir):
         .select("d", "dau", "wau", F.expr("dau * 1000000 DIV wau").alias("stickiness_ppm"))
         .orderBy("d")
     )
+
+
+# --- Schema drift report -------------------------------------------------------
+
+
+@query("profile_schema_drift")  # rows-only: metadata-level, no relational oracle
+def profile_schema_drift(spark, sf_dir):
+    """Schema-drift report between a dataset and an evolved copy (column
+    added / dropped / retyped) — the contract check an ingest pipeline runs
+    before trusting a new delivery. Driver-side metadata only: two parquet
+    footer reads, no data scan; the diff logic is the same added/removed/
+    changed classification as snapshot_diff, applied to (name, type)
+    pairs. The evolved copy is derived deterministically here (drop
+    `o_orderpriority`, add `o_priority_rank int`, retype `o_totalprice` to
+    string) so the report is fixture-stable."""
+    import os
+    import tempfile
+
+    o = load(spark, sf_dir, "orders")
+    evolved = (
+        o.drop("o_orderpriority")
+        .withColumn("o_priority_rank", F.lit(1).cast("int"))
+        .withColumn("o_totalprice", F.col("o_totalprice").cast("string"))
+    )
+    path = os.path.join(tempfile.gettempdir(), "schema_drift_orders")
+    evolved.limit(1).write.mode("overwrite").parquet(path)
+    old = {f.name: f.dataType.simpleString() for f in o.schema.fields}
+    new = {
+        f.name: f.dataType.simpleString()
+        for f in spark.read.parquet(path).schema.fields
+    }
+    rows = []
+    for name in sorted(set(old) | set(new)):
+        if name not in new:
+            rows.append((name, old[name], None, "removed"))
+        elif name not in old:
+            rows.append((name, None, new[name], "added"))
+        elif old[name] != new[name]:
+            rows.append((name, old[name], new[name], "retyped"))
+        else:
+            rows.append((name, old[name], new[name], "unchanged"))
+    return spark.createDataFrame(
+        rows, "column string, old_type string, new_type string, status string"
+    )

@@ -442,3 +442,11 @@ def test_dau_wau_invariants(spark, sf_dir):
         .count()
     )
     assert mid["wau"] == brute_wau
+
+
+def test_schema_drift_classification(spark, sf_dir):
+    rows = {r["column"]: r["status"] for r in QUERIES["profile_schema_drift"](spark, sf_dir).collect()}
+    assert rows["o_orderpriority"] == "removed"
+    assert rows["o_priority_rank"] == "added"
+    assert rows["o_totalprice"] == "retyped"
+    assert rows["o_orderkey"] == "unchanged"
