@@ -4,8 +4,13 @@ Operators a production curation stack layers on top of the §2 core
 (reference scope: the score/table folders of
 /root/reference/synapseformation_templates/default.yaml:3-10 hold exactly
 these derived analytics): sketch-pruned heavy hitters, bounded-hop BFS,
-snapshot diffing for dataset versioning, association rules, crypto
-round-trip, and calendar seasonality. Every query keeps the float
+snapshot/schema/distribution diffing for dataset versioning, association
+rules and PMI collocations, crypto round-trip, calendar seasonality and
+DAU/WAU, windowed funnels and CEP pattern runs, winnowing fingerprints,
+hybrid RRF retrieval and MMR re-ranking, leakage-safe splits and balanced
+sharding, Gini/decile/quantile statistics without global windows,
+quantization calibration (int8 error + binary NDCG), embedding drift, and
+join-explosion/watermark preflight profilers. Every query keeps the float
 discipline from NOTES.md (exact integer accumulation; any final float op is
 a fixed expression evaluated identically by both engines).
 """
@@ -1572,4 +1577,58 @@ def profile_schema_drift(spark, sf_dir):
             rows.append((name, old[name], new[name], "unchanged"))
     return spark.createDataFrame(
         rows, "column string, old_type string, new_type string, status string"
+    )
+
+
+# --- Embedding distribution drift --------------------------------------------
+
+_DRIFT_Q = 1 << 20  # per-dim quantization: 2^-20 resolution in int64 units
+
+
+@query(
+    "emb_drift_report",
+    sql=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    q AS (
+      SELECT vec_id % 2 AS grp, i AS dim,
+             CAST(floor(emb[i] * {_DRIFT_Q}) AS BIGINT) AS q
+      FROM e, unnest(generate_series(1, 64)) AS s(i)),
+    g AS (SELECT grp, dim, SUM(q) AS s, COUNT(*) AS n FROM q GROUP BY 1, 2),
+    p AS (SELECT a.dim, abs(a.s * b.n - b.s * a.n) AS num, a.n AS n1, b.n AS n2
+          FROM g a JOIN g b ON a.dim = b.dim AND a.grp = 0 AND b.grp = 1)
+    SELECT CAST(SUM(num) // (first(n1) * first(n2)) AS BIGINT) AS l1_drift_units,
+           COUNT(*) AS n_dims, first(n1) AS n1, first(n2) AS n2
+    FROM p
+    """,
+)
+def emb_drift_report(spark, sf_dir):
+    """Embedding-distribution drift between two halves of the corpus (the
+    model-refresh monitor: did the embedding distribution move?): per-dim
+    means compared over a COMMON denominator after 2^-20 quantization, so
+    every cross-row accumulation is exact int64 and the whole L1 centroid
+    distance is one integer division — no float mean, no combine-order
+    exposure (same discipline as emb_covariance). One posexplode + one
+    (grp, dim)-keyed aggregate; 2·d cells shuffle, not the corpus."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select(
+        (F.col("vec_id") % 2).alias("grp"),
+        F.posexplode(F.col("embedding")).alias("dim0", "x"),
+    ).select(
+        "grp",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * _DRIFT_Q).cast("long").alias("q"),
+    )
+    g = q.groupBy("grp", "dim").agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+    a = g.where(F.col("grp") == 0).select("dim", F.col("s").alias("s1"), F.col("n").alias("n1"))
+    b = g.where(F.col("grp") == 1).select("dim", F.col("s").alias("s2"), F.col("n").alias("n2"))
+    p = a.join(b, "dim").select(
+        F.abs(F.col("s1") * F.col("n2") - F.col("s2") * F.col("n1")).alias("num"),
+        "n1",
+        "n2",
+    )
+    return p.agg(
+        F.expr("SUM(num) DIV (first(n1) * first(n2))").alias("l1_drift_units"),
+        F.count(F.lit(1)).alias("n_dims"),
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
     )

@@ -450,3 +450,26 @@ def test_schema_drift_classification(spark, sf_dir):
     assert rows["o_priority_rank"] == "added"
     assert rows["o_totalprice"] == "retyped"
     assert rows["o_orderkey"] == "unchanged"
+
+
+def test_emb_drift_numpy_reference(spark, sf_dir):
+    import math
+
+    import numpy as np
+
+    r = QUERIES["emb_drift_report"](spark, sf_dir).collect()[0]
+    e = load(spark, sf_dir, "embeddings").collect()
+    g = {0: [], 1: []}
+    for row in e:
+        g[row["vec_id"] % 2].append(np.array(row["embedding"], dtype=np.float64))
+    Q = 1 << 20
+    s = {
+        k: np.array(
+            [sum(math.floor(v[i] * Q) for v in vs) for i in range(64)], dtype=object
+        )
+        for k, vs in g.items()
+    }
+    n1, n2 = len(g[0]), len(g[1])
+    num = sum(abs(int(s[0][i]) * n2 - int(s[1][i]) * n1) for i in range(64))
+    assert r["l1_drift_units"] == num // (n1 * n2)
+    assert r["n_dims"] == 64 and r["n1"] == n1 and r["n2"] == n2
