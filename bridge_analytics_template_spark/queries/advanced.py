@@ -1632,3 +1632,38 @@ def emb_drift_report(spark, sf_dir):
         F.first("n1").alias("n1"),
         F.first("n2").alias("n2"),
     )
+
+
+# --- Soft dedup: count-aware downweighting ------------------------------------
+
+
+@query(
+    "llm_soft_dedup_weights",
+    sql="""
+    WITH copies AS (
+      SELECT md5(text) AS h, COUNT(*) AS n_copies
+      FROM documents GROUP BY 1),
+    w AS (
+      SELECT d.lang, 1000000 // c.n_copies AS w_ppm
+      FROM documents d JOIN copies c ON md5(d.text) = c.h)
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(w_ppm) AS eff_docs_ppm
+    FROM w GROUP BY lang ORDER BY lang
+    """,
+)
+def llm_soft_dedup_weights(spark, sf_dir):
+    """Soft deduplication: instead of dropping duplicates, weight every
+    copy by 1/n_copies (exact integer ppm) so each distinct content
+    contributes unit mass — the gentler alternative to hard dedup when
+    duplication correlates with quality. One content-hash aggregate plus a
+    hash-keyed rejoin; eff_docs_ppm / 1e6 is the effective corpus size per
+    language."""
+    d = load(spark, sf_dir, "documents").select("lang", F.md5("text").alias("h"))
+    copies = d.groupBy("h").agg(F.count(F.lit(1)).alias("n_copies"))
+    return (
+        d.join(copies, "h")
+        .select("lang", F.expr("1000000 DIV n_copies").alias("w_ppm"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("w_ppm").alias("eff_docs_ppm"))
+        .orderBy("lang")
+    )

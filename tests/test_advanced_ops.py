@@ -473,3 +473,17 @@ def test_emb_drift_numpy_reference(spark, sf_dir):
     num = sum(abs(int(s[0][i]) * n2 - int(s[1][i]) * n1) for i in range(64))
     assert r["l1_drift_units"] == num // (n1 * n2)
     assert r["n_dims"] == 64 and r["n1"] == n1 and r["n2"] == n2
+
+
+def test_soft_dedup_effective_mass(spark, sf_dir):
+    rows = QUERIES["llm_soft_dedup_weights"](spark, sf_dir).collect()
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()
+    n_distinct = d.select(F.md5("text")).distinct().count()
+    total_docs = sum(r["n_docs"] for r in rows)
+    total_eff = sum(r["eff_docs_ppm"] for r in rows)
+    assert total_docs == n_docs
+    # effective mass <= 1e6 per distinct content (exact when copies of a
+    # content never cross languages; ppm floor loses < 1 per copy)
+    assert total_eff <= n_distinct * 1_000_000
+    assert total_eff > (n_distinct - 1) * 1_000_000 - n_docs
