@@ -1667,3 +1667,113 @@ def llm_soft_dedup_weights(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("w_ppm").alias("eff_docs_ppm"))
         .orderBy("lang")
     )
+
+
+# --- Funnel latency percentiles ------------------------------------------------
+
+
+@query(
+    "events_funnel_latency",
+    sql="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
+          JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+    lags AS (
+      SELECT CAST(floor(epoch(c.t_click)) - floor(epoch(v.t_view)) AS BIGINT) AS lag_s
+      FROM v JOIN c ON v.user_id = c.user_id)
+    SELECT COUNT(*) AS n_converted,
+           MIN(lag_s) AS p0,
+           quantile_disc(lag_s, 0.5) AS p50,
+           quantile_disc(lag_s, 0.9) AS p90,
+           MAX(lag_s) AS p100
+    FROM lags
+    """,
+)
+def events_funnel_latency(spark, sf_dir):
+    """Funnel stage latency: view -> first-click conversion time
+    percentiles. DISCRETE percentiles (an actual observed integer value,
+    same rule both engines) — interpolated percentiles of integer seconds
+    would reintroduce float division. Same two min-aggregates as
+    events_funnel; the percentile runs on the (tiny) per-user lag set."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.join(v, "user_id")
+        .where((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    lags = v.join(c, "user_id").select(
+        (F.unix_timestamp("t_click") - F.unix_timestamp("t_view")).alias("lag_s")
+    )
+    return lags.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("lag_s").alias("p0"),
+        # Spark's percentile_disc returns DOUBLE even over integer input;
+        # the selected value IS an observed integer, so the cast is exact
+        # (DuckDB's quantile_disc stays BIGINT natively).
+        F.expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_s) AS BIGINT)").alias("p50"),
+        F.expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_s) AS BIGINT)").alias("p90"),
+        F.max("lag_s").alias("p100"),
+    )
+
+
+# --- Cross-language vocabulary overlap ------------------------------------------
+
+
+@query(
+    "llm_vocab_overlap",
+    sql="""
+    WITH lt AS (
+      SELECT DISTINCT lang, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents),
+    sizes AS (SELECT lang, COUNT(*) AS n FROM lt GROUP BY 1),
+    inter AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS n_inter
+      FROM lt a JOIN lt b ON a.tok = b.tok AND a.lang < b.lang
+      GROUP BY 1, 2)
+    SELECT i.lang_a, i.lang_b, i.n_inter, sa.n AS n_a, sb.n AS n_b,
+           (i.n_inter * 1000000) // (sa.n + sb.n - i.n_inter) AS jaccard_ppm
+    FROM inter i JOIN sizes sa ON i.lang_a = sa.lang
+                 JOIN sizes sb ON i.lang_b = sb.lang
+    ORDER BY lang_a, lang_b
+    """,
+)
+def llm_vocab_overlap(spark, sf_dir):
+    """Cross-language vocabulary overlap matrix (pairwise Jaccard of
+    distinct token sets, integer ppm) — the contamination/code-switching
+    diagnostic for a multilingual corpus. The (lang, token) set is the
+    deduped inverted index; the pair join is keyed on the token and
+    bounded by true sharing, with only |langs| choose 2 output rows."""
+    d = load(spark, sf_dir, "documents")
+    lt = d.select(
+        "lang", F.explode_outer(ws_tokens("text")).alias("tok")
+    ).distinct().persist()
+    sizes = lt.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    a, b = lt.alias("a"), lt.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.lang") < F.col("b.lang")))
+        .groupBy(F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.expr("n_inter * 1000000 DIV (n_a + n_b - n_inter)").alias("jaccard_ppm"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )

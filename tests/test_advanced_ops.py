@@ -487,3 +487,19 @@ def test_soft_dedup_effective_mass(spark, sf_dir):
     # content never cross languages; ppm floor loses < 1 per copy)
     assert total_eff <= n_distinct * 1_000_000
     assert total_eff > (n_distinct - 1) * 1_000_000 - n_docs
+
+
+def test_funnel_latency_ordering(spark, sf_dir):
+    r = QUERIES["events_funnel_latency"](spark, sf_dir).collect()[0]
+    assert r["n_converted"] > 0
+    assert 0 < r["p0"] <= r["p50"] <= r["p90"] <= r["p100"]
+
+
+def test_vocab_overlap_bounds(spark, sf_dir):
+    rows = QUERIES["llm_vocab_overlap"](spark, sf_dir).collect()
+    langs = {r["lang"] for r in load(spark, sf_dir, "documents").select("lang").distinct().collect()}
+    n = len(langs)
+    assert len(rows) == n * (n - 1) // 2  # every pair shares >= 1 token (word soup)
+    for r in rows:
+        assert r["n_inter"] <= min(r["n_a"], r["n_b"])
+        assert 0 < r["jaccard_ppm"] <= 1_000_000
