@@ -1777,3 +1777,45 @@ def llm_vocab_overlap(spark, sf_dir):
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+# --- Per-type value tail percentiles -------------------------------------------
+
+
+@query(
+    "events_tail_percentiles",
+    sql="""
+    WITH q AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events)
+    SELECT event_type, COUNT(*) AS n,
+           quantile_disc(cents, 0.5) AS p50,
+           quantile_disc(cents, 0.95) AS p95,
+           quantile_disc(cents, 0.99) AS p99,
+           MAX(cents) AS p100
+    FROM q GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_tail_percentiles(spark, sf_dir):
+    """Per-type tail percentiles (p50/p95/p99/max) of the event value — the
+    SLO/tail-latency report shape. Discrete percentiles over exact integer
+    cents (observed values, no interpolation float); one partitioned
+    aggregate, percentile state bounded per group."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
+    )
+    def pd_(p):
+        return F.expr(
+            f"CAST(percentile_disc({p}) WITHIN GROUP (ORDER BY cents) AS BIGINT)"
+        )
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pd_(0.5).alias("p50"),
+            pd_(0.95).alias("p95"),
+            pd_(0.99).alias("p99"),
+            F.max("cents").alias("p100"),
+        )
+        .orderBy("event_type")
+    )

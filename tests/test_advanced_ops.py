@@ -503,3 +503,10 @@ def test_vocab_overlap_bounds(spark, sf_dir):
     for r in rows:
         assert r["n_inter"] <= min(r["n_a"], r["n_b"])
         assert 0 < r["jaccard_ppm"] <= 1_000_000
+
+
+def test_tail_percentiles_monotone(spark, sf_dir):
+    rows = QUERIES["events_tail_percentiles"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["p50"] <= r["p95"] <= r["p99"] <= r["p100"]
