@@ -301,3 +301,18 @@ def test_shuffled_hash_join_chosen(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "join_shuffled_hash")
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_driver_window_integrity():
+    """The driver checks the FIRST 50 registered queries: the curated
+    window must stay exactly 50, resolvable, flagship-first, and
+    oracle-backed (rows-only entries are deliberate, keep them rare)."""
+    from bridge_analytics_template_spark.queries import ORACLES, QUERIES, _WINDOW
+
+    assert len(_WINDOW) == 50
+    assert _WINDOW[0] == "flagship"
+    assert list(QUERIES)[:50] == _WINDOW
+    missing = [n for n in _WINDOW if n not in QUERIES]
+    assert not missing
+    no_oracle = [n for n in _WINDOW if n not in ORACLES]
+    assert len(no_oracle) <= 10, no_oracle  # mostly value-exact rows
