@@ -1819,3 +1819,51 @@ def events_tail_percentiles(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --- Character-class profile per language ---------------------------------------
+
+
+@query(
+    "llm_charset_profile",
+    sql="""
+    WITH c AS (
+      SELECT lang,
+             CAST(length(text) AS BIGINT) AS n_all,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+             CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS n_space
+      FROM documents)
+    SELECT lang, SUM(n_all) AS chars,
+           (SUM(n_alpha) * 1000000) // SUM(n_all) AS alpha_ppm,
+           (SUM(n_digit) * 1000000) // SUM(n_all) AS digit_ppm,
+           (SUM(n_space) * 1000000) // SUM(n_all) AS space_ppm
+    FROM c GROUP BY lang ORDER BY lang
+    """,
+)
+def llm_charset_profile(spark, sf_dir):
+    """Per-language character-class composition (alpha/digit/space ppm) —
+    the charset sanity check that catches mojibake, base64 blobs and
+    wrong-language routing before any model sees the text. Exact integer
+    character counts per class, one partitioned aggregate, single ppm
+    division per class."""
+    d = load(spark, sf_dir, "documents")
+    def klass(pat):
+        return F.length(F.regexp_replace("text", pat, "")).cast("long")
+    c = d.select(
+        "lang",
+        F.length("text").cast("long").alias("n_all"),
+        klass("[^a-zA-Z]").alias("n_alpha"),
+        klass("[^0-9]").alias("n_digit"),
+        klass("[^ ]").alias("n_space"),
+    )
+    return (
+        c.groupBy("lang")
+        .agg(
+            F.sum("n_all").alias("chars"),
+            F.expr("SUM(n_alpha) * 1000000 DIV SUM(n_all)").alias("alpha_ppm"),
+            F.expr("SUM(n_digit) * 1000000 DIV SUM(n_all)").alias("digit_ppm"),
+            F.expr("SUM(n_space) * 1000000 DIV SUM(n_all)").alias("space_ppm"),
+        )
+        .orderBy("lang")
+    )

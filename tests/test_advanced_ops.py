@@ -510,3 +510,11 @@ def test_tail_percentiles_monotone(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["p50"] <= r["p95"] <= r["p99"] <= r["p100"]
+
+
+def test_charset_profile_shares(spark, sf_dir):
+    rows = QUERIES["llm_charset_profile"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["alpha_ppm"] <= 1_000_000
+        assert r["alpha_ppm"] + r["digit_ppm"] + r["space_ppm"] <= 1_000_000
