@@ -1867,3 +1867,35 @@ def llm_charset_profile(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# --- Deterministic UUID minting ---------------------------------------------------
+
+
+@query(
+    "f_deterministic_uuid",
+    sql="""
+    WITH h AS (
+      SELECT c_custkey, md5(concat('customer:', c_name)) AS x FROM customer)
+    SELECT c_custkey,
+           concat(substr(x, 1, 8), '-', substr(x, 9, 4), '-3', substr(x, 14, 3),
+                  '-8', substr(x, 18, 3), '-', substr(x, 21, 12)) AS stable_uuid
+    FROM h ORDER BY c_custkey
+    """,
+)
+def f_deterministic_uuid(spark, sf_dir):
+    """Name-based deterministic UUIDs (UUIDv3 shape: md5 of a namespaced
+    name, version nibble pinned to 3, variant nibble pinned to 8) — stable
+    entity ids for resolution/linkage that any engine, any partitioning,
+    any rerun mints identically. Pure string surgery on the md5 hex; no
+    RNG (uuid() is banned in this engine for exactly this reason)."""
+    c = load(spark, sf_dir, "customer")
+    x = F.md5(F.concat(F.lit("customer:"), F.col("c_name")))
+    uuid = F.concat(
+        F.substring(x, 1, 8), F.lit("-"),
+        F.substring(x, 9, 4), F.lit("-3"),
+        F.substring(x, 14, 3), F.lit("-8"),
+        F.substring(x, 18, 3), F.lit("-"),
+        F.substring(x, 21, 12),
+    )
+    return c.select("c_custkey", uuid.alias("stable_uuid")).orderBy("c_custkey")

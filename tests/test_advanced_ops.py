@@ -518,3 +518,17 @@ def test_charset_profile_shares(spark, sf_dir):
     for r in rows:
         assert 0 < r["alpha_ppm"] <= 1_000_000
         assert r["alpha_ppm"] + r["digit_ppm"] + r["space_ppm"] <= 1_000_000
+
+
+def test_deterministic_uuid_shape_and_stability(spark, sf_dir):
+    import re
+    import uuid as _uuid
+
+    rows = QUERIES["f_deterministic_uuid"](spark, sf_dir).limit(20).collect()
+    pat = re.compile(r"^[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}-8[0-9a-f]{3}-[0-9a-f]{12}$")
+    for r in rows:
+        assert pat.match(r["stable_uuid"]), r["stable_uuid"]
+        _uuid.UUID(r["stable_uuid"])  # parses as a valid UUID
+    # rerun mints identical ids
+    again = QUERIES["f_deterministic_uuid"](spark, sf_dir).limit(20).collect()
+    assert [r["stable_uuid"] for r in rows] == [r["stable_uuid"] for r in again]
