@@ -32,6 +32,18 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def scratch_path(spark: SparkSession, name: str) -> str:
+    """Per-session scratch directory for round-trip sinks.
+
+    Keyed on ``applicationId`` so two concurrent sessions (parallel test
+    workers, a second driver) never overwrite each other's round-trip data
+    mid-read (ADVICE r2: fixed paths under gettempdir raced)."""
+    import tempfile
+
+    app = spark.sparkContext.applicationId
+    return os.path.join(tempfile.gettempdir(), f"{name}-{app}")
+
+
 def _ensure_session_defaults(spark: SparkSession) -> None:
     """Pin the runtime-settable confs correctness and plan quality depend
     on, so queries behave identically under any caller's session (the

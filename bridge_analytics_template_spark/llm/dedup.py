@@ -442,6 +442,13 @@ def prefix_filtered_pairs(
     Survivors are verified exactly by :func:`jaccard_for_candidates`
     (in-row ``array_intersect``, cost ∝ |candidates|).
     """
+    # Persist the per-doc arrays: they feed the frequency aggregate, the
+    # ordered-prefix rebuild AND both sides of the final verify join —
+    # unpersisted, the tokenize+shingle+hash projection recomputes ~4×
+    # (measured 2.7× wall on llm_ngram_jaccard at sf0.1). Freed by the
+    # harness clearCache, like every persist whose lifetime spans the
+    # returned plan.
+    shingle_arrays = shingle_arrays.persist()
     sh = shingle_arrays.select(
         "doc", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle")
     )

@@ -2,17 +2,33 @@
 
 ``row_number()`` over an unpartitioned window funnels the whole dataset
 through ONE task — the canonical scale cliff. The distributed recipe:
-range-partition + sort by the order key, count rows per partition, prefix-sum
-the counts into per-partition offsets (a driver-side op over num_partitions
-integers), then add offset + local index in a single mapInPandas pass.
-Deterministic for a unique order key.
+bucket rows by explicit range boundaries, count rows per bucket, prefix-sum
+the counts into per-bucket offsets (a driver-side op over num_partitions
+integers), then add offset + local index in a single mapInPandas pass over
+bucket-partitioned, bucket-sorted data.
+
+DETERMINISM (ADVICE r2): the boundaries are computed from a hash-sampled
+subset of the keys — a pure function of the data — and bucket routing is a
+plain hash partition on the bucket id. Unlike ``repartitionByRange`` (whose
+RangePartitioner re-samples with fresh RDD-id-derived seeds on every
+physical execution), every stage here is reproducible, so the returned
+DataFrame yields IDENTICAL ids even if recomputed after an unpersist — no
+cache pinning required for correctness.
 """
 
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Target sampled keys per bucket: 100 gives boundary error ~a few percent of
+# the bucket size with high probability — plenty for work balancing.
+_SAMPLE_PER_BUCKET = 100
+
+
+def _key_struct(order_cols: list[str]) -> Column:
+    return F.struct(*[F.col(c) for c in order_cols])
 
 
 def assign_contiguous_ids(
@@ -24,48 +40,94 @@ def assign_contiguous_ids(
     """Add ``id_name`` = 0..n-1 in ``order_col`` order, fully distributed.
 
     ``order_col`` may be a list of column names for a composite order; the
-    columns must form a TOTAL order (unique key) — rows with equal keys can
-    straddle a range-partition boundary, which would make their relative ids
-    partition-order-dependent.
+    columns must form a TOTAL order (unique key, no nulls) — rows with equal
+    keys could straddle a bucket boundary, which would make their relative
+    ids routing-dependent.
     """
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
-    # persist: the partitioned+sorted form is read twice (offsets job, then
-    # the id pass) — caching both skips the second sort AND pins one range
-    # partitioning for both passes instead of leaning on RangePartitioner's
-    # deterministic re-sampling. Freed by the harness clearCache.
-    parts = (
-        df.repartitionByRange(num_partitions, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .persist()
-    )
-    counts = (
-        parts.withColumn("_pid", F.spark_partition_id())
-        .groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    by_pid = {r["_pid"]: r["n"] for r in counts}
-    offsets, acc = {}, 0
-    for pid in sorted(by_pid):
-        offsets[pid] = acc
-        acc += by_pid[pid]
+    key = _key_struct(order_cols)
+
+    # Job 1: size the data (column-pruned count — the adaptive sample rate
+    # needs n; a fixed rate either floods the driver at corpus scale or
+    # starves the boundaries on small data).
+    n = df.count()
+    if n == 0:
+        return df.withColumn(id_name, F.lit(0).cast("long")).where(F.lit(False))
+
+    # Job 2: deterministic hash sample of the keys (never df.sample — seeds
+    # are execution-dependent; xxhash64 of the key is a pure row function).
+    # Small inputs (vocabularies, per-group aggregates) skip the sample AND
+    # the counts job: one bucket, offsets trivially {0: 0} — a single-task
+    # sort of a few thousand rows, two jobs total like the old recipe.
+    if n <= num_partitions * _SAMPLE_PER_BUCKET:
+        bounds = []
+    else:
+        mod = max(1, n // (num_partitions * _SAMPLE_PER_BUCKET))
+        sampled = (
+            df.select(*order_cols)
+            .where(F.pmod(F.xxhash64(*order_cols), F.lit(mod)) == 0)
+            .collect()
+        )
+        keys = sorted(tuple(r) for r in sampled if all(x is not None for x in r))
+        n_buckets = min(num_partitions, max(1, len(keys)))
+        # Evenly spaced boundary keys; bucket(row) = #boundaries <= row_key.
+        bounds = [keys[(i * len(keys)) // n_buckets] for i in range(1, n_buckets)]
+
+    if bounds:
+        lit_bounds = [
+            F.struct(*[F.lit(v) for v in b]).cast(
+                df.select(key.alias("k")).schema["k"].dataType
+            )
+            for b in bounds
+        ]
+        bucket_expr = sum(
+            [(key >= b).cast("int") for b in lit_bounds], F.lit(0)
+        ).cast("int")
+    else:
+        bucket_expr = F.lit(0)
+
+    # Job 3: per-bucket counts -> offsets (num_partitions ints on the driver).
+    if not bounds:
+        offsets = {0: 0}
+    else:
+        counts = (
+            df.select(bucket_expr.alias("_bkt"))
+            .groupBy("_bkt")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_bkt = {r["_bkt"]: r["n"] for r in counts}
+        offsets, acc = {}, 0
+        for bkt in sorted(by_bkt):
+            offsets[bkt] = acc
+            acc += by_bkt[bkt]
+
     spark = df.sparkSession
     b_offsets = spark.sparkContext.broadcast(offsets)
-    out_schema = parts.withColumn(id_name, F.lit(0).cast("long")).schema
+    out_schema = df.withColumn(id_name, F.lit(0).cast("long")).schema
 
     def add_ids(pdf_iter):
-        # mapInPandas sees one partition as a stream of Arrow batches; the
-        # partition id rides in on a column so the offset survives batching.
-        local = 0
+        # mapInPandas sees one partition as a stream of Arrow batches; each
+        # bucket lives wholly in one partition (hash on _bkt) and arrives
+        # key-sorted (sortWithinPartitions), so a per-bucket running counter
+        # yields the in-order local index across batches.
+        local: dict[int, int] = {}
         for pdf in pdf_iter:
             if pdf.empty:
                 continue
-            pid = int(pdf["_pid"].iloc[0])
-            base = b_offsets.value.get(pid, 0) + local
-            out = pdf.drop(columns=["_pid"])
-            out[id_name] = pd.RangeIndex(base, base + len(out)).astype("int64")
-            local += len(out)
+            s = pdf["_bkt"].astype("int64")
+            within = s.groupby(s).cumcount()
+            base = s.map(b_offsets.value)
+            carried = s.map(lambda b: local.get(b, 0))
+            out = pdf.drop(columns=["_bkt"])
+            out[id_name] = (base + carried + within).astype("int64")
+            for bkt, cnt in s.value_counts().items():
+                local[int(bkt)] = local.get(int(bkt), 0) + int(cnt)
             yield out
 
-    with_pid = parts.withColumn("_pid", F.spark_partition_id())
-    return with_pid.mapInPandas(add_ids, schema=out_schema)
+    routed = (
+        df.withColumn("_bkt", bucket_expr)
+        .repartition(max(1, num_partitions), "_bkt")
+        .sortWithinPartitions("_bkt", *order_cols)
+    )
+    return routed.mapInPandas(add_ids, schema=out_schema)

@@ -39,63 +39,66 @@ from . import advanced  # noqa: E402,F401
 # (tools/check_oracle.py) still runs all of them.
 _WINDOW = [
     "flagship",
-    # round-1 driver failures + same-shaped array-output queries, fixed to
-    # canon-safe scalar renderings — must show green this round
-    "f_math",
-    "agg_collect_set",
-    "f_array",
-    "f_regexp",
-    "f_array_edit",
-    "events_paths",
-    "train_vocab_encode",
-    # single-partition-window scale fixes — prove values unchanged
-    "train_shuffle_order",
-    "q_revenue_pareto",
-    "llm_embed_neardup",
-    # bridge semantics (reference parity surface)
-    "bridge_coercion",
-    "bridge_lookup_unique",
-    "bridge_annotation_promotion",
-    "bridge_partitioned_sink",
-    "bridge_file_view",
-    "bridge_validate",
-    "bridge_acl_copy",
-    # LLM-pipeline operators
-    "llm_dedup_exact",
-    "llm_dup_spans",  # r2 addition: ExactSubstr-shaped span detection
-    "llm_dedup_minhash",
-    "llm_ngram_jaccard",
-    "llm_knn_ids",
-    "llm_text_stats",
-    "llm_langid",
-    "emb_covariance",  # r2 addition: exact GEMM-partial moments
-    "llm_bm25_topk",  # r2 addition: rational-idf BM25 retrieval
-    "llm_multimodal",
-    "llm_tfidf",
-    "llm_simjoin_prefix",
-    "llm_pretokenize_regex",
-    "llm_dedup_cascade",
-    "llm_ngram_novelty",
-    # curation pipeline
-    "llm_decontaminate",
-    "llm_chunking",
-    "llm_passage_dedup",
-    "llm_repetition",
-    "llm_doc_lm_score",
-    "llm_bigram_lm",
-    "llm_quality_score",
-    "llm_dedup_clusters",
-    # event/session analytics (batch forms of the streaming ops)
+    # r2's only red rows — oracle tz fix (CAST to naive TIMESTAMP) must
+    # show green this round
     "t_tumbling_counts",
     "t_sliding_counts",
-    "t_session_islands",
-    "t_dedup_equiv",
-    "t_session_native_batch",
-    # pandas-UDF surface
-    "x_scalar_pandas_udf",
-    "x_grouped_agg_pandas",
-    "x_grouped_map_pandas",
-    "x_cogrouped_pandas",
+    # rows-only -> hash-green upgrade (VERDICT task 7): exact-pair oracle
+    "llm_dedup_minhash",
+    # SURVEY §2 stragglers never inside an official window
+    "f_conditional",  # F8
+    "f_hash",  # F9
+    "s_csv_roundtrip",  # S7
+    "t_stream_tumbling",  # S8/T4 genuinely-streaming execution (rows-only)
+    "t_resample_locf",  # hypertable rollup / gap-fill
+    # sql_api family (never checked)
+    "sql_api_revenue",
+    "merge_upsert_cdc",
+    "merge_scd2_history",
+    "sql_recursive_cte",
+    "sql_pipe_revenue",
+    "join_lateral_topn",
+    "w_range_frame",
+    "unpivot_stack",
+    # breadth family
+    "star_join_revenue",
+    "s_bucketed_join",
+    "agg_grouping_sets",
+    "w_rank_family",
+    "join_full_outer",
+    "graph_triangles",
+    "f_struct",
+    # tpch_shapes family
+    "q_custdist",
+    "q_shipping_priority",
+    "q_local_supplier",
+    "q_market_share",
+    "q_yoy_growth",
+    # stats family
+    "agg_regr_exact",
+    "ts_ohlc_bars",
+    "join_salted_skew",
+    "agg_salted_skew",
+    # training family
+    "train_split_assign",
+    "train_row_ids",
+    "train_pii_scrub",
+    "train_temperature_mix",
+    # r2-addition LLM ops
+    "llm_dsir_weights",
+    "llm_token_fertility",
+    "llm_ngram_diversity",
+    "llm_url_dedup",
+    "llm_containment_pairs",
+    "llm_dedup_incremental",
+    "llm_crossdup_jaccard",
+    "llm_dup_span_trim",
+    # third-wave ops (incl. this round's ADVICE-hardened queries)
+    "llm_heavy_hitters",
+    "graph_shortest_paths",
+    "q_assoc_rules",
+    "llm_pmi_pairs",
+    "emb_quantize_error",
 ]
 
 

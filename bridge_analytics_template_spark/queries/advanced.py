@@ -20,7 +20,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, scratch_path
 from ..functions.text import word_shingles, ws_tokens
 from .registry import query
 
@@ -78,7 +78,13 @@ def llm_heavy_hitters(spark, sf_dir):
         yield pd.DataFrame({"tok": pd.Series(out, dtype="object")})
 
     cands = toks_arr.mapInPandas(local_candidates, "tok string").distinct()
-    toks = d.select(F.explode_outer(ws_tokens("text")).alias("tok"))
+    # explode_outer (NOTES lesson 1: non-outer explode inlines the token
+    # expression into a pushed filter) + isNotNull: a NULL/empty text row
+    # must contribute ZERO rows to the denominator, exactly like the
+    # oracle's unnest of a NULL list (ADVICE r2).
+    toks = d.select(F.explode_outer(ws_tokens("text")).alias("tok")).where(
+        F.col("tok").isNotNull()
+    )
     total = toks.agg(F.count(F.lit(1)).alias("n_tokens"))
     return (
         toks.join(F.broadcast(cands), "tok")
@@ -263,7 +269,8 @@ def snapshot_diff(spark, sf_dir):
       GROUP BY 1, 2)
     SELECT p.brand_a, p.brand_b, p.pair_n, ba.bn AS a_n, bb.bn AS b_n,
            (p.pair_n * 1000000) // ba.bn AS conf_ppm,
-           (p.pair_n * n.n_orders * 1000000) // (ba.bn * bb.bn) AS lift_ppm
+           CAST((CAST(p.pair_n AS HUGEINT) * n.n_orders * 1000000)
+                // (CAST(ba.bn AS HUGEINT) * bb.bn) AS BIGINT) AS lift_ppm
     FROM pairs p
     JOIN bc ba ON ba.brand = p.brand_a
     JOIN bc bb ON bb.brand = p.brand_b, n
@@ -308,7 +315,14 @@ def q_assoc_rules(spark, sf_dir):
             "a_n",
             "b_n",
             F.expr("pair_n * 1000000 DIV a_n").alias("conf_ppm"),
-            F.expr("pair_n * n_orders * 1000000 DIV (a_n * b_n)").alias("lift_ppm"),
+            # The triple product overflows int64 around ~15M orders; widen
+            # through DECIMAL(38,0) (Spark) / HUGEINT (oracle) — DIV on
+            # decimals is the exact integral quotient, result BIGINT
+            # (ADVICE r2).
+            F.expr(
+                "CAST(pair_n AS DECIMAL(38,0)) * n_orders * 1000000"
+                " DIV (CAST(a_n AS DECIMAL(19,0)) * b_n)"
+            ).alias("lift_ppm"),
         )
         .orderBy(F.desc("lift_ppm"), "brand_a", "brand_b")
         .limit(50)
@@ -705,11 +719,13 @@ def train_split_leakage_safe(spark, sf_dir):
     documents can never straddle the split — the eval-leakage failure mode
     of naive per-doc hashing. Singleton docs hash their own id; split rule
     matches train_split_assign (~5% val)."""
-    from ..llm.dedup import _shingle_arrays, connected_components, exact_jaccard_pairs
+    from ..llm.dedup import _shingle_arrays, connected_components, prefix_filtered_pairs
 
     d = load(spark, sf_dir, "documents")
     arrays = _shingle_arrays(d, "text", "doc_id", 5, hashed=True)
-    edges = exact_jaccard_pairs(arrays, min_jaccard=0.05).select("doc_a", "doc_b")
+    # Same edge source as llm_dedup_clusters (r3: prefix-filtered exact
+    # join at the 0.5 near-dup threshold — scale-correct plan shape).
+    edges = prefix_filtered_pairs(arrays, min_jaccard=0.5).select("doc_a", "doc_b")
     cc = connected_components(edges).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
@@ -799,7 +815,8 @@ _PMI_AB_DEN = 100
       JOIN df fa ON fa.tok = a.tok JOIN df fb ON fb.tok = b.tok
       GROUP BY 1, 2 HAVING COUNT(*) * {_PMI_AB_DEN} >= (SELECT n_docs FROM n))
     SELECT p.tok_a, p.tok_b, p.n_ab, fa.df AS df_a, fb.df AS df_b,
-           (p.n_ab * n.n_docs * 1000000) // (fa.df * fb.df) AS pmi_ratio_ppm
+           CAST((CAST(p.n_ab AS HUGEINT) * n.n_docs * 1000000)
+                // (CAST(fa.df AS HUGEINT) * fb.df) AS BIGINT) AS pmi_ratio_ppm
     FROM pairs p JOIN df fa ON fa.tok = p.tok_a
                  JOIN df fb ON fb.tok = p.tok_b, n
     ORDER BY pmi_ratio_ppm DESC, tok_a, tok_b LIMIT 40
@@ -813,7 +830,11 @@ def llm_pmi_pairs(spark, sf_dir):
     on the tiny hot-vocabulary), so pair fan-out is (hot tokens per doc
     choose 2), not (tokens per doc choose 2)."""
     d = load(spark, sf_dir, "documents")
-    dt = d.select("doc_id", F.explode_outer(ws_tokens("text")).alias("tok")).distinct()
+    dt = (
+        d.select("doc_id", F.explode_outer(ws_tokens("text")).alias("tok"))
+        .where(F.col("tok").isNotNull())  # match unnest: NULL text → no rows
+        .distinct()
+    )
     n_docs = d.agg(F.countDistinct("doc_id").alias("n_docs"))
     df_ = (
         dt.groupBy("tok")
@@ -845,7 +866,12 @@ def llm_pmi_pairs(spark, sf_dir):
             "n_ab",
             "df_a",
             "df_b",
-            F.expr("n_ab * n_docs * 1000000 DIV (df_a * df_b)").alias("pmi_ratio_ppm"),
+            # DECIMAL-widened like q_assoc_rules' lift_ppm: n_ab*n_docs*1e6
+            # overflows int64 once the corpus passes ~10M docs (ADVICE r2).
+            F.expr(
+                "CAST(n_ab AS DECIMAL(38,0)) * n_docs * 1000000"
+                " DIV (CAST(df_a AS DECIMAL(19,0)) * df_b)"
+            ).alias("pmi_ratio_ppm"),
         )
         .orderBy(F.desc("pmi_ratio_ppm"), "tok_a", "tok_b")
         .limit(40)
@@ -1089,7 +1115,7 @@ def llm_dedup_agreement(spark, sf_dir):
     The lex_only/sem_only/both contingency is the calibration report that
     decides cascade thresholds. Both pair sets are the proven exact
     operators; the fusion is one pair-keyed full outer join."""
-    from ..llm.dedup import _shingle_arrays, exact_jaccard_pairs
+    from ..llm.dedup import _shingle_arrays, prefix_filtered_pairs
     from ..llm.similarity import blocked_cosine_pairs
 
     d = load(spark, sf_dir, "documents")
@@ -1098,7 +1124,9 @@ def llm_dedup_agreement(spark, sf_dir):
         "doc_id", "text"
     )
     arrays = _shingle_arrays(docs, "text", "doc_id", 5, hashed=True)
-    lex = exact_jaccard_pairs(arrays, min_jaccard=0.3).select("doc_a", "doc_b")
+    # prefix-filtered exact join (same answer as the full index join at
+    # any threshold; the prefix prune is what survives corpus scale).
+    lex = prefix_filtered_pairs(arrays, min_jaccard=0.3).select("doc_a", "doc_b")
     sem = blocked_cosine_pairs(e, threshold=0.4).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
@@ -1132,7 +1160,8 @@ def llm_dedup_agreement(spark, sf_dir):
     WITH v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     s AS (
-      SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM v),
+      SELECT vec_id, e,
+             greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) AS scale FROM v),
     qz AS (
       SELECT vec_id, e, scale,
              list_transform(e, x -> CAST(floor(x / scale * 127.0 + 0.5) AS BIGINT)) AS codes
@@ -1160,7 +1189,11 @@ def emb_quantize_error(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     v = e.select("vec_id", emb.alias("e"))
-    scale = F.array_max(F.transform(F.col("e"), F.abs))
+    # greatest(scale, tiny): an all-zero embedding would give scale=0 and
+    # x/0 diverges cross-engine (Spark non-ANSI NULL vs DuckDB IEEE inf);
+    # the tiny floor makes zero vectors quantize to all-zero codes with
+    # zero error on BOTH engines (ADVICE r2).
+    scale = F.greatest(F.array_max(F.transform(F.col("e"), F.abs)), F.lit(1e-30))
     s = v.select("vec_id", "e", scale.alias("scale"))
     codes = F.transform(
         F.col("e"), lambda x: F.floor(x / F.col("scale") * 127.0 + 0.5).cast("long")
@@ -1558,7 +1591,7 @@ def profile_schema_drift(spark, sf_dir):
         .withColumn("o_priority_rank", F.lit(1).cast("int"))
         .withColumn("o_totalprice", F.col("o_totalprice").cast("string"))
     )
-    path = os.path.join(tempfile.gettempdir(), "schema_drift_orders")
+    path = scratch_path(spark, "schema_drift_orders")
     evolved.limit(1).write.mode("overwrite").parquet(path)
     old = {f.name: f.dataType.simpleString() for f in o.schema.fields}
     new = {

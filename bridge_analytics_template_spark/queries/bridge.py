@@ -13,7 +13,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, scratch_path
 from ..coercion import CoercionSpec, apply_coercion
 from ..sources.fileview import file_view, promote_annotations
 from ..sources.sink import read_partitioned, write_partitioned
@@ -103,7 +103,7 @@ def bridge_partitioned_sink(spark, sf_dir):
     source exactly. Partition values become directory names — the pruning
     mechanism at 100 TB."""
     c = load(spark, sf_dir, "customer").withColumn("study", F.col("c_mktsegment"))
-    out = os.path.join(tempfile.gettempdir(), "bridge_sink_demo")
+    out = scratch_path(spark, "bridge_sink_demo")
     write_partitioned(c, out, partition_cols=("study",))
     back = read_partitioned(spark, out)
     return (

@@ -74,11 +74,41 @@ def llm_dedup_normalized(spark, sf_dir):
     return dedup_normalized(load(spark, sf_dir, "documents")).orderBy("keep_id")
 
 
-@query("llm_dedup_minhash")  # rows-only: LSH banding has no SQL oracle
+@query(
+    "llm_dedup_minhash",
+    sql=f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, unnest(list_distinct({_SQL_SHINGLES5})) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.n_inter, sa.n AS n_a, sb.n AS n_b,
+           CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc
+    JOIN sizes sb ON i.doc_b = sb.doc
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
 def llm_dedup_minhash(spark, sf_dir):
     """L2: MinHash(64) + LSH(16 bands) near-dup candidates, verified by
     exact Jaccard on candidates only. Deterministic under seeded xxhash64;
-    recall/precision property-tested in tests/test_llm_ops.py."""
+    recall/precision property-tested in tests/test_llm_ops.py.
+
+    Oracle contract (r3, VERDICT task 7): the oracle is the EXACT pair set
+    at jaccard >= 0.5 — the LSH output equals it whenever banding recall is
+    1 over the threshold region. On this fixture family the pair-similarity
+    spectrum is bimodal (planted dups at j in [0.87, 0.99], background at
+    ~0.02; measured via DuckDB), so the 16x4 banding miss probability is
+    <= (1 - 0.87^4)^16 ~ 7e-7 per pair — deterministically total recall in
+    practice. The banding itself stays probabilistic in general; the
+    property tests cover recall on adversarial planted similarities."""
     d = load(spark, sf_dir, "documents")
     return minhash_near_dups(d, min_jaccard=0.5).orderBy("doc_a", "doc_b")
 
@@ -109,20 +139,28 @@ def llm_dedup_simhash(spark, sf_dir):
     FROM inter i
     JOIN sizes sa ON i.doc_a = sa.doc
     JOIN sizes sb ON i.doc_b = sb.doc
-    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.05
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
     ORDER BY doc_a, doc_b
     """,
 )
 def llm_ngram_jaccard(spark, sf_dir):
-    """L2c: exact word-5-gram Jaccard over pairs sharing ≥1 shingle
-    (inverted-index join — the verification tier of the dedup cascade).
-    The output carries only ids/counts, so the index joins HASHED (long)
+    """L2c: exact word-5-gram Jaccard near-dup pairs at j >= 0.5 via the
+    prefix-filtered self-join (PPJoin family) — rarest-first prefixes +
+    size filter prune before any pair forms, then exact in-row verify.
+    The pairs carry only ids/counts, so the index joins HASHED (long)
     shingles — same pairs as the string form modulo 2^-64 collisions, at a
-    fraction of the join bytes (and the oracle checks the values)."""
+    fraction of the join bytes (and the oracle checks the values).
+
+    r3 (VERDICT task 5): threshold raised 0.05 -> 0.5 and routed through
+    prefix_filtered_pairs — at 0.05 the prefix filter is vacuous and the
+    op degenerates to the full inverted-index join, a quadratic
+    posting-list blowup at corpus scale. The full-index exact formulation
+    remains available as exact_jaccard_pairs (used by the cross-corpus
+    tiers at their own thresholds)."""
     d = load(spark, sf_dir, "documents")
     arrays = _shingle_arrays(d, "text", "doc_id", 5, hashed=True)
     return (
-        exact_jaccard_pairs(arrays, min_jaccard=0.05)
+        prefix_filtered_pairs(arrays, min_jaccard=0.5)
         .select("doc_a", "doc_b", "n_inter", "jaccard")
         .orderBy("doc_a", "doc_b")
     )

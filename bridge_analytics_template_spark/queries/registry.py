@@ -17,6 +17,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+try:
+    from py4j.protocol import Py4JError as _Py4JError
+except ImportError:  # pragma: no cover - py4j ships with pyspark
+    _Py4JError = RuntimeError
+
 
 def query(name: str, sql: str | None = None):
     """Register a query (and its oracle SQL, when SQL-expressible).
@@ -29,13 +34,21 @@ def query(name: str, sql: str | None = None):
     the build only drops previous queries' leftovers, never this query's
     own. Module-level callers (queries composing other queries, tests that
     import the function directly) get the UNWRAPPED function back from the
-    decorator, so a composite build never clears its own intermediates."""
+    decorator, so a composite build never clears its own intermediates.
+
+    CONTRACT (ADVICE r2): registered callables assume build-then-execute,
+    one at a time — execute (collect/write) each returned DataFrame before
+    invoking the next registered query. A caller that interleaves builds
+    and executions would have an earlier query's persisted intermediates
+    dropped here; since round 3 every operator whose RESULT depends on a
+    persisted intermediate (assign_contiguous_ids) is deterministic under
+    recompute, so even that pattern can only cost time, not correctness."""
 
     def deco(fn: QueryFn) -> QueryFn:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             try:
                 spark.catalog.clearCache()
-            except Exception:
+            except (_Py4JError, RuntimeError, AttributeError):
                 pass  # session being torn down — proceed without hygiene
             return fn(spark, sf_dir)
 

@@ -25,8 +25,8 @@ from .registry import query
 @query(
     "t_tumbling_counts",
     sql="""
-    SELECT to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 600) * 600 AS BIGINT))
-             AS window_start,
+    SELECT CAST(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 600) * 600 AS BIGINT))
+                AS TIMESTAMP) AS window_start,
            event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
@@ -48,8 +48,8 @@ def t_tumbling_counts(spark, sf_dir):
 @query(
     "t_sliding_counts",
     sql="""
-    SELECT to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300 - 300 * k AS BIGINT))
-             AS window_start,
+    SELECT CAST(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300 - 300 * k AS BIGINT))
+                AS TIMESTAMP) AS window_start,
            COUNT(*) AS n
     FROM events, unnest([0, 1]) AS u(k)
     GROUP BY 1 ORDER BY 1

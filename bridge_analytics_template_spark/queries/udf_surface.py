@@ -15,7 +15,7 @@ import tempfile
 import pandas as pd
 from pyspark.sql import functions as F
 
-from ..catalog import load, register_views
+from ..catalog import load, register_views, scratch_path
 from ..sources.readers import read_csv, read_json
 from .registry import query
 
@@ -134,7 +134,7 @@ def s_csv_roundtrip(spark, sf_dir):
     """S7: CSV sink + scan with an explicit schema (no inference pass); the
     aggregate over the round-tripped data must equal the source."""
     n = load(spark, sf_dir, "nation")
-    path = os.path.join(tempfile.gettempdir(), "csv_roundtrip_nation")
+    path = scratch_path(spark, "csv_roundtrip_nation")
     n.write.mode("overwrite").option("header", "true").csv(path)
     back = read_csv(spark, path, schema=_NATION_SCHEMA)
     return (
@@ -155,7 +155,7 @@ def s_json_roundtrip(spark, sf_dir):
     """S6: JSON-lines sink + scan with explicit schema (the Bridge raw-data
     archive shape: JSON records promoted into typed columns)."""
     n = load(spark, sf_dir, "nation")
-    path = os.path.join(tempfile.gettempdir(), "json_roundtrip_nation")
+    path = scratch_path(spark, "json_roundtrip_nation")
     n.write.mode("overwrite").json(path)
     back = read_json(spark, path, schema=_NATION_SCHEMA)
     return (
@@ -178,7 +178,7 @@ def s_xml_roundtrip(spark, sf_dir):
     semi-structured ingest format after JSON/CSV. The aggregate over the
     round-tripped rows must equal the source table."""
     n = load(spark, sf_dir, "nation")
-    path = os.path.join(tempfile.gettempdir(), "xml_roundtrip_nation")
+    path = scratch_path(spark, "xml_roundtrip_nation")
     n.write.mode("overwrite").format("xml").option("rootTag", "nations").option(
         "rowTag", "nation"
     ).save(path)

@@ -229,6 +229,27 @@ def test_no_unpartitioned_windows(spark, sf_dir):
         assert "Window [" not in plan, name
 
 
+def test_cluster_edges_use_prefix_filter(spark, sf_dir):
+    # r3 (VERDICT task 5): the clustered-dedup flagship and the n-gram
+    # Jaccard query must build edges via prefix_filtered_pairs, whose
+    # verify tier computes jaccard with in-row array_intersect over the
+    # candidate pairs. The full inverted-index tier (exact_jaccard_pairs)
+    # derives jaccard from group counts and never calls array_intersect —
+    # so its absence/presence cleanly separates the two plan shapes.
+    plan = plan_of(spark, sf_dir, "llm_ngram_jaccard")
+    assert "array_intersect" in plan
+    # llm_dedup_clusters checkpoints the component iteration (Scan
+    # ExistingRDD), so its returned plan no longer contains the edge
+    # build — pin the edge source at the source level instead.
+    import inspect
+
+    from bridge_analytics_template_spark.queries import pipeline
+
+    src = inspect.getsource(pipeline.llm_dedup_clusters)
+    assert "prefix_filtered_pairs" in src
+    assert "exact_jaccard_pairs" not in src
+
+
 def test_dup_spans_no_cartesian_and_cached_grams(spark, sf_dir):
     # The gram self-join must stay an equi-join on the gram hash; a
     # cartesian/nested-loop here means the diagonal-islands path regressed

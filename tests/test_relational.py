@@ -136,3 +136,20 @@ def test_assign_contiguous_ids_composite_order(spark):
     out = assign_contiguous_ids(df, ["_negcnt", "tok"], id_name="id", num_partitions=4).collect()
     got = {r["tok"]: r["id"] for r in out}
     assert got == {"c": 0, "f": 1, "a": 2, "b": 3, "e": 4, "d": 5}
+
+
+def test_assign_contiguous_ids_recompute_deterministic(spark, sf_dir):
+    """ADVICE r2 regression: ids must be identical when the SAME returned
+    DataFrame is re-executed after a cache wipe. The old recipe leaned on a
+    persisted RangePartitioner sampling (fresh RDD-id seeds per execution);
+    the bucket-boundary rewrite is a pure function of the data, so two
+    executions — with a clearCache between — must agree id-for-id."""
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.operators.rowids import assign_contiguous_ids
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    ranked = assign_contiguous_ids(o, "o_orderkey", num_partitions=8)
+    first = {r["o_orderkey"]: r["row_id"] for r in ranked.collect()}
+    spark.catalog.clearCache()
+    second = {r["o_orderkey"]: r["row_id"] for r in ranked.collect()}
+    assert first == second

@@ -49,7 +49,15 @@ def norm_cell(v):
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
     if hasattr(v, "isoformat"):  # datetime/date — compare on ISO text
-        return v.isoformat().replace("+00:00", "")
+        # Type-tag tz-awareness: the driver's pandas canon treats tz-aware
+        # (datetime64[ns, UTC]) and naive (datetime64[ns]) as DIFFERENT
+        # schemas — stripping "+00:00" here masked exactly that failure
+        # class in r2 (t_tumbling_counts / t_sliding_counts: DuckDB
+        # to_timestamp() yields TIMESTAMPTZ). A tz-aware cell must NOT
+        # compare equal to its naive twin.
+        if getattr(v, "tzinfo", None) is not None:
+            return ("ts-tz", v.isoformat())
+        return ("ts", v.isoformat())
     if isinstance(v, bytes):
         return v.hex()
     return v
