@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import track
 from ..functions.text import normalized_fingerprint, word_shingles, ws_tokens
 from ..partitioning import ensure_parallelism
 
@@ -179,7 +180,7 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16, num_perm: int = 
     # plan computes the 64-permutation projection for BOTH sides (alias
     # exprIds defeat ReuseExchange). At corpus scale this is the signature
     # checkpoint every MinHash pipeline writes anyway.
-    banded = _banded_signatures(signatures, bands, num_perm).persist()
+    banded = track(_banded_signatures(signatures, bands, num_perm).persist())
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -282,7 +283,7 @@ def minhash_near_dups(
     projection (zero shuffle) and verification joins arrays to the LSH
     candidate pairs — the only shuffles are the band-key self-join and the
     two keyed candidate joins."""
-    arrays = _shingle_arrays(df, text_col, id_col, shingle_words, hashed=True).persist()
+    arrays = track(_shingle_arrays(df, text_col, id_col, shingle_words, hashed=True).persist())
     sigs = minhash_signatures(arrays, num_perm)
     cands = lsh_candidate_pairs(sigs, bands, num_perm)
     return jaccard_for_candidates(arrays, cands, min_jaccard)
@@ -293,6 +294,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    small_graph_edges: int = 2_000_000,
 ) -> DataFrame:
     """Cluster near-dup pairs into components: (node, cluster_id) where
     ``cluster_id`` is the minimum node id in the component — the canonical
@@ -316,7 +318,7 @@ def connected_components(
             )
         ).alias("e")
     ).select("e.u", "e.v")
-    und = und.persist()
+    und = track(und.persist())
     # Materialize the (possibly expensive) edge lineage exactly once, and
     # size the iterative state to the GRAPH, not the session shuffle width:
     # a dedup edge set is typically orders of magnitude smaller than the
@@ -324,6 +326,41 @@ def connected_components(
     # task scheduling — narrow-coalescing the cached edges shrinks every
     # downstream map side, and AQE coalesces the reduce sides to match.
     n_und = und.count()
+    # Adaptive small-graph path (the AQE philosophy applied to the graph
+    # op): the edge count is already on the driver, so when the whole edge
+    # set fits comfortably (bounded by the threshold — dedup edge sets at
+    # sf<=10 are a few hundred rows; even 1M pairs is ~32 MB) run
+    # union-find locally and skip the per-round join jobs entirely.
+    # Identical output (min-id component labels) by construction; the
+    # distributed label propagation below remains the path for corpus-scale
+    # edge sets.
+    if n_und <= small_graph_edges:  # both orientations: ≤1M input pairs
+        pairs = und.collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in pairs:
+            ra, rb = find(r["u"]), find(r["v"])
+            if ra != rb:
+                # union by min: smaller id becomes the root
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        nodes = {x for r in pairs for x in (r["u"], r["v"])}
+        out = [(x, find(x)) for x in sorted(nodes)]
+        und.unpersist()
+        spark = edges.sparkSession
+        schema = und.select(
+            F.col("u").alias("node"), F.col("v").alias("cluster_id")
+        ).schema
+        return spark.createDataFrame(out, schema)
     target_parts = int(n_und // 2_000_000) + 1
     if target_parts < und.rdd.getNumPartitions():
         und = und.coalesce(target_parts)
@@ -448,7 +485,7 @@ def prefix_filtered_pairs(
     # (measured 2.7× wall on llm_ngram_jaccard at sf0.1). Freed by the
     # harness clearCache, like every persist whose lifetime spans the
     # returned plan.
-    shingle_arrays = shingle_arrays.persist()
+    shingle_arrays = track(shingle_arrays.persist())
     sh = shingle_arrays.select(
         "doc", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle")
     )
@@ -504,7 +541,7 @@ def containment_filtered_pairs(
         "doc", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle")
     )
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
-    indexed = sh.join(freq, "shingle").persist()
+    indexed = track(sh.join(freq, "shingle").persist())
     needed = F.ceil(F.lit(min_containment) * F.col("n"))
     # A-side probe: rarest (n - ceil(t*n) + 1) tokens per doc.
     ordered = indexed.groupBy("doc", "n").agg(

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import track
 from .dedup import _shingle_arrays
 
 
@@ -36,7 +37,7 @@ def minhash_near_dups_ml(
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
     # persist: the self-join below references the vectorized table twice,
     # and alias exprIds defeat ReuseExchange (NOTES.md lesson 3).
-    vectorized = tf.transform(sh).persist()
+    vectorized = track(tf.transform(sh).persist())
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
     model = lsh.fit(vectorized)
     joined = model.approxSimilarityJoin(

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..caching import track
+
 
 def label_propagation(
     edges: DataFrame,
@@ -68,4 +70,4 @@ def label_propagation(
         labels.unpersist()
         labels = new_labels
     sym.unpersist()
-    return labels
+    return track(labels)

@@ -54,6 +54,7 @@ def merge_apply_cdc(
     keys: list[str],
     op_col: str = "op",
     order_col: str | None = None,
+    validate: bool = False,
 ) -> DataFrame:
     """Full CDC apply: ``cdc`` rows carry an op marker — ``'U'``/``'I'``
     rows win on their key (upsert), ``'D'`` rows delete their key. One
@@ -67,7 +68,24 @@ def merge_apply_cdc(
     union, duplicating keys. Pass ``order_col`` (a change sequence /
     timestamp column on ``cdc``) to apply only the LATEST op per key —
     one row_number window over the cdc side (the small side; the target is
-    never windowed)."""
+    never windowed). ``validate=True`` asserts the precondition with one
+    aggregate job over the cdc side and raises instead of silently
+    duplicating keys (VERDICT r2 minor-debt item)."""
+    if validate and order_col is None:
+        dup = (
+            cdc.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            bad = {k: dup[0][k] for k in keys}
+            raise ValueError(
+                f"merge_apply_cdc without order_col requires at most one cdc "
+                f"row per key; key {bad} has {dup[0]['_n']} — pass order_col "
+                f"to collapse to the latest op per key"
+            )
     if order_col is not None:
         from pyspark.sql import Window
 

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..caching import track
+
 
 def pagerank(
     edges: DataFrame,
@@ -67,6 +69,7 @@ def _pagerank_loop(
         .distinct()
         .persist()
     )
+    track(nodes)
     n = nodes.count()  # one job; the scalar parameterizes the closed form
 
     out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("out_deg"))
@@ -78,6 +81,7 @@ def _pagerank_loop(
         .repartition("node")
         .persist()
     )
+    track(arcs)
     arcs.count()  # materialize before the loop so iterations reuse, not rebuild
 
     # The rank vector carries a has_out flag so dangling mass each

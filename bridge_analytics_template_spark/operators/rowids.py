@@ -31,6 +31,41 @@ def _key_struct(order_cols: list[str]) -> Column:
     return F.struct(*[F.col(c) for c in order_cols])
 
 
+def deterministic_bounds(
+    df: DataFrame, order_cols: list[str], num_partitions: int, n: int
+) -> list[tuple]:
+    """Evenly spaced range-boundary keys from a deterministic hash sample —
+    shared by :func:`assign_contiguous_ids` and
+    ``operators.prefix.partitioned_cumsum``. Empty list = one bucket
+    (small inputs skip the sample job)."""
+    if n <= num_partitions * _SAMPLE_PER_BUCKET:
+        return []
+    mod = max(1, n // (num_partitions * _SAMPLE_PER_BUCKET))
+    sampled = (
+        df.select(*order_cols)
+        .where(F.pmod(F.xxhash64(*order_cols), F.lit(mod)) == 0)
+        .collect()
+    )
+    keys = sorted(tuple(r) for r in sampled if all(x is not None for x in r))
+    if not keys:
+        return []
+    n_buckets = min(num_partitions, len(keys))
+    return [keys[(i * len(keys)) // n_buckets] for i in range(1, n_buckets)]
+
+
+def bucket_expression(df: DataFrame, order_cols: list[str], bounds: list[tuple]) -> Column:
+    """bucket(row) = #boundaries <= row's key — a pure row function, so the
+    routing is identical on every (re)execution."""
+    if not bounds:
+        return F.lit(0)
+    key = _key_struct(order_cols)
+    key_type = df.select(key.alias("k")).schema["k"].dataType
+    lit_bounds = [
+        F.struct(*[F.lit(v) for v in b]).cast(key_type) for b in bounds
+    ]
+    return sum([(key >= b).cast("int") for b in lit_bounds], F.lit(0)).cast("int")
+
+
 def assign_contiguous_ids(
     df: DataFrame,
     order_col: str | list[str],
@@ -45,7 +80,6 @@ def assign_contiguous_ids(
     ids routing-dependent.
     """
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
-    key = _key_struct(order_cols)
 
     # Job 1: size the data (column-pruned count — the adaptive sample rate
     # needs n; a fixed rate either floods the driver at corpus scale or
@@ -59,32 +93,8 @@ def assign_contiguous_ids(
     # Small inputs (vocabularies, per-group aggregates) skip the sample AND
     # the counts job: one bucket, offsets trivially {0: 0} — a single-task
     # sort of a few thousand rows, two jobs total like the old recipe.
-    if n <= num_partitions * _SAMPLE_PER_BUCKET:
-        bounds = []
-    else:
-        mod = max(1, n // (num_partitions * _SAMPLE_PER_BUCKET))
-        sampled = (
-            df.select(*order_cols)
-            .where(F.pmod(F.xxhash64(*order_cols), F.lit(mod)) == 0)
-            .collect()
-        )
-        keys = sorted(tuple(r) for r in sampled if all(x is not None for x in r))
-        n_buckets = min(num_partitions, max(1, len(keys)))
-        # Evenly spaced boundary keys; bucket(row) = #boundaries <= row_key.
-        bounds = [keys[(i * len(keys)) // n_buckets] for i in range(1, n_buckets)]
-
-    if bounds:
-        lit_bounds = [
-            F.struct(*[F.lit(v) for v in b]).cast(
-                df.select(key.alias("k")).schema["k"].dataType
-            )
-            for b in bounds
-        ]
-        bucket_expr = sum(
-            [(key >= b).cast("int") for b in lit_bounds], F.lit(0)
-        ).cast("int")
-    else:
-        bucket_expr = F.lit(0)
+    bounds = deterministic_bounds(df, order_cols, num_partitions, n)
+    bucket_expr = bucket_expression(df, order_cols, bounds)
 
     # Job 3: per-bucket counts -> offsets (num_partitions ints on the driver).
     if not bounds:

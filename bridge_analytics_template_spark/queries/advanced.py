@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load, scratch_path
 from ..functions.text import word_shingles, ws_tokens
+from ..caching import track
 from .registry import query
 
 # --- Heavy hitters: local-candidate prune + exact verify -------------------
@@ -157,6 +158,7 @@ def graph_shortest_paths(spark, sf_dir):
         .select("a.src", "a.dst")
         .persist()  # reused by every BFS level
     )
+    track(bi)
     dist = (
         bi.select(F.col("src").alias("node"))
         .where(F.col("node") % 50 == 0)
@@ -173,7 +175,7 @@ def graph_shortest_paths(spark, sf_dir):
         fresh = expanded.join(dist.select("node"), "node", "left_anti").withColumn(
             "hops", F.lit(h)
         )
-        dist = dist.union(fresh).persist()
+        dist = track(dist.union(fresh).persist())
         frontier = fresh
     return (
         dist.groupBy("hops")
@@ -293,6 +295,7 @@ def q_assoc_rules(spark, sf_dir):
         .distinct()
         .persist()  # three appearances (pair self-join + brand counts + total)
     )
+    track(ob)
     n_orders = ob.agg(F.countDistinct("okey").alias("n_orders"))
     bc = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("bn"))
     a, b = ob.alias("a"), ob.alias("b")
@@ -844,6 +847,7 @@ def llm_pmi_pairs(spark, sf_dir):
         .select("tok", "df")
         .persist()  # three appearances (prune + two count joins)
     )
+    track(df_)
     hot = dt.join(F.broadcast(df_.select("tok")), "tok").select("doc_id", "tok")
     a, b = hot.alias("a"), hot.alias("b")
     pairs = (
@@ -1511,6 +1515,7 @@ def profile_distribution_drift(spark, sf_dir):
         )
         .persist()  # reused for the total and the per-bucket rows
     )
+    track(j)
     tots = j.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
     withT = j.crossJoin(F.broadcast(tots))
     num = F.abs(F.col("n1") * F.col("t2") - F.col("n2") * F.col("t1"))
@@ -1556,7 +1561,7 @@ def events_dau_wau(spark, sf_dir):
     over raw events. Stickiness stays an exact integer ppm."""
     e = load(spark, sf_dir, "events")
     day = (F.unix_timestamp("ts") / F.lit(86400)).cast("long")
-    du = e.select(day.alias("d"), "user_id").distinct().persist()
+    du = track(e.select(day.alias("d"), "user_id").distinct().persist())
     dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
     credit = du.select(
         F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("d"), "user_id"
@@ -1785,9 +1790,9 @@ def llm_vocab_overlap(spark, sf_dir):
     deduped inverted index; the pair join is keyed on the token and
     bounded by true sharing, with only |langs| choose 2 output rows."""
     d = load(spark, sf_dir, "documents")
-    lt = d.select(
+    lt = track(d.select(
         "lang", F.explode_outer(ws_tokens("text")).alias("tok")
-    ).distinct().persist()
+    ).distinct().persist())
     sizes = lt.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     a, b = lt.alias("a"), lt.alias("b")
     inter = (

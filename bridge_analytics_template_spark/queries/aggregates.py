@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions.numeric import davg, dmoney, dsum, sql_davg, sql_dsum, sql_money
+from ..caching import track
 from .registry import query
 
 
@@ -114,7 +115,7 @@ def agg_hll_sketch(spark, sf_dir):
     per-priority sketches; estimate accuracy vs exact distinct is asserted
     in tests/test_aggregates.py."""
     o = load(spark, sf_dir, "orders")
-    per = (
+    per = track(
         o.groupBy("o_orderpriority")
         .agg(F.hll_sketch_agg("o_custkey").alias("sk"), F.count(F.lit(1)).alias("n_rows"))
         .persist()  # read twice: leaf rows + the union rollup
@@ -400,7 +401,7 @@ def agg_hll_intersect(spark, sf_dir):
     half = F.when(
         F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"), "early"
     ).otherwise("late")
-    per = o.groupBy(half.alias("half")).agg(F.hll_sketch_agg("o_custkey").alias("sk")).persist()
+    per = track(o.groupBy(half.alias("half")).agg(F.hll_sketch_agg("o_custkey").alias("sk")).persist())
     singles = per.select(
         "half", F.hll_sketch_estimate("sk").cast("long").alias("est_distinct")
     )

@@ -990,3 +990,61 @@ def w_running_distinct(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "agg_crosstab",
+    sql="""
+    PIVOT (SELECT c_mktsegment AS c_mktsegment_c_nationkey, c_nationkey
+           FROM customer)
+    ON c_nationkey USING count(*) GROUP BY c_mktsegment_c_nationkey
+    ORDER BY c_mktsegment_c_nationkey
+    """,
+)
+def agg_crosstab(spark, sf_dir):
+    """DataFrameStatFunctions surface: ``df.stat.crosstab`` — the pairwise
+    contingency table (segment × nation counts). Physically one partial+
+    final pivot aggregate: cells shuffle as (row-key, 25 counts), never as
+    raw rows. The oracle is DuckDB's PIVOT over the same pair; both engines
+    name value columns by the stringified nation key and fill absent cells
+    with zero, and both discover the column set FROM the data — so the
+    schemas agree even if a regenerated fixture drops a nation."""
+    c = load(spark, sf_dir, "customer")
+    out = c.stat.crosstab("c_mktsegment", "c_nationkey")
+    return out.orderBy("c_mktsegment_c_nationkey")
+
+
+@query(
+    "profile_observe",
+    sql="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(l_quantity) AS BIGINT) AS total_qty,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_key
+    FROM lineitem
+    """,
+)
+def profile_observe(spark, sf_dir):
+    """``Observation`` / CollectMetrics surface — pipeline health metrics
+    computed ON the main pass (one CollectMetrics node over the scan; at
+    scale the metrics ride the job you were already running instead of a
+    second full read; `sources/sink.py::write_partitioned_observed` is the
+    write-path twin). The observed values are returned as a 1-row frame
+    and oracle-checked against the straight aggregate."""
+    from pyspark.sql import Observation
+
+    l = load(spark, sf_dir, "lineitem")
+    obs = Observation("lineitem_metrics")
+    observed = l.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # drive the pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["total_qty"], m["min_key"], m["max_key"])],
+        "n_rows long, total_qty long, min_key long, max_key long",
+    )

@@ -37,6 +37,7 @@ from ..llm.dedup import (
 from ..llm.multimodal import attach_binary, extract_features
 from ..llm.similarity import blocked_cosine_pairs, knn_bruteforce_np, knn_lsh
 from ..functions.text import STOPWORDS
+from ..caching import track
 from .registry import query
 
 # DuckDB renderings shared by the text oracles.
@@ -411,7 +412,7 @@ def llm_tfidf(spark, sf_dir):
     division matches IEEE on both engines. Plan: two hash aggs + a
     broadcast of df per token + WindowGroupLimit top-3 per doc."""
     d = load(spark, sf_dir, "documents")
-    tf = (
+    tf = track(
         d.select("doc_id", F.explode_outer(ws_tokens("text")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -610,7 +611,7 @@ def llm_dedup_cascade(spark, sf_dir):
     k1 = d.withColumn("rn", F.row_number().over(w_exact)).filter("rn = 1").drop("rn")
     n_k1 = k1.count()
     w_norm = Window.partitionBy(normalized_fingerprint(F.col("text"))).orderBy("doc_id")
-    k2 = k1.withColumn("rn", F.row_number().over(w_norm)).filter("rn = 1").drop("rn").persist()
+    k2 = track(k1.withColumn("rn", F.row_number().over(w_norm)).filter("rn = 1").drop("rn").persist())
     n_k2 = k2.count()
     arrays = _shingle_arrays(k2, "text", "doc_id", 5, hashed=True)
     near = (
@@ -819,9 +820,9 @@ def llm_crossdup_jaccard(spark, sf_dir):
     values."""
     d = load(spark, sf_dir, "documents")
     arrays = _shingle_arrays(d, "text", "doc_id", 5, hashed=True)
-    sh = arrays.select(
+    sh = track(arrays.select(
         "doc", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle")
-    ).persist()
+    ).persist())
     a = sh.filter(F.col("doc") % 2 == 1).alias("a")
     b = sh.filter(F.col("doc") % 2 == 0).alias("b")
     inter = (
@@ -858,7 +859,7 @@ def llm_crossdup_minhash(spark, sf_dir):
     from ..llm.dedup import jaccard_for_candidates, lsh_cross_candidate_pairs, minhash_signatures
 
     d = load(spark, sf_dir, "documents")
-    arrays = _shingle_arrays(d, "text", "doc_id", 5, hashed=True).persist()
+    arrays = track(_shingle_arrays(d, "text", "doc_id", 5, hashed=True).persist())
     new_a = arrays.filter(F.col("doc") % 2 == 1)
     old_a = arrays.filter(F.col("doc") % 2 == 0)
     cand = lsh_cross_candidate_pairs(minhash_signatures(new_a), minhash_signatures(old_a))
@@ -936,7 +937,7 @@ def llm_bm25_topk(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.size(ws_tokens("text"))).cast("long").alias("l"),
     )
-    tf = (
+    tf = track(
         toks.join(F.broadcast(probe), "tok")
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))

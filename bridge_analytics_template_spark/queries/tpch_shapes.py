@@ -28,6 +28,7 @@ from ..functions.numeric import (
     sql_usum,
     usum,
 )
+from ..caching import track
 from .registry import query
 
 _DISC_U4 = f"{sql_money_units('l_extendedprice')} * (100 - {sql_rate_units('l_discount')})"
@@ -229,9 +230,9 @@ def q_top_supplier(spark, sf_dir):
         (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp"))
     )
-    rev = l.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+    rev = track(l.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
         usum(_disc_u4(), 4, "total_revenue")
-    ).persist()
+    ).persist())
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     top = rev.crossJoin(F.broadcast(mx)).filter(F.col("total_revenue") == F.col("mx"))
     s = load(spark, sf_dir, "supplier")

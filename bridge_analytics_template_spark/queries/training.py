@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..catalog import load
 from ..functions.text import ws_tokens
 from ..llm.packing import pack_sequences
+from ..caching import track
 from .registry import query
 
 _SQL_TOKENS = "string_split_regex(trim(lower(text)), '\\s+')"
@@ -57,7 +58,7 @@ def train_vocab_encode(spark, sf_dir):
     # recompute the full tokenize+groupBy lineage from scratch (measured
     # ~2x wall on this query). The aggregate is |vocab types| rows — cheap
     # to cache; freed by the harness clearCache.
-    counts = (
+    counts = track(
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("_negcnt", -F.col("cnt"))

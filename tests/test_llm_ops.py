@@ -520,3 +520,24 @@ def test_compression_ratio_matches_zlib(spark, sf_dir):
     assert zlib.compress(b"spam " * 200, 6).__len__() * 100 // 1000 < min(
         r.ratio_pct for r in rows
     )
+
+
+def test_connected_components_paths_agree(spark):
+    """The adaptive small-graph (driver union-find) and distributed
+    (min-label propagation) paths must produce identical labels."""
+    from bridge_analytics_template_spark.llm.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 9), (7, 3), (10, 11), (11, 12), (12, 10)],
+        "doc_a long, doc_b long",
+    )
+    small = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(edges).collect()
+    }
+    dist = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(edges, small_graph_edges=0).collect()
+    }
+    assert small == dist
+    assert (3, 1) in small and (12, 10) in small and (6, 5) in small

@@ -101,3 +101,37 @@ def test_merge_apply_cdc_latest_op_per_key(spark):
         for r in merge_apply_cdc(target, cdc, ["k"], order_col="seq").collect()
     }
     assert got == {(1, "a2"), (3, "x1")}
+
+
+def test_merge_apply_cdc_validate_raises_on_dup_key(spark):
+    """validate=True without order_col raises instead of silently
+    duplicating a key that carries several ops (VERDICT r2 debt item)."""
+    import pytest
+
+    from bridge_analytics_template_spark.operators.merge import merge_apply_cdc
+
+    target = spark.createDataFrame([(1, "a")], "k long, v string")
+    cdc = spark.createDataFrame(
+        [(1, "x", "I"), (1, "y", "U")], "k long, v string, op string"
+    )
+    with pytest.raises(ValueError, match="at most one cdc row per key"):
+        merge_apply_cdc(target, cdc, ["k"], validate=True)
+    # clean cdc passes under validate
+    ok = merge_apply_cdc(
+        target, spark.createDataFrame([(2, "b", "I")], "k long, v string, op string"),
+        ["k"], validate=True,
+    ).collect()
+    assert {(r["k"], r["v"]) for r in ok} == {(1, "a"), (2, "b")}
+
+
+def test_caching_release_all_unpersists_tracked(spark):
+    """Library-consumer hygiene: release_all() unpersists every persist a
+    pipeline tracked, without touching untracked caches."""
+    from bridge_analytics_template_spark.caching import release_all, track
+
+    df = track(spark.range(100).persist())
+    df.count()
+    assert df.storageLevel.useMemory
+    n = release_all()
+    assert n >= 1
+    assert not df.storageLevel.useMemory
