@@ -541,3 +541,29 @@ def test_connected_components_paths_agree(spark):
     }
     assert small == dist
     assert (3, 1) in small and (12, 10) in small and (6, 5) in small
+
+
+def test_minhash_oracle_recall_on_current_fixture(spark, sf_dir):
+    """llm_dedup_minhash's oracle (r3) is the EXACT pair set at j >= 0.5 —
+    sound only while LSH recall over the threshold region is 1 on the
+    CURRENT fixture. This pins that assumption against fixture
+    regeneration: the banded candidates ∩ exact-verify must equal the
+    plain exact join at the same threshold."""
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.llm.dedup import (
+        _shingle_arrays,
+        exact_jaccard_pairs,
+        minhash_near_dups,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_dups(d, min_jaccard=0.5).collect()
+    }
+    arrays = _shingle_arrays(d, "text", "doc_id", 5, hashed=True)
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in exact_jaccard_pairs(arrays, min_jaccard=0.5).collect()
+    }
+    assert got == want
