@@ -30,13 +30,16 @@ from . import advanced  # noqa: E402,F401
 # --- Verification-window curation -------------------------------------------
 # The driver's correctness gate checks the FIRST 50 registered queries in
 # registration order. Import order above is the natural grouping; this
-# explicit window re-ranks the registry so those 50 slots SAMPLE EVERY
-# FAMILY — bridge semantics, the LLM-pipeline operators, curation, event/
-# session analytics, the pandas-UDF surface — instead of burning all 50 on
-# the relational core (round-1 outcome: 175 queries had no official row).
-# flagship stays first (driver smoke check). Families already driver-green
-# in round 1 rotate out; they remain in the registry and the local gate
-# (tools/check_oracle.py) still runs all of them.
+# explicit window re-ranks the registry so those 50 slots are spent where
+# they buy new official signal. flagship stays first (driver smoke check).
+# Queries already driver-green rotate out; they remain in the registry and
+# the local gate (tools/check_oracle.py) still runs all of them.
+#
+# From r4 on the window is DERIVED from the accumulated CORRECTNESS ledger
+# (_auto_window below): flagship, then every name whose latest official row
+# failed, then names never officially checked (registration order), then
+# the rest. The static list is the r3 hand-curated window, kept as the
+# fallback if the ledger files are unreadable.
 _WINDOW = [
     "flagship",
     # r2's only red rows — oracle tz fix (CAST to naive TIMESTAMP) must
@@ -102,11 +105,64 @@ _WINDOW = [
 ]
 
 
+def _auto_window(
+    window_size: int = 50,
+    ledger_glob: str = "/root/repo/CORRECTNESS_r*.json",
+    min_ledgers: int = 3,
+) -> list[str] | None:
+    """Derive the check window from the accumulated official ledger.
+
+    Priority: flagship (driver smoke) → latest-row FAILURES (a fix must
+    show green) → rows-only entries that since GAINED an oracle (upgrade
+    deserves a hash row) → never-officially-checked names in registration
+    order → everything else. Returns None (→ static fallback) when no
+    ledger newer than the static window's round exists."""
+    import glob
+    import json
+    import re
+
+    ledgers = sorted(
+        glob.glob(ledger_glob),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    if len(ledgers) < min_ledgers:  # r1+r2 are baked into the static r3 window
+        return None
+    latest: dict[str, dict] = {}
+    checked: set[str] = set()
+    try:
+        for path in ledgers:
+            rows = json.load(open(path))
+            checked.update(rows)
+            latest.update(rows)
+    except (OSError, ValueError):
+        return None
+    failed = [
+        n
+        for n, row in latest.items()
+        if n in QUERIES
+        and (row.get("hash_match") is False or row.get("rows_match") is False)
+    ]
+    upgraded = [
+        n
+        for n, row in latest.items()
+        if n in QUERIES and n in ORACLES and row.get("err") == "no_oracle"
+    ]
+    never = [n for n in QUERIES if n not in checked]
+    out: list[str] = []
+    for name in ["flagship", *failed, *upgraded, *never]:
+        if name in QUERIES and name not in out:
+            out.append(name)
+        if len(out) >= window_size:
+            break
+    return out
+
+
 def _apply_window() -> None:
-    missing = [n for n in _WINDOW if n not in QUERIES]
+    window = _auto_window() or _WINDOW
+    missing = [n for n in window if n not in QUERIES]
     if missing:
         raise RuntimeError(f"curated window references unknown queries: {missing}")
-    order = _WINDOW + [n for n in QUERIES if n not in set(_WINDOW)]
+    order = window + [n for n in QUERIES if n not in set(window)]
     for registry in (QUERIES, ORACLES):
         snapshot = dict(registry)
         registry.clear()

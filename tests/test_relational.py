@@ -153,3 +153,38 @@ def test_assign_contiguous_ids_recompute_deterministic(spark, sf_dir):
     spark.catalog.clearCache()
     second = {r["o_orderkey"]: r["row_id"] for r in ranked.collect()}
     assert first == second
+
+
+def test_auto_window_rotation_rules(tmp_path):
+    """The r4+ check window derives from the official ledger: flagship
+    first, then latest-row failures, then rows-only entries that gained an
+    oracle, then never-checked names — and the static fallback engages when
+    too few ledgers exist."""
+    import json
+
+    from bridge_analytics_template_spark.queries import ORACLES, QUERIES, _auto_window
+
+    names = list(QUERIES)
+    some_oracled = next(n for n in names if n in ORACLES and n != "flagship")
+    # r1: some_oracled failed; r2: still failed; r3: a rows-only row for a
+    # query that HAS an oracle registered (upgrade case).
+    upgraded = next(
+        n for n in names if n in ORACLES and n not in ("flagship", some_oracled)
+    )
+    rows_fail = {some_oracled: {"rows_match": True, "schema_match": False, "hash_match": False, "err": None}}
+    rows_up = {upgraded: {"rows_match": None, "hash_match": None, "err": "no_oracle"}}
+    (tmp_path / "CORRECTNESS_r1.json").write_text(json.dumps(rows_fail))
+    (tmp_path / "CORRECTNESS_r2.json").write_text(json.dumps(rows_up))
+    (tmp_path / "CORRECTNESS_r3.json").write_text(json.dumps({"flagship": {"hash_match": True, "err": None}}))
+
+    got = _auto_window(window_size=10, ledger_glob=str(tmp_path / "CORRECTNESS_r*.json"))
+    assert got is not None
+    assert got[0] == "flagship"
+    assert got[1] == some_oracled  # latest row failed -> must re-check
+    assert got[2] == upgraded  # gained an oracle since its no_oracle row
+    checked = {"flagship", some_oracled, upgraded}
+    assert all(n not in checked for n in got[3:])  # rest are never-checked
+    assert len(got) == 10
+
+    # fewer ledgers than min -> static fallback
+    assert _auto_window(ledger_glob=str(tmp_path / "CORRECTNESS_r*.json"), min_ledgers=4) is None
