@@ -19,10 +19,19 @@ def write_partitioned(
     base_path: str,
     partition_cols: tuple[str, ...] = ("app", "study"),
     mode: str = "overwrite",
+    dynamic_overwrite: bool = False,
 ) -> str:
     """Write ``df`` under ``base_path`` partitioned by the layout columns
-    (defaults mirror the reference's ``{app}/{study}``)."""
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(base_path)
+    (defaults mirror the reference's ``{app}/{study}``).
+
+    ``dynamic_overwrite=True`` replaces only the partitions present in
+    ``df`` (partitionOverwriteMode=dynamic) — the multi-study semantics:
+    re-provisioning one study must not wipe its siblings under the shared
+    bucket."""
+    writer = df.write.mode(mode).partitionBy(*partition_cols)
+    if dynamic_overwrite:
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.parquet(base_path)
     return base_path
 
 
