@@ -135,8 +135,11 @@ def llm_dedup_clusters(spark, sf_dir):
     r3 (VERDICT task 5): edges come from the EXACT prefix-filtered
     self-join (PPJoin) at j >= 0.5, not the full inverted-index join at
     0.05 — the low-threshold index join is quadratic in hub posting lists
-    at corpus scale. Same answer (exact algorithm, exact verify), scale-
-    correct plan; guarded by test_cluster_edges_use_prefix_filter."""
+    at corpus scale (vacuous prefixes). Same answer (exact algorithm,
+    exact verify), scale-correct plan; guarded by
+    test_cluster_edges_use_prefix_filter. The MinHash-LSH edge tier is the
+    sibling llm_dedup_clusters_lsh (same oracle, probabilistic edge
+    build)."""
     d = load(spark, sf_dir, "documents")
     # Hashed (long) shingles: the clustering only consumes the PAIR SET, so
     # the strings never need to survive tokenization — same pairs as the
@@ -359,14 +362,37 @@ def profile_documents(spark, sf_dir):
     return profile(load(spark, sf_dir, "documents"))
 
 
-@query("llm_dedup_clusters_lsh")  # rows-only: LSH candidate recall is not SQL
+@query(
+    "llm_dedup_clusters_lsh",
+    sql=f"""
+    WITH RECURSIVE
+    {_SQL_EDGES},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach
+    GROUP BY node ORDER BY doc_id
+    """,
+)
 def llm_dedup_clusters_lsh(spark, sf_dir):
-    """L2f: the SCALE path of near-dup clustering — edges from the full
-    MinHash-LSH cascade at jaccard >= 0.5 (where 16-band/4-row LSH recall
-    is ~1), then connected components. Unlike llm_dedup_clusters (exact
-    inverted-index edges at 0.05, oracle-checked), this never scores
-    all pairs sharing a shingle: cost is the banded self-join + candidate
-    verification, the shape that survives a corpus-sized input."""
+    """L2f: the LSH-edge path of near-dup clustering — edges from the full
+    MinHash-LSH cascade at jaccard >= 0.5, then connected components.
+    Unlike llm_dedup_clusters (exact prefix-filtered edges, same oracle),
+    this never even FORMS non-colliding pairs: cost is the banded
+    self-join + candidate verification, the cheapest corpus-scale shape.
+
+    Oracle upgrade (r3, was rows-only): the recursive-CTE closure over the
+    EXACT edge set at j >= 0.5 — identical to the LSH-edge closure
+    whenever banding recall over the threshold region is 1, the same
+    per-fixture equality llm_dedup_minhash's oracle rides, pinned by
+    tests/test_llm_ops.py::test_minhash_oracle_recall_on_current_fixture."""
     from ..llm.dedup import minhash_near_dups
 
     d = load(spark, sf_dir, "documents")
