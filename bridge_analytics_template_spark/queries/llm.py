@@ -846,7 +846,28 @@ def llm_crossdup_jaccard(spark, sf_dir):
     )
 
 
-@query("llm_crossdup_minhash")  # rows-only: LSH candidate tier, exact-verified
+@query(
+    "llm_crossdup_minhash",
+    sql=f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, unnest(list_distinct({_SQL_SHINGLES5})) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS new_doc, b.doc AS old_doc, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.doc % 2 = 1 AND b.doc % 2 = 0
+      GROUP BY 1, 2
+    )
+    SELECT i.new_doc, i.old_doc, i.n_inter
+    FROM inter i
+    JOIN sizes sa ON i.new_doc = sa.doc
+    JOIN sizes sb ON i.old_doc = sb.doc
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
+    ORDER BY new_doc, old_doc
+    """,
+)
 def llm_crossdup_minhash(spark, sf_dir):
     """The SCALE tier of cross-corpus near-dedup: MinHash signatures on
     both halves, cross-banded candidate join
@@ -855,7 +876,12 @@ def llm_crossdup_minhash(spark, sf_dir):
     emitted pair is exactly verified); recall vs the exact inverted-index
     cross join is the LSH band guarantee, asserted in
     tests/test_llm_ops.py. This is what llm_crossdup_jaccard demotes to
-    at corpus scale."""
+    at corpus scale.
+
+    Oracle upgrade (r3, was rows-only): exact cross-half pair set at
+    j >= 0.5 — valid while banding recall over the threshold region is 1
+    on the current fixture, pinned per-fixture by
+    tests/test_llm_ops.py::test_crossdup_minhash_oracle_recall."""
     from ..llm.dedup import jaccard_for_candidates, lsh_cross_candidate_pairs, minhash_signatures
 
     d = load(spark, sf_dir, "documents")

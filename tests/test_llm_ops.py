@@ -567,3 +567,48 @@ def test_minhash_oracle_recall_on_current_fixture(spark, sf_dir):
         for r in exact_jaccard_pairs(arrays, min_jaccard=0.5).collect()
     }
     assert got == want
+
+
+def test_crossdup_minhash_oracle_recall(spark, sf_dir):
+    """llm_crossdup_minhash's oracle (r3) is the exact cross-half pair set
+    at j >= 0.5 — pin cross-banded LSH recall == 1 on the current fixture
+    (same contract as test_minhash_oracle_recall_on_current_fixture)."""
+    from pyspark.sql import functions as F
+
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.llm.dedup import (
+        _shingle_arrays,
+        jaccard_for_candidates,
+        lsh_cross_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    arrays = _shingle_arrays(d, "text", "doc_id", 5, hashed=True).persist()
+    new_a = arrays.filter(F.col("doc") % 2 == 1)
+    old_a = arrays.filter(F.col("doc") % 2 == 0)
+    cand = lsh_cross_candidate_pairs(minhash_signatures(new_a), minhash_signatures(old_a))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_for_candidates(arrays, cand, min_jaccard=0.5).collect()
+    }
+    sa = new_a.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = old_a.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    exact = (
+        sa.crossJoin(sb)
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / (
+                    F.size("sh_a") + F.size("sh_b")
+                    - F.size(F.array_intersect("sh_a", "sh_b"))
+                ).cast("double")
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= 0.5)
+    )
+    want = {(r["doc_a"], r["doc_b"]) for r in exact.collect()}
+    arrays.unpersist()
+    assert got == want
