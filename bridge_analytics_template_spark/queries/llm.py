@@ -46,6 +46,14 @@ _SQL_SHINGLES5 = (
     f"list_transform(generate_series(1, greatest(len({_SQL_TOKENS}) - 4, 0)), "
     f"i -> array_to_string({_SQL_TOKENS}[i:i+4], ' '))"
 )
+# Short-doc padding parity with _shingle_arrays: a doc below the shingle
+# width contributes its whole text as ONE shingle (so it can still match).
+# Oracles over shingle sets must use this padded form, or a regenerated
+# fixture containing a <5-token document would silently diverge.
+_SQL_SHINGLES5_PADDED = (
+    f"CASE WHEN len({_SQL_SHINGLES5}) > 0 THEN list_distinct({_SQL_SHINGLES5}) "
+    f"ELSE [array_to_string({_SQL_TOKENS}, ' ')] END"
+)
 
 
 @query(
@@ -79,7 +87,7 @@ def llm_dedup_normalized(spark, sf_dir):
     "llm_dedup_minhash",
     sql=f"""
     WITH sh AS (
-      SELECT doc_id AS doc, unnest(list_distinct({_SQL_SHINGLES5})) AS shingle
+      SELECT doc_id AS doc, unnest({_SQL_SHINGLES5_PADDED}) AS shingle
       FROM documents
     ),
     sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
@@ -126,7 +134,7 @@ def llm_dedup_simhash(spark, sf_dir):
     "llm_ngram_jaccard",
     sql=f"""
     WITH sh AS (
-      SELECT doc_id AS doc, unnest(list_distinct({_SQL_SHINGLES5})) AS shingle
+      SELECT doc_id AS doc, unnest({_SQL_SHINGLES5_PADDED}) AS shingle
       FROM documents
     ),
     sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
@@ -442,7 +450,7 @@ def llm_tfidf(spark, sf_dir):
     "llm_simjoin_prefix",
     sql=f"""
     WITH sh AS (
-      SELECT doc_id AS doc, unnest(list_distinct({_SQL_SHINGLES5})) AS shingle
+      SELECT doc_id AS doc, unnest({_SQL_SHINGLES5_PADDED}) AS shingle
       FROM documents
     ),
     sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
@@ -576,7 +584,7 @@ k2 AS (SELECT MIN(doc_id) AS doc_id FROM d1
        GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
                                         '\\s+', ' ', 'g')))),
 d2 AS (SELECT d.* FROM d1 d JOIN k2 USING (doc_id)),
-sh AS (SELECT doc_id AS doc, unnest(list_distinct({_SQL_SHINGLES5})) AS shingle FROM d2),
+sh AS (SELECT doc_id AS doc, unnest({_SQL_SHINGLES5_PADDED}) AS shingle FROM d2),
 sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
 pairs AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
@@ -631,7 +639,7 @@ def llm_dedup_cascade(spark, sf_dir):
     "llm_ngram_novelty",
     sql=f"""
     WITH sh AS (
-      SELECT doc_id AS doc, unnest(list_distinct({_SQL_SHINGLES5})) AS shingle
+      SELECT doc_id AS doc, unnest({_SQL_SHINGLES5_PADDED}) AS shingle
       FROM documents),
     firsts AS (SELECT shingle, MIN(doc) AS first_doc FROM sh GROUP BY shingle)
     SELECT s.doc AS doc_id,
@@ -669,7 +677,7 @@ def llm_ngram_novelty(spark, sf_dir):
     "llm_containment_pairs",
     sql=f"""
     WITH sh AS (
-      SELECT doc_id AS doc, unnest(list_distinct({_SQL_SHINGLES5})) AS shingle
+      SELECT doc_id AS doc, unnest({_SQL_SHINGLES5_PADDED}) AS shingle
       FROM documents),
     sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
     inter AS (
@@ -790,7 +798,7 @@ def llm_ann_recall_report(spark, sf_dir):
     "llm_crossdup_jaccard",
     sql=f"""
     WITH sh AS (
-      SELECT doc_id AS doc, unnest(list_distinct({_SQL_SHINGLES5})) AS shingle
+      SELECT doc_id AS doc, unnest({_SQL_SHINGLES5_PADDED}) AS shingle
       FROM documents),
     a AS (SELECT * FROM sh WHERE doc % 2 = 1),
     b AS (SELECT * FROM sh WHERE doc % 2 = 0),
@@ -850,7 +858,7 @@ def llm_crossdup_jaccard(spark, sf_dir):
     "llm_crossdup_minhash",
     sql=f"""
     WITH sh AS (
-      SELECT doc_id AS doc, unnest(list_distinct({_SQL_SHINGLES5})) AS shingle
+      SELECT doc_id AS doc, unnest({_SQL_SHINGLES5_PADDED}) AS shingle
       FROM documents
     ),
     sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
