@@ -133,12 +133,42 @@ def train_mixture_sample(spark, sf_dir):
     )
 
 
-@query("train_pack_sequences")  # rows-only: greedy packing is order-dependent, not SQL
+@query(
+    "train_pack_sequences",
+    sql="""
+    WITH RECURSIVE sized AS (
+      SELECT doc_id,
+             least(len(string_split_regex(trim(lower(text)), '\\s+')), 512) AS n,
+             CAST(doc_id % 32 AS INTEGER) AS bucket,
+             row_number() OVER (PARTITION BY doc_id % 32 ORDER BY doc_id) AS rn
+      FROM documents),
+    step(bucket, rn, used, pid, ndocs) AS (
+      SELECT bucket, CAST(1 AS BIGINT), n, CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+      FROM sized WHERE rn = 1
+      UNION ALL
+      SELECT s.bucket, s.rn,
+             CASE WHEN st.used + s.n > 512 THEN s.n ELSE st.used + s.n END,
+             CASE WHEN st.used + s.n > 512 THEN st.pid + 1 ELSE st.pid END,
+             CASE WHEN st.used + s.n > 512 THEN CAST(1 AS BIGINT) ELSE st.ndocs + 1 END
+      FROM step st JOIN sized s ON s.bucket = st.bucket AND s.rn = st.rn + 1)
+    SELECT bucket, pid AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(used) AS BIGINT) AS total_tokens
+    FROM step GROUP BY bucket, pid ORDER BY bucket, pack_id
+    """,
+)
 def train_pack_sequences(spark, sf_dir):
     """Sequence packing (llm/packing.py): greedy first-fit into 512-token
     training sequences, sharded over hash buckets for parallelism.
-    Determinism + budget invariants are unit-tested; the oracle check is
-    rows-only."""
+
+    Oracle upgrade (r3, was rows-only): greedy sequential packing IS
+    SQL-expressible — a lock-step recursive CTE advances every bucket one
+    document per recursion level, carrying (used, pack, ndocs) state, so
+    recursion depth is max-docs-per-bucket, not corpus size. Within a pack
+    the running `used` is non-decreasing, so MAX(used) per (bucket, pack)
+    is the pack's total. Greedy start-new-pack rule: `used + n > 512` with
+    ndocs >= 1 always true after the seed row (every pack holds >= 1 doc
+    because singles are truncated to <= 512)."""
     d = load(spark, sf_dir, "documents")
     return pack_sequences(d, seq_len=512, buckets=32).orderBy("bucket", "pack_id")
 
