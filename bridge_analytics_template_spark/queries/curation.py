@@ -415,7 +415,8 @@ _DSIR_SQL = f"""
       SELECT SUM(cnt_r) AS n_r, SUM(cnt_t) AS n_t FROM stats),
     weights AS (
       SELECT bucket,
-             (cnt_t * n_r * 1000000) // (cnt_r * n_t) AS w_ppm
+             CAST((CAST(cnt_t AS HUGEINT) * n_r * 1000000)
+                  // (CAST(cnt_r AS HUGEINT) * n_t) AS BIGINT) AS w_ppm
       FROM stats CROSS JOIN totals)
     SELECT b.doc_id,
            COUNT(*) AS n_tokens,
@@ -456,7 +457,13 @@ def llm_dsir_weights(spark, sf_dir):
     )
     weights = stats.crossJoin(F.broadcast(totals)).select(
         "bucket",
-        F.expr("(cnt_t * n_r * 1000000) div (cnt_r * n_t)").alias("w_ppm"),
+        # DECIMAL-widened (same int64-overflow fix as q_assoc_rules'
+        # lift_ppm): cnt_t*n_r*1e6 exceeds int64 once the corpus passes
+        # ~3e6 tokens per bucket x total-token product scales.
+        F.expr(
+            "CAST(cnt_t AS DECIMAL(38,0)) * n_r * 1000000"
+            " DIV (CAST(cnt_r AS DECIMAL(19,0)) * n_t)"
+        ).alias("w_ppm"),
     )
     return (
         bucketed.filter(F.col("doc_id") % 10 == 0)
