@@ -188,3 +188,21 @@ def test_auto_window_rotation_rules(tmp_path):
 
     # fewer ledgers than min -> static fallback
     assert _auto_window(ledger_glob=str(tmp_path / "CORRECTNESS_r*.json"), min_ledgers=4) is None
+
+
+def test_partitioned_cumsum_recompute_deterministic(spark, sf_dir):
+    """Same ADVICE r2 hazard class as rowids: cumsums must be identical
+    when the returned DataFrame re-executes after a cache wipe."""
+    from pyspark.sql import functions as F
+
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.operators.prefix import partitioned_cumsum
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("v")
+    )
+    out = partitioned_cumsum(o, ["o_orderkey"], "v", cum_name="cum", total_name="tot")
+    first = {r["o_orderkey"]: (r["cum"], r["tot"]) for r in out.collect()}
+    spark.catalog.clearCache()
+    second = {r["o_orderkey"]: (r["cum"], r["tot"]) for r in out.collect()}
+    assert first == second
