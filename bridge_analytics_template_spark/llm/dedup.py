@@ -396,20 +396,44 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """Tier 4 signature: 64-bit SimHash — bit *j* is the sign of the sum of
-    (±1) votes from each token's xxhash64 bit *j* (votes keep token
-    multiplicity). One explode + one aggregate of 64 conditional sums, all
-    inside whole-stage codegen.
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Tier 4 signature: SimHash — bit *j* is the sign of the sum of
+    (±1) votes from each token's hash bit *j* (votes keep token
+    multiplicity). One explode + one aggregate of ``bits`` conditional
+    sums, all inside whole-stage codegen.
+
+    ``hasher``: ``xxhash64`` (default, fastest) or ``md5`` — the first
+    ``bits``/4 hex nibbles of md5 packed into a long. md5 exists in DuckDB
+    too, which is what makes the md5 variant ORACLE-comparable
+    (llm_dedup_simhash_md5); use bits<=60 with it so the packed value
+    stays positive in a signed int64 on both engines.
 
     Deliberately NOT an in-row higher-order fold: lambdas in aggregate/
     zip_with evaluate interpreted per element, so a bits×tokens fold runs
     ~75× slower than these codegen'd sums (measured both loop orders); the
     per-doc shuffle is the cheaper currency here — the aggregate is partial
-    (map-side combine), so what shuffles is 64 ints per doc, not tokens."""
+    (map-side combine), so what shuffles is ``bits`` ints per doc, not
+    tokens."""
     tokens = ensure_parallelism(df.select(F.col(id_col).alias("doc"), F.col(text_col))).select(
         "doc", F.explode_outer(ws_tokens(F.col(text_col))).alias("tok")
-    ).withColumn("th", F.xxhash64("tok"))
+    )
+    if hasher == "md5":
+        assert bits <= 60, "md5 packing must stay positive in signed int64"
+        n_nibbles = (bits + 3) // 4
+        nibble_terms = " + ".join(
+            f"shiftleft(CAST(instr('0123456789abcdef', substr(md5(tok), {k + 1}, 1)) - 1"
+            f" AS BIGINT), {4 * k})"
+            for k in range(n_nibbles)
+        )
+        tokens = tokens.withColumn("th", F.expr(f"CAST({nibble_terms} AS BIGINT)"))
+    else:
+        tokens = tokens.withColumn("th", F.xxhash64("tok"))
     # Bit masks as JVM-side shifts: 1<<63 overflows a Python->JVM literal.
     def mask(j: int):
         return F.shiftleft(F.lit(1).cast("long"), j)
@@ -426,16 +450,24 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 
 
 def simhash_near_dups(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
-    """Banded Hamming join on SimHash: split the 64 bits into 4 16-bit
-    bands; near-identical signatures (≤3 differing bits) must agree on ≥1
-    band, so the self-join runs on band keys, then verifies with
-    ``bit_count(xor)``."""
+    """Banded Hamming join on SimHash: split the signature bits into 4
+    bands; near-identical signatures (<= max_hamming differing bits, with
+    max_hamming < 4) must agree on >= 1 band BY PIGEONHOLE — this banding
+    has deterministic recall 1, unlike probabilistic MinHash bands — so the
+    self-join runs on band keys, then verifies with ``bit_count(xor)``."""
     sigs = simhash(df, **kw)
+    band_width = kw.get("bits", 64) // 4
+    band_mask = (1 << band_width) - 1
     bands = sigs.select(
         "doc",
         "simhash",
         F.posexplode_outer(
-            F.array(*[F.shiftrightunsigned("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)) for b in range(4)])
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", band_width * b).bitwiseAND(F.lit(band_mask))
+                    for b in range(4)
+                ]
+            )
         ).alias("band", "band_val"),
     )
     a, b = bands.alias("a"), bands.alias("b")

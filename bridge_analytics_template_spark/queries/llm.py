@@ -1089,3 +1089,59 @@ def llm_compression_ratio(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --- Oracle-comparable SimHash (md5-derived bits) ---------------------------
+#
+# The xxhash64 SimHash (llm_dedup_simhash) has no DuckDB twin; this variant
+# derives 60 signature bits from md5 nibbles — computable in BOTH engines —
+# so the full SimHash pipeline becomes value-checkable. The banded Hamming
+# join has DETERMINISTIC recall 1 for hamming <= 3 by pigeonhole (4 bands,
+# <= 3 differing bits => >= 1 band identical), so the oracle is simply the
+# all-pairs Hamming filter: no probabilistic-recall caveat at all.
+
+_SIMHASH_BITS = 60
+_SH_NIB = "(strpos('0123456789abcdef', substr(md5(tok), {k}, 1)) - 1)"
+_SH_TH = " + ".join(
+    f"({_SH_NIB.format(k=k + 1)} << {4 * k})" for k in range(_SIMHASH_BITS // 4)
+)
+_SH_VOTES = ",\n             ".join(
+    f"SUM(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(_SIMHASH_BITS)
+)
+_SH_SIG = " + ".join(
+    f"(CASE WHEN b{j} > 0 THEN (CAST(1 AS BIGINT) << {j}) ELSE CAST(0 AS BIGINT) END)"
+    for j in range(_SIMHASH_BITS)
+)
+
+
+@query(
+    "llm_dedup_simhash_md5",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, unnest({{tokens}}) AS tok FROM documents),
+    th AS (SELECT doc, CAST({_SH_TH} AS BIGINT) AS th FROM toks),
+    votes AS (SELECT doc,
+             {_SH_VOTES}
+      FROM th GROUP BY doc),
+    sig AS (SELECT doc, CAST({_SH_SIG} AS BIGINT) AS sig FROM votes)
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc < b.doc
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    ORDER BY doc_a, doc_b
+    """.replace("{tokens}", _SQL_TOKENS),
+)
+def llm_dedup_simhash_md5(spark, sf_dir):
+    """L2b-oracle: the SimHash near-dup pipeline with md5-derived 60-bit
+    signatures, value-checked end-to-end (signature construction, banding,
+    Hamming verify) against DuckDB's all-pairs Hamming filter. Same plan
+    shape as llm_dedup_simhash — banded self-join + bit_count verify — with
+    pigeonhole-exact recall; the xxhash64 sibling stays the production fast
+    path."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        simhash_near_dups(d, max_hamming=3, bits=_SIMHASH_BITS, hasher="md5")
+        .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
