@@ -918,13 +918,65 @@ def f_array_edit(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@query("graph_label_prop")
+_LPA_SQL = """
+    WITH arcs AS (
+      SELECT e.user_id AS src, n.user_id AS dst
+      FROM events e JOIN events n ON n.event_id = e.event_id + 1
+      WHERE e.user_id <> n.user_id),
+    und AS (SELECT DISTINCT src AS a, dst AS b FROM arcs),
+    sym AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und)),
+    lab0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+    freq1 AS (
+      SELECT s.a, l.label, COUNT(*) AS n
+      FROM sym s JOIN lab0 l ON s.b = l.node GROUP BY 1, 2),
+    lab1 AS (
+      SELECT a AS node, label FROM (
+        SELECT a, label, row_number() OVER (PARTITION BY a ORDER BY n DESC, label) AS rn
+        FROM freq1) WHERE rn = 1),
+    freq2 AS (
+      SELECT s.a, l.label, COUNT(*) AS n
+      FROM sym s JOIN lab1 l ON s.b = l.node GROUP BY 1, 2),
+    lab2 AS (
+      SELECT a AS node, label FROM (
+        SELECT a, label, row_number() OVER (PARTITION BY a ORDER BY n DESC, label) AS rn
+        FROM freq2) WHERE rn = 1),
+    freq3 AS (
+      SELECT s.a, l.label, COUNT(*) AS n
+      FROM sym s JOIN lab2 l ON s.b = l.node GROUP BY 1, 2),
+    lab3 AS (
+      SELECT a AS node, label FROM (
+        SELECT a, label, row_number() OVER (PARTITION BY a ORDER BY n DESC, label) AS rn
+        FROM freq3) WHERE rn = 1),
+    freq4 AS (
+      SELECT s.a, l.label, COUNT(*) AS n
+      FROM sym s JOIN lab3 l ON s.b = l.node GROUP BY 1, 2),
+    lab4 AS (
+      SELECT a AS node, label FROM (
+        SELECT a, label, row_number() OVER (PARTITION BY a ORDER BY n DESC, label) AS rn
+        FROM freq4) WHERE rn = 1),
+    freq5 AS (
+      SELECT s.a, l.label, COUNT(*) AS n
+      FROM sym s JOIN lab4 l ON s.b = l.node GROUP BY 1, 2),
+    lab5 AS (
+      SELECT a AS node, label FROM (
+        SELECT a, label, row_number() OVER (PARTITION BY a ORDER BY n DESC, label) AS rn
+        FROM freq5) WHERE rn = 1)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM lab5 GROUP BY label ORDER BY n_nodes DESC, label
+"""
+
+
+@query("graph_label_prop", sql=_LPA_SQL)
 def graph_label_prop(spark, sf_dir):
     """Community detection via deterministic synchronous label propagation
     (operators/labelprop.py) over the same event hand-off graph as
-    graph_pagerank/graph_triangles. Rows-only (iterative fixpoint, not
-    SQL-expressible); the unit test replays the exact algorithm in plain
-    Python and asserts identical labels."""
+    graph_pagerank/graph_triangles. Oracle (r3 upgrade, was rows-only):
+    the 5 synchronous iterations UNROLL into five generated join+argmax
+    CTE stages — deterministic because the update rule tie-breaks
+    (count desc, label asc) exactly; the unit test additionally replays
+    the algorithm in plain Python and asserts identical labels."""
     from ..operators.labelprop import label_propagation
 
     e = load(spark, sf_dir, "events").select("event_id", "user_id")
