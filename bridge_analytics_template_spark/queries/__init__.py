@@ -26,6 +26,7 @@ from . import curation  # noqa: E402,F401
 from . import tpch_shapes  # noqa: E402,F401
 from . import stats  # noqa: E402,F401
 from . import advanced  # noqa: E402,F401
+from . import corpus  # noqa: E402,F401
 
 # --- Verification-window curation -------------------------------------------
 # The driver's correctness gate checks the FIRST 50 registered queries in

@@ -1,0 +1,495 @@
+"""Corpus-assembly wave 4: segment-level dedup with reassembly, padding-aware
+length bucketing, bloom-prefiltered cross-corpus dedup, and oracle-exact
+variants of two formerly rows-only iterative ops (MMR re-ranking, PageRank).
+
+Reference parity: the reference (copy_from_template.py) is a provisioning
+CLI with no corpus ops; this module belongs to the beyond-§2 training-data
+extension set (C4/CCNet-style line dedup, dataloader padding efficiency,
+membership pre-filters for incremental dedup).
+
+Engine-stability conventions (see NOTES.md): integer arithmetic everywhere a
+value crosses the oracle boundary; doubles only as ONE fixed-parenthesization
+expression over exactly-representable integers (int64 < 2^53 converts
+exactly, and +,-,*,/,sqrt are IEEE correctly-rounded in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..caching import track
+from ..catalog import load
+from ..functions.text import ws_tokens
+from .registry import query
+
+_SQL_TOKENS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+# --- Segment-level dedup with reassembly (C4 / CCNet line dedup) ------------
+
+_SEG = 10  # tokens per segment — the fixture's "line" analog (no newlines)
+
+_SEGMENT_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks,
+             greatest(CAST(ceil(len({_SQL_TOKENS}) / {_SEG}.0) AS BIGINT), 1) AS n_segs
+      FROM documents),
+    s AS (
+      SELECT doc_id, toks, n_segs,
+             unnest(generate_series(0, n_segs - 1)) AS seg_idx
+      FROM t),
+    seg AS (
+      SELECT doc_id, CAST(seg_idx AS INT) AS seg_idx,
+             array_to_string(toks[seg_idx * {_SEG} + 1 : seg_idx * {_SEG} + {_SEG}], ' ') AS seg_text
+      FROM s),
+    keep AS (
+      SELECT doc_id, seg_idx, seg_text,
+             ROW_NUMBER() OVER (PARTITION BY seg_text ORDER BY doc_id, seg_idx) AS rn
+      FROM seg),
+    reasm AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(seg_text, ' ' ORDER BY seg_idx) AS kept_text
+      FROM keep WHERE rn = 1 GROUP BY doc_id)
+    SELECT t.doc_id, t.n_segs,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.kept_text, '') AS kept_text
+    FROM t LEFT JOIN reasm r ON t.doc_id = r.doc_id
+    ORDER BY t.doc_id
+"""
+
+
+@query("llm_segment_dedup", sql=_SEGMENT_SQL)
+def llm_segment_dedup(spark, sf_dir):
+    """C4/CCNet-style line-level dedup with document reassembly: cut each
+    document into disjoint {_SEG}-token segments (the fixture's documents
+    have no newlines, so fixed token windows stand in for lines), keep only
+    the globally FIRST occurrence of every distinct segment (min
+    (doc_id, seg_idx)), and reassemble each document from its surviving
+    segments in order.
+
+    Scale shape: segments are built IN-ROW (sequence + transform + slice,
+    all codegen — no tokenize re-evaluation per segment), so the only
+    shuffles are (1) the segment-hash aggregate that elects first
+    occurrences and (2) the doc-keyed reassembly — both key-partitioned,
+    no windows over the corpus, no joins back to the exploded relation
+    (the elected keepers carry their text through the min-struct)."""
+    d = load(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    base = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.greatest(F.ceil(F.size(toks) / _SEG), F.lit(1).cast("long")).alias("n_segs"),
+    )
+    segs_arr = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.col("n_segs") - 1),
+        lambda i: F.array_join(F.slice("toks", (i * _SEG + 1).cast("int"), _SEG), " "),
+    )
+    seg = base.select("doc_id", F.posexplode_outer(segs_arr).alias("seg_idx", "seg_text"))
+    # First-occurrence election: ONE hash aggregate on seg_text; the winning
+    # (doc_id, seg_idx) rides in the lexicographic min-struct, so no second
+    # pass over the exploded segments is needed.
+    kept = (
+        seg.groupBy("seg_text")
+        .agg(F.min(F.struct("doc_id", "seg_idx")).alias("k"))
+        .select(F.col("k.doc_id").alias("doc_id"), F.col("k.seg_idx").alias("seg_idx"), "seg_text")
+    )
+    reasm = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg_text"))),
+                lambda s: s["seg_text"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return (
+        base.select("doc_id", "n_segs")
+        .join(reasm, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segs",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- Length-bucketed batching: padding efficiency ---------------------------
+
+_BUCKET_SQL = f"""
+    WITH lens AS (
+      SELECT doc_id, CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tok FROM documents),
+    b AS (
+      SELECT quantile_disc(n_tok, 0.25) AS b1,
+             quantile_disc(n_tok, 0.50) AS b2,
+             quantile_disc(n_tok, 0.75) AS b3,
+             MAX(n_tok) AS gmax, COUNT(*) AS gn, SUM(n_tok) AS gsum
+      FROM lens),
+    tagged AS (
+      SELECT l.n_tok,
+             1 + CAST(l.n_tok > b.b1 AS BIGINT) + CAST(l.n_tok > b.b2 AS BIGINT)
+               + CAST(l.n_tok > b.b3 AS BIGINT) AS bucket,
+             b.gmax, b.gn, b.gsum
+      FROM lens l, b)
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           MIN(n_tok) AS min_len,
+           MAX(n_tok) AS max_len,
+           SUM(n_tok) AS sum_len,
+           CAST((CAST(COUNT(*) AS HUGEINT) * MAX(n_tok) - SUM(n_tok)) * 1000000
+                // (CAST(COUNT(*) AS HUGEINT) * MAX(n_tok)) AS BIGINT) AS bucket_waste_ppm,
+           CAST((CAST(ANY_VALUE(gn) AS HUGEINT) * ANY_VALUE(gmax) - ANY_VALUE(gsum)) * 1000000
+                // (CAST(ANY_VALUE(gn) AS HUGEINT) * ANY_VALUE(gmax)) AS BIGINT) AS global_waste_ppm
+    FROM tagged GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query("train_length_buckets", sql=_BUCKET_SQL)
+def train_length_buckets(spark, sf_dir):
+    """Dataloader length bucketing: split the corpus at the token-length
+    quartiles (percentile_disc — an actual data value, exact on integers in
+    both engines) and measure the padding waste of batching within each
+    bucket (pad every doc to the bucket max) vs one global bucket. The
+    waste ratio is integer ppm widened through DECIMAL(38)/HUGEINT so the
+    n_docs*max_len*1e6 product cannot wrap at corpus scale (ADVICE-r2
+    pattern).
+
+    Scale shape: one corpus pass for the quartile aggregate (a 1-row
+    broadcast), one map-side-combinable groupBy over 4 buckets. No windows,
+    no per-bucket repartition."""
+    d = load(spark, sf_dir, "documents")
+    lens = d.select(F.size(ws_tokens("text")).cast("long").alias("n_tok"))
+    b = lens.agg(
+        F.expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tok) AS BIGINT)").alias("b1"),
+        F.expr("CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY n_tok) AS BIGINT)").alias("b2"),
+        F.expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_tok) AS BIGINT)").alias("b3"),
+        F.max("n_tok").alias("gmax"),
+        F.count(F.lit(1)).alias("gn"),
+        F.sum("n_tok").alias("gsum"),
+    )
+    tagged = lens.crossJoin(F.broadcast(b)).select(
+        "n_tok",
+        (
+            F.lit(1).cast("long")
+            + (F.col("n_tok") > F.col("b1")).cast("long")
+            + (F.col("n_tok") > F.col("b2")).cast("long")
+            + (F.col("n_tok") > F.col("b3")).cast("long")
+        ).alias("bucket"),
+        "gmax",
+        "gn",
+        "gsum",
+    )
+    waste = "CAST((CAST({n} AS DECIMAL(38,0)) * {mx} - {sm}) * 1000000 DIV (CAST({n} AS DECIMAL(38,0)) * {mx}) AS BIGINT)"
+    return (
+        tagged.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tok").alias("min_len"),
+            F.max("n_tok").alias("max_len"),
+            F.sum("n_tok").alias("sum_len"),
+            F.first("gmax").alias("gmax"),
+            F.first("gn").alias("gn"),
+            F.first("gsum").alias("gsum"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "min_len",
+            "max_len",
+            "sum_len",
+            F.expr(waste.format(n="n_docs", mx="max_len", sm="sum_len")).alias("bucket_waste_ppm"),
+            F.expr(waste.format(n="gn", mx="gmax", sm="gsum")).alias("global_waste_ppm"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --- Bloom-prefiltered cross-corpus dedup -----------------------------------
+
+_BLOOM_M = 1 << 17  # bits
+_BLOOM_K = 4  # hash functions
+
+# Bag-of-words fingerprint: md5 of the sorted distinct token set — catches
+# token-permutation near-dups that defeat md5(text) (the fixture's planted
+# dups are reorderings, not byte-identical copies).
+_BAG_FP_SQL = f"md5(array_to_string(list_sort(list_distinct({_SQL_TOKENS})), ' '))"
+
+
+def _bag_fingerprint(col) -> F.Column:
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(ws_tokens(col))), " "))
+
+
+@query(
+    "llm_bloom_dedup",
+    sql=f"""
+    WITH f AS (SELECT doc_id, {_BAG_FP_SQL} AS fp FROM documents)
+    SELECT c.doc_id FROM f c
+    WHERE c.doc_id % 7 <> 0
+      AND c.fp IN (SELECT fp FROM f r WHERE r.doc_id % 7 = 0)
+    ORDER BY c.doc_id
+    """,
+)
+def llm_bloom_dedup(spark, sf_dir):
+    """Bloom-prefiltered cross-corpus dedup: which candidate documents
+    (doc_id % 7 != 0) duplicate a reference-corpus document (doc_id % 7 == 0)
+    by bag-of-words fingerprint? The reference corpus's fingerprints are
+    folded into an m={_BLOOM_M}-bit / k={_BLOOM_K}-hash Bloom bitmap built
+    with ONE distributed aggregate (bit positions via xxhash64, distinct,
+    bounded collect of <= m ints), broadcast as a literal array<long>
+    bitmap. Candidates test all k bits with pure codegen bit arithmetic —
+    the corpus-sized side is never shuffled for the prefilter. Survivors
+    (bloom has no false negatives) are confirmed EXACTLY with a broadcast
+    semi-join, so the result equals the plain semi-join the oracle runs.
+
+    This is the explicit form of the runtime bloom-filter join Spark
+    injects for selective joins — here the filter is reusable (build once,
+    apply to any number of candidate corpora), the pattern behind
+    incremental ingest dedup at 100 TB (precondition: the REFERENCE corpus
+    is the bounded side, like decontaminate's eval grams)."""
+    d = load(spark, sf_dir, "documents")
+    fps = d.select("doc_id", _bag_fingerprint("text").alias("fp"))
+    ref = fps.filter(F.col("doc_id") % 7 == 0).select("fp").distinct()
+    cand = fps.filter(F.col("doc_id") % 7 != 0)
+
+    positions = ref.select(
+        F.explode(
+            F.array(*[F.pmod(F.xxhash64("fp", F.lit(i)), F.lit(_BLOOM_M)) for i in range(_BLOOM_K)])
+        ).alias("pos")
+    ).distinct()
+    words = [0] * (_BLOOM_M // 64)
+    for r in positions.collect():  # bounded: <= m distinct bit positions
+        p = int(r["pos"])
+        words[p >> 6] |= 1 << (p & 63)
+    # Two's-complement into signed int64 for the JVM literal array.
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bloom = F.broadcast(spark.createDataFrame([(words,)], "bloom: array<long>"))
+
+    def bit_set(i: int) -> F.Column:
+        # SQL shiftright takes a column shift amount (the F.shiftright
+        # helper only accepts a python int).
+        return F.expr(
+            f"(shiftright(element_at(bloom, CAST(pmod(xxhash64(fp, {i}), {_BLOOM_M}) DIV 64 AS INT) + 1),"
+            f" CAST(pmod(pmod(xxhash64(fp, {i}), {_BLOOM_M}), 64) AS INT)) & 1) = 1"
+        )
+
+    test = bit_set(0)
+    for i in range(1, _BLOOM_K):
+        test = test & bit_set(i)
+    maybe = cand.crossJoin(bloom).filter(test)
+    return (
+        maybe.join(F.broadcast(ref), "fp", "semi").select("doc_id").orderBy("doc_id")
+    )
+
+
+# --- Oracle-exact MMR re-ranking (quantized-integer cosines) ----------------
+
+_MMR_Q = 1_000_000  # quantization scale: floor(x * 1e6)
+_MMR_K = 30  # candidate pool
+_MMR_N = 10  # picks
+_MMR_PROBE = 3
+
+# Quantized integer embedding in DuckDB: list of floor(x*1e6) BIGINTs.
+_QVEC_SQL = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+
+
+def _mmr_oracle_sql() -> str:
+    """Unrolled greedy-argmax CTE stages (the label-propagation oracle
+    pattern): stage k scores every unpicked candidate as
+    0.7*rel - 0.3*max(sim to picked) over EXACT integer dot products
+    (cosines are one double expression over exactly-converted int64
+    moments — identical IEEE results in both engines) and picks the
+    (score DESC, id ASC) winner."""
+    prelude = f"""
+    WITH q AS (
+      SELECT {_QVEC_SQL} AS v FROM embeddings WHERE vec_id = {_MMR_PROBE}),
+    base AS (
+      SELECT vec_id AS id, {_QVEC_SQL} AS v FROM embeddings WHERE vec_id <> {_MMR_PROBE}),
+    norms AS (
+      SELECT id, v, list_sum(list_transform(v, x -> x * x)) AS nn FROM base),
+    qn AS (
+      SELECT v, list_sum(list_transform(v, x -> x * x)) AS nn FROM q),
+    rels AS (
+      SELECT b.id, b.v, b.nn,
+             CAST(list_sum(list_transform(generate_series(1, len(b.v)), i -> b.v[i] * q.v[i])) AS DOUBLE)
+               / (sqrt(CAST(b.nn AS DOUBLE)) * sqrt(CAST(q.nn AS DOUBLE))) AS rel
+      FROM norms b, qn q),
+    cand AS MATERIALIZED (
+      SELECT id, v, nn, rel FROM rels ORDER BY rel DESC, id LIMIT {_MMR_K}),
+    pairsim AS MATERIALIZED (
+      SELECT a.id AS a, b.id AS b,
+             CAST(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])) AS DOUBLE)
+               / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE))) AS sim
+      FROM cand a, cand b WHERE a.id <> b.id),
+    p1 AS (SELECT id, 0.7 * rel - 0.3 * 0.0 AS score FROM cand),
+    s1 AS MATERIALIZED (SELECT 1 AS rank, id FROM p1 ORDER BY score DESC, id LIMIT 1),
+    sel1 AS MATERIALIZED (SELECT id FROM s1)"""
+    stages = [prelude]
+    for k in range(2, _MMR_N + 1):
+        stages.append(
+            f""",
+    p{k} AS (
+      SELECT c.id,
+             0.7 * c.rel - 0.3 * (SELECT MAX(ps.sim) FROM pairsim ps
+                                  JOIN sel{k - 1} s ON ps.b = s.id
+                                  WHERE ps.a = c.id) AS score
+      FROM cand c WHERE c.id NOT IN (SELECT id FROM sel{k - 1})),
+    s{k} AS MATERIALIZED (SELECT {k} AS rank, id FROM p{k} ORDER BY score DESC, id LIMIT 1),
+    sel{k} AS MATERIALIZED (SELECT id FROM sel{k - 1} UNION ALL SELECT id FROM s{k})"""
+        )
+    union = " UNION ALL ".join(f"SELECT rank, id AS vec_id FROM s{k}" for k in range(1, _MMR_N + 1))
+    stages.append(f"\n    SELECT rank, vec_id FROM ({union}) ORDER BY rank")
+    return "".join(stages)
+
+
+@query("llm_mmr_rerank_exact", sql=_mmr_oracle_sql())
+def llm_mmr_rerank_exact(spark, sf_dir):
+    """Oracle-exact MMR re-ranking (hash-green upgrade of the rows-only
+    llm_mmr_rerank): embeddings quantized to floor(x*1e6) int64, so dot
+    products and norms are EXACT integers (64 dims x (1e6)^2 < 2^63, and
+    every moment < 2^53 converts to double exactly); each cosine is one
+    fixed-parenthesization double expression — bit-identical across
+    engines — and the 10-round greedy (0.7*rel - 0.3*max-sim-to-picked,
+    ties on id) is therefore deterministic and oracle-checkable via
+    unrolled argmax CTE stages.
+
+    Scale shape: candidate scoring is a distributed in-row integer
+    expression over the corpus + a TakeOrderedAndProject top-{_MMR_K}; the
+    greedy runs driver-side over the k-bounded pool (the same bounded-k
+    precondition as every production re-ranker)."""
+    import math
+
+    e = load(spark, sf_dir, "embeddings")
+    qv = F.transform("embedding", lambda x: F.floor(x.cast("double") * _MMR_Q).cast("long"))
+    base = e.select("vec_id", qv.alias("v"))
+    probe_v = [int(x) for x in base.filter(F.col("vec_id") == _MMR_PROBE).collect()[0]["v"]]
+    qn = sum(x * x for x in probe_v)
+    dot = F.aggregate(
+        F.zip_with("v", F.lit(probe_v), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nn = F.aggregate(
+        F.transform("v", lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    scored = (
+        base.filter(F.col("vec_id") != _MMR_PROBE)
+        .select("vec_id", "v", nn.alias("nn"), dot.alias("dot"))
+        .select(
+            "vec_id",
+            "v",
+            "nn",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("nn").cast("double")) * F.lit(math.sqrt(qn)))
+            ).alias("rel"),
+        )
+    )
+    # NB: sqrt(qn) is a driver-side python float — same IEEE double as the
+    # oracle's sqrt(CAST(qn AS DOUBLE)) since qn < 2^53 converts exactly.
+    cand_rows = scored.orderBy(F.desc("rel"), "vec_id").limit(_MMR_K).collect()
+    cands = [(int(r["vec_id"]), [int(x) for x in r["v"]], int(r["nn"]), float(r["rel"])) for r in cand_rows]
+    vec = {c[0]: c[1] for c in cands}
+    nrm = {c[0]: c[2] for c in cands}
+    rel = {c[0]: c[3] for c in cands}
+
+    def sim(a: int, b: int) -> float:
+        d = sum(x * y for x, y in zip(vec[a], vec[b]))
+        return float(d) / (math.sqrt(float(nrm[a])) * math.sqrt(float(nrm[b])))
+
+    selected: list[int] = []
+    remaining = sorted(vec)
+    while remaining and len(selected) < _MMR_N:
+        best, best_score = None, None
+        for c in remaining:
+            div = max((sim(c, s) for s in selected), default=0.0)
+            score = 0.7 * rel[c] - 0.3 * div
+            if best is None or score > best_score or (score == best_score and c < best):
+                best, best_score = c, score
+        selected.append(best)
+        remaining.remove(best)
+    out = [(i + 1, v) for i, v in enumerate(selected)]
+    return spark.createDataFrame(out, "rank int, vec_id long")
+
+
+# --- Oracle-exact fixed-point PageRank --------------------------------------
+
+_PR_ITERS = 3
+_PR_INIT = 1_000_000  # rank in ppm of 1.0
+
+
+def _pagerank_oracle_sql() -> str:
+    """3 unrolled iterations of integer fixed-point PageRank over the event
+    hand-off graph (same arcs as graph_pagerank): contrib = rank // out_deg
+    per arc, rank' = 150000 + (17 * sum_contrib) // 20 (0.85 == 17/20 —
+    exact, and the x17 product cannot wrap below ~5e11 nodes)."""
+    parts = [
+        f"""
+    WITH arcs AS (
+      SELECT e.user_id AS src, n.user_id AS dst
+      FROM events e JOIN events n ON n.event_id = e.event_id + 1
+      WHERE n.user_id <> e.user_id),
+    deg AS (SELECT src, COUNT(*) AS n FROM arcs GROUP BY src),
+    nodes AS (
+      SELECT DISTINCT node FROM (SELECT src AS node FROM arcs
+                                 UNION ALL SELECT dst FROM arcs)),
+    r0 AS (SELECT node, CAST({_PR_INIT} AS BIGINT) AS r FROM nodes)"""
+    ]
+    for k in range(1, _PR_ITERS + 1):
+        parts.append(
+            f""",
+    c{k} AS (
+      SELECT a.dst AS node, SUM(r.r // d.n) AS s
+      FROM arcs a JOIN deg d ON a.src = d.src JOIN r{k - 1} r ON r.node = a.src
+      GROUP BY a.dst),
+    r{k} AS (
+      SELECT n.node, 150000 + (17 * COALESCE(c.s, 0)) // 20 AS r
+      FROM nodes n LEFT JOIN c{k} c ON n.node = c.node)"""
+        )
+    parts.append(f"\n    SELECT node, r AS rank_ppm FROM r{_PR_ITERS} ORDER BY node")
+    return "".join(parts)
+
+
+@query("graph_pagerank_ppm", sql=_pagerank_oracle_sql())
+def graph_pagerank_ppm(spark, sf_dir):
+    """Oracle-exact fixed-point PageRank (hash-green companion to the
+    rows-only float graph_pagerank): ranks held as int64 ppm, per-arc
+    contribution rank DIV out_degree, damping as 150000 + (17*sum) DIV 20
+    — every step is integer, so {_PR_ITERS} iterations agree bit-for-bit
+    with the oracle's unrolled CTE stages. Dangling mass is dropped
+    (documented divergence from the float operator, which redistributes).
+
+    Scale shape per iteration: one co-keyed join of the (src-partitioned,
+    persisted) arc+degree relation with the rank vector and one dst-keyed
+    re-aggregation — the same 1-shuffle/round loop as operators/pagerank.py."""
+    e = load(spark, sf_dir, "events").select("event_id", "user_id")
+    nxt = e.select((F.col("event_id") - 1).alias("event_id"), F.col("user_id").alias("next_user"))
+    arcs = (
+        e.join(nxt, "event_id")
+        .where(F.col("next_user") != F.col("user_id"))
+        .select(F.col("user_id").alias("src"), F.col("next_user").alias("dst"))
+    )
+    deg = arcs.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    arcs_deg = track(arcs.join(deg, "src").repartition("src").persist())
+    nodes = track(
+        arcs.select(F.col("src").alias("node"))
+        .unionByName(arcs.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    ranks = nodes.select("node", F.lit(_PR_INIT).cast("long").alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            arcs_deg.join(ranks, arcs_deg["src"] == ranks["node"])
+            .select("dst", F.expr("r div n").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (F.lit(150000).cast("long") + F.expr("17 * coalesce(s, 0) div 20")).alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_ppm")).orderBy("node")
