@@ -493,3 +493,252 @@ def graph_pagerank_ppm(spark, sf_dir):
             )
         )
     return ranks.select("node", F.col("r").alias("rank_ppm")).orderBy("node")
+
+
+# --- Schema-evolution ingest (mergeSchema) ----------------------------------
+
+
+@query(
+    "s_schema_evolution",
+    sql="""
+    SELECT COUNT(*) AS n_rows,
+           SUM(CASE WHEN n_nationkey % 2 = 1 THEN 1 ELSE 0 END) AS n_with_region,
+           SUM(CASE WHEN n_nationkey % 2 = 1 THEN n_regionkey ELSE 0 END) AS region_sum,
+           SUM(CASE WHEN n_nationkey % 2 = 1 AND n_regionkey >= 2 THEN 1 ELSE 0 END) AS n_flagged
+    FROM nation
+    """,
+)
+def s_schema_evolution(spark, sf_dir):
+    """Schema-on-read evolution: batch 1 lands with the v1 schema
+    (n_nationkey, n_name), batch 2 with the widened v2 schema (+ n_regionkey,
+    + a derived boolean) — the reference's addDefaultViewColumns/retype flow
+    (copy_from_template.py:164-232) as it plays out across parquet batches.
+    ``mergeSchema`` unions the footers; v1 rows surface the new columns as
+    NULL, and the aggregate over the merged view must equal recomputing from
+    the source. Footer union is a metadata operation — the data pages of
+    batch 1 are never rewritten (the 100 TB property: evolution costs zero
+    data movement)."""
+    from ..catalog import scratch_path
+
+    n = load(spark, sf_dir, "nation")
+    path = scratch_path(spark, "schema_evolution_nation")
+    v1 = n.filter(F.col("n_nationkey") % 2 == 0).select("n_nationkey", "n_name")
+    v2 = n.filter(F.col("n_nationkey") % 2 == 1).select(
+        "n_nationkey", "n_name", "n_regionkey", (F.col("n_regionkey") >= 2).alias("flagged")
+    )
+    v1.write.mode("overwrite").parquet(f"{path}/batch=1")
+    v2.write.mode("overwrite").parquet(f"{path}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(f"{path}/batch=1", f"{path}/batch=2")
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("n_regionkey").isNotNull().cast("long")).alias("n_with_region"),
+        F.sum(F.coalesce("n_regionkey", F.lit(0))).alias("region_sum"),
+        F.sum(F.coalesce(F.col("flagged").cast("long"), F.lit(0))).alias("n_flagged"),
+    )
+
+
+# --- Referential-integrity profile ------------------------------------------
+
+
+@query(
+    "profile_referential_integrity",
+    sql="""
+    SELECT 'lineitem.l_orderkey->orders' AS relation,
+           (SELECT COUNT(*) FROM lineitem) AS n_child,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE l.l_partkey NOT IN (SELECT p_partkey FROM part))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+    ORDER BY relation
+    """,
+)
+def profile_referential_integrity(spark, sf_dir):
+    """Cross-table referential-integrity report: orphan counts for every
+    foreign key in the star schema — the preflight a warehouse load runs
+    before declaring a snapshot consistent (the reference's assert-unique
+    lookup generalized to assert-resolvable).
+
+    Scale shape: per relation, ONE left join of the child against the
+    DISTINCT parent key set and a conditional count — no NOT IN rewrite
+    into a nested-loop, no collect. Parent key sets stay distributed
+    (shuffle join; AQE broadcasts the dims that fit)."""
+    counts = []
+    specs = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ]
+    for name, child_t, ck, parent_t, pk in specs:
+        child = load(spark, sf_dir, child_t).select(F.col(ck).alias("k"))
+        parent = load(spark, sf_dir, parent_t).select(F.col(pk).alias("k")).distinct()
+        hit = parent.withColumn("present", F.lit(1))
+        counts.append(
+            child.join(hit, "k", "left").agg(
+                F.lit(name).alias("relation"),
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(F.col("present").isNull().cast("long")).alias("n_orphans"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("relation")
+
+
+# --- Semantic decontamination (embedding-level eval leakage) ----------------
+
+_SEM_TAU = 0.4  # contamination threshold on exact cosine
+
+
+@query(
+    "llm_semantic_decontaminate",
+    sql=f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id AS eval_id, {_QVEC_SQL} AS v,
+             list_sum(list_transform({_QVEC_SQL}, x -> x * x)) AS nn
+      FROM embeddings WHERE vec_id % 50 = 0),
+    t AS MATERIALIZED (
+      SELECT vec_id, {_QVEC_SQL} AS v,
+             list_sum(list_transform({_QVEC_SQL}, x -> x * x)) AS nn
+      FROM embeddings WHERE vec_id % 50 <> 0),
+    sims AS (
+      SELECT t.vec_id, q.eval_id,
+             CAST(list_sum(list_transform(generate_series(1, len(t.v)), i -> t.v[i] * q.v[i])) AS DOUBLE)
+               / (sqrt(CAST(t.nn AS DOUBLE)) * sqrt(CAST(q.nn AS DOUBLE))) AS cos
+      FROM t, q),
+    best AS (
+      SELECT vec_id, max(struct_pack(c := cos, nid := -eval_id)) AS b
+      FROM sims GROUP BY vec_id)
+    SELECT vec_id, -b.nid AS best_eval_id, b.c AS max_cos,
+           b.c >= {_SEM_TAU} AS contaminated
+    FROM best ORDER BY vec_id
+    """,
+)
+def llm_semantic_decontaminate(spark, sf_dir):
+    """Embedding-level decontamination: for every training vector, the max
+    cosine against the EVAL set (vec_id % 50 == 0) and a contamination flag
+    at tau={_SEM_TAU} — the semantic companion to the lexical n-gram
+    decontaminate (curation.py), catching paraphrased eval leakage that
+    shares no 8-gram.
+
+    Exactness: embeddings quantized floor(x*1e6) -> integer dots/norms
+    (exact, < 2^53), cosine ONE fixed-parenthesization double expression —
+    bit-identical in both engines, so argmax (ties to the LOWEST eval id
+    via max(struct(cos, -eval_id))) is deterministic.
+
+    Scale shape: the eval side is bounded by construction (same
+    precondition as decontaminate's broadcast gram set) and is BROADCAST;
+    the corpus side is scanned once, never shuffled — the per-train-doc
+    argmax is a map-side-combinable aggregate keyed on the corpus row."""
+    e = load(spark, sf_dir, "embeddings")
+    qv = F.transform("embedding", lambda x: F.floor(x.cast("double") * _MMR_Q).cast("long"))
+    nn = F.aggregate(
+        F.transform("v", lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    base = e.select("vec_id", qv.alias("v")).select("vec_id", "v", nn.alias("nn"))
+    evals = (
+        base.filter(F.col("vec_id") % 50 == 0)
+        .select(
+            F.col("vec_id").alias("eval_id"), F.col("v").alias("qv"), F.col("nn").alias("qnn")
+        )
+    )
+    train = base.filter(F.col("vec_id") % 50 != 0)
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sims = train.join(F.broadcast(evals)).select(
+        "vec_id",
+        "eval_id",
+        (
+            dot.cast("double")
+            / (F.sqrt(F.col("nn").cast("double")) * F.sqrt(F.col("qnn").cast("double")))
+        ).alias("cos"),
+    )
+    best = sims.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos").alias("c"), (-F.col("eval_id")).alias("nid"))).alias("b")
+    )
+    return (
+        best.select(
+            "vec_id",
+            (-F.col("b.nid")).alias("best_eval_id"),
+            F.col("b.c").alias("max_cos"),
+            (F.col("b.c") >= _SEM_TAU).alias("contaminated"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# --- Token-budget corpus selection ------------------------------------------
+
+
+@query(
+    "train_token_budget",
+    sql=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tok,
+             (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1000000
+               // greatest(length(text), 1) AS score_ppm
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tok, score_ppm,
+             SUM(n_tok) OVER (ORDER BY score_ppm DESC, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+             SUM(n_tok) OVER () AS total_tokens
+      FROM scored)
+    SELECT doc_id, score_ppm, n_tok, cum_tokens
+    FROM c WHERE cum_tokens * 2 <= total_tokens
+    ORDER BY score_ppm DESC, doc_id
+    """,
+)
+def train_token_budget(spark, sf_dir):
+    """Token-budget corpus selection: rank documents by an integer quality
+    score (alphabetic ppm — exact integer division, no float), admit in
+    rank order until the cumulative token count reaches HALF the corpus —
+    the greedy quality-per-token curation step that turns a scored corpus
+    into a fixed-budget training set.
+
+    Scale shape: the running total comes from operators/prefix.py::
+    partitioned_cumsum (range partition on the rank order + driver offset
+    prefix-sum), NOT a one-task unbounded window; the grand total falls out
+    of the same offset pass free. The ORDER BY window in the oracle is the
+    semantics, not the plan."""
+    from ..operators.prefix import partitioned_cumsum
+
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.size(ws_tokens("text")).cast("long").alias("n_tok"),
+        F.expr(
+            "(length(text) - length(regexp_replace(text, '[A-Za-z]', ''))) * 1000000"
+            " DIV greatest(length(text), 1)"
+        ).alias("score_ppm"),
+    ).withColumn("neg_score", -F.col("score_ppm"))
+    c = partitioned_cumsum(
+        scored,
+        order_cols=["neg_score", "doc_id"],
+        value_col="n_tok",
+        cum_name="cum_tokens",
+        total_name="total_tokens",
+    )
+    return (
+        c.filter(F.col("cum_tokens") * 2 <= F.col("total_tokens"))
+        .select("doc_id", "score_ppm", "n_tok", "cum_tokens")
+        .orderBy(F.desc("score_ppm"), "doc_id")
+    )

@@ -134,3 +134,85 @@ def test_pagerank_ppm_bounds_and_floor(spark):
     assert sorted((r.node, r.rank_ppm) for r in rows) == sorted(
         (r.node, r.rank_ppm) for r in again
     )
+
+
+def test_schema_evolution_null_backfill(spark):
+    from bridge_analytics_template_spark.queries.corpus import s_schema_evolution
+    from bridge_analytics_template_spark.catalog import load
+
+    row = s_schema_evolution(spark, SF_SMALL).collect()[0]
+    n = load(spark, SF_SMALL, "nation")
+    assert row.n_rows == n.count()
+    odd = n.filter(F.col("n_nationkey") % 2 == 1)
+    assert row.n_with_region == odd.count()
+    assert row.n_flagged == odd.filter(F.col("n_regionkey") >= 2).count()
+
+
+def test_referential_integrity_clean_fixture(spark):
+    from bridge_analytics_template_spark.queries.corpus import profile_referential_integrity
+
+    rows = profile_referential_integrity(spark, SF_SMALL).collect()
+    assert len(rows) == 4
+    # The synthetic star schema is referentially clean; orphan counts are a
+    # meaningful zero (the report, not the zero, is what's under test).
+    assert all(r.n_orphans == 0 for r in rows)
+    assert all(r.n_child > 0 for r in rows)
+
+
+def test_referential_integrity_detects_planted_orphan(spark, tmp_path):
+    from bridge_analytics_template_spark.queries.corpus import profile_referential_integrity
+    from bridge_analytics_template_spark.catalog import TABLES, table_path
+    import shutil, os
+
+    # Copy the tiny fixture, then plant an orphan order (customer id far
+    # outside the key range).
+    for t in TABLES:
+        src = table_path(SF_SMALL, t)
+        if os.path.exists(src):
+            shutil.copy(src, str(tmp_path / f"{t}.parquet"))
+    orders = spark.read.parquet(str(tmp_path / "orders.parquet"))
+    one = orders.limit(1).withColumn("o_custkey", F.lit(99_999_999).cast("long"))
+    orders.unionByName(one).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders2.parquet")
+    )
+    os.remove(str(tmp_path / "orders.parquet"))
+    shutil.move(str(tmp_path / "orders2.parquet"), str(tmp_path / "orders.parquet"))
+    rows = {r.relation: r for r in profile_referential_integrity(spark, str(tmp_path)).collect()}
+    assert rows["orders.o_custkey->customer"].n_orphans == 1
+
+
+def test_semantic_decontaminate_cosine_bounds(spark):
+    from bridge_analytics_template_spark.queries.corpus import llm_semantic_decontaminate
+
+    rows = llm_semantic_decontaminate(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.max_cos <= 1.0 + 1e-9
+        assert r.best_eval_id % 50 == 0
+        assert r.vec_id % 50 != 0
+
+
+def test_token_budget_greedy_invariants(spark):
+    from bridge_analytics_template_spark.queries.corpus import train_token_budget
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.functions.text import ws_tokens
+
+    rows = train_token_budget(spark, SF_SMALL).collect()
+    assert rows
+    total = (
+        load(spark, SF_SMALL, "documents")
+        .select(F.sum(F.size(ws_tokens("text")).cast("long")).alias("t"))
+        .collect()[0]
+        .t
+    )
+    # Budget respected and admission is in (score desc, doc_id) order with
+    # a correct running sum.
+    cum = 0
+    prev = None
+    for r in rows:
+        cum += r.n_tok
+        assert r.cum_tokens == cum
+        key = (-r.score_ppm, r.doc_id)
+        assert prev is None or prev < key
+        prev = key
+    assert cum * 2 <= total
