@@ -742,3 +742,217 @@ def train_token_budget(spark, sf_dir):
         .select("doc_id", "score_ppm", "n_tok", "cum_tokens")
         .orderBy(F.desc("score_ppm"), "doc_id")
     )
+
+
+# --- Integer-halving EWMA (sequential stateful op, exact oracle) ------------
+
+
+@query(
+    "ts_ewma_int",
+    sql="""
+    WITH RECURSIVE q AS (
+      SELECT user_id, event_id, CAST(floor(value * 100) AS BIGINT) AS x,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    r AS (
+      SELECT user_id, event_id, rn, x AS s FROM q WHERE rn = 1
+      UNION ALL
+      SELECT q.user_id, q.event_id, q.rn, q.x + r.s // 2 AS s
+      FROM q JOIN r ON q.user_id = r.user_id AND q.rn = r.rn + 1)
+    SELECT user_id, event_id, s AS ewma_half_cents
+    FROM r ORDER BY user_id, event_id
+    """,
+)
+def ts_ewma_int(spark, sf_dir):
+    """Integer-halving exponential decay (EWMA with alpha=1/2, fixed-point):
+    per user in (ts, event_id) order, s_t = x_t + s_{t-1} DIV 2 over exact
+    integer cents — the inherently SEQUENTIAL per-key recurrence (each step
+    floors, so no closed-form window sum exists). The class of op that
+    needs applyInPandas: whole-group in/out, sequential scan inside the
+    worker, engine-side it is one co-keyed shuffle (groupBy user) with no
+    window over the corpus. Python ``//`` and DuckDB ``//`` both floor, so
+    the recurrence is bit-identical to the oracle's recursive CTE."""
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        import numpy as np
+
+        x = np.floor(pdf["value"].to_numpy() * 100).astype("int64")
+        out = []
+        s = 0
+        first = True
+        for v in x:
+            v = int(v)
+            s = v if first else v + s // 2
+            first = False
+            out.append(s)
+        pdf = pdf.assign(ewma_half_cents=out)
+        return pdf[["user_id", "event_id", "ewma_half_cents"]]
+
+    return (
+        e.groupBy("user_id")
+        .applyInPandas(ewma, schema="user_id long, event_id long, ewma_half_cents long")
+        .orderBy("user_id", "event_id")
+    )
+
+
+# --- k-anonymity preflight ---------------------------------------------------
+
+_K_ANON = 5
+
+
+@query(
+    "profile_k_anonymity",
+    sql=f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      FROM customer GROUP BY 1, 2)
+    SELECT CAST({_K_ANON} AS BIGINT) AS k,
+           COUNT(*) AS n_groups,
+           SUM(CASE WHEN n < {_K_ANON} THEN 1 ELSE 0 END) AS n_groups_below_k,
+           SUM(CASE WHEN n < {_K_ANON} THEN n ELSE 0 END) AS n_rows_at_risk,
+           MIN(n) AS min_group_size
+    FROM g
+    """,
+)
+def profile_k_anonymity(spark, sf_dir):
+    """k-anonymity preflight over the quasi-identifier tuple
+    (nation, market segment): how many equivalence classes fall below
+    k={_K_ANON}, and how many rows they expose — the privacy gate a
+    training-data release runs before shipping joined demographic columns.
+    One hash aggregate over the quasi-identifiers + one 5-number summary;
+    map-side combine does the heavy lifting at corpus scale."""
+    c = load(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    return g.agg(
+        F.lit(_K_ANON).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("n") < _K_ANON).cast("long")).alias("n_groups_below_k"),
+        F.sum(F.when(F.col("n") < _K_ANON, F.col("n")).otherwise(F.lit(0))).alias(
+            "n_rows_at_risk"
+        ),
+        F.min("n").alias("min_group_size"),
+    )
+
+
+# --- Matryoshka truncation evaluation ----------------------------------------
+
+_MATRYOSHKA_DIMS = (8, 16, 32, 64)
+
+
+def _matryoshka_sql() -> str:
+    selects = []
+    for d in _MATRYOSHKA_DIMS:
+        selects.append(
+            f"""
+    SELECT {d} AS dim, COUNT(*) AS n_pairs,
+           SUM(CAST(floor(abs(
+             CAST(list_sum(list_transform(generate_series(1, {d}), i -> a.v[i] * b.v[i])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(a.v[1:{d}], x -> x * x)) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(b.v[1:{d}], x -> x * x)) AS DOUBLE)))
+             -
+             CAST(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) AS DOUBLE)
+               / (sqrt(CAST(list_sum(list_transform(a.v, x -> x * x)) AS DOUBLE))
+                  * sqrt(CAST(list_sum(list_transform(b.v, x -> x * x)) AS DOUBLE)))
+           ) * 1000000) AS BIGINT)) AS sum_abs_err_ppm
+    FROM pairs a JOIN pairs b ON b.vec_id = a.vec_id + 1"""
+        )
+    body = " UNION ALL ".join(selects)
+    return f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT vec_id, {_QVEC_SQL} AS v FROM embeddings)
+    SELECT dim, n_pairs, sum_abs_err_ppm,
+           sum_abs_err_ppm // n_pairs AS mean_err_ppm
+    FROM ({body}) ORDER BY dim
+    """
+
+
+@query("emb_matryoshka_eval", sql=_matryoshka_sql())
+def emb_matryoshka_eval(spark, sf_dir):
+    """Matryoshka truncation evaluation: how much does cosine similarity
+    drift when embeddings are truncated to the first 8/16/32 dims vs the
+    full 64? Measured over the deterministic (vec_id, vec_id+1) pair chain
+    as sum/mean |cos_d - cos_64| in exact ppm (quantized-integer moments →
+    bit-identical doubles → floor of an exact double, same in both
+    engines). The decision input for serving truncated embeddings at a
+    fraction of the ANN index cost.
+
+    Scale shape: the pair chain is a co-keyed self-join on vec_id+1 (no
+    cartesian), all similarity math is in-row, and the per-dim report is a
+    4-row aggregate."""
+    e = load(spark, sf_dir, "embeddings")
+    qv = F.transform("embedding", lambda x: F.floor(x.cast("double") * _MMR_Q).cast("long"))
+    base = e.select("vec_id", qv.alias("v"))
+    b = base.select((F.col("vec_id") - 1).alias("vec_id"), F.col("v").alias("vb"))
+    pairs = base.join(b, "vec_id").select("vec_id", F.col("v").alias("va"), "vb")
+
+    def isum(col):
+        return F.aggregate(col, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    def cos(d: int):
+        va = F.slice("va", 1, d)
+        vb = F.slice("vb", 1, d)
+        dot = isum(F.zip_with(va, vb, lambda a, x: a * x)).cast("double")
+        na = F.sqrt(isum(F.transform(va, lambda x: x * x)).cast("double"))
+        nb = F.sqrt(isum(F.transform(vb, lambda x: x * x)).cast("double"))
+        return dot / (na * nb)
+
+    full = cos(64)
+    per_dim = []
+    for d in _MATRYOSHKA_DIMS:
+        err = F.floor(F.abs(cos(d) - full) * 1000000).cast("long")
+        per_dim.append(
+            pairs.agg(
+                F.lit(d).cast("int").alias("dim"),
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum(err).alias("sum_abs_err_ppm"),
+            )
+        )
+    out = per_dim[0]
+    for p in per_dim[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "dim", "n_pairs", "sum_abs_err_ppm",
+        F.expr("sum_abs_err_ppm DIV n_pairs").alias("mean_err_ppm"),
+    ).orderBy("dim")
+
+
+# --- Small-file compaction round-trip ----------------------------------------
+
+
+@query(
+    "s_compaction",
+    sql="""
+    SELECT COUNT(*) AS n_rows, SUM(n_nationkey) AS key_sum,
+           CAST(8 AS INT) AS n_files_before, CAST(2 AS INT) AS n_files_after
+    FROM nation
+    """,
+)
+def s_compaction(spark, sf_dir):
+    """Small-file compaction: land a table as 8 small files (the
+    many-tiny-files shape that kills scan throughput at 100 TB — listing
+    cost, per-file open overhead, tiny row groups), then rewrite it as 2
+    target-size files with ``coalesce`` (a NARROW rewrite — no shuffle;
+    repartition would shuffle for nothing here) and verify the round trip
+    preserved every row. File counts come from distinct
+    ``input_file_name()`` — the observable a compaction job actually
+    monitors."""
+    from ..catalog import scratch_path
+
+    n = load(spark, sf_dir, "nation")
+    path = scratch_path(spark, "compaction_nation")
+    n.repartition(8).write.mode("overwrite").parquet(f"{path}/small")
+    small = spark.read.parquet(f"{path}/small")
+    n_before = small.select(F.input_file_name().alias("f")).distinct().count()
+    small.coalesce(2).write.mode("overwrite").parquet(f"{path}/compact")
+    compact = spark.read.parquet(f"{path}/compact")
+    n_after = compact.select(F.input_file_name().alias("f")).distinct().count()
+    return compact.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_nationkey").alias("key_sum"),
+        F.lit(n_before).cast("int").alias("n_files_before"),
+        F.lit(n_after).cast("int").alias("n_files_after"),
+    )

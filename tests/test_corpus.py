@@ -216,3 +216,68 @@ def test_token_budget_greedy_invariants(spark):
         assert prev is None or prev < key
         prev = key
     assert cum * 2 <= total
+
+
+def test_ewma_int_recurrence_reference(spark):
+    from bridge_analytics_template_spark.queries.corpus import ts_ewma_int
+    from bridge_analytics_template_spark.catalog import load
+    import math
+
+    rows = ts_ewma_int(spark, SF_SMALL).collect()
+    assert rows
+    # Independent python reference for one user.
+    uid = rows[0].user_id
+    got = [(r.event_id, r.ewma_half_cents) for r in rows if r.user_id == uid]
+    src = (
+        load(spark, SF_SMALL, "events")
+        .filter(F.col("user_id") == uid)
+        .select("event_id", "ts", "value")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    s, want = 0, []
+    for i, r in enumerate(src):
+        x = int(math.floor(r.value * 100))
+        s = x if i == 0 else x + s // 2
+        want.append((r.event_id, s))
+    assert sorted(got) == sorted(want)
+
+
+def test_k_anonymity_consistency(spark):
+    from bridge_analytics_template_spark.queries.corpus import profile_k_anonymity
+    from bridge_analytics_template_spark.catalog import load
+
+    row = profile_k_anonymity(spark, SF_SMALL).collect()[0]
+    g = (
+        load(spark, SF_SMALL, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .count()
+        .collect()
+    )
+    assert row.n_groups == len(g)
+    assert row.n_groups_below_k == sum(1 for r in g if r["count"] < row.k)
+    assert row.n_rows_at_risk == sum(r["count"] for r in g if r["count"] < row.k)
+    assert row.min_group_size == min(r["count"] for r in g)
+
+
+def test_matryoshka_monotone_and_zero_at_full(spark):
+    from bridge_analytics_template_spark.queries.corpus import emb_matryoshka_eval
+
+    rows = {r.dim: r for r in emb_matryoshka_eval(spark, SF_SMALL).collect()}
+    assert set(rows) == {8, 16, 32, 64}
+    # Full-dim truncation is the identity: error exactly zero.
+    assert rows[64].sum_abs_err_ppm == 0
+    # All errors are non-negative and pair counts identical across dims.
+    n = {r.n_pairs for r in rows.values()}
+    assert len(n) == 1 and n.pop() > 0
+    assert all(r.sum_abs_err_ppm >= 0 for r in rows.values())
+
+
+def test_compaction_preserves_rows(spark):
+    from bridge_analytics_template_spark.queries.corpus import s_compaction
+    from bridge_analytics_template_spark.catalog import load
+
+    row = s_compaction(spark, SF_SMALL).collect()[0]
+    n = load(spark, SF_SMALL, "nation")
+    assert row.n_rows == n.count()
+    assert row.n_files_before == 8 and row.n_files_after == 2
