@@ -956,3 +956,127 @@ def s_compaction(spark, sf_dir):
         F.lit(n_before).cast("int").alias("n_files_before"),
         F.lit(n_after).cast("int").alias("n_files_after"),
     )
+
+
+# --- Incremental aggregate maintenance (Z-set / delta batch) ----------------
+
+
+@query(
+    "merge_incremental_agg",
+    sql="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM orders
+    WHERE (o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 0) OR o_orderkey % 10 = 0
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def merge_incremental_agg(spark, sf_dir):
+    """Incremental aggregate maintenance (the Z-set / DBSP pattern): a
+    materialized per-status aggregate is updated from a CDC delta batch of
+    signed rows (+1 inserts, -1 deletes) WITHOUT rescanning the base —
+    new_agg = base_agg ⊕ delta_agg, legal because count and integer-cent
+    sum are abelian-group aggregates. The demo partitions the fixture:
+    base = orderkey%10 != 0, inserts = the %10 == 0 rows, deletes = base
+    rows with orderkey%7 == 0; the maintained state must equal the oracle's
+    direct recompute of the final set.
+
+    Scale shape: the base aggregate is |groups|-sized state; each delta
+    batch costs one aggregate over the DELTA only plus a |groups|-sized
+    outer merge — at 100 TB the base is never re-read (the same contract
+    as streaming/windows.py::run_incremental_rollup, here in batch form)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base = o.filter(F.col("o_orderkey") % 10 != 0)
+    inserts = o.filter(F.col("o_orderkey") % 10 == 0).withColumn("sign", F.lit(1).cast("long"))
+    deletes = base.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "sign", F.lit(-1).cast("long")
+    )
+    delta = inserts.unionByName(deletes)
+
+    base_agg = base.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c")
+    )
+    delta_agg = delta.groupBy("o_orderstatus").agg(
+        F.sum("sign").alias("dn"), F.sum(F.col("sign") * F.col("cents")).alias("dc")
+    )
+    merged = (
+        base_agg.join(delta_agg, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n_orders"),
+            (F.coalesce("c", F.lit(0)) + F.coalesce("dc", F.lit(0))).alias("total_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return merged.orderBy("o_orderstatus")
+
+
+# --- Order-independent shard manifest ---------------------------------------
+
+# Pack the first 15 md5 hex nibbles into a positive int64: identical text in
+# Spark SQL and DuckDB (instr/substr/md5 exist in both with 1-based
+# semantics), pure multiplication — no engine-specific shift operators.
+_ROW_HASH_SQL = " + ".join(
+    # CAST the power-of-16 constant: small ones parse as INT32 and the
+    # nibble*const product overflows int under ANSI mode.
+    f"(instr('0123456789abcdef', substr(md5(canon), {k + 1}, 1)) - 1)"
+    f" * CAST({16 ** (14 - k)} AS BIGINT)"
+    for k in range(15)
+)
+_MANIFEST_MOD = 16**15  # 2^60
+
+
+@query(
+    "train_shard_manifest",
+    sql=f"""
+    WITH canon AS (
+      SELECT o_orderkey % 8 AS shard_id,
+             concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+                       o_orderstatus, CAST(o_orderdate AS VARCHAR)) AS canon
+      FROM orders),
+    hashed AS (
+      SELECT shard_id, CAST({_ROW_HASH_SQL} AS BIGINT) AS h FROM canon)
+    SELECT shard_id, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(h AS HUGEINT)) % {_MANIFEST_MOD} AS BIGINT) AS content_checksum
+    FROM hashed GROUP BY shard_id ORDER BY shard_id
+    """,
+)
+def train_shard_manifest(spark, sf_dir):
+    """Shard manifest with ORDER-INDEPENDENT content checksums: every row
+    canonicalized (integer/date columns only — float rendering is not
+    portable), hashed to a 60-bit integer via md5-nibble packing, and
+    summed per shard modulo 2^60 (widened through DECIMAL(38)/HUGEINT so
+    the sum can't wrap int64 first). Because the checksum is a SUM, any
+    re-partitioning, re-ordering, or parallel rewrite of a shard verifies
+    against the same manifest — the integrity artifact a snapshot publisher
+    ships next to the data files.
+
+    Scale shape: one hash aggregate keyed on shard_id; the canonical string
+    and hash are in-row codegen. No sort, no window."""
+    o = load(spark, sf_dir, "orders")
+    canon = o.select(
+        (F.col("o_orderkey") % 8).alias("shard_id"),
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_orderdate").cast("string"),
+        ).alias("canon"),
+    )
+    hashed = canon.select("shard_id", F.expr(f"CAST({_ROW_HASH_SQL} AS BIGINT)").alias("h"))
+    return (
+        hashed.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(
+                f"CAST(sum(CAST(h AS DECIMAL(38,0))) % {_MANIFEST_MOD} AS BIGINT)"
+            ).alias("content_checksum"),
+        )
+        .orderBy("shard_id")
+    )

@@ -281,3 +281,51 @@ def test_compaction_preserves_rows(spark):
     n = load(spark, SF_SMALL, "nation")
     assert row.n_rows == n.count()
     assert row.n_files_before == 8 and row.n_files_after == 2
+
+
+def test_incremental_agg_equals_recompute(spark):
+    from bridge_analytics_template_spark.queries.corpus import merge_incremental_agg
+    from bridge_analytics_template_spark.catalog import load
+
+    got = {
+        r.o_orderstatus: (r.n_orders, r.total_cents)
+        for r in merge_incremental_agg(spark, SF_SMALL).collect()
+    }
+    o = load(spark, SF_SMALL, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    final = o.filter(
+        ((F.col("o_orderkey") % 10 != 0) & (F.col("o_orderkey") % 7 != 0))
+        | (F.col("o_orderkey") % 10 == 0)
+    )
+    want = {
+        r.o_orderstatus: (r.n, r.c)
+        for r in final.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_shard_manifest_order_independent(spark):
+    from bridge_analytics_template_spark.queries.corpus import train_shard_manifest
+    from bridge_analytics_template_spark.catalog import load, table_path
+    import tempfile, os
+
+    a = {r.shard_id: (r.n_rows, r.content_checksum)
+         for r in train_shard_manifest(spark, SF_SMALL).collect()}
+    # Rewrite orders shuffled (different row order, different partitioning):
+    # the manifest must not change.
+    with tempfile.TemporaryDirectory() as td:
+        o = load(spark, SF_SMALL, "orders")
+        o.orderBy(F.desc("o_totalprice")).repartition(7).write.parquet(
+            os.path.join(td, "orders.parquet")
+        )
+        for t in ("nation",):  # satisfy load() for any other table if needed
+            pass
+        b = {r.shard_id: (r.n_rows, r.content_checksum)
+             for r in train_shard_manifest(spark, td).collect()}
+    assert a == b
+    assert sum(v[0] for v in a.values()) == load(spark, SF_SMALL, "orders").count()
