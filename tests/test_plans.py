@@ -337,3 +337,34 @@ def test_driver_window_integrity():
     assert not missing
     no_oracle = [n for n in _WINDOW if n not in ORACLES]
     assert len(no_oracle) <= 10, no_oracle  # mostly value-exact rows
+
+
+def test_bloom_dedup_prefilter_plan(spark, sf_dir):
+    # The candidate-side bloom prefilter must be a broadcast of the 1-row
+    # bitmap + a filter — NO shuffle of the corpus before the bit test; the
+    # exact confirm join must broadcast the (bounded) reference fingerprints.
+    plan = plan_of(spark, sf_dir, "llm_bloom_dedup")
+    assert plan.count("BroadcastExchange") >= 2  # bitmap row + ref fp set
+    assert "SortMergeJoin" not in plan
+
+
+def test_semantic_decontaminate_broadcasts_eval(spark, sf_dir):
+    # Eval embeddings broadcast; the train corpus is never shuffled for the
+    # similarity join (only the final per-doc argmax aggregate repartitions).
+    plan = plan_of(spark, sf_dir, "llm_semantic_decontaminate")
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_segment_dedup_two_keyed_shuffles(spark, sf_dir):
+    # Election (seg_text) + reassembly (doc_id) + the outer join back to the
+    # doc list: hash exchanges only, no window over the corpus, no cartesian.
+    plan = plan_of(spark, sf_dir, "llm_segment_dedup")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_agg_no_base_rescan_shape(spark, sf_dir):
+    # Both aggregates are partial+final; the merge is a |groups|-sized join.
+    plan = plan_of(spark, sf_dir, "merge_incremental_agg")
+    assert plan.count("HashAggregate") >= 4  # partial+final for base and delta
