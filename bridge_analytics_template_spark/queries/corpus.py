@@ -57,22 +57,10 @@ _SEGMENT_SQL = f"""
 """
 
 
-@query("llm_segment_dedup", sql=_SEGMENT_SQL)
-def llm_segment_dedup(spark, sf_dir):
-    """C4/CCNet-style line-level dedup with document reassembly: cut each
-    document into disjoint {_SEG}-token segments (the fixture's documents
-    have no newlines, so fixed token windows stand in for lines), keep only
-    the globally FIRST occurrence of every distinct segment (min
-    (doc_id, seg_idx)), and reassemble each document from its surviving
-    segments in order.
-
-    Scale shape: segments are built IN-ROW (sequence + transform + slice,
-    all codegen — no tokenize re-evaluation per segment), so the only
-    shuffles are (1) the segment-hash aggregate that elects first
-    occurrences and (2) the doc-keyed reassembly — both key-partitioned,
-    no windows over the corpus, no joins back to the exploded relation
-    (the elected keepers carry their text through the min-struct)."""
-    d = load(spark, sf_dir, "documents")
+def _segment_dedup(d: DataFrame) -> DataFrame:
+    """Core of llm_segment_dedup over any (doc_id, text) frame; returns
+    (doc_id, n_segs, n_kept, kept_text). See the query docstring for the
+    shuffle accounting."""
     toks = ws_tokens("text")
     base = d.select(
         "doc_id",
@@ -111,8 +99,25 @@ def llm_segment_dedup(spark, sf_dir):
             F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
             F.coalesce("kept_text", F.lit("")).alias("kept_text"),
         )
-        .orderBy("doc_id")
     )
+
+
+@query("llm_segment_dedup", sql=_SEGMENT_SQL)
+def llm_segment_dedup(spark, sf_dir):
+    """C4/CCNet-style line-level dedup with document reassembly: cut each
+    document into disjoint {_SEG}-token segments (the fixture's documents
+    have no newlines, so fixed token windows stand in for lines), keep only
+    the globally FIRST occurrence of every distinct segment (min
+    (doc_id, seg_idx)), and reassemble each document from its surviving
+    segments in order.
+
+    Scale shape: segments are built IN-ROW (sequence + transform + slice,
+    all codegen — no tokenize re-evaluation per segment), so the only
+    shuffles are (1) the segment-hash aggregate that elects first
+    occurrences and (2) the doc-keyed reassembly — both key-partitioned,
+    no windows over the corpus, no joins back to the exploded relation
+    (the elected keepers carry their text through the min-struct)."""
+    return _segment_dedup(load(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 # --- Length-bucketed batching: padding efficiency ---------------------------
@@ -1079,4 +1084,103 @@ def train_shard_manifest(spark, sf_dir):
             ).alias("content_checksum"),
         )
         .orderBy("shard_id")
+    )
+
+
+# --- End-to-end curation pipeline -------------------------------------------
+
+_E2E_QT = 820_000  # alpha-ppm quality gate (fixture median ~821.7k)
+
+_E2E_SQL = f"""
+    WITH scored AS (
+      SELECT doc_id, text,
+             (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1000000
+               // greatest(length(text), 1) AS score_ppm
+      FROM documents),
+    kept0 AS (SELECT * FROM scored WHERE score_ppm >= {_E2E_QT}),
+    t AS (
+      SELECT doc_id, score_ppm, {_SQL_TOKENS} AS toks,
+             greatest(CAST(ceil(len({_SQL_TOKENS}) / {_SEG}.0) AS BIGINT), 1) AS n_segs
+      FROM kept0),
+    s AS (
+      SELECT doc_id, toks, unnest(generate_series(0, n_segs - 1)) AS seg_idx FROM t),
+    seg AS (
+      SELECT doc_id, seg_idx,
+             array_to_string(toks[seg_idx * {_SEG} + 1 : seg_idx * {_SEG} + {_SEG}], ' ') AS seg_text
+      FROM s),
+    keep AS (
+      SELECT doc_id, seg_idx, seg_text,
+             ROW_NUMBER() OVER (PARTITION BY seg_text ORDER BY doc_id, seg_idx) AS rn
+      FROM seg),
+    reasm AS (
+      SELECT doc_id, string_agg(seg_text, ' ' ORDER BY seg_idx) AS kept_text
+      FROM keep WHERE rn = 1 GROUP BY doc_id),
+    toks2 AS (
+      SELECT k.doc_id, k.score_ppm,
+             CASE WHEN r.kept_text IS NULL OR r.kept_text = '' THEN 0
+                  ELSE CAST(len(string_split(r.kept_text, ' ')) AS BIGINT) END AS n_tok
+      FROM kept0 k LEFT JOIN reasm r ON k.doc_id = r.doc_id),
+    c AS (
+      SELECT doc_id, score_ppm, n_tok,
+             SUM(n_tok) OVER (ORDER BY score_ppm DESC, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+             SUM(n_tok) OVER () AS total_tokens
+      FROM toks2)
+    SELECT doc_id, score_ppm, n_tok, cum_tokens
+    FROM c WHERE cum_tokens * 2 <= total_tokens
+    ORDER BY score_ppm DESC, doc_id
+"""
+
+
+@query("pipeline_curation_e2e", sql=_E2E_SQL)
+def pipeline_curation_e2e(spark, sf_dir):
+    """End-to-end curation pipeline — the composition a real training-data
+    job runs, as ONE declarative plan: quality gate (integer alpha-ppm >=
+    {_E2E_QT}) → segment-level dedup with reassembly (first-occurrence
+    election over the SURVIVING docs) → token-budget admission (quality
+    rank order until half the deduped token mass).
+
+    Everything stays one lazy DataFrame graph: Catalyst pushes the quality
+    filter into the scan, the dedup contributes its two keyed shuffles, and
+    the budget pass runs on operators/prefix.py::partitioned_cumsum — no
+    one-task window anywhere, no intermediate materialization beyond the
+    cumsum's bucket statistics."""
+    from ..operators.prefix import partitioned_cumsum
+
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "text",
+        F.expr(
+            "(length(text) - length(regexp_replace(text, '[A-Za-z]', ''))) * 1000000"
+            " DIV greatest(length(text), 1)"
+        ).alias("score_ppm"),
+    )
+    kept = scored.filter(F.col("score_ppm") >= _E2E_QT)
+    seg = _segment_dedup(kept.select("doc_id", "text"))
+    tok = (
+        kept.select("doc_id", "score_ppm")
+        .join(seg.select("doc_id", "kept_text"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "score_ppm",
+            F.when(
+                F.col("kept_text").isNull() | (F.col("kept_text") == ""), F.lit(0).cast("long")
+            )
+            .otherwise(F.size(F.split("kept_text", " ")).cast("long"))
+            .alias("n_tok"),
+        )
+        .withColumn("neg_score", -F.col("score_ppm"))
+    )
+    c = partitioned_cumsum(
+        tok,
+        order_cols=["neg_score", "doc_id"],
+        value_col="n_tok",
+        cum_name="cum_tokens",
+        total_name="total_tokens",
+    )
+    return (
+        c.filter(F.col("cum_tokens") * 2 <= F.col("total_tokens"))
+        .select("doc_id", "score_ppm", "n_tok", "cum_tokens")
+        .orderBy(F.desc("score_ppm"), "doc_id")
     )

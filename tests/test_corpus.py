@@ -329,3 +329,24 @@ def test_shard_manifest_order_independent(spark):
              for r in train_shard_manifest(spark, td).collect()}
     assert a == b
     assert sum(v[0] for v in a.values()) == load(spark, SF_SMALL, "orders").count()
+
+
+def test_curation_e2e_composition(spark):
+    from bridge_analytics_template_spark.queries.corpus import (
+        _E2E_QT,
+        pipeline_curation_e2e,
+    )
+    from bridge_analytics_template_spark.catalog import load
+
+    rows = pipeline_curation_e2e(spark, SF_SMALL).collect()
+    assert rows
+    # Quality gate respected, admission ordered, running sum correct.
+    cum = 0
+    prev = None
+    for r in rows:
+        assert r.score_ppm >= _E2E_QT
+        cum += r.n_tok
+        assert r.cum_tokens == cum
+        key = (-r.score_ppm, r.doc_id)
+        assert prev is None or prev < key
+        prev = key
