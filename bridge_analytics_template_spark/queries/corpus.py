@@ -1184,3 +1184,119 @@ def pipeline_curation_e2e(spark, sf_dir):
         .select("doc_id", "score_ppm", "n_tok", "cum_tokens")
         .orderBy(F.desc("score_ppm"), "doc_id")
     )
+
+
+# --- Oracle-exact fixed-point k-means ----------------------------------------
+
+_KM_K = 8
+_KM_ITERS = 3
+_KM_Q = 1000  # floor(x * 1e3) — distance sums stay far inside int64
+
+_KMQ_SQL = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+
+def _kmeans_oracle_sql() -> str:
+    """Unrolled Lloyd iterations, all integer: assignment by exact squared
+    L2 (ties to the lowest centroid id), centroid update floor(sum/n) per
+    dim (floor of an exactly-representable double quotient — identical to
+    Python int // because the rational is never within half-ulp of an
+    integer unless it IS one)."""
+    dist = (
+        "list_sum(list_transform(generate_series(1, 64),"
+        " i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i])))"
+    )
+    parts = [
+        f"""
+    WITH pts AS MATERIALIZED (
+      SELECT vec_id, {_KMQ_SQL} AS v FROM embeddings),
+    c0 AS MATERIALIZED (
+      SELECT vec_id AS j, v FROM pts WHERE vec_id < {_KM_K})"""
+    ]
+    for it in range(1, _KM_ITERS + 1):
+        parts.append(
+            f""",
+    a{it} AS MATERIALIZED (
+      SELECT p.vec_id, p.v,
+             (min(struct_pack(d := {dist}, j := c.j))).j AS cluster
+      FROM pts p, c{it - 1} c GROUP BY p.vec_id, p.v),
+    s{it} AS (
+      SELECT a.cluster, u.d,
+             CAST(floor(CAST(SUM(a.v[u.d]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cd
+      FROM a{it} a, unnest(generate_series(1, 64)) u(d)
+      GROUP BY a.cluster, u.d),
+    n{it} AS (
+      SELECT cluster AS j, list(cd ORDER BY d) AS v FROM s{it} GROUP BY cluster),
+    c{it} AS MATERIALIZED (
+      SELECT c.j, COALESCE(n.v, c.v) AS v
+      FROM c{it - 1} c LEFT JOIN n{it} n ON n.j = c.j)"""
+        )
+    parts.append(
+        f"""
+    SELECT p.vec_id,
+           (min(struct_pack(d := {dist}, j := c.j))).j AS cluster_id,
+           (min(struct_pack(d := {dist}, j := c.j))).d AS dist2
+    FROM pts p, c{_KM_ITERS} c GROUP BY p.vec_id ORDER BY p.vec_id"""
+    )
+    return "".join(parts)
+
+
+@query("emb_kmeans_int", sql=_kmeans_oracle_sql())
+def emb_kmeans_int(spark, sf_dir):
+    """Oracle-exact fixed-point Lloyd's k-means (hash-green companion to the
+    float emb_kmeans): embeddings quantized floor(x*1e3), distances exact
+    int64 squared-L2, argmin ties to the lowest centroid id, centroid
+    update floor(per-dim mean) — every iteration is integer-deterministic,
+    so {_KM_ITERS} rounds agree bit-for-bit with the oracle's unrolled CTE
+    stages. Init = the first {_KM_K} vectors by id (deterministic, same in
+    both engines).
+
+    Scale shape (same as llm/kmeans.py): centroids are a k x d driver
+    literal per round (bounded by construction); assignment is one in-row
+    expression pass over the corpus; the update is ONE map-side-combinable
+    aggregate of k x d cells. No shuffle of the points beyond the k-keyed
+    partial aggregate."""
+    e = load(spark, sf_dir, "embeddings")
+    qv = F.transform("embedding", lambda x: F.floor(x.cast("double") * _KM_Q).cast("long"))
+    pts = e.select("vec_id", qv.alias("v"))
+    cents = {
+        int(r["vec_id"]): [int(x) for x in r["v"]]
+        for r in pts.filter(F.col("vec_id") < _KM_K).collect()
+    }
+
+    def dist2(c: list):
+        return F.aggregate(
+            F.zip_with("v", F.lit(c), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def assign():
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(dist2(cents[j]).alias("d"), F.lit(j).cast("long").alias("j"))
+                    for j in sorted(cents)
+                ]
+            )
+        )
+
+    for _ in range(_KM_ITERS):
+        assigned = pts.select("vec_id", "v", assign().getField("j").alias("cluster"))
+        sums = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.element_at("v", d + 1)).alias(f"s{d}") for d in range(64)],
+        )
+        new = {}
+        for r in sums.collect():  # k rows — bounded by construction
+            j = int(r["cluster"])
+            n = int(r["n"])
+            new[j] = [int(r[f"s{d}"]) // n for d in range(64)]
+        for j in cents:
+            if j in new:
+                cents[j] = new[j]
+    final = assign()
+    return pts.select(
+        "vec_id",
+        final.getField("j").alias("cluster_id"),
+        final.getField("d").alias("dist2"),
+    ).orderBy("vec_id")

@@ -350,3 +350,16 @@ def test_curation_e2e_composition(spark):
         key = (-r.score_ppm, r.doc_id)
         assert prev is None or prev < key
         prev = key
+
+
+def test_kmeans_int_deterministic_and_sane(spark):
+    from bridge_analytics_template_spark.queries.corpus import _KM_K, emb_kmeans_int
+
+    a = [(r.vec_id, r.cluster_id, r.dist2) for r in emb_kmeans_int(spark, SF_SMALL).collect()]
+    b = [(r.vec_id, r.cluster_id, r.dist2) for r in emb_kmeans_int(spark, SF_SMALL).collect()]
+    assert a == b
+    assert all(0 <= c < _KM_K for _, c, _ in a)
+    assert all(d >= 0 for _, _, d in a)
+    # The init members must sit closest to a centroid that has not drifted
+    # further than any other — weak sanity: at least 2 distinct clusters used.
+    assert len({c for _, c, _ in a}) >= 2
