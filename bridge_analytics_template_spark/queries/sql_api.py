@@ -526,3 +526,44 @@ def sql_scripting_share(spark, sf_dir):
         END
         """
     )
+
+
+@query(
+    "sql_user_functions",
+    sql="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS margin_cents
+    FROM lineitem
+    WHERE CAST(floor(l_extendedprice * 100) AS BIGINT) >= 100000
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def sql_user_functions(spark, sf_dir):
+    """SQL user-defined functions (Spark 4 `CREATE FUNCTION ... RETURN`):
+    a SCALAR function (discounted margin in exact cents) and a TABLE
+    function (price-filtered lineitem source) defined in pure SQL and
+    composed in one query. SQL UDFs are INLINED by the analyzer — the
+    executed plan is identical to writing the expressions by hand (the
+    oracle), so they keep whole-stage codegen, pushdown, and zero
+    serialization cost, unlike any Python-side UDF lane."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION margin_cents(p DOUBLE, d DOUBLE)"
+        " RETURNS BIGINT RETURN CAST(floor(p * (1.0 - d) * 100) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION priced_lineitem(min_cents BIGINT)"
+        " RETURNS TABLE(l_returnflag STRING, l_extendedprice DOUBLE, l_discount DOUBLE)"
+        " RETURN SELECT l_returnflag, l_extendedprice, l_discount FROM lineitem"
+        " WHERE CAST(floor(l_extendedprice * 100) AS BIGINT) >= min_cents"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               SUM(margin_cents(l_extendedprice, l_discount)) AS margin_cents
+        FROM priced_lineitem(100000)
+        GROUP BY 1 ORDER BY 1
+        """
+    )

@@ -363,3 +363,33 @@ def test_kmeans_int_deterministic_and_sane(spark):
     # The init members must sit closest to a centroid that has not drifted
     # further than any other — weak sanity: at least 2 distinct clusters used.
     assert len({c for _, c, _ in a}) >= 2
+
+
+def test_sql_user_functions_inlined(spark):
+    # SQL UDFs must inline: no python runner, no extra exchange beyond the
+    # aggregate; result equals the handwritten expression.
+    from bridge_analytics_template_spark.queries.sql_api import sql_user_functions
+
+    df = sql_user_functions(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = {r.l_returnflag: (r.n_rows, r.margin_cents) for r in df.collect()}
+    from bridge_analytics_template_spark.catalog import load
+
+    l = load(spark, SF_SMALL, "lineitem").filter(
+        F.floor(F.col("l_extendedprice") * 100).cast("long") >= 100000
+    )
+    want = {
+        r.l_returnflag: (r.n, r.m)
+        for r in l.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100).cast(
+                    "long"
+                )
+            ).alias("m"),
+        )
+        .collect()
+    }
+    assert rows == want
