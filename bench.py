@@ -58,11 +58,12 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in HEADLINE:
-        # Best of 2: a single pass is hostage to transient load (GC, page
-        # cache churn from the previous query); the min is the stable
-        # steady-state signal.
+        # Best of 3: a single pass is hostage to transient load (GC, page
+        # cache churn from the previous query, JVM C2 still compiling early
+        # in the process — r3 measured the same binary 1.6-1.9x slower on a
+        # cold box than warm); the min is the stable steady-state signal.
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = QUERIES[name](spark, sf_dir)
             n = df.count() if name not in ("flagship",) else len(df.collect())
