@@ -522,22 +522,24 @@ def prefix_filtered_pairs(
         "doc", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle")
     )
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
-    # Re-assemble each doc's set ordered rarest-first: array_sort on
-    # (freq, shingle) structs — deterministic, shuffle count 2 (freq join +
-    # per-doc collect).
-    ordered = (
-        sh.join(freq, "shingle")
-        .groupBy("doc", "n")
-        .agg(F.array_sort(F.collect_list(F.struct("freq", "shingle"))).alias("os"))
-    )
+    # Rarest-first prefix membership WITHOUT rebuilding per-doc arrays: a
+    # token is in doc d's prefix iff its rank under (freq asc, shingle asc)
+    # within d is <= prefix_len(|d|). Same two shuffles as the
+    # collect_list+slice+re-explode rebuild (freq join on shingle + doc-keyed
+    # window), but the window sort of doc-sized partitions beats
+    # ObjectHashAggregate's struct-list serialization (measured -12% at
+    # sf0.1; docs bound the partition size, so no skew cliff at scale).
+    from pyspark.sql import Window
+
     prefix_len = (F.col("n") - F.ceil(F.lit(min_jaccard) * F.col("n")) + 1).cast("int")
-    prefixes = ordered.select(
-        "doc",
-        "n",
-        F.explode_outer(
-            F.transform(F.slice("os", F.lit(1), prefix_len), lambda s: s["shingle"])
-        ).alias("shingle"),
-    ).persist()
+    w = Window.partitionBy("doc").orderBy("freq", "shingle")
+    prefixes = (
+        sh.join(freq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc", "n", "shingle")
+        .persist()
+    )
     a, b = prefixes.alias("a"), prefixes.alias("b")
     cand = (
         a.join(
@@ -574,18 +576,18 @@ def containment_filtered_pairs(
     )
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
     indexed = track(sh.join(freq, "shingle").persist())
-    needed = F.ceil(F.lit(min_containment) * F.col("n"))
-    # A-side probe: rarest (n - ceil(t*n) + 1) tokens per doc.
-    ordered = indexed.groupBy("doc", "n").agg(
-        F.array_sort(F.collect_list(F.struct("freq", "shingle"))).alias("os")
-    )
+    # A-side probe: rarest (n - ceil(t*n) + 1) tokens per doc — selected by
+    # rank under (freq, shingle) within doc (same two-shuffle shape as the
+    # collect_list rebuild, minus the struct-list serialization; see
+    # prefix_filtered_pairs).
+    from pyspark.sql import Window
+
     prefix_len = (F.col("n") - F.ceil(F.lit(min_containment) * F.col("n")) + 1).cast("int")
-    probes = ordered.select(
-        F.col("doc").alias("doc_a"),
-        F.col("n").alias("n_a"),
-        F.explode_outer(
-            F.transform(F.slice("os", F.lit(1), prefix_len), lambda s: s["shingle"])
-        ).alias("shingle"),
+    w = Window.partitionBy("doc").orderBy("freq", "shingle")
+    probes = (
+        indexed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"), "shingle")
     )
     full = indexed.select(
         F.col("doc").alias("doc_b"), F.col("n").alias("n_b"), "shingle"
