@@ -377,3 +377,83 @@ def test_gini_formula_invariants(spark, balances):
     s1 = sum((i + 1) * x for i, x in enumerate(xs))
     assert r["n_customers"] == n and r["total_cents"] == s0
     assert abs(r["gini"] - (2 * s1 - (n + 1) * s0) / (n * s0)) < 1e-12
+
+
+# --- r3 corpus-op properties -------------------------------------------------
+
+word = st.text(alphabet="abc", min_size=1, max_size=3)
+doc_tokens = st.lists(word, min_size=1, max_size=35)
+
+
+@given(st.lists(doc_tokens, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_segment_dedup_properties(spark, docs):
+    from bridge_analytics_template_spark.queries.corpus import _SEG, _segment_dedup
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in _segment_dedup(df).collect()}
+    # Reference: python segmentation + first-occurrence election.
+    segs = {}  # seg_text -> (doc_id, seg_idx)
+    per_doc = {}
+    for i, toks in enumerate(docs):
+        chunks = [
+            " ".join(toks[j : j + _SEG]) for j in range(0, max(len(toks), 1), _SEG)
+        ]
+        per_doc[i] = chunks
+        for idx, c in enumerate(chunks):
+            segs.setdefault(c, (i, idx))
+    for i, chunks in per_doc.items():
+        kept = [c for idx, c in enumerate(chunks) if segs[c] == (i, idx)]
+        assert out[i].n_segs == len(chunks)
+        assert out[i].n_kept == len(kept)
+        assert out[i].kept_text == " ".join(kept)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(0, 10**4), st.sampled_from("OFP")),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**SETTINGS)
+def test_shard_manifest_permutation_invariant(spark, rows):
+    import random
+
+    from pyspark.sql import functions as F  # noqa: F811
+    from bridge_analytics_template_spark.queries.corpus import (
+        _MANIFEST_MOD,
+        _ROW_HASH_SQL,
+    )
+
+    def manifest(seq):
+        df = spark.createDataFrame(
+            seq, "o_orderkey long, o_custkey long, o_orderstatus string"
+        ).select(
+            (F.col("o_orderkey") % 8).alias("shard_id"),
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+            ).alias("canon"),
+        )
+        hashed = df.select("shard_id", F.expr(f"CAST({_ROW_HASH_SQL} AS BIGINT)").alias("h"))
+        return {
+            r.shard_id: (r.n, r.c)
+            for r in hashed.groupBy("shard_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr(
+                    f"CAST(sum(CAST(h AS DECIMAL(38,0))) % {_MANIFEST_MOD} AS BIGINT)"
+                ).alias("c"),
+            )
+            .collect()
+        }
+
+    shuffled = list(rows)
+    random.Random(7).shuffle(shuffled)
+    assert manifest(rows) == manifest(shuffled)
