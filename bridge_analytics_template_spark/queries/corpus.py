@@ -1300,3 +1300,79 @@ def emb_kmeans_int(spark, sf_dir):
         final.getField("j").alias("cluster_id"),
         final.getField("d").alias("dist2"),
     ).orderBy("vec_id")
+
+
+# --- Corrupt-record-tolerant ingestion ---------------------------------------
+
+
+@query(
+    "s_corrupt_records",
+    sql="""
+    SELECT (SELECT COUNT(*) FROM nation) AS n_good,
+           CAST(2 AS BIGINT) AS n_corrupt,
+           (SELECT SUM(n_nationkey) FROM nation) AS key_sum
+    """,
+)
+def s_corrupt_records(spark, sf_dir):
+    """Corrupt-record-tolerant ingestion (PERMISSIVE mode): a JSONL batch
+    with planted malformed lines is read with an explicit schema +
+    ``_corrupt_record`` sink column — bad lines land in the quarantine
+    column instead of failing the job (the poison-pill contract a 100 TB
+    ingest needs: one bad record in a billion must not kill the pass).
+    The parsed frame is persisted before aggregating — Spark (documented
+    restriction) refuses queries that project only the internal corrupt
+    column from the unmaterialized scan."""
+    from ..catalog import scratch_path
+
+    n = load(spark, sf_dir, "nation")
+    path = scratch_path(spark, "corrupt_jsonl")
+    good = n.select(F.to_json(F.struct("n_nationkey", "n_name")).alias("value"))
+    bad = spark.createDataFrame([("{oops",), ("### not json",)], "value string")
+    good.unionByName(bad).coalesce(1).write.mode("overwrite").text(path)
+    parsed = (
+        spark.read.schema("n_nationkey long, n_name string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .persist()
+    )
+    out = parsed.agg(
+        F.sum(F.col("_corrupt_record").isNull().cast("long")).alias("n_good"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("long")).alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("n_nationkey"))).alias("key_sum"),
+    )
+    out = out.localCheckpoint(eager=True)  # materialize before unpersist
+    parsed.unpersist()
+    return out
+
+
+# --- CACHE TABLE SQL surface -------------------------------------------------
+
+
+@query(
+    "sql_cache_table",
+    sql="""
+    SELECT n_regionkey, COUNT(*) AS n_nations, SUM(n_nationkey) AS key_sum
+    FROM nation GROUP BY 1 ORDER BY 1
+    """,
+)
+def sql_cache_table(spark, sf_dir):
+    """CACHE TABLE SQL surface: materialize a projection once
+    (`CACHE TABLE ... AS SELECT`), then aggregate over the in-memory
+    columnar relation — the SQL-facing form of `.persist()` used by BI
+    layers. The plan test asserts the InMemoryTableScan; the harness's
+    clearCache sweeps the entry afterwards (same lifecycle as every
+    tracked persist)."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql("UNCACHE TABLE IF EXISTS cached_nation_r3")
+    spark.sql(
+        "CACHE TABLE cached_nation_r3 AS SELECT n_nationkey, n_regionkey FROM nation"
+    )
+    return spark.sql(
+        """
+        SELECT n_regionkey, COUNT(*) AS n_nations, SUM(n_nationkey) AS key_sum
+        FROM cached_nation_r3 GROUP BY 1 ORDER BY 1
+        """
+    )

@@ -393,3 +393,23 @@ def test_sql_user_functions_inlined(spark):
         .collect()
     }
     assert rows == want
+
+
+def test_corrupt_records_quarantined(spark):
+    from bridge_analytics_template_spark.queries.corpus import s_corrupt_records
+    from bridge_analytics_template_spark.catalog import load
+
+    row = s_corrupt_records(spark, SF_SMALL).collect()[0]
+    n = load(spark, SF_SMALL, "nation")
+    assert row.n_good == n.count()
+    assert row.n_corrupt == 2
+
+
+def test_cache_table_in_memory_scan(spark):
+    from bridge_analytics_template_spark.queries.corpus import sql_cache_table
+
+    df = sql_cache_table(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    rows = df.collect()
+    assert sum(r.n_nations for r in rows) == 25
