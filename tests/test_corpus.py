@@ -410,6 +410,6 @@ def test_cache_table_in_memory_scan(spark):
 
     df = sql_cache_table(spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "InMemoryTableScan" in plan
+    assert "In-memory table" in plan or "InMemoryTableScan" in plan
     rows = df.collect()
     assert sum(r.n_nations for r in rows) == 25
