@@ -1376,3 +1376,116 @@ def sql_cache_table(spark, sf_dir):
         FROM cached_nation_r3 GROUP BY 1 ORDER BY 1
         """
     )
+
+
+# --- Source/domain-level quality aggregation ---------------------------------
+
+
+@query(
+    "llm_domain_stats",
+    sql=f"""
+    WITH scored AS (
+      SELECT source,
+             CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tok,
+             (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1000000
+               // greatest(length(text), 1) AS score_ppm,
+             md5(text) AS h
+      FROM documents)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(n_tok) AS n_tokens,
+           SUM(score_ppm) // COUNT(*) AS mean_score_ppm,
+           COUNT(*) - COUNT(DISTINCT h) AS n_exact_dups,
+           (SUM(score_ppm) // COUNT(*)) >= 815000 AND
+             (COUNT(*) - COUNT(DISTINCT h)) * 10 < COUNT(*) AS keep_source
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def llm_domain_stats(spark, sf_dir):
+    """Source/domain-level curation (the Dolma/RefinedWeb stage ABOVE
+    per-document filtering): per source, document/token mass, mean integer
+    quality, exact-dup count, and a keep/drop verdict (mean quality >=
+    815000 ppm AND <10% exact dups). Domains are decided wholesale because
+    per-doc signals are noisy but domain reputations are stable.
+
+    Scale shape: ONE hash aggregate keyed on source (count-distinct of the
+    content hash rides the same shuffle); every per-doc signal is in-row."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        F.size(ws_tokens("text")).cast("long").alias("n_tok"),
+        F.expr(
+            "(length(text) - length(regexp_replace(text, '[A-Za-z]', ''))) * 1000000"
+            " DIV greatest(length(text), 1)"
+        ).alias("score_ppm"),
+        F.md5("text").alias("h"),
+    )
+    g = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.expr("sum(score_ppm) DIV count(1)").alias("mean_score_ppm"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_exact_dups"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "mean_score_ppm",
+        "n_exact_dups",
+        (
+            (F.col("mean_score_ppm") >= 815000)
+            & (F.col("n_exact_dups") * 10 < F.col("n_docs"))
+        ).alias("keep_source"),
+    ).orderBy("source")
+
+
+# --- In-document segment repetition (zero shuffle) ---------------------------
+
+
+@query(
+    "llm_selfrep_segments",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks,
+             greatest(CAST(ceil(len({_SQL_TOKENS}) / {_SEG}.0) AS BIGINT), 1) AS n_segs
+      FROM t0),
+    seg AS (
+      SELECT doc_id, n_segs,
+             list_transform(generate_series(0, n_segs - 1),
+                            i -> array_to_string(toks[i * {_SEG} + 1 : i * {_SEG} + {_SEG}], ' ')) AS segs
+      FROM t)
+    SELECT doc_id, n_segs,
+           n_segs - CAST(len(list_distinct(segs)) AS BIGINT) AS n_self_dups,
+           (n_segs - CAST(len(list_distinct(segs)) AS BIGINT)) * 1000000 // n_segs AS selfrep_ppm
+    FROM seg ORDER BY doc_id
+    """.replace("FROM t0", "FROM documents"),
+)
+def llm_selfrep_segments(spark, sf_dir):
+    """In-document repetition at segment granularity (the Gopher
+    'repeated paragraphs' signal): per document, how many of its
+    {_SEG}-token segments are duplicates of an earlier segment of the SAME
+    document. Entirely IN-ROW — segmentation, distinct, and the ppm ratio
+    are one codegen projection; a 100 TB corpus pays a single scan and
+    zero shuffle (guarded in tests/test_plans.py)."""
+    d = load(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    t = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.greatest(F.ceil(F.size(toks) / _SEG), F.lit(1).cast("long")).alias("n_segs"),
+    )
+    segs = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.col("n_segs") - 1),
+        lambda i: F.array_join(F.slice("toks", (i * _SEG + 1).cast("int"), _SEG), " "),
+    )
+    return (
+        t.select(
+            "doc_id",
+            "n_segs",
+            (F.col("n_segs") - F.size(F.array_distinct(segs)).cast("long")).alias(
+                "n_self_dups"
+            ),
+        )
+        .withColumn("selfrep_ppm", F.expr("n_self_dups * 1000000 DIV n_segs"))
+        .orderBy("doc_id")
+    )

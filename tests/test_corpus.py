@@ -413,3 +413,34 @@ def test_cache_table_in_memory_scan(spark):
     assert "In-memory table" in plan or "InMemoryTableScan" in plan
     rows = df.collect()
     assert sum(r.n_nations for r in rows) == 25
+
+
+def test_domain_stats_verdict_logic(spark):
+    from bridge_analytics_template_spark.queries.corpus import llm_domain_stats
+
+    rows = llm_domain_stats(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs > 0 and r.n_tokens > 0
+        assert 0 <= r.n_exact_dups < r.n_docs
+        want = (r.mean_score_ppm >= 815000) and (r.n_exact_dups * 10 < r.n_docs)
+        assert r.keep_source == want
+
+
+def test_selfrep_planted_and_plan(spark, tmp_path):
+    from bridge_analytics_template_spark.queries.corpus import _SEG, llm_selfrep_segments
+
+    seg = " ".join(f"w{i}" for i in range(_SEG))
+    other = " ".join(f"z{i}" for i in range(_SEG))
+    rows = [
+        (1, f"{seg} {seg} {other}"),  # one self-dup among 3 segments
+        (2, other),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in llm_selfrep_segments(spark, str(tmp_path)).collect()}
+    assert out[1].n_segs == 3 and out[1].n_self_dups == 1
+    assert out[2].n_self_dups == 0
+    # Zero shuffle: the only exchange allowed is the presentation sort.
+    plan = llm_selfrep_segments(spark, str(tmp_path))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
