@@ -1489,3 +1489,84 @@ def llm_selfrep_segments(spark, sf_dir):
         .withColumn("selfrep_ppm", F.expr("n_self_dups * 1000000 DIV n_segs"))
         .orderBy("doc_id")
     )
+
+
+# --- KMV distinct-count sketch (deterministic, oracle-exact) -----------------
+
+_KMV_K = 64
+# 60-bit hash of a value rendered as text — same md5-nibble packing as the
+# shard manifest, parameterized by expression.
+
+
+def _hash60(expr: str) -> str:
+    return " + ".join(
+        f"(instr('0123456789abcdef', substr(md5({expr}), {k + 1}, 1)) - 1)"
+        f" * CAST({16 ** (14 - k)} AS BIGINT)"
+        for k in range(15)
+    )
+
+
+@query(
+    "agg_kmv_distinct",
+    sql=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST({_hash60("CAST(user_id AS VARCHAR)")} AS BIGINT) AS hv
+      FROM events),
+    ranked AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+      FROM h)
+    SELECT event_type, CAST({_KMV_K} AS BIGINT) AS k, hv AS kth_min,
+           CAST((CAST({_KMV_K - 1} AS HUGEINT) * {16 ** 15}) // hv AS BIGINT) AS est_distinct,
+           n_exact
+    FROM ranked WHERE rn = {_KMV_K} ORDER BY event_type
+    """,
+)
+def agg_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-count sketch, DETERMINISTIC and
+    therefore oracle-exact — unlike HLL (approx_count_distinct, rows-only
+    by design), the KMV estimate (k-1)·2^60 / kth_min_hash is a pure
+    function of the data under a fixed hash (md5-nibble 60-bit). The
+    sketch is MERGEABLE (union = k smallest of the union — the property
+    that makes it a partial-aggregatable 100 TB sketch); per event type the
+    estimate and the exact count ride out together for error inspection.
+
+    Scale shape: distinct (type, hash) is one hash aggregate; the k-th
+    smallest per type comes from a window over type-partitioned hashes —
+    groups are bounded (event types), so no one-task window. The ranked
+    window doubles as the exact-count pass (COUNT over the same
+    partition)."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    h = (
+        e.select(
+            "event_type",
+            F.expr(
+                f"CAST({_hash60('CAST(user_id AS STRING)')} AS BIGINT)"
+            ).alias("hv"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("hv")
+    ranked = h.select(
+        "event_type",
+        "hv",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n_exact"),
+    )
+    return (
+        ranked.filter(F.col("rn") == _KMV_K)
+        .select(
+            "event_type",
+            F.lit(_KMV_K).cast("long").alias("k"),
+            F.col("hv").alias("kth_min"),
+            F.expr(
+                f"CAST(CAST({_KMV_K - 1} AS DECIMAL(38,0)) * {16 ** 15} DIV hv AS BIGINT)"
+            ).alias("est_distinct"),
+            "n_exact",
+        )
+        .orderBy("event_type")
+    )

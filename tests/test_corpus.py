@@ -444,3 +444,32 @@ def test_selfrep_planted_and_plan(spark, tmp_path):
     # Zero shuffle: the only exchange allowed is the presentation sort.
     plan = llm_selfrep_segments(spark, str(tmp_path))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_kmv_estimate_quality_and_merge(spark):
+    from bridge_analytics_template_spark.queries.corpus import _KMV_K, agg_kmv_distinct
+
+    rows = agg_kmv_distinct(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.k == _KMV_K
+        assert r.n_exact >= _KMV_K  # kth value exists only when >= k distinct
+        # KMV relative error ~ 1/sqrt(k) ≈ 12.5%; allow 4 sigma.
+        assert abs(r.est_distinct - r.n_exact) <= max(0.5 * r.n_exact, 10)
+    # Mergeability: the k smallest of a union == k smallest of (k-smallest A
+    # ∪ k-smallest B) — verified structurally on hashes of a split corpus.
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.queries.corpus import _hash60
+
+    e = load(spark, SF_SMALL, "events")
+    h = e.select(
+        F.expr(f"CAST({_hash60('CAST(user_id AS STRING)')} AS BIGINT)").alias("hv"),
+        (F.col("event_id") % 2).alias("half"),
+    ).distinct()
+    import heapq
+
+    all_h = sorted({r.hv for r in h.collect()})
+    half_a = sorted({r.hv for r in h.filter(F.col("half") == 0).collect()})[: _KMV_K]
+    half_b = sorted({r.hv for r in h.filter(F.col("half") == 1).collect()})[: _KMV_K]
+    merged = sorted(set(half_a) | set(half_b))[: _KMV_K]
+    assert merged == all_h[: _KMV_K]
