@@ -1519,9 +1519,11 @@ def _hash60(expr: str) -> str:
              COUNT(*) OVER (PARTITION BY event_type) AS n_exact
       FROM h)
     SELECT event_type, CAST({_KMV_K} AS BIGINT) AS k, hv AS kth_min,
-           CAST((CAST({_KMV_K - 1} AS HUGEINT) * {16 ** 15}) // hv AS BIGINT) AS est_distinct,
+           CASE WHEN n_exact < {_KMV_K} THEN n_exact
+                ELSE CAST((CAST({_KMV_K - 1} AS HUGEINT) * {16 ** 15}) // hv AS BIGINT)
+           END AS est_distinct,
            n_exact
-    FROM ranked WHERE rn = {_KMV_K} ORDER BY event_type
+    FROM ranked WHERE rn = least({_KMV_K}, n_exact) ORDER BY event_type
     """,
 )
 def agg_kmv_distinct(spark, sf_dir):
@@ -1558,14 +1560,20 @@ def agg_kmv_distinct(spark, sf_dir):
         F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n_exact"),
     )
     return (
-        ranked.filter(F.col("rn") == _KMV_K)
+        ranked.filter(F.col("rn") == F.least(F.lit(_KMV_K).cast("long"), F.col("n_exact")))
         .select(
             "event_type",
             F.lit(_KMV_K).cast("long").alias("k"),
             F.col("hv").alias("kth_min"),
-            F.expr(
-                f"CAST(CAST({_KMV_K - 1} AS DECIMAL(38,0)) * {16 ** 15} DIV hv AS BIGINT)"
-            ).alias("est_distinct"),
+            # Small-set rule: with fewer than k distinct values the sketch
+            # holds them ALL — report the exact count, as every KMV does.
+            F.when(F.col("n_exact") < _KMV_K, F.col("n_exact"))
+            .otherwise(
+                F.expr(
+                    f"CAST(CAST({_KMV_K - 1} AS DECIMAL(38,0)) * {16 ** 15} DIV hv AS BIGINT)"
+                )
+            )
+            .alias("est_distinct"),
             "n_exact",
         )
         .orderBy("event_type")

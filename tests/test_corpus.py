@@ -453,9 +453,12 @@ def test_kmv_estimate_quality_and_merge(spark):
     assert rows
     for r in rows:
         assert r.k == _KMV_K
-        assert r.n_exact >= _KMV_K  # kth value exists only when >= k distinct
-        # KMV relative error ~ 1/sqrt(k) ≈ 12.5%; allow 4 sigma.
-        assert abs(r.est_distinct - r.n_exact) <= max(0.5 * r.n_exact, 10)
+        if r.n_exact < _KMV_K:
+            # Small-set rule: the sketch holds every value — exact.
+            assert r.est_distinct == r.n_exact
+        else:
+            # KMV relative error ~ 1/sqrt(k) ≈ 12.5%; allow 4 sigma.
+            assert abs(r.est_distinct - r.n_exact) <= max(0.5 * r.n_exact, 10)
     # Mergeability: the k smallest of a union == k smallest of (k-smallest A
     # ∪ k-smallest B) — verified structurally on hashes of a split corpus.
     from bridge_analytics_template_spark.catalog import load
