@@ -73,6 +73,12 @@ def frame_to_rows(cols, rows):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--first",
+        type=int,
+        default=0,
+        help="check only the first N registered queries (the driver's window)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -84,7 +90,7 @@ def main() -> int:
     import __spark_entry__ as e
 
     qs, oracles = e.queries(), e.oracle_sql()
-    names = args.names or list(qs)
+    names = args.names or (list(qs)[: args.first] if args.first else list(qs))
     n_pass = n_fail = 0
     for name in names:
         t0 = time.time()
