@@ -1578,3 +1578,51 @@ def agg_kmv_distinct(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --- Shuffle-key skew profiler -----------------------------------------------
+
+
+@query(
+    "profile_partition_skew",
+    sql="""
+    WITH per_key AS (
+      SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n_keys, SUM(n) AS n_rows, MAX(n) AS max_key_rows
+      FROM per_key),
+    top AS (
+      SELECT key, n, ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rnk FROM per_key)
+    SELECT s.n_keys, s.n_rows, s.max_key_rows,
+           s.max_key_rows * s.n_keys * 1000000 // s.n_rows AS skew_ppm_of_uniform,
+           t.key AS heaviest_key
+    FROM stats s JOIN top t ON t.rnk = 1
+    """,
+)
+def profile_partition_skew(spark, sf_dir):
+    """Shuffle-key skew profiler for aggregation keys (the groupBy-side
+    companion to profile_join_explosion): per-key cardinality stats and the
+    heaviest key's load as ppm of the uniform share — max·n_keys/n_rows =
+    1e6 means perfectly balanced, 50e6 means the hottest reducer does 50×
+    its fair share. This number decides salting / AQE skew handling before
+    a 100 TB aggregate runs.
+
+    Scale shape: one per-key aggregate, one 3-number summary, one
+    TakeOrdered(1) for the heaviest key — no sort of the key space."""
+    o = load(spark, sf_dir, "orders")
+    per_key = o.groupBy(F.col("o_custkey").alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+    )
+    top = per_key.orderBy(F.desc("n"), "key").limit(1).select(
+        F.col("key").alias("heaviest_key")
+    )
+    return stats.crossJoin(F.broadcast(top)).select(
+        "n_keys",
+        "n_rows",
+        "max_key_rows",
+        F.expr("max_key_rows * n_keys * 1000000 DIV n_rows").alias("skew_ppm_of_uniform"),
+        "heaviest_key",
+    )

@@ -457,3 +457,40 @@ def test_shard_manifest_permutation_invariant(spark, rows):
     shuffled = list(rows)
     random.Random(7).shuffle(shuffled)
     assert manifest(rows) == manifest(shuffled)
+
+
+events_vals = st.lists(
+    st.tuples(st.integers(0, 3), st.floats(0, 100, allow_nan=False, width=32)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(events_vals)
+@settings(**SETTINGS)
+def test_ewma_int_matches_python_reference(spark, rows):
+    import math
+
+    from bridge_analytics_template_spark.queries.corpus import ts_ewma_int
+
+    data = [
+        (i, dt.datetime(2024, 1, 1, 0, i % 60, i // 60), int(u), float(v))
+        for i, (u, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "event_id long, ts timestamp, user_id long, value double")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.coalesce(1).write.parquet(os.path.join(td, "events.parquet"))
+        got = {
+            (r.user_id, r.event_id): r.ewma_half_cents
+            for r in ts_ewma_int(spark, td).collect()
+        }
+    want = {}
+    state: dict = {}
+    for i, (u, v) in enumerate(rows):  # event_id order == (ts, event_id) order here
+        x = int(math.floor(v * 100))
+        s = x if u not in state else x + state[u] // 2
+        state[u] = s
+        want[(u, i)] = s
+    assert got == want
