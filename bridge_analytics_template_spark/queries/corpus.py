@@ -1626,3 +1626,50 @@ def profile_partition_skew(spark, sf_dir):
         F.expr("max_key_rows * n_keys * 1000000 DIV n_rows").alias("skew_ppm_of_uniform"),
         "heaviest_key",
     )
+
+
+# --- Declarative pipeline spec (YAML-driven, reference-parity philosophy) ----
+
+_SPEC_YAML = """
+source: documents
+stages:
+  - op: quality_gate
+    min_score_ppm: 815000
+  - op: filter
+    predicate: "lang = 'en'"
+  - op: dedup_exact
+  - op: filter
+    predicate: "doc_id % 4 = 0"
+  - op: select
+    columns: [doc_id, lang, n_chars]
+"""
+
+
+@query(
+    "pipeline_from_spec",
+    sql="""
+    WITH gated AS (
+      SELECT * FROM documents
+      WHERE (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1000000
+              // greatest(length(text), 1) >= 815000
+        AND lang = 'en'),
+    keep AS (
+      SELECT md5(text) AS k, MIN(doc_id) AS doc_id FROM gated GROUP BY 1)
+    SELECT g.doc_id, g.lang, g.n_chars
+    FROM gated g JOIN keep USING (doc_id)
+    WHERE g.doc_id % 4 = 0
+    ORDER BY g.doc_id
+    """,
+)
+def pipeline_from_spec(spark, sf_dir):
+    """Declarative pipeline execution — the reference's YAML-template
+    philosophy (default.yaml + copy_from_template.py parameter binding)
+    applied to QUERIES: a curation pipeline declared as data
+    (plans/pipeline_spec.py) and compiled into ONE lazy DataFrame plan, so
+    Catalyst pushes the quality gate and language filter into the scan
+    ACROSS declared stage boundaries. The spec is auditable/diffable and
+    ships next to the snapshot it produced."""
+    from ..plans.pipeline_spec import compile_pipeline_yaml
+
+    d = load(spark, sf_dir, "documents")
+    return compile_pipeline_yaml(_SPEC_YAML, {"documents": d}).orderBy("doc_id")
