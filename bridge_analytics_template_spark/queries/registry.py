@@ -54,6 +54,8 @@ def query(name: str, sql: str | None = None):
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        wrapped.__module__ = fn.__module__
+        wrapped.__wrapped__ = fn
         QUERIES[name] = wrapped
         if sql is not None:
             ORACLES[name] = sql
