@@ -1673,3 +1673,85 @@ def pipeline_from_spec(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return compile_pipeline_yaml(_SPEC_YAML, {"documents": d}).orderBy("doc_id")
+
+
+# --- Count-min sketch (deterministic, oracle-exact) --------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 512  # buckets per row
+
+
+def _cms_bucket(r: int, key_expr: str, cast: str) -> str:
+    """Bucket index of ``key_expr`` under hash row ``r``: the shared
+    md5-nibble 60-bit hash of 'r|key', reduced mod the row width. Pure SQL
+    both engines execute identically (``cast`` = STRING or VARCHAR)."""
+    salted = f"CONCAT('{r}|', CAST({key_expr} AS {cast}))"
+    return f"CAST(({_hash60(salted)}) % {_CMS_W} AS BIGINT)"
+
+
+@query(
+    "agg_countmin_topk",
+    sql=f"""
+    WITH per_key AS (
+      SELECT CAST(o_custkey AS BIGINT) AS key, COUNT(*) AS n_exact
+      FROM orders GROUP BY 1),
+    probes AS (
+      SELECT key, n_exact, r,
+             CASE r {' '.join(f"WHEN {r} THEN {_cms_bucket(r, 'key', 'VARCHAR')}" for r in range(_CMS_D))} END AS bucket
+      FROM per_key, unnest([{', '.join(str(r) for r in range(_CMS_D))}]) AS u(r)),
+    sketch AS (
+      SELECT r, bucket, SUM(n_exact) AS bucket_n FROM probes GROUP BY 1, 2),
+    est AS (
+      SELECT p.key, p.n_exact, MIN(s.bucket_n) AS cms_est
+      FROM probes p JOIN sketch s ON p.r = s.r AND p.bucket = s.bucket
+      GROUP BY 1, 2)
+    SELECT key, n_exact, CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - n_exact AS BIGINT) AS overcount
+    FROM est ORDER BY n_exact DESC, key LIMIT 10
+    """,
+)
+def agg_countmin_topk(spark, sf_dir):
+    """Count-min sketch (Cormode & Muthukrishnan '05) point estimates,
+    DETERMINISTIC and therefore oracle-exact — like agg_kmv_distinct, the
+    fixed md5-nibble hash family makes the whole sketch a pure function of
+    the data, so DuckDB reproduces it bit-for-bit (HLL/approx_top_k stay
+    rows-only by design; this is the mergeable-sketch alternative with a
+    checkable answer). d=4 rows x w=512 buckets; estimate(key) = min over
+    rows of its bucket's total. CMS guarantees est >= exact, giving the
+    emitted ``overcount`` column a sign invariant the test asserts.
+
+    Scale shape: per-key counts are one hash aggregate; the sketch is a
+    FIXED d*w-cell table (the reduce of d*w partial sketches — exactly how
+    a 1000-executor job would merge per-partition sketches), so the
+    estimate join broadcasts it. No window over the key space; top-10 is
+    TakeOrderedAndProject."""
+    o = load(spark, sf_dir, "orders")
+    per_key = o.groupBy(F.expr("CAST(o_custkey AS BIGINT)").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    probes = per_key.select(
+        "key",
+        "n_exact",
+        F.posexplode(
+            F.array(*[F.expr(_cms_bucket(r, "key", "STRING")) for r in range(_CMS_D)])
+        ).alias("r", "bucket"),
+    )
+    # The probe relation feeds both the sketch build and the estimate join;
+    # persist so the md5 probe projection runs once (harness clearCache frees).
+    probes = track(probes.persist())
+    sketch = probes.groupBy("r", "bucket").agg(F.sum("n_exact").alias("bucket_n"))
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("key", "n_exact")
+        .agg(F.min("bucket_n").alias("cms_est"))
+    )
+    return (
+        est.select(
+            "key",
+            "n_exact",
+            "cms_est",
+            (F.col("cms_est") - F.col("n_exact")).alias("overcount"),
+        )
+        .orderBy(F.desc("n_exact"), "key")
+        .limit(10)
+    )

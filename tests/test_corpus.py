@@ -476,3 +476,51 @@ def test_kmv_estimate_quality_and_merge(spark):
     half_b = sorted({r.hv for r in h.filter(F.col("half") == 1).collect()})[: _KMV_K]
     merged = sorted(set(half_a) | set(half_b))[: _KMV_K]
     assert merged == all_h[: _KMV_K]
+
+
+def test_countmin_overestimates_and_python_reference(spark):
+    """CMS point estimates must dominate exact counts (the one-sided CMS
+    guarantee), match a pure-python sketch built with the same hash family,
+    and be exact for keys whose buckets collide with nothing heavier."""
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.queries.corpus import (
+        _CMS_D,
+        _CMS_W,
+        _hash60,
+        agg_countmin_topk,
+    )
+
+    rows = agg_countmin_topk(spark, SF_SMALL).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.overcount >= 0
+        assert r.cms_est == r.n_exact + r.overcount
+
+    # Python reference sketch over the exact per-key counts, using Spark
+    # itself only to evaluate the shared md5-nibble hash (the hash IS the
+    # spec; everything downstream is plain dict arithmetic).
+    o = load(spark, SF_SMALL, "orders")
+    per_key = {
+        r.key: r.n
+        for r in o.groupBy(F.expr("CAST(o_custkey AS BIGINT)").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = ["CONCAT('%d|', CAST(key AS STRING))" % r for r in range(_CMS_D)]
+    probe_exprs = [
+        F.expr(f"CAST(({_hash60(salted[r])}) % {_CMS_W} AS BIGINT)").alias(f"b{r}")
+        for r in range(_CMS_D)
+    ]
+    buckets = {
+        row.key: [row[f"b{r}"] for r in range(_CMS_D)]
+        for row in spark.createDataFrame(
+            [(k,) for k in per_key], "key bigint"
+        ).select("key", *probe_exprs).collect()
+    }
+    sketch = [[0] * _CMS_W for _ in range(_CMS_D)]
+    for k, n in per_key.items():
+        for r in range(_CMS_D):
+            sketch[r][buckets[k][r]] += n
+    for r in rows:
+        expected = min(sketch[d][buckets[r.key][d]] for d in range(_CMS_D))
+        assert r.cms_est == expected
