@@ -558,3 +558,110 @@ def llm_curation_report(spark, sf_dir):
         F.sum("n_toks").alias("total_tokens"),
         (F.sum("n_toks").cast("double") / F.count(F.lit(1))).alias("mean_doc_tokens"),
     )
+
+
+# --- k-core of the near-dup graph (template-farm detection) ------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 5  # fixture converges in 2 (all SFs, measured); 2.5x margin
+
+
+def _kcore_oracle_sql() -> str:
+    """Unrolled peeling rounds over the exact j>=0.5 edge set: alive(i+1) =
+    nodes with >= K neighbors still alive(i). MATERIALIZED per round —
+    DuckDB otherwise inlines the CTE chain into correlated re-reads of the
+    parquet (see NOTES.md, the pagerank/kmeans oracle recipe)."""
+    parts = [
+        f"""
+    WITH {_SQL_EDGES},
+    und AS MATERIALIZED (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs),
+    a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM und)"""
+    ]
+    for k in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+    a{k} AS MATERIALIZED (
+      SELECT e.u AS node FROM und e
+      JOIN a{k - 1} x ON e.u = x.node
+      JOIN a{k - 1} y ON e.v = y.node
+      GROUP BY e.u HAVING COUNT(*) >= {_KCORE_K})"""
+        )
+    parts.append(
+        f"""
+    SELECT e.u AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM und e
+    JOIN a{_KCORE_ROUNDS} x ON e.u = x.node
+    JOIN a{_KCORE_ROUNDS} y ON e.v = y.node
+    GROUP BY e.u ORDER BY doc_id"""
+    )
+    return "".join(parts)
+
+
+def _dup_kcore(spark, sf_dir, rounds: int = _KCORE_ROUNDS):
+    """Shared engine body so the convergence test can run rounds+1."""
+    d = load(spark, sf_dir, "documents")
+    arrays = _shingle_arrays(d, "text", "doc_id", 5, hashed=True)
+    pairs = prefix_filtered_pairs(arrays, min_jaccard=0.5).select("doc_a", "doc_b")
+    und = pairs.select(
+        F.explode_outer(
+            F.array(
+                F.struct(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")),
+                F.struct(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    from ..caching import track
+
+    und = track(und.persist())
+    alive = und.select(F.col("u").alias("node")).distinct()
+    for _ in range(rounds):
+        surv = (
+            und.join(alive.select(F.col("node").alias("un")), F.col("u") == F.col("un"))
+            .drop("un")
+            .join(alive.select(F.col("node").alias("vn")), F.col("v") == F.col("vn"))
+            .drop("vn")
+        )
+        alive = (
+            surv.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select(F.col("u").alias("node"))
+            # Each round references `alive` twice (both join sides), so an
+            # unbroken lineage doubles per round — 2^rounds copies of the
+            # edge build. Same per-round truncation as connected_components.
+            .localCheckpoint()
+        )
+    final = (
+        und.join(alive.select(F.col("node").alias("un")), F.col("u") == F.col("un"))
+        .drop("un")
+        .join(alive.select(F.col("node").alias("vn")), F.col("v") == F.col("vn"))
+        .drop("vn")
+    )
+    return (
+        final.groupBy(F.col("u").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+        .orderBy("doc_id")
+    )
+
+
+@query("llm_dup_kcore", sql=_kcore_oracle_sql())
+def llm_dup_kcore(spark, sf_dir):
+    """k-core (K=2) of the exact near-dup graph — template-farm / spam-ring
+    detection: a document surviving the 2-core belongs to a DENSELY
+    duplicated family (triangles and bigger), while one-off near-dup pairs
+    peel away. The standard graph-robustness cut on dedup output (lone
+    pairs are usually legitimate revisions; dense cores are boilerplate
+    farms worth dropping wholesale). Bounded-round peeling — the contract
+    a distributed peel actually ships (rounds = layers removed; measured
+    convergence on this fixture family is 2, unrolled {rounds} for margin,
+    and the convergence test runs rounds+1 to pin the fixpoint).
+
+    Scale shape: edges from the prefix-filtered exact join (PPJoin, no
+    posting-list blowup); each peel round is one co-keyed join + one
+    count-aggregate over the CURRENT edge set — the graph shrinks
+    monotonically, and dedup graphs are tiny relative to the corpus. The
+    alive set broadcasts once it fits (AQE)."""
+    return _dup_kcore(spark, sf_dir)

@@ -612,3 +612,22 @@ def test_crossdup_minhash_oracle_recall(spark, sf_dir):
     want = {(r["doc_a"], r["doc_b"]) for r in exact.collect()}
     arrays.unpersist()
     assert got == want
+
+
+def test_dup_kcore_converged_and_peels_pairs(spark, sf_dir):
+    """The unrolled round count must sit past the fixpoint (rounds+1 changes
+    nothing), and the 2-core must drop lone near-dup pairs while keeping
+    only nodes with >= 2 surviving neighbors."""
+    from bridge_analytics_template_spark.queries.pipeline import (
+        _KCORE_ROUNDS,
+        _dup_kcore,
+    )
+
+    at_r = {(r.doc_id, r.core_deg) for r in _dup_kcore(spark, sf_dir).collect()}
+    spark.catalog.clearCache()
+    at_r1 = {
+        (r.doc_id, r.core_deg)
+        for r in _dup_kcore(spark, sf_dir, rounds=_KCORE_ROUNDS + 1).collect()
+    }
+    assert at_r == at_r1  # fixpoint reached within the unrolled budget
+    assert all(deg >= 2 for _, deg in at_r)  # the defining core property
