@@ -121,3 +121,16 @@ def sql_usum(expr: str, scale: int, alias: str) -> str:
 
 def sql_uavg(expr: str, scale: int, alias: str) -> str:
     return f"(CAST(SUM({expr}) AS DOUBLE) / COUNT({expr})) / {float(10 ** scale)!r} AS {alias}"
+
+
+def sql_hash60(expr: str) -> str:
+    """60-bit integer hash of a text expression via md5-nibble packing —
+    pure SQL both engines evaluate identically (Spark codegen and DuckDB
+    both CSE the repeated md5 call). The shared deterministic hash under
+    every oracle-exact sketch/sample (KMV, count-min, shard manifests,
+    bootstrap replicas)."""
+    return " + ".join(
+        f"(instr('0123456789abcdef', substr(md5({expr}), {k + 1}, 1)) - 1)"
+        f" * CAST({16 ** (14 - k)} AS BIGINT)"
+        for k in range(15)
+    )

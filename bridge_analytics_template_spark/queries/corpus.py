@@ -1498,12 +1498,7 @@ _KMV_K = 64
 # shard manifest, parameterized by expression.
 
 
-def _hash60(expr: str) -> str:
-    return " + ".join(
-        f"(instr('0123456789abcdef', substr(md5({expr}), {k + 1}, 1)) - 1)"
-        f" * CAST({16 ** (14 - k)} AS BIGINT)"
-        for k in range(15)
-    )
+from ..functions.numeric import sql_hash60 as _hash60  # noqa: E402 — canonical home
 
 
 @query(

@@ -1404,3 +1404,88 @@ def ts_holt(spark, sf_dir):
         state["b"].alias("trend"),
         (state["l"] + state["b"]).alias("forecast_1"),
     ).orderBy("user_id")
+
+
+# --- Deterministic bootstrap confidence interval -----------------------------
+#
+# Half-sample bootstrap: replica r keeps order o iff the shared 60-bit hash
+# of "r|o_orderkey" is even — a deterministic 50% subsample per replica, so
+# the whole resampling distribution is a pure function of the data and both
+# engines reproduce it bit-for-bit (no RNG, no seed plumbing). Replica
+# means stay integer (centi-cents via *100 DIV), so sorting them for the
+# percentile bounds is exact.
+
+_BOOT_B = 32  # replicas
+
+
+def _boot_sql_terms(cast: str) -> str:
+    from ..functions.numeric import sql_hash60
+
+    terms = []
+    for r in range(_BOOT_B):
+        h = sql_hash60(f"CONCAT('{r}|', CAST(o_orderkey AS {cast}))")
+        terms.append(
+            f"SUM(CASE WHEN ({h}) % 2 = 0 THEN price_u ELSE 0 END) AS s{r}, "
+            f"SUM(CASE WHEN ({h}) % 2 = 0 THEN 1 ELSE 0 END) AS c{r}"
+        )
+    return ", ".join(terms)
+
+
+@query(
+    "q_bootstrap_ci",
+    sql=f"""
+    WITH base AS (
+      SELECT o_orderkey, {sql_money_units("o_totalprice")} AS price_u FROM orders),
+    agg AS (
+      SELECT COUNT(*) AS n_orders, SUM(price_u) AS total_u, {_boot_sql_terms("VARCHAR")}
+      FROM base),
+    reps AS (
+      SELECT n_orders, total_u,
+             list_sort([{", ".join(f"CAST(s{r} AS BIGINT) * 100 // CAST(c{r} AS BIGINT)" for r in range(_BOOT_B))}]) AS means
+      FROM agg)
+    SELECT CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(_BOOT_B AS BIGINT) AS n_replicas,
+           CAST(total_u AS BIGINT) * 100 // n_orders AS mean_centicents,
+           means[2] AS ci_lo_centicents,
+           means[{_BOOT_B - 1}] AS ci_hi_centicents
+    FROM reps
+    """.replace("_BOOT_B AS BIGINT", f"{_BOOT_B} AS BIGINT"),
+)
+def q_bootstrap_ci(spark, sf_dir):
+    """Bootstrap confidence interval for mean order value WITHOUT an RNG:
+    {B} half-sample replicas defined by the parity of the shared md5-60bit
+    hash of (replica, order id) — deterministic, mergeable, and therefore
+    oracle-exact (a seeded-RNG bootstrap can never cross the engine
+    boundary). CI bounds are the 2nd / {B1}th order statistics of the
+    replica means (~93% nominal coverage for 32 half-samples). Integer
+    centi-cents throughout; the only list op sorts {B} values.
+
+    Scale shape: ONE pass over the fact table computing 2x{B} conditional
+    partial aggregates (map-side combine; no explode, no 32x scan blowup),
+    then a 1-row finish. This is the textbook \"Poor man's bootstrap\" plan
+    for a 1000-executor cluster: the per-partition partials are the only
+    shuffle payload.""".format(B=_BOOT_B, B1=_BOOT_B - 1)
+    from ..functions.numeric import sql_hash60
+
+    o = load(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", money_units("o_totalprice").alias("price_u"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price_u").alias("total_u"),
+    ]
+    for r in range(_BOOT_B):
+        h = sql_hash60(f"CONCAT('{r}|', CAST(o_orderkey AS STRING))")
+        inc = F.expr(f"({h}) % 2 = 0")
+        aggs.append(F.sum(F.when(inc, F.col("price_u")).otherwise(F.lit(0))).alias(f"s{r}"))
+        aggs.append(F.sum(F.when(inc, F.lit(1)).otherwise(F.lit(0))).alias(f"c{r}"))
+    agg = base.agg(*aggs)
+    means = F.sort_array(
+        F.array(*[F.expr(f"s{r} * 100 div c{r}") for r in range(_BOOT_B)])
+    )
+    return agg.select(
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.lit(_BOOT_B).cast("long").alias("n_replicas"),
+        F.expr("total_u * 100 div n_orders").alias("mean_centicents"),
+        means.getItem(1).alias("ci_lo_centicents"),
+        means.getItem(_BOOT_B - 2).alias("ci_hi_centicents"),
+    )

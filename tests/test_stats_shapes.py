@@ -182,3 +182,21 @@ def test_market_share_bounded(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r["mkt_share"] <= 1.0
         assert r["n_items"] > 0
+
+
+def test_bootstrap_ci_orders_and_brackets(spark, sf_dir):
+    """CI bounds are order statistics of replica means: lo <= hi, both
+    bracket the neighborhood of the full-sample mean (half-sample means of
+    a finite population cannot all sit on one side), and the output is a
+    single deterministic row."""
+    from bridge_analytics_template_spark.queries.stats import q_bootstrap_ci
+
+    rows = q_bootstrap_ci(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_replicas == 32
+    assert r.ci_lo_centicents <= r.ci_hi_centicents
+    assert r.ci_lo_centicents <= r.mean_centicents * 1.1
+    assert r.ci_hi_centicents >= r.mean_centicents * 0.9
+    again = q_bootstrap_ci(spark, sf_dir).collect()[0]
+    assert again == r  # no RNG anywhere — bit-identical on rerun
