@@ -665,3 +665,128 @@ def llm_dup_kcore(spark, sf_dir):
     monotonically, and dedup graphs are tiny relative to the corpus. The
     alive set broadcasts once it fits (AQE)."""
     return _dup_kcore(spark, sf_dir)
+
+
+# --- MinHash estimate calibration (deterministic, oracle-exact) --------------
+
+_MHE_PERMS = 64
+
+
+def _mhe_oracle_sql() -> str:
+    from ..functions.numeric import sql_hash60
+
+    mh = sql_hash60("CONCAT(CAST(p AS VARCHAR), '|', shingle)")
+    return f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id AS doc,
+             unnest(CASE WHEN len(list_transform(generate_series(1, greatest(len(toks) - 4, 0)),
+                                                 i -> array_to_string(toks[i:i+4], ' '))) > 0
+                         THEN list_distinct(list_transform(generate_series(1, greatest(len(toks) - 4, 0)),
+                                                           i -> array_to_string(toks[i:i+4], ' ')))
+                         ELSE [array_to_string(toks, ' ')] END) AS shingle
+      FROM t),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2),
+    pairs AS MATERIALIZED (
+      SELECT i.doc_a, i.doc_b, i.n_inter, sa.n AS n_a, sb.n AS n_b
+      FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc
+      JOIN sizes sb ON i.doc_b = sb.doc
+      WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5),
+    members AS (
+      SELECT DISTINCT doc FROM (
+        SELECT doc_a AS doc FROM pairs UNION ALL SELECT doc_b FROM pairs)),
+    sig AS MATERIALIZED (
+      SELECT s.doc, u.p, MIN(CAST({mh} AS BIGINT)) AS mh
+      FROM sh s JOIN members m ON s.doc = m.doc,
+           unnest(generate_series(0, {_MHE_PERMS - 1})) AS u(p)
+      GROUP BY 1, 2),
+    m AS (
+      SELECT pr.doc_a, pr.doc_b, pr.n_inter, pr.n_a, pr.n_b,
+             CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS matches
+      FROM pairs pr
+      JOIN sig a ON a.doc = pr.doc_a
+      JOIN sig b ON b.doc = pr.doc_b AND b.p = a.p
+      GROUP BY 1, 2, 3, 4, 5)
+    SELECT doc_a, doc_b, matches,
+           matches * 1000000 // {_MHE_PERMS} AS est_ppm,
+           n_inter * 1000000 // (n_a + n_b - n_inter) AS exact_ppm,
+           abs(matches * 1000000 // {_MHE_PERMS}
+               - n_inter * 1000000 // (n_a + n_b - n_inter)) AS abs_err_ppm
+    FROM m ORDER BY doc_a, doc_b
+    """
+
+
+@query("llm_minhash_estimate", sql=_mhe_oracle_sql())
+def llm_minhash_estimate(spark, sf_dir):
+    """MinHash ESTIMATE calibration — the sketch side of the MinHash story
+    made oracle-exact: per verified near-dup pair, the {P}-permutation
+    matching-minima estimate (matches/{P}) next to the exact Jaccard, both
+    in ppm. The permutation family is the shared md5-60bit hash salted by
+    permutation index, so signatures — and therefore the estimates — are
+    pure functions of the data that DuckDB reproduces bit-for-bit (the
+    xxhash64 production path in llm/dedup.py stays rows-only; THIS query
+    pins the estimator's error behavior with a checkable answer).
+
+    Scale shape: signatures are one explode + {P}-way expand + (doc, perm)
+    min-aggregate — the standard linear MinHash pass, here restricted by a
+    semi-join to pair members (calibration needs only verified pairs; the
+    full-corpus pass is minhash_near_dups). Match counting joins the
+    bounded signature table to the candidate pairs on (doc, perm)."""
+    from ..functions.numeric import sql_hash60
+
+    d = load(spark, sf_dir, "documents")
+    arrays = _shingle_arrays(d, "text", "doc_id", 5)  # STRING shingles: md5 parity
+    from ..caching import track
+
+    arrays = track(arrays.persist())
+    pairs = track(
+        prefix_filtered_pairs(arrays, min_jaccard=0.5)
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b")
+        .persist()
+    )
+    members = (
+        pairs.select(F.col("doc_a").alias("doc"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    mh = sql_hash60("CONCAT(CAST(p AS STRING), '|', shingle)")
+    sig = (
+        arrays.join(F.broadcast(members), "doc")
+        .select("doc", F.explode("sh").alias("shingle"))
+        .select(
+            "doc",
+            "shingle",
+            F.explode(F.sequence(F.lit(0), F.lit(_MHE_PERMS - 1))).alias("p"),
+        )
+        .select("doc", "p", F.expr(f"CAST({mh} AS BIGINT)").alias("h"))
+        .groupBy("doc", "p")
+        .agg(F.min("h").alias("mh"))
+    )
+    a = sig.select(F.col("doc").alias("doc_a"), F.col("p").alias("pa"), F.col("mh").alias("mha"))
+    b = sig.select(F.col("doc").alias("db"), F.col("p").alias("pb"), F.col("mh").alias("mhb"))
+    est = (
+        pairs.join(a, "doc_a")
+        .join(b, (F.col("doc_b") == F.col("db")) & (F.col("pa") == F.col("pb")))
+        .groupBy("doc_a", "doc_b", "n_inter", "n_a", "n_b")
+        .agg(
+            F.sum(F.when(F.col("mha") == F.col("mhb"), 1).otherwise(0))
+            .cast("long")
+            .alias("matches")
+        )
+    )
+    return est.select(
+        "doc_a",
+        "doc_b",
+        "matches",
+        F.expr(f"matches * 1000000 div {_MHE_PERMS}").alias("est_ppm"),
+        F.expr("n_inter * 1000000 div (n_a + n_b - n_inter)").alias("exact_ppm"),
+        F.expr(
+            f"abs(matches * 1000000 div {_MHE_PERMS}"
+            f" - n_inter * 1000000 div (n_a + n_b - n_inter))"
+        ).alias("abs_err_ppm"),
+    ).orderBy("doc_a", "doc_b")

@@ -631,3 +631,21 @@ def test_dup_kcore_converged_and_peels_pairs(spark, sf_dir):
     }
     assert at_r == at_r1  # fixpoint reached within the unrolled budget
     assert all(deg >= 2 for _, deg in at_r)  # the defining core property
+
+
+def test_minhash_estimate_error_bound(spark, sf_dir):
+    """Per verified pair the 64-perm estimate must sit within 4 sigma of the
+    exact Jaccard (sigma = sqrt(j(1-j)/64) <= 0.0625), matches in [0, 64],
+    and the derived ppm columns must be consistent with `matches`."""
+    from bridge_analytics_template_spark.queries.pipeline import (
+        _MHE_PERMS,
+        llm_minhash_estimate,
+    )
+
+    rows = llm_minhash_estimate(spark, sf_dir).collect()
+    assert rows  # fixture family always plants near-dup pairs
+    for r in rows:
+        assert 0 <= r.matches <= _MHE_PERMS
+        assert r.est_ppm == r.matches * 1_000_000 // _MHE_PERMS
+        assert r.abs_err_ppm == abs(r.est_ppm - r.exact_ppm)
+        assert r.abs_err_ppm <= 250_000
