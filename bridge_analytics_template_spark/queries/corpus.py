@@ -1750,3 +1750,150 @@ def agg_countmin_topk(spark, sf_dir):
         .orderBy(F.desc("n_exact"), "key")
         .limit(10)
     )
+
+
+# --- KMV set operations (deterministic, oracle-exact) ------------------------
+
+_KMV_SET_K = 32  # below the sf0.01 cohort sizes, so the ESTIMATOR engages
+_POW60 = 16 ** 15
+
+
+def _kmv_setops_sql() -> str:
+    hv = _hash60("CAST(user_id AS VARCHAR)")
+    est = (
+        f"CASE WHEN n_exact < {_KMV_SET_K} THEN n_exact "
+        f"ELSE CAST((CAST({_KMV_SET_K - 1} AS HUGEINT) * {_POW60}) // hv AS BIGINT) END"
+    )
+    return f"""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             CAST(floor(value * 100) AS BIGINT) % 100 AS cm
+      FROM events),
+    a_u AS (SELECT DISTINCT user_id FROM ev WHERE event_type = 'purchase' AND cm < 10),
+    b_u AS (SELECT DISTINCT user_id FROM ev WHERE event_type = 'click' AND cm < 10),
+    lab AS (
+      SELECT 'purchase_cohort' AS side, user_id FROM a_u
+      UNION ALL SELECT 'click_cohort', user_id FROM b_u
+      UNION ALL SELECT 'union', user_id
+        FROM (SELECT user_id FROM a_u UNION SELECT user_id FROM b_u)),
+    h AS (SELECT DISTINCT side, CAST({hv} AS BIGINT) AS hv FROM lab),
+    ranked AS (
+      SELECT side, hv,
+             ROW_NUMBER() OVER (PARTITION BY side ORDER BY hv) AS rn,
+             COUNT(*) OVER (PARTITION BY side) AS n_exact
+      FROM h),
+    per_side AS (
+      SELECT side, hv AS kth_min, CAST({est} AS BIGINT) AS est_distinct,
+             CAST(n_exact AS BIGINT) AS n_exact
+      FROM ranked WHERE rn = least({_KMV_SET_K}, n_exact)),
+    inter AS (
+      SELECT 'intersection' AS side, CAST(NULL AS BIGINT) AS kth_min,
+             CAST(SUM(CASE WHEN side = 'union' THEN -est_distinct ELSE est_distinct END) AS BIGINT) AS est_distinct,
+             CAST(SUM(CASE WHEN side = 'union' THEN -n_exact ELSE n_exact END) AS BIGINT) AS n_exact
+      FROM per_side)
+    SELECT side, CAST({_KMV_SET_K} AS BIGINT) AS k, kth_min, est_distinct, n_exact
+    FROM (SELECT * FROM per_side UNION ALL SELECT * FROM inter)
+    ORDER BY side
+    """
+
+
+@query("agg_kmv_setops", sql=_kmv_setops_sql())
+def agg_kmv_setops(spark, sf_dir):
+    """KMV sketch SET OPERATIONS — the mergeable half of the sketch story as
+    a query: cohort A (purchasers with cents%100<10) and cohort B (same
+    rule on clicks) each carry a k-minimum-values sketch; the UNION sketch
+    is just the k smallest of the merged hash sets (the property that lets
+    1000 executors' partial sketches combine), and the INTERSECTION
+    estimate falls out by inclusion-exclusion est_a + est_b - est_union
+    (Beyer et al. SIGMOD'07). Deterministic md5-60bit hashes make every
+    estimate a pure function of the data — oracle-exact, unlike the HLL
+    intersect (agg_hll_intersect, rows-only by design). K={K} sits BELOW
+    the sf0.01 cohort sizes so the estimator path (not the small-set exact
+    rule) is what the gate checks; exact counts ride along per row.
+
+    Scale shape: distinct (side, hash) is one hash aggregate; the k-th
+    smallest per side is a window over 3 bounded side-partitions. The
+    intersection row is a 3-row re-aggregation.""".format(K=_KMV_SET_K)
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(floor(value * 100) AS BIGINT) % 100").alias("cm"),
+    )
+    a_u = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("cm") < 10))
+        .select("user_id")
+        .distinct()
+    )
+    b_u = (
+        ev.filter((F.col("event_type") == "click") & (F.col("cm") < 10))
+        .select("user_id")
+        .distinct()
+    )
+    lab = (
+        a_u.select(F.lit("purchase_cohort").alias("side"), "user_id")
+        .unionByName(b_u.select(F.lit("click_cohort").alias("side"), "user_id"))
+        .unionByName(
+            a_u.unionByName(b_u)
+            .distinct()
+            .select(F.lit("union").alias("side"), "user_id")
+        )
+    )
+    hv = _hash60("CAST(user_id AS STRING)")
+    h = lab.select("side", F.expr(f"CAST({hv} AS BIGINT)").alias("hv")).distinct()
+    w = Window.partitionBy("side").orderBy("hv")
+    ranked = h.select(
+        "side",
+        "hv",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("side")).alias("n_exact"),
+    )
+    per_side = ranked.filter(
+        F.col("rn") == F.least(F.lit(_KMV_SET_K).cast("long"), F.col("n_exact"))
+    ).select(
+        "side",
+        F.col("hv").alias("kth_min"),
+        F.when(F.col("n_exact") < _KMV_SET_K, F.col("n_exact"))
+        .otherwise(
+            F.expr(
+                f"CAST(CAST({_KMV_SET_K - 1} AS DECIMAL(38,0)) * {_POW60} DIV hv AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("est_distinct"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+    )
+    inter = per_side.agg(
+        F.sum(
+            F.when(F.col("side") == "union", -F.col("est_distinct")).otherwise(
+                F.col("est_distinct")
+            )
+        )
+        .cast("long")
+        .alias("est_distinct"),
+        F.sum(
+            F.when(F.col("side") == "union", -F.col("n_exact")).otherwise(
+                F.col("n_exact")
+            )
+        )
+        .cast("long")
+        .alias("n_exact"),
+    ).select(
+        F.lit("intersection").alias("side"),
+        F.lit(None).cast("long").alias("kth_min"),
+        "est_distinct",
+        "n_exact",
+    )
+    return (
+        per_side.unionByName(inter)
+        .select(
+            "side",
+            F.lit(_KMV_SET_K).cast("long").alias("k"),
+            "kth_min",
+            "est_distinct",
+            "n_exact",
+        )
+        .orderBy("side")
+    )

@@ -524,3 +524,35 @@ def test_countmin_overestimates_and_python_reference(spark):
     for r in rows:
         expected = min(sketch[d][buckets[r.key][d]] for d in range(_CMS_D))
         assert r.cms_est == expected
+
+
+def test_kmv_setops_estimator_and_inclusion_exclusion(spark):
+    """The estimator path must actually engage at sf0.01 (cohorts > K), the
+    union estimate must respect KMV error bounds vs the exact union, and
+    the intersection row must be exactly est_a + est_b - est_union."""
+    from bridge_analytics_template_spark.queries.corpus import (
+        _KMV_SET_K,
+        agg_kmv_setops,
+    )
+
+    rows = {r.side: r for r in agg_kmv_setops(spark, "/root/testdata/sf0.01").collect()}
+    assert set(rows) == {"purchase_cohort", "click_cohort", "union", "intersection"}
+    for side in ("purchase_cohort", "click_cohort", "union"):
+        r = rows[side]
+        assert r.n_exact > _KMV_SET_K  # estimator, not the small-set rule
+        # KMV relative error ~1/sqrt(K) ≈ 18%; allow 4 sigma.
+        assert abs(r.est_distinct - r.n_exact) <= max(int(0.75 * r.n_exact), 10)
+    inter = rows["intersection"]
+    assert inter.kth_min is None
+    assert (
+        inter.est_distinct
+        == rows["purchase_cohort"].est_distinct
+        + rows["click_cohort"].est_distinct
+        - rows["union"].est_distinct
+    )
+    assert (
+        inter.n_exact
+        == rows["purchase_cohort"].n_exact
+        + rows["click_cohort"].n_exact
+        - rows["union"].n_exact
+    )

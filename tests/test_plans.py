@@ -368,3 +368,22 @@ def test_incremental_agg_no_base_rescan_shape(spark, sf_dir):
     # Both aggregates are partial+final; the merge is a |groups|-sized join.
     plan = plan_of(spark, sf_dir, "merge_incremental_agg")
     assert plan.count("HashAggregate") >= 4  # partial+final for base and delta
+
+
+def test_bootstrap_single_pass_no_explode(spark, sf_dir):
+    """q_bootstrap_ci's contract is ONE fact pass with 2x32 conditional
+    partial aggregates — a refactor that explodes 32 replica rows per
+    order (Generate/Expand) or adds a second orders scan breaks the 100 TB
+    shape long before it breaks the answer."""
+    plan = plan_of(spark, sf_dir, "q_bootstrap_ci")
+    assert "Generate" not in plan and "Expand" not in plan
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final of the one aggregate
+
+
+def test_countmin_sketch_broadcast_back(spark, sf_dir):
+    """The CMS estimate join must broadcast the fixed d*w sketch table, not
+    shuffle the probe relation against it."""
+    plan = plan_of(spark, sf_dir, "agg_countmin_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-10, never a global sort
