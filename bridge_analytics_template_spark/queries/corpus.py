@@ -1897,3 +1897,57 @@ def agg_kmv_setops(spark, sf_dir):
         )
         .orderBy("side")
     )
+
+
+# --- l-diversity (companion to profile_k_anonymity) --------------------------
+
+_L_DIV = 3
+
+
+@query(
+    "profile_l_diversity",
+    sql=f"""
+    WITH g AS (
+      SELECT c.c_nationkey, c.c_mktsegment,
+             COUNT(*) AS n_rows,
+             COUNT(DISTINCT o.o_orderpriority) AS n_sensitive
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2)
+    SELECT CAST({_L_DIV} AS BIGINT) AS l,
+           COUNT(*) AS n_groups,
+           SUM(CASE WHEN n_sensitive < {_L_DIV} THEN 1 ELSE 0 END) AS n_groups_below_l,
+           SUM(CASE WHEN n_sensitive < {_L_DIV} THEN n_rows ELSE 0 END) AS n_rows_at_risk,
+           MIN(n_sensitive) AS min_diversity
+    FROM g
+    """,
+)
+def profile_l_diversity(spark, sf_dir):
+    """l-diversity preflight — k-anonymity's stronger sibling: an
+    equivalence class over the quasi-identifiers (nation, market segment)
+    is unsafe even when large if the SENSITIVE attribute (here the
+    customers' order priorities) is homogeneous inside it (Machanavajjhala
+    et al. ICDE'06). Reports classes whose distinct-sensitive count falls
+    below l={_L_DIV} and the row mass they expose.
+
+    Scale shape: one keyed join (customer-orders) feeding one hash
+    aggregate whose count-distinct expands to the standard two-level
+    plan, then a 1-row summary — no window over the class space."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    g = (
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("o_orderpriority").alias("n_sensitive"),
+        )
+    )
+    return g.agg(
+        F.lit(_L_DIV).cast("long").alias("l"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("n_sensitive") < _L_DIV).cast("long")).alias("n_groups_below_l"),
+        F.sum(F.when(F.col("n_sensitive") < _L_DIV, F.col("n_rows")).otherwise(F.lit(0))).alias(
+            "n_rows_at_risk"
+        ),
+        F.min("n_sensitive").alias("min_diversity"),
+    )

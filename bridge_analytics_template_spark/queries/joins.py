@@ -341,3 +341,77 @@ def join_shuffled_hash(spark, sf_dir):
         )
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "er_entity_clusters",
+    sql="""
+    WITH RECURSIVE p AS (
+      SELECT p_partkey, p_name,
+             array_to_string(list_slice(string_split(p_name, ' '), 1, 2), ' ') AS blk
+      FROM part),
+    pairs AS (
+      SELECT a.p_partkey AS u, b.p_partkey AS v
+      FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 12),
+    edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+    reach(node, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node),
+    lab AS (SELECT node, MIN(label) AS ent FROM reach GROUP BY node)
+    SELECT pp.p_partkey AS record_id,
+           COALESCE(l.ent, pp.p_partkey) AS entity_id
+    FROM part pp LEFT JOIN lab l ON l.node = pp.p_partkey
+    ORDER BY record_id
+    """,
+)
+def er_entity_clusters(spark, sf_dir):
+    """End-to-end entity resolution — the record-linkage pipeline as ONE
+    query: blocked fuzzy matching (join_fuzzy_blocked's block + bounded
+    levenshtein verify) feeds transitive closure (connected components),
+    and every record gets a canonical entity id (min key of its match
+    cluster; unmatched records are their own entity, so the output covers
+    the FULL record set). The standard dedupe/master-data shape: match →
+    cluster → survivorship key.
+
+    Scale shape: the match join enumerates pairs only inside blocks
+    (sum(|block|^2), never all-pairs); closure is min-label propagation
+    with 1 shuffle/round on the match-pair set (tiny vs the record set,
+    driver union-find below the adaptive threshold); the final labeling is
+    one keyed left join of the record table against the label map."""
+    from ..llm.dedup import connected_components
+
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.concat_ws(" ", F.slice(F.split("p_name", " "), 1, 2)).alias("blk"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 12)
+    edges = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("doc_a"),
+            F.col("b.p_partkey").alias("doc_b"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+        .select("doc_a", "doc_b")
+    )
+    lab = connected_components(edges).select(
+        F.col("node").alias("p_partkey"), "cluster_id"
+    )
+    parts = load(spark, sf_dir, "part").select("p_partkey")
+    return (
+        parts.join(lab, "p_partkey", "left")
+        .select(
+            F.col("p_partkey").alias("record_id"),
+            F.coalesce(F.col("cluster_id"), F.col("p_partkey")).alias("entity_id"),
+        )
+        .orderBy("record_id")
+    )

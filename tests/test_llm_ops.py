@@ -649,3 +649,23 @@ def test_minhash_estimate_error_bound(spark, sf_dir):
         assert r.est_ppm == r.matches * 1_000_000 // _MHE_PERMS
         assert r.abs_err_ppm == abs(r.est_ppm - r.exact_ppm)
         assert r.abs_err_ppm <= 250_000
+
+
+def test_er_entity_clusters_full_cover_and_canonical(spark, sf_dir):
+    """ER output must cover every record exactly once, use min-key canonical
+    ids (entity_id <= record_id, and each entity's id is a member of the
+    cluster), and singletons must self-label."""
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.queries.joins import er_entity_clusters
+
+    rows = er_entity_clusters(spark, sf_dir).collect()
+    n_parts = load(spark, sf_dir, "part").count()
+    assert len(rows) == n_parts
+    ids = [r.record_id for r in rows]
+    assert len(set(ids)) == n_parts
+    by_entity = {}
+    for r in rows:
+        assert r.entity_id <= r.record_id
+        by_entity.setdefault(r.entity_id, []).append(r.record_id)
+    for ent, members in by_entity.items():
+        assert ent in members  # canonical id is itself a member
