@@ -35,27 +35,39 @@ def asof_join(
     right_cols: list[str],
     suffix: str = "_asof",
     tolerance_s: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the right row with the greatest
-    ``right_ts <= left_ts`` within the same key group (left-outer: unmatched
-    left rows keep nulls). Equal timestamps match (``>=`` semantics, same as
-    DuckDB's ASOF JOIN).
+    """For each left row, attach the nearest right row within the same key
+    group (left-outer: unmatched left rows keep nulls). ``direction`` picks
+    the pandas ``merge_asof`` semantics:
 
-    ``tolerance_s`` (seconds) additionally
-    bounds the match age: a nearest-earlier row older than the tolerance is
-    treated as no match (its columns null out) — the financial-tick /
-    sensor-alignment semantics where stale state must not propagate. The
-    bound is applied AFTER the window fill, so it costs one projection and
-    changes nothing about the single-shuffle plan.
+    * ``"backward"`` (default): greatest ``right_ts <= left_ts`` — the
+      nearest-earlier match of DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``.
+    * ``"forward"``: smallest ``right_ts >= left_ts`` (``ASOF ... l.ts <=
+      r.ts``).
+    * ``"nearest"``: whichever of the two is closer by absolute time
+      distance; exact ties prefer the backward match (pandas tie rule).
 
-    Implementation: tag sides, union by position, and run one window pass
+    Equal timestamps match in every direction. ``tolerance_s`` (seconds)
+    additionally bounds the match distance: a nearest row farther than the
+    tolerance is treated as no match (its columns null out) — the
+    financial-tick / sensor-alignment semantics where stale state must not
+    propagate. The bound is applied AFTER the window fill, so it costs one
+    projection and changes nothing about the single-shuffle plan.
+
+    Implementation: tag sides, union by position, and run window passes
     ordered by (ts, side) with ``last(value, ignorenulls=True)`` over an
-    unbounded-preceding frame. Right rows sort before left rows at equal ts
-    so ties are included.
+    unbounded-preceding frame — ascending for backward, descending for
+    forward, both for nearest (two sorts, still ONE shuffle on the keys:
+    both windows share the hash partitioning). Right rows sort before left
+    rows at equal ts so ties are included.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
     out_right = [f"{c}{suffix}" for c in right_cols]
-    if tolerance_s is not None and right_ts not in right_cols:
-        # Carry the matched right timestamp so the age bound can be applied.
+    if (tolerance_s is not None or direction == "nearest") and right_ts not in right_cols:
+        # Carry the matched right timestamp so the distance rule / age
+        # bound can be applied.
         right_cols = [*right_cols, right_ts]
         out_right = [*out_right, f"{right_ts}{suffix}"]
     l2 = left.select(
@@ -72,26 +84,62 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in keys],
         *[F.col(c).alias(o) for c, o in zip(right_cols, out_right)],
     )
-    w = (
+    # Ascending scan fills the nearest-EARLIER right row, descending scan
+    # the nearest-LATER one; `_side` breaks equal-ts ties so right rows are
+    # scanned first and equal timestamps match.
+    w_back = (
         Window.partitionBy(*keys)
         .orderBy(F.col("_ts"), F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = l2.unionByName(r2).select(
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts").desc(), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = l2.unionByName(r2)
+    if direction in ("backward", "forward"):
+        w = w_back if direction == "backward" else w_fwd
+        fills = [F.last(F.col(o), ignorenulls=True).over(w).alias(o) for o in out_right]
+    else:
+        # Fill BOTH directions, then pick per row by absolute distance
+        # (ties → backward). Two sorts, one shuffle: the windows share the
+        # hash partitioning on the keys.
+        bts = F.last(F.col(f"{right_ts}{suffix}"), ignorenulls=True).over(w_back)
+        fts = F.last(F.col(f"{right_ts}{suffix}"), ignorenulls=True).over(w_fwd)
+        take_back = bts.isNotNull() & (
+            fts.isNull()
+            | (
+                F.col("_ts").cast("double") - bts.cast("double")
+                <= fts.cast("double") - F.col("_ts").cast("double")
+            )
+        )
+        fills = [
+            F.when(
+                take_back, F.last(F.col(o), ignorenulls=True).over(w_back)
+            )
+            .otherwise(F.last(F.col(o), ignorenulls=True).over(w_fwd))
+            .alias(o)
+            for o in out_right
+        ]
+    filled = unioned.select(
         *[F.col(k) for k in keys],
         F.col("_ts"),
         F.col("_side"),
         *[F.col(c) for c in left.columns if c not in keys],
-        *[F.last(F.col(o), ignorenulls=True).over(w).alias(o) for o in out_right],
+        *fills,
     )
     out = filled.filter(F.col("_side") == 1)
     if tolerance_s is not None:
         matched_ts = F.col(f"{right_ts}{suffix}")
         # Epoch-seconds doubles: exact microsecond arithmetic, no interval
         # type juggling between legacy and ANSI interval modes.
-        within = matched_ts.isNotNull() & (
-            F.col("_ts").cast("double") - matched_ts.cast("double") <= F.lit(float(tolerance_s))
-        )
+        dist = matched_ts.cast("double") - F.col("_ts").cast("double")
+        if direction == "backward":
+            dist = -dist
+        elif direction == "nearest":
+            dist = F.abs(dist)
+        within = matched_ts.isNotNull() & (dist <= F.lit(float(tolerance_s)))
         out = out.select(
             *[F.col(k) for k in keys],
             "_ts",

@@ -415,3 +415,72 @@ def er_entity_clusters(spark, sf_dir):
         )
         .orderBy("record_id")
     )
+
+
+@query(
+    "join_asof_forward",
+    sql="""
+    SELECT l.event_id, l.user_id, CAST(l.ts AS TIMESTAMP) AS ts,
+           CAST(r.ts AS TIMESTAMP) AS next_signup_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    ORDER BY l.event_id
+    """,
+)
+def join_asof_forward(spark, sf_dir):
+    """J8b: FORWARD as-of join (pandas ``merge_asof(direction='forward')``) —
+    each purchase aligned with the user's next signup at or after it
+    (re-engagement lag). Same single-shuffle union+window plan as J8, scan
+    order reversed; oracle is DuckDB's forward ``ASOF`` (``l.ts <= r.ts``)."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts")
+    )
+    out = asof_join(
+        purchases, signups, keys=["user_id"], left_ts="ts", right_ts="signup_ts",
+        right_cols=["signup_ts"], direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("signup_ts_asof").alias("next_signup_ts")
+    ).orderBy("event_id")
+
+
+@query(
+    "join_asof_nearest",
+    sql="""
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    r AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+    pairs AS (
+      SELECT l.event_id, l.user_id, l.ts, r.ts AS rts,
+             abs(date_diff('microsecond', r.ts, l.ts)) AS dist,
+             CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END AS fwd
+      FROM l LEFT JOIN r USING (user_id)),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY dist, fwd, rts) AS rn
+      FROM pairs)
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           CAST(rts AS TIMESTAMP) AS nearest_signup_ts
+    FROM ranked WHERE rn = 1 ORDER BY event_id
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """J8c: NEAREST as-of join (pandas ``merge_asof(direction='nearest')``,
+    exact ties prefer the earlier match) — closest signup in either time
+    direction. Still ONE shuffle: both direction fills are windows over the
+    same hash partitioning (two sorts, zero extra exchanges). The oracle
+    ranks the per-user pair set by absolute distance — quadratic per user,
+    fine for DuckDB at sf0.01; the Spark side never forms pairs."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts")
+    )
+    out = asof_join(
+        purchases, signups, keys=["user_id"], left_ts="ts", right_ts="signup_ts",
+        right_cols=["signup_ts"], direction="nearest",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("signup_ts_asof").alias("nearest_signup_ts")
+    ).orderBy("event_id")

@@ -206,3 +206,72 @@ def test_partitioned_cumsum_recompute_deterministic(spark, sf_dir):
     spark.catalog.clearCache()
     second = {r["o_orderkey"]: (r["cum"], r["tot"]) for r in out.collect()}
     assert first == second
+
+
+def test_asof_directions(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "p1"), (1, _ts(5), "p2"), (2, _ts(3), "p3"), (3, _ts(1), "p4")],
+        "k long, ts timestamp, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), "s1"), (1, _ts(7), "s2"), (1, _ts(13), "s3"), (2, _ts(1), "s4")],
+        "k long, rts timestamp, tag string",
+    )
+    fwd = {
+        r["ev"]: r["tag_asof"]
+        for r in asof_join(left, right, ["k"], "ts", "rts", ["tag"], direction="forward").collect()
+    }
+    assert fwd["p1"] == "s3"  # next >= 00:10 is s3@13
+    assert fwd["p2"] == "s1"  # equal timestamps match forward too
+    assert fwd["p3"] is None  # only earlier rows exist -> null
+    assert fwd["p4"] is None
+    near = {
+        r["ev"]: r["tag_asof"]
+        for r in asof_join(left, right, ["k"], "ts", "rts", ["tag"], direction="nearest").collect()
+    }
+    # p1: backward s2@07 dist 3, forward s3@13 dist 3 -> exact tie prefers backward
+    assert near["p1"] == "s2"
+    assert near["p2"] == "s1"  # zero distance
+    assert near["p3"] == "s4"  # only a backward candidate
+    assert near["p4"] is None  # no candidates at all
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    left = spark.createDataFrame([(1, _ts(10), "p1")], "k long, ts timestamp, ev string")
+    right = spark.createDataFrame(
+        [(1, _ts(7), "back"), (1, _ts(13), "fwd")], "k long, rts timestamp, tag string"
+    )
+    row = asof_join(left, right, ["k"], "ts", "rts", ["tag"], direction="nearest").collect()[0]
+    assert row["tag_asof"] == "back"
+
+
+def test_asof_nearest_picks_closer_side_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), "a"), (1, _ts(20), "b"), (2, _ts(4), "c")],
+        "k long, ts timestamp, ev string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(8), "r8"), (1, _ts(21), "r21"), (2, _ts(40), "r40")],
+        "k long, rts timestamp, tag string",
+    )
+    near = {
+        r["ev"]: r["tag_asof"]
+        for r in asof_join(left, right, ["k"], "ts", "rts", ["tag"], direction="nearest").collect()
+    }
+    assert near == {"a": "r8", "b": "r21", "c": "r40"}
+    # 36-minute distance for "c" exceeds a 10-minute tolerance -> nulls out
+    tol = {
+        r["ev"]: r["tag_asof"]
+        for r in asof_join(
+            left, right, ["k"], "ts", "rts", ["tag"], direction="nearest", tolerance_s=600
+        ).collect()
+    }
+    assert tol == {"a": "r8", "b": "r21", "c": None}
+
+
+def test_asof_forward_rejects_unknown_direction(spark):
+    left = spark.createDataFrame([(1, _ts(1))], "k long, ts timestamp")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join(left, left, ["k"], "ts", "ts", ["ts"], direction="sideways")
