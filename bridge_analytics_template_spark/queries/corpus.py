@@ -1951,3 +1951,84 @@ def profile_l_diversity(spark, sf_dir):
         ),
         F.min("n_sensitive").alias("min_diversity"),
     )
+
+
+# --- t-closeness (completes the k-anon / l-div privacy ladder) ---------------
+
+
+@query(
+    "profile_t_closeness",
+    sql="""
+    WITH base AS (
+      SELECT c_nationkey, c_mktsegment, o_orderpriority
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey),
+    ncs AS (
+      SELECT c_nationkey, c_mktsegment, o_orderpriority, COUNT(*) AS n_cs
+      FROM base GROUP BY 1, 2, 3),
+    nc AS (
+      SELECT c_nationkey, c_mktsegment, CAST(SUM(n_cs) AS BIGINT) AS n_c
+      FROM ncs GROUP BY 1, 2),
+    ns AS (
+      SELECT o_orderpriority, CAST(SUM(n_cs) AS BIGINT) AS n_s FROM ncs GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_cs) AS BIGINT) AS n FROM ncs),
+    grid AS (
+      SELECT nc.c_nationkey, nc.c_mktsegment, nc.n_c, ns.o_orderpriority, ns.n_s,
+             COALESCE(x.n_cs, 0) AS n_cs
+      FROM nc CROSS JOIN ns
+      LEFT JOIN ncs x
+        ON x.c_nationkey = nc.c_nationkey AND x.c_mktsegment = nc.c_mktsegment
+       AND x.o_orderpriority = ns.o_orderpriority)
+    SELECT g.c_nationkey, g.c_mktsegment,
+           MIN(g.n_c) AS n_rows,
+           CAST((SUM(abs(CAST(g.n_cs AS HUGEINT) * t.n - CAST(g.n_s AS HUGEINT) * g.n_c))
+                 * 1000000) // (2 * CAST(MIN(g.n_c) AS HUGEINT) * MIN(t.n)) AS BIGINT)
+             AS tvd_ppm
+    FROM grid g CROSS JOIN tot t
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def profile_t_closeness(spark, sf_dir):
+    """t-closeness preflight — the third rung of the privacy ladder after
+    `profile_k_anonymity` and `profile_l_diversity` (Li et al. ICDE'07): an
+    equivalence class over the quasi-identifiers (nation, market segment)
+    leaks even when large and diverse if its SENSITIVE-attribute
+    distribution (order priority) sits far from the corpus-wide one.
+    Distance is total variation, reported in exact integer ppm:
+    ``tvd_ppm = floor(1e6 * 1/2 * sum_s |n_cs/n_c - n_s/N|)`` computed as
+    ``sum_s |n_cs*N - n_s*n_c| * 1e6 DIV (2*n_c*N)`` — widened through
+    DECIMAL(38) (Spark) / HUGEINT (oracle) so the count products survive
+    corpus-scale N (int64 overflows past ~3M rows x classes).
+
+    Scale shape: ONE keyed aggregate over (class, sensitive) feeds
+    everything else; the class marginal reuses it, the 5-row sensitive
+    marginal and the grand total broadcast, and the dense (class x
+    sensitive) grid is |classes| x |domain| — dimension-sized by
+    construction. No window, no per-row Python."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    ncs = track(
+        c.join(o, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_cs"))
+        .persist()
+    )
+    nc = ncs.groupBy("c_nationkey", "c_mktsegment").agg(F.sum("n_cs").alias("n_c"))
+    ns = ncs.groupBy("o_orderpriority").agg(F.sum("n_cs").alias("n_s"))
+    tot = ncs.agg(F.sum("n_cs").alias("n"))
+    grid = (
+        nc.crossJoin(F.broadcast(ns))
+        .join(ncs, ["c_nationkey", "c_mktsegment", "o_orderpriority"], "left")
+        .withColumn("n_cs", F.coalesce(F.col("n_cs"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        grid.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.min("n_c").alias("n_rows"),
+            F.expr(
+                "CAST(SUM(abs(CAST(n_cs AS DECIMAL(38,0)) * n - CAST(n_s AS DECIMAL(19,0)) * n_c))"
+                " * 1000000 DIV (2 * CAST(MIN(n_c) AS DECIMAL(19,0)) * MIN(n)) AS BIGINT)"
+            ).alias("tvd_ppm"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

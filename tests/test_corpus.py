@@ -556,3 +556,34 @@ def test_kmv_setops_estimator_and_inclusion_exclusion(spark):
         + rows["click_cohort"].n_exact
         - rows["union"].n_exact
     )
+
+
+def test_t_closeness_matches_python_reference(spark, sf_dir):
+    """Exact integer-ppm TVD per class vs a from-first-principles pandas
+    recomputation over the same parquet (floor semantics included)."""
+    import collections
+
+    import pandas as pd
+
+    from bridge_analytics_template_spark.queries.corpus import profile_t_closeness
+
+    got = {
+        (r.c_nationkey, r.c_mktsegment): (r.n_rows, r.tvd_ppm)
+        for r in profile_t_closeness(spark, sf_dir).collect()
+    }
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")[
+        ["c_custkey", "c_nationkey", "c_mktsegment"]
+    ]
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")[["o_custkey", "o_orderpriority"]]
+    base = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    n_total = len(base)
+    ns = collections.Counter(base["o_orderpriority"])
+    for (nat, seg), grp in base.groupby(["c_nationkey", "c_mktsegment"]):
+        n_c = len(grp)
+        ncs = collections.Counter(grp["o_orderpriority"])
+        num = sum(abs(ncs.get(s, 0) * n_total - ns[s] * n_c) for s in ns)
+        expect = (num * 1_000_000) // (2 * n_c * n_total)
+        assert got[(nat, seg)] == (n_c, expect)
+    assert len(got) == base.groupby(["c_nationkey", "c_mktsegment"]).ngroups
+    # TVD is a [0, 1] metric -> ppm within [0, 1e6]
+    assert all(0 <= t <= 1_000_000 for _, t in got.values())
