@@ -2032,3 +2032,138 @@ def profile_t_closeness(spark, sf_dir):
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+# --- Quality-weighted deterministic subsampling ------------------------------
+
+
+def _weighted_sample_admit(cast_kw: str) -> tuple[str, str]:
+    """(weight_ppm, admitted) SQL fragments shared by both engines.
+
+    Admission probability is proportional to a quality proxy (document
+    length, saturating at 4000 chars -> certainty), and the coin is the
+    60-bit md5 hash of the doc id — deterministic, reproducible across
+    runs/engines, and independent of the weight column (hash the KEY, not
+    the weight, or resampling after a weight tweak correlates)."""
+    w = "LEAST(1000000, n_chars * 250)"
+    coin = f"({_hash60(f'CAST(doc_id AS {cast_kw})')}) % 1000000"
+    return w, f"{coin} < {w}"
+
+
+@query(
+    "train_weighted_sample",
+    sql=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN {_weighted_sample_admit('VARCHAR')[1]} THEN 1 ELSE 0 END) AS n_admitted,
+           SUM(CASE WHEN {_weighted_sample_admit('VARCHAR')[1]} THEN n_chars ELSE 0 END)
+             AS admitted_chars,
+           CAST(SUM({_weighted_sample_admit('VARCHAR')[0]}) // COUNT(*) AS BIGINT)
+             AS mean_weight_ppm
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+)
+def train_weighted_sample(spark, sf_dir):
+    """Quality-weighted deterministic subsampling (the DoReMi/DSIR-style
+    admission step): each document is kept with probability proportional
+    to a quality proxy, via an integer-ppm threshold on a 60-bit md5 hash
+    of its id — no RNG, no seed plumbing, identical sample under
+    recompute, retries, and engine swap. One narrow projection + one hash
+    aggregate; the admission predicate pushes into the scan at corpus
+    scale (codegen'd md5 per row, no shuffle before the aggregate)."""
+    w_sql, admit_sql = _weighted_sample_admit("STRING")
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            "n_chars",
+            F.expr(w_sql).alias("w_ppm"),
+            F.expr(admit_sql).cast("long").alias("admit"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("admit").alias("n_admitted"),
+            F.sum(F.col("admit") * F.col("n_chars")).alias("admitted_chars"),
+            F.expr("CAST(SUM(w_ppm) DIV COUNT(*) AS BIGINT)").alias("mean_weight_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- Interval-union coverage (sweep-line islands) ----------------------------
+
+_COVER_US = 300_000_000  # each event opens a 5-minute activity interval
+
+
+@query(
+    "events_interval_union",
+    sql=f"""
+    WITH iv AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+             epoch_us(CAST(ts AS TIMESTAMP)) + {_COVER_US} AS e
+      FROM events),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL
+                    OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island_id
+      FROM flagged)
+    SELECT user_id,
+           CAST(COUNT(DISTINCT island_id) AS BIGINT) AS n_islands,
+           CAST(SUM(span) AS BIGINT) AS covered_us
+    FROM (SELECT user_id, island_id, MAX(e) - MIN(s) AS span
+          FROM islands GROUP BY 1, 2)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_interval_union(spark, sf_dir):
+    """Interval-UNION coverage (sweep-line): every event opens a 5-minute
+    activity interval; overlapping/abutting intervals merge, and the
+    output is each user's total covered time plus the number of disjoint
+    activity islands — the "active seconds" metric a session-quality
+    report needs where plain SUM(duration) double-counts overlaps.
+
+    Sweep line as one window pass: an interval starts a new island iff its
+    start exceeds the running max end of everything earlier (ties/equal
+    starts can't start one — their start equals an earlier start, which
+    the running max end already covers). One shuffle on user_id; island
+    aggregation reuses the same partitioning. Equal-start scan order
+    doesn't affect the result: the island PARTITION is order-invariant
+    even though island ids could renumber."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(_COVER_US)).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        (prev_max_e.isNull() | (F.col("s") > prev_max_e)).cast("long"),
+    )
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    spans = islands.groupBy("user_id", "island_id").agg((F.max("e") - F.min("s")).alias("span"))
+    return (
+        spans.groupBy("user_id")
+        .agg(
+            F.countDistinct("island_id").alias("n_islands"),
+            F.sum("span").alias("covered_us"),
+        )
+        .orderBy("user_id")
+    )

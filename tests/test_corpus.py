@@ -587,3 +587,33 @@ def test_t_closeness_matches_python_reference(spark, sf_dir):
     assert len(got) == base.groupby(["c_nationkey", "c_mktsegment"]).ngroups
     # TVD is a [0, 1] metric -> ppm within [0, 1e6]
     assert all(0 <= t <= 1_000_000 for _, t in got.values())
+
+
+def test_interval_union_matches_python_sweep(spark, sf_dir):
+    """Sweep-line coverage vs a direct per-user python interval merge."""
+    import pandas as pd
+
+    from bridge_analytics_template_spark.queries.corpus import (
+        _COVER_US,
+        events_interval_union,
+    )
+
+    got = {
+        r.user_id: (r.n_islands, r.covered_us)
+        for r in events_interval_union(spark, sf_dir).collect()
+    }
+    e = pd.read_parquet(f"{sf_dir}/events.parquet")[["user_id", "ts"]]
+    # pandas reads the naive-microsecond parquet as datetime64[ns]; convert
+    # to integer MICROseconds to mirror unix_micros exactly.
+    e["s"] = e["ts"].values.astype("datetime64[us]").astype("int64")
+    for uid, grp in e.groupby("user_id"):
+        starts = sorted(grp["s"])
+        islands = []
+        for s in starts:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], s + _COVER_US)
+            else:
+                islands.append([s, s + _COVER_US])
+        covered = sum(b - a for a, b in islands)
+        assert got[uid] == (len(islands), covered), uid
+    assert set(got) == set(e["user_id"].unique())
