@@ -387,3 +387,28 @@ def test_countmin_sketch_broadcast_back(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "agg_countmin_topk")
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan  # top-10, never a global sort
+
+
+def test_ensure_parallelism_row_group_aware(spark, tmp_path):
+    """A file wide enough for byte-range splits but with ONE row group still
+    executes as one task; ensure_parallelism must see through the split
+    count via the parquet footer and widen."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bridge_analytics_template_spark.partitioning import (
+        _parquet_row_groups,
+        ensure_parallelism,
+    )
+
+    path = str(tmp_path / "one_rg.parquet")
+    pq.write_table(
+        pa.table({"x": list(range(200_000)), "t": ["y" * 40] * 200_000}), path,
+        row_group_size=1_000_000,
+    )
+    assert _parquet_row_groups([path]) == 1
+    df = spark.read.parquet(path)
+    widened = ensure_parallelism(df, min_partitions=8)
+    assert widened.rdd.getNumPartitions() >= 8
+    # Non-parquet leaves: helper declines rather than guessing.
+    assert _parquet_row_groups(["/tmp/nope.csv"]) is None
