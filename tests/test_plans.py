@@ -412,3 +412,13 @@ def test_ensure_parallelism_row_group_aware(spark, tmp_path):
     assert widened.rdd.getNumPartitions() >= 8
     # Non-parquet leaves: helper declines rather than guessing.
     assert _parquet_row_groups(["/tmp/nope.csv"]) is None
+
+
+def test_asof_nearest_single_shuffle_two_sorts(spark, sf_dir):
+    """direction='nearest' fills both scan orders as windows over the SAME
+    hash partitioning — one exchange, two in-partition sorts, never a
+    second shuffle or a join."""
+    plan = plan_of(spark, sf_dir, "join_asof_nearest")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("SortMergeJoin") == 0 and plan.count("BroadcastHashJoin") == 0
+    assert plan.count("Window") >= 2  # backward + forward fills
