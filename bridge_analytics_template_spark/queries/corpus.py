@@ -2034,63 +2034,6 @@ def profile_t_closeness(spark, sf_dir):
     )
 
 
-# --- Quality-weighted deterministic subsampling ------------------------------
-
-
-def _weighted_sample_admit(cast_kw: str) -> tuple[str, str]:
-    """(weight_ppm, admitted) SQL fragments shared by both engines.
-
-    Admission probability is proportional to a quality proxy (document
-    length, saturating at 4000 chars -> certainty), and the coin is the
-    60-bit md5 hash of the doc id — deterministic, reproducible across
-    runs/engines, and independent of the weight column (hash the KEY, not
-    the weight, or resampling after a weight tweak correlates)."""
-    w = "LEAST(1000000, n_chars * 250)"
-    coin = f"({_hash60(f'CAST(doc_id AS {cast_kw})')}) % 1000000"
-    return w, f"{coin} < {w}"
-
-
-@query(
-    "train_weighted_sample",
-    sql=f"""
-    SELECT lang,
-           COUNT(*) AS n_docs,
-           SUM(CASE WHEN {_weighted_sample_admit('VARCHAR')[1]} THEN 1 ELSE 0 END) AS n_admitted,
-           SUM(CASE WHEN {_weighted_sample_admit('VARCHAR')[1]} THEN n_chars ELSE 0 END)
-             AS admitted_chars,
-           CAST(SUM({_weighted_sample_admit('VARCHAR')[0]}) // COUNT(*) AS BIGINT)
-             AS mean_weight_ppm
-    FROM documents GROUP BY 1 ORDER BY 1
-    """,
-)
-def train_weighted_sample(spark, sf_dir):
-    """Quality-weighted deterministic subsampling (the DoReMi/DSIR-style
-    admission step): each document is kept with probability proportional
-    to a quality proxy, via an integer-ppm threshold on a 60-bit md5 hash
-    of its id — no RNG, no seed plumbing, identical sample under
-    recompute, retries, and engine swap. One narrow projection + one hash
-    aggregate; the admission predicate pushes into the scan at corpus
-    scale (codegen'd md5 per row, no shuffle before the aggregate)."""
-    w_sql, admit_sql = _weighted_sample_admit("STRING")
-    d = load(spark, sf_dir, "documents")
-    return (
-        d.select(
-            "lang",
-            "n_chars",
-            F.expr(w_sql).alias("w_ppm"),
-            F.expr(admit_sql).cast("long").alias("admit"),
-        )
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("admit").alias("n_admitted"),
-            F.sum(F.col("admit") * F.col("n_chars")).alias("admitted_chars"),
-            F.expr("CAST(SUM(w_ppm) DIV COUNT(*) AS BIGINT)").alias("mean_weight_ppm"),
-        )
-        .orderBy("lang")
-    )
-
-
 # --- Interval-union coverage (sweep-line islands) ----------------------------
 
 _COVER_US = 300_000_000  # each event opens a 5-minute activity interval

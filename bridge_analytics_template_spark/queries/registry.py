@@ -45,6 +45,12 @@ def query(name: str, sql: str | None = None):
     recompute, so even that pattern can only cost time, not correctness."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            # A silent overwrite shadows an existing query (and its oracle)
+            # for every consumer, including the official driver — fail at
+            # import so the collision is caught the moment it's authored.
+            raise ValueError(f"duplicate query registration: {name!r}")
+
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             try:
                 spark.catalog.clearCache()

@@ -434,7 +434,7 @@ def merge_cdc_deletes(spark, sf_dir):
 
 
 @query(
-    "profile_referential_integrity",
+    "profile_fk_orphans",
     sql="""
     SELECT
       (SELECT COUNT(*) FROM lineitem l
@@ -445,7 +445,7 @@ def merge_cdc_deletes(spark, sf_dir):
        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS orphan_orders
     """,
 )
-def profile_referential_integrity(spark, sf_dir):
+def profile_fk_orphans(spark, sf_dir):
     """Referential-integrity audit — the FK half of data quality that
     bridge_validate's per-column rules can't see (the reference's
     assert-unique lookups are its 1-row version of the same contract,
