@@ -1489,3 +1489,207 @@ def q_bootstrap_ci(spark, sf_dir):
         means.getItem(1).alias("ci_lo_centicents"),
         means.getItem(_BOOT_B - 2).alias("ci_hi_centicents"),
     )
+
+
+# --- Survival analysis: Nelson-Aalen hazard table --------------------------
+
+_SURVIVAL_SQL = """
+WITH life AS (
+  SELECT user_id,
+         date_diff('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) AS lt
+  FROM events GROUP BY user_id),
+d AS (SELECT lt, CAST(COUNT(*) AS BIGINT) AS churned FROM life GROUP BY lt),
+r AS (
+  SELECT lt, churned,
+         SUM(churned) OVER (ORDER BY lt ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS at_risk
+  FROM d),
+h AS (SELECT lt, churned, at_risk, churned * 1000000 // at_risk AS hazard_ppm FROM r)
+SELECT CAST(lt AS BIGINT) AS lifetime_days,
+       churned,
+       CAST(at_risk AS BIGINT) AS at_risk,
+       CAST(hazard_ppm AS BIGINT) AS hazard_ppm,
+       CAST(SUM(hazard_ppm) OVER (ORDER BY lt ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_hazard_ppm
+FROM h ORDER BY lifetime_days
+"""
+
+
+@query("events_survival_hazard", sql=_SURVIVAL_SQL)
+def events_survival_hazard(spark, sf_dir):
+    """Kaplan-Meier-style survival table (Nelson-Aalen cumulative hazard in
+    exact integer ppm): per observed lifetime t (days between a user's first
+    and last event), the at-risk count (users surviving >= t), churn events
+    at t, the discrete hazard d/n in ppm, and its running sum — the
+    retention/churn curve every growth dashboard draws. All arithmetic is
+    integer (counts + floor division + integer sums), so both engines agree
+    bitwise; a product-limit survival estimate would multiply rationals
+    (not order-free) — the hazard SUM is the re-aggregatable form. Plan:
+    user-keyed hash agg (one shuffle), re-agg to |distinct lifetimes| rows
+    (bounded by the observation span in days), then two ordered windows over
+    that bounded relation — whitelisted in tools/plan_lint.py the same way
+    as w_interval_overlap."""
+    ev = load(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias("lt")
+    )
+    d = life.groupBy("lt").agg(F.count(F.lit(1)).alias("churned"))
+    w_risk = Window.orderBy("lt").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    w_cum = Window.orderBy("lifetime_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    h = d.select(
+        F.col("lt").cast("long").alias("lifetime_days"),
+        F.col("churned").cast("long").alias("churned"),
+        F.sum("churned").over(w_risk).cast("long").alias("at_risk"),
+    ).withColumn("hazard_ppm", F.expr("churned * 1000000 div at_risk"))
+    return h.withColumn(
+        "cum_hazard_ppm", F.sum("hazard_ppm").over(w_cum).cast("long")
+    ).orderBy("lifetime_days")
+
+
+# --- Chi-square test of independence ---------------------------------------
+
+_CHI2_SQL = """
+WITH j AS (
+  SELECT c_mktsegment AS seg, o_orderpriority AS pri
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+cell AS (SELECT seg, pri, CAST(COUNT(*) AS BIGINT) AS o FROM j GROUP BY seg, pri),
+rt AS (SELECT seg, SUM(o) AS r FROM cell GROUP BY seg),
+ct AS (SELECT pri, SUM(o) AS c FROM cell GROUP BY pri),
+t AS (SELECT SUM(o) AS n, COUNT(DISTINCT seg) AS nr, COUNT(DISTINCT pri) AS nc FROM cell),
+term AS (
+  SELECT (CAST(cell.o AS HUGEINT) * t.n - CAST(rt.r AS HUGEINT) * ct.c) AS diff,
+         rt.r, ct.c, t.n, t.nr, t.nc
+  FROM cell JOIN rt USING (seg) JOIN ct USING (pri) CROSS JOIN t)
+SELECT CAST(MAX(n) AS BIGINT) AS n,
+       CAST((MAX(nr) - 1) * (MAX(nc) - 1) AS BIGINT) AS dof,
+       CAST(SUM(diff * diff * 1000000 // (CAST(n AS HUGEINT) * r * c)) AS BIGINT) AS chi2_ppm
+FROM term
+"""
+
+
+@query("q_chi2_independence", sql=_CHI2_SQL)
+def q_chi2_independence(spark, sf_dir):
+    """Chi-square test of independence between customer market segment and
+    order priority — the categorical-association companion to
+    events_ab_welch (means) and agg_regr_exact (linear). Each cell's
+    contribution (oN - rc)^2 / (Nrc) is floor-quantized to ppm BEFORE the
+    final integer sum, so the statistic is combine-order free and
+    engine-exact; squares widen through DECIMAL(38,0)/HUGEINT. Magnitude
+    bound: (oN-rc)^2 * 1e6 <= N^4/16 * 1e6 stays under 1e38 up to ~1e8
+    orders; past that, pre-aggregate per (seg,pri) shard or drop the ppm
+    scale (same ADVICE-r2 rule as q_assoc_rules). Plan: one fact-side
+    shuffle join + hash agg to |seg|x|pri| cells; the marginals and scalar
+    total are broadcast joins over bounded relations."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri")
+    )
+    cell = j.groupBy("seg", "pri").agg(F.count(F.lit(1)).alias("o"))
+    rt = cell.groupBy("seg").agg(F.sum("o").alias("r"))
+    ct = cell.groupBy("pri").agg(F.sum("o").alias("c"))
+    t = cell.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("seg").alias("nr"),
+        F.countDistinct("pri").alias("nc"),
+    )
+    term = (
+        cell.join(F.broadcast(rt), "seg")
+        .join(F.broadcast(ct), "pri")
+        .crossJoin(F.broadcast(t))
+        .withColumn(
+            "diff",
+            F.expr("CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c"),
+        )
+        .withColumn(
+            "term_ppm",
+            F.expr("diff * diff * 1000000 div (CAST(n AS DECIMAL(38,0)) * r * c)"),
+        )
+    )
+    return term.agg(
+        F.max("n").cast("long").alias("n"),
+        ((F.max("nr") - 1) * (F.max("nc") - 1)).cast("long").alias("dof"),
+        F.sum("term_ppm").cast("long").alias("chi2_ppm"),
+    )
+
+
+# --- Two-sample Kolmogorov-Smirnov distance --------------------------------
+
+_KS_SQL = """
+WITH q AS (
+  SELECT event_type, user_id % 2 = 0 AS is_a, CAST(floor(value * 100) AS BIGINT) AS vq
+  FROM events),
+pt AS (
+  SELECT event_type, vq,
+         SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS b
+  FROM q GROUP BY event_type, vq),
+cum AS (
+  SELECT event_type,
+         SUM(a) OVER (PARTITION BY event_type ORDER BY vq ROWS UNBOUNDED PRECEDING) AS ca,
+         SUM(b) OVER (PARTITION BY event_type ORDER BY vq ROWS UNBOUNDED PRECEDING) AS cb,
+         SUM(a) OVER (PARTITION BY event_type) AS na,
+         SUM(b) OVER (PARTITION BY event_type) AS nb
+  FROM pt)
+SELECT event_type,
+       CAST(MAX(na) AS BIGINT) AS n_a,
+       CAST(MAX(nb) AS BIGINT) AS n_b,
+       CAST(MAX(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)) * 1000000
+            // (CAST(MAX(na) AS HUGEINT) * MAX(nb)) AS BIGINT) AS ks_ppm
+FROM cum GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("events_ks_test", sql=_KS_SQL)
+def events_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov distance per event type between the
+    parity-split A/B arms — the DISTRIBUTION-shift companion to
+    events_ab_welch's mean test (a drift monitor cares about shape, not just
+    means). D = max |F_a - F_b| evaluated at the observed atoms: both ECDFs
+    are integer cumulative counts over cents-quantized values, the sup gap
+    is the max of |ca*nb - cb*na| (exact, HUGEINT/DECIMAL-widened), scaled
+    to ppm by one floor division at the end. Plan: hash agg to
+    (type, distinct-cents) atoms, then windows PARTITIONED by type (the
+    atom count per type is bounded by the value domain), final tiny
+    group-by — no global window, no collect."""
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        (F.col("user_id") % 2 == 0).alias("is_a"),
+        F.floor(F.col("value") * 100).alias("vq"),
+    )
+    pt = q.groupBy("event_type", "vq").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("b"),
+    )
+    w = Window.partitionBy("event_type").orderBy("vq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("event_type")
+    cum = pt.select(
+        "event_type",
+        F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb"),
+        F.sum("a").over(wt).alias("na"),
+        F.sum("b").over(wt).alias("nb"),
+    ).withColumn(
+        "gap",
+        F.abs(F.expr("CAST(ca AS DECIMAL(38,0)) * nb - CAST(cb AS DECIMAL(38,0)) * na")),
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("na").cast("long").alias("n_a"),
+            F.max("nb").cast("long").alias("n_b"),
+            F.max("gap").alias("dmax"),
+        )
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(dmax * 1000000 div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ).alias("ks_ppm"),
+        )
+        .orderBy("event_type")
+    )

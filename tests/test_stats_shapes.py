@@ -200,3 +200,66 @@ def test_bootstrap_ci_orders_and_brackets(spark, sf_dir):
     assert r.ci_hi_centicents >= r.mean_centicents * 0.9
     again = q_bootstrap_ci(spark, sf_dir).collect()[0]
     assert again == r  # no RNG anywhere — bit-identical on rerun
+
+
+def test_survival_hazard_python_reference(spark, sf_dir):
+    rows = QUERIES["events_survival_hazard"](spark, sf_dir).collect()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    days = ev["ts"].dt.normalize()
+    life = days.groupby(ev["user_id"]).agg(["min", "max"])
+    lt = ((life["max"] - life["min"]).dt.days).value_counts().sort_index()
+    n_users = int(lt.sum())
+    # at_risk of the earliest lifetime covers everyone; strictly decreasing
+    assert rows[0]["at_risk"] == n_users
+    at_risks = [r["at_risk"] for r in rows]
+    assert at_risks == sorted(at_risks, reverse=True)
+    cum = 0
+    remaining = n_users
+    for r in rows:
+        assert r["churned"] == int(lt[r["lifetime_days"]])
+        assert r["at_risk"] == remaining
+        assert r["hazard_ppm"] == r["churned"] * 1_000_000 // r["at_risk"]
+        cum += r["hazard_ppm"]
+        assert r["cum_hazard_ppm"] == cum
+        remaining -= r["churned"]
+    assert remaining == 0
+
+
+def test_chi2_independence_python_reference(spark, sf_dir):
+    row = QUERIES["q_chi2_independence"](spark, sf_dir).collect()[0]
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"])
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    tab = j.groupby(["c_mktsegment", "o_orderpriority"]).size()
+    n = int(tab.sum())
+    r_tot = tab.groupby(level=0).sum()
+    c_tot = tab.groupby(level=1).sum()
+    chi2_ppm = 0
+    for (seg, pri), obs in tab.items():
+        diff = int(obs) * n - int(r_tot[seg]) * int(c_tot[pri])
+        chi2_ppm += diff * diff * 1_000_000 // (n * int(r_tot[seg]) * int(c_tot[pri]))
+    assert row["n"] == n
+    assert row["dof"] == (len(r_tot) - 1) * (len(c_tot) - 1)
+    assert row["chi2_ppm"] == chi2_ppm
+
+
+def test_ks_test_python_reference(spark, sf_dir):
+    import math
+
+    rows = {r["event_type"]: r for r in QUERIES["events_ks_test"](spark, sf_dir).collect()}
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"])
+    ev["vq"] = np.floor(ev["value"] * 100).astype("int64")
+    ev["is_a"] = ev["user_id"] % 2 == 0
+    for et, grp in ev.groupby("event_type"):
+        a = grp.loc[grp["is_a"], "vq"]
+        b = grp.loc[~grp["is_a"], "vq"]
+        na, nb = len(a), len(b)
+        atoms = np.sort(grp["vq"].unique())
+        ca = np.searchsorted(np.sort(a.to_numpy()), atoms, side="right")
+        cb = np.searchsorted(np.sort(b.to_numpy()), atoms, side="right")
+        dmax = int(np.max(np.abs(ca.astype(object) * nb - cb.astype(object) * na)))
+        r = rows[et]
+        assert (r["n_a"], r["n_b"]) == (na, nb)
+        assert r["ks_ppm"] == dmax * 1_000_000 // (na * nb)
+        # sanity: a parity split of iid values should not produce a huge D
+        assert 0 <= r["ks_ppm"] < 1_000_000
