@@ -812,3 +812,110 @@ def llm_dup_span_trim(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --- Readability scoring (Flesch reading ease, integer milli-points) --------
+
+_READABILITY_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         greatest(len(regexp_extract_all(trim(text), '\\S+')), 1) AS words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS syllables
+  FROM documents)
+SELECT doc_id,
+       CAST(words AS BIGINT) AS words,
+       CAST(sentences AS BIGINT) AS sentences,
+       CAST(syllables AS BIGINT) AS syllables,
+       CAST(206835 - (1015 * words // sentences) - (84600 * syllables // words)
+            AS BIGINT) AS flesch_milli
+FROM m ORDER BY doc_id
+"""
+
+
+@query("llm_readability", sql=_READABILITY_SQL)
+def llm_readability(spark, sf_dir):
+    """Flesch reading-ease per document in exact integer milli-points — the
+    readability tier of a quality-filter stack (alongside llm_quality_score's
+    length/punct ratios and llm_doc_lm_score's LM perplexity proxy).
+    Syllables use the standard vowel-group heuristic ([aeiouy]+ runs of the
+    lowercased text — spaces break runs, so runs never span words); word and
+    sentence counts are regex-run counts with a floor of 1 so the integer
+    divisions are total. 206.835 - 1.015 w/s - 84.6 syl/w is evaluated as
+    three exact integer terms (milli-scaled, floor division) — no float
+    anywhere, so both engines agree bitwise. Plan: pure per-row codegen'd
+    regexp_count projection — zero shuffles, scales embarrassingly."""
+    d = load(spark, sf_dir, "documents")
+    words = F.greatest(F.regexp_count(F.trim("text"), F.lit(r"\S+")), F.lit(1))
+    sentences = F.greatest(F.regexp_count("text", F.lit("[.!?]+")), F.lit(1))
+    syllables = F.greatest(
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")), F.lit(1)
+    )
+    m = d.select(
+        "doc_id",
+        words.cast("long").alias("words"),
+        sentences.cast("long").alias("sentences"),
+        syllables.cast("long").alias("syllables"),
+    )
+    return m.select(
+        "doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        (
+            F.lit(206835)
+            - F.expr("1015 * words div sentences")
+            - F.expr("84600 * syllables div words")
+        )
+        .cast("long")
+        .alias("flesch_milli"),
+    ).orderBy("doc_id")
+
+
+# --- Blocklist / wordlist flagging ------------------------------------------
+
+#: Fixed audit wordlist (the "toxicity filter" shape: real pipelines broadcast
+#: a large lexicon; the mechanics — word-boundary match count per document,
+#: flag, share — are identical). Terms chosen to hit the fixture vocabulary.
+_BLOCKLIST = ("slow", "error", "crash", "fatal", "deprecated")
+_BLOCK_RE = r"\b(" + "|".join(_BLOCKLIST) + r")\b"
+
+_WORDLIST_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         greatest(len(regexp_extract_all(trim(text), '\\S+')), 1) AS words,
+         len(regexp_extract_all(lower(text), '{_BLOCK_RE}')) AS n_flagged
+  FROM documents)
+SELECT doc_id,
+       CAST(n_flagged AS BIGINT) AS n_flagged,
+       n_flagged > 0 AS flagged,
+       CAST(n_flagged * 1000000 // words AS BIGINT) AS flagged_ppm
+FROM m ORDER BY doc_id
+"""
+
+
+@query("llm_wordlist_flags", sql=_WORDLIST_SQL)
+def llm_wordlist_flags(spark, sf_dir):
+    """Blocklist screening per document — the wordlist-based content filter
+    every corpus pipeline runs (profanity/toxicity/PII keyword tiers). The
+    lexicon compiles into ONE word-boundary alternation regex evaluated
+    JVM-side (codegen'd regexp_count — not a per-token lambda, which would
+    interpret per element; NOTES.md perf lesson 2), emitting occurrence
+    count, a boolean flag, and the flagged-token share in exact ppm.
+    \\b and alternation are RE2-safe, so Spark (Java regex) and DuckDB (RE2)
+    tokenize identically. Plan: per-row projection, zero shuffles; at 100 TB
+    this is a map-only pass whose cost is the scan itself."""
+    d = load(spark, sf_dir, "documents")
+    words = F.greatest(F.regexp_count(F.trim("text"), F.lit(r"\S+")), F.lit(1))
+    nflag = F.regexp_count(F.lower("text"), F.lit(_BLOCK_RE))
+    m = d.select(
+        "doc_id",
+        words.cast("long").alias("words"),
+        nflag.cast("long").alias("n_flagged"),
+    )
+    return m.select(
+        "doc_id",
+        "n_flagged",
+        (F.col("n_flagged") > 0).alias("flagged"),
+        F.expr("n_flagged * 1000000 div words").cast("long").alias("flagged_ppm"),
+    ).orderBy("doc_id")

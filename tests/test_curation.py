@@ -270,3 +270,44 @@ def test_dup_span_trim_planted(spark):
     assert (r.doc_id, r.dup_of, r.span_removed) == (1, 0, 16)
     assert r.n_tokens_before == 22 and r.n_tokens_after == 6
     assert r.trimmed_text == " ".join(x[:3] + x[3:6])
+
+
+def test_readability_python_reference(spark):
+    import re
+
+    import pandas as pd
+
+    from bridge_analytics_template_spark.queries.registry import QUERIES
+
+    rows = {r["doc_id"]: r for r in QUERIES["llm_readability"](spark, SF_SMALL).collect()}
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet", columns=["doc_id", "text"])
+    for _, doc in docs.iterrows():
+        words = max(len(re.findall(r"\S+", doc["text"].strip())), 1)
+        sentences = max(len(re.findall(r"[.!?]+", doc["text"])), 1)
+        syllables = max(len(re.findall(r"[aeiouy]+", doc["text"].lower())), 1)
+        r = rows[doc["doc_id"]]
+        assert (r["words"], r["sentences"], r["syllables"]) == (words, sentences, syllables)
+        assert r["flesch_milli"] == 206835 - 1015 * words // sentences - 84600 * syllables // words
+
+
+def test_wordlist_flags_crafted(spark):
+    import tempfile
+
+    from bridge_analytics_template_spark.queries.registry import QUERIES
+
+    docs = [
+        (0, "slow error crash", "en", "s", 0),          # 3 of 3 flagged
+        (1, "fast table scan", "en", "s", 0),           # clean
+        (2, "slowly errors crashed", "en", "s", 0),     # \b guards: no substring hits
+        (3, "FATAL Deprecated path", "en", "s", 0),     # case-folded matches
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        rows = {r["doc_id"]: r for r in QUERIES["llm_wordlist_flags"](spark, d).collect()}
+    assert (rows[0]["n_flagged"], rows[0]["flagged"], rows[0]["flagged_ppm"]) == (3, True, 1_000_000)
+    assert (rows[1]["n_flagged"], rows[1]["flagged"]) == (0, False)
+    assert (rows[2]["n_flagged"], rows[2]["flagged"]) == (0, False)
+    assert (rows[3]["n_flagged"], rows[3]["flagged_ppm"]) == (2, 2_000_000 // 3)
