@@ -1693,3 +1693,89 @@ def events_ks_test(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --- Mann-Whitney U (rank-sum) test ----------------------------------------
+
+_MWU_SQL = """
+WITH q AS (
+  SELECT event_type, user_id % 2 = 0 AS is_a, CAST(floor(value * 100) AS BIGINT) AS vq
+  FROM events),
+g AS (
+  SELECT event_type, vq,
+         SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS b,
+         COUNT(*) AS cnt
+  FROM q GROUP BY event_type, vq),
+r AS (
+  SELECT event_type, a, b, cnt,
+         COALESCE(SUM(cnt) OVER (PARTITION BY event_type ORDER BY vq
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cprev
+  FROM g),
+s AS (
+  SELECT event_type,
+         SUM(a) AS n_a, SUM(b) AS n_b,
+         SUM(CAST(a AS HUGEINT) * (2 * cprev + cnt + 1)) AS r2a,
+         SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS tie_groups
+  FROM r GROUP BY event_type)
+SELECT event_type,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(tie_groups AS BIGINT) AS tie_groups,
+       CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2_a,
+       CAST((r2a - CAST(n_a AS HUGEINT) * (n_a + 1)) * 1000000
+            // (2 * CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS cles_ppm
+FROM s ORDER BY event_type
+"""
+
+
+@query("events_mannwhitney", sql=_MWU_SQL)
+def events_mannwhitney(spark, sf_dir):
+    """Mann-Whitney U rank-sum test per event type between the parity-split
+    A/B arms — the NONPARAMETRIC companion to events_ab_welch (means) and
+    events_ks_test (sup-distance): robust to outliers and any monotone
+    transform of the metric. Tie-safe and integer-exact via DOUBLED
+    midranks: a tie group of size c spanning ranks [p+1, p+c] contributes
+    a·(2p+c+1) to the doubled rank sum (the midrank (2p+c+1)/2 never needs
+    to exist as a fraction). u2_a = 2·U stays nonnegative, so the final
+    floor division agrees across engines regardless of truncate-vs-floor
+    semantics; cles_ppm = U/(n_a·n_b) is the common-language effect size.
+    Sums widen through DECIMAL(38,0)/HUGEINT (doubled rank sums reach ~n²).
+    Plan: hash agg to (type, distinct-cents) atoms, one type-partitioned
+    cumulative window over the bounded atom set, tiny final agg."""
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        (F.col("user_id") % 2 == 0).alias("is_a"),
+        F.floor(F.col("value") * 100).alias("vq"),
+    )
+    g = q.groupBy("event_type", "vq").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("b"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("vq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.withColumn("cprev", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    s = r.groupBy("event_type").agg(
+        F.sum("a").alias("n_a"),
+        F.sum("b").alias("n_b"),
+        F.sum(
+            F.expr("CAST(a AS DECIMAL(38,0)) * (2 * cprev + cnt + 1)")
+        ).alias("r2a"),
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias("tie_groups"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("tie_groups").cast("long").alias("tie_groups"),
+        F.expr("CAST(r2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS BIGINT)").alias("u2_a"),
+        F.expr(
+            "CAST((r2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1)) * 1000000"
+            " div (2 * CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+        ).alias("cles_ppm"),
+    ).orderBy("event_type")

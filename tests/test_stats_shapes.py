@@ -263,3 +263,26 @@ def test_ks_test_python_reference(spark, sf_dir):
         assert r["ks_ppm"] == dmax * 1_000_000 // (na * nb)
         # sanity: a parity split of iid values should not produce a huge D
         assert 0 <= r["ks_ppm"] < 1_000_000
+
+
+def test_mannwhitney_python_reference(spark, sf_dir):
+    rows = {r["event_type"]: r for r in QUERIES["events_mannwhitney"](spark, sf_dir).collect()}
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"])
+    ev["vq"] = np.floor(ev["value"] * 100).astype("int64")
+    ev["is_a"] = ev["user_id"] % 2 == 0
+    for et, grp in ev.groupby("event_type"):
+        # doubled midranks (average rank * 2 stays integral under ties)
+        order = np.sort(grp["vq"].to_numpy())
+        vals, counts = np.unique(order, return_counts=True)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        dbl_rank = {int(v): int(2 * s + c + 1) for v, s, c in zip(vals, starts, counts)}
+        a = grp.loc[grp["is_a"], "vq"]
+        r2a = sum(dbl_rank[int(v)] for v in a)
+        n_a, n_b = len(a), len(grp) - len(a)
+        u2a = r2a - n_a * (n_a + 1)
+        r = rows[et]
+        assert (r["n_a"], r["n_b"]) == (n_a, n_b)
+        assert r["tie_groups"] == int((counts > 1).sum())
+        assert r["u2_a"] == u2a
+        assert r["cles_ppm"] == u2a * 1_000_000 // (2 * n_a * n_b)
+        assert 0 <= r["cles_ppm"] <= 1_000_000
