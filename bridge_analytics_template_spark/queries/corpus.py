@@ -2110,3 +2110,142 @@ def events_interval_union(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# --- LTTB downsampling (largest-triangle-three-buckets) ----------------------
+#
+# The timeseries-visualization downsampler (Steinarsson 2013; what Grafana
+# ships): keep first and last point, split the interior into equal buckets,
+# and per bucket keep the point with the largest triangle area against the
+# PREVIOUSLY SELECTED point and the next bucket's centroid — a sequential
+# per-key recurrence (the selected point feeds the next bucket's areas), i.e.
+# the applyInPandas class, like ts_ewma_int. Exactness: the centroid division
+# is cleared by scaling the area through the next bucket's count
+# (area2 = |(t_prev*cnt - Σt)(v_c - v_prev) - (t_prev - t_c)(Σv - v_prev*cnt)|,
+# all integers: per-user-relative micros × cents, widened HUGEINT/DECIMAL(38)
+# — Python ints are unbounded), and argmax ties break to the lowest event_id.
+# Series shorter than B+2 points are kept whole (the standard LTTB
+# passthrough). The oracle unrolls the B sequential argmax stages into
+# generated MATERIALIZED CTEs (llm_mmr_rerank_exact pattern).
+
+_LTTB_B = 3  # interior buckets -> B + 2 output points per long-enough series
+
+
+def _lttb_area_sql(prev: str, anch: str) -> str:
+    return (
+        f"abs((CAST({prev}.t AS HUGEINT) * {anch}.cnt - {anch}.ts_sum) * (c.v - {prev}.v)"
+        f" - (CAST({prev}.t AS HUGEINT) - c.t) * ({anch}.vs_sum - CAST({prev}.v AS HUGEINT) * {anch}.cnt))"
+    )
+
+
+def _lttb_sql() -> str:
+    B = _LTTB_B
+    parts = [
+        f"""
+WITH pts AS (
+  SELECT user_id, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ta,
+         CAST(floor(value * 100) AS BIGINT) AS v,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         MIN(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id) AS t0
+  FROM events),
+p AS (SELECT user_id, event_id, ta - t0 AS t, v, rn, n, n - 2 AS m FROM pts),
+small AS (SELECT user_id, event_id FROM p WHERE n < {B + 2}),
+big AS (SELECT * FROM p WHERE n >= {B + 2}),
+ifirst AS (SELECT user_id, event_id, t, v FROM big WHERE rn = 1),
+ilast AS (SELECT user_id, event_id, t, v FROM big WHERE rn = n),
+cand AS MATERIALIZED (
+  SELECT user_id, event_id, t, v, ((rn - 2) * {B}) // m AS b
+  FROM big WHERE rn > 1 AND rn < n),
+bs AS (SELECT user_id, b, COUNT(*) AS cnt, SUM(CAST(t AS HUGEINT)) AS ts_sum,
+              SUM(CAST(v AS HUGEINT)) AS vs_sum
+       FROM cand GROUP BY 1, 2)"""
+    ]
+    for b in range(B):
+        if b < B - 1:
+            parts.append(
+                f"a{b} AS (SELECT user_id, cnt, ts_sum, vs_sum FROM bs WHERE b = {b + 1})"
+            )
+        else:
+            parts.append(
+                f"a{b} AS (SELECT user_id, 1 AS cnt, CAST(t AS HUGEINT) AS ts_sum,"
+                f" CAST(v AS HUGEINT) AS vs_sum FROM ilast)"
+            )
+        prev = "f" if b == 0 else f"s{b - 1}"
+        prev_src = "ifirst" if b == 0 else f"s{b - 1}"
+        parts.append(
+            f"""s{b} AS MATERIALIZED (
+  SELECT user_id, event_id, t, v FROM (
+    SELECT c.user_id, c.event_id, c.t, c.v,
+           ROW_NUMBER() OVER (PARTITION BY c.user_id ORDER BY
+             {_lttb_area_sql(prev, "a")} DESC, c.event_id) AS rk
+    FROM cand c
+    JOIN {prev_src} {prev} USING (user_id)
+    JOIN a{b} a USING (user_id)
+    WHERE c.b = {b}) WHERE rk = 1)"""
+        )
+    unions = ["SELECT user_id, event_id FROM small",
+              "SELECT user_id, event_id FROM ifirst"]
+    unions += [f"SELECT user_id, event_id FROM s{b}" for b in range(B)]
+    unions.append("SELECT user_id, event_id FROM ilast")
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(unions) + "\nORDER BY user_id, event_id"
+
+
+@query("ts_lttb_downsample", sql=_lttb_sql())
+def ts_lttb_downsample(spark, sf_dir):
+    """LTTB downsample of each user's value series to {B}+2 points (first,
+    one perceptually-dominant point per interior bucket, last); series
+    shorter than {B}+2 pass through whole. Engine side this is ONE co-keyed
+    shuffle (groupBy user_id -> applyInPandas) with a linear scan per group
+    — the same distribution class as ts_ewma_int; Python's unbounded ints
+    make the scaled integer areas exact, matching the oracle's HUGEINT
+    arithmetic. The per-user relative-time origin makes t*cnt products
+    bounded (span micros x group size, not epoch micros x group size)."""
+    import numpy as np
+    import pandas as pd
+
+    B = _LTTB_B
+    e = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+
+    def lttb(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        n = len(pdf)
+        if n < B + 2:
+            return pdf[["user_id", "event_id"]]
+        tns = pdf["ts"].astype("int64").to_numpy()
+        t = [int(x) // 1000 for x in tns - tns.min()]  # relative micros
+        v = [int(x) for x in np.floor(pdf["value"].to_numpy() * 100).astype("int64")]
+        eid = [int(x) for x in pdf["event_id"].to_numpy()]
+        m = n - 2
+        buckets: list[list[int]] = [[] for _ in range(B)]
+        for i in range(1, n - 1):
+            buckets[((i - 1) * B) // m].append(i)
+        keep = [0]
+        prev = 0
+        for b in range(B):
+            if b < B - 1:
+                nxt = buckets[b + 1]
+                cnt, ts_sum, vs_sum = len(nxt), sum(t[i] for i in nxt), sum(v[i] for i in nxt)
+            else:
+                cnt, ts_sum, vs_sum = 1, t[n - 1], v[n - 1]
+            best = None
+            for i in buckets[b]:
+                area2 = abs(
+                    (t[prev] * cnt - ts_sum) * (v[i] - v[prev])
+                    - (t[prev] - t[i]) * (vs_sum - v[prev] * cnt)
+                )
+                key = (-area2, eid[i])
+                if best is None or key < best[0]:
+                    best = (key, i)
+            keep.append(best[1])
+            prev = best[1]
+        keep.append(n - 1)
+        out = pdf.iloc[keep]
+        return out[["user_id", "event_id"]]
+
+    return (
+        e.groupBy("user_id")
+        .applyInPandas(lttb, schema="user_id long, event_id long")
+        .orderBy("user_id", "event_id")
+    )

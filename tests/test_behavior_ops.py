@@ -173,3 +173,37 @@ def test_cogrouped_lag_handles_one_sided_keys(spark):
         df.write.parquet(f"{d}/events.parquet")
         got = {r.user_id: r.lag_seconds for r in QUERIES["x_cogrouped_pandas"](spark, d).collect()}
     assert got == {10: 30, 11: None, 12: None}
+
+
+def test_lttb_downsample_crafted(spark):
+    """LTTB keeps endpoints, picks the per-bucket extreme against the prior
+    selection, and passes short series through whole."""
+    import datetime as dt
+
+    from bridge_analytics_template_spark.queries.registry import QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: 11 points, flat zero except a spike at event 4 (bucket 0) and
+    # a dip at event 7 (bucket 2 of interior indexes 1..9 over B=3 buckets)
+    vals = [0.0, 0.0, 0.0, 0.0, 9.0, 0.0, 0.0, -9.0, 0.0, 0.0, 0.0]
+    for i, v in enumerate(vals):
+        rows.append((i, t0 + dt.timedelta(minutes=i), 1, "view", v, "{}"))
+    # user 2: 4 points < B+2 -> passthrough
+    for i in range(4):
+        rows.append((100 + i, t0 + dt.timedelta(minutes=i), 2, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = QUERIES["ts_lttb_downsample"](spark, d).collect()
+    by_user: dict[int, list[int]] = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r["event_id"])
+    assert by_user[2] == [100, 101, 102, 103]          # passthrough
+    sel = by_user[1]
+    assert len(sel) == 5 and sel[0] == 0 and sel[-1] == 10  # endpoints kept
+    assert 4 in sel and 7 in sel                        # spike + dip survive
