@@ -1779,3 +1779,202 @@ def events_mannwhitney(spark, sf_dir):
             " div (2 * CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
         ).alias("cles_ppm"),
     ).orderBy("event_type")
+
+
+# --- Column completeness profile -------------------------------------------
+
+_EVENT_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+_EVENT_STR_COLS = {"event_type", "props"}
+
+
+def _completeness_sql() -> str:
+    sels = []
+    for c in _EVENT_COLS:
+        blank = (
+            f"SUM(CASE WHEN {c} IS NOT NULL AND trim({c}) = '' THEN 1 ELSE 0 END)"
+            if c in _EVENT_STR_COLS
+            else "CAST(0 AS BIGINT)"
+        )
+        sels.append(
+            f"SELECT '{c}' AS column_name, CAST(COUNT(*) AS BIGINT) AS n,"
+            f" CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,"
+            f" CAST({blank} AS BIGINT) AS n_blank,"
+            f" CAST(COUNT({c}) * 1000000 // COUNT(*) AS BIGINT) AS complete_ppm"
+            f" FROM events"
+        )
+    return "\nUNION ALL\n".join(sels) + "\nORDER BY column_name"
+
+
+@query("profile_completeness", sql=_completeness_sql())
+def profile_completeness(spark, sf_dir):
+    """Column completeness report over the events table — one row per column
+    with null count, blank-string count (string columns), and the complete
+    share in exact ppm: the first data-quality gate any ingestion pipeline
+    runs. ONE aggregate pass computes every column's counters as parallel
+    conditional sums (map-side combinable — the oracle's UNION ALL of
+    per-column scans is the semantics, not the plan), then a 6-row stack
+    unpivots counters into the report. Scales as a single scan regardless
+    of column count."""
+    ev = load(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _EVENT_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        if c in _EVENT_STR_COLS:
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.col(c).isNotNull() & (F.trim(F.col(c)) == ""), 1
+                    ).otherwise(0)
+                ).alias(f"nb_{c}")
+            )
+    one = ev.agg(*aggs)
+    stack_args = []
+    for c in _EVENT_COLS:
+        blank = f"nb_{c}" if c in _EVENT_STR_COLS else "CAST(0 AS BIGINT)"
+        stack_args.append(f"'{c}', nn_{c}, {blank}")
+    stacked = one.selectExpr(
+        "n_rows",
+        f"stack({len(_EVENT_COLS)}, {', '.join(stack_args)}) AS (column_name, nn, n_blank)",
+    )
+    return stacked.select(
+        "column_name",
+        F.col("n_rows").cast("long").alias("n"),
+        (F.col("n_rows") - F.col("nn")).cast("long").alias("n_null"),
+        F.col("n_blank").cast("long").alias("n_blank"),
+        F.expr("nn * 1000000 div n_rows").cast("long").alias("complete_ppm"),
+    ).orderBy("column_name")
+
+
+# --- Running drawdown --------------------------------------------------------
+
+_DRAWDOWN_SQL = """
+WITH q AS (
+  SELECT user_id, event_id, ts, CAST(floor(value * 100) AS BIGINT) AS vq,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+c AS (
+  SELECT user_id, rn,
+         SUM(vq) OVER (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING) AS cum
+  FROM q),
+d AS (
+  SELECT user_id, rn, cum,
+         MAX(cum) OVER (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING) AS runmax
+  FROM c)
+SELECT user_id,
+       CAST(max_by(cum, rn) AS BIGINT) AS end_cents,
+       CAST(MAX(cum) AS BIGINT) AS peak_cents,
+       CAST(MAX(runmax - cum) AS BIGINT) AS max_drawdown_cents
+FROM d GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("ts_drawdown", sql=_DRAWDOWN_SQL)
+def ts_drawdown(spark, sf_dir):
+    """Maximum drawdown per user series — the peak-to-trough risk statistic
+    (finance's summary of 'how bad did it get'): running total of exact
+    cents, running max of that total, and the max gap between them, plus
+    the ending and peak levels. Everything is integer window arithmetic over
+    user-partitioned frames (two stacked cumulative windows share ONE
+    user-keyed sort), finished by a per-user aggregate with max_by for the
+    ending value — no global window, no collect."""
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100).alias("vq"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("user_id").orderBy("ts", "event_id")),
+    )
+    w = Window.partitionBy("user_id").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = q.select("user_id", "rn", F.sum("vq").over(w).alias("cum"))
+    d = c.withColumn("runmax", F.max("cum").over(w))
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.expr("max_by(cum, rn)").cast("long").alias("end_cents"),
+            F.max("cum").cast("long").alias("peak_cents"),
+            F.max(F.col("runmax") - F.col("cum")).cast("long").alias("max_drawdown_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- Bollinger-band breaches (sqrt-free squared comparison) ------------------
+
+_BOLL_K = 8
+
+_BOLL_SQL = f"""
+WITH q AS (
+  SELECT user_id, event_id, ts, CAST(floor(value * 100) AS BIGINT) AS x
+  FROM events),
+w AS (
+  SELECT user_id, x,
+         COUNT(*) OVER fr AS k,
+         SUM(x) OVER fr AS s,
+         SUM(CAST(x AS HUGEINT) * x) OVER fr AS qq
+  FROM q
+  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN {_BOLL_K - 1} PRECEDING AND CURRENT ROW)),
+f AS (SELECT * FROM w WHERE k = {_BOLL_K})
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN {_BOLL_K} * x - s > 0
+                      AND CAST({_BOLL_K} * x - s AS HUGEINT) * ({_BOLL_K} * x - s)
+                          > 4 * ({_BOLL_K} * qq - CAST(s AS HUGEINT) * s)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_upper,
+       CAST(SUM(CASE WHEN {_BOLL_K} * x - s < 0
+                      AND CAST({_BOLL_K} * x - s AS HUGEINT) * ({_BOLL_K} * x - s)
+                          > 4 * ({_BOLL_K} * qq - CAST(s AS HUGEINT) * s)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_lower
+FROM f GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("ts_bollinger_breaches", sql=_BOLL_SQL)
+def ts_bollinger_breaches(spark, sf_dir):
+    """Bollinger-band breach counts per user series: points escaping
+    mean ± 2σ of their trailing {_BOLL_K}-point window (window inclusive of
+    the point, the standard band definition; partial head windows skipped).
+    The band test is SQRT-FREE — x > mean + 2σ over a k-window is
+    (kx − S) > 0 ∧ (kx − S)² > 4(kQ − S²) in exact integers (the
+    events_bursts trick applied to rolling per-key frames), so no float
+    ever exists and both engines agree bitwise. Plan: one user-keyed sort
+    feeds all three frame aggregates, then a per-user hash agg."""
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        "user_id", "event_id", "ts", F.floor(F.col("value") * 100).alias("x")
+    )
+    fr = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        -(_BOLL_K - 1), Window.currentRow
+    )
+    w = q.select(
+        "user_id",
+        "x",
+        F.count(F.lit(1)).over(fr).alias("k"),
+        F.sum("x").over(fr).alias("s"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).over(fr).alias("qq"),
+    ).filter(F.col("k") == _BOLL_K)
+    dev = F.expr(f"{_BOLL_K} * x - s")
+    var4 = F.expr(
+        f"4 * ({_BOLL_K} * qq - CAST(s AS DECIMAL(38,0)) * s)"
+    )
+    dev2 = F.expr(
+        f"CAST({_BOLL_K} * x - s AS DECIMAL(38,0)) * ({_BOLL_K} * x - s)"
+    )
+    return (
+        w.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(F.when((dev > 0) & (dev2 > var4), 1).otherwise(0))
+            .cast("long")
+            .alias("n_breach_upper"),
+            F.sum(F.when((dev < 0) & (dev2 > var4), 1).otherwise(0))
+            .cast("long")
+            .alias("n_breach_lower"),
+        )
+        .orderBy("user_id")
+    )

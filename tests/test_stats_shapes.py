@@ -286,3 +286,67 @@ def test_mannwhitney_python_reference(spark, sf_dir):
         assert r["u2_a"] == u2a
         assert r["cles_ppm"] == u2a * 1_000_000 // (2 * n_a * n_b)
         assert 0 <= r["cles_ppm"] <= 1_000_000
+
+
+def test_completeness_planted_nulls(spark):
+    import datetime as dt
+    import tempfile
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 1, "view", 1.0, "{}"),
+        (1, t0, None, "", 2.0, None),       # null user, blank event_type, null props
+        (2, t0, 2, "click", None, "  "),    # null value, whitespace-blank props
+        (3, None, 3, None, 4.0, "{}"),      # null ts + event_type
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {r["column_name"]: r for r in QUERIES["profile_completeness"](spark, d).collect()}
+    assert out["user_id"]["n_null"] == 1
+    assert out["ts"]["n_null"] == 1
+    assert out["event_type"]["n_null"] == 1 and out["event_type"]["n_blank"] == 1
+    assert out["value"]["n_null"] == 1
+    assert out["props"]["n_null"] == 1 and out["props"]["n_blank"] == 1
+    assert out["event_id"]["n_null"] == 0 and out["event_id"]["complete_ppm"] == 1_000_000
+    assert out["value"]["complete_ppm"] == 750_000
+
+
+def test_drawdown_python_reference(spark, sf_dir):
+    rows = {r["user_id"]: r for r in QUERIES["ts_drawdown"](spark, sf_dir).collect()}
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"])
+    ev["vq"] = np.floor(ev["value"] * 100).astype("int64")
+    for uid, grp in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        cum = grp["vq"].cumsum()
+        runmax = cum.cummax()
+        r = rows[uid]
+        assert r["end_cents"] == int(cum.iloc[-1])
+        assert r["peak_cents"] == int(cum.max())
+        assert r["max_drawdown_cents"] == int((runmax - cum).max())
+        assert r["max_drawdown_cents"] >= 0
+
+
+def test_bollinger_python_reference(spark, sf_dir):
+    K = 8
+    rows = {r["user_id"]: r for r in QUERIES["ts_bollinger_breaches"](spark, sf_dir).collect()}
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"])
+    ev["x"] = np.floor(ev["value"] * 100).astype("int64")
+    for uid, grp in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        x = [int(v) for v in grp["x"]]
+        up = lo = nw = 0
+        for i in range(K - 1, len(x)):
+            win = x[i - K + 1 : i + 1]
+            s, qq = sum(win), sum(v * v for v in win)
+            dev = K * x[i] - s
+            nw += 1
+            if dev > 0 and dev * dev > 4 * (K * qq - s * s):
+                up += 1
+            if dev < 0 and dev * dev > 4 * (K * qq - s * s):
+                lo += 1
+        if uid in rows:
+            r = rows[uid]
+            assert (r["n_windows"], r["n_breach_upper"], r["n_breach_lower"]) == (nw, up, lo)
+        else:
+            assert nw == 0
