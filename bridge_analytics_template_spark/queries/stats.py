@@ -1978,3 +1978,125 @@ def ts_bollinger_breaches(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# --- Classifier evaluation: confusion matrix + exact-ppm P/R/F1 --------------
+
+_CLF_T = 5000  # predict positive when value >= 50.00 (cents threshold)
+
+_CLF_SQL = f"""
+WITH q AS (
+  SELECT event_type = 'purchase' AS y,
+         CAST(floor(value * 100) AS BIGINT) >= {_CLF_T} AS yhat
+  FROM events),
+m AS (
+  SELECT SUM(CASE WHEN y AND yhat THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN NOT y AND yhat THEN 1 ELSE 0 END) AS fp,
+         SUM(CASE WHEN y AND NOT yhat THEN 1 ELSE 0 END) AS fn,
+         SUM(CASE WHEN NOT y AND NOT yhat THEN 1 ELSE 0 END) AS tn
+  FROM q)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       CAST(tp * 1000000 // greatest(tp + fp, 1) AS BIGINT) AS precision_ppm,
+       CAST(tp * 1000000 // greatest(tp + fn, 1) AS BIGINT) AS recall_ppm,
+       CAST(2 * tp * 1000000 // greatest(2 * tp + fp + fn, 1) AS BIGINT) AS f1_ppm
+FROM m
+"""
+
+
+@query("q_classifier_eval", sql=_CLF_SQL)
+def q_classifier_eval(spark, sf_dir):
+    """Binary-classifier evaluation harness: confusion matrix plus
+    precision / recall / F1 in exact integer ppm for a threshold rule
+    (value >= {_CLF_T} cents predicts 'purchase') — the eval report every
+    model-quality gate emits. F1 needs NO float: 2tp/(2tp+fp+fn) is the
+    harmonic mean already in rational form, floor-quantized once. Plan: one
+    scan -> four conditional partial sums (map-side combine) -> 1-row
+    finish; at 100 TB the cost is the scan."""
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        (F.col("event_type") == "purchase").alias("y"),
+        (F.floor(F.col("value") * 100) >= _CLF_T).alias("yhat"),
+    )
+    m = q.agg(
+        F.sum(F.when(F.col("y") & F.col("yhat"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(~F.col("y") & F.col("yhat"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("y") & ~F.col("yhat"), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~F.col("y") & ~F.col("yhat"), 1).otherwise(0)).alias("tn"),
+    )
+    return m.select(
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        F.expr("tp * 1000000 div greatest(tp + fp, 1)").cast("long").alias("precision_ppm"),
+        F.expr("tp * 1000000 div greatest(tp + fn, 1)").cast("long").alias("recall_ppm"),
+        F.expr("2 * tp * 1000000 div greatest(2 * tp + fp + fn, 1)").cast("long").alias("f1_ppm"),
+    )
+
+
+# --- ROC AUC via the rank statistic ------------------------------------------
+
+_AUC_SQL = """
+WITH q AS (
+  SELECT event_type = 'purchase' AS y, CAST(floor(value * 100) AS BIGINT) AS vq
+  FROM events),
+g AS (
+  SELECT vq,
+         SUM(CASE WHEN y THEN 1 ELSE 0 END) AS p,
+         SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS ng,
+         COUNT(*) AS cnt
+  FROM q GROUP BY vq),
+r AS (
+  SELECT p, ng, cnt,
+         COALESCE(SUM(cnt) OVER (ORDER BY vq ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS cprev
+  FROM g),
+s AS (
+  SELECT SUM(p) AS n_pos, SUM(ng) AS n_neg,
+         SUM(CAST(p AS HUGEINT) * (2 * cprev + cnt + 1)) AS r2p
+  FROM r)
+SELECT CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg,
+       CAST((r2p - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000
+            // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) AS auc_ppm
+FROM s
+"""
+
+
+@query("q_roc_auc", sql=_AUC_SQL)
+def q_roc_auc(spark, sf_dir):
+    """ROC AUC of the value score against the 'purchase' label, computed as
+    the Mann-Whitney rank statistic (AUC = U/(n+·n−), ties contributing
+    half) in exact integers — the threshold-free companion to
+    q_classifier_eval, sharing events_mannwhitney's doubled-midrank
+    machinery with labels instead of arms. The only ordered window runs
+    over DISTINCT CENTS ATOMS of the score — bounded by the metric's value
+    domain, not the row count (whitelisted in tools/plan_lint.py like
+    train_char_coverage's charset window); everything row-scaled is a hash
+    aggregate. Sums widen through HUGEINT/DECIMAL(38)."""
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        (F.col("event_type") == "purchase").alias("y"),
+        F.floor(F.col("value") * 100).alias("vq"),
+    )
+    g = q.groupBy("vq").agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("p"),
+        F.sum(F.when(~F.col("y"), 1).otherwise(0)).alias("ng"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    w = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.withColumn("cprev", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    s = r.agg(
+        F.sum("p").alias("n_pos"),
+        F.sum("ng").alias("n_neg"),
+        F.sum(F.expr("CAST(p AS DECIMAL(38,0)) * (2 * cprev + cnt + 1)")).alias("r2p"),
+    )
+    return s.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.expr(
+            "CAST((r2p - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) * 1000000"
+            " div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )

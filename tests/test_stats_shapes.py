@@ -350,3 +350,31 @@ def test_bollinger_python_reference(spark, sf_dir):
             assert (r["n_windows"], r["n_breach_upper"], r["n_breach_lower"]) == (nw, up, lo)
         else:
             assert nw == 0
+
+
+def test_classifier_eval_python_reference(spark, sf_dir):
+    r = QUERIES["q_classifier_eval"](spark, sf_dir).collect()[0]
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    y = ev["event_type"] == "purchase"
+    yhat = np.floor(ev["value"] * 100).astype("int64") >= 5000
+    tp, fp = int((y & yhat).sum()), int((~y & yhat).sum())
+    fn, tn = int((y & ~yhat).sum()), int((~y & ~yhat).sum())
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (tp, fp, fn, tn)
+    assert r["precision_ppm"] == tp * 1_000_000 // max(tp + fp, 1)
+    assert r["recall_ppm"] == tp * 1_000_000 // max(tp + fn, 1)
+    assert r["f1_ppm"] == 2 * tp * 1_000_000 // max(2 * tp + fp + fn, 1)
+
+
+def test_roc_auc_python_reference(spark, sf_dir):
+    r = QUERIES["q_roc_auc"](spark, sf_dir).collect()[0]
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    vq = np.floor(ev["value"] * 100).astype("int64").to_numpy()
+    y = (ev["event_type"] == "purchase").to_numpy()
+    pos, neg = vq[y], vq[~y]
+    # pairwise definition: AUC = (#(p>n) + 0.5 #(p==n)) / (n_pos*n_neg)
+    ns = np.sort(neg)
+    gt = np.searchsorted(ns, pos, side="left").sum()     # strictly greater count below
+    ge = np.searchsorted(ns, pos, side="right").sum()
+    u2 = int(gt) + int(ge)                                # doubled U (ties count once)
+    assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
+    assert r["auc_ppm"] == u2 * 1_000_000 // (2 * len(pos) * len(neg))
