@@ -2100,3 +2100,46 @@ def q_roc_auc(spark, sf_dir):
             " div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"
         ).alias("auc_ppm"),
     )
+
+
+# --- Calibration / reliability bins ------------------------------------------
+
+_CAL_W = 5000  # 50.00-wide score bins (cents)
+
+_CAL_SQL = f"""
+WITH q AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) // {_CAL_W} AS bin,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events)
+SELECT bin,
+       CAST(bin * {_CAL_W} AS BIGINT) AS bin_lo_cents,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_ppm
+FROM q GROUP BY bin ORDER BY bin
+"""
+
+
+@query("q_calibration_bins", sql=_CAL_SQL)
+def q_calibration_bins(spark, sf_dir):
+    """Reliability-diagram bins for the value-score vs 'purchase' label:
+    fixed-width score bins with observed positive rate in exact ppm — the
+    calibration companion to q_classifier_eval (threshold point) and
+    q_roc_auc (ranking). Fixed integer bin edges (vq // {_CAL_W}) mean both
+    engines bucket identically with zero float; one hash aggregate,
+    map-side combinable, bin count bounded by the score domain."""
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        F.expr(f"CAST(floor(value * 100) AS BIGINT) div {_CAL_W}").alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    return (
+        q.groupBy("bin")
+        .agg(
+            (F.col("bin") * _CAL_W).cast("long").alias("bin_lo_cents"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.expr("sum(y) * 1000000 div count(1)").cast("long").alias("pos_rate_ppm"),
+        )
+        .orderBy("bin")
+    )

@@ -378,3 +378,17 @@ def test_roc_auc_python_reference(spark, sf_dir):
     u2 = int(gt) + int(ge)                                # doubled U (ties count once)
     assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
     assert r["auc_ppm"] == u2 * 1_000_000 // (2 * len(pos) * len(neg))
+
+
+def test_calibration_bins_python_reference(spark, sf_dir):
+    rows = {r["bin"]: r for r in QUERIES["q_calibration_bins"](spark, sf_dir).collect()}
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    bins = (np.floor(ev["value"] * 100).astype("int64") // 5000).to_numpy()
+    y = (ev["event_type"] == "purchase").to_numpy()
+    for b in np.unique(bins):
+        sel = bins == b
+        n, npos = int(sel.sum()), int(y[sel].sum())
+        r = rows[b]
+        assert (r["n"], r["n_pos"]) == (n, npos)
+        assert r["bin_lo_cents"] == int(b) * 5000
+        assert r["pos_rate_ppm"] == npos * 1_000_000 // n
