@@ -482,3 +482,80 @@ def train_weighted_sample(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# --- Curriculum ordering ------------------------------------------------------
+
+_CURR_PHASES = 4
+
+_CURR_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         206835
+           - (1015 * greatest(len(regexp_extract_all(trim(text), '\\S+')), 1)
+                   // greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+           - (84600 * greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+                    // greatest(len(regexp_extract_all(trim(text), '\\S+')), 1))
+           AS flesch_milli
+  FROM documents),
+r AS (
+  SELECT doc_id, flesch_milli,
+         CAST(ROW_NUMBER() OVER (ORDER BY flesch_milli DESC, doc_id) AS BIGINT) - 1 AS i,
+         (SELECT COUNT(*) FROM scored) AS n
+  FROM scored)
+SELECT doc_id,
+       CAST(flesch_milli AS BIGINT) AS flesch_milli,
+       CAST((i * {_CURR_PHASES}) // n AS BIGINT) AS phase,
+       CAST({{h}} AS BIGINT) AS order_key60
+FROM r ORDER BY doc_id
+"""
+
+from ..functions.numeric import sql_hash60 as _sql_hash60  # noqa: E402
+
+
+@query(
+    "train_curriculum_order",
+    sql=_CURR_SQL.format(h=_sql_hash60("CONCAT('curr|', CAST(doc_id AS STRING))")),
+)
+def train_curriculum_order(spark, sf_dir):
+    """Curriculum-learning schedule: documents ranked easiest-first by the
+    llm_readability Flesch score (exact integer milli-points), split into
+    {_CURR_PHASES} equal phases by the explicit quantile formula
+    (i·P)//n — no ntile, no unpartitioned window: the global position comes
+    from assign_contiguous_ids (range partition + driver offsets) — and
+    given a deterministic 60-bit within-phase shuffle key (the md5-nibble
+    hash sql_hash60, so the epoch order is reproducible and engine-exact).
+    Consumers ORDER BY (phase, order_key60) to stream easy->hard batches.
+    Plan: per-row scoring projection, distributed ranking, broadcast scalar
+    count — nothing funnels through one task."""
+    from ..operators.rowids import assign_contiguous_ids
+
+    d = load(spark, sf_dir, "documents")
+    words = F.greatest(F.regexp_count(F.trim("text"), F.lit(r"\S+")), F.lit(1))
+    sentences = F.greatest(F.regexp_count("text", F.lit("[.!?]+")), F.lit(1))
+    syllables = F.greatest(F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")), F.lit(1))
+    # the exact integer Flesch expression (matches llm_readability)
+    scored = d.select(
+        "doc_id",
+        words.cast("long").alias("w"),
+        sentences.cast("long").alias("s"),
+        syllables.cast("long").alias("y"),
+    ).select(
+        "doc_id",
+        (
+            F.lit(206835) - F.expr("1015 * w div s") - F.expr("84600 * y div w")
+        ).cast("long").alias("flesch_milli"),
+    ).withColumn("neg_flesch", -F.col("flesch_milli"))
+    ranked = assign_contiguous_ids(scored, ["neg_flesch", "doc_id"], id_name="i")
+    n_tot = scored.agg(F.count(F.lit(1)).alias("n"))
+    h = _sql_hash60("CONCAT('curr|', CAST(doc_id AS STRING))")
+    return (
+        ranked.crossJoin(F.broadcast(n_tot))
+        .select(
+            "doc_id",
+            "flesch_milli",
+            F.expr(f"i * {_CURR_PHASES} DIV n").cast("long").alias("phase"),
+            F.expr(h).cast("long").alias("order_key60"),
+        )
+        .orderBy("doc_id")
+    )

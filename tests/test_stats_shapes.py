@@ -392,3 +392,26 @@ def test_calibration_bins_python_reference(spark, sf_dir):
         assert (r["n"], r["n_pos"]) == (n, npos)
         assert r["bin_lo_cents"] == int(b) * 5000
         assert r["pos_rate_ppm"] == npos * 1_000_000 // n
+
+
+def test_curriculum_order_properties(spark, sf_dir):
+    out = QUERIES["train_curriculum_order"](spark, sf_dir).collect()
+    n = len(out)
+    assert n > 0
+    phases = [r["phase"] for r in out]
+    assert set(phases) <= set(range(4))
+    # equal split: each phase within 1 of n/4
+    from collections import Counter
+
+    c = Counter(phases)
+    assert max(c.values()) - min(c.values()) <= 1
+    # easier (higher flesch) docs land in earlier phases: phase-mean flesch
+    # is non-increasing
+    means = []
+    for p in range(4):
+        vals = [r["flesch_milli"] for r in out if r["phase"] == p]
+        means.append(sum(vals) / len(vals))
+    assert all(a >= b for a, b in zip(means, means[1:]))
+    # order keys deterministic across rebuild
+    again = {r["doc_id"]: r["order_key60"] for r in QUERIES["train_curriculum_order"](spark, sf_dir).collect()}
+    assert all(again[r["doc_id"]] == r["order_key60"] for r in out)
