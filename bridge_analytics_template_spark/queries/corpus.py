@@ -2249,3 +2249,107 @@ def ts_lttb_downsample(spark, sf_dir):
         .applyInPandas(lttb, schema="user_id long, event_id long")
         .orderBy("user_id", "event_id")
     )
+
+
+# --- Global peak concurrency (sweep-line over merged intervals) --------------
+
+_PEAK_SQL = f"""
+WITH iv AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+         epoch_us(CAST(ts AS TIMESTAMP)) + {_COVER_US} AS e
+  FROM events),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+                OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv),
+islands AS (
+  SELECT user_id,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id,
+         s, e
+  FROM flagged),
+merged AS (
+  SELECT user_id, island_id, MIN(s) AS s, MAX(e) AS e
+  FROM islands GROUP BY 1, 2),
+deltas AS (
+  SELECT s AS t, 1 AS d, user_id, island_id FROM merged
+  UNION ALL
+  SELECT e AS t, -1 AS d, user_id, island_id FROM merged),
+c AS (
+  SELECT t, d,
+         SUM(d) OVER (ORDER BY t, d, user_id, island_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM deltas),
+m AS (SELECT MAX(cum) AS peak FROM c)
+SELECT CAST((SELECT COUNT(*) FROM merged) AS BIGINT) AS n_intervals,
+       CAST(m.peak AS BIGINT) AS peak_concurrency,
+       CAST(MIN(c.t) AS BIGINT) AS peak_at_us
+FROM c, m WHERE c.cum = m.peak
+GROUP BY m.peak
+"""
+
+
+@query("events_peak_concurrency", sql=_PEAK_SQL)
+def events_peak_concurrency(spark, sf_dir):
+    """Peak concurrent activity across ALL users — capacity planning's
+    headline number. Per-user 5-minute activity intervals merge into
+    disjoint islands (the events_interval_union sweep, one user-keyed
+    window pass), each island emits +1/-1 boundary deltas over HALF-OPEN
+    [s, e) (ends sort before starts at equal t via d ASC, so abutting
+    intervals never double-count), and the global running sum — the one
+    inherently total-order step — runs through operators/prefix.py::
+    partitioned_cumsum (range buckets + driver offset prefix, NO one-task
+    window). Peak and its earliest timestamp come from a broadcast scalar
+    max + filter, mirroring the oracle's two-step exactly."""
+    from pyspark.sql import Window as _W
+
+    from ..operators.prefix import partitioned_cumsum
+
+    e = load(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(_COVER_US)).alias("e"),
+    )
+    w = _W.partitionBy("user_id").orderBy("s")
+    prev_max_e = F.max("e").over(w.rowsBetween(_W.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island", (prev_max_e.isNull() | (F.col("s") > prev_max_e)).cast("long")
+    )
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum("new_island").over(w.rowsBetween(_W.unboundedPreceding, _W.currentRow)),
+    )
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    deltas = merged.select(
+        F.col("s").alias("t"), F.lit(1).alias("d"), "user_id", "island_id"
+    ).unionAll(
+        merged.select(
+            F.col("e").alias("t"), F.lit(-1).alias("d"), "user_id", "island_id"
+        )
+    )
+    c = partitioned_cumsum(
+        deltas, order_cols=["t", "d", "user_id", "island_id"], value_col="d",
+        cum_name="cum",
+    )
+    n_iv = merged.agg(F.count(F.lit(1)).alias("n_intervals"))
+    peak = c.agg(F.max("cum").alias("peak"))
+    return (
+        c.crossJoin(F.broadcast(peak))
+        .filter(F.col("cum") == F.col("peak"))
+        .groupBy("peak")
+        .agg(F.min("t").alias("peak_at_us"))
+        .crossJoin(F.broadcast(n_iv))
+        .select(
+            F.col("n_intervals").cast("long").alias("n_intervals"),
+            F.col("peak").cast("long").alias("peak_concurrency"),
+            F.col("peak_at_us").cast("long").alias("peak_at_us"),
+        )
+    )

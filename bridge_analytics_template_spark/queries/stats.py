@@ -2143,3 +2143,80 @@ def q_calibration_bins(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+# --- Per-group weighted median (distributed, no fat-group window) ------------
+
+_WMED_SQL = f"""
+WITH b AS (
+  SELECT l_returnflag AS flag,
+         {sql_money_units('l_extendedprice')} AS cents,
+         {sql_money_units('l_quantity')} AS w,
+         l_orderkey, l_linenumber
+  FROM lineitem),
+c AS (
+  SELECT flag, cents, w,
+         SUM(w) OVER (PARTITION BY flag ORDER BY cents, l_orderkey, l_linenumber
+                      ROWS UNBOUNDED PRECEDING) AS cumw,
+         SUM(w) OVER (PARTITION BY flag) AS tot
+  FROM b)
+SELECT flag AS l_returnflag,
+       CAST(MIN(cents) AS BIGINT) AS wmedian_cents,
+       CAST(MAX(tot) AS BIGINT) AS total_weight_units
+FROM c WHERE 2 * cumw >= tot GROUP BY flag ORDER BY flag
+"""
+
+
+@query("q_weighted_median", sql=_WMED_SQL)
+def q_weighted_median(spark, sf_dir):
+    """Quantity-weighted median price per return flag — the weighted
+    quantile a pricing dashboard wants (plain median over line items
+    ignores volume). The oracle's per-group cumulative window is the
+    SEMANTICS; the engine plan avoids the fat-group trap (3 groups → 3
+    one-task window partitions at corpus scale): ONE GLOBAL
+    partitioned_cumsum over the composite order (flag, cents, tiebreak)
+    gives distributed running weights, and the per-flag cumulative falls
+    out by subtracting the broadcast per-flag offsets (sum of earlier
+    flags' totals) — group-local prefix sums from a global one, no
+    skew-bound task anywhere. The weighted median is then the smallest
+    cents with 2·cum ≥ total, an exact integer predicate."""
+    l = load(spark, sf_dir, "lineitem")
+    from ..operators.prefix import partitioned_cumsum
+
+    b = l.select(
+        F.col("l_returnflag").alias("flag"),
+        money_units("l_extendedprice").alias("cents"),
+        money_units("l_quantity").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    c = partitioned_cumsum(
+        b,
+        order_cols=["flag", "cents", "l_orderkey", "l_linenumber"],
+        value_col="w",
+        cum_name="gcum",
+    )
+    tots = b.groupBy("flag").agg(F.sum("w").alias("tot"))
+    offs = (
+        tots.alias("t1")
+        .join(tots.alias("t2"), F.col("t2.flag") < F.col("t1.flag"), "left")
+        .groupBy(F.col("t1.flag").alias("flag"), F.col("t1.tot").alias("tot"))
+        .agg(F.coalesce(F.sum("t2.tot"), F.lit(0)).alias("off"))
+    )
+    j = c.join(F.broadcast(offs), "flag").withColumn(
+        "cumw", F.col("gcum") - F.col("off")
+    )
+    return (
+        j.filter(2 * F.col("cumw") >= F.col("tot"))
+        .groupBy("flag")
+        .agg(
+            F.min("cents").cast("long").alias("wmedian_cents"),
+            F.max("tot").cast("long").alias("total_weight_units"),
+        )
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            "wmedian_cents",
+            "total_weight_units",
+        )
+        .orderBy("l_returnflag")
+    )

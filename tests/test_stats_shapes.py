@@ -415,3 +415,53 @@ def test_curriculum_order_properties(spark, sf_dir):
     # order keys deterministic across rebuild
     again = {r["doc_id"]: r["order_key60"] for r in QUERIES["train_curriculum_order"](spark, sf_dir).collect()}
     assert all(again[r["doc_id"]] == r["order_key60"] for r in out)
+
+
+def test_peak_concurrency_python_reference(spark, sf_dir):
+    r = QUERIES["events_peak_concurrency"](spark, sf_dir).collect()[0]
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    cover = 300_000_000
+    merged = []
+    for _, grp in ev.groupby("user_id"):
+        ts = np.sort(grp["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000)
+        cs, ce = None, None
+        for t in ts:
+            s, e = int(t), int(t) + cover
+            if cs is None or s > ce:
+                if cs is not None:
+                    merged.append((cs, ce))
+                cs, ce = s, e
+            else:
+                ce = max(ce, e)
+        merged.append((cs, ce))
+    deltas = sorted(
+        [(s, 1) for s, _ in merged] + [(e, -1) for _, e in merged],
+        key=lambda p: (p[0], p[1]),
+    )
+    cum = peak = 0
+    peak_at = None
+    for t, d in deltas:
+        cum += d
+        if cum > peak:
+            peak, peak_at = cum, t
+    assert r["n_intervals"] == len(merged)
+    assert r["peak_concurrency"] == peak
+    assert r["peak_at_us"] == peak_at
+
+
+def test_weighted_median_python_reference(spark, sf_dir):
+    rows = {r["l_returnflag"]: r for r in QUERIES["q_weighted_median"](spark, sf_dir).collect()}
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber"],
+    )
+    li["cents"] = (li["l_extendedprice"].astype("float64") * 100).round().astype("int64")
+    li["w"] = (li["l_quantity"].astype("float64") * 100).round().astype("int64")
+    for flag, grp in li.groupby("l_returnflag"):
+        g = grp.sort_values(["cents", "l_orderkey", "l_linenumber"])
+        cum = g["w"].cumsum()
+        tot = int(g["w"].sum())
+        med = int(g.loc[(2 * cum >= tot).idxmax() if (2 * cum >= tot).any() else g.index[-1], "cents"])
+        r = rows[flag]
+        assert r["total_weight_units"] == tot
+        assert r["wmedian_cents"] == med
