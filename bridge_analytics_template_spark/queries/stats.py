@@ -2220,3 +2220,75 @@ def q_weighted_median(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- Column cardinality / mode profile ---------------------------------------
+#
+# Mode values are compared on a CANONICAL STRING RENDER per column — engines
+# disagree on native rendering of timestamps/doubles across all inputs, so
+# ts renders as epoch micros and value as floor-cents; ids/strings render
+# plainly. Grouping happens ON the render (both engines bucket identically);
+# n_distinct stays on the raw column.
+
+_CARD_RENDER_SQL = {
+    "ts": "CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR)",
+    "value": "CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR)",
+}
+
+
+def _cardinality_sql() -> str:
+    sels = []
+    for c in _EVENT_COLS:
+        r = _CARD_RENDER_SQL.get(c, f"CAST({c} AS VARCHAR)")
+        sels.append(
+            f"""SELECT '{c}' AS column_name,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       (SELECT v FROM (
+          SELECT {r} AS v, COUNT(*) AS cnt FROM events WHERE {c} IS NOT NULL
+          GROUP BY 1 ORDER BY cnt DESC, v LIMIT 1)) AS mode_value,
+       CAST((SELECT cnt FROM (
+          SELECT COUNT(*) AS cnt FROM events WHERE {c} IS NOT NULL
+          GROUP BY {r} ORDER BY cnt DESC, {r} LIMIT 1)) AS BIGINT) AS mode_count
+FROM events"""
+        )
+    return "\nUNION ALL\n".join(sels) + "\nORDER BY column_name"
+
+
+@query("profile_cardinality", sql=_cardinality_sql())
+def profile_cardinality(spark, sf_dir):
+    """Column cardinality + mode report over the events table — the
+    companion to profile_completeness in a data-quality suite: per column,
+    the exact distinct count and the most frequent value (deterministic
+    ties: higher count first, then the canonical string render — see the
+    module comment on why ts/value render as epoch-micros/floor-cents).
+    Plan: one (column, render) hash-agg pass per column over the value
+    domain, each reduced to its top-1 via ORDER+LIMIT
+    (TakeOrderedAndProject); the unioned report is |columns| rows."""
+    ev = load(spark, sf_dir, "events")
+    render_spark = {
+        "ts": F.unix_micros(F.col("ts")).cast("string"),
+        "value": F.floor(F.col("value") * 100).cast("string"),
+    }
+    outs = []
+    for c in _EVENT_COLS:
+        base = ev.filter(F.col(c).isNotNull())
+        r = render_spark.get(c, F.col(c).cast("string"))
+        top = (
+            base.groupBy(r.alias("vs"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), "vs")
+            .limit(1)
+        )
+        nd = base.agg(F.countDistinct(c).alias("n_distinct"))
+        outs.append(
+            nd.crossJoin(F.broadcast(top)).select(
+                F.lit(c).alias("column_name"),
+                F.col("n_distinct").cast("long").alias("n_distinct"),
+                F.col("vs").alias("mode_value"),
+                F.col("cnt").cast("long").alias("mode_count"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.orderBy("column_name")

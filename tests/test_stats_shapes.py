@@ -465,3 +465,19 @@ def test_weighted_median_python_reference(spark, sf_dir):
         r = rows[flag]
         assert r["total_weight_units"] == tot
         assert r["wmedian_cents"] == med
+
+
+def test_cardinality_profile_python_reference(spark, sf_dir):
+    rows = {r["column_name"]: r for r in QUERIES["profile_cardinality"](spark, sf_dir).collect()}
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    assert rows["event_id"]["n_distinct"] == ev["event_id"].nunique()
+    assert rows["user_id"]["n_distinct"] == ev["user_id"].nunique()
+    et = ev["event_type"].value_counts()
+    top_cnt = int(et.max())
+    top_val = min(v for v, c in et.items() if c == top_cnt)
+    assert rows["event_type"]["mode_value"] == top_val
+    assert rows["event_type"]["mode_count"] == top_cnt
+    cents = np.floor(ev["value"] * 100).astype("int64")
+    vc = cents.value_counts()
+    assert rows["value"]["mode_count"] == int(vc.max())
+    assert rows["value"]["n_distinct"] == ev["value"].nunique()
