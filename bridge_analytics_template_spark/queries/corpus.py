@@ -2353,3 +2353,48 @@ def events_peak_concurrency(spark, sf_dir):
             F.col("peak_at_us").cast("long").alias("peak_at_us"),
         )
     )
+
+
+# --- Per-source document cap (domain balancing) ------------------------------
+
+_DOMAIN_CAP = 10
+
+_DOMAIN_CAP_SQL = f"""
+WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY {{h}}, doc_id) AS keep_rank
+  FROM documents)
+SELECT doc_id, source, CAST(keep_rank AS BIGINT) AS keep_rank
+FROM r WHERE keep_rank <= {_DOMAIN_CAP}
+ORDER BY doc_id
+"""
+
+from ..functions.numeric import sql_hash60 as _dc_hash60  # noqa: E402
+
+
+@query(
+    "llm_domain_cap",
+    sql=_DOMAIN_CAP_SQL.format(h=_dc_hash60("CONCAT('cap|', CAST(doc_id AS STRING))")),
+)
+def llm_domain_cap(spark, sf_dir):
+    """Per-source document cap (domain balancing — the C4/RefinedWeb step
+    that stops a crawl-dominant domain from owning the mixture): keep at
+    most {_DOMAIN_CAP} documents per source, chosen by a DETERMINISTIC
+    md5-nibble hash rank (not df.sample — reruns and both engines pick the
+    same survivors; doc_id tiebreak). The rank<=K predicate compiles to
+    WindowGroupLimit (plan-asserted in tests), so each partition keeps a
+    running top-K instead of fully sorting fat domains — the property that
+    makes the cap survive a skewed 100 TB crawl."""
+    d = load(spark, sf_dir, "documents")
+    h = _dc_hash60("CONCAT('cap|', CAST(doc_id AS STRING))")
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("source").orderBy(F.expr(h), "doc_id")
+    return (
+        d.select("doc_id", "source")
+        .withColumn("keep_rank", F.row_number().over(w))
+        .filter(F.col("keep_rank") <= _DOMAIN_CAP)
+        .select("doc_id", "source", F.col("keep_rank").cast("long").alias("keep_rank"))
+        .orderBy("doc_id")
+    )

@@ -617,3 +617,19 @@ def test_interval_union_matches_python_sweep(spark, sf_dir):
         covered = sum(b - a for a, b in islands)
         assert got[uid] == (len(islands), covered), uid
     assert set(got) == set(e["user_id"].unique())
+
+
+def test_domain_cap_plan_and_counts(spark, sf_dir):
+    from bridge_analytics_template_spark.queries import QUERIES
+
+    df = QUERIES["llm_domain_cap"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # running top-K, not a full fat-group sort
+    rows = df.collect()
+    from collections import Counter
+
+    per_src = Counter(r["source"] for r in rows)
+    assert all(n <= 10 for n in per_src.values())
+    # determinism across rebuilds
+    again = QUERIES["llm_domain_cap"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
