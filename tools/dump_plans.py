@@ -50,6 +50,11 @@ SHOW = [
     ("llm_bloom_dedup", "r3 bloom prefilter: literal-bitmap broadcast + codegen bit tests over the corpus scan, broadcast semi-join exact confirm — corpus never shuffled for the prefilter"),
     ("pipeline_curation_e2e", "r3 end-to-end curation: pushed quality gate → segment-dedup shuffles → partitioned-cumsum budget, one lazy graph, no one-task window"),
     ("llm_semantic_decontaminate", "r3 semantic decontaminate: broadcast eval embeddings, in-row integer cosines, map-side-combinable per-doc argmax"),
+    ("q_weighted_median", "r3 wave-5: group-local prefix sums from ONE global partitioned_cumsum minus broadcast offsets — no fat-group one-task window"),
+    ("events_peak_concurrency", "r3 wave-5: interval-merge windows co-keyed on user, global ±1 sweep through partitioned_cumsum, broadcast scalar peak"),
+    ("llm_domain_cap", "r3 wave-5: deterministic per-source cap — rank≤K compiles to WindowGroupLimit, fat domains never fully sort"),
+    ("events_mannwhitney", "r3 wave-5: rank tests on (type, cents-atom) aggregates — windows over atom sets, rows never windowed"),
+    ("ts_lttb_downsample", "r3 wave-5: LTTB — ONE co-keyed applyInPandas shuffle, sequential argmax inside the worker"),
 ]
 
 SF = "/root/testdata/sf0.01"
