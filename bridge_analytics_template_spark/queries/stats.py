@@ -2292,3 +2292,141 @@ def profile_cardinality(spark, sf_dir):
     for o in outs[1:]:
         res = res.unionAll(o)
     return res.orderBy("column_name")
+
+
+# --- Right-to-be-forgotten erasure audit -------------------------------------
+
+_ERASE_MOD = 37  # deterministic tombstone set: c_custkey % 37 == 0
+
+_ERASE_SQL = f"""
+WITH tomb AS (SELECT c_custkey FROM customer WHERE c_custkey % {_ERASE_MOD} = 0),
+aff_orders AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM tomb)),
+c AS (SELECT 'customer' AS table_name,
+             CAST((SELECT COUNT(*) FROM tomb) AS BIGINT) AS n_rows_affected,
+             CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_rows_total
+      UNION ALL
+      SELECT 'orders',
+             CAST((SELECT COUNT(*) FROM aff_orders) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem',
+             CAST((SELECT COUNT(*) FROM lineitem
+                   WHERE l_orderkey IN (SELECT o_orderkey FROM aff_orders)) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT))
+SELECT table_name, n_rows_affected, n_rows_total,
+       CAST(n_rows_affected * 1000000 // n_rows_total AS BIGINT) AS affected_ppm
+FROM c ORDER BY table_name
+"""
+
+
+@query("profile_erasure_audit", sql=_ERASE_SQL)
+def profile_erasure_audit(spark, sf_dir):
+    """Right-to-be-forgotten erasure audit: given a tombstoned customer set
+    (deterministic id-mod subset standing in for a deletion-request list),
+    report every table's blast radius — rows that an erasure job must
+    delete or anonymize, directly (customer, orders) and transitively
+    (lineitem through the affected orders) — the GDPR/CCPA preflight a
+    governed lake runs before executing the delete plan. Plan: the
+    tombstone set is a pushed scan filter; each hop is a SEMI-join whose
+    build side AQE broadcasts (tombstones, then affected order keys);
+    counts are 1-row aggregates unioned into the report. Complements
+    profile_fk_orphans (referential integrity) with the deletion-impact
+    direction."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    tomb = c.filter(F.col("c_custkey") % _ERASE_MOD == 0).select("c_custkey")
+    aff_o = o.join(
+        F.broadcast(tomb), o.o_custkey == tomb.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    aff_l = l.join(
+        F.broadcast(aff_o), l.l_orderkey == aff_o.o_orderkey, "left_semi"
+    )
+
+    def report(name, affected, total):
+        return affected.agg(F.count(F.lit(1)).alias("n_rows_affected")).crossJoin(
+            F.broadcast(total.agg(F.count(F.lit(1)).alias("n_rows_total")))
+        ).select(
+            F.lit(name).alias("table_name"),
+            F.col("n_rows_affected").cast("long").alias("n_rows_affected"),
+            F.col("n_rows_total").cast("long").alias("n_rows_total"),
+            F.expr("n_rows_affected * 1000000 div n_rows_total")
+            .cast("long")
+            .alias("affected_ppm"),
+        )
+
+    return (
+        report("customer", tomb, c)
+        .unionAll(report("orders", aff_o, o))
+        .unionAll(report("lineitem", aff_l, l))
+        .orderBy("table_name")
+    )
+
+
+# --- Gains / lift by score decile --------------------------------------------
+
+_GAINS_SQL = """
+WITH q AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS vq,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         event_id
+  FROM events),
+r AS (
+  SELECT vq, y,
+         CAST(ROW_NUMBER() OVER (ORDER BY vq DESC, event_id) AS BIGINT) - 1 AS i,
+         (SELECT COUNT(*) FROM q) AS n
+  FROM q),
+d AS (
+  SELECT (i * 10) // n + 1 AS decile, y, n FROM r),
+t AS (SELECT SUM(y) AS total_pos, MAX(n) AS n_total FROM d)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_ppm,
+       CAST(CAST(SUM(y) AS HUGEINT) * t.n_total * 1000000
+            // (COUNT(*) * CAST(t.total_pos AS HUGEINT)) AS BIGINT) AS lift_ppm
+FROM d CROSS JOIN t
+GROUP BY decile, t.n_total, t.total_pos ORDER BY decile
+"""
+
+
+@query("q_gains_by_decile", sql=_GAINS_SQL)
+def q_gains_by_decile(spark, sf_dir):
+    """Gains/lift table by score decile — 'how much better than random is
+    the top 10%?': events ranked by descending value score into exact
+    tenths via assign_contiguous_ids + the explicit (i·10)//n + 1 formula
+    (no ntile remainder trap, no one-task window), then per-decile positive
+    rate and lift vs the base rate, both exact integer ppm
+    (lift = n_pos·N·1e6 // (n·P), HUGEINT/DECIMAL widened). Decile 1 lift
+    above 1e6 means the score ranks positives ahead of random — the
+    campaign-targeting / risk-scoring acceptance report."""
+    from ..operators.rowids import assign_contiguous_ids
+
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        F.floor(F.col("value") * 100).alias("vq"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        "event_id",
+    ).withColumn("neg_vq", -F.col("vq"))
+    ranked = assign_contiguous_ids(q, ["neg_vq", "event_id"], id_name="i")
+    t = q.agg(
+        F.sum("y").alias("total_pos"), F.count(F.lit(1)).alias("n_total")
+    )
+    d = ranked.crossJoin(F.broadcast(t)).select(
+        F.expr("i * 10 DIV n_total + 1").alias("decile"), "y", "n_total", "total_pos"
+    )
+    return (
+        d.groupBy("decile", "n_total", "total_pos")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos"))
+        .select(
+            "decile",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.expr("n_pos * 1000000 div n").cast("long").alias("pos_rate_ppm"),
+            F.expr(
+                "CAST(CAST(n_pos AS DECIMAL(38,0)) * n_total * 1000000"
+                " div (CAST(n AS DECIMAL(38,0)) * total_pos) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy("decile")
+    )

@@ -481,3 +481,34 @@ def test_cardinality_profile_python_reference(spark, sf_dir):
     vc = cents.value_counts()
     assert rows["value"]["mode_count"] == int(vc.max())
     assert rows["value"]["n_distinct"] == ev["value"].nunique()
+
+
+def test_erasure_audit_python_reference(spark, sf_dir):
+    rows = {r["table_name"]: r for r in QUERIES["profile_erasure_audit"](spark, sf_dir).collect()}
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    tomb = set(c.loc[c["c_custkey"] % 37 == 0, "c_custkey"])
+    aff_o = o[o["o_custkey"].isin(tomb)]
+    n_l = int(li["l_orderkey"].isin(set(aff_o["o_orderkey"])).sum())
+    assert rows["customer"]["n_rows_affected"] == len(tomb)
+    assert rows["orders"]["n_rows_affected"] == len(aff_o)
+    assert rows["lineitem"]["n_rows_affected"] == n_l
+    for name, total in (("customer", len(c)), ("orders", len(o)), ("lineitem", len(li))):
+        r = rows[name]
+        assert r["n_rows_total"] == total
+        assert r["affected_ppm"] == r["n_rows_affected"] * 1_000_000 // total
+
+
+def test_gains_by_decile_properties(spark, sf_dir):
+    rows = QUERIES["q_gains_by_decile"](spark, sf_dir).collect()
+    assert [r["decile"] for r in rows] == sorted({r["decile"] for r in rows})
+    n_total = sum(r["n"] for r in rows)
+    total_pos = sum(r["n_pos"] for r in rows)
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    assert n_total == len(ev)
+    assert total_pos == int((ev["event_type"] == "purchase").sum())
+    # deciles are tenths (within rounding) and lift matches its definition
+    for r in rows:
+        assert abs(r["n"] - n_total // 10) <= n_total // 10 + 1
+        assert r["lift_ppm"] == r["n_pos"] * n_total * 1_000_000 // (r["n"] * total_pos)
