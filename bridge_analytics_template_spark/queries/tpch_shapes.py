@@ -899,3 +899,55 @@ def q_rfm_segments(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+# --- New vs returning revenue ------------------------------------------------
+
+_NVR_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         (EXTRACT(YEAR FROM o_orderdate) * 12 + EXTRACT(MONTH FROM o_orderdate) - 1) AS m,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+f AS (SELECT o_custkey, MIN(m) AS first_m FROM o GROUP BY 1)
+SELECT o.m AS month_index,
+       CAST(SUM(CASE WHEN o.m = f.first_m THEN 1 ELSE 0 END) AS BIGINT) AS new_orders,
+       CAST(SUM(CASE WHEN o.m = f.first_m THEN o.cents ELSE 0 END) AS BIGINT) AS new_cents,
+       CAST(SUM(CASE WHEN o.m > f.first_m THEN 1 ELSE 0 END) AS BIGINT) AS returning_orders,
+       CAST(SUM(CASE WHEN o.m > f.first_m THEN o.cents ELSE 0 END) AS BIGINT) AS returning_cents
+FROM o JOIN f USING (o_custkey)
+GROUP BY o.m ORDER BY o.m
+"""
+
+
+@query("q_new_vs_returning", sql=_NVR_SQL)
+def q_new_vs_returning(spark, sf_dir):
+    """Monthly revenue split into NEW vs RETURNING customers — the growth
+    accounting every subscription/commerce dashboard leads with (q_cohort_ltv
+    tracks cohorts forward; this is the acquisition-vs-retention view of the
+    same first-order fact). Month is the integer epoch-month index
+    (y·12+m−1 — pure integer calendar arithmetic both engines share, the
+    events_seasonality rule); revenue is exact floor-cents. Plan: one
+    customer-keyed aggregate for first months, re-joined to the fact
+    (AQE broadcasts the per-customer dim when it fits, else a co-keyed
+    shuffle join), then a month-keyed conditional aggregate — every stage
+    map-side combinable, no window anywhere."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("m"),
+        F.floor(F.col("o_totalprice") * 100).alias("cents"),
+    )
+    f = o.groupBy("o_custkey").agg(F.min("m").alias("first_m"))
+    j = o.join(f, "o_custkey")
+    is_new = F.col("m") == F.col("first_m")
+    is_ret = F.col("m") > F.col("first_m")
+    return (
+        j.groupBy(F.col("m").alias("month_index"))
+        .agg(
+            F.sum(F.when(is_new, 1).otherwise(0)).cast("long").alias("new_orders"),
+            F.sum(F.when(is_new, F.col("cents")).otherwise(0)).cast("long").alias("new_cents"),
+            F.sum(F.when(is_ret, 1).otherwise(0)).cast("long").alias("returning_orders"),
+            F.sum(F.when(is_ret, F.col("cents")).otherwise(0)).cast("long").alias("returning_cents"),
+        )
+        .orderBy("month_index")
+    )

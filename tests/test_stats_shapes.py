@@ -512,3 +512,21 @@ def test_gains_by_decile_properties(spark, sf_dir):
     for r in rows:
         assert abs(r["n"] - n_total // 10) <= n_total // 10 + 1
         assert r["lift_ppm"] == r["n_pos"] * n_total * 1_000_000 // (r["n"] * total_pos)
+
+
+def test_new_vs_returning_python_reference(spark, sf_dir):
+    rows = {r["month_index"]: r for r in QUERIES["q_new_vs_returning"](spark, sf_dir).collect()}
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    od = pd.to_datetime(o["o_orderdate"])
+    o["m"] = od.dt.year * 12 + od.dt.month - 1
+    o["cents"] = np.floor(o["o_totalprice"] * 100).astype("int64")
+    o["first_m"] = o.groupby("o_custkey")["m"].transform("min")
+    for m, grp in o.groupby("m"):
+        new = grp["m"] == grp["first_m"]
+        r = rows[m]
+        assert r["new_orders"] == int(new.sum())
+        assert r["returning_orders"] == int((~new).sum())
+        assert r["new_cents"] == int(grp.loc[new, "cents"].sum())
+        assert r["returning_cents"] == int(grp.loc[~new, "cents"].sum())
+    # growth accounting identity: every order is exactly one of the two
+    assert sum(r["new_orders"] + r["returning_orders"] for r in rows.values()) == len(o)
