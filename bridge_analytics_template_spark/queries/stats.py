@@ -2430,3 +2430,50 @@ def q_gains_by_decile(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+# --- Hourly error-rate SLI ----------------------------------------------------
+
+_SLI_BUDGET_PPM = 250_000  # SLO: <= 25% of events may be errors (fixture-scaled)
+
+_SLI_SQL = f"""
+WITH h AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_index,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+  FROM events)
+SELECT CAST(hour_index AS BIGINT) AS hour_index,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(is_err) AS BIGINT) AS n_errors,
+       CAST(SUM(is_err) * 1000000 // COUNT(*) AS BIGINT) AS error_ppm,
+       SUM(is_err) * 1000000 // COUNT(*) > {_SLI_BUDGET_PPM} AS slo_breach
+FROM h GROUP BY hour_index ORDER BY hour_index
+"""
+
+
+@query("events_error_rate_sli", sql=_SLI_SQL)
+def events_error_rate_sli(spark, sf_dir):
+    """Hourly error-rate SLI with SLO breach flags — the availability
+    report an SRE dashboard burns alerts from (companion to
+    events_tail_percentiles' latency side). Hour buckets come from pure
+    integer epoch division (epoch_us // 3.6e9 — no calendar function to
+    disagree on), the rate is exact ppm, and the breach predicate compares
+    integers. Plan: ONE map-side-combinable hash aggregate over the scan;
+    at 100 TB this is the minimal-shuffle shape (per-hour cardinality is
+    bounded by the time span, not the row count)."""
+    ev = load(spark, sf_dir, "events")
+    h = ev.select(
+        F.expr("unix_micros(ts) div 3600000000").alias("hour_index"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+    )
+    return (
+        h.groupBy("hour_index")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("is_err").cast("long").alias("n_errors"),
+            F.expr("sum(is_err) * 1000000 div count(1)").cast("long").alias("error_ppm"),
+            (F.expr("sum(is_err) * 1000000 div count(1)") > _SLI_BUDGET_PPM).alias(
+                "slo_breach"
+            ),
+        )
+        .orderBy("hour_index")
+    )

@@ -530,3 +530,16 @@ def test_new_vs_returning_python_reference(spark, sf_dir):
         assert r["returning_cents"] == int(grp.loc[~new, "cents"].sum())
     # growth accounting identity: every order is exactly one of the two
     assert sum(r["new_orders"] + r["returning_orders"] for r in rows.values()) == len(o)
+
+
+def test_error_rate_sli_python_reference(spark, sf_dir):
+    rows = {r["hour_index"]: r for r in QUERIES["events_error_rate_sli"](spark, sf_dir).collect()}
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    hours = ev["ts"].astype("datetime64[ns]").astype("int64") // 1000 // 3_600_000_000
+    errs = (ev["event_type"] == "error").astype("int64")
+    for h, grp in errs.groupby(hours):
+        r = rows[h]
+        assert r["n_events"] == len(grp)
+        assert r["n_errors"] == int(grp.sum())
+        assert r["error_ppm"] == int(grp.sum()) * 1_000_000 // len(grp)
+        assert r["slo_breach"] == (r["error_ppm"] > 250_000)
