@@ -148,7 +148,12 @@ def _auto_window(
         for n, row in latest.items()
         if n in QUERIES and n in ORACLES and row.get("err") == "no_oracle"
     ]
-    never = [n for n in QUERIES if n not in checked]
+    # Oracled names first: a hash row in the official ledger is strictly
+    # stronger evidence than a rows-only row, so rows-only entries queue
+    # behind every never-checked oracled query.
+    never = [n for n in QUERIES if n not in checked and n in ORACLES] + [
+        n for n in QUERIES if n not in checked and n not in ORACLES
+    ]
     out: list[str] = []
     for name in ["flagship", *failed, *upgraded, *never]:
         if name in QUERIES and name not in out:

@@ -121,7 +121,7 @@ def llm_heavy_hitters(spark, sf_dir):
       SELECT bi.dst, w.hop + 1 FROM w JOIN bi ON bi.src = w.node
       WHERE w.hop < 3),
     dist AS (SELECT node, MIN(hop) AS hops FROM w GROUP BY node)
-    SELECT hops, COUNT(*) AS n_nodes, SUM(node) AS sum_node
+    SELECT hops, COUNT(*) AS n_nodes, CAST(SUM(node) AS BIGINT) AS sum_node
     FROM dist GROUP BY hops ORDER BY hops
     """,
 )
@@ -209,7 +209,7 @@ def graph_shortest_paths(spark, sf_dir):
                        OR v1.o_orderstatus <> v2.o_orderstatus THEN 'changed'
                   ELSE 'unchanged' END AS status
       FROM v1 FULL JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
-    SELECT status, COUNT(*) AS n, SUM(k) AS key_sum
+    SELECT status, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum
     FROM d GROUP BY status ORDER BY status
     """,
 )
@@ -378,7 +378,7 @@ def f_crypto_roundtrip(spark, sf_dir):
            (es % 86400) // 3600 AS hr,
            COUNT(*) AS n,
            COUNT(DISTINCT user_id) AS n_users,
-           SUM(cents) AS cents_sum
+           CAST(SUM(cents) AS BIGINT) AS cents_sum
     FROM b GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
@@ -594,7 +594,7 @@ def llm_winnowing(spark, sf_dir):
       FROM orders),
     first AS (SELECT o_custkey, MIN(m) AS m0 FROM o GROUP BY 1)
     SELECT first.m0 AS cohort, o.m - first.m0 AS offset_m,
-           COUNT(DISTINCT o.o_custkey) AS n_active, SUM(o.cents) AS cents_sum
+           COUNT(DISTINCT o.o_custkey) AS n_active, CAST(SUM(o.cents) AS BIGINT) AS cents_sum
     FROM o JOIN first ON o.o_custkey = first.o_custkey
     GROUP BY 1, 2 ORDER BY 1, 2
     """,
@@ -760,7 +760,7 @@ def train_split_leakage_safe(spark, sf_dir):
       SELECT cents,
              CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i
       FROM pc)
-    SELECT COUNT(*) AS n_customers, SUM(cents) AS total_cents,
+    SELECT COUNT(*) AS n_customers, CAST(SUM(cents) AS BIGINT) AS total_cents,
            CAST(2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents) AS DOUBLE)
              / CAST(COUNT(*) * SUM(cents) AS DOUBLE) AS gini
     FROM r
@@ -930,8 +930,8 @@ _NDCG_CASE = "CASE rnk " + " ".join(
              COALESCE({_NDCG_K + 1} - t.rnk, 0) AS rel
       FROM proxy10 p LEFT JOIN true10 t
         ON t.query_id = p.query_id AND t.neighbor_id = p.neighbor_id)
-    SELECT query_id, SUM(rel * {_NDCG_CASE}) AS dcg,
-           (SUM(rel * {_NDCG_CASE}) * 1000000) // {_NDCG_IDCG} AS ndcg_ppm
+    SELECT query_id, CAST(SUM(rel * {_NDCG_CASE}) AS BIGINT) AS dcg,
+           CAST((SUM(rel * {_NDCG_CASE}) * 1000000) // {_NDCG_IDCG} AS BIGINT) AS ndcg_ppm
     FROM j GROUP BY 1 ORDER BY 1
     """,
 )
@@ -993,8 +993,8 @@ def llm_binary_quant_ndcg(spark, sf_dir):
              (SELECT COUNT(*) FROM pc) AS n
       FROM pc)
     SELECT (i * 10) // n + 1 AS decile, COUNT(*) AS n_members,
-           MIN(cents) AS min_cents, MAX(cents) AS max_cents,
-           SUM(cents) AS cents_sum
+           CAST(MIN(cents) AS BIGINT) AS min_cents, CAST(MAX(cents) AS BIGINT) AS max_cents,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum
     FROM r GROUP BY 1 ORDER BY 1
     """,
 )
@@ -1108,7 +1108,7 @@ def llm_length_quantile(spark, sf_dir):
                   ELSE 'both' END AS status,
              COALESCE(lex.doc_a, sem.doc_a) + COALESCE(lex.doc_b, sem.doc_b) AS key_sum
       FROM lex FULL JOIN sem ON lex.doc_a = sem.doc_a AND lex.doc_b = sem.doc_b)
-    SELECT status, COUNT(*) AS n_pairs, SUM(key_sum) AS keys_sum
+    SELECT status, COUNT(*) AS n_pairs, CAST(SUM(key_sum) AS BIGINT) AS keys_sum
     FROM j GROUP BY status ORDER BY status
     """,
 )
@@ -1236,7 +1236,7 @@ _N_SHARDS = 8
              CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) - 1 AS i
       FROM documents)
     SELECT i % {_N_SHARDS} AS shard, COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(doc_id) AS first_doc
     FROM r GROUP BY 1 ORDER BY 1
     """,
@@ -1325,7 +1325,7 @@ def llm_mmr_rerank(spark, sf_dir):
     j AS (SELECT a.k, a.n_a, b.n_b, a.n_a * b.n_b AS out_rows
           FROM a JOIN b ON a.k = b.k)
     SELECT COUNT(*) AS n_join_keys,
-           SUM(out_rows) AS est_output_rows,
+           CAST(SUM(out_rows) AS BIGINT) AS est_output_rows,
            MAX(out_rows) AS worst_key_rows,
            MAX(n_a) AS max_mult_left, MAX(n_b) AS max_mult_right
     FROM j
@@ -1427,7 +1427,7 @@ _TE_M = 10  # smoothing pseudo-count
     j AS (SELECT c.c_nationkey, o.cents FROM o JOIN c ON o.o_custkey = c.c_custkey),
     g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all, SUM(cents) AS sum_all FROM j),
     per AS (
-      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n, SUM(cents) AS sum_cents
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
       FROM j GROUP BY 1)
     SELECT per.c_nationkey, per.n, per.sum_cents,
            CAST((CAST(per.sum_cents AS DOUBLE) * g.n_all + {_TE_M}.0 * g.sum_all)
@@ -1481,10 +1481,10 @@ def q_target_encoding(spark, sf_dir):
       SELECT COALESCE(v1.v, v2.v) AS v, COALESCE(n1, 0) AS n1, COALESCE(n2, 0) AS n2
       FROM v1 FULL JOIN v2 ON v1.v = v2.v)
     SELECT j.v, j.n1, j.n2,
-           abs(j.n1 * t.t2 - j.n2 * t.t1) AS tvd_num,
-           (SELECT SUM(abs(jj.n1 * t.t2 - jj.n2 * t.t1)) * 1000000
+           CAST(abs(j.n1 * t.t2 - j.n2 * t.t1) AS BIGINT) AS tvd_num,
+           CAST((SELECT SUM(abs(jj.n1 * t.t2 - jj.n2 * t.t1)) * 1000000
                    // (2 * t.t1 * t.t2)
-            FROM j jj) AS tvd_ppm
+            FROM j jj) AS BIGINT) AS tvd_ppm
     FROM j, t ORDER BY j.v
     """,
 )
@@ -1685,7 +1685,7 @@ def emb_drift_report(spark, sf_dir):
       SELECT d.lang, 1000000 // c.n_copies AS w_ppm
       FROM documents d JOIN copies c ON md5(d.text) = c.h)
     SELECT lang, COUNT(*) AS n_docs,
-           SUM(w_ppm) AS eff_docs_ppm
+           CAST(SUM(w_ppm) AS BIGINT) AS eff_docs_ppm
     FROM w GROUP BY lang ORDER BY lang
     """,
 )
@@ -1872,10 +1872,10 @@ def events_tail_percentiles(spark, sf_dir):
              CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
              CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS n_space
       FROM documents)
-    SELECT lang, SUM(n_all) AS chars,
-           (SUM(n_alpha) * 1000000) // SUM(n_all) AS alpha_ppm,
-           (SUM(n_digit) * 1000000) // SUM(n_all) AS digit_ppm,
-           (SUM(n_space) * 1000000) // SUM(n_all) AS space_ppm
+    SELECT lang, CAST(SUM(n_all) AS BIGINT) AS chars,
+           CAST((SUM(n_alpha) * 1000000) // SUM(n_all) AS BIGINT) AS alpha_ppm,
+           CAST((SUM(n_digit) * 1000000) // SUM(n_all) AS BIGINT) AS digit_ppm,
+           CAST((SUM(n_space) * 1000000) // SUM(n_all) AS BIGINT) AS space_ppm
     FROM c GROUP BY lang ORDER BY lang
     """,
 )

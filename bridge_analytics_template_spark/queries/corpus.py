@@ -141,7 +141,7 @@ _BUCKET_SQL = f"""
            COUNT(*) AS n_docs,
            MIN(n_tok) AS min_len,
            MAX(n_tok) AS max_len,
-           SUM(n_tok) AS sum_len,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_len,
            CAST((CAST(COUNT(*) AS HUGEINT) * MAX(n_tok) - SUM(n_tok)) * 1000000
                 // (CAST(COUNT(*) AS HUGEINT) * MAX(n_tok)) AS BIGINT) AS bucket_waste_ppm,
            CAST((CAST(ANY_VALUE(gn) AS HUGEINT) * ANY_VALUE(gmax) - ANY_VALUE(gsum)) * 1000000
@@ -451,7 +451,7 @@ def _pagerank_oracle_sql() -> str:
       SELECT n.node, 150000 + (17 * COALESCE(c.s, 0)) // 20 AS r
       FROM nodes n LEFT JOIN c{k} c ON n.node = c.node)"""
         )
-    parts.append(f"\n    SELECT node, r AS rank_ppm FROM r{_PR_ITERS} ORDER BY node")
+    parts.append(f"\n    SELECT node, CAST(r AS BIGINT) AS rank_ppm FROM r{_PR_ITERS} ORDER BY node")
     return "".join(parts)
 
 
@@ -507,9 +507,9 @@ def graph_pagerank_ppm(spark, sf_dir):
     "s_schema_evolution",
     sql="""
     SELECT COUNT(*) AS n_rows,
-           SUM(CASE WHEN n_nationkey % 2 = 1 THEN 1 ELSE 0 END) AS n_with_region,
-           SUM(CASE WHEN n_nationkey % 2 = 1 THEN n_regionkey ELSE 0 END) AS region_sum,
-           SUM(CASE WHEN n_nationkey % 2 = 1 AND n_regionkey >= 2 THEN 1 ELSE 0 END) AS n_flagged
+           CAST(SUM(CASE WHEN n_nationkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_region,
+           CAST(SUM(CASE WHEN n_nationkey % 2 = 1 THEN n_regionkey ELSE 0 END) AS BIGINT) AS region_sum,
+           CAST(SUM(CASE WHEN n_nationkey % 2 = 1 AND n_regionkey >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
     FROM nation
     """,
 )
@@ -703,8 +703,8 @@ def llm_semantic_decontaminate(spark, sf_dir):
       FROM documents),
     c AS (
       SELECT doc_id, n_tok, score_ppm,
-             SUM(n_tok) OVER (ORDER BY score_ppm DESC, doc_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+             CAST(SUM(n_tok) OVER (ORDER BY score_ppm DESC, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
              SUM(n_tok) OVER () AS total_tokens
       FROM scored)
     SELECT doc_id, score_ppm, n_tok, cum_tokens
@@ -817,8 +817,8 @@ _K_ANON = 5
       FROM customer GROUP BY 1, 2)
     SELECT CAST({_K_ANON} AS BIGINT) AS k,
            COUNT(*) AS n_groups,
-           SUM(CASE WHEN n < {_K_ANON} THEN 1 ELSE 0 END) AS n_groups_below_k,
-           SUM(CASE WHEN n < {_K_ANON} THEN n ELSE 0 END) AS n_rows_at_risk,
+           CAST(SUM(CASE WHEN n < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_below_k,
+           CAST(SUM(CASE WHEN n < {_K_ANON} THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
            MIN(n) AS min_group_size
     FROM g
     """,
@@ -854,7 +854,7 @@ def _matryoshka_sql() -> str:
         selects.append(
             f"""
     SELECT {d} AS dim, COUNT(*) AS n_pairs,
-           SUM(CAST(floor(abs(
+           CAST(SUM(CAST(floor(abs(
              CAST(list_sum(list_transform(generate_series(1, {d}), i -> a.v[i] * b.v[i])) AS DOUBLE)
                / (sqrt(CAST(list_sum(list_transform(a.v[1:{d}], x -> x * x)) AS DOUBLE))
                   * sqrt(CAST(list_sum(list_transform(b.v[1:{d}], x -> x * x)) AS DOUBLE)))
@@ -862,7 +862,7 @@ def _matryoshka_sql() -> str:
              CAST(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) AS DOUBLE)
                / (sqrt(CAST(list_sum(list_transform(a.v, x -> x * x)) AS DOUBLE))
                   * sqrt(CAST(list_sum(list_transform(b.v, x -> x * x)) AS DOUBLE)))
-           ) * 1000000) AS BIGINT)) AS sum_abs_err_ppm
+           ) * 1000000) AS BIGINT)) AS BIGINT) AS sum_abs_err_ppm
     FROM pairs a JOIN pairs b ON b.vec_id = a.vec_id + 1"""
         )
     body = " UNION ALL ".join(selects)
@@ -870,7 +870,7 @@ def _matryoshka_sql() -> str:
     WITH pairs AS MATERIALIZED (
       SELECT vec_id, {_QVEC_SQL} AS v FROM embeddings)
     SELECT dim, n_pairs, sum_abs_err_ppm,
-           sum_abs_err_ppm // n_pairs AS mean_err_ppm
+           CAST(sum_abs_err_ppm // n_pairs AS BIGINT) AS mean_err_ppm
     FROM ({body}) ORDER BY dim
     """
 
@@ -931,7 +931,7 @@ def emb_matryoshka_eval(spark, sf_dir):
 @query(
     "s_compaction",
     sql="""
-    SELECT COUNT(*) AS n_rows, SUM(n_nationkey) AS key_sum,
+    SELECT COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
            CAST(8 AS INT) AS n_files_before, CAST(2 AS INT) AS n_files_after
     FROM nation
     """,
@@ -971,7 +971,7 @@ def s_compaction(spark, sf_dir):
     sql="""
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
-           SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM orders
     WHERE (o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 0) OR o_orderkey % 10 = 0
     GROUP BY 1 ORDER BY 1
@@ -1122,8 +1122,8 @@ _E2E_SQL = f"""
       FROM kept0 k LEFT JOIN reasm r ON k.doc_id = r.doc_id),
     c AS (
       SELECT doc_id, score_ppm, n_tok,
-             SUM(n_tok) OVER (ORDER BY score_ppm DESC, doc_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+             CAST(SUM(n_tok) OVER (ORDER BY score_ppm DESC, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
              SUM(n_tok) OVER () AS total_tokens
       FROM toks2)
     SELECT doc_id, score_ppm, n_tok, cum_tokens
@@ -1234,7 +1234,7 @@ def _kmeans_oracle_sql() -> str:
         f"""
     SELECT p.vec_id,
            (min(struct_pack(d := {dist}, j := c.j))).j AS cluster_id,
-           (min(struct_pack(d := {dist}, j := c.j))).d AS dist2
+           CAST((min(struct_pack(d := {dist}, j := c.j))).d AS BIGINT) AS dist2
     FROM pts p, c{_KM_ITERS} c GROUP BY p.vec_id ORDER BY p.vec_id"""
     )
     return "".join(parts)
@@ -1310,7 +1310,7 @@ def emb_kmeans_int(spark, sf_dir):
     sql="""
     SELECT (SELECT COUNT(*) FROM nation) AS n_good,
            CAST(2 AS BIGINT) AS n_corrupt,
-           (SELECT SUM(n_nationkey) FROM nation) AS key_sum
+           CAST((SELECT SUM(n_nationkey) FROM nation) AS BIGINT) AS key_sum
     """,
 )
 def s_corrupt_records(spark, sf_dir):
@@ -1352,7 +1352,7 @@ def s_corrupt_records(spark, sf_dir):
 @query(
     "sql_cache_table",
     sql="""
-    SELECT n_regionkey, COUNT(*) AS n_nations, SUM(n_nationkey) AS key_sum
+    SELECT n_regionkey, COUNT(*) AS n_nations, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
     FROM nation GROUP BY 1 ORDER BY 1
     """,
 )
@@ -1372,7 +1372,7 @@ def sql_cache_table(spark, sf_dir):
     )
     return spark.sql(
         """
-        SELECT n_regionkey, COUNT(*) AS n_nations, SUM(n_nationkey) AS key_sum
+        SELECT n_regionkey, COUNT(*) AS n_nations, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
         FROM cached_nation_r3 GROUP BY 1 ORDER BY 1
         """
     )
@@ -1393,8 +1393,8 @@ def sql_cache_table(spark, sf_dir):
       FROM documents)
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(n_tok) AS n_tokens,
-           SUM(score_ppm) // COUNT(*) AS mean_score_ppm,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS mean_score_ppm,
            COUNT(*) - COUNT(DISTINCT h) AS n_exact_dups,
            (SUM(score_ppm) // COUNT(*)) >= 815000 AND
              (COUNT(*) - COUNT(DISTINCT h)) * 10 < COUNT(*) AS keep_source
@@ -1513,7 +1513,7 @@ from ..functions.numeric import sql_hash60 as _hash60  # noqa: E402 — canonica
              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
              COUNT(*) OVER (PARTITION BY event_type) AS n_exact
       FROM h)
-    SELECT event_type, CAST({_KMV_K} AS BIGINT) AS k, hv AS kth_min,
+    SELECT event_type, CAST({_KMV_K} AS BIGINT) AS k, CAST(hv AS BIGINT) AS kth_min,
            CASE WHEN n_exact < {_KMV_K} THEN n_exact
                 ELSE CAST((CAST({_KMV_K - 1} AS HUGEINT) * {16 ** 15}) // hv AS BIGINT)
            END AS est_distinct,
@@ -1584,12 +1584,12 @@ def agg_kmv_distinct(spark, sf_dir):
     WITH per_key AS (
       SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY 1),
     stats AS (
-      SELECT COUNT(*) AS n_keys, SUM(n) AS n_rows, MAX(n) AS max_key_rows
+      SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows, MAX(n) AS max_key_rows
       FROM per_key),
     top AS (
       SELECT key, n, ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rnk FROM per_key)
     SELECT s.n_keys, s.n_rows, s.max_key_rows,
-           s.max_key_rows * s.n_keys * 1000000 // s.n_rows AS skew_ppm_of_uniform,
+           CAST(s.max_key_rows * s.n_keys * 1000000 // s.n_rows AS BIGINT) AS skew_ppm_of_uniform,
            t.key AS heaviest_key
     FROM stats s JOIN top t ON t.rnk = 1
     """,
@@ -1783,7 +1783,7 @@ def _kmv_setops_sql() -> str:
              COUNT(*) OVER (PARTITION BY side) AS n_exact
       FROM h),
     per_side AS (
-      SELECT side, hv AS kth_min, CAST({est} AS BIGINT) AS est_distinct,
+      SELECT side, CAST(hv AS BIGINT) AS kth_min, CAST({est} AS BIGINT) AS est_distinct,
              CAST(n_exact AS BIGINT) AS n_exact
       FROM ranked WHERE rn = least({_KMV_SET_K}, n_exact)),
     inter AS (
@@ -1915,8 +1915,8 @@ _L_DIV = 3
       GROUP BY 1, 2)
     SELECT CAST({_L_DIV} AS BIGINT) AS l,
            COUNT(*) AS n_groups,
-           SUM(CASE WHEN n_sensitive < {_L_DIV} THEN 1 ELSE 0 END) AS n_groups_below_l,
-           SUM(CASE WHEN n_sensitive < {_L_DIV} THEN n_rows ELSE 0 END) AS n_rows_at_risk,
+           CAST(SUM(CASE WHEN n_sensitive < {_L_DIV} THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_below_l,
+           CAST(SUM(CASE WHEN n_sensitive < {_L_DIV} THEN n_rows ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
            MIN(n_sensitive) AS min_diversity
     FROM g
     """,

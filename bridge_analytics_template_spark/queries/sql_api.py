@@ -378,7 +378,7 @@ def sql_pipe_revenue(spark, sf_dir):
     "join_lateral_topn",
     sql="""
     SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey,
-           CAST(t.o_totalprice AS DECIMAL(12,2)) AS totalprice
+           CAST(floor(t.o_totalprice * 100) AS BIGINT) AS totalprice_cents
     FROM customer c,
     LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
              WHERE o.o_custkey = c.c_custkey
@@ -396,7 +396,7 @@ def join_lateral_topn(spark, sf_dir):
     return spark.sql(
         """
         SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey,
-               CAST(t.o_totalprice AS DECIMAL(12,2)) AS totalprice
+               CAST(floor(t.o_totalprice * 100) AS BIGINT) AS totalprice_cents
         FROM customer c,
         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
                  WHERE o.o_custkey = c.c_custkey
@@ -533,7 +533,7 @@ def sql_scripting_share(spark, sf_dir):
     sql="""
     SELECT l_returnflag,
            COUNT(*) AS n_rows,
-           SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS margin_cents
+           CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS margin_cents
     FROM lineitem
     WHERE CAST(floor(l_extendedprice * 100) AS BIGINT) >= 100000
     GROUP BY 1 ORDER BY 1

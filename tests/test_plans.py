@@ -325,18 +325,53 @@ def test_shuffled_hash_join_chosen(spark, sf_dir):
 
 
 def test_driver_window_integrity():
-    """The driver checks the FIRST 50 registered queries: the curated
-    window must stay exactly 50, resolvable, flagship-first, and
-    oracle-backed (rows-only entries are deliberate, keep them rare)."""
-    from bridge_analytics_template_spark.queries import ORACLES, QUERIES, _WINDOW
+    """The driver checks the FIRST 50 registered queries. Once >=3 official
+    ledgers exist, `_auto_window()` takes over from the static `_WINDOW`
+    (failures-first rotation); assert ITS invariants, not list equality
+    with the static fallback (that assertion went stale the moment the r3
+    ledger landed — VERDICT r3 item 3)."""
+    import json
 
+    from bridge_analytics_template_spark.queries import (
+        ORACLES,
+        QUERIES,
+        _WINDOW,
+        _auto_window,
+    )
+
+    # Static fallback stays a valid window (used until 3 ledgers exist).
     assert len(_WINDOW) == 50
     assert _WINDOW[0] == "flagship"
-    assert list(QUERIES)[:50] == _WINDOW
-    missing = [n for n in _WINDOW if n not in QUERIES]
-    assert not missing
-    no_oracle = [n for n in _WINDOW if n not in ORACLES]
+    assert all(n in QUERIES for n in _WINDOW)
+
+    window = _auto_window() or _WINDOW
+    # The registry must actually be ordered by the active window.
+    assert list(QUERIES)[: len(window)] == window
+    assert len(window) == 50
+    assert window[0] == "flagship"
+    assert all(n in QUERIES for n in window)
+    no_oracle = [n for n in window if n not in ORACLES]
     assert len(no_oracle) <= 10, no_oracle  # mostly value-exact rows
+
+    if _auto_window() is not None:
+        # Latest-official failures must lead the rotation (right after
+        # flagship) so a fix shows green in the very next ledger.
+        latest: dict[str, dict] = {}
+        import glob
+        import re
+
+        for path in sorted(
+            glob.glob("/root/repo/CORRECTNESS_r*.json"),
+            key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+        ):
+            latest.update(json.load(open(path)))
+        failed = [
+            n
+            for n, row in latest.items()
+            if n in QUERIES
+            and (row.get("hash_match") is False or row.get("rows_match") is False)
+        ]
+        assert set(window[1 : 1 + len(failed)]) == set(failed)
 
 
 def test_bloom_dedup_prefilter_plan(spark, sf_dir):
