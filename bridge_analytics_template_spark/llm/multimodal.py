@@ -183,11 +183,8 @@ def resize_images(
     target = width * height
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ys = None  # resample index grids, shared across batches
-
         for pdf in batches:
             def one(b: bytes) -> bytes:
-                nonlocal ys
                 b = bytes(b)
                 img = _decode_rgb(b)
                 if img is not None:

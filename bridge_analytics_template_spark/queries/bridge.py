@@ -113,15 +113,29 @@ def bridge_partitioned_sink(spark, sf_dir):
     )
 
 
-@query("bridge_file_view")  # rows-only: file paths/sizes are environment-local
+@query(
+    "bridge_file_view",
+    sql="""
+    SELECT 'documents.parquet' AS file_name,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_entities,
+           TRUE AS file_size_positive
+    FROM documents
+    """,
+)
 def bridge_file_view(spark, sf_dir):
     """S2: the EntityView analog (default.yaml:5-10) — one row per record in
     the folder scope with file metadata pseudo-columns attached from the
-    scan itself (no secondary lookup)."""
+    scan itself (no secondary lookup). Upgraded from rows-only to hash-
+    checked (VERDICT r3 item 7): the fixture is a single plain file, so
+    ``file_name`` and the per-file row/entity counts are deterministic;
+    the environment-local byte size is reduced to an invariant (positive
+    for every row in scope) rather than excluded."""
     fv = file_view(spark, os.path.join(sf_dir, "documents.parquet"))
     return fv.groupBy("file_name").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.max("file_size").alias("file_size"),
+        F.countDistinct("doc_id").alias("n_entities"),
+        (F.min("file_size") > 0).alias("file_size_positive"),
     )
 
 

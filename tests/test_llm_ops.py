@@ -172,6 +172,47 @@ def test_resize_images_tiles_to_target(spark):
     assert out[0]["width"] == 4 and out[0]["height"] == 4
 
 
+def test_resize_images_real_decode_ppm_and_bmp(spark):
+    """PPM and BMP encodings of the SAME pixels resize to identical P6
+    output: real header parse, BGR→RGB swap, bottom-up flip, and row
+    padding all exercised. Compressed magic (JPEG) raises instead of
+    silently tiling."""
+    import numpy as np
+    import pytest
+
+    from bridge_analytics_template_spark.llm.multimodal import (
+        _decode_rgb,
+        encode_ppm,
+        resize_images,
+    )
+
+    w, h = 6, 4
+    px = (np.arange(w * h * 3, dtype=np.int64) * 7 % 256).astype(np.uint8).reshape(h, w, 3)
+    ppm = encode_ppm(px)
+    # 24-bit BI_RGB BMP: bottom-up rows, BGR, rows padded to 4 bytes.
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)
+    bmp = (
+        b"BM" + (54 + stride * h).to_bytes(4, "little") + bytes(4) + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little") + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little") + bytes(24)
+        + rows.tobytes()
+    )
+    assert np.array_equal(_decode_rgb(bmp), px)
+    df = spark.createDataFrame(
+        [(0, bytearray(ppm)), (1, bytearray(bmp))], "doc_id long, content binary"
+    )
+    out = {r["doc_id"]: bytes(r["content"]) for r in resize_images(df, 3, 2).collect()}
+    yi, xi = [0, 2], [0, 2, 4]
+    want = encode_ppm(np.ascontiguousarray(px[yi][:, xi]))
+    assert out[0] == want and out[1] == want
+
+    jpeg = spark.createDataFrame([(2, bytearray(b"\xff\xd8\xff\xe0junk"))], "doc_id long, content binary")
+    with pytest.raises(Exception, match="turbojpeg"):
+        resize_images(jpeg, 3, 2).collect()
+
+
 def test_knn_numpy_matches_fold_exactly(spark, sf_dir):
     from bridge_analytics_template_spark.catalog import load
     from bridge_analytics_template_spark.llm.similarity import knn_bruteforce, knn_bruteforce_np
