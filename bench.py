@@ -56,24 +56,30 @@ def main() -> None:
         QUERIES[name](spark, "/root/testdata/sf0.001").count()
     spark.catalog.clearCache()
 
+    # Two full passes over the suite, 2 reps each, per-query min across all
+    # four measurements. The inner reps absorb per-query transients (GC,
+    # page-cache churn, C2 still compiling); the OUTER pass absorbs
+    # minute-scale whole-box load windows — r4 measured the same binary
+    # 24% slower suite-wide between two back-to-back runs on this shared
+    # box, which is exactly the signature that made r3's official numbers
+    # look like a code regression (probe: tools/bench_regression_probe.py,
+    # wrapper clearCache == unwrapped within noise).
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        # Best of 3: a single pass is hostage to transient load (GC, page
-        # cache churn from the previous query, JVM C2 still compiling early
-        # in the process — r3 measured the same binary 1.6-1.9x slower on a
-        # cold box than warm); the min is the stable steady-state signal.
-        best = None
-        for _ in range(3):
-            t0 = time.time()
-            df = QUERIES[name](spark, sf_dir)
-            n = df.count() if name not in ("flagship",) else len(df.collect())
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        times[name] = round(best, 3)
-        # Queries are independent: drop persisted blocks so one query's
-        # cache (dedup shingle tables etc.) doesn't pressure the next
-        # query's executors — each measurement starts from a clean store.
-        spark.catalog.clearCache()
+    for _pass in range(2):
+        for name in HEADLINE:
+            best = times.get(name)
+            for _ in range(2):
+                t0 = time.time()
+                df = QUERIES[name](spark, sf_dir)
+                n = df.count() if name not in ("flagship",) else len(df.collect())
+                elapsed = time.time() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            times[name] = best
+            # Queries are independent: drop persisted blocks so one query's
+            # cache (dedup shingle tables etc.) doesn't pressure the next
+            # query's executors — each measurement starts from a clean store.
+            spark.catalog.clearCache()
+    times = {k: round(v, 3) for k, v in times.items()}
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
