@@ -390,6 +390,106 @@ def llm_multimodal(spark, sf_dir):
     return extract_features(attach_binary(d)).orderBy("doc_id")
 
 
+@query(
+    "llm_bleu_pairs",
+    sql="""
+    WITH pairs AS (
+      SELECT a.doc_id,
+             string_split_regex(trim(lower(a.text)), '\\s+') AS cand,
+             string_split_regex(trim(lower(b.text)), '\\s+') AS ref
+      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      WHERE a.doc_id % 10 = 0),
+    grams AS (
+      SELECT doc_id, cand, ref,
+             list_transform(generate_series(1, greatest(len(cand) - 1, 0)),
+                            i -> array_to_string(cand[i:i+1], ' ')) AS cand2,
+             list_transform(generate_series(1, greatest(len(ref) - 1, 0)),
+                            i -> array_to_string(ref[i:i+1], ' ')) AS ref2
+      FROM pairs),
+    clipped AS (
+      SELECT doc_id,
+             CAST(len(cand) AS BIGINT) AS n_cand_tokens,
+             CAST(len(cand2) AS BIGINT) AS n_cand_bigrams,
+             CAST(COALESCE(list_sum(list_transform(list_distinct(cand),
+               t -> least(len(list_filter(cand, x -> x = t)),
+                          len(list_filter(ref,  x -> x = t))))), 0) AS BIGINT) AS clip1,
+             CAST(COALESCE(list_sum(list_transform(list_distinct(cand2),
+               g -> least(len(list_filter(cand2, x -> x = g)),
+                          len(list_filter(ref2,  x -> x = g))))), 0) AS BIGINT) AS clip2,
+             len(cand) < len(ref) AS shorter_than_ref
+      FROM grams)
+    SELECT doc_id, n_cand_tokens, n_cand_bigrams,
+           CAST(CASE WHEN n_cand_tokens > 0
+                     THEN (clip1 * 1000000) // n_cand_tokens ELSE 0 END AS BIGINT) AS p1_ppm,
+           CAST(CASE WHEN n_cand_bigrams > 0
+                     THEN (clip2 * 1000000) // n_cand_bigrams ELSE 0 END AS BIGINT) AS p2_ppm,
+           shorter_than_ref
+    FROM clipped ORDER BY doc_id
+    """,
+)
+def llm_bleu_pairs(spark, sf_dir):
+    """Pair-level clipped n-gram precision (the BLEU-1/BLEU-2 core,
+    Papineni et al. ACL'02) between adjacent documents — the eval-harness
+    op a generation pipeline runs candidate-vs-reference. Entirely in-row:
+    tokens → bigram shingles → clipped counts via nested higher-order
+    functions (for each DISTINCT candidate gram, min(count in candidate,
+    count in reference)), all exact integers, precision as floored ppm.
+    ZERO shuffles before the output sort — per-pair cost is
+    O(|distinct grams| x |doc|) inside whole-stage codegen, so at 100 TB
+    this is a pure map pass over co-partitioned pairs; the brevity side
+    is reported as the shorter_than_ref flag (the exp() penalty is a
+    float post-step, deliberately out of the exact core)."""
+    d = load(spark, sf_dir, "documents")
+    a = d.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", ws_tokens("text").alias("cand")
+    )
+    b = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"), ws_tokens("text").alias("ref")
+    )
+    pairs = a.join(b, "doc_id")
+
+    def clipped(cand, ref):
+        return F.coalesce(
+            F.aggregate(
+                F.transform(
+                    F.array_distinct(cand),
+                    lambda t: F.least(
+                        F.size(F.filter(cand, lambda x: x == t)),
+                        F.size(F.filter(ref, lambda x: x == t)),
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+            F.lit(0).cast("long"),
+        )
+
+    cand2 = word_shingles(F.col("cand"), 2)
+    ref2 = word_shingles(F.col("ref"), 2)
+    g = pairs.select(
+        "doc_id",
+        F.size("cand").cast("long").alias("n_cand_tokens"),
+        F.size(cand2).cast("long").alias("n_cand_bigrams"),
+        clipped(F.col("cand"), F.col("ref")).alias("clip1"),
+        clipped(cand2, ref2).alias("clip2"),
+        (F.size("cand") < F.size("ref")).alias("shorter_than_ref"),
+    )
+    return g.select(
+        "doc_id",
+        "n_cand_tokens",
+        "n_cand_bigrams",
+        F.when(F.col("n_cand_tokens") > 0, F.expr("clip1 * 1000000 div n_cand_tokens"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("p1_ppm"),
+        F.when(F.col("n_cand_bigrams") > 0, F.expr("clip2 * 1000000 div n_cand_bigrams"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("p2_ppm"),
+        "shorter_than_ref",
+    ).orderBy("doc_id")
+
+
 #: Synthetic-image geometry for llm_multimodal_decode: 8x6 source PPM,
 #: nearest-neighbor resized to 4x3 (integer 2x decimation, so the oracle's
 #: source-pixel arithmetic is exact: src_x = 2*dst_x, src_y = 2*dst_y).

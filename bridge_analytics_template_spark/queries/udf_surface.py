@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from ..catalog import load, register_views, scratch_path
-from ..sources.readers import read_csv, read_json
+from ..sources.readers import read_binary_files, read_csv, read_json, read_text_files
 from .registry import query
 
 
@@ -162,6 +162,63 @@ def s_json_roundtrip(spark, sf_dir):
         back.groupBy("n_regionkey")
         .agg(F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_name"))
         .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "s_text_roundtrip",
+    sql="""
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(length(regexp_replace(text, '[\r\n]+', ' ', 'g'))) AS BIGINT) AS total_chars,
+           MIN(length(regexp_replace(text, '[\r\n]+', ' ', 'g'))) AS min_len,
+           MAX(length(regexp_replace(text, '[\r\n]+', ' ', 'g'))) AS max_len
+    FROM documents
+    """,
+)
+def s_text_roundtrip(spark, sf_dir):
+    """S6+ line-oriented text source: one document per line (newlines
+    sanitized to spaces — the writer contract of a line-delimited corpus
+    shard), written with the text sink and scanned back with
+    ``spark.read.text``. Aggregates over the round-tripped lines must
+    equal the same arithmetic on the source table. At scale this is the
+    raw-corpus ingest format (one doc per line, gz-sharded); the scan is
+    splittable and schema-free, so the only cost is the bytes."""
+    d = load(spark, sf_dir, "documents")
+    path = scratch_path(spark, "text_roundtrip_documents")
+    d.select(
+        F.regexp_replace(F.col("text"), r"[\r\n]+", " ").alias("value")
+    ).write.mode("overwrite").text(path)
+    back = read_text_files(spark, path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.min(F.length("value")).alias("min_len"),
+        F.max(F.length("value")).alias("max_len"),
+    )
+
+
+@query(
+    "s_binaryfile_scan",
+    sql="""
+    SELECT 'documents.parquet' AS file_name, TRUE AS content_matches_meta,
+           TRUE AS nonempty
+    """,
+)
+def s_binaryfile_scan(spark, sf_dir):
+    """S4+/multimodal ingest: the ``binaryFile`` source — one row per
+    object with (path, modificationTime, length, content) — over the
+    documents fixture file. Deterministic facts are hash-checked (file
+    name, content/metadata length agreement, non-emptiness); the byte
+    count itself is environment-local so it reduces to invariants, same
+    contract as bridge_file_view. This is the scan that feeds the
+    multimodal decode pipeline on a real corpus (opaque bytes + typed
+    metadata), where partition pruning on path prefixes applies before
+    any content is read."""
+    b = read_binary_files(spark, os.path.join(sf_dir, "documents.parquet"))
+    return b.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        (F.length("content") == F.col("length")).alias("content_matches_meta"),
+        (F.col("length") > 0).alias("nonempty"),
     )
 
 

@@ -710,3 +710,41 @@ def test_er_entity_clusters_full_cover_and_canonical(spark, sf_dir):
         by_entity.setdefault(r.entity_id, []).append(r.record_id)
     for ent, members in by_entity.items():
         assert ent in members  # canonical id is itself a member
+
+
+def test_bleu_pairs_python_reference(spark, sf_dir):
+    """Clipped n-gram precision vs a direct Counter-based reference on the
+    actual fixture pairs: exact ppm equality for BLEU-1 and BLEU-2, plus
+    the brevity flag."""
+    from collections import Counter
+
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.queries.llm import llm_bleu_pairs
+
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+
+    def toks(t):
+        return t.strip().lower().split()
+
+    def grams(ts, n):
+        return [" ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)]
+
+    def clip(c, r):
+        cc, rc = Counter(c), Counter(r)
+        return sum(min(k, rc[g]) for g, k in cc.items())
+
+    got = {r.doc_id: r for r in llm_bleu_pairs(spark, sf_dir).collect()}
+    want_ids = sorted(d for d in docs if d % 10 == 0 and d + 1 in docs)
+    assert sorted(got) == want_ids and len(want_ids) > 0
+    for d in want_ids[:50]:
+        c, r = toks(docs[d]), toks(docs[d + 1])
+        c2, r2 = grams(c, 2), grams(r, 2)
+        row = got[d]
+        assert row.n_cand_tokens == len(c)
+        assert row.n_cand_bigrams == len(c2)
+        assert row.p1_ppm == (clip(c, r) * 1_000_000 // len(c) if c else 0)
+        assert row.p2_ppm == (clip(c2, r2) * 1_000_000 // len(c2) if c2 else 0)
+        assert row.shorter_than_ref == (len(c) < len(r))
