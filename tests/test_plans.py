@@ -457,3 +457,25 @@ def test_asof_nearest_single_shuffle_two_sorts(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("SortMergeJoin") == 0 and plan.count("BroadcastHashJoin") == 0
     assert plan.count("Window") >= 2  # backward + forward fills
+
+
+def test_bleu_pairs_plan_in_row(spark, sf_dir):
+    """llm_bleu_pairs' contract is in-row clipped-precision arithmetic: one
+    doc-keyed equi-join, no Window, no Python lane, and the only exchanges
+    are the join + the final orderBy range partition."""
+    plan = plan_of(spark, sf_dir, "llm_bleu_pairs")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan  # higher-order fns, not pandas UDFs
+
+
+def test_multimodal_decode_plan_arrow_only(spark, sf_dir):
+    """llm_multimodal_decode is two chained Arrow mapInPandas passes over a
+    pruned scan — no shuffle before the output sort, no row-at-a-time
+    Python."""
+    plan = plan_of(spark, sf_dir, "llm_multimodal_decode")
+    assert plan.count("MapInPandas") >= 2  # generate+resize and stats passes
+    assert "BatchEvalPython" not in plan
+    sort_pos = plan.index("Sort ")
+    assert "Exchange hashpartitioning" not in plan[sort_pos:]
