@@ -280,18 +280,45 @@ _FUZZY_SQL = """
 """
 
 
+def _fuzzy_name_pairs(p: "DataFrame") -> "DataFrame":
+    """Name-level fuzzy match: the expensive bounded-levenshtein verify runs
+    over DISTINCT (block, name) values, never over records. Duplicated
+    values are the norm in record linkage (the 10x scale sweep's replica has
+    every name ~3500 times), and the naive record-level block join pays
+    sum(|block|²) DP computations — 313M on the replica, found as a
+    single-task >13-min cliff by tools/scale_sweep.py in r4. Distinct-first
+    drops that to sum(|distinct-in-block|²) while the record fan-out becomes
+    a cheap post-join. Self-pairs (n, n) are kept: they carry the dist-0
+    edges between same-name records. Output: name_a, name_b, dist — both
+    orientations, so the record join needs no order predicate on names."""
+    names = p.select("blk", "p_name").distinct()
+    na, nb = names.alias("na"), names.alias("nb")
+    dist = F.levenshtein(F.col("na.p_name"), F.col("nb.p_name"), 12)
+    return (
+        na.join(nb, F.col("na.blk") == F.col("nb.blk"))
+        .select(
+            F.col("na.p_name").alias("name_a"),
+            F.col("nb.p_name").alias("name_b"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+    )
+
+
 @query("join_fuzzy_blocked", sql=_FUZZY_SQL)
 def join_fuzzy_blocked(spark, sf_dir):
     """Record linkage / fuzzy entity resolution: candidate pairs via a
     BLOCKING key (first two words of the name), verified by bounded edit
-    distance. The blocking equi-join is the whole scale story — pairs are
-    enumerated only within a block, never all-pairs, so cost is
-    sum(|block|²) with blocks sized by the key's selectivity (tighten the
-    key to three words if a corpus makes two-word blocks heavy). The Spark
-    side uses the THRESHOLDED levenshtein (DP short-circuits past the
-    bound, returns -1 above it) — the verify step is O(k·len), not
-    O(len²), per candidate; the oracle's unbounded levenshtein agrees
-    exactly on every kept pair."""
+    distance — pairs are enumerated only within a block, never all-pairs.
+    The verify is two-tier (r4 scale fix): bounded levenshtein over
+    DISTINCT names per block (thresholded DP short-circuits past the
+    bound, returns -1 above it; the oracle's unbounded levenshtein agrees
+    exactly on every kept pair), then the record-level pairs fan out from
+    the matched name pairs via broadcastable equi-joins. The record table
+    is explicitly repartitioned first so the fan-out's parallelism comes
+    from the cluster width, not the input split count (a single-file
+    fixture otherwise funnels the entire pair enumeration through one
+    task — the r4 sweep cliff)."""
     p = (
         load(spark, sf_dir, "part")
         .select(
@@ -300,16 +327,21 @@ def join_fuzzy_blocked(spark, sf_dir):
             F.concat_ws(" ", F.slice(F.split("p_name", " "), 1, 2)).alias("blk"),
         )
     )
-    a, b = p.alias("a"), p.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 12)
+    pairs = _fuzzy_name_pairs(p)
+    keys = p.repartition(spark.sparkContext.defaultParallelism).select(
+        "p_partkey", "p_name"
+    )
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.p_partkey") < F.col("b.p_partkey")))
-        .select(
-            F.col("a.p_partkey").alias("key_a"),
-            F.col("b.p_partkey").alias("key_b"),
-            dist.alias("dist"),
+        keys.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"))
+        .join(pairs, "name_a")
+        .join(
+            keys.select(
+                F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b")
+            ),
+            "name_b",
         )
-        .filter(F.col("dist") >= 0)
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "dist")
         .orderBy("key_a", "key_b")
     )
 
@@ -387,32 +419,29 @@ def er_entity_clusters(spark, sf_dir):
         "p_name",
         F.concat_ws(" ", F.slice(F.split("p_name", " "), 1, 2)).alias("blk"),
     )
-    a, b = p.alias("a"), p.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 12)
+    # Two-tier match (r4 scale fix, shared with join_fuzzy_blocked): fuzzy
+    # verify over DISTINCT names; same-name records collapse to their MIN
+    # key as the closure node, so the component graph has |distinct names|
+    # nodes instead of |records| — the record-level dist-0 edge clique
+    # (quadratic in the duplication factor) is never materialized. The
+    # min-key node ids make the cluster label identical to the record-level
+    # formulation's (min record key of the transitive match cluster).
+    mk = p.groupBy("p_name").agg(F.min("p_partkey").alias("mk"))
     edges = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
-        )
-        .select(
-            F.col("a.p_partkey").alias("doc_a"),
-            F.col("b.p_partkey").alias("doc_b"),
-            dist.alias("dist"),
-        )
-        .filter(F.col("dist") >= 0)
+        _fuzzy_name_pairs(p)
+        .join(mk.select(F.col("p_name").alias("name_a"), F.col("mk").alias("doc_a")), "name_a")
+        .join(mk.select(F.col("p_name").alias("name_b"), F.col("mk").alias("doc_b")), "name_b")
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
     )
-    lab = connected_components(edges).select(
-        F.col("node").alias("p_partkey"), "cluster_id"
+    lab = connected_components(edges).select(F.col("node").alias("mk"), "cluster_id")
+    label_map = mk.join(lab, "mk", "left").select(
+        "p_name", F.coalesce(F.col("cluster_id"), F.col("mk")).alias("entity_id")
     )
-    parts = load(spark, sf_dir, "part").select("p_partkey")
     return (
-        parts.join(lab, "p_partkey", "left")
-        .select(
-            F.col("p_partkey").alias("record_id"),
-            F.coalesce(F.col("cluster_id"), F.col("p_partkey")).alias("entity_id"),
-        )
+        p.select(F.col("p_partkey").alias("record_id"), "p_name")
+        .join(label_map, "p_name")
+        .select("record_id", "entity_id")
         .orderBy("record_id")
     )
 
