@@ -559,3 +559,70 @@ def train_curriculum_order(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "train_fim_split",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks, len({_SQL_TOKENS}) AS n
+      FROM documents WHERE doc_id % 4 = 0),
+    cuts AS (
+      SELECT doc_id, toks, CAST(n AS BIGINT) AS n_tokens,
+             CASE WHEN n >= 3
+                  THEN 1 + (doc_id * 2654435761) % (n - 2) ELSE 0 END AS s1
+      FROM t),
+    cuts2 AS (
+      SELECT doc_id, toks, n_tokens, CAST(s1 AS BIGINT) AS s1,
+             CASE WHEN n_tokens >= 3
+                  THEN s1 + 1 + (doc_id * 40503) % (n_tokens - s1 - 1)
+                  ELSE 0 END AS s2
+      FROM cuts)
+    SELECT doc_id, n_tokens, s1, CAST(s2 AS BIGINT) AS s2,
+           CASE WHEN n_tokens >= 3
+                THEN '<PRE> ' || array_to_string(toks[1:s1], ' ')
+                     || ' <SUF> ' || array_to_string(toks[s2+1:n_tokens], ' ')
+                     || ' <MID> ' || array_to_string(toks[s1+1:s2], ' ')
+                ELSE array_to_string(toks, ' ') END AS psm_text
+    FROM cuts2 ORDER BY doc_id
+    """,
+)
+def train_fim_split(spark, sf_dir):
+    """Fill-in-the-middle transform (Bavarian et al. '22): deterministic
+    prefix/middle/suffix cuts from the doc id (multiplicative hashing —
+    reproducible across runs and engines, never a seeded RNG, same
+    discipline as every split/sample op here), re-serialized in PSM
+    sentinel order. Pure projection — tokens, two modular cut points, three
+    array slices, one concat — inside whole-stage codegen with zero
+    shuffles before the output sort; at 100 TB this is a map pass.
+    Cut invariants: 1 <= s1 < s2 <= n-1, so all three segments are
+    non-empty for every doc with >= 3 tokens; shorter docs pass through
+    unsplit (their loss is ordinary next-token anyway)."""
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    toks = ws_tokens("text")
+    t = d.select("doc_id", toks.alias("toks"), F.size(toks).cast("long").alias("n_tokens"))
+    s1 = F.when(
+        F.col("n_tokens") >= 3,
+        (F.lit(1) + (F.col("doc_id") * 2654435761) % (F.col("n_tokens") - 2)),
+    ).otherwise(F.lit(0)).cast("long")
+    t = t.withColumn("s1", s1)
+    s2 = F.when(
+        F.col("n_tokens") >= 3,
+        F.col("s1") + 1 + (F.col("doc_id") * 40503) % (F.col("n_tokens") - F.col("s1") - 1),
+    ).otherwise(F.lit(0)).cast("long")
+    t = t.withColumn("s2", s2)
+    seg = lambda lo, n: F.array_join(F.slice(F.col("toks"), lo, n), " ")  # noqa: E731
+    psm = F.when(
+        F.col("n_tokens") >= 3,
+        F.concat(
+            F.lit("<PRE> "),
+            seg(F.lit(1), F.col("s1")),
+            F.lit(" <SUF> "),
+            seg(F.col("s2") + 1, F.col("n_tokens") - F.col("s2")),
+            F.lit(" <MID> "),
+            seg(F.col("s1") + 1, F.col("s2") - F.col("s1")),
+        ),
+    ).otherwise(F.array_join(F.col("toks"), " "))
+    return t.select("doc_id", "n_tokens", "s1", "s2", psm.alias("psm_text")).orderBy(
+        "doc_id"
+    )

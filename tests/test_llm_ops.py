@@ -748,3 +748,26 @@ def test_bleu_pairs_python_reference(spark, sf_dir):
         assert row.p1_ppm == (clip(c, r) * 1_000_000 // len(c) if c else 0)
         assert row.p2_ppm == (clip(c2, r2) * 1_000_000 // len(c2) if c2 else 0)
         assert row.shorter_than_ref == (len(c) < len(r))
+
+
+def test_fim_split_invariants(spark, sf_dir):
+    """Every split doc: 1 <= s1 < s2 <= n-1 (three non-empty segments), the
+    PSM text reassembles to the original token stream, and short docs pass
+    through unsplit."""
+    from bridge_analytics_template_spark.queries.training import train_fim_split
+
+    rows = train_fim_split(spark, sf_dir).collect()
+    assert rows
+    split = [r for r in rows if r.n_tokens >= 3]
+    assert split
+    for r in split[:100]:
+        assert 1 <= r.s1 < r.s2 <= r.n_tokens - 1
+        assert r.psm_text.startswith("<PRE> ")
+        pre, rest = r.psm_text[6:].split(" <SUF> ", 1)
+        suf, mid = rest.split(" <MID> ", 1)
+        toks = pre.split() + mid.split() + suf.split()
+        assert len(toks) == r.n_tokens
+        assert len(pre.split()) == r.s1 and len(mid.split()) == r.s2 - r.s1
+    for r in rows:
+        if r.n_tokens < 3:
+            assert "<PRE>" not in r.psm_text and r.s1 == 0 and r.s2 == 0
