@@ -64,22 +64,23 @@ def main() -> None:
     # box, which is exactly the signature that made r3's official numbers
     # look like a code regression (probe: tools/bench_regression_probe.py,
     # wrapper clearCache == unwrapped within noise).
-    times: dict[str, float] = {}
+    # Raw per-pass measurements are recorded alongside the min (VERDICT r4
+    # task 7): judges can separate box-load noise from code drift without
+    # rerunning — r3/r4 both saw 24% suite-wide swings between back-to-back
+    # identical runs on this shared box.
+    passes: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _pass in range(2):
         for name in HEADLINE:
-            best = times.get(name)
             for _ in range(2):
                 t0 = time.time()
                 df = QUERIES[name](spark, sf_dir)
                 n = df.count() if name not in ("flagship",) else len(df.collect())
-                elapsed = time.time() - t0
-                best = elapsed if best is None else min(best, elapsed)
-            times[name] = best
+                passes[name].append(round(time.time() - t0, 3))
             # Queries are independent: drop persisted blocks so one query's
             # cache (dedup shingle tables etc.) doesn't pressure the next
             # query's executors — each measurement starts from a clean store.
             spark.catalog.clearCache()
-    times = {k: round(v, 3) for k, v in times.items()}
+    times = {k: min(v) for k, v in passes.items()}
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -88,6 +89,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "passes": passes,
                 "sf": sf,
             }
         )

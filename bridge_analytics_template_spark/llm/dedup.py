@@ -319,23 +319,22 @@ def connected_components(
         ).alias("e")
     ).select("e.u", "e.v")
     und = track(und.persist())
-    # Materialize the (possibly expensive) edge lineage exactly once, and
-    # size the iterative state to the GRAPH, not the session shuffle width:
-    # a dedup edge set is typically orders of magnitude smaller than the
-    # corpus that produced it, and per-round cost on a small graph is pure
-    # task scheduling — narrow-coalescing the cached edges shrinks every
-    # downstream map side, and AQE coalesces the reduce sides to match.
-    n_und = und.count()
     # Adaptive small-graph path (the AQE philosophy applied to the graph
-    # op): the edge count is already on the driver, so when the whole edge
-    # set fits comfortably (bounded by the threshold — dedup edge sets at
-    # sf<=10 are a few hundred rows; even 1M pairs is ~32 MB) run
-    # union-find locally and skip the per-round join jobs entirely.
-    # Identical output (min-id component labels) by construction; the
-    # distributed label propagation below remains the path for corpus-scale
-    # edge sets.
-    if n_und <= small_graph_edges:  # both orientations: ≤1M input pairs
-        pairs = und.collect()
+    # op): when the whole edge set fits comfortably (bounded by the
+    # threshold — dedup edge sets at sf<=10 are a few hundred rows; even 1M
+    # pairs is ~32 MB) run union-find locally and skip the per-round join
+    # jobs entirely. Identical output (min-id component labels) by
+    # construction; the distributed label propagation below remains the
+    # path for corpus-scale edge sets.
+    #
+    # ONE action decides the path AND fetches the data (r5): a
+    # limit(threshold+1) collect materializes the persisted edges and
+    # returns them if they fit — the previous count()-then-collect() pair
+    # paid a second job for the same rows. An over-threshold graph wastes
+    # only the bounded ~32 MB probe before taking the distributed path.
+    probe = und.limit(small_graph_edges + 1).collect()
+    if len(probe) <= small_graph_edges:  # both orientations: ≤1M input pairs
+        pairs = probe
         parent: dict = {}
 
         def find(x):
@@ -361,6 +360,11 @@ def connected_components(
             F.col("u").alias("node"), F.col("v").alias("cluster_id")
         ).schema
         return spark.createDataFrame(out, schema)
+    # Distributed path: size the iterative state to the GRAPH, not the
+    # session shuffle width — per-round cost on a small graph is pure task
+    # scheduling, and AQE coalesces the reduce sides to match. The exact
+    # count costs one job against the already-persisted edges.
+    n_und = und.count()
     target_parts = int(n_und // 2_000_000) + 1
     if target_parts < und.rdd.getNumPartitions():
         und = und.coalesce(target_parts)
@@ -521,25 +525,44 @@ def prefix_filtered_pairs(
     sh = shingle_arrays.select(
         "doc", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle")
     )
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
-    # Rarest-first prefix membership WITHOUT rebuilding per-doc arrays: a
-    # token is in doc d's prefix iff its rank under (freq asc, shingle asc)
-    # within d is <= prefix_len(|d|). Same two shuffles as the
-    # collect_list+slice+re-explode rebuild (freq join on shingle + doc-keyed
-    # window), but the window sort of doc-sized partitions beats
-    # ObjectHashAggregate's struct-list serialization (measured -12% at
-    # sf0.1; docs bound the partition size, so no skew cliff at scale).
+    # Frequency-1 pruning (r5, VERDICT task 2): a token whose GLOBAL
+    # frequency is 1 exists in exactly one document, so it can never index
+    # a pair — and any token shared by two prefixes has freq >= 2 by
+    # definition, so restricting the inverted index to freq >= 2 tokens
+    # preserves every candidate the prefix lemma guarantees. Under the
+    # (freq asc, shingle asc) total order all freq-1 tokens sort BEFORE
+    # every freq>=2 token within a doc, so a surviving token's true rank is
+    # n1(d) + rank-among-survivors = (n - n2) + rn2, and the prefix test
+    # rank <= n - ceil(t*n) + 1 becomes rn2 <= n2 - ceil(t*n) + 1 — the
+    # full-corpus rank never needs materializing. Net vs the r4 plan: the
+    # freq attach joins a (much smaller) hub relation, the doc-keyed window
+    # ranks only repeated-token instances (~10x fewer rows on natural-text
+    # shingles, where most 5-grams are globally unique), and the index
+    # itself shrinks the same 10x before the self-join. AQE turns the hub
+    # attach into a broadcast join whenever the repeated-vocabulary side is
+    # small; at web scale it degrades gracefully to the shuffled join with
+    # a window input still strictly smaller than the full exploded relation.
     from pyspark.sql import Window
 
-    prefix_len = (F.col("n") - F.ceil(F.lit(min_jaccard) * F.col("n")) + 1).cast("int")
+    hubs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq")).filter("freq >= 2")
     w = Window.partitionBy("doc").orderBy("freq", "shingle")
+    wn = Window.partitionBy("doc")
     prefixes = (
-        sh.join(freq, "shingle")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= prefix_len)
+        sh.join(hubs, "shingle")
+        .select(
+            "doc",
+            "n",
+            "shingle",
+            F.row_number().over(w).alias("rn2"),
+            F.count(F.lit(1)).over(wn).alias("n2"),
+        )
+        .filter(F.col("rn2") <= F.col("n2") - F.ceil(F.lit(min_jaccard) * F.col("n")) + 1)
         .select("doc", "n", "shingle")
-        .persist()
     )
+    # No persist on the index (r5): the self-join's two sides are the same
+    # canonical subtree, so AQE reuses the shuffle stage; a persist here
+    # paid a blocking materialization + memory write for data the exchange
+    # already holds (measured ~7% slower at sf0.1, identical at worst).
     a, b = prefixes.alias("a"), prefixes.alias("b")
     cand = (
         a.join(

@@ -189,8 +189,11 @@ def resize_images(
                 img = _decode_rgb(b)
                 if img is not None:
                     h, w = img.shape[0], img.shape[1]
-                    yi = np.floor(np.arange(height) * h / height).astype(np.int64)
-                    xi = np.floor(np.arange(width) * w / width).astype(np.int64)
+                    # Pure integer floor(dst*in/out) — float division could
+                    # round differently from the SQL oracle's integer form
+                    # at extreme dimensions (ADVICE r4).
+                    yi = (np.arange(height, dtype=np.int64) * h) // height
+                    xi = (np.arange(width, dtype=np.int64) * w) // width
                     return encode_ppm(np.ascontiguousarray(img[yi][:, xi]))
                 if b.startswith(_COMPRESSED_MAGIC):
                     raise NotImplementedError(
@@ -354,4 +357,142 @@ def ppm_image_stats(
         run,
         schema="doc_id bigint, ok boolean, width int, height int, "
         "sum_r bigint, sum_g bigint, sum_b bigint",
+    )
+
+
+def mux_wav(samples, rate: int = 8000) -> bytes:
+    """Build a canonical RIFF/WAVE container around ``(n, channels)`` int16
+    samples — the writer half of :func:`demux_wav`, used by fixtures and
+    tests. Includes a LIST/INFO chunk before ``fmt `` so a reader that
+    assumes fixed offsets (instead of walking chunks) breaks loudly."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype="<i2")
+    if x.ndim == 1:
+        x = x[:, None]
+    ch = x.shape[1]
+    block = ch * 2
+    data = x.tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")  # PCM
+        + ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    chunks = (
+        b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+        + (b"\x00" if len(data) % 2 else b"")  # RIFF chunks are word-aligned
+    )
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def demux_wav(b: bytes):
+    """Pure-Python RIFF/WAVE demuxer (VERDICT r4 task 5): walk the chunk
+    list (word-aligned sizes, unknown chunks skipped), validate ``fmt ``
+    (16-bit integer PCM only), and de-interleave ``data`` into an
+    ``(n, channels)`` int16 array. Returns ``(rate, channels, samples)``,
+    or ``None`` for non-RIFF/WAVE bytes. Compressed/non-PCM format tags
+    (MP3-in-WAV 0x55, IEEE float 0x03, extensible 0xFFFE...) raise
+    ``NotImplementedError`` — the same explicit env-gate as the image
+    codecs: that is where a libav/soundfile call goes and this container
+    ships neither."""
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(b):
+        cid, size = b[i : i + 4], int.from_bytes(b[i + 4 : i + 8], "little")
+        payload = b[i + 8 : i + 8 + size]
+        if len(payload) < size:
+            return None  # truncated chunk
+        if cid == b"fmt ":
+            fmt = payload
+        elif cid == b"data":
+            data = payload
+        i += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV format tag {audio_format}/{bits}-bit needs a real audio codec "
+            "(libav/soundfile) — not available in this environment"
+        )
+    if channels < 1:
+        return None
+    block = channels * 2
+    usable = len(data) - (len(data) % block)
+    x = np.frombuffer(data[:usable], dtype="<i2").reshape(-1, channels)
+    return rate, channels, x
+
+
+def wav_frame_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    frame: int = 128,
+    stride: int = 128,
+) -> DataFrame:
+    """Per-(channel, window) audio features over RIFF/WAVE payloads: demux
+    (:func:`demux_wav`), cut frames of ``frame`` samples every ``stride``,
+    and emit exact-integer energy (sum of squares, < 2^38 per frame — no
+    float, combine-order free) and zero-crossing counts (transitions of the
+    ``x < 0`` predicate between consecutive samples) — the VAD / silence
+    trim / speech-music signals an audio curation pass thresholds on.
+
+    ``sample_frames``-style 1→N fan-out inside one Arrow-batched
+    ``mapInPandas`` pass: no shuffle, no Python row path, output rows are
+    (id, channel, frame_idx, n_samples, energy, zero_crossings). Non-WAV
+    payloads are skipped (quarantine-by-omission, like malformed frames in
+    ``sample_frames``); non-PCM WAVs propagate the demuxer's explicit
+    ``NotImplementedError``."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, chs, fidx, nsamp, energy, zc = [], [], [], [], [], []
+            for i, buf in zip(pdf[id_col], pdf[content_col]):
+                parsed = demux_wav(bytes(buf))
+                if parsed is None:
+                    continue
+                _rate, channels, x = parsed
+                x64 = x.astype(np.int64)
+                for c in range(channels):
+                    s = x64[:, c]
+                    if len(s) == 0:
+                        continue
+                    k = 0
+                    for start in range(0, max(len(s) - frame, 0) + 1, stride):
+                        w = s[start : start + frame]
+                        neg = w < 0
+                        ids.append(i)
+                        chs.append(c)
+                        fidx.append(k)
+                        nsamp.append(len(w))
+                        energy.append(int((w * w).sum()))
+                        zc.append(int((neg[1:] != neg[:-1]).sum()))
+                        k += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "channel": pd.Series(chs, dtype="int32"),
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "n_samples": pd.Series(nsamp, dtype="int32"),
+                    "energy": pd.Series(energy, dtype="int64"),
+                    "zero_crossings": pd.Series(zc, dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(id_col).alias("doc_id"), F.col(content_col)).mapInPandas(
+        run,
+        schema="doc_id bigint, channel int, frame_idx int, n_samples int, "
+        "energy bigint, zero_crossings bigint",
     )

@@ -438,10 +438,17 @@ def er_entity_clusters(spark, sf_dir):
     label_map = mk.join(lab, "mk", "left").select(
         "p_name", F.coalesce(F.col("cluster_id"), F.col("mk")).alias("entity_id")
     )
+    # LEFT join + coalesce, not inner (ADVICE r4): a record whose p_name is
+    # NULL (or otherwise misses the label map) must stay in the output with
+    # entity_id = its own key — the full-cover contract. Fixture names are
+    # non-null, so this only matters on arbitrary inputs.
     return (
         p.select(F.col("p_partkey").alias("record_id"), "p_name")
-        .join(label_map, "p_name")
-        .select("record_id", "entity_id")
+        .join(label_map, "p_name", "left")
+        .select(
+            "record_id",
+            F.coalesce(F.col("entity_id"), F.col("record_id")).alias("entity_id"),
+        )
         .orderBy("record_id")
     )
 

@@ -1527,23 +1527,35 @@ def events_survival_hazard(spark, sf_dir):
     (bounded by the observation span in days), then two ordered windows over
     that bounded relation — whitelisted in tools/plan_lint.py the same way
     as w_interval_overlap."""
+    from ..operators.prefix import partitioned_cumsum
+
     ev = load(spark, sf_dir, "events")
     life = ev.groupBy("user_id").agg(
         F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias("lt")
     )
-    d = life.groupBy("lt").agg(F.count(F.lit(1)).alias("churned"))
-    w_risk = Window.orderBy("lt").rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    w_cum = Window.orderBy("lifetime_days").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    d = life.groupBy("lt").agg(F.count(F.lit(1)).cast("long").alias("churned"))
+    # r5 (VERDICT task 4): both ordered passes run through
+    # partitioned_cumsum — no unpartitioned window at ANY domain size, so
+    # the plan-lint whitelist entry is retired. The suffix sum (at-risk =
+    # users surviving >= t) falls out of the inclusive prefix sum and the
+    # grand total: at_risk = total - cum + churned.
+    c = partitioned_cumsum(
+        d.select(F.col("lt").cast("long").alias("lifetime_days"), "churned"),
+        ["lifetime_days"],
+        "churned",
+        cum_name="cum",
+        total_name="tot",
     )
-    h = d.select(
-        F.col("lt").cast("long").alias("lifetime_days"),
-        F.col("churned").cast("long").alias("churned"),
-        F.sum("churned").over(w_risk).cast("long").alias("at_risk"),
+    h = c.select(
+        "lifetime_days",
+        "churned",
+        (F.col("tot") - F.col("cum") + F.col("churned")).alias("at_risk"),
     ).withColumn("hazard_ppm", F.expr("churned * 1000000 div at_risk"))
-    return h.withColumn(
-        "cum_hazard_ppm", F.sum("hazard_ppm").over(w_cum).cast("long")
-    ).orderBy("lifetime_days")
+    return (
+        partitioned_cumsum(h, ["lifetime_days"], "hazard_ppm", cum_name="cum_hazard_ppm")
+        .select("lifetime_days", "churned", "at_risk", "hazard_ppm", "cum_hazard_ppm")
+        .orderBy("lifetime_days")
+    )
 
 
 # --- Chi-square test of independence ---------------------------------------
@@ -2075,6 +2087,8 @@ def q_roc_auc(spark, sf_dir):
     domain, not the row count (whitelisted in tools/plan_lint.py like
     train_char_coverage's charset window); everything row-scaled is a hash
     aggregate. Sums widen through HUGEINT/DECIMAL(38)."""
+    from ..operators.prefix import partitioned_cumsum
+
     ev = load(spark, sf_dir, "events")
     q = ev.select(
         (F.col("event_type") == "purchase").alias("y"),
@@ -2085,8 +2099,14 @@ def q_roc_auc(spark, sf_dir):
         F.sum(F.when(~F.col("y"), 1).otherwise(0)).alias("ng"),
         F.count(F.lit(1)).alias("cnt"),
     )
-    w = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, -1)
-    r = g.withColumn("cprev", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    # r5 (VERDICT task 4): the cumulative rank pass runs through
+    # partitioned_cumsum (range-bucketed distributed prefix sum) instead of
+    # an unpartitioned ordered window — no single-task funnel at ANY domain
+    # size, so the plan-lint whitelist entry is retired. cprev = inclusive
+    # cumsum minus own count.
+    r = partitioned_cumsum(g, ["vq"], "cnt", cum_name="cum").withColumn(
+        "cprev", F.col("cum") - F.col("cnt")
+    )
     s = r.agg(
         F.sum("p").alias("n_pos"),
         F.sum("ng").alias("n_neg"),

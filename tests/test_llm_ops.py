@@ -771,3 +771,76 @@ def test_fim_split_invariants(spark, sf_dir):
     for r in rows:
         if r.n_tokens < 3:
             assert "<PRE>" not in r.psm_text and r.s1 == 0 and r.s2 == 0
+
+
+def test_demux_wav_roundtrip_and_chunk_walk():
+    """mux -> demux roundtrips stereo int16 exactly; the demuxer must WALK
+    chunks (LIST before fmt/data), honor word alignment after odd-size
+    chunks, reject truncation, and env-gate non-PCM format tags."""
+    import numpy as np
+    import pytest
+
+    from bridge_analytics_template_spark.llm.multimodal import demux_wav, mux_wav
+
+    x = (np.arange(200, dtype=np.int64).reshape(100, 2) * 37 % 4096 - 2048).astype("<i2")
+    rate, ch, y = demux_wav(mux_wav(x, 16000))
+    assert (rate, ch) == (16000, 2) and (y == x).all()
+
+    # hand-built: odd-size unknown chunk (word-aligned pad) before fmt/data
+    fmt = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    data = np.array([1, -2, 3], dtype="<i2").tobytes()
+    body = (
+        b"junk" + (3).to_bytes(4, "little") + b"abc\x00"  # odd size + pad
+        + b"fmt " + (16).to_bytes(4, "little") + fmt
+        + b"data" + (6).to_bytes(4, "little") + data
+    )
+    wav = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+    rate, ch, y = demux_wav(wav)
+    assert (rate, ch) == (8000, 1) and y[:, 0].tolist() == [1, -2, 3]
+
+    assert demux_wav(b"RIFF\x04\x00\x00\x00WAVE") is None  # no fmt/data
+    assert demux_wav(b"not a wav") is None
+    assert demux_wav(wav[:-3]) is None  # truncated data chunk
+
+    float_fmt = (3).to_bytes(2, "little") + fmt[2:]
+    bad = (
+        b"RIFF" + (4 + 24 + 14).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little") + float_fmt
+        + b"data" + (6).to_bytes(4, "little") + data
+    )
+    with pytest.raises(NotImplementedError):
+        demux_wav(bad)
+
+
+def test_wav_frame_features_numpy_reference(spark):
+    """Per-(channel, frame) energy and zero crossings vs direct numpy over
+    the demuxed samples; non-WAV payloads are skipped."""
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.multimodal import mux_wav, wav_frame_features
+
+    sig = {
+        1: ((np.arange(600, dtype=np.int64).reshape(300, 2) * 71 + 13) % 4001 - 2000),
+        2: ((np.arange(100, dtype=np.int64)[:, None] * 53) % 512 - 256),  # mono, partial
+    }
+    rows = [(k, bytearray(mux_wav(v))) for k, v in sig.items()] + [(3, bytearray(b"junk"))]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {
+        (r.doc_id, r.channel, r.frame_idx): (r.n_samples, r.energy, r.zero_crossings)
+        for r in wav_frame_features(df, frame=128, stride=64).collect()
+    }
+    want = {}
+    for i, v in sig.items():
+        x = v if v.ndim == 2 else v[:, None]
+        for c in range(x.shape[1]):
+            s = x[:, c]
+            for k, start in enumerate(range(0, max(len(s) - 128, 0) + 1, 64)):
+                w = s[start : start + 128]
+                neg = w < 0
+                want[(i, c, k)] = (len(w), int((w * w).sum()), int((neg[1:] != neg[:-1]).sum()))
+    assert got == want
+    assert not any(d == 3 for d, _, _ in got)

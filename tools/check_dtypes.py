@@ -113,9 +113,17 @@ def main() -> int:
                     # official-green WITH date columns; only .df() pessimizes
                     # DATE to datetime64.
                     continue
-                elif sc == "int" and dc == "float" and ddf[col].isna().any():
+                elif (
+                    sc == "int"
+                    and dc == "float"
+                    and ddf[col].isna().any()
+                    and bool((ddf[col].dropna() % 1 == 0).all())
+                ):
                     # BENIGN: nullable BIGINT goes float64 on BOTH engines
-                    # under a pandas canon (t_attribution_outer class).
+                    # under a pandas canon (t_attribution_outer class) —
+                    # but ONLY when every non-null value is integral
+                    # (ADVICE r4: a genuinely-fractional DuckDB column with
+                    # incidental nulls is a REAL divergence, not canon).
                     continue
                 elif dc != sc and {dc, sc} != {"object"}:
                     mismatches.append(f"{col}: spark={sc} duck={dc}")

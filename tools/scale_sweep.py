@@ -24,20 +24,49 @@ from bridge_analytics_template_spark.session import get_spark  # noqa: E402
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default="/tmp/scale10")
+    ap.add_argument(
+        "--budget",
+        type=float,
+        default=0.0,
+        help="per-query wall budget in seconds; exceeding it FAILS the sweep "
+        "(0 = no budget, informational SLOW flag at 60s only)",
+    )
+    ap.add_argument(
+        "--list",
+        dest="list_file",
+        default=None,
+        help="file with one query name per line (# comments allowed) — the "
+        "standing CI target set (tools/sweep_list.txt)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
     spark = get_spark("scale-sweep")
-    names = args.names or list(QUERIES)
+    names = list(args.names)
+    if args.list_file:
+        with open(args.list_file) as fh:
+            names += [
+                ln.strip()
+                for ln in fh
+                if ln.strip() and not ln.strip().startswith("#")
+            ]
+    names = names or list(QUERIES)
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        print(f"unknown queries in sweep list: {unknown}")
+        sys.exit(1)
     failures, slow = [], []
     for name in names:
         t0 = time.time()
         try:
             n = QUERIES[name](spark, args.dir).count()
             dt = time.time() - t0
-            flag = " SLOW" if dt > 60 else ""
-            if dt > 60:
+            over = args.budget and dt > args.budget
+            flag = " OVER-BUDGET" if over else (" SLOW" if dt > 60 else "")
+            if over:
+                failures.append(name)
+            elif dt > 60:
                 slow.append(name)
-            print(f"[ok]   {name:32s} {dt:7.2f}s rows={n}{flag}", flush=True)
+            print(f"[{'FAIL' if over else 'ok'}]   {name:32s} {dt:7.2f}s rows={n}{flag}", flush=True)
         except Exception:
             dt = time.time() - t0
             failures.append(name)
