@@ -65,6 +65,15 @@ def _ensure_session_defaults(spark: SparkSession) -> None:
         pass
 
 
+#: Session-scoped scan cache: (applicationId, sf_dir, table) → DataFrame.
+#: A DataFrame is an immutable logical plan, so handing the same object to
+#: every query is safe; what the cache saves is the ~100 ms of file listing
+#: + footer schema read + analysis that spark.read.parquet pays per call —
+#: pure driver latency, multiplied by every query build in a bench pass.
+_SCANS: dict[tuple[str, str, str], DataFrame] = {}
+_PINNED: set[str] = set()
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Plain ``spark.read.parquet`` so Catalyst gets
     predicate pushdown / column pruning for free (SURVEY.md §4).
@@ -75,7 +84,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     a session-zone (UTC) micro-precision ``timestamp`` — the same wall-clock
     values DuckDB produces with ``CAST(ts AS TIMESTAMP)``.
     """
-    _ensure_session_defaults(spark)
+    app = spark.sparkContext.applicationId
+    if app not in _PINNED:
+        _ensure_session_defaults(spark)
+        _PINNED.add(app)
+    key = (app, sf_dir, name)
+    cached = _SCANS.get(key)
+    if cached is not None:
+        return cached
+    df = _scan(spark, sf_dir, name)
+    _SCANS[key] = df
+    return df
+
+
+def _scan(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))

@@ -48,11 +48,17 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
       parallel, and footer probing 100k objects would itself be a cost).
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+    # Parquet-footer probe FIRST: it answers from local metadata, while the
+    # ``df.rdd`` fallback pays a full logical→RDD plan translation (~50 ms
+    # of driver latency per query build). Many leaves ⇒ already parallel;
+    # few row groups ⇒ repartition — both decided without touching df.rdd.
     files = df.inputFiles()
-    if files and len(files) < target:
+    if files:
+        if len(files) >= target:
+            return df
         row_groups = _parquet_row_groups(files)
         if row_groups is not None and row_groups < target:
             return df.repartition(target)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
     return df
