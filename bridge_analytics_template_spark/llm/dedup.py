@@ -594,10 +594,11 @@ def containment_filtered_pairs(
     tokens with B, A must share one among its FIRST ``|A| - ceil(t·|A|) + 1``
     tokens under any total order both sides agree on — ordered rarest-first
     (corpus frequency asc, value tiebreak), so only A's rare tokens enter
-    the probe side. B indexes ALL its tokens (containment bounds nothing on
-    B), but every posting list is only met by rare-prefix probes, so the
-    common-token quadratic blowup of the naive inverted-index join cannot
-    happen on the pair-forming side. The size prune |B| >= ceil(t·|A|)
+    the probe side. B indexes all its globally-REPEATED tokens (containment
+    bounds nothing on B, but a frequency-1 token can never be probed by a
+    different doc), and every posting list is only met by rare-prefix
+    probes, so the common-token quadratic blowup of the naive
+    inverted-index join cannot happen on the pair-forming side. The size prune |B| >= ceil(t·|A|)
     (|A∩B| <= |B|) drops size-incompatible pairs inside the join.
     Survivors are verified exactly in-row (``array_intersect``), cost
     ∝ |candidates|. Ordered pairs: (a contained-in b) ≠ (b contained-in a).
@@ -605,19 +606,32 @@ def containment_filtered_pairs(
     sh = shingle_arrays.select(
         "doc", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle")
     )
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
-    indexed = track(sh.join(freq, "shingle").persist())
-    # A-side probe: rarest (n - ceil(t*n) + 1) tokens per doc — selected by
-    # rank under (freq, shingle) within doc (same two-shuffle shape as the
-    # collect_list rebuild, minus the struct-list serialization; see
-    # prefix_filtered_pairs).
+    # Frequency-1 pruning on BOTH sides (r5, same lemma as
+    # prefix_filtered_pairs): a token with global frequency 1 exists in one
+    # doc only, so it can neither probe another doc's postings nor be
+    # probed by one — every pair-forming token has freq >= 2. Ranks are
+    # reconstructed from rank-among-survivors because freq-1 tokens all
+    # sort first under (freq asc, value asc).
+    hubs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq")).filter("freq >= 2")
+    indexed = track(sh.join(hubs, "shingle").persist())
+    # A-side probe: rarest (n - ceil(t*n) + 1) tokens per doc — rank
+    # rn2 among freq>=2 survivors satisfies rank = (n - n2) + rn2.
     from pyspark.sql import Window
 
-    prefix_len = (F.col("n") - F.ceil(F.lit(min_containment) * F.col("n")) + 1).cast("int")
     w = Window.partitionBy("doc").orderBy("freq", "shingle")
+    wn = Window.partitionBy("doc")
     probes = (
-        indexed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= prefix_len)
+        indexed.select(
+            "doc",
+            "n",
+            "shingle",
+            F.row_number().over(w).alias("rn2"),
+            F.count(F.lit(1)).over(wn).alias("n2"),
+        )
+        .filter(
+            F.col("rn2")
+            <= F.col("n2") - F.ceil(F.lit(min_containment) * F.col("n")) + 1
+        )
         .select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"), "shingle")
     )
     full = indexed.select(

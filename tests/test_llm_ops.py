@@ -844,3 +844,68 @@ def test_wav_frame_features_numpy_reference(spark):
                 want[(i, c, k)] = (len(w), int((w * w).sum()), int((neg[1:] != neg[:-1]).sum()))
     assert got == want
     assert not any(d == 3 for d, _, _ in got)
+
+
+def test_prefix_and_containment_match_bruteforce_random(spark):
+    """Randomized adversarial equivalence for the freq-1-pruned prefix
+    filters (r5): hub tokens shared by many docs, exact duplicates, subset
+    docs, singleton docs, and all-unique docs — the prefix-filtered pair
+    sets must equal a python brute force EXACTLY (values too), and the
+    jaccard tier must equal the unfiltered inverted-index join."""
+    import itertools
+    import random
+
+    from bridge_analytics_template_spark.llm.dedup import (
+        containment_filtered_pairs,
+        exact_jaccard_pairs,
+        prefix_filtered_pairs,
+    )
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        hubs = list(range(1000, 1006))  # tokens shared corpus-wide
+        docs = {}
+        for d in range(40):
+            n = rng.randint(1, 12)
+            toks = set(rng.sample(range(d * 50, d * 50 + 40), n))  # private
+            toks |= set(rng.sample(hubs, rng.randint(0, len(hubs))))
+            docs[d] = toks
+        docs[40] = set(docs[0])            # exact duplicate
+        docs[41] = set(itertools.islice(docs[1], max(1, len(docs[1]) // 2)))
+        docs[42] = {9999}                  # singleton, unique token
+        docs[43] = set(hubs)               # all-hub doc
+        rows = [(d, sorted(s)) for d, s in docs.items()]
+        arrays = spark.createDataFrame(rows, "doc long, sh array<long>")
+
+        t = 0.5
+        import math
+
+        want_j = {}
+        want_c = set()
+        for a, b in itertools.combinations(sorted(docs), 2):
+            inter = len(docs[a] & docs[b])
+            if inter:
+                j = inter / len(docs[a] | docs[b])
+                if j >= t:
+                    want_j[(a, b)] = (inter, j)
+        for a, b in itertools.permutations(sorted(docs), 2):
+            inter = len(docs[a] & docs[b])
+            if inter and inter >= math.ceil(t * len(docs[a])):
+                want_c.add((a, b))
+
+        got_j = {
+            (r.doc_a, r.doc_b): (r.n_inter, r.jaccard)
+            for r in prefix_filtered_pairs(arrays, min_jaccard=t).collect()
+        }
+        assert got_j == want_j, f"seed {seed}: jaccard pairs diverge"
+        got_full = {
+            (r.doc_a, r.doc_b): (r.n_inter, r.jaccard)
+            for r in exact_jaccard_pairs(arrays, min_jaccard=t).collect()
+        }
+        assert got_j == got_full, f"seed {seed}: prefix vs inverted-index"
+        got_c = {
+            (r.doc_a, r.doc_b)
+            for r in containment_filtered_pairs(arrays, min_containment=t).collect()
+        }
+        assert got_c == want_c, f"seed {seed}: containment pairs diverge"
+        spark.catalog.clearCache()
