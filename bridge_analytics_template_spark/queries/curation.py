@@ -215,6 +215,161 @@ def llm_passage_dedup(spark, sf_dir):
     )
 
 
+def _linear_score_sql() -> str:
+    """The shared per-token hashed-feature weight, as SQL both engines run:
+    bucket = hash60(token) mod 2048, weight = (bucket * 2654435761) mod
+    2003 - 1001 (a fixed pseudo-random integer weight table defined by
+    formula, so no weight vector ever crosses the engine boundary)."""
+    from ..functions.numeric import sql_hash60
+
+    h = sql_hash60("tok")
+    return f"((({h}) % 2048) * 2654435761) % 2003 - 1001"
+
+
+_LIN_W = _linear_score_sql()
+
+
+@query(
+    "llm_linear_quality_score",
+    sql=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             COALESCE(list_sum(list_transform(toks, tok -> {_LIN_W})), 0) AS score_raw
+      FROM t)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(score_raw AS BIGINT) AS score_raw,
+           score_raw > 0 AS quality_flag
+    FROM s ORDER BY doc_id
+    """,
+)
+def llm_linear_quality_score(spark, sf_dir):
+    """fastText-style linear quality classifier as PURE PROJECTION — the
+    model-based filter tier of a curation stack (DCLM/CCNet run exactly
+    this shape: hashed bag-of-words features · weight vector → keep/drop).
+    Weights come from a formula (bucket * 2654435761 mod 2003 - 1001 over
+    2048 hash buckets) so the oracle reproduces the full inference without
+    shipping a weight vector; a real deployment broadcasts the trained
+    vector and the plan is IDENTICAL.
+
+    Scale shape: per-token hash + weight lookup + sum all happen IN-ROW
+    (transform + aggregate higher-order functions, JVM codegen) — zero
+    shuffle, zero Python, no explode; a 100 TB corpus scores in one
+    embarrassingly-parallel map pass. The shared md5-nibble hash60 keeps
+    the bucket assignment engine-exact."""
+    w = _LIN_W
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", ws_tokens("text").alias("t"))
+    score = F.expr(
+        f"aggregate(transform(t, tok -> {w}), cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    return (
+        t.select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            F.coalesce(score, F.lit(0)).alias("score_raw"),
+        )
+        .withColumn("quality_flag", F.col("score_raw") > 0)
+        .orderBy("doc_id")
+    )
+
+
+#: Window width (tokens) for arbitrary-offset substring dup mass.
+_SUBW = 16
+
+_SUBSTR_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(toks[i:i+{_SUBW - 1}], ' ') AS gram
+      FROM t, unnest(generate_series(1, greatest(len(toks) - {_SUBW - 1}, 0))) u(i)),
+    gd AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+    dup AS (SELECT g.doc_id, g.pos, g.gram FROM g JOIN gd USING (gram)),
+    stats AS (
+      SELECT doc_id, COUNT(*) AS dup_positions, COUNT(DISTINCT gram) AS n_dup_grams
+      FROM dup GROUP BY doc_id),
+    cov AS (
+      SELECT doc_id, COUNT(DISTINCT pos + o.o) AS covered
+      FROM dup, unnest(generate_series(0, {_SUBW - 1})) o(o)
+      GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(greatest(len(t.toks) - {_SUBW - 1}, 0) AS BIGINT) AS n_positions,
+           CAST(COALESCE(stats.dup_positions, 0) AS BIGINT) AS dup_positions,
+           CAST(COALESCE(stats.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_tokens
+    FROM t LEFT JOIN stats USING (doc_id) LEFT JOIN cov USING (doc_id)
+    ORDER BY doc_id
+"""
+
+
+@query("llm_substring_dup_mass", sql=_SUBSTR_SQL)
+def llm_substring_dup_mass(spark, sf_dir):
+    """Arbitrary-offset substring dup mass — the stride-1 form of Lee et
+    al.'s exact substring dedup, catching repeated spans that CROSS the
+    fixed passage boundaries llm_passage_dedup (stride-10) cannot see: a
+    16-token window at EVERY token position, windows appearing in >= 2
+    distinct documents marked duplicated, and per document (a) how many
+    positions start a duplicated window, (b) how many distinct duplicated
+    windows it holds, and (c) the duplicate MASS — tokens covered by the
+    union of duplicated windows, i.e. exactly what the Lee et al. pass
+    would cut.
+
+    Scale shape: windows ride as seeded xxhash64 longs (the distributed
+    analog of suffix-array keys — same pairs modulo 2^-64 collisions; the
+    oracle groups the window STRINGS, and only counts cross the engine
+    boundary). One uniform hash aggregate over window keys (map-side
+    combinable count-distinct of docs), one keyed semi-join back — no
+    self-join, no window function; the coverage union explodes only the
+    DUPLICATED positions (16 rows each, bounded by dup mass) into a
+    distinct-count, so clean corpora pay ~nothing. Doc-keyed finishing
+    aggregates are bounded by the doc count."""
+    d = load(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    t = d.select("doc_id", toks.alias("t"))
+    gram_hashes = F.when(
+        F.size("t") >= _SUBW,
+        F.expr(
+            f"transform(sequence(1, size(t) - {_SUBW - 1}), "
+            f"i -> xxhash64(concat_ws(' ', slice(t, i, {_SUBW}))))"
+        ),
+    ).otherwise(F.expr("array()"))
+    grams = t.select(
+        "doc_id", F.posexplode(gram_hashes).alias("pos", "gram")
+    ).persist()  # read 3x: shared-gram agg, the semi-join probe, coverage
+    shared = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    dup = grams.join(shared, "gram", "left_semi").persist()
+    stats = dup.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup_positions"),
+        F.count_distinct("gram").alias("n_dup_grams"),
+    )
+    cov = (
+        dup.select("doc_id", F.explode(F.sequence("pos", F.col("pos") + _SUBW - 1)).alias("ti"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("ti").alias("covered_tokens"))
+    )
+    base = t.select(
+        "doc_id", F.greatest(F.size("t") - (_SUBW - 1), F.lit(0)).cast("long").alias("n_positions")
+    )
+    return (
+        base.join(stats, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_positions",
+            F.coalesce("dup_positions", F.lit(0)).cast("long").alias("dup_positions"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _REP_SQL = f"""
     WITH t AS (
       SELECT doc_id, {_SQL_TOKENS} AS toks, len({_SQL_TOKENS}) AS n FROM documents),

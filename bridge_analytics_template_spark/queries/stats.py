@@ -1453,18 +1453,18 @@ def _boot_sql_terms(cast: str) -> str:
 )
 def q_bootstrap_ci(spark, sf_dir):
     """Bootstrap confidence interval for mean order value WITHOUT an RNG:
-    {B} half-sample replicas defined by the parity of the shared md5-60bit
+    32 half-sample replicas defined by the parity of the shared md5-60bit
     hash of (replica, order id) — deterministic, mergeable, and therefore
     oracle-exact (a seeded-RNG bootstrap can never cross the engine
-    boundary). CI bounds are the 2nd / {B1}th order statistics of the
+    boundary). CI bounds are the 2nd / 31th order statistics of the
     replica means (~93% nominal coverage for 32 half-samples). Integer
-    centi-cents throughout; the only list op sorts {B} values.
+    centi-cents throughout; the only list op sorts 32 values.
 
-    Scale shape: ONE pass over the fact table computing 2x{B} conditional
+    Scale shape: ONE pass over the fact table computing 2x32 conditional
     partial aggregates (map-side combine; no explode, no 32x scan blowup),
     then a 1-row finish. This is the textbook \"Poor man's bootstrap\" plan
     for a 1000-executor cluster: the per-partition partials are the only
-    shuffle payload.""".format(B=_BOOT_B, B1=_BOOT_B - 1)
+    shuffle payload."""
     from ..functions.numeric import sql_hash60
 
     o = load(spark, sf_dir, "orders")
