@@ -1807,13 +1807,13 @@ def agg_kmv_setops(spark, sf_dir):
     estimate falls out by inclusion-exclusion est_a + est_b - est_union
     (Beyer et al. SIGMOD'07). Deterministic md5-60bit hashes make every
     estimate a pure function of the data — oracle-exact, unlike the HLL
-    intersect (agg_hll_intersect, rows-only by design). K={K} sits BELOW
+    intersect (agg_hll_intersect, rows-only by design). K=32 sits BELOW
     the sf0.01 cohort sizes so the estimator path (not the small-set exact
     rule) is what the gate checks; exact counts ride along per row.
 
     Scale shape: distinct (side, hash) is one hash aggregate; the k-th
     smallest per side is a window over 3 bounded side-partitions. The
-    intersection row is a 3-row re-aggregation.""".format(K=_KMV_SET_K)
+    intersection row is a 3-row re-aggregation."""
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events")
