@@ -566,11 +566,15 @@ def prefix_filtered_pairs(
         )
         .filter(F.col("rn2") <= F.col("n2") - F.ceil(F.lit(min_jaccard) * F.col("n")) + 1)
         .select("doc", "n", "shingle")
+        .persist()
     )
-    # No persist on the index (r5): the self-join's two sides are the same
-    # canonical subtree, so AQE reuses the shuffle stage; a persist here
-    # paid a blocking materialization + memory write for data the exchange
-    # already holds (measured ~7% slower at sf0.1, identical at worst).
+    # The index persist is load-bearing at scale (r5 plan read): WITHOUT it
+    # the executed plan duplicates the whole prefix subtree — freq
+    # aggregate, hub join and window sort run TWICE (alias exprIds defeat
+    # ReuseExchange, and AQE's broadcast of the a-side is not a reusable
+    # exchange for the b-side). Locally the duplicate stages hide behind
+    # parallel scheduling (A/B within noise at sf0.1), but at corpus scale
+    # that is 2x the two big shuffles for a ~10x-smaller-than-input index.
     a, b = prefixes.alias("a"), prefixes.alias("b")
     cand = (
         a.join(
