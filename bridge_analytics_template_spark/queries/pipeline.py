@@ -153,6 +153,84 @@ def llm_dedup_clusters(spark, sf_dir):
     )
 
 
+def _survivor_sql() -> str:
+    from .curation import _LIN_W
+
+    return f"""
+    WITH RECURSIVE
+    {_SQL_EDGES},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node
+    ),
+    lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node),
+    sc AS (
+      SELECT doc_id,
+             CAST(COALESCE(list_sum(list_transform({_SQL_TOKENS}, tok -> {_LIN_W})), 0)
+                  AS BIGINT) AS score_raw
+      FROM documents),
+    m AS (
+      SELECT lab.doc_id, lab.cluster_id, sc.score_raw,
+             ROW_NUMBER() OVER (PARTITION BY lab.cluster_id
+                                ORDER BY sc.score_raw DESC, lab.doc_id ASC) AS rk
+      FROM lab JOIN sc USING (doc_id))
+    SELECT doc_id, cluster_id, score_raw, rk = 1 AS keep
+    FROM m ORDER BY doc_id
+    """
+
+
+@query("llm_dedup_survivors", sql=_survivor_sql())
+def llm_dedup_survivors(spark, sf_dir):
+    """Quality-aware dedup survivorship — the decision step every dedup
+    pipeline actually ends with: cluster the exact near-dup pairs
+    (prefix-filtered edges -> connected components, as llm_dedup_clusters),
+    score every clustered document with the hashed-feature linear quality
+    model (llm_linear_quality_score's weights), and KEEP exactly one doc
+    per cluster — the highest-scoring one, lowest id on ties — instead of
+    llm_dedup_clusters' blind min-id canonical.
+
+    Scale shape: everything after the edge build is keyed small-data work —
+    the quality scores compute in-row (zero shuffle), the survivor election
+    is max_by in one hash aggregate over |clustered docs| (no window on
+    Spark's side), and the keep flag is a broadcast-sized equi-join back.
+    The oracle re-runs the same closure (recursive CTE), the same formula
+    weights, and elects with a cluster-partitioned row_number."""
+    from .curation import _LIN_W
+
+    d = load(spark, sf_dir, "documents")
+    arrays = _shingle_arrays(d, "text", "doc_id", 5, hashed=True)
+    edges = prefix_filtered_pairs(arrays, min_jaccard=0.5).select("doc_a", "doc_b")
+    lab = connected_components(edges).select(F.col("node").alias("doc_id"), "cluster_id")
+    score = F.expr(
+        f"aggregate(transform(t, tok -> {_LIN_W}), cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    sc = d.select("doc_id", ws_tokens("text").alias("t")).select(
+        "doc_id", F.coalesce(score, F.lit(0)).alias("score_raw")
+    )
+    m = lab.join(sc, "doc_id")
+    # Survivor election as ONE hash aggregate: max_by over the composite
+    # (score, -doc_id) — no cluster-keyed window, map-side combinable.
+    winners = m.groupBy("cluster_id").agg(
+        F.expr("max_by(doc_id, named_struct('s', score_raw, 'd', -doc_id))").alias("survivor")
+    )
+    return (
+        m.join(winners, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "score_raw",
+            (F.col("doc_id") == F.col("survivor")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "lateral_tokens_pos",
     sql=f"""
