@@ -909,3 +909,35 @@ def test_prefix_and_containment_match_bruteforce_random(spark):
         }
         assert got_c == want_c, f"seed {seed}: containment pairs diverge"
         spark.catalog.clearCache()
+
+
+def test_demux_wav_fuzz_never_crashes():
+    """Robustness: on arbitrary byte garbage (including RIFF-prefixed
+    garbage) the demuxer either returns None, a well-formed result, or
+    raises the documented NotImplementedError — never IndexError/
+    ValueError/overflow."""
+    import random
+
+    from bridge_analytics_template_spark.llm.multimodal import demux_wav, mux_wav
+    import numpy as np
+
+    rng = random.Random(99)
+    base = mux_wav((np.arange(64, dtype=np.int64).reshape(32, 2) % 100).astype("<i2"))
+    for trial in range(300):
+        choice = trial % 3
+        if choice == 0:
+            b = bytes(rng.getrandbits(8) for _ in range(rng.randint(0, 80)))
+        elif choice == 1:
+            b = b"RIFF" + bytes(rng.getrandbits(8) for _ in range(rng.randint(0, 60)))
+        else:  # corrupt a real WAV: truncate or flip bytes
+            cut = rng.randint(0, len(base))
+            b = bytearray(base[:cut])
+            for _ in range(rng.randint(0, 4)):
+                if b:
+                    b[rng.randrange(len(b))] = rng.getrandbits(8)
+            b = bytes(b)
+        try:
+            out = demux_wav(b)
+            assert out is None or (len(out) == 3 and out[2].ndim == 2)
+        except NotImplementedError:
+            pass  # documented env-gate for non-PCM format tags
