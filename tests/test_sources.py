@@ -303,3 +303,18 @@ def test_json_corrupt_record_modes(spark, tmp_path):
     assert sorted(r.id for r in dropped.collect()) == [1, 2]
     with pytest.raises(Exception):
         spark.read.schema("id long, v string").option("mode", "FAILFAST").json(str(p)).collect()
+
+
+def test_catalog_scan_cache_keys_on_sf_dir(spark):
+    """The r5 scan cache must never cross-serve SF dirs or tables, and the
+    cached plan must stay collectible (immutable logical plan)."""
+    from bridge_analytics_template_spark.catalog import load
+
+    a = load(spark, "/root/testdata/sf0.001", "region")
+    b = load(spark, "/root/testdata/sf0.01", "region")
+    c = load(spark, "/root/testdata/sf0.001", "region")
+    assert c is a  # same key -> same cached object
+    assert b is not a
+    assert a.count() == b.count() == 5  # both real scans of their own dir
+    n1 = load(spark, "/root/testdata/sf0.001", "nation")
+    assert n1 is not a and n1.count() == 25
