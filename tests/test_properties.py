@@ -494,3 +494,23 @@ def test_ewma_int_matches_python_reference(spark, rows):
         state[u] = s
         want[(u, i)] = s
     assert got == want
+
+
+@given(
+    st.integers(min_value=1, max_value=3),
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=60),
+    st.sampled_from([8000, 16000, 44100]),
+)
+@settings(**SETTINGS)
+def test_wav_mux_demux_roundtrip_property(channels, flat, rate):
+    """RIFF/WAVE mux→demux is the identity on any int16 sample matrix,
+    any channel count, any rate (pure python — no Spark job)."""
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.multimodal import demux_wav, mux_wav
+
+    n = (len(flat) // channels) * channels
+    x = np.array(flat[:n], dtype="<i2").reshape(-1, channels)
+    got_rate, got_ch, got = demux_wav(mux_wav(x, rate))
+    assert (got_rate, got_ch) == (rate, channels)
+    assert got.shape == x.shape and (got == x).all()
