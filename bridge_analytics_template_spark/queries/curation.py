@@ -313,7 +313,10 @@ def llm_substring_dup_mass(spark, sf_dir):
     positions start a duplicated window, (b) how many distinct duplicated
     windows it holds, and (c) the duplicate MASS — tokens covered by the
     union of duplicated windows, i.e. exactly what the Lee et al. pass
-    would cut.
+    would cut. Complements llm_dup_spans: that op reports PAIRWISE maximal
+    shared spans (who shares with whom); this one reports each document's
+    total duplicated token mass against the whole corpus — the removal
+    budget — without ever forming pairs.
 
     Scale shape: windows ride as seeded xxhash64 longs (the distributed
     analog of suffix-array keys — same pairs modulo 2^-64 collisions; the
