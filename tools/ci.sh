@@ -10,6 +10,11 @@ python tools/check_dtypes.py
 # 10x duplicated-values replica sweep over this round's new queries + the
 # bench top-5 (tools/sweep_list.txt), per-query budget 120 s — the cliff
 # detector (r4: caught join_fuzzy_blocked's 313M-pair quadratic). Replica
-# is rebuilt when missing; rerun make_replica manually after fixture regen.
-[ -f /tmp/scale10/documents.parquet ] || python tools/make_replica.py
+# is rebuilt when missing OR older than the source fixture (the driver
+# regenerates /root/testdata each round; a stale replica would sweep
+# last round's data).
+if [ ! -f /tmp/scale10/documents.parquet ] || \
+   [ /root/testdata/sf0.1/documents.parquet -nt /tmp/scale10/documents.parquet ]; then
+    python tools/make_replica.py
+fi
 python tools/scale_sweep.py --budget 120 --list tools/sweep_list.txt
