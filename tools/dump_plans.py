@@ -44,7 +44,7 @@ SHOW = [
     ("llm_winnowing", "winnowing fingerprints: in-row k-gram hash windows, zero shuffle before the output sort"),
     ("q_gini_revenue", "Gini: global rank via range-partitioned contiguous ids, no unpartitioned WindowExec"),
     ("join_shuffled_hash", "SHUFFLE_HASH hint: build-side hash table per partition, no probe-side sort"),
-    ("llm_ngram_jaccard", "r3 prefix-filtered exact sim-join: rarest-first prefixes into the index, size filter on the join, array_intersect verify of candidates only — no full inverted-index self-join"),
+    ("llm_ngram_jaccard", "r5 prefix-filtered exact sim-join: freq-1-pruned rarest-first index (only globally-repeated tokens enter; rank rebuilt from rank-among-survivors), size filter on the join, array_intersect verify of candidates only"),
     ("llm_dedup_minhash", "MinHash: shuffle-free signature projection, band-key self-join, candidates-only verify (now oracle-gated)"),
     ("llm_segment_dedup", "r3 segment dedup: in-row segmentation, min-struct first-occurrence election (keeper text rides the aggregate), doc-keyed reassembly — two keyed shuffles, no window"),
     ("llm_bloom_dedup", "r3 bloom prefilter: literal-bitmap broadcast + codegen bit tests over the corpus scan, broadcast semi-join exact confirm — corpus never shuffled for the prefilter"),
@@ -55,6 +55,10 @@ SHOW = [
     ("llm_domain_cap", "r3 wave-5: deterministic per-source cap — rank≤K compiles to WindowGroupLimit, fat domains never fully sort"),
     ("events_mannwhitney", "r3 wave-5: rank tests on (type, cents-atom) aggregates — windows over atom sets, rows never windowed"),
     ("ts_lttb_downsample", "r3 wave-5: LTTB — ONE co-keyed applyInPandas shuffle, sequential argmax inside the worker"),
+    ("llm_substring_dup_mass", "r5: stride-1 substring dup mass — xxhash64 window keys, one gram aggregate + semi-join back, coverage explodes DUPLICATED positions only; no self-join, no window fn"),
+    ("llm_linear_quality_score", "r5: hashed-feature linear classifier as pure in-row projection — zero hash exchanges before the output sort"),
+    ("llm_dedup_survivors", "r5: dedup survivorship — prefix edges → CC → in-row scores → ONE max_by hash aggregate election, keep flag via equi-join (no cluster window)"),
+    ("llm_av_features", "r5: WAV demux + per-(channel,window) features — two Arrow mapInPandas lanes, no shuffle before the output sort"),
 ]
 
 SF = "/root/testdata/sf0.01"
