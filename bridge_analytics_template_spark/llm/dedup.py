@@ -549,21 +549,21 @@ def prefix_filtered_pairs(
     # attach into a broadcast join whenever the repeated-vocabulary side is
     # small; at web scale it degrades gracefully to the shuffled join with
     # a window input still strictly smaller than the full exploded relation.
-    from pyspark.sql import Window
-
+    # SQL-window expr strings instead of Window objects: same plan, ~half
+    # the py4j round trips per build (the r5 _shingle_arrays lesson).
     hubs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq")).filter("freq >= 2")
-    w = Window.partitionBy("doc").orderBy("freq", "shingle")
-    wn = Window.partitionBy("doc")
     prefixes = (
         sh.join(hubs, "shingle")
         .select(
             "doc",
             "n",
             "shingle",
-            F.row_number().over(w).alias("rn2"),
-            F.count(F.lit(1)).over(wn).alias("n2"),
+            F.expr(
+                "row_number() over (partition by doc order by freq, shingle)"
+            ).alias("rn2"),
+            F.expr("count(1) over (partition by doc)").alias("n2"),
         )
-        .filter(F.col("rn2") <= F.col("n2") - F.ceil(F.lit(min_jaccard) * F.col("n")) + 1)
+        .filter(F.expr(f"rn2 <= n2 - ceil({min_jaccard} * n) + 1"))
         .select("doc", "n", "shingle")
         .persist()
     )
@@ -575,15 +575,16 @@ def prefix_filtered_pairs(
     # parallel scheduling (A/B within noise at sf0.1), but at corpus scale
     # that is 2x the two big shuffles for a ~10x-smaller-than-input index.
     a, b = prefixes.alias("a"), prefixes.alias("b")
+    t = min_jaccard
     cand = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc") < F.col("b.doc"))
-            & (F.col("b.n") >= F.ceil(F.lit(min_jaccard) * F.col("a.n")))
-            & (F.col("a.n") >= F.ceil(F.lit(min_jaccard) * F.col("b.n"))),
+            F.expr(
+                "a.shingle = b.shingle AND a.doc < b.doc "
+                f"AND b.n >= ceil({t} * a.n) AND a.n >= ceil({t} * b.n)"
+            ),
         )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .select(F.expr("a.doc").alias("doc_a"), F.expr("b.doc").alias("doc_b"))
         .distinct()
     )
     return jaccard_for_candidates(shingle_arrays, cand, min_jaccard)
