@@ -205,9 +205,11 @@ def exact_jaccard_pairs(
     pair aggregate (2 shuffles, was 4). When ``candidates`` (doc_a, doc_b)
     is given — e.g. LSH output — only those pairs are scored, which is
     what bounds the cost at corpus scale."""
-    sh = shingle_arrays.select(
-        "doc", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle")
-    ).persist()  # read twice (both join sides); explode_outer per _shingle_table note
+    sh = track(
+        shingle_arrays.select(
+            "doc", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle")
+        ).persist()  # read twice (both join sides); explode_outer per _shingle_table note
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -567,6 +569,7 @@ def prefix_filtered_pairs(
         .select("doc", "n", "shingle")
         .persist()
     )
+    prefixes = track(prefixes)
     # The index persist is load-bearing at scale (r5 plan read): WITHOUT it
     # the executed plan duplicates the whole prefix subtree — freq
     # aggregate, hub join and window sort run TWICE (alias exprIds defeat
