@@ -9,6 +9,7 @@ the DataFrame API and ``spark.sql`` address the same tables.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -65,13 +66,44 @@ def _ensure_session_defaults(spark: SparkSession) -> None:
         pass
 
 
-#: Session-scoped scan cache: (applicationId, sf_dir, table) → DataFrame.
-#: A DataFrame is an immutable logical plan, so handing the same object to
-#: every query is safe; what the cache saves is the ~100 ms of file listing
-#: + footer schema read + analysis that spark.read.parquet pays per call —
-#: pure driver latency, multiplied by every query build in a bench pass.
-_SCANS: dict[tuple[str, str, str], DataFrame] = {}
-_PINNED: set[str] = set()
+#: Session-scoped scan cache, keyed on the SparkSession OBJECT (a
+#: WeakKeyDictionary, so no id()-reuse aliasing): session → {(sf_dir,
+#: table, mtime_token) → DataFrame}. A DataFrame is an immutable logical
+#: plan, so handing the same object to every query is safe; what the cache
+#: saves is the ~100 ms of file listing + footer schema read + analysis
+#: that spark.read.parquet pays per call — pure driver latency, multiplied
+#: by every query build in a bench pass.
+#:
+#: Keyed on session identity, NOT applicationId (ADVICE r5): sibling
+#: sessions (``spark.newSession()``, or a second SparkSession over the same
+#: SparkContext) share one applicationId but have independent session confs
+#: and temp-view catalogs — an appId key would skip ``_ensure_session_
+#: defaults`` for the sibling (UTC/AQE unpinned → timestamp-correctness
+#: risk) and hand it DataFrames whose temp views land in the FIRST
+#: session's catalog. The cached DataFrames reference their session, so an
+#: entry lives as long as its session — exactly the intended lifetime.
+_SESSIONS: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def clear_scan_cache() -> None:
+    """Drop every cached scan (all sessions). Call from harness reset
+    points after rewriting a fixture directory in-place — a cached plan
+    pins the old file listing, so re-execution after a rewrite would throw
+    FileNotFoundException or read stale data (ADVICE r5)."""
+    _SESSIONS.clear()
+
+
+def _dir_token(path: str) -> float:
+    """Cheap staleness token for a fixture path: the file/dir mtime. The
+    driver regenerates ``/root/testdata`` per round while long-lived
+    sessions may survive; folding the mtime into the cache key makes a
+    rewritten fixture a cache miss instead of a stale plan."""
+    try:
+        return os.stat(path).st_mtime
+    except OSError:
+        return 0.0
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -84,16 +116,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     a session-zone (UTC) micro-precision ``timestamp`` — the same wall-clock
     values DuckDB produces with ``CAST(ts AS TIMESTAMP)``.
     """
-    app = spark.sparkContext.applicationId
-    if app not in _PINNED:
+    state = _SESSIONS.get(spark)
+    if state is None:
         _ensure_session_defaults(spark)
-        _PINNED.add(app)
-    key = (app, sf_dir, name)
-    cached = _SCANS.get(key)
+        state = {}
+        _SESSIONS[spark] = state
+    key = (sf_dir, name, _dir_token(table_path(sf_dir, name)))
+    cached = state.get(key)
     if cached is not None:
         return cached
     df = _scan(spark, sf_dir, name)
-    _SCANS[key] = df
+    state[key] = df
     return df
 
 

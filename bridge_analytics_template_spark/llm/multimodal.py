@@ -395,11 +395,14 @@ def demux_wav(b: bytes):
     list (word-aligned sizes, unknown chunks skipped), validate ``fmt ``
     (16-bit integer PCM only), and de-interleave ``data`` into an
     ``(n, channels)`` int16 array. Returns ``(rate, channels, samples)``,
-    or ``None`` for non-RIFF/WAVE bytes. Compressed/non-PCM format tags
-    (MP3-in-WAV 0x55, IEEE float 0x03, extensible 0xFFFE...) raise
+    or ``None`` for non-RIFF/WAVE or otherwise-corrupt bytes. KNOWN
+    compressed/non-PCM format tags (MP3-in-WAV 0x55, IEEE float 0x03,
+    A-law/µ-law 0x06/0x07, extensible 0xFFFE; PCM at 8/24/32-bit) raise
     ``NotImplementedError`` — the same explicit env-gate as the image
     codecs: that is where a libav/soundfile call goes and this container
-    ships neither."""
+    ships neither. UNKNOWN tags are treated as corrupt fmt chunks and
+    quarantined (``None``), so a bit-flipped header in an otherwise-PCM
+    corpus never fails the whole job (ADVICE r5)."""
     import numpy as np
 
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -422,10 +425,24 @@ def demux_wav(b: bytes):
     rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
     if audio_format != 1 or bits != 16:
-        raise NotImplementedError(
-            f"WAV format tag {audio_format}/{bits}-bit needs a real audio codec "
-            "(libav/soundfile) — not available in this environment"
-        )
+        # Only KNOWN compressed/float/extensible tags earn the explicit
+        # env-gate: 0x0003 IEEE float, 0x0006/0x0007 A-law/µ-law,
+        # 0x0055 MP3, 0xFFFE WAVE_FORMAT_EXTENSIBLE — those are real
+        # formats this container genuinely can't decode. Any OTHER tag
+        # (or a PCM tag with non-16 bits outside 8/24/32) is a corrupt
+        # fmt chunk, and corrupt payloads must stay quarantined-by-
+        # omission like every other malformed frame — a single
+        # bit-flipped fmt byte must not fail the whole job (ADVICE r5).
+        known_coded = {0x0003, 0x0006, 0x0007, 0x0055, 0xFFFE}
+        if audio_format in known_coded or (
+            audio_format == 1 and bits in (8, 24, 32)
+        ):
+            raise NotImplementedError(
+                f"WAV format tag 0x{audio_format:04x}/{bits}-bit needs a real "
+                "audio codec (libav/soundfile) — not available in this "
+                "environment"
+            )
+        return None
     if channels < 1:
         return None
     block = channels * 2

@@ -8,6 +8,8 @@ otherwise run single-threaded regardless of cores.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 
@@ -27,6 +29,50 @@ def _parquet_row_groups(files: list[str]) -> int | None:
             path = f[7:] if f.startswith("file://") else f
             total += pq.ParquetFile(path).metadata.num_row_groups
         return total
+    except Exception:
+        return None
+
+
+def _parse_bytes(s: str) -> int:
+    """Spark byte-size conf strings: bare ints or with b/k/m/g suffixes
+    (``conf.get`` on an unset size conf returns e.g. ``"134217728b"``)."""
+    s = s.strip().lower()
+    units = {"pb": 1 << 50, "tb": 1 << 40, "gb": 1 << 30, "mb": 1 << 20,
+             "kb": 1 << 10, "p": 1 << 50, "t": 1 << 40, "g": 1 << 30,
+             "m": 1 << 20, "k": 1 << 10, "b": 1}
+    for suf, mult in units.items():
+        if s.endswith(suf):
+            return int(s[: -len(suf)]) * mult
+    return int(s)
+
+
+def _packed_partition_estimate(
+    df: DataFrame, files: list[str], target: int
+) -> int | None:
+    """Estimate how many partitions Spark's FilePartition packing will plan
+    for these leaves, using the same formula as
+    ``FilePartition.maxSplitBytes`` (size + openCostInBytes padding packed
+    into maxSplitBytes bins). Returns None when file sizes aren't locally
+    stat-able (remote scheme) or there are too many leaves to probe cheaply
+    (>10k ⇒ the probe itself would cost more than the answer is worth)."""
+    if len(files) > 10_000:
+        return None
+    try:
+        conf = df.sparkSession.conf
+        max_part = _parse_bytes(
+            conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20))
+        )
+        open_cost = _parse_bytes(
+            conf.get("spark.sql.files.openCostInBytes", str(4 << 20))
+        )
+        cores = df.sparkSession.sparkContext.defaultParallelism
+        total = 0
+        for f in files:
+            path = f[7:] if f.startswith("file://") else f
+            total += os.stat(path).st_size + open_cost
+        bytes_per_core = max(total // max(cores, 1), open_cost)
+        max_split = min(max_part, bytes_per_core)
+        return max(1, -(-total // max(max_split, 1)))
     except Exception:
         return None
 
@@ -55,10 +101,19 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     files = df.inputFiles()
     if files:
         if len(files) >= target:
-            return df
-        row_groups = _parquet_row_groups(files)
-        if row_groups is not None and row_groups < target:
-            return df.repartition(target)
+            # Many leaves does NOT mean many scan partitions: Spark
+            # bin-packs small files (maxPartitionBytes/openCostInBytes), so
+            # 500 tiny files can plan as 4 tasks (ADVICE r5). Estimate the
+            # packed partition count from local file sizes — one os.stat
+            # per file, no plan translation; only when the estimate (or a
+            # failed stat) says "narrow" do we pay the df.rdd fallback.
+            packed = _packed_partition_estimate(df, files, target)
+            if packed is not None and packed >= target:
+                return df
+        else:
+            row_groups = _parquet_row_groups(files)
+            if row_groups is not None and row_groups < target:
+                return df.repartition(target)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

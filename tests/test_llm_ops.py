@@ -815,6 +815,28 @@ def test_demux_wav_roundtrip_and_chunk_walk():
     with pytest.raises(NotImplementedError):
         demux_wav(bad)
 
+    # UNKNOWN fmt tag = corrupt header, not a codec gap: quarantined as
+    # None so one bit-flipped file can't fail a whole corpus job
+    # (ADVICE r5). Known coded tags (mu-law 0x07) still raise.
+    for tag, bits, expect_raise in (
+        (0x1234, 16, False),  # garbage tag -> quarantine
+        (0x0000, 16, False),  # reserved/invalid -> quarantine
+        (0x0001, 12, False),  # PCM at a bit depth PCM never uses
+        (0x0007, 8, True),    # mu-law: a real codec we honestly lack
+        (0x0055, 16, True),   # MP3-in-WAV
+    ):
+        f = tag.to_bytes(2, "little") + fmt[2:14] + bits.to_bytes(2, "little")
+        wav_bad = (
+            b"RIFF" + (4 + 24 + 14).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little") + f
+            + b"data" + (6).to_bytes(4, "little") + data
+        )
+        if expect_raise:
+            with pytest.raises(NotImplementedError):
+                demux_wav(wav_bad)
+        else:
+            assert demux_wav(wav_bad) is None, hex(tag)
+
 
 def test_wav_frame_features_numpy_reference(spark):
     """Per-(channel, frame) energy and zero crossings vs direct numpy over

@@ -450,6 +450,40 @@ def test_ensure_parallelism_row_group_aware(spark, tmp_path):
     assert _parquet_row_groups(["/tmp/nope.csv"]) is None
 
 
+def test_ensure_parallelism_bin_packed_tiny_files(spark, tmp_path):
+    """Many tiny files do NOT mean many scan partitions: Spark bin-packs
+    small leaves (maxPartitionBytes/openCostInBytes), so len(files) >=
+    target must not early-return (ADVICE r5). 64 one-row files pack into
+    ~cores partitions; asking for more than that must still widen."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bridge_analytics_template_spark.partitioning import (
+        _packed_partition_estimate,
+        _parse_bytes,
+        ensure_parallelism,
+    )
+
+    d = tmp_path / "tiny"
+    d.mkdir()
+    for i in range(64):
+        pq.write_table(pa.table({"x": [i]}), str(d / f"p{i}.parquet"))
+    df = spark.read.parquet(str(d))
+    actual = df.rdd.getNumPartitions()
+    est = _packed_partition_estimate(df, df.inputFiles(), 999)
+    # The estimate mirrors Spark's FilePartition formula — same ballpark
+    # as what Spark actually planned, never the leaf count.
+    assert est is not None and est <= 64
+    assert abs(est - actual) <= max(4, actual)
+    target = actual + 8  # strictly more than the packed plan provides
+    widened = ensure_parallelism(df, min_partitions=target)
+    assert widened.rdd.getNumPartitions() >= target
+
+    assert _parse_bytes("134217728b") == 128 << 20
+    assert _parse_bytes("4m") == 4 << 20
+    assert _parse_bytes("1024") == 1024
+
+
 def test_asof_nearest_single_shuffle_two_sorts(spark, sf_dir):
     """direction='nearest' fills both scan orders as windows over the SAME
     hash partitioning — one exchange, two in-partition sorts, never a

@@ -318,3 +318,51 @@ def test_catalog_scan_cache_keys_on_sf_dir(spark):
     assert a.count() == b.count() == 5  # both real scans of their own dir
     n1 = load(spark, "/root/testdata/sf0.001", "nation")
     assert n1 is not a and n1.count() == 25
+
+
+def test_catalog_sibling_session_gets_own_defaults_and_views(spark):
+    """ADVICE r5 (medium): spark.newSession() shares the applicationId but
+    has independent confs and a separate temp-view catalog. The scan cache
+    must key on SESSION IDENTITY: the sibling gets its own
+    _ensure_session_defaults (UTC pinned) and register_views() must land
+    views in the SIBLING's catalog, visible to its spark.sql."""
+    from bridge_analytics_template_spark.catalog import load, register_views
+
+    sib = spark.newSession()
+    try:
+        sib.conf.set("spark.sql.session.timeZone", "America/New_York")
+        a = load(spark, "/root/testdata/sf0.001", "region")
+        b = load(sib, "/root/testdata/sf0.001", "region")
+        # defaults were re-pinned for the sibling, not silently skipped
+        assert sib.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert b is not a  # cache never crosses session boundaries
+        assert b.sparkSession is sib
+        register_views(sib, "/root/testdata/sf0.001", tables=("region",))
+        assert sib.sql("select count(*) c from region").collect()[0].c == 5
+    finally:
+        # scrub the sibling's temp view so it can't shadow anything
+        sib.catalog.dropTempView("region")
+
+
+def test_catalog_scan_cache_staleness_and_clear(spark, tmp_path):
+    """ADVICE r5: a fixture rewritten in-place must be a cache MISS (mtime
+    token in the key), and clear_scan_cache() must drop cached plans."""
+    import os
+    import shutil
+
+    from bridge_analytics_template_spark.catalog import clear_scan_cache, load
+
+    d = tmp_path / "fixture"
+    d.mkdir()
+    src = "/root/testdata/sf0.001/region.parquet"
+    dst = str(d / "region.parquet")
+    shutil.copyfile(src, dst)
+    a = load(spark, str(d), "region")
+    assert load(spark, str(d), "region") is a  # warm hit
+    # rewrite in place: same path, new mtime -> new plan
+    shutil.copyfile(src, dst)
+    os.utime(dst, (os.path.getmtime(dst) + 5, os.path.getmtime(dst) + 5))
+    b = load(spark, str(d), "region")
+    assert b is not a and b.count() == 5
+    clear_scan_cache()
+    assert load(spark, str(d), "region") is not b
