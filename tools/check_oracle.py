@@ -70,6 +70,89 @@ def frame_to_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+def compare_frames(scols, svals, dcols, dvals):
+    """The comparator proper: (ok, messages) over two already-normalized
+    frames. Factored out so ``--self-test`` can drive it with planted
+    wrong answers (VERDICT r5 task 7 — the gate must be shown to CATCH)."""
+    ok, msgs = True, []
+    if scols != dcols:
+        ok, _ = False, msgs.append(f"cols spark={scols} duck={dcols}")
+    if len(svals) != len(dvals):
+        ok, _ = False, msgs.append(f"rowcount spark={len(svals)} duck={len(dvals)}")
+    if ok and svals != dvals:
+        ok = False
+        diffs = [(a, b) for a, b in zip(svals, dvals) if a != b][:3]
+        msgs.append(f"values differ, first diffs: {diffs}")
+    return ok, msgs
+
+
+def self_test(spark, con, sf: str) -> int:
+    """Negative control for the comparator path itself: run one real query
+    against its real oracle, then plant four distinct wrong answers —
+    value flip, dropped row, int→float dtype drift, renamed column — and
+    assert the comparator reports EACH. A gate that has only ever seen
+    green answers is unaudited (VERDICT r5 task 7)."""
+    import __spark_entry__ as e
+
+    name = "topk_global"  # cheap, oracled, numeric + string columns
+    sdf = e.queries()[name](spark, sf)
+    scols, svals = frame_to_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
+    cur = con.execute(e.oracle_sql()[name])
+    dcols_raw = [d[0] for d in cur.description]
+    draw = [list(r) for r in cur.fetchall()]
+    assert draw, "self-test needs a non-empty result"
+
+    def normed(cols, rows):
+        return frame_to_rows(cols, [tuple(r) for r in rows])
+
+    failures = []
+    ok, _ = compare_frames(scols, svals, *normed(dcols_raw, draw))
+    if not ok:
+        failures.append("baseline (should PASS) failed")
+
+    # 1. one flipped value
+    valrows = [list(r) for r in draw]
+    i = next(i for i, v in enumerate(valrows[0]) if v is not None)
+    v = valrows[0][i]
+    valrows[0][i] = (v + 1) if isinstance(v, (int, float, decimal.Decimal)) else str(v) + "x"
+    ok, msgs = compare_frames(scols, svals, *normed(dcols_raw, valrows))
+    if ok or not any("values differ" in m for m in msgs):
+        failures.append(f"planted value flip not caught: {msgs}")
+
+    # 2. one dropped row
+    ok, msgs = compare_frames(scols, svals, *normed(dcols_raw, draw[1:]))
+    if ok or not any("rowcount" in m for m in msgs):
+        failures.append(f"planted dropped row not caught: {msgs}")
+
+    # 3. dtype drift: every int cell in one column becomes the same-valued
+    #    float (1 -> 1.0). Python == would mask this; the tagged norm must not.
+    ints = [i for i, v in enumerate(draw[0]) if isinstance(v, int) and not isinstance(v, bool)]
+    if not ints:
+        failures.append("self-test query has no int column to perturb")
+    else:
+        drows = [list(r) for r in draw]
+        for r in drows:
+            r[ints[0]] = float(r[ints[0]])
+        ok, msgs = compare_frames(scols, svals, *normed(dcols_raw, drows))
+        if ok or not any("values differ" in m for m in msgs):
+            failures.append(f"planted int->float drift not caught: {msgs}")
+
+    # 4. renamed column
+    cols2 = list(dcols_raw)
+    cols2[0] = cols2[0] + "_renamed"
+    ok, msgs = compare_frames(scols, svals, *normed(cols2, draw))
+    if ok or not any("cols" in m for m in msgs):
+        failures.append(f"planted column rename not caught: {msgs}")
+
+    for f in failures:
+        print(f"[SELF-TEST FAIL] {f}")
+    print(
+        f"self-test: comparator caught {4 - sum('not caught' in f or 'no int' in f for f in failures)}/4 "
+        f"planted defects" + (" — OK" if not failures else " — BROKEN")
+    )
+    return 1 if failures else 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -79,6 +162,11 @@ def main() -> int:
         default=0,
         help="check only the first N registered queries (the driver's window)",
     )
+    ap.add_argument(
+        "--self-test",
+        action="store_true",
+        help="plant wrong answers and assert the comparator catches them",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -86,6 +174,9 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(args.sf, t)}')")
+
+    if args.self_test:
+        return self_test(spark, con, args.sf)
 
     import __spark_entry__ as e
 
@@ -106,16 +197,7 @@ def main() -> int:
                 dcols = [d[0] for d in cur.description]
                 dvals_raw = cur.fetchall()
                 dcols, dvals = frame_to_rows(dcols, dvals_raw)
-                ok = True
-                msgs = []
-                if scols != dcols:
-                    ok, _ = False, msgs.append(f"cols spark={scols} duck={dcols}")
-                if len(svals) != len(dvals):
-                    ok, _ = False, msgs.append(f"rowcount spark={len(svals)} duck={len(dvals)}")
-                if ok and svals != dvals:
-                    ok = False
-                    diffs = [(a, b) for a, b in zip(svals, dvals) if a != b][:3]
-                    msgs.append(f"values differ, first diffs: {diffs}")
+                ok, msgs = compare_frames(scols, svals, dcols, dvals)
                 status = "OK" if ok else "; ".join(msgs)
             n_pass += ok
             n_fail += not ok

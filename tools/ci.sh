@@ -18,3 +18,14 @@ if [ ! -f /tmp/scale10/documents.parquet ] || \
     python tools/make_replica.py
 fi
 python tools/scale_sweep.py --budget 120 --list tools/sweep_list.txt
+# 100x replica stress over the dedup/cluster/KNN headliners (VERDICT r5
+# task 2) — per-query budgets pinned in the list file from measured r5
+# walls x1.5. First proved the distributed-CC path live; now standing.
+if [ ! -f /tmp/scale100/documents.parquet ] || \
+   [ /root/testdata/sf0.1/documents.parquet -nt /tmp/scale100/documents.parquet ]; then
+    python tools/make_replica.py --dst /tmp/scale100 --n 100
+fi
+python tools/scale_sweep.py --dir /tmp/scale100 --list tools/sweep100_list.txt
+# Negative control: the comparator must be shown to CATCH planted wrong
+# answers (value flip / dropped row / dtype drift / renamed column).
+python tools/check_oracle.py --self-test

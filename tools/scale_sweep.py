@@ -42,13 +42,20 @@ def main() -> None:
     args = ap.parse_args()
     spark = get_spark("scale-sweep")
     names = list(args.names)
+    budgets: dict[str, float] = {}
     if args.list_file:
+        # List lines are "name" or "name <budget-seconds>" — the second form
+        # pins a per-query budget (the 100x tier sets these from measured
+        # r5 numbers +50%, VERDICT r5 task 2) overriding --budget.
         with open(args.list_file) as fh:
-            names += [
-                ln.strip()
-                for ln in fh
-                if ln.strip() and not ln.strip().startswith("#")
-            ]
+            for ln in fh:
+                ln = ln.strip()
+                if not ln or ln.startswith("#"):
+                    continue
+                parts = ln.split()
+                names.append(parts[0])
+                if len(parts) > 1:
+                    budgets[parts[0]] = float(parts[1])
     names = names or list(QUERIES)
     unknown = [n for n in names if n not in QUERIES]
     if unknown:
@@ -60,7 +67,8 @@ def main() -> None:
         try:
             n = QUERIES[name](spark, args.dir).count()
             dt = time.time() - t0
-            over = args.budget and dt > args.budget
+            budget = budgets.get(name, args.budget)
+            over = budget and dt > budget
             flag = " OVER-BUDGET" if over else (" SLOW" if dt > 60 else "")
             if over:
                 failures.append(name)
