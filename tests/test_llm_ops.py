@@ -963,3 +963,87 @@ def test_demux_wav_fuzz_never_crashes():
             assert out is None or (len(out) == 3 and out[2].ndim == 2)
         except NotImplementedError:
             pass  # documented env-gate for non-PCM format tags
+
+
+def test_demux_avi_chunk_walk_and_gates():
+    """The AVI demuxer must walk lists (JUNK odd-size chunk inside movi,
+    word alignment), reject truncation/non-AVI, env-gate KNOWN codec
+    fourccs and BI_RLE modes, and QUARANTINE unknown garbage headers
+    (None — a corrupt fmt must never fail a corpus job)."""
+    import numpy as np
+    import pytest
+
+    from bridge_analytics_template_spark.llm.multimodal import demux_avi, mux_avi
+
+    x = ((np.arange(2 * 4 * 7 * 3).reshape(2, 4, 7, 3) * 37) % 256).astype(np.uint8)
+    avi = mux_avi(x)
+    w, h, usec, frames = demux_avi(avi)
+    assert (w, h) == (7, 4) and (frames == x).all()
+
+    assert demux_avi(b"not an avi") is None
+    assert demux_avi(b"RIFF\x04\x00\x00\x00WAVE") is None  # wrong form
+    assert demux_avi(avi[:-5]) is None  # truncated frame chunk
+
+    i = avi.find(b"vids")
+    mjpg = avi[: i + 4] + b"MJPG" + avi[i + 8 :]
+    with pytest.raises(NotImplementedError):
+        demux_avi(mjpg)
+
+    j = avi.find(b"strf")
+    comp_off = j + 8 + 16  # biCompression inside BITMAPINFOHEADER
+    rle8 = avi[:comp_off] + (1).to_bytes(4, "little") + avi[comp_off + 4 :]
+    with pytest.raises(NotImplementedError):
+        demux_avi(rle8)
+    garbage = avi[:comp_off] + (0xDEAD).to_bytes(4, "little") + avi[comp_off + 4 :]
+    assert demux_avi(garbage) is None  # unknown compression: quarantine
+
+
+def test_demux_avi_fuzz_never_crashes():
+    """Randomly corrupted AVI bytes: every outcome is None, a well-formed
+    parse, or the documented NotImplementedError — never IndexError /
+    struct errors / unbounded recursion."""
+    import random
+
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.multimodal import demux_avi, mux_avi
+
+    x = ((np.arange(2 * 3 * 5 * 3).reshape(2, 3, 5, 3) * 29) % 256).astype(np.uint8)
+    base = mux_avi(x)
+    rng = random.Random(11)
+    for _ in range(300):
+        bb = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            bb[rng.randrange(len(bb))] = rng.randrange(256)
+        try:
+            out = demux_avi(bytes(bb))
+        except NotImplementedError:
+            continue
+        assert out is None or len(out) == 4
+
+
+def test_avi_frame_features_numpy_reference(spark):
+    """Per-frame channel sums and SAD deltas vs direct numpy over the same
+    frames; non-AVI payloads quarantine by omission."""
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.multimodal import avi_frame_features, mux_avi
+
+    rng = np.random.default_rng(5)
+    vids = {d: rng.integers(0, 256, size=(3, 4, 6, 3), dtype=np.uint8) for d in (1, 2)}
+    rows = [(d, bytearray(mux_avi(v))) for d, v in vids.items()] + [(3, bytearray(b"junk"))]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {
+        (r.doc_id, r.frame_idx): r for r in avi_frame_features(df).collect()
+    }
+    assert {d for d, _ in got} == {1, 2}  # doc 3 quarantined
+    for d, v in vids.items():
+        x = v.astype(np.int64)
+        for f in range(3):
+            r = got[(d, f)]
+            assert (r.h, r.w) == (4, 6)
+            assert (r.r_sum, r.g_sum, r.b_sum) == tuple(int(s) for s in x[f].sum(axis=(0, 1)))
+            if f == 0:
+                assert r.delta_sad is None
+            else:
+                assert r.delta_sad == int(np.abs(x[f] - x[f - 1]).sum())

@@ -514,3 +514,25 @@ def test_wav_mux_demux_roundtrip_property(channels, flat, rate):
     got_rate, got_ch, got = demux_wav(mux_wav(x, rate))
     assert (got_rate, got_ch) == (rate, channels)
     assert got.shape == x.shape and (got == x).all()
+
+
+@given(
+    st.integers(min_value=1, max_value=4),   # frames
+    st.integers(min_value=1, max_value=9),   # height
+    st.integers(min_value=1, max_value=9),   # width (odd widths pad the stride)
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(**SETTINGS)
+def test_avi_mux_demux_roundtrip_property(n, h, w, seed):
+    """RIFF/AVI mux→demux is the identity on any (n,h,w,3) uint8 frame
+    stack — any geometry, including widths whose DIB stride pads (pure
+    python — no Spark job)."""
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.multimodal import demux_avi, mux_avi
+
+    rng = np.random.default_rng(seed)
+    x = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+    got_w, got_h, usec, got = demux_avi(mux_avi(x, usec_per_frame=33_333))
+    assert (got_w, got_h, usec) == (w, h, 33_333)
+    assert got.shape == x.shape and (got == x).all()
