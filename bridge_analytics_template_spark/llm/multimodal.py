@@ -541,14 +541,21 @@ def _rows_to_rgb(payload: bytes, w: int, h: int):
     return rows.reshape(h, w, 3)[:, :, ::-1][::-1]
 
 
-def mux_avi(frames, usec_per_frame: int = 40_000) -> bytes:
+def mux_avi(frames, usec_per_frame: int = 40_000, audio=None, rate: int = 8000) -> bytes:
     """Build a canonical RIFF/AVI container around ``(n, h, w, 3)`` uint8
     RGB frames as uncompressed 24-bit DIB video — the writer half of
     :func:`demux_avi`, used by fixtures and tests. Structure per the
     public AVI RIFF form: LIST hdrl (avih + LIST strl (strh 'vids'/'DIB '
     + strf BITMAPINFOHEADER)) then LIST movi with one ``00db`` chunk per
     frame. A JUNK chunk of ODD size leads the movi list so a reader that
-    skips word alignment breaks loudly (same trap as mux_wav's LIST)."""
+    skips word alignment breaks loudly (same trap as mux_wav's LIST).
+
+    With ``audio`` (an ``(n_samples, channels)`` int16 matrix) the
+    container gains a SECOND stream — 'auds' strl (strh + WAVEFORMATEX
+    strf, 16-bit PCM at ``rate``) as stream 01 — and the movi list
+    interleaves one ``01wb`` chunk per video frame period, the real A/V
+    interleave shape. Readers must then select by stream NUMBER, not
+    just take every data chunk (:func:`demux_avi_audio`)."""
     import numpy as np
 
     x = np.asarray(frames, dtype=np.uint8)
@@ -567,9 +574,10 @@ def mux_avi(frames, usec_per_frame: int = 40_000) -> bytes:
     def lst(ltype, payload):
         return chunk(b"LIST", ltype + payload)
 
+    n_streams = 1 if audio is None else 2
     avih = (
         u32(usec_per_frame) + u32(0) + u32(0) + u32(0)  # usec/frame, maxbps, pad, flags
-        + u32(n) + u32(0) + u32(1) + u32(stride * h)  # frames, initial, streams, bufsz
+        + u32(n) + u32(0) + u32(n_streams) + u32(stride * h)  # frames, initial, streams, bufsz
         + u32(w) + u32(h) + u32(0) * 4  # width, height, reserved[4]
     )
     strh = (
@@ -582,24 +590,53 @@ def mux_avi(frames, usec_per_frame: int = 40_000) -> bytes:
         u32(40) + u32(w) + u32(h) + u16(1) + u16(24)  # biSize..biBitCount (h>0: bottom-up)
         + u32(0) + u32(stride * h) + u32(0) * 4  # BI_RGB, image size, resolution/clr
     )
-    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    strls = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    audio_chunks = b""
+    if audio is not None:
+        a = np.asarray(audio, dtype="<i2")
+        if a.ndim == 1:
+            a = a[:, None]
+        ch = a.shape[1]
+        block = ch * 2
+        astrh = (
+            b"auds" + b"\x00" * 4 + u32(0) + u16(0) + u16(0)  # type, handler, flags...
+            + u32(0) + u32(1) + u32(rate)  # initial, scale, rate (samples/s)
+            + u32(0) + u32(a.shape[0]) + u32(0) + u32(0xFFFFFFFF)
+            + u32(block) + u16(0) * 4
+        )
+        astrf = (  # WAVEFORMATEX sans cbSize: PCM, ch, rate, byterate, block, bits
+            u16(1) + u16(ch) + u32(rate) + u32(rate * block) + u16(block) + u16(16)
+        )
+        strls += lst(b"strl", chunk(b"strh", astrh) + chunk(b"strf", astrf))
+        per = -(-a.shape[0] // max(n, 1))  # samples per video frame period
+        audio_chunks = [
+            chunk(b"01wb", a[f * per : (f + 1) * per].tobytes()) for f in range(n)
+        ]
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strls)
     movi_body = chunk(b"JUNK", b"odd")  # odd size: word-alignment trap
     for f in range(n):
         movi_body += chunk(b"00db", _bgr_rows(x[f]))
+        if audio_chunks:
+            movi_body += audio_chunks[f]
     body = b"AVI " + hdrl + lst(b"movi", movi_body)
     return b"RIFF" + u32(len(body)) + body
 
 
 def _walk_chunks(b: bytes, i: int, end: int):
-    """Yield (chunk_id, payload) over a RIFF chunk span, honoring word
-    alignment; stops (without yielding a partial) on truncation."""
+    """Collect [(chunk_id, payload), ...] over a RIFF chunk span, honoring
+    word alignment. Returns None — not a partial list — when any chunk's
+    declared size overruns the span, so corrupt interiors quarantine the
+    whole file instead of silently parsing a prefix (a generator here
+    would stop early and hand callers a plausible-but-wrong parse)."""
+    out = []
     while i + 8 <= end:
         cid, size = b[i : i + 4], int.from_bytes(b[i + 4 : i + 8], "little")
         payload = b[i + 8 : i + 8 + size]
         if len(payload) < size:
             return None  # truncated chunk — caller quarantines the file
-        yield cid, payload
+        out.append((cid, payload))
         i += 8 + size + (size % 2)
+    return out
 
 
 #: AVI video fourccs / BITMAPINFOHEADER biCompression values this container
@@ -716,6 +753,101 @@ def demux_avi(b: bytes):
     return w, h, usec, np.stack(frames)
 
 
+def demux_avi_audio(b: bytes):
+    """Audio-track demux from a RIFF/AVI container: locate the 'auds'
+    stream among the strl lists (selecting by stream NUMBER — an A/V file
+    interleaves ``00db`` video and ``01wb`` audio chunks and a reader
+    that grabs every data chunk gets garbage), validate 16-bit integer
+    PCM via the WAVEFORMATEX strf (same tag policy as :func:`demux_wav`:
+    KNOWN coded tags env-gate with ``NotImplementedError``, unknown
+    garbage quarantines as None), concatenate that stream's ``NNwb``
+    payloads in movi order, and de-interleave. Returns ``(rate,
+    channels, samples)`` with ``samples`` an ``(n, channels)`` int16
+    array, or ``None`` for non-AVI / corrupt / audio-less files.
+
+    Deliberately independent of :func:`demux_avi`'s video validation: an
+    MJPG-video + PCM-audio container must still yield its audio (and
+    vice versa a DIB-video + MP3-audio file still yields frames)."""
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    auds_idx, stream_no = None, 0
+    rate = channels = None
+    payloads: list[bytes] = []
+
+    def walk_list(payload):
+        nonlocal auds_idx, stream_no, rate, channels
+        ltype = payload[:4]
+        it = _walk_chunks(payload, 4, len(payload))
+        if it is None:
+            return False
+        if ltype == b"strl":
+            my_no = stream_no
+            stream_no += 1
+            strh = strf = None
+            for cid, pl in it:
+                if cid == b"strh":
+                    strh = pl
+                elif cid == b"strf":
+                    strf = pl
+            if strh is None or len(strh) < 8:
+                return False
+            if strh[:4] != b"auds":
+                return True  # video/text stream: ignore, keep walking
+            if auds_idx is not None:
+                return True  # first audio stream wins
+            if strf is None or len(strf) < 16:
+                return False
+            tag = int.from_bytes(strf[0:2], "little")
+            ch = int.from_bytes(strf[2:4], "little")
+            sr = int.from_bytes(strf[4:8], "little")
+            bits = int.from_bytes(strf[14:16], "little")
+            if tag != 1 or bits != 16:
+                known_coded = {0x0003, 0x0006, 0x0007, 0x0055, 0xFFFE}
+                if tag in known_coded or (tag == 1 and bits in (8, 24, 32)):
+                    raise NotImplementedError(
+                        f"AVI audio format 0x{tag:04x}/{bits}-bit needs a real "
+                        "audio codec — not available in this environment"
+                    )
+                return False
+            if ch < 1:
+                return False
+            rate, channels, auds_idx = sr, ch, my_no
+            return True
+        for cid, pl in it:
+            if cid == b"LIST":
+                if walk_list(pl) is False:
+                    return False
+            elif (
+                len(cid) == 4
+                and cid[2:4] == b"wb"
+                and cid[:2].isdigit()
+                and auds_idx is not None
+                and int(cid[:2]) == auds_idx
+            ):
+                payloads.append(pl)
+        return True
+
+    it = _walk_chunks(b, 12, len(b))
+    if it is None:
+        return None
+    try:
+        for cid, pl in it:
+            if cid == b"LIST":
+                if walk_list(pl) is False:
+                    return None
+    except RecursionError:
+        return None
+    if auds_idx is None or not payloads:
+        return None
+    data = b"".join(payloads)
+    block = channels * 2
+    usable = len(data) - (len(data) % block)
+    x = np.frombuffer(data[:usable], dtype="<i2").reshape(-1, channels)
+    return rate, channels, x
+
+
 def avi_frame_features(
     df: DataFrame,
     content_col: str = "content",
@@ -769,4 +901,63 @@ def avi_frame_features(
         run,
         schema="doc_id bigint, frame_idx int, h int, w int, "
         "r_sum bigint, g_sum bigint, b_sum bigint, delta_sad bigint",
+    )
+
+
+def av_sync_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Aligned audio+video features from ONE interleaved A/V container:
+    demux both streams (:func:`demux_avi` + :func:`demux_avi_audio`),
+    split the audio track into per-video-frame windows (the mux's
+    interleave period: ceil(n_samples / n_frames)), and emit one row per
+    frame with the exact int64 pixel sum, SAD delta vs the previous frame
+    (NULL on frame 0), and the aligned window's audio energy — the
+    soundtrack-aware scene table an A/V curation pass joins against
+    (silent scene cuts, talking-head detection). One Arrow-batched
+    mapInPandas pass, 1→N fan-out, no shuffle. Files missing either
+    stream (or corrupt) quarantine by omission; known compressed codecs
+    in EITHER stream propagate ``NotImplementedError``."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, psum, sad, aen = [], [], [], [], []
+            for i, buf in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(buf)
+                vid = demux_avi(b)
+                aud = demux_avi_audio(b)
+                if vid is None or aud is None:
+                    continue
+                _w, _h, _usec, frames = vid
+                _rate, _ch, samples = aud
+                x = frames.astype(np.int64)
+                a = samples.astype(np.int64)
+                n = x.shape[0]
+                per = -(-a.shape[0] // max(n, 1))
+                sums = x.sum(axis=(1, 2, 3))
+                deltas = np.abs(x[1:] - x[:-1]).sum(axis=(1, 2, 3))
+                for f in range(n):
+                    w = a[f * per : (f + 1) * per]
+                    ids.append(i)
+                    fidx.append(f)
+                    psum.append(int(sums[f]))
+                    sad.append(None if f == 0 else int(deltas[f - 1]))
+                    aen.append(int((w * w).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "pixel_sum": pd.Series(psum, dtype="int64"),
+                    "delta_sad": pd.Series(sad, dtype="Int64"),
+                    "audio_energy": pd.Series(aen, dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(id_col).alias("doc_id"), F.col(content_col)).mapInPandas(
+        run,
+        schema="doc_id bigint, frame_idx int, pixel_sum bigint, "
+        "delta_sad bigint, audio_energy bigint",
     )

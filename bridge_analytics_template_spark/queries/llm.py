@@ -1383,6 +1383,293 @@ def llm_video_features(spark, sf_dir):
     return avi_frame_features(avis).orderBy("doc_id", "frame_idx")
 
 
+#: Audio geometry for llm_av_sync: stereo, 64 samples per video frame
+#: (aligned windows — the mux interleaves one 01wb chunk per 00db frame);
+#: window gate shares the VAD formula with k := frame index.
+_AVS_FRAME = 64
+
+
+@query(
+    "llm_av_sync",
+    sql=f"""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 0),
+    px AS (
+      SELECT i.doc_id, f.f,
+             (i.doc_id * 3 + f.f * 31 + y.y * 7 + x.x * 5 + c.c * 11) % 256 AS v,
+             CASE WHEN f.f > 0 THEN
+               (i.doc_id * 3 + (f.f - 1) * 31 + y.y * 7 + x.x * 5 + c.c * 11) % 256
+             END AS vp
+      FROM ids i,
+           generate_series(0, {_VID_N - 1}) f(f),
+           generate_series(0, {_VID_H - 1}) y(y),
+           generate_series(0, {_VID_W - 1}) x(x),
+           generate_series(0, 2) c(c)),
+    vstats AS (
+      SELECT doc_id, f, SUM(v) AS pixel_sum,
+             CASE WHEN f > 0 THEN SUM(ABS(v - vp)) END AS delta_sad
+      FROM px GROUP BY doc_id, f),
+    au AS (
+      SELECT i.doc_id, f.f,
+             CASE WHEN (i.doc_id * 31 + c.c * 13 + f.f * 29) % 5 < 2 THEN
+               ((i.doc_id * 7 + (f.f * {_AVS_FRAME} + x.x) * 13 + c.c * 17) % 4096) - 2048
+             ELSE 0 END AS v
+      FROM ids i,
+           generate_series(0, 1) c(c),
+           generate_series(0, {_VID_N - 1}) f(f),
+           generate_series(0, {_AVS_FRAME - 1}) x(x)),
+    astats AS (
+      SELECT doc_id, f, SUM(v * v) AS audio_energy FROM au GROUP BY doc_id, f)
+    SELECT v.doc_id, CAST(v.f AS INT) AS frame_idx,
+           CAST(v.pixel_sum AS BIGINT) AS pixel_sum,
+           CAST(v.delta_sad AS BIGINT) AS delta_sad,
+           CAST(a.audio_energy AS BIGINT) AS audio_energy
+    FROM vstats v JOIN astats a ON v.doc_id = a.doc_id AND v.f = a.f
+    ORDER BY v.doc_id, frame_idx
+    """,
+)
+def llm_av_sync(spark, sf_dir):
+    """L5 multi-stream tier: ONE interleaved A/V container, BOTH streams
+    demuxed and aligned. Per selected doc the engine muxes a real
+    two-stream AVI — 4 DIB video frames (llm_video_features' pixel
+    formula) interleaved with one ``01wb`` PCM chunk per frame (gated
+    audio: the VAD formula with k = frame index) — then
+    llm/multimodal.py::av_sync_features demuxes video (``demux_avi``) AND
+    audio (``demux_avi_audio``, selecting by stream NUMBER among the
+    interleaved chunks) and emits the per-frame aligned table: exact
+    int64 pixel sum, SAD delta, and the frame window's audio energy —
+    the soundtrack-aware scene table (silent-cut / talking-head signals)
+    an A/V curation pass joins against.
+
+    The oracle reproduces both stream formulas arithmetically; the ENGINE
+    recovers them from one byte buffer, so stream-number confusion (video
+    bytes read as audio), interleave misalignment, or either demuxer
+    regressing hash-fails. Single mapInPandas pass, no shuffle."""
+    import numpy as np
+
+    from ..llm.multimodal import av_sync_features, mux_avi
+
+    f_idx = np.arange(_VID_N, dtype=np.int64)[:, None, None, None]
+    y_idx = np.arange(_VID_H, dtype=np.int64)[None, :, None, None]
+    x_idx = np.arange(_VID_W, dtype=np.int64)[None, None, :, None]
+    c_idx = np.arange(3, dtype=np.int64)[None, None, None, :]
+    i_idx = np.arange(_VID_N * _AVS_FRAME, dtype=np.int64)[:, None]
+    ac_idx = np.arange(2, dtype=np.int64)[None, :]
+    k_idx = i_idx // _AVS_FRAME
+
+    def gen(batches):
+        import pandas as pd
+
+        def one(d):
+            vid = ((d * 3 + f_idx * 31 + y_idx * 7 + x_idx * 5 + c_idx * 11) % 256).astype(
+                np.uint8
+            )
+            gate = ((d * 31 + ac_idx * 13 + k_idx * 29) % 5 < 2).astype(np.int64)
+            aud = ((d * 7 + i_idx * 13 + ac_idx * 17) % 4096) - 2048
+            return mux_avi(vid, audio=aud * gate, rate=8000)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": pdf["doc_id"].map(one)}
+            )
+
+    ids = load(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0).select("doc_id")
+    avs = ids.mapInPandas(gen, schema="doc_id bigint, content binary")
+    return av_sync_features(avs).orderBy("doc_id", "frame_idx")
+
+
+#: Synthetic gated-audio geometry for llm_vad_segments: stereo, 16 windows
+#: of 64 samples; window (d, c, k) is VOICED iff (d*31 + c*13 + k*29) mod
+#: 5 < 2 (~40%), silence windows are all-zero — so "energy > 0" is the
+#: exact voiced predicate and needs no float threshold.
+_VAD_K, _VAD_FRAME = 16, 64
+
+
+@query(
+    "llm_vad_segments",
+    sql=f"""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 0),
+    s AS (
+      SELECT i.doc_id, c.c AS channel, k.k,
+             CASE WHEN (i.doc_id * 31 + c.c * 13 + k.k * 29) % 5 < 2 THEN
+               ((i.doc_id * 7 + (k.k * {_VAD_FRAME} + x.x) * 13 + c.c * 17) % 4096) - 2048
+             ELSE 0 END AS v
+      FROM ids i,
+           generate_series(0, 1) c(c),
+           generate_series(0, {_VAD_K - 1}) k(k),
+           generate_series(0, {_VAD_FRAME - 1}) x(x)),
+    frames AS (
+      SELECT doc_id, channel, k, SUM(v * v) AS energy
+      FROM s GROUP BY doc_id, channel, k),
+    voiced AS (
+      SELECT doc_id, channel, k, energy,
+             k - ROW_NUMBER() OVER (PARTITION BY doc_id, channel ORDER BY k) AS grp
+      FROM frames WHERE energy > 0)
+    SELECT doc_id, CAST(channel AS INT) AS channel,
+           CAST(MIN(k) AS INT) AS seg_start, CAST(MAX(k) AS INT) AS seg_end,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(energy) AS BIGINT) AS energy
+    FROM voiced GROUP BY doc_id, channel, grp
+    ORDER BY doc_id, channel, seg_start
+    """,
+)
+def llm_vad_segments(spark, sf_dir):
+    """L5 decision tier, audio: voice-activity SEGMENTS from demuxed
+    bytes — the silence-trim / speech-extraction decision an audio
+    curation pass ships, not just the per-window features it thresholds.
+    The engine muxes a real stereo WAV per selected doc (windows gated
+    to exact silence ~60% of the time), demuxes it
+    (llm/multimodal.py::demux_wav via wav_frame_features), keeps voiced
+    windows (energy > 0 — exact, no float threshold), and merges
+    consecutive windows into segments with the classic gaps-and-islands
+    window (frame_idx − row_number, partitioned by doc+channel — never a
+    corpus-wide window). Output per segment: start/end window, length,
+    exact int64 total energy.
+
+    The oracle reproduces the gating arithmetically; the ENGINE recovers
+    it from RIFF bytes, so a demux or island-numbering bug hash-fails."""
+    import numpy as np
+
+    from ..llm.multimodal import mux_wav, wav_frame_features
+
+    i_idx = np.arange(_VAD_K * _VAD_FRAME, dtype=np.int64)[:, None]
+    c_idx = np.arange(2, dtype=np.int64)[None, :]
+    k_idx = i_idx // _VAD_FRAME
+
+    def gen(batches):
+        import pandas as pd
+
+        def one(d):
+            gate = ((d * 31 + c_idx * 13 + k_idx * 29) % 5 < 2).astype(np.int64)
+            base = ((d * 7 + i_idx * 13 + c_idx * 17) % 4096) - 2048
+            return mux_wav(base * gate)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": pdf["doc_id"].map(one)}
+            )
+
+    ids = load(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0).select("doc_id")
+    wavs = ids.mapInPandas(gen, schema="doc_id bigint, content binary")
+    feats = wav_frame_features(wavs, frame=_VAD_FRAME, stride=_VAD_FRAME)
+    voiced = feats.filter(F.col("energy") > 0)
+    w = Window.partitionBy("doc_id", "channel").orderBy("frame_idx")
+    return (
+        voiced.withColumn("grp", F.col("frame_idx") - F.row_number().over(w))
+        .groupBy("doc_id", "channel", "grp")
+        .agg(
+            F.min("frame_idx").alias("seg_start"),
+            F.max("frame_idx").alias("seg_end"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("energy").alias("energy"),
+        )
+        .select("doc_id", "channel", "seg_start", "seg_end", "n_frames", "energy")
+        .orderBy("doc_id", "channel", "seg_start")
+    )
+
+
+#: Synthetic scene geometry for llm_scene_cuts: 8 frames of 6x7 RGB in 4
+#: two-frame scenes — frames inside a scene are IDENTICAL (delta_sad = 0),
+#: scene boundaries jump (s*97 term), so "cut where delta_sad > 0" is the
+#: exact scene structure. Pixel v(d,f,y,x,c) uses s = f//2.
+_SC_N, _SC_LEN = 8, 2
+
+
+@query(
+    "llm_scene_cuts",
+    sql=f"""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 0),
+    px AS (
+      SELECT i.doc_id, f.f,
+             (i.doc_id * 3 + (f.f // {_SC_LEN}) * 97 + y.y * 7 + x.x * 5 + c.c * 11) % 256 AS v
+      FROM ids i,
+           generate_series(0, {_SC_N - 1}) f(f),
+           generate_series(0, {_VID_H - 1}) y(y),
+           generate_series(0, {_VID_W - 1}) x(x),
+           generate_series(0, 2) c(c)),
+    frames AS (
+      SELECT doc_id, f, CAST(f // {_SC_LEN} AS BIGINT) AS scene_id, SUM(v) AS fsum
+      FROM px GROUP BY doc_id, f)
+    SELECT doc_id, CAST(scene_id AS INT) AS scene_idx,
+           CAST(MIN(f) AS INT) AS start_frame, CAST(MAX(f) AS INT) AS end_frame,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(fsum) AS BIGINT) AS pixel_sum
+    FROM frames GROUP BY doc_id, scene_id
+    ORDER BY doc_id, scene_idx
+    """,
+)
+def llm_scene_cuts(spark, sf_dir):
+    """L5 decision tier (the r5 survivorship motif applied to video):
+    scene SEGMENTATION from demuxed bytes. The engine muxes a real 8-frame
+    AVI per selected doc (4 two-frame scenes — identical frames inside a
+    scene, a pixel jump at each boundary), demuxes it
+    (llm/multimodal.py::demux_avi), computes per-frame SAD deltas
+    (avi_frame_features), marks a CUT where delta_sad > 0, and converts
+    cuts to scene spans with a running cut-count window partitioned by
+    doc (gaps-and-islands; no corpus-wide window). Output per scene:
+    start/end frame, length, exact int64 pixel sum.
+
+    The oracle reproduces the scene structure arithmetically from the
+    pixel formula — but the ENGINE must recover it from container bytes,
+    so a demux, SAD, or island-numbering bug hash-fails. delta_sad = 0
+    within scenes exactly (integer SAD of identical frames), so the cut
+    predicate needs no float threshold."""
+    import numpy as np
+
+    from ..llm.multimodal import avi_frame_features, mux_avi
+
+    f_idx = np.arange(_SC_N, dtype=np.int64)[:, None, None, None]
+    y_idx = np.arange(_VID_H, dtype=np.int64)[None, :, None, None]
+    x_idx = np.arange(_VID_W, dtype=np.int64)[None, None, :, None]
+    c_idx = np.arange(3, dtype=np.int64)[None, None, None, :]
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": pdf["doc_id"].map(
+                        lambda d: mux_avi(
+                            (
+                                (d * 3 + (f_idx // _SC_LEN) * 97 + y_idx * 7 + x_idx * 5 + c_idx * 11)
+                                % 256
+                            ).astype(np.uint8)
+                        )
+                    ),
+                }
+            )
+
+    ids = load(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0).select("doc_id")
+    avis = ids.mapInPandas(gen, schema="doc_id bigint, content binary")
+    feats = avi_frame_features(avis)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    scenes = feats.withColumn(
+        "scene_id",
+        F.sum(
+            F.when(F.coalesce(F.col("delta_sad"), F.lit(0)) > 0, F.lit(1)).otherwise(F.lit(0))
+        ).over(w),
+    )
+    return (
+        scenes.groupBy("doc_id", "scene_id")
+        .agg(
+            F.min("frame_idx").alias("start_frame"),
+            F.max("frame_idx").alias("end_frame"),
+            F.count(F.lit(1)).alias("n_frames"),
+            (F.sum("r_sum") + F.sum("g_sum") + F.sum("b_sum")).alias("pixel_sum"),
+        )
+        .select(
+            "doc_id",
+            F.col("scene_id").cast("int").alias("scene_idx"),
+            "start_frame",
+            "end_frame",
+            "n_frames",
+            "pixel_sum",
+        )
+        .orderBy("doc_id", "scene_idx")
+    )
+
+
 @query("llm_compression_ratio")  # rows-only: zlib is not SQL-expressible
 def llm_compression_ratio(spark, sf_dir):
     """L4+: compression-ratio quality signal — zlib-compressed bytes over

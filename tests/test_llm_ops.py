@@ -1047,3 +1047,74 @@ def test_avi_frame_features_numpy_reference(spark):
                 assert r.delta_sad is None
             else:
                 assert r.delta_sad == int(np.abs(x[f] - x[f - 1]).sum())
+
+
+def test_demux_avi_audio_stream_selection_and_gates():
+    """A/V container: audio demux must select by stream NUMBER among
+    interleaved 00db/01wb chunks; each stream's env-gate is independent
+    (MJPG video must not block PCM audio and vice versa); video-only
+    files and garbage audio tags quarantine as None."""
+    import numpy as np
+    import pytest
+
+    from bridge_analytics_template_spark.llm.multimodal import (
+        demux_avi,
+        demux_avi_audio,
+        mux_avi,
+    )
+
+    vid = ((np.arange(4 * 6 * 7 * 3).reshape(4, 6, 7, 3) * 37) % 256).astype(np.uint8)
+    aud = (np.arange(4 * 64 * 2).reshape(-1, 2) * 91 % 4096 - 2048).astype("<i2")
+    avi = mux_avi(vid, audio=aud, rate=16000)
+
+    w, h, _usec, frames = demux_avi(avi)
+    assert (w, h) == (7, 6) and (frames == vid).all()
+    rate, ch, x = demux_avi_audio(avi)
+    assert (rate, ch) == (16000, 2) and (x == aud).all()
+    assert demux_avi_audio(mux_avi(vid)) is None  # no audio stream
+
+    i = avi.find(b"vids")
+    mjpg = avi[: i + 4] + b"MJPG" + avi[i + 8 :]
+    with pytest.raises(NotImplementedError):
+        demux_avi(mjpg)
+    _r, _c, x2 = demux_avi_audio(mjpg)  # audio unaffected by video codec
+    assert (x2 == aud).all()
+
+    k = avi.find(b"strf", avi.find(b"auds"))
+    mp3 = avi[: k + 8] + (0x55).to_bytes(2, "little") + avi[k + 10 :]
+    with pytest.raises(NotImplementedError):
+        demux_avi_audio(mp3)
+    assert (demux_avi(mp3)[3] == vid).all()  # video unaffected by audio tag
+    garbage = avi[: k + 8] + (0x1234).to_bytes(2, "little") + avi[k + 10 :]
+    assert demux_avi_audio(garbage) is None  # corrupt tag: quarantine
+
+
+def test_av_sync_features_numpy_reference(spark):
+    """Per-frame aligned A/V features vs direct numpy: pixel sums, SAD
+    deltas, and the audio energy of each frame's interleave window; files
+    missing either stream quarantine by omission."""
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.multimodal import av_sync_features, mux_avi
+
+    rng = np.random.default_rng(9)
+    vid = rng.integers(0, 256, size=(3, 4, 5, 3), dtype=np.uint8)
+    aud = rng.integers(-2048, 2048, size=(3 * 50, 2)).astype("<i2")
+    rows = [
+        (1, bytearray(mux_avi(vid, audio=aud))),
+        (2, bytearray(mux_avi(vid))),  # video-only: skipped
+        (3, bytearray(b"junk")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r.frame_idx: r for r in av_sync_features(df).collect()}
+    assert all(r.doc_id == 1 for r in got.values()) and len(got) == 3
+    x = vid.astype(np.int64)
+    a = aud.astype(np.int64)
+    for f in range(3):
+        r = got[f]
+        assert r.pixel_sum == int(x[f].sum())
+        assert (r.delta_sad is None) == (f == 0)
+        if f > 0:
+            assert r.delta_sad == int(np.abs(x[f] - x[f - 1]).sum())
+        w = a[f * 50 : (f + 1) * 50]
+        assert r.audio_energy == int((w * w).sum())
