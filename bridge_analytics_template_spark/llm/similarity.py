@@ -172,11 +172,26 @@ def knn_lsh(
         "query_id", "qv", F.explode_outer(F.array(*probe_structs)).alias("probe")
     ).select("query_id", "qv", F.col("probe.table").alias("table"), F.col("probe.bucket").alias("bucket"))
 
-    pairs = (
-        c_bucketed.join(F.broadcast(q_probed), ["table", "bucket"])
+    # Dedup on SKINNY id pairs, then re-attach vectors for scoring. The
+    # obvious form (carry qv+cv through the bucket join and dropDuplicates
+    # the fat rows) shuffles ~1 KB/pair; at dup-dense corpora the
+    # candidate set is huge by construction (the 100x replica: ~100
+    # colliding copies per probe bucket → 10^8 pairs ≈ 100+ GB spill —
+    # measured disk-full on this box, r6). Deduping 16-byte id pairs
+    # first cuts that shuffle ~70x; cv re-attaches via one linear join
+    # against the candidate relation, qv via the broadcast probe set (a
+    # probe set small enough to broadcast is the precondition of this
+    # path, same as knn_bruteforce_np).
+    pair_ids = (
+        c_bucketed.select("neighbor_id", "table", "bucket")
+        .join(F.broadcast(q_probed.select("query_id", "table", "bucket")), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])  # collide in several tables — score once
+    )
+    pairs = (
+        pair_ids.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
         .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
     )
     return _ranked(pairs, k)
