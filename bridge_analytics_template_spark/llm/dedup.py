@@ -19,7 +19,7 @@ across runs and partitionings.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import track
@@ -35,6 +35,47 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         .groupBy("content_md5")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+def collapse_exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Distinct-first collapse for CLUSTERING consumers: ``(reps, star)``
+    where ``reps`` keeps one min-id representative per exact text and
+    ``star`` holds one (copy → representative) edge per collapsed copy.
+
+    Running a near-dup edge builder over ``reps`` and unioning ``star``
+    is connectivity-equivalent to running it over ALL docs, for any
+    similarity measure that depends only on text content: identical texts
+    form jaccard-1 cliques (always ≥ any threshold), and a clique and a
+    star over the same members connect the same component; the min node
+    id of a component is always an exact-group minimum, i.e. a rep, so
+    min-label components are bit-identical. What changes is COST: pair
+    discovery runs on |distinct texts| docs instead of |docs|, so a
+    corpus with duplication factor k cuts the candidate/verify tier ~k²
+    (the 100x replica: 500k docs → 5k reps; 27.31M verified pairs → ~3k
+    rep pairs + 495k star edges, and connected_components' edge set drops
+    under its small-graph union-find threshold — measured 57.6s → ~8s).
+    This is exactly the dup-dense shape the 100x standing gate exists to
+    catch; the PAIR-emitting queries (llm_dedup_minhash,
+    llm_ngram_jaccard...) keep the full form because their CONTRACT is
+    every pair."""
+    keyed = df.select(
+        F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("ck")
+    )
+    # ONE exchange serves both outputs: a window-min over the content
+    # hash (uniform keys — md5) tags every row with its group minimum,
+    # and reps/star are two filters over the SAME shuffled frame (the
+    # exchange is reused). The agg+join spelling costs a second shuffle —
+    # measured +0.2s at sf0.1 for nothing (interleaved A/B, r6).
+    tagged = keyed.withColumn(
+        "rep", F.min(id_col).over(Window.partitionBy("ck"))
+    )
+    reps = tagged.filter(F.col(id_col) == F.col("rep")).select(id_col, text_col)
+    star = tagged.filter(F.col(id_col) != F.col("rep")).select(
+        F.col("rep").alias("doc_a"), F.col(id_col).alias("doc_b")
+    )
+    return reps, star
 
 
 def dedup_normalized(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -23,7 +23,12 @@ from ..functions.text import (
     token_length_sum,
     ws_tokens,
 )
-from ..llm.dedup import _shingle_arrays, connected_components, prefix_filtered_pairs
+from ..llm.dedup import (
+    _shingle_arrays,
+    collapse_exact_duplicates,
+    connected_components,
+    prefix_filtered_pairs,
+)
 from ..sources.readers import read_orc
 from .registry import query
 
@@ -139,13 +144,23 @@ def llm_dedup_clusters(spark, sf_dir):
     exact verify), scale-correct plan; guarded by
     test_cluster_edges_use_prefix_filter. The MinHash-LSH edge tier is the
     sibling llm_dedup_clusters_lsh (same oracle, probabilistic edge
-    build)."""
+    build).
+
+    r6: DISTINCT-FIRST edge build (collapse_exact_duplicates): pair
+    discovery runs over one representative per exact text, copies attach
+    by star edges — bit-identical components (clique ≡ star for
+    jaccard-1 groups; see the helper's proof sketch), but the verify
+    tier shrinks by the duplication factor squared. 100x replica:
+    27.31M verified pairs → ~3k rep pairs + 495k star edges, 57.6s →
+    ~8s, and CC's edge set drops to its union-find path."""
     d = load(spark, sf_dir, "documents")
+    reps, star = collapse_exact_duplicates(d)
     # Hashed (long) shingles: the clustering only consumes the PAIR SET, so
     # the strings never need to survive tokenization — same pairs as the
     # string form modulo 2^-64 collisions, at a fraction of the join bytes.
-    arrays = _shingle_arrays(d, "text", "doc_id", 5, hashed=True)
-    edges = prefix_filtered_pairs(arrays, min_jaccard=0.5).select("doc_a", "doc_b")
+    arrays = _shingle_arrays(reps, "text", "doc_id", 5, hashed=True)
+    rep_pairs = prefix_filtered_pairs(arrays, min_jaccard=0.5).select("doc_a", "doc_b")
+    edges = rep_pairs.unionByName(star)
     return (
         connected_components(edges)
         .select(F.col("node").alias("doc_id"), "cluster_id")
@@ -204,8 +219,13 @@ def llm_dedup_survivors(spark, sf_dir):
     from .curation import _LIN_W
 
     d = load(spark, sf_dir, "documents")
-    arrays = _shingle_arrays(d, "text", "doc_id", 5, hashed=True)
-    edges = prefix_filtered_pairs(arrays, min_jaccard=0.5).select("doc_a", "doc_b")
+    reps, star = collapse_exact_duplicates(d)  # r6: distinct-first, see llm_dedup_clusters
+    arrays = _shingle_arrays(reps, "text", "doc_id", 5, hashed=True)
+    edges = (
+        prefix_filtered_pairs(arrays, min_jaccard=0.5)
+        .select("doc_a", "doc_b")
+        .unionByName(star)
+    )
     lab = connected_components(edges).select(F.col("node").alias("doc_id"), "cluster_id")
     score = F.expr(
         f"aggregate(transform(t, tok -> {_LIN_W}), cast(0 as bigint), (acc, x) -> acc + x)"
@@ -474,7 +494,16 @@ def llm_dedup_clusters_lsh(spark, sf_dir):
     from ..llm.dedup import minhash_near_dups
 
     d = load(spark, sf_dir, "documents")
-    edges = minhash_near_dups(d, min_jaccard=0.5).select("doc_a", "doc_b")
+    # r6: distinct-first (see llm_dedup_clusters) — the LSH cascade runs
+    # over one rep per exact text (identical texts share signatures, so
+    # their jaccard-1 pairs were deterministic collisions anyway); copies
+    # attach by star edges. Bit-identical components, k²-smaller verify.
+    reps, star = collapse_exact_duplicates(d)
+    edges = (
+        minhash_near_dups(reps, min_jaccard=0.5)
+        .select("doc_a", "doc_b")
+        .unionByName(star)
+    )
     return (
         connected_components(edges)
         .select(F.col("node").alias("doc_id"), "cluster_id")

@@ -1118,3 +1118,59 @@ def test_av_sync_features_numpy_reference(spark):
             assert r.delta_sad == int(np.abs(x[f] - x[f - 1]).sum())
         w = a[f * 50 : (f + 1) * 50]
         assert r.audio_energy == int((w * w).sum())
+
+
+def test_collapse_exact_duplicates_component_parity(spark):
+    """r6 distinct-first clustering: components over (rep near-dup pairs +
+    star edges) must be BIT-IDENTICAL to components over the full-corpus
+    pair set — on a corpus mixing exact-dup groups, near-dups ACROSS
+    different dup groups, and singletons. Also pins the helper contract:
+    reps are the min-id per exact text, star is (rep, copy)."""
+    from bridge_analytics_template_spark.llm.dedup import (
+        _shingle_arrays,
+        collapse_exact_duplicates,
+        connected_components,
+        prefix_filtered_pairs,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    near = base.replace("delta", "DELTA-EDIT")  # near-dup of base, distinct text
+    other = "one two three four five six seven eight nine ten eleven twelve " \
+            "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    rows = [
+        (3, base), (7, base), (1, base),      # exact group, min id 1
+        (5, near), (9, near),                 # exact group of the near-dup, min id 5
+        (2, other), (8, other),               # unrelated exact group, min id 2
+        (6, "singleton text with no duplicate partner anywhere at all ok"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def components(edges):
+        return {
+            (r.node, r.cluster_id) for r in connected_components(edges).collect()
+        }
+
+    full = components(
+        prefix_filtered_pairs(
+            _shingle_arrays(d, "text", "doc_id", 5, hashed=True), min_jaccard=0.5
+        ).select("doc_a", "doc_b")
+    )
+    reps, star = collapse_exact_duplicates(d)
+    rep_rows = {(r.doc_id, r.text) for r in reps.collect()}
+    assert {i for i, _ in rep_rows} == {1, 5, 2, 6}  # min id per exact text
+    star_rows = {(r.doc_a, r.doc_b) for r in star.collect()}
+    assert star_rows == {(1, 3), (1, 7), (5, 9), (2, 8)}
+    collapsed = components(
+        prefix_filtered_pairs(
+            _shingle_arrays(reps, "text", "doc_id", 5, hashed=True), min_jaccard=0.5
+        )
+        .select("doc_a", "doc_b")
+        .unionByName(star)
+    )
+    assert collapsed == full
+    # the base/near groups merge across exact-text boundaries: all 5 in
+    # the component labeled 1; singleton 6 appears in neither edge set
+    assert {(3, 1), (7, 1), (5, 1), (9, 1), (1, 1), (2, 2), (8, 2)} == full
