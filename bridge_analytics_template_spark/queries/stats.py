@@ -2165,6 +2165,68 @@ def q_calibration_bins(spark, sf_dir):
     )
 
 
+_CAL_EF_K = 10  # deciles — the standard reliability-diagram bin count
+
+_CAL_EF_SQL = f"""
+WITH q AS (
+  SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events),
+r AS (
+  SELECT cents, y,
+         ROW_NUMBER() OVER (ORDER BY cents, event_id) - 1 AS rid,
+         COUNT(*) OVER () AS n_tot
+  FROM q)
+SELECT CAST(rid * {_CAL_EF_K} // n_tot AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_ppm,
+       CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mean_score_cents
+FROM r GROUP BY 1 ORDER BY bin
+"""
+
+
+@query("q_calibration_bins_ef", sql=_CAL_EF_SQL)
+def q_calibration_bins_ef(spark, sf_dir):
+    """Equal-FREQUENCY (decile) reliability bins — the companion to
+    q_calibration_bins' fixed-width form, and what practitioners plot
+    when the score distribution is skewed (fixed-width bins go empty at
+    the tails; deciles put n/10 rows in every bin by construction).
+
+    Scale shape (NOTES r3 backlog item, landed r6): the global score rank
+    comes from assign_contiguous_ids (range-partitioned sort over
+    sampled bounds + per-bucket offsets — operators/rowids.py), NEVER a
+    corpus-wide ROW_NUMBER window (one task at 100 TB; that spelling is
+    the ORACLE's, where DuckDB materializes it fine at fixture scale).
+    bin = rank * k div n on exact integers, so both engines bucket
+    identically with zero float; everything after the rank is one hash
+    aggregate. (cents, event_id) is a total order (unique event ids), so
+    ranks — and therefore bins — are deterministic."""
+    from ..operators.rowids import assign_contiguous_ids
+
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    n = q.count()
+    ranked = assign_contiguous_ids(q, ["cents", "event_id"], id_name="rid")
+    return (
+        ranked.select(
+            F.expr(f"rid * {_CAL_EF_K} div {n}").alias("bin"), "cents", "y"
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.expr("sum(y) * 1000000 div count(1)").cast("long").alias("pos_rate_ppm"),
+            F.expr("sum(cents) div count(1)").cast("long").alias("mean_score_cents"),
+        )
+        .orderBy("bin")
+    )
+
+
 # --- Per-group weighted median (distributed, no fat-group window) ------------
 
 _WMED_SQL = f"""
