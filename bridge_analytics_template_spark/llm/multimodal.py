@@ -4,12 +4,15 @@ columns").
 Images / audio / video are opaque ``binary`` columns with a typed metadata
 struct alongside. The Spark-side plumbing — schema, Arrow batch shape,
 ``mapInPandas`` signature, partition sizing — is real and tested.
-Uncompressed formats decode FOR REAL with no codec dependency:
-``pcm_frame_energy`` (16-bit PCM audio framing) and ``ppm_image_stats``
-(P6 RGB parsing). Compressed-codec decode is STUBBED (this container ships
-no image/audio libraries): ``decode_stub=True`` computes deterministic
-features from the raw bytes, ``decode_stub=False`` raises
-``NotImplementedError`` where a real PIL/libav call would go.
+Formats with a byte-level spec or a stdlib decompressor decode FOR REAL
+with no codec dependency: ``pcm_frame_energy`` (16-bit PCM audio framing),
+``ppm_image_stats`` (P6 RGB parsing), BMP, RIFF WAV/AVI demux, and — since
+zlib is stdlib — full PNG (``decode_png``: CRC'd chunk walk, IDAT inflate,
+all five filter reconstructions, Adam7, PLTE). Codecs that genuinely need
+an external library (JPEG/GIF/WEBP, non-PCM audio) stay STUBBED:
+``decode_stub=True`` computes deterministic features from the raw bytes,
+``decode_stub=False`` raises ``NotImplementedError`` where a real
+PIL/libav call would go.
 
 Scale note: binary payloads ride the Arrow batches; feature extraction is a
 ``mapInPandas`` pass (no shuffle), so throughput is bounded by IO + codec,
@@ -100,18 +103,36 @@ def sample_frames(
 
 
 #: Magic prefixes of compressed image codecs this container cannot decode.
-_COMPRESSED_MAGIC = (b"\xff\xd8\xff", b"\x89PNG", b"GIF8", b"RIFF")
+#: PNG left this list when the spec-written zlib decoder below landed; GIF
+#: left it when the LZW coder did. What remains genuinely needs an external
+#: library: JPEG (DCT+Huffman) and RIFF/WEBP (VP8).
+_COMPRESSED_MAGIC = (b"\xff\xd8\xff", b"RIFF")
 
 
 def _decode_rgb(b: bytes):
-    """REAL uncompressed-image decode, no codec dependency: P6 PPM or
-    24-bit BI_RGB BMP → ``(h, w, 3)`` uint8 array (RGB channel order).
-    Returns None for anything that is not a well-formed uncompressed image
-    (callers choose quarantine vs fallback). Pure byte arithmetic + numpy
-    reshape per image, so it runs in-sandbox — the env-gated stub is now
-    ONLY for compressed codecs (JPEG/PNG/GIF/WEBP → PIL/turbojpeg)."""
+    """REAL image decode, no codec dependency: P6 PPM, 24-bit BI_RGB BMP,
+    PNG (stdlib zlib inflate + spec-written filter reconstruction —
+    ``decode_png`` below), or GIF (fully spec-written including the LZW
+    entropy coder — ``decode_gif``) → ``(h, w, 3)`` uint8 array (RGB
+    channel order; gray replicates, alpha drops). Returns None for
+    anything malformed (callers choose quarantine vs fallback). The
+    env-gated stub is now ONLY for JPEG (DCT+Huffman) and WEBP (VP8)."""
     import numpy as np
 
+    if b.startswith(b"GIF8"):
+        return decode_gif(b)
+    if b.startswith(_PNG_SIG[:4]):
+        img = decode_png(b)
+        if img is None:
+            return None
+        c = img.shape[2]
+        if c == 1:
+            return np.repeat(img, 3, axis=2)
+        if c == 2:  # gray + alpha: replicate luma, drop alpha
+            return np.repeat(img[:, :, :1], 3, axis=2)
+        if c == 4:
+            return np.ascontiguousarray(img[:, :, :3])
+        return img
     if b.startswith(b"P6"):
         fields, i = [], 2
         while len(fields) < 3 and i < len(b):
@@ -171,10 +192,10 @@ def resize_images(
 ) -> DataFrame:
     """Image resize: 1→1 binary transform with new typed metadata.
 
-    Uncompressed payloads (P6 PPM / 24-bit BMP) now decode FOR REAL:
+    Decodable payloads (P6 PPM / 24-bit BMP / PNG / GIF) decode FOR REAL:
     nearest-neighbor resample (``src = floor(dst * in/out)``, the exact
     arithmetic the oracle reproduces in SQL) and re-encode as P6.
-    Compressed codecs (JPEG/PNG/GIF/WEBP) raise ``NotImplementedError`` —
+    Codecs needing an external library (JPEG/WEBP) raise ``NotImplementedError`` —
     that is where a PIL/turbojpeg call goes and this container has none.
     Opaque non-image payloads keep the deterministic byte-tiling fallback
     (``decode_stub=True``) or raise (``decode_stub=False``)."""
@@ -961,3 +982,534 @@ def av_sync_features(
         schema="doc_id bigint, frame_idx int, pixel_sum bigint, "
         "delta_sad bigint, audio_energy bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# PNG (ISO/IEC 15948) — the first COMPRESSED codec this engine decodes for
+# real. DEFLATE is stdlib (zlib), so the whole format is spec work: an
+# 8-byte signature, CRC-checked chunks, zlib-compressed scanlines each led
+# by a filter byte (None/Sub/Up/Average/Paeth), optional Adam7 interlacing,
+# optional PLTE indexing. Everything below is written from the public spec;
+# nothing remains of the "PNG needs PIL" env-gate except bit depths != 8
+# (1/2/4/16 — valid-but-unimplemented, so NotImplementedError per the
+# quarantine convention: known-valid coded variants gate loudly, garbage
+# returns None).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: channels per PNG color type at bit depth 8 (3 = palette indices).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: Adam7 interlace passes as (x0, y0, dx, dy), spec order.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_chunks(b: bytes):
+    """Signature + CRC-checked chunk walk → [(chunk_id, payload), ...] up to
+    and including IEND, or None on any structural damage (bad signature,
+    truncation, CRC mismatch, missing IEND)."""
+    import zlib
+
+    if not b.startswith(_PNG_SIG):
+        return None
+    i, chunks = len(_PNG_SIG), []
+    while i + 12 <= len(b):
+        ln = int.from_bytes(b[i : i + 4], "big")
+        cid = b[i + 4 : i + 8]
+        if ln > len(b) - i - 12:
+            return None
+        payload = b[i + 8 : i + 8 + ln]
+        crc = int.from_bytes(b[i + 8 + ln : i + 12 + ln], "big")
+        if zlib.crc32(cid + payload) & 0xFFFFFFFF != crc:
+            return None
+        chunks.append((cid, payload))
+        i += 12 + ln
+        if cid == b"IEND":
+            return chunks
+    return None  # ran out of bytes before IEND
+
+
+def _png_unfilter(stream: bytes, ph: int, pw: int, bpp: int):
+    """Reconstruct one (sub-)image's scanlines: ``ph`` rows of a filter
+    byte + ``pw * bpp`` filtered bytes → (ph, pw*bpp) uint8, or None on a
+    length mismatch / unknown filter type. Sub is a strided cumsum (mod
+    distributes over the sum); Average/Paeth carry a true left-to-right
+    dependency, so those rows walk pixel groups — bounded by the row, never
+    the corpus."""
+    import numpy as np
+
+    stride = pw * bpp
+    if len(stream) != ph * (1 + stride):
+        return None
+    out = np.empty((ph, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int64)
+    pos = 0
+    for y in range(ph):
+        ft = stream[pos]
+        row = np.frombuffer(stream[pos + 1 : pos + 1 + stride], dtype=np.uint8).astype(np.int64)
+        pos += 1 + stride
+        if ft == 0:
+            rec = row
+        elif ft == 1:  # Sub: recon[x] = sum(filt[..x]) mod 256 per byte lane
+            rec = row.reshape(pw, bpp).cumsum(axis=0).reshape(stride) & 0xFF
+        elif ft == 2:  # Up
+            rec = (row + prior) & 0xFF
+        elif ft == 3:  # Average
+            rec = np.empty(stride, dtype=np.int64)
+            left = np.zeros(bpp, dtype=np.int64)
+            for x in range(pw):
+                s = slice(x * bpp, (x + 1) * bpp)
+                rec[s] = (row[s] + ((left + prior[s]) >> 1)) & 0xFF
+                left = rec[s]
+        elif ft == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.int64)
+            left = np.zeros(bpp, dtype=np.int64)
+            upleft = np.zeros(bpp, dtype=np.int64)
+            for x in range(pw):
+                s = slice(x * bpp, (x + 1) * bpp)
+                up = prior[s]
+                p = left + up - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+                pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
+                rec[s] = (row[s] + pred) & 0xFF
+                left = rec[s]
+                upleft = up
+        else:
+            return None
+        out[y] = rec.astype(np.uint8)
+        prior = rec
+    return out
+
+
+def _adam7_passes(w: int, h: int):
+    """Non-empty Adam7 passes for a w×h image as (x0, y0, dx, dy, pw, ph)."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw, ph = (w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            out.append((x0, y0, dx, dy, pw, ph))
+    return out
+
+
+def decode_png(b: bytes):
+    """REAL PNG decode, stdlib-only: chunk walk → IHDR validation → IDAT
+    concatenation → zlib inflate → filter reconstruction (all five filter
+    types) → optional Adam7 de-interlace → optional PLTE lookup.
+
+    Returns an (h, w, channels) uint8 array — channels follows the color
+    type (1 gray, 2 gray+alpha, 3 RGB for truecolor AND palette, 4 RGBA) —
+    or None for malformed payloads (quarantine). Bit depths 1/2/4/16 are
+    valid PNG this engine does not implement: NotImplementedError, the
+    loud-gate convention shared with the coded WAV/AVI tags."""
+    import zlib
+
+    import numpy as np
+
+    chunks = _png_chunks(bytes(b))
+    if not chunks or chunks[0][0] != b"IHDR" or len(chunks[0][1]) != 13:
+        return None
+    ih = chunks[0][1]
+    w = int.from_bytes(ih[0:4], "big")
+    h = int.from_bytes(ih[4:8], "big")
+    depth, ctype, comp, filt, inter = ih[8], ih[9], ih[10], ih[11], ih[12]
+    if w <= 0 or h <= 0 or comp != 0 or filt != 0 or inter > 1 or ctype not in _PNG_CHANNELS:
+        return None
+    if depth != 8:
+        if depth in (1, 2, 4, 16):
+            raise NotImplementedError(f"PNG bit depth {depth} not implemented (8-bit paths only)")
+        return None
+    bpp = _PNG_CHANNELS[ctype]
+    idat = b"".join(p for cid, p in chunks if cid == b"IDAT")
+    if not idat:
+        return None
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    if inter == 0:
+        rows = _png_unfilter(raw, h, w, bpp)
+        if rows is None:
+            return None
+        img = rows.reshape(h, w, bpp)
+    else:
+        img = np.zeros((h, w, bpp), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
+            n = ph * (1 + pw * bpp)
+            sub = _png_unfilter(raw[pos : pos + n], ph, pw, bpp)
+            if sub is None:
+                return None
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+            pos += n
+        if pos != len(raw):
+            return None
+    if ctype == 3:
+        plte = next((p for cid, p in chunks if cid == b"PLTE"), None)
+        if plte is None or not plte or len(plte) % 3:
+            return None
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = img[:, :, 0]
+        if int(idx.max()) >= pal.shape[0]:
+            return None
+        return pal[idx]
+    return img
+
+
+def mux_png(img, *, interlace: int = 0, filters=None, palette=None) -> bytes:
+    """PNG encoder (test/fixture writer, same role as ``mux_wav``/
+    ``mux_avi``): (h, w) gray, (h, w, c) for c in {1, 2, 3, 4}, or — with
+    ``palette`` (n≤256, 3) — an (h, w) index array written as color type 3.
+    The per-scanline filter type defaults to ``y % 5`` so every fixture
+    exercises ALL FIVE reconstruction paths; pass ``filters=[0]`` etc. to
+    pin one. ``interlace=1`` writes Adam7 (each pass filtered
+    independently, per spec)."""
+    import zlib
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    if palette is not None:
+        pal = np.asarray(palette, dtype=np.uint8)
+        if c != 1 or pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= pal.shape[0] <= 256:
+            raise ValueError("palette mux needs (h, w) indices and an (n<=256, 3) palette")
+        ctype = 3
+    else:
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def filter_pass(sub) -> bytes:
+        sub = np.ascontiguousarray(sub)
+        ph, pw = sub.shape[0], sub.shape[1]
+        rows = sub.reshape(ph, pw * c).astype(np.int64)
+        out = bytearray()
+        prior = np.zeros(pw * c, dtype=np.int64)
+        for y in range(ph):
+            ft = filters[y % len(filters)] if filters else y % 5
+            cur = rows[y]
+            left = np.zeros_like(cur)
+            left[c:] = cur[:-c]
+            upleft = np.zeros_like(prior)
+            upleft[c:] = prior[:-c]
+            if ft == 0:
+                f = cur
+            elif ft == 1:
+                f = cur - left
+            elif ft == 2:
+                f = cur - prior
+            elif ft == 3:
+                f = cur - ((left + prior) >> 1)
+            elif ft == 4:
+                p = left + prior - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - upleft)
+                pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, upleft))
+                f = cur - pred
+            else:
+                raise ValueError(f"unknown PNG filter type {ft}")
+            out.append(ft)
+            out += (f & 0xFF).astype(np.uint8).tobytes()
+            prior = cur
+        return bytes(out)
+
+    if interlace:
+        stream = b"".join(
+            filter_pass(img[y0::dy, x0::dx]) for x0, y0, dx, dy, _pw, _ph in _adam7_passes(w, h)
+        )
+    else:
+        stream = filter_pass(img)
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        return (
+            len(payload).to_bytes(4, "big")
+            + cid
+            + payload
+            + (zlib.crc32(cid + payload) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, ctype, 0, 0, 1 if interlace else 0])
+    body = chunk(b"IHDR", ihdr)
+    if palette is not None:
+        body += chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+    return _PNG_SIG + body + chunk(b"IDAT", zlib.compress(stream)) + chunk(b"IEND", b"")
+
+
+def rgb_image_stats(df: DataFrame, content_col: str = "content", id_col: str = "doc_id") -> DataFrame:
+    """Codec-general image stats pass: any payload ``_decode_rgb`` handles
+    (P6 PPM, 24-bit BMP, and now real PNG) → exact int64 per-channel sums;
+    malformed payloads quarantine as ok=false rows. Same shape/contract as
+    ``ppm_image_stats`` with the decoder swapped for the dispatching one.
+    mapInPandas, no shuffle."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "ok": [], "width": [], "height": [],
+                "sum_r": [], "sum_g": [], "sum_b": [],
+            }
+            for i, buf in zip(pdf[id_col], pdf[content_col]):
+                img = _decode_rgb(bytes(buf))
+                out["doc_id"].append(i)
+                if img is None:
+                    out["ok"].append(False)
+                    for col in ("width", "height", "sum_r", "sum_g", "sum_b"):
+                        out[col].append(0)
+                    continue
+                s = img.astype(np.int64).sum(axis=(0, 1))
+                out["ok"].append(True)
+                out["width"].append(img.shape[1])
+                out["height"].append(img.shape[0])
+                out["sum_r"].append(int(s[0]))
+                out["sum_g"].append(int(s[1]))
+                out["sum_b"].append(int(s[2]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "ok": pd.Series(out["ok"], dtype="bool"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "sum_r": pd.Series(out["sum_r"], dtype="int64"),
+                    "sum_g": pd.Series(out["sum_g"], dtype="int64"),
+                    "sum_b": pd.Series(out["sum_b"], dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(id_col).alias("doc_id"), F.col(content_col)).mapInPandas(
+        run,
+        schema="doc_id bigint, ok boolean, width int, height int, "
+        "sum_r bigint, sum_g bigint, sum_b bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/GIF89a) — second compressed codec decoded for real. GIF's
+# only compression is LZW with variable-width codes (3..12 bits, LSB-first
+# bitstream, clear/EOI codes, dictionary growth with the KwKwK case) — no
+# external decompressor needed at all, so unlike PNG this one is 100%
+# spec-written including the entropy coder. Still images decode fully
+# (global/local color tables, extension-block skipping, 4-pass interlace);
+# an animated GIF decodes as its FIRST frame, the conventional still
+# interpretation. Garbage quarantines as None; there is nothing left to
+# env-gate for this format.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int):
+    """GIF-flavor LZW: LSB-first variable-width codes. Returns the index
+    bytestream or None on any stream damage (bad code, missing growth
+    sync). Code width grows when the dict hits 1<<width (mirroring the
+    encoder's post-assignment bump); 12-bit cap, clear resets."""
+    if not 2 <= min_code_size <= 8:
+        return None
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    table = list(base)
+    width = min_code_size + 1
+    prev = None
+    acc = nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return None  # ran out before EOI
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table) and code != clear and code != eoi:
+            entry = table[code]
+            if not entry and code >= clear:
+                return None  # referenced a never-assigned slot
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and prev is not None and len(table) < 4096:
+            entry = prev + prev[:1]  # KwKwK
+            table.append(entry)
+        else:
+            return None
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW compressor (fixture writer): real dictionary build so
+    roundtrips exercise the decoder's growth/KwKwK paths; emits clear+reset
+    when the table fills. LSB-first packing, clear upfront, EOI last."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = fresh()
+    emit(clear, width)
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        if next_code < 4096:
+            table[wk] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            table, next_code, width = fresh()
+        w = bytes([k])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+#: GIF interlace passes as (y0, dy), spec order.
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(b: bytes):
+    """REAL GIF decode, fully spec-written (header + logical screen
+    descriptor, global/local color tables, extension skipping, image
+    descriptor, LZW index stream, 4-pass interlace). Returns the first
+    frame as (h, w, 3) uint8 RGB, or None for malformed payloads."""
+    import numpy as np
+
+    b = bytes(b)
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = b[10]
+    gct = None
+    i = 13
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if i + 3 * n > len(b):
+            return None
+        gct = np.frombuffer(b[i : i + 3 * n], dtype=np.uint8).reshape(n, 3)
+        i += 3 * n
+    while i < len(b):
+        marker = b[i]
+        if marker == 0x3B:  # trailer before any image
+            return None
+        if marker == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(b) and b[i] != 0:
+                i += 1 + b[i]
+            if i >= len(b):
+                return None
+            i += 1
+            continue
+        if marker != 0x2C:
+            return None
+        if i + 10 > len(b):
+            return None
+        w = int.from_bytes(b[i + 5 : i + 7], "little")
+        h = int.from_bytes(b[i + 7 : i + 9], "little")
+        ipacked = b[i + 9]
+        i += 10
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            if i + 3 * n > len(b):
+                return None
+            ct = np.frombuffer(b[i : i + 3 * n], dtype=np.uint8).reshape(n, 3)
+            i += 3 * n
+        if ct is None or w <= 0 or h <= 0 or i >= len(b):
+            return None
+        min_code = b[i]
+        i += 1
+        data = bytearray()
+        while i < len(b) and b[i] != 0:
+            ln = b[i]
+            if i + 1 + ln > len(b):
+                return None
+            data += b[i + 1 : i + 1 + ln]
+            i += 1 + ln
+        if i >= len(b):
+            return None
+        idx = _lzw_decode(bytes(data), min_code)
+        if idx is None or len(idx) < w * h:
+            return None
+        px = np.frombuffer(idx[: w * h], dtype=np.uint8).reshape(h, w)
+        if ipacked & 0x40:  # de-interlace
+            out = np.empty_like(px)
+            row = 0
+            for y0, dy in _GIF_INTERLACE:
+                n_rows = len(range(y0, h, dy))
+                out[y0::dy] = px[row : row + n_rows]
+                row += n_rows
+            px = out
+        if int(px.max()) >= ct.shape[0]:
+            return None
+        return ct[px]
+    return None
+
+
+def mux_gif(indices, palette, *, interlace: int = 0) -> bytes:
+    """GIF89a encoder (fixture writer): (h, w) uint8 index array + (n≤256,
+    3) palette → single-frame GIF with a REAL LZW-compressed index stream,
+    a graphic-control extension (so decoders must skip extension blocks),
+    and optional 4-pass interlacing."""
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= pal.shape[0] <= 256:
+        raise ValueError("mux_gif needs (h, w) indices and an (n<=256, 3) palette")
+    h, w = idx.shape
+    if int(idx.max()) >= pal.shape[0]:
+        raise ValueError("index out of palette range")
+    size_bits = max(1, (pal.shape[0] - 1).bit_length())
+    n_slots = 1 << size_bits
+    table = np.zeros((n_slots, 3), dtype=np.uint8)
+    table[: pal.shape[0]] = pal
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | ((size_bits - 1) & 0x07) | 0x70, 0, 0])
+    out += table.tobytes()
+    out += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])  # graphic control ext, no transparency
+    out += bytes([0x2C]) + (0).to_bytes(2, "little") * 2
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlace else 0x00])
+    if interlace:
+        idx = np.concatenate([idx[y0::dy] for y0, dy in _GIF_INTERLACE], axis=0)
+    min_code = max(2, size_bits)
+    stream = _lzw_encode(idx.tobytes(), min_code)
+    out += bytes([min_code])
+    for j in range(0, len(stream), 255):
+        blk = stream[j : j + 255]
+        out += bytes([len(blk)]) + blk
+    out += bytes([0, 0x3B])
+    return bytes(out)

@@ -1764,3 +1764,191 @@ def llm_dedup_simhash_md5(spark, sf_dir):
         .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+#: Synthetic-PNG geometry for llm_png_features: one 6x5 RGB image per
+#: selected doc, pixel v(d,y,x,c) = (d*7 + y*13 + x*5 + c*11) mod 256 (all
+#: operands nonnegative so numpy/Spark/DuckDB % agree). h=6 with the
+#: default y%5 filter schedule exercises ALL FIVE PNG filter types in
+#: every image; odd doc_ids mux Adam7-interlaced so the de-interlace path
+#: is inside the oracled query too (decode output — and thus the oracle —
+#: is identical either way).
+_PNG_H, _PNG_W = 6, 5
+
+
+@query(
+    "llm_png_features",
+    sql=f"""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 0),
+    px AS (
+      SELECT i.doc_id, c.c,
+             (i.doc_id * 7 + y.y * 13 + x.x * 5 + c.c * 11) % 256 AS v
+      FROM ids i,
+           generate_series(0, {_PNG_H - 1}) y(y),
+           generate_series(0, {_PNG_W - 1}) x(x),
+           generate_series(0, 2) c(c))
+    SELECT doc_id, CAST(TRUE AS BOOLEAN) AS ok,
+           CAST({_PNG_W} AS INT) AS width, CAST({_PNG_H} AS INT) AS height,
+           CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def llm_png_features(spark, sf_dir):
+    """L5++++: the first COMPRESSED codec decoded for real — PNG, via the
+    spec-written stdlib-zlib decoder (llm/multimodal.py::decode_png: CRC'd
+    chunk walk, IDAT inflate, all five filter reconstructions, Adam7
+    de-interlace). Per selected doc a 6x5 RGB PNG is muxed with the y%5
+    filter schedule (every filter type in every image; odd docs
+    Adam7-interlaced) and the engine decodes those BYTES back: a CRC slip,
+    filter-predictor bug (Sub/Up/Average/Paeth), interlace-scatter error,
+    or channel swap hash-fails against the closed-form pixel oracle.
+    JPEG/GIF/WEBP (no stdlib decompressor) remain the only env-gated image
+    codecs. Both passes are Arrow-batched mapInPandas — no shuffle before
+    the output sort."""
+    import numpy as np
+
+    from ..llm.multimodal import mux_png, rgb_image_stats
+
+    y_idx = np.arange(_PNG_H, dtype=np.int64)[:, None, None]
+    x_idx = np.arange(_PNG_W, dtype=np.int64)[None, :, None]
+    c_idx = np.arange(3, dtype=np.int64)[None, None, :]
+
+    def gen(batches):
+        import pandas as pd
+
+        def one(d):
+            img = ((d * 7 + y_idx * 13 + x_idx * 5 + c_idx * 11) % 256).astype(np.uint8)
+            return mux_png(img, interlace=int(d) % 2)
+
+        for pdf in batches:
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": pdf["doc_id"].map(one)})
+
+    ids = load(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0).select("doc_id")
+    pngs = ids.mapInPandas(gen, schema="doc_id bigint, content binary")
+    return rgb_image_stats(pngs).orderBy("doc_id")
+
+
+#: PNG-source resize geometry: 8x6 PNG nearest-neighbor decimated 2x to
+#: 4x3 (src_y = 2*dst_y, src_x = 2*dst_x — exact integer arithmetic the
+#: oracle reproduces), re-encoded as P6, re-parsed by ppm_image_stats.
+_PNGR_W, _PNGR_H, _PNGR_OW, _PNGR_OH = 8, 6, 4, 3
+
+
+@query(
+    "llm_png_resize",
+    sql=f"""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 10),
+    px AS (
+      SELECT i.doc_id, c.c,
+             (i.doc_id * 13 + 2 * y.y * 17 + 2 * x.x * 7 + c.c * 5) % 256 AS v
+      FROM ids i,
+           generate_series(0, {_PNGR_OH - 1}) y(y),
+           generate_series(0, {_PNGR_OW - 1}) x(x),
+           generate_series(0, 2) c(c))
+    SELECT doc_id, CAST({_PNGR_OW} AS INT) AS width, CAST({_PNGR_OH} AS INT) AS height,
+           CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def llm_png_resize(spark, sf_dir):
+    """L5 cross-codec chain: PNG in → real decode (zlib inflate + filter
+    reconstruction) → nearest-neighbor resize → P6 re-encode → re-parse.
+    The llm_multimodal_decode pipeline with the SOURCE swapped from PPM to
+    a genuinely compressed container; ``resize_images`` dispatches through
+    ``_decode_rgb``, so the same query exercises codec dispatch, not just
+    one parser. Pixel v(d,y,x,c) = (d*13 + y*17 + x*7 + c*5) mod 256 at
+    8x6, 2x-decimated — the oracle substitutes src = 2*dst directly."""
+    import numpy as np
+
+    from ..llm.multimodal import mux_png, ppm_image_stats, resize_images
+
+    y_idx = np.arange(_PNGR_H, dtype=np.int64)[:, None, None]
+    x_idx = np.arange(_PNGR_W, dtype=np.int64)[None, :, None]
+    c_idx = np.arange(3, dtype=np.int64)[None, None, :]
+
+    def gen(batches):
+        import pandas as pd
+
+        def one(d):
+            img = ((d * 13 + y_idx * 17 + x_idx * 7 + c_idx * 5) % 256).astype(np.uint8)
+            return mux_png(img)
+
+        for pdf in batches:
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": pdf["doc_id"].map(one)})
+
+    ids = load(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 10).select("doc_id")
+    pngs = ids.mapInPandas(gen, schema="doc_id bigint, content binary")
+    resized = resize_images(pngs, width=_PNGR_OW, height=_PNGR_OH)
+    return (
+        ppm_image_stats(resized)
+        .select("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+        .orderBy("doc_id")
+    )
+
+
+#: Synthetic-GIF geometry for llm_gif_features: 9x5 indexed image per
+#: selected doc over a 64-entry palette. idx(d,y,x) = (d + y*5 + x*3) mod
+#: 64, pal[i][c] = (i*7 + c*11) mod 256, so the decoded pixel is the
+#: composition — closed form for the oracle. Odd docs mux 4-pass
+#: interlaced (decode output, and thus the oracle, is identical).
+_GIF_H, _GIF_W = 9, 5
+
+
+@query(
+    "llm_gif_features",
+    sql=f"""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 0),
+    px AS (
+      SELECT i.doc_id, c.c,
+             (((i.doc_id + y.y * 5 + x.x * 3) % 64) * 7 + c.c * 11) % 256 AS v
+      FROM ids i,
+           generate_series(0, {_GIF_H - 1}) y(y),
+           generate_series(0, {_GIF_W - 1}) x(x),
+           generate_series(0, 2) c(c))
+    SELECT doc_id, CAST(TRUE AS BOOLEAN) AS ok,
+           CAST({_GIF_W} AS INT) AS width, CAST({_GIF_H} AS INT) AS height,
+           CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def llm_gif_features(spark, sf_dir):
+    """L5++++ sibling of llm_png_features for the SECOND real compressed
+    codec: GIF, decoded by a fully spec-written pipeline INCLUDING the
+    entropy coder (llm/multimodal.py::_lzw_decode — variable-width
+    LSB-first codes, clear/EOI, KwKwK, 12-bit cap; ``decode_gif`` walks
+    header, color tables, extension blocks, 4-pass interlace). Per
+    selected doc a 9x5 indexed GIF89a is muxed through the REAL LZW
+    compressor (odd docs interlaced) and decoded back; any bitstream,
+    dictionary-growth, palette, or interlace bug hash-fails against the
+    closed-form index∘palette oracle. JPEG/WEBP remain the only env-gated
+    image codecs. Arrow-batched mapInPandas both ways — no shuffle before
+    the output sort."""
+    import numpy as np
+
+    from ..llm.multimodal import mux_gif, rgb_image_stats
+
+    y_idx = np.arange(_GIF_H, dtype=np.int64)[:, None]
+    x_idx = np.arange(_GIF_W, dtype=np.int64)[None, :]
+    i_idx = np.arange(64, dtype=np.int64)[:, None]
+    c_idx = np.arange(3, dtype=np.int64)[None, :]
+    pal = ((i_idx * 7 + c_idx * 11) % 256).astype(np.uint8)
+
+    def gen(batches):
+        import pandas as pd
+
+        def one(d):
+            idx = ((d + y_idx * 5 + x_idx * 3) % 64).astype(np.uint8)
+            return mux_gif(idx, pal, interlace=int(d) % 2)
+
+        for pdf in batches:
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": pdf["doc_id"].map(one)})
+
+    ids = load(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0).select("doc_id")
+    gifs = ids.mapInPandas(gen, schema="doc_id bigint, content binary")
+    return rgb_image_stats(gifs).orderBy("doc_id")

@@ -1174,3 +1174,261 @@ def test_collapse_exact_duplicates_component_parity(spark):
     # the base/near groups merge across exact-text boundaries: all 5 in
     # the component labeled 1; singleton 6 appears in neither edge set
     assert {(3, 1), (7, 1), (5, 1), (9, 1), (1, 1), (2, 2), (8, 2)} == full
+
+
+def test_png_roundtrip_matrix():
+    """mux→decode identity over every supported color type (gray,
+    gray+alpha, RGB, RGBA), awkward dims (1x1, single row/column, sizes
+    that leave partial Adam7 passes), all-filter schedule, and both
+    interlace modes. Any filter-predictor or interlace-scatter bug breaks
+    byte equality."""
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.multimodal import decode_png, mux_png
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (1, 9), (9, 1), (6, 7), (13, 5), (8, 8), (17, 19)]:
+        for c in (1, 2, 3, 4):
+            img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+            for inter in (0, 1):
+                b = mux_png(img if c > 1 else img[:, :, 0], interlace=inter)
+                out = decode_png(b)
+                assert out is not None and out.shape == (h, w, c)
+                assert (out == img).all(), (h, w, c, inter)
+    # each filter type pinned alone
+    for ft in range(5):
+        img = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+        assert (decode_png(mux_png(img, filters=[ft])) == img).all(), ft
+    # palette: decode returns pal[idx] as RGB
+    idx = rng.integers(0, 16, (7, 5), dtype=np.uint8)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    assert (decode_png(mux_png(idx, palette=pal)) == pal[idx]).all()
+
+
+def test_png_hand_computed_filter_vectors():
+    """Decoder checked against HAND-COMPUTED reconstructions (not the
+    encoder — a shared sign/predictor mistake would cancel in roundtrips).
+    2x2 grayscale, raw scanline streams built byte-by-byte from the spec:
+    Sub, Paeth, and Average rows."""
+    import zlib
+
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.multimodal import _PNG_SIG, decode_png
+
+    def chunk(cid, payload):
+        return (
+            len(payload).to_bytes(4, "big") + cid + payload
+            + (zlib.crc32(cid + payload) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    def png(stream):
+        ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+        return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(stream)) + chunk(b"IEND", b"")
+
+    # row0 Sub f=[5,7] -> [5,12]; row1 Paeth f=[1,2]:
+    #   x0: left=0 up=5 upleft=0 -> p=5, pred=up=5 -> 6
+    #   x1: left=6 up=12 upleft=5 -> p=13 pa=7 pb=1 pc=8 -> pred=up=12 -> 14
+    out = decode_png(png(b"\x01\x05\x07\x04\x01\x02"))
+    assert (out[:, :, 0] == np.array([[5, 12], [6, 14]])).all()
+
+    # row0 Up f=[5,7] (prior=0) -> [5,7]; row1 Average f=[10,20]:
+    #   x0: (10 + (0+5)//2) = 12 ; x1: (20 + (12+7)//2) = 29
+    out = decode_png(png(b"\x02\x05\x07\x03\x0a\x14"))
+    assert (out[:, :, 0] == np.array([[5, 7], [12, 29]])).all()
+
+
+def test_png_gates_and_quarantine():
+    """Quarantine convention: valid-but-unimplemented depths gate loudly
+    (NotImplementedError), every structural damage class returns None —
+    CRC flip, truncation, bad filter byte, stream-length mismatch, missing
+    or overflowed PLTE, unknown color type / interlace mode."""
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from bridge_analytics_template_spark.llm.multimodal import _PNG_SIG, decode_png, mux_png
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (6, 6, 3), dtype=np.uint8)
+    base = mux_png(img)
+
+    def chunk(cid, payload):
+        return (
+            len(payload).to_bytes(4, "big") + cid + payload
+            + (zlib.crc32(cid + payload) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    def build(w=2, h=2, depth=8, ctype=0, inter=0, stream=b"\x00\x01\x02\x00\x03\x04", extra=b""):
+        ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([depth, ctype, 0, 0, inter])
+        return (
+            _PNG_SIG + chunk(b"IHDR", ihdr) + extra
+            + chunk(b"IDAT", zlib.compress(stream)) + chunk(b"IEND", b"")
+        )
+
+    for depth in (1, 2, 4, 16):
+        with pytest.raises(NotImplementedError):
+            decode_png(build(depth=depth))
+    assert decode_png(build(ctype=5)) is None  # invalid color type
+    assert decode_png(build(inter=2)) is None  # invalid interlace mode
+    assert decode_png(build(stream=b"\x05\x01\x02\x00\x03\x04")) is None  # filter 5
+    assert decode_png(build(stream=b"\x00\x01\x02\x00\x03\x04\xff")) is None  # length drift
+    assert decode_png(build(ctype=3)) is None  # palette image, PLTE missing
+    pal2 = chunk(b"PLTE", bytes([0, 0, 0, 255, 255, 255]))
+    assert decode_png(build(ctype=3, stream=b"\x00\x00\x07\x00\x01\x00", extra=pal2)) is None  # idx 7 > pal
+    bb = bytearray(base)
+    bb[30] ^= 0xFF
+    assert decode_png(bytes(bb)) is None  # CRC mismatch
+    assert decode_png(base[:-7]) is None  # truncated (no IEND)
+    assert decode_png(b"\x89PNG\r\n\x1a\nhello") is None
+    assert decode_png(b"") is None
+
+
+def test_png_fuzz_never_crashes():
+    """Randomly corrupted PNG bytes: every outcome is None, a well-formed
+    array, or the documented NotImplementedError — never IndexError /
+    zlib exceptions / shape errors."""
+    import random
+
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.multimodal import decode_png, mux_png
+
+    rng = random.Random(17)
+    base = mux_png(
+        (np.arange(6 * 7 * 3).reshape(6, 7, 3) % 256).astype(np.uint8), interlace=1
+    )
+    for trial in range(300):
+        if trial % 3 == 0:
+            b = bytes(rng.getrandbits(8) for _ in range(rng.randint(0, 80)))
+        elif trial % 3 == 1:
+            b = b"\x89PNG\r\n\x1a\n" + bytes(rng.getrandbits(8) for _ in range(rng.randint(0, 60)))
+        else:
+            bb = bytearray(base)
+            for _ in range(rng.randint(1, 6)):
+                bb[rng.randrange(len(bb))] = rng.randrange(256)
+            b = bytes(bb)
+        try:
+            out = decode_png(b)
+        except NotImplementedError:
+            continue
+        assert out is None or (out.ndim == 3 and out.dtype == np.uint8)
+
+
+def test_png_decode_rgb_dispatch():
+    """_decode_rgb normalizes every PNG color type to (h, w, 3) RGB: gray
+    replicates, gray+alpha and RGBA drop alpha, palette resolves through
+    PLTE — so resize/stats paths treat PNG exactly like PPM/BMP."""
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.multimodal import _decode_rgb, mux_png
+
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 256, (4, 4), dtype=np.uint8)
+    assert (_decode_rgb(mux_png(g)) == np.repeat(g[:, :, None], 3, axis=2)).all()
+    ga = rng.integers(0, 256, (4, 4, 2), dtype=np.uint8)
+    assert (_decode_rgb(mux_png(ga)) == np.repeat(ga[:, :, :1], 3, axis=2)).all()
+    rgba = rng.integers(0, 256, (4, 4, 4), dtype=np.uint8)
+    assert (_decode_rgb(mux_png(rgba)) == rgba[:, :, :3]).all()
+    idx = rng.integers(0, 4, (4, 4), dtype=np.uint8)
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    assert (_decode_rgb(mux_png(idx, palette=pal)) == pal[idx]).all()
+
+
+def test_gif_lzw_unit_roundtrips_and_growth():
+    """The spec-written LZW coder: roundtrip identity across min-code
+    sizes, repetitive data that drives deep dictionary chains (KwKwK),
+    and streams long enough to cross several code-width bumps and the
+    4096-entry clear/reset."""
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.multimodal import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(11)
+    for n in (0, 1, 5, 100, 5000, 60000):
+        for mcs in (2, 4, 8):
+            data = rng.integers(0, 1 << mcs, n, dtype=np.uint8).tobytes()
+            assert _lzw_decode(_lzw_encode(data, mcs), mcs) == data, (n, mcs)
+    data = (b"abcabcabc" * 2000) + b"a" * 3500  # KwKwK + table-full reset
+    assert _lzw_decode(_lzw_encode(data, 8), 8) == data
+    assert _lzw_decode(b"", 8) is None  # no EOI
+    assert _lzw_decode(b"\xff\xff\xff", 1) is None  # bad min code size
+
+
+def test_gif_roundtrip_matrix():
+    """mux→decode identity over awkward dims, palette sizes from 2 to 256,
+    both interlace modes; decoded output is palette∘indices."""
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.multimodal import decode_gif, mux_gif
+
+    rng = np.random.default_rng(13)
+    for h, w in [(1, 1), (1, 9), (9, 1), (6, 7), (13, 5), (33, 17)]:
+        for npal in (2, 16, 200, 256):
+            idx = rng.integers(0, npal, (h, w), dtype=np.uint8)
+            pal = rng.integers(0, 256, (npal, 3), dtype=np.uint8)
+            for inter in (0, 1):
+                out = decode_gif(mux_gif(idx, pal, interlace=inter))
+                assert out is not None and (out == pal[idx]).all(), (h, w, npal, inter)
+
+
+def test_gif_quarantine_and_fuzz():
+    """Structural damage always quarantines (None): truncation, missing
+    color table, index past palette, trailer-before-image, and 300 random
+    mutations of a valid file — never an exception."""
+    import random
+
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.multimodal import decode_gif, mux_gif
+
+    rng_np = np.random.default_rng(3)
+    idx = rng_np.integers(0, 4, (8, 8), dtype=np.uint8)
+    pal = rng_np.integers(0, 256, (4, 3), dtype=np.uint8)
+    base = mux_gif(idx, pal)
+
+    assert decode_gif(b"") is None
+    assert decode_gif(b"GIF89a") is None
+    assert decode_gif(b"nope") is None
+    assert decode_gif(base[:-4]) is None  # truncated sub-blocks/trailer
+    # no global color table + no local one: the screen-descriptor packed
+    # byte loses bit 7, image descriptor keeps none
+    nogct = bytearray(base)
+    nogct[10] &= 0x7F
+    assert decode_gif(bytes(nogct[:13]) + bytes(base[13 + 3 * 4 :])) is None
+    rng = random.Random(23)
+    for _ in range(300):
+        bb = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            bb[rng.randrange(len(bb))] = rng.randrange(256)
+        out = decode_gif(bytes(bb))
+        assert out is None or (out.ndim == 3 and out.shape[2] == 3)
+
+
+def test_gif_decode_rgb_dispatch_and_resize(spark):
+    """GIF payloads flow through _decode_rgb → resize_images exactly like
+    PPM/BMP/PNG: same pixels in any container resize to identical P6."""
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.multimodal import (
+        _decode_rgb,
+        encode_ppm,
+        mux_gif,
+        mux_png,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(29)
+    idx = rng.integers(0, 64, (4, 6), dtype=np.uint8)
+    pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+    px = pal[idx]
+    gif, png, ppm = mux_gif(idx, pal), mux_png(px), encode_ppm(px)
+    assert (_decode_rgb(gif) == px).all()
+    df = spark.createDataFrame(
+        [(0, bytearray(ppm)), (1, bytearray(png)), (2, bytearray(gif))],
+        "doc_id long, content binary",
+    )
+    out = {r["doc_id"]: bytes(r["content"]) for r in resize_images(df, 3, 2).collect()}
+    want = encode_ppm(np.ascontiguousarray(px[[0, 2]][:, [0, 2, 4]]))
+    assert out[0] == out[1] == out[2] == want

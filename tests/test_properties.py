@@ -536,3 +536,25 @@ def test_avi_mux_demux_roundtrip_property(n, h, w, seed):
     got_w, got_h, usec, got = demux_avi(mux_avi(x, usec_per_frame=33_333))
     assert (got_w, got_h, usec) == (w, h, 33_333)
     assert got.shape == x.shape and (got == x).all()
+
+
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.sampled_from([1, 2, 3, 4]),
+    st.sampled_from([0, 1]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_mux_demux_roundtrip(h, w, channels, interlace, seed):
+    """PNG property: decode(mux(img)) == img for every color type, any
+    dimensions, both interlace modes — the WAV/AVI roundtrip property
+    extended to the compressed-image codec."""
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.multimodal import decode_png, mux_png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, channels), dtype=np.uint8)
+    out = decode_png(mux_png(img, interlace=interlace))
+    assert out is not None and out.shape == (h, w, channels) and (out == img).all()
