@@ -411,19 +411,86 @@ def mux_wav(samples, rate: int = 8000) -> bytes:
     return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
 
 
+#: Standard GUID suffix of WAVE_FORMAT_EXTENSIBLE SubFormat (the first two
+#: bytes carry the wrapped format tag).
+_WAVE_EXT_GUID_TAIL = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
+
+def mux_wav_fmt(
+    data: bytes, fmt_tag: int, channels: int, rate: int = 8000, bits: int = 16,
+    *, extensible: bool = False,
+) -> bytes:
+    """Raw-format WAV writer (fixture sibling of ``mux_wav``): wrap an
+    already-coded ``data`` payload in a RIFF/WAVE container with the given
+    format tag / channel count / bit depth. With ``extensible`` the fmt
+    chunk is written as WAVE_FORMAT_EXTENSIBLE wrapping ``fmt_tag`` in the
+    SubFormat GUID — exercising the 0xFFFE re-dispatch path."""
+    block = max(1, channels * ((bits + 7) // 8))
+    if extensible:
+        fmt = (
+            (0xFFFE).to_bytes(2, "little") + channels.to_bytes(2, "little")
+            + rate.to_bytes(4, "little") + (rate * block).to_bytes(4, "little")
+            + block.to_bytes(2, "little") + bits.to_bytes(2, "little")
+            + (22).to_bytes(2, "little") + bits.to_bytes(2, "little")
+            + (0).to_bytes(4, "little")
+            + fmt_tag.to_bytes(2, "little") + _WAVE_EXT_GUID_TAIL
+        )
+    else:
+        fmt = (
+            fmt_tag.to_bytes(2, "little") + channels.to_bytes(2, "little")
+            + rate.to_bytes(4, "little") + (rate * block).to_bytes(4, "little")
+            + block.to_bytes(2, "little") + bits.to_bytes(2, "little")
+        )
+    chunks = (
+        b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def _g711_ulaw_decode(u):
+    """G.711 µ-law byte → int16, vectorized (the public-spec expansion:
+    complement, 3-bit exponent, 4-bit mantissa, 0x84 bias)."""
+    import numpy as np
+
+    u = (~np.asarray(u, dtype=np.int64)) & 0xFF
+    mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)) - 0x84
+    return np.where(u & 0x80, -mag, mag).astype("<i2")
+
+
+def _g711_alaw_decode(a):
+    """G.711 A-law byte → int16, vectorized (0x55 toggle, segment 0 is
+    linear, segments 1..7 shift a 0x108-biased mantissa)."""
+    import numpy as np
+
+    a = np.asarray(a, dtype=np.int64) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    mag = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, mag, -mag).astype("<i2")
+
+
 def demux_wav(b: bytes):
     """Pure-Python RIFF/WAVE demuxer (VERDICT r4 task 5): walk the chunk
-    list (word-aligned sizes, unknown chunks skipped), validate ``fmt ``
-    (16-bit integer PCM only), and de-interleave ``data`` into an
-    ``(n, channels)`` int16 array. Returns ``(rate, channels, samples)``,
-    or ``None`` for non-RIFF/WAVE or otherwise-corrupt bytes. KNOWN
-    compressed/non-PCM format tags (MP3-in-WAV 0x55, IEEE float 0x03,
-    A-law/µ-law 0x06/0x07, extensible 0xFFFE; PCM at 8/24/32-bit) raise
-    ``NotImplementedError`` — the same explicit env-gate as the image
-    codecs: that is where a libav/soundfile call goes and this container
-    ships neither. UNKNOWN tags are treated as corrupt fmt chunks and
-    quarantined (``None``), so a bit-flipped header in an otherwise-PCM
-    corpus never fails the whole job (ADVICE r5)."""
+    list (word-aligned sizes, unknown chunks skipped), validate ``fmt ``,
+    and de-interleave ``data`` into an ``(n, channels)`` int16 array.
+    Returns ``(rate, channels, samples)``, or ``None`` for non-RIFF/WAVE
+    or otherwise-corrupt bytes.
+
+    Every sample coding with a published byte-level formula now decodes
+    FOR REAL — no library needed: integer PCM at 8 (unsigned, rebiased) /
+    16 / 24 / 32 bits (wide depths keep the top 16 bits, the demuxer's
+    fixed output resolution), IEEE float 32/64 (0x0003 — clipped to
+    [-1, 1] and scaled to ±32767, ties-to-even like numpy), G.711
+    A-law/µ-law (0x0006/0x0007 — exact table expansion), and
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolved through its SubFormat GUID
+    and re-dispatched. Only genuinely compressed codecs still raise
+    ``NotImplementedError``: MS/IMA ADPCM (0x0002/0x0011) and MP3-in-WAV
+    (0x0055). UNKNOWN tags — and known tags at bit depths the format
+    never uses — are treated as corrupt fmt chunks and quarantined
+    (``None``), so a bit-flipped header in an otherwise-fine corpus never
+    fails the whole job (ADVICE r5)."""
     import numpy as np
 
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -445,30 +512,58 @@ def demux_wav(b: bytes):
     channels = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or bits != 16:
-        # Only KNOWN compressed/float/extensible tags earn the explicit
-        # env-gate: 0x0003 IEEE float, 0x0006/0x0007 A-law/µ-law,
-        # 0x0055 MP3, 0xFFFE WAVE_FORMAT_EXTENSIBLE — those are real
-        # formats this container genuinely can't decode. Any OTHER tag
-        # (or a PCM tag with non-16 bits outside 8/24/32) is a corrupt
-        # fmt chunk, and corrupt payloads must stay quarantined-by-
-        # omission like every other malformed frame — a single
-        # bit-flipped fmt byte must not fail the whole job (ADVICE r5).
-        known_coded = {0x0003, 0x0006, 0x0007, 0x0055, 0xFFFE}
-        if audio_format in known_coded or (
-            audio_format == 1 and bits in (8, 24, 32)
-        ):
-            raise NotImplementedError(
-                f"WAV format tag 0x{audio_format:04x}/{bits}-bit needs a real "
-                "audio codec (libav/soundfile) — not available in this "
-                "environment"
-            )
-        return None
     if channels < 1:
         return None
-    block = channels * 2
-    usable = len(data) - (len(data) % block)
-    x = np.frombuffer(data[:usable], dtype="<i2").reshape(-1, channels)
+    if audio_format == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real tag rides the SubFormat GUID.
+        if len(fmt) < 40 or fmt[26:40] != _WAVE_EXT_GUID_TAIL:
+            return None
+        audio_format = int.from_bytes(fmt[24:26], "little")
+        if audio_format == 0xFFFE:
+            return None
+
+    def frames(raw: bytes, sample_bytes: int):
+        block = channels * sample_bytes
+        return raw[: len(raw) - (len(raw) % block)]
+
+    if audio_format == 0x0001:  # integer PCM
+        if bits == 16:
+            x = np.frombuffer(frames(data, 2), dtype="<i2").reshape(-1, channels)
+        elif bits == 8:  # unsigned, 0x80-biased
+            u = np.frombuffer(frames(data, 1), dtype=np.uint8).reshape(-1, channels)
+            x = ((u.astype(np.int16) - 128) << 8).astype("<i2")
+        elif bits == 24:
+            raw = np.frombuffer(frames(data, 3), dtype=np.uint8).reshape(-1, 3)
+            # top 16 of the signed 24-bit value = the upper two bytes
+            x = raw[:, 1:].copy().view("<i2").reshape(-1, channels)
+        elif bits == 32:
+            w = np.frombuffer(frames(data, 4), dtype="<i4").reshape(-1, channels)
+            x = (w >> 16).astype("<i2")
+        else:
+            return None  # PCM never uses this depth: corrupt header
+    elif audio_format == 0x0003:  # IEEE float
+        if bits == 32:
+            f = np.frombuffer(frames(data, 4), dtype="<f4").reshape(-1, channels)
+        elif bits == 64:
+            f = np.frombuffer(frames(data, 8), dtype="<f8").reshape(-1, channels)
+        else:
+            return None
+        f = np.nan_to_num(f.astype(np.float64), nan=0.0)
+        x = np.round(np.clip(f, -1.0, 1.0) * 32767.0).astype("<i2")
+    elif audio_format in (0x0006, 0x0007):  # G.711 A-law / µ-law
+        if bits != 8:
+            return None
+        u = np.frombuffer(frames(data, 1), dtype=np.uint8).reshape(-1, channels)
+        x = (_g711_alaw_decode if audio_format == 0x0006 else _g711_ulaw_decode)(u)
+    elif audio_format in (0x0002, 0x0011, 0x0055):
+        # Genuinely compressed codings (MS ADPCM / IMA ADPCM / MP3):
+        # the honest env-gate, exactly like JPEG/WEBP on the image side.
+        raise NotImplementedError(
+            f"WAV format tag 0x{audio_format:04x} is a compressed codec "
+            "(libav/soundfile) — not available in this environment"
+        )
+    else:
+        return None
     return rate, channels, x
 
 
@@ -1513,3 +1608,39 @@ def mux_gif(indices, palette, *, interlace: int = 0) -> bytes:
         out += bytes([len(blk)]) + blk
     out += bytes([0, 0x3B])
     return bytes(out)
+
+
+def wav_sample_moments(df: DataFrame, content_col: str = "content", id_col: str = "doc_id") -> DataFrame:
+    """Whole-clip audio moments over RIFF/WAVE payloads of ANY decodable
+    sample coding (integer PCM 8/16/24/32, IEEE float, G.711 A-law/µ-law,
+    extensible): demux → exact int64 sample count / sum / energy across
+    all channels. Undecodable payloads quarantine by omission; known
+    compressed codings (ADPCM/MP3) propagate the documented
+    NotImplementedError. mapInPandas, no shuffle."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, sums, energies = [], [], [], []
+            for i, buf in zip(pdf[id_col], pdf[content_col]):
+                out = demux_wav(bytes(buf))
+                if out is None:
+                    continue
+                _rate, _ch, samples = out
+                x = samples.astype(np.int64)
+                ids.append(i)
+                ns.append(int(x.size))
+                sums.append(int(x.sum()))
+                energies.append(int((x * x).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "s_sum": pd.Series(sums, dtype="int64"),
+                    "s_energy": pd.Series(energies, dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(id_col).alias("doc_id"), F.col(content_col)).mapInPandas(
+        run, schema="doc_id bigint, n_samples bigint, s_sum bigint, s_energy bigint"
+    )

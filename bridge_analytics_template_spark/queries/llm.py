@@ -1952,3 +1952,209 @@ def llm_gif_features(spark, sf_dir):
     ids = load(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0).select("doc_id")
     gifs = ids.mapInPandas(gen, schema="doc_id bigint, content binary")
     return rgb_image_stats(gifs).orderBy("doc_id")
+
+
+#: G.711 fixture geometry: 128 coded bytes per doc per law. µ-law byte
+#: u(d,i) = (d*11 + i*7) mod 256, A-law byte a(d,i) = (d*13 + i*5) mod 256.
+#: Both decode formulas are pure integer arithmetic, so the oracle expands
+#: them in SQL: µ-law complements then ((m*8+132) << e) - 132 with the
+#: sign in bit 7; A-law toggles 0x55 then segment-0 linear / shifted
+#: 0x108-biased mantissa. The A-law container is written as
+#: WAVE_FORMAT_EXTENSIBLE so the GUID re-dispatch path is oracled too.
+_G711_N = 128
+
+
+@query(
+    "llm_g711_features",
+    sql=f"""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 15),
+    u AS (
+      SELECT i.doc_id,
+             255 - ((i.doc_id * 11 + t.t * 7) % 256) AS u
+      FROM ids i, generate_series(0, {_G711_N - 1}) t(t)),
+    udec AS (
+      SELECT doc_id,
+             CASE WHEN u >= 128 THEN -(((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132)
+                  ELSE (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132) END AS v
+      FROM u),
+    a AS (
+      SELECT i.doc_id,
+             xor((i.doc_id * 13 + t.t * 5) % 256, 85) AS a
+      FROM ids i, generate_series(0, {_G711_N - 1}) t(t)),
+    adec AS (
+      SELECT doc_id,
+             CASE WHEN a >= 128 THEN
+               CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+                    ELSE ((a % 16) * 16 + 264) * (1 << ((a // 16) % 8 - 1)) END
+             ELSE
+               -(CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+                      ELSE ((a % 16) * 16 + 264) * (1 << ((a // 16) % 8 - 1)) END)
+             END AS v
+      FROM a),
+    us AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ulaw_n,
+                  CAST(SUM(v) AS BIGINT) AS ulaw_sum,
+                  CAST(SUM(v * v) AS BIGINT) AS ulaw_energy
+           FROM udec GROUP BY doc_id),
+    asx AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS alaw_sum,
+                   CAST(SUM(v * v) AS BIGINT) AS alaw_energy
+            FROM adec GROUP BY doc_id)
+    SELECT us.doc_id, ulaw_n, ulaw_sum, ulaw_energy, alaw_sum, alaw_energy
+    FROM us JOIN asx ON us.doc_id = asx.doc_id
+    ORDER BY us.doc_id
+    """,
+)
+def llm_g711_features(spark, sf_dir):
+    """L5 audio-codec tier: G.711 µ-law AND A-law decoded FOR REAL (the
+    telephony codings every speech corpus carries) — vectorized table
+    expansions in llm/multimodal.py::_g711_ulaw_decode/_g711_alaw_decode,
+    checked here value-by-value against the oracle's SQL rendering of the
+    published integer formulas. Per selected doc, 128 µ-law bytes ride a
+    plain fmt-7 WAV and 128 A-law bytes ride a WAVE_FORMAT_EXTENSIBLE
+    container (the 0xFFFE SubFormat-GUID re-dispatch is inside the oracled
+    path), each demuxed to int16 and reduced to exact int64 sum/energy.
+    A sign-bit slip, exponent-bias error, or 0x55-toggle miss hash-fails.
+    Two Arrow-batched mapInPandas passes + one doc_id equi-join."""
+    import numpy as np
+
+    from ..llm.multimodal import mux_wav_fmt, wav_sample_moments
+
+    i_idx = np.arange(_G711_N, dtype=np.int64)
+
+    def gen(batches):
+        import pandas as pd
+
+        def ulaw(d):
+            return mux_wav_fmt(((d * 11 + i_idx * 7) % 256).astype(np.uint8).tobytes(), 0x0007, 1, bits=8)
+
+        def alaw(d):
+            return mux_wav_fmt(
+                ((d * 13 + i_idx * 5) % 256).astype(np.uint8).tobytes(), 0x0006, 1, bits=8,
+                extensible=True,
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content_u": pdf["doc_id"].map(ulaw),
+                    "content_a": pdf["doc_id"].map(alaw),
+                }
+            )
+
+    ids = load(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 15).select("doc_id")
+    wavs = ids.mapInPandas(gen, schema="doc_id bigint, content_u binary, content_a binary")
+    um = wav_sample_moments(wavs, content_col="content_u").select(
+        "doc_id",
+        F.col("n_samples").alias("ulaw_n"),
+        F.col("s_sum").alias("ulaw_sum"),
+        F.col("s_energy").alias("ulaw_energy"),
+    )
+    am = wav_sample_moments(wavs, content_col="content_a").select(
+        "doc_id",
+        F.col("s_sum").alias("alaw_sum"),
+        F.col("s_energy").alias("alaw_energy"),
+    )
+    return um.join(am, "doc_id").orderBy("doc_id")
+
+
+#: Bit-depth fixture geometry for llm_wav_depths: 64 mono samples per doc
+#: per coding. 8-bit byte b = (d*3 + i*11) % 256 → (b-128)*256; 24-bit
+#: word w = (d*97 + i*1009) % 2^24, sign-extended, top 16 kept (floor
+#: division by 256); 32-bit word w = (d*131 + i*2654435761) % 2^32,
+#: sign-extended, floor-div 65536; float32 x = k/128 with
+#: k = (d + i*37) % 127 - 63 → round(k*32767/128) (|k| ≤ 63 keeps every
+#: product away from .5, so numpy ties-to-even and SQL ROUND agree).
+_WD_N = 64
+
+
+@query(
+    "llm_wav_depths",
+    sql=f"""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 15),
+    g AS (SELECT i.doc_id, t.t FROM ids i, generate_series(0, {_WD_N - 1}) t(t)),
+    p8 AS (
+      SELECT doc_id, ((doc_id * 3 + t * 11) % 256 - 128) * 256 AS v FROM g),
+    p24 AS (
+      SELECT doc_id,
+             CAST(floor(CASE WHEN (doc_id * 97 + t * 1009) % 16777216 >= 8388608
+                             THEN (doc_id * 97 + t * 1009) % 16777216 - 16777216
+                             ELSE (doc_id * 97 + t * 1009) % 16777216 END / 256.0) AS BIGINT) AS v
+      FROM g),
+    p32 AS (
+      SELECT doc_id,
+             CAST(floor(CASE WHEN (doc_id * 131 + t * 2654435761) % 4294967296 >= 2147483648
+                             THEN (doc_id * 131 + t * 2654435761) % 4294967296 - 4294967296
+                             ELSE (doc_id * 131 + t * 2654435761) % 4294967296 END / 65536.0) AS BIGINT) AS v
+      FROM g),
+    pf AS (
+      SELECT doc_id,
+             CAST(round(((doc_id + t * 37) % 127 - 63) * 32767.0 / 128.0) AS BIGINT) AS v
+      FROM g),
+    s8 AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS pcm8_sum,
+                  CAST(SUM(v * v) AS BIGINT) AS pcm8_energy FROM p8 GROUP BY doc_id),
+    s24 AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS pcm24_sum,
+                   CAST(SUM(v * v) AS BIGINT) AS pcm24_energy FROM p24 GROUP BY doc_id),
+    s32 AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS pcm32_sum,
+                   CAST(SUM(v * v) AS BIGINT) AS pcm32_energy FROM p32 GROUP BY doc_id),
+    sf AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS f32_sum,
+                  CAST(SUM(v * v) AS BIGINT) AS f32_energy FROM pf GROUP BY doc_id)
+    SELECT s8.doc_id, pcm8_sum, pcm8_energy, pcm24_sum, pcm24_energy,
+           pcm32_sum, pcm32_energy, f32_sum, f32_energy
+    FROM s8 JOIN s24 USING (doc_id) JOIN s32 USING (doc_id) JOIN sf USING (doc_id)
+    ORDER BY s8.doc_id
+    """,
+)
+def llm_wav_depths(spark, sf_dir):
+    """L5 audio bit-depth tier: integer PCM at 8/24/32 bits and IEEE
+    float32 all decoded FOR REAL by the one demuxer, value-checked against
+    SQL renderings of the exact reductions (8-bit rebias, top-16 keep =
+    floor division for negatives too, float clip+scale+round). Per
+    selected doc four mono WAV containers are muxed from closed-form
+    sample streams and demuxed back; a sign-extension slip, endianness
+    bug, or rounding-mode mismatch hash-fails. One Arrow-batched
+    mapInPandas pass demuxes all four containers per doc — no join, no
+    shuffle before the output sort."""
+    import numpy as np
+
+    from ..llm.multimodal import demux_wav, mux_wav_fmt
+
+    i_idx = np.arange(_WD_N, dtype=np.int64)
+
+    def gen_and_decode(batches):
+        import pandas as pd
+
+        def containers(d):
+            b8 = ((d * 3 + i_idx * 11) % 256).astype(np.uint8).tobytes()
+            w24 = (d * 97 + i_idx * 1009) % (1 << 24)
+            b24 = b"".join(int(v).to_bytes(3, "little") for v in w24)
+            w32 = ((d * 131 + i_idx * 2654435761) % (1 << 32)).astype(np.uint32)
+            b32 = w32.astype("<u4").tobytes()
+            k = (d + i_idx * 37) % 127 - 63
+            bf = (k / 128.0).astype("<f4").tobytes()
+            return (
+                mux_wav_fmt(b8, 1, 1, bits=8),
+                mux_wav_fmt(b24, 1, 1, bits=24),
+                mux_wav_fmt(b32, 1, 1, bits=32),
+                mux_wav_fmt(bf, 3, 1, bits=32),
+            )
+
+        for pdf in batches:
+            out = {"doc_id": []}
+            for name in ("pcm8", "pcm24", "pcm32", "f32"):
+                out[f"{name}_sum"], out[f"{name}_energy"] = [], []
+            for d in pdf["doc_id"]:
+                out["doc_id"].append(d)
+                for name, wav in zip(("pcm8", "pcm24", "pcm32", "f32"), containers(int(d))):
+                    _r, _c, x = demux_wav(wav)
+                    v = x.astype(np.int64)
+                    out[f"{name}_sum"].append(int(v.sum()))
+                    out[f"{name}_energy"].append(int((v * v).sum()))
+            yield pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
+
+    ids = load(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 15).select("doc_id")
+    return ids.mapInPandas(
+        gen_and_decode,
+        schema="doc_id bigint, pcm8_sum bigint, pcm8_energy bigint, "
+        "pcm24_sum bigint, pcm24_energy bigint, pcm32_sum bigint, "
+        "pcm32_energy bigint, f32_sum bigint, f32_energy bigint",
+    ).orderBy("doc_id")

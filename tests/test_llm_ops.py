@@ -806,23 +806,28 @@ def test_demux_wav_roundtrip_and_chunk_walk():
     assert demux_wav(b"not a wav") is None
     assert demux_wav(wav[:-3]) is None  # truncated data chunk
 
+    # float at 16 bits is a depth IEEE-float WAV never uses: corrupt
+    # header, quarantined (float 32/64 now DECODES — see
+    # test_demux_wav_real_format_decodes)
     float_fmt = (3).to_bytes(2, "little") + fmt[2:]
     bad = (
         b"RIFF" + (4 + 24 + 14).to_bytes(4, "little") + b"WAVE"
         + b"fmt " + (16).to_bytes(4, "little") + float_fmt
         + b"data" + (6).to_bytes(4, "little") + data
     )
-    with pytest.raises(NotImplementedError):
-        demux_wav(bad)
+    assert demux_wav(bad) is None
 
     # UNKNOWN fmt tag = corrupt header, not a codec gap: quarantined as
     # None so one bit-flipped file can't fail a whole corpus job
-    # (ADVICE r5). Known coded tags (mu-law 0x07) still raise.
+    # (ADVICE r5). Only genuinely compressed codings still raise —
+    # G.711/8/24/32-bit/float now decode for real.
     for tag, bits, expect_raise in (
         (0x1234, 16, False),  # garbage tag -> quarantine
         (0x0000, 16, False),  # reserved/invalid -> quarantine
         (0x0001, 12, False),  # PCM at a bit depth PCM never uses
-        (0x0007, 8, True),    # mu-law: a real codec we honestly lack
+        (0x0006, 16, False),  # A-law is always 8-bit: corrupt header
+        (0x0002, 4, True),    # MS ADPCM: compressed, honestly gated
+        (0x0011, 4, True),    # IMA ADPCM
         (0x0055, 16, True),   # MP3-in-WAV
     ):
         f = tag.to_bytes(2, "little") + fmt[2:14] + bits.to_bytes(2, "little")
@@ -1432,3 +1437,70 @@ def test_gif_decode_rgb_dispatch_and_resize(spark):
     out = {r["doc_id"]: bytes(r["content"]) for r in resize_images(df, 3, 2).collect()}
     want = encode_ppm(np.ascontiguousarray(px[[0, 2]][:, [0, 2, 4]]))
     assert out[0] == out[1] == out[2] == want
+
+
+def test_demux_wav_real_format_decodes():
+    """Every WAV sample coding with a published byte-level formula decodes
+    FOR REAL: G.711 µ-law/A-law checked byte-for-byte against independent
+    scalar reference expansions (all 256 codes + ITU anchor values),
+    integer PCM at 8/24/32 bits (top-16 reduction), IEEE float 32/64
+    (clip + scale, NaN→0), and WAVE_FORMAT_EXTENSIBLE GUID re-dispatch
+    (including a corrupted-GUID quarantine)."""
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.multimodal import (
+        _g711_alaw_decode,
+        _g711_ulaw_decode,
+        demux_wav,
+        mux_wav_fmt,
+    )
+
+    def ulaw_ref(u):
+        u = ~u & 0xFF
+        mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+        return -mag if u & 0x80 else mag
+
+    def alaw_ref(a):
+        a ^= 0x55
+        t = (a & 0x0F) << 4
+        seg = (a >> 4) & 7
+        mag = t + 8 if seg == 0 else (t + 0x108) << (seg - 1)
+        return mag if a & 0x80 else -mag
+
+    allb = np.arange(256, dtype=np.uint8)
+    assert [int(v) for v in _g711_ulaw_decode(allb)] == [ulaw_ref(i) for i in range(256)]
+    assert [int(v) for v in _g711_alaw_decode(allb)] == [alaw_ref(i) for i in range(256)]
+    # ITU anchors: full-scale +/-32124 for mu-law, +/-8 at A-law zero codes
+    assert ulaw_ref(0xFF) == 0 and ulaw_ref(0x80) == 32124 and ulaw_ref(0x00) == -32124
+    assert alaw_ref(0x55) == -8 and alaw_ref(0xD5) == 8
+
+    raw = allb.tobytes()
+    _, ch, x = demux_wav(mux_wav_fmt(raw, 0x0007, 2, bits=8))
+    assert ch == 2 and (x.reshape(-1) == _g711_ulaw_decode(allb).reshape(-1)).all()
+    _, ch, x = demux_wav(mux_wav_fmt(raw, 0x0006, 1, bits=8, extensible=True))
+    assert ch == 1 and (x[:, 0] == _g711_alaw_decode(allb)).all()
+
+    _, _, x = demux_wav(mux_wav_fmt(raw, 1, 1, bits=8))
+    assert (x[:, 0] == ((allb.astype(np.int16) - 128) << 8)).all()
+    vals = (np.arange(-40, 40, dtype=np.int64) * 100003) % (1 << 24)
+    b24 = b"".join(int(v).to_bytes(3, "little") for v in vals)
+    _, _, x = demux_wav(mux_wav_fmt(b24, 1, 2, bits=24))
+    signed = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+    assert (x.reshape(-1) == (signed >> 8)).all()
+    v32 = (np.arange(-50, 50, dtype=np.int64) * 40000001).astype("<i4")
+    _, _, x = demux_wav(mux_wav_fmt(v32.tobytes(), 1, 1, bits=32))
+    assert (x[:, 0] == (v32.astype(np.int64) >> 16)).all()
+
+    f = np.array([0.0, 0.5, -0.5, 1.5, -2.0, np.nan, 1 / 128, -63 / 128], dtype="<f4")
+    want = np.round(np.clip(np.nan_to_num(f.astype(np.float64)), -1, 1) * 32767).astype(np.int16)
+    _, _, x = demux_wav(mux_wav_fmt(f.tobytes(), 3, 1, bits=32))
+    assert (x[:, 0] == want).all()
+    _, _, x = demux_wav(mux_wav_fmt(f.astype("<f8").tobytes(), 3, 1, bits=64))
+    assert (x[:, 0] == want).all()
+
+    s = (np.arange(64, dtype=np.int64).reshape(32, 2) % 100 - 50).astype("<i2")
+    _, _, x = demux_wav(mux_wav_fmt(s.tobytes(), 1, 2, bits=16, extensible=True))
+    assert (x == s).all()
+    bad = bytearray(mux_wav_fmt(raw, 7, 1, bits=8, extensible=True))
+    bad[12 + 8 + 30] ^= 0xFF  # corrupt the SubFormat GUID tail
+    assert demux_wav(bytes(bad)) is None
