@@ -4,13 +4,15 @@ columns").
 Images / audio / video are opaque ``binary`` columns with a typed metadata
 struct alongside. The Spark-side plumbing — schema, Arrow batch shape,
 ``mapInPandas`` signature, partition sizing — is real and tested.
-Formats with a byte-level spec or a stdlib decompressor decode FOR REAL
-with no codec dependency: ``pcm_frame_energy`` (16-bit PCM audio framing),
-``ppm_image_stats`` (P6 RGB parsing), BMP, RIFF WAV/AVI demux, and — since
-zlib is stdlib — full PNG (``decode_png``: CRC'd chunk walk, IDAT inflate,
-all five filter reconstructions, Adam7, PLTE). Codecs that genuinely need
-an external library (JPEG/GIF/WEBP, non-PCM audio) stay STUBBED:
-``decode_stub=True`` computes deterministic features from the raw bytes,
+Formats with a published byte-level spec decode FOR REAL with no codec
+dependency: PPM/BMP pixels, RIFF WAV/AVI demux with every
+formula-specified sample coding (integer PCM 8-32, IEEE float, G.711),
+PNG (``decode_png`` — stdlib zlib + filter reconstruction + Adam7), GIF
+(``decode_gif`` — including the LZW entropy coder), and baseline JPEG
+(``llm/jpeg.py`` — Huffman + IDCT, the full T.81 baseline pipeline). The
+only codecs still STUBBED genuinely need an external library: WEBP (VP8),
+JPEG's progressive/arithmetic processes, ADPCM/MP3 audio.
+``decode_stub=True`` computes deterministic features from raw bytes,
 ``decode_stub=False`` raises ``NotImplementedError`` where a real
 PIL/libav call would go.
 
@@ -103,24 +105,33 @@ def sample_frames(
 
 
 #: Magic prefixes of compressed image codecs this container cannot decode.
-#: PNG left this list when the spec-written zlib decoder below landed; GIF
-#: left it when the LZW coder did. What remains genuinely needs an external
-#: library: JPEG (DCT+Huffman) and RIFF/WEBP (VP8).
-_COMPRESSED_MAGIC = (b"\xff\xd8\xff", b"RIFF")
+#: PNG left this list when the spec-written zlib decoder landed; GIF when
+#: the LZW coder did; JPEG when the baseline T.81 codec (llm/jpeg.py) did.
+#: What remains genuinely needs an external library: RIFF/WEBP (VP8).
+_COMPRESSED_MAGIC = (b"RIFF",)
 
 
 def _decode_rgb(b: bytes):
     """REAL image decode, no codec dependency: P6 PPM, 24-bit BI_RGB BMP,
     PNG (stdlib zlib inflate + spec-written filter reconstruction —
-    ``decode_png`` below), or GIF (fully spec-written including the LZW
-    entropy coder — ``decode_gif``) → ``(h, w, 3)`` uint8 array (RGB
-    channel order; gray replicates, alpha drops). Returns None for
+    ``decode_png`` below), GIF (fully spec-written including the LZW
+    entropy coder — ``decode_gif``), or baseline JPEG (spec-written T.81
+    Huffman+IDCT pipeline, ``llm/jpeg.py``) → ``(h, w, 3)`` uint8 array
+    (RGB channel order; gray replicates, alpha drops). Returns None for
     anything malformed (callers choose quarantine vs fallback). The
-    env-gated stub is now ONLY for JPEG (DCT+Huffman) and WEBP (VP8)."""
+    env-gated stub is now ONLY for WEBP (VP8); JPEG's progressive/
+    arithmetic/12-bit coding processes gate loudly inside decode_jpeg."""
     import numpy as np
 
     if b.startswith(b"GIF8"):
         return decode_gif(b)
+    if b.startswith(b"\xff\xd8"):
+        from .jpeg import decode_jpeg
+
+        img = decode_jpeg(b)
+        if img is None:
+            return None
+        return np.repeat(img, 3, axis=2) if img.shape[2] == 1 else img
     if b.startswith(_PNG_SIG[:4]):
         img = decode_png(b)
         if img is None:
@@ -192,10 +203,11 @@ def resize_images(
 ) -> DataFrame:
     """Image resize: 1→1 binary transform with new typed metadata.
 
-    Decodable payloads (P6 PPM / 24-bit BMP / PNG / GIF) decode FOR REAL:
-    nearest-neighbor resample (``src = floor(dst * in/out)``, the exact
-    arithmetic the oracle reproduces in SQL) and re-encode as P6.
-    Codecs needing an external library (JPEG/WEBP) raise ``NotImplementedError`` —
+    Decodable payloads (P6 PPM / 24-bit BMP / PNG / GIF / baseline JPEG)
+    decode FOR REAL: nearest-neighbor resample (``src = floor(dst *
+    in/out)``, the exact arithmetic the oracle reproduces in SQL) and
+    re-encode as P6. WEBP (VP8 — the one codec left needing an external
+    library) raises ``NotImplementedError`` —
     that is where a PIL/turbojpeg call goes and this container has none.
     Opaque non-image payloads keep the deterministic byte-tiling fallback
     (``decode_stub=True``) or raise (``decode_stub=False``)."""

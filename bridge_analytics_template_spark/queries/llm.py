@@ -2158,3 +2158,112 @@ def llm_wav_depths(spark, sf_dir):
         "pcm24_sum bigint, pcm24_energy bigint, pcm32_sum bigint, "
         "pcm32_energy bigint, f32_sum bigint, f32_energy bigint",
     ).orderBy("doc_id")
+
+
+#: JPEG fixture geometry: per selected doc, (a) a 16x24 grayscale
+#: baseline JPEG of 8x8-constant blocks v(d,by,bx) = (d*37+by*19+bx*7)
+#: mod 256, and (b) a 32x48 4:2:0 color JPEG (restart interval 2) of
+#: 16x16-constant gray-valued blocks u(d,by,bx) = (d*41+by*23+bx*13) mod
+#: 256 with R=G=B. With all-ones quantization tables both decode EXACTLY
+#: (block-constant input → DC-only coefficients; R=G=B → Cb=Cr=128, so
+#: the color transform round-trips losslessly) — the closed-form regime
+#: the oracle pins: gray channel sum = Σ v·64, color = Σ u·256.
+_JPG_GBY, _JPG_GBX = 2, 3  # gray: 8x8 blocks
+_JPG_CBY, _JPG_CBX = 2, 3  # color: 16x16 super-blocks
+
+
+@query(
+    "llm_jpeg_features",
+    sql=f"""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 5),
+    gb AS (
+      SELECT i.doc_id, (i.doc_id * 37 + y.y * 19 + x.x * 7) % 256 AS v
+      FROM ids i,
+           generate_series(0, {_JPG_GBY - 1}) y(y),
+           generate_series(0, {_JPG_GBX - 1}) x(x)),
+    cb AS (
+      SELECT i.doc_id, (i.doc_id * 41 + y.y * 23 + x.x * 13) % 256 AS u
+      FROM ids i,
+           generate_series(0, {_JPG_CBY - 1}) y(y),
+           generate_series(0, {_JPG_CBX - 1}) x(x)),
+    gs AS (SELECT doc_id, CAST(SUM(v) * 64 AS BIGINT) AS gray_sum FROM gb GROUP BY doc_id),
+    cs AS (SELECT doc_id, CAST(SUM(u) * 256 AS BIGINT) AS color_sum FROM cb GROUP BY doc_id)
+    SELECT gs.doc_id,
+           CAST({_JPG_GBX * 8} AS INT) AS gray_w, CAST({_JPG_GBY * 8} AS INT) AS gray_h,
+           CAST({_JPG_CBX * 16} AS INT) AS color_w, CAST({_JPG_CBY * 16} AS INT) AS color_h,
+           gray_sum, color_sum
+    FROM gs JOIN cs USING (doc_id) ORDER BY gs.doc_id
+    """,
+)
+def llm_jpeg_features(spark, sf_dir):
+    """L5+++++: baseline JPEG decoded FOR REAL — the spec-written T.81
+    pipeline in llm/jpeg.py (marker walk, DQT/DHT parse, canonical
+    Huffman, DC-prediction + extend coding, per-MCU interleave, restart
+    markers, dequantize → IDCT → level shift, 4:2:0 chroma upsample,
+    YCbCr→RGB). Per selected doc TWO containers are muxed by the
+    matching spec-written encoder and decoded back through
+    ``_decode_rgb``: a grayscale single-component scan and a
+    3-component 4:2:0 scan with DRI/RSTn every 2 MCUs. All-ones quant
+    tables + block-constant pixels put the streams in the exactly-
+    lossless regime, so a Huffman-table slip, zigzag error, DC-predictor
+    bug, restart mishandling, subsampling misalignment, or color-
+    transform drift hash-fails against the closed-form sum oracle. WEBP
+    (VP8) is now the ONLY env-gated image codec. One Arrow-batched
+    mapInPandas pass, no shuffle before the output sort."""
+    import numpy as np
+
+    from ..llm.jpeg import mux_jpeg
+    from ..llm.multimodal import _decode_rgb
+
+    ones = np.ones((8, 8), dtype=np.int64)
+    gby = np.arange(_JPG_GBY, dtype=np.int64)[:, None]
+    gbx = np.arange(_JPG_GBX, dtype=np.int64)[None, :]
+
+    def gen_and_decode(batches):
+        import pandas as pd
+
+        out = {"doc_id": [], "gray_w": [], "gray_h": [], "color_w": [], "color_h": [],
+               "gray_sum": [], "color_sum": []}
+
+        def flushdf():
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "gray_w": pd.Series(out["gray_w"], dtype="int32"),
+                    "gray_h": pd.Series(out["gray_h"], dtype="int32"),
+                    "color_w": pd.Series(out["color_w"], dtype="int32"),
+                    "color_h": pd.Series(out["color_h"], dtype="int32"),
+                    "gray_sum": pd.Series(out["gray_sum"], dtype="int64"),
+                    "color_sum": pd.Series(out["color_sum"], dtype="int64"),
+                }
+            )
+
+        for pdf in batches:
+            for d in pdf["doc_id"]:
+                d = int(d)
+                gblocks = ((d * 37 + gby * 19 + gbx * 7) % 256).astype(np.uint8)
+                gimg = np.repeat(np.repeat(gblocks, 8, axis=0), 8, axis=1)
+                ublocks = ((d * 41 + gby * 23 + gbx * 13) % 256).astype(np.uint8)
+                uimg = np.repeat(np.repeat(ublocks, 16, axis=0), 16, axis=1)
+                cimg = np.stack([uimg] * 3, axis=2)
+                gjpg = mux_jpeg(gimg, quant=ones)
+                cjpg = mux_jpeg(cimg, quant=ones, quant_chroma=ones,
+                                subsample=True, restart_interval=2)
+                gdec = _decode_rgb(gjpg)
+                cdec = _decode_rgb(cjpg)
+                out["doc_id"].append(d)
+                out["gray_w"].append(gdec.shape[1])
+                out["gray_h"].append(gdec.shape[0])
+                out["color_w"].append(cdec.shape[1])
+                out["color_h"].append(cdec.shape[0])
+                out["gray_sum"].append(int(gdec[:, :, 0].astype(np.int64).sum()))
+                out["color_sum"].append(int(cdec[:, :, 0].astype(np.int64).sum()))
+            yield flushdf()
+            out = {k: [] for k in out}
+
+    ids = load(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 5).select("doc_id")
+    return ids.mapInPandas(
+        gen_and_decode,
+        schema="doc_id bigint, gray_w int, gray_h int, color_w int, color_h int, "
+        "gray_sum bigint, color_sum bigint",
+    ).orderBy("doc_id")

@@ -208,9 +208,18 @@ def test_resize_images_real_decode_ppm_and_bmp(spark):
     want = encode_ppm(np.ascontiguousarray(px[yi][:, xi]))
     assert out[0] == want and out[1] == want
 
-    jpeg = spark.createDataFrame([(2, bytearray(b"\xff\xd8\xff\xe0junk"))], "doc_id long, content binary")
+    # WEBP (VP8) is the one image codec still env-gated; corrupt JPEG
+    # magic now QUARANTINES (real decoder, damaged stream) and falls to
+    # the deterministic tiling path instead of failing the batch.
+    webp = spark.createDataFrame(
+        [(2, bytearray(b"RIFF\x0c\x00\x00\x00WEBPjunkdata"))], "doc_id long, content binary"
+    )
     with pytest.raises(Exception, match="turbojpeg"):
-        resize_images(jpeg, 3, 2).collect()
+        resize_images(webp, 3, 2).collect()
+    corrupt_jpeg = spark.createDataFrame(
+        [(3, bytearray(b"\xff\xd8\xff\xe0junk"))], "doc_id long, content binary"
+    )
+    assert len(resize_images(corrupt_jpeg, 3, 2).collect()) == 1  # tiled, not failed
 
 
 def test_knn_numpy_matches_fold_exactly(spark, sf_dir):
@@ -1504,3 +1513,153 @@ def test_demux_wav_real_format_decodes():
     bad = bytearray(mux_wav_fmt(raw, 7, 1, bits=8, extensible=True))
     bad[12 + 8 + 30] ^= 0xFF  # corrupt the SubFormat GUID tail
     assert demux_wav(bytes(bad)) is None
+
+
+def test_jpeg_exact_roundtrips_block_constant():
+    """The exactly-lossless regime the oracle relies on: all-ones quant
+    tables + block-constant input → DC-only coefficients → decode ==
+    input, for grayscale (odd dims force edge-padded partial blocks),
+    4:4:4 color, and 4:2:0 with restart markers. Gray-valued RGB keeps
+    Cb=Cr=128 so the color transform round-trips losslessly."""
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.jpeg import decode_jpeg, mux_jpeg
+
+    rng = np.random.default_rng(7)
+    ones = np.ones((8, 8), dtype=np.int64)
+    for h, w in [(8, 8), (16, 24), (5, 7), (17, 9)]:
+        bh, bw = -(-h // 8), -(-w // 8)
+        blocks = rng.integers(0, 256, (bh, bw), dtype=np.uint8)
+        img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)[:h, :w]
+        out = decode_jpeg(mux_jpeg(img, quant=ones))
+        assert out is not None and out.shape == (h, w, 1) and (out[:, :, 0] == img).all()
+    for sub in (False, True):
+        blocks = rng.integers(0, 256, (2, 3), dtype=np.uint8)
+        gimg = np.repeat(np.repeat(blocks, 16, axis=0), 16, axis=1)
+        img = np.stack([gimg] * 3, axis=2)
+        out = decode_jpeg(mux_jpeg(img, quant=ones, quant_chroma=ones, subsample=sub))
+        assert out is not None and (out == img).all(), sub
+    # restart markers change the stream, not the pixels
+    img = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    a = decode_jpeg(mux_jpeg(img, quant=ones, restart_interval=2))
+    c = decode_jpeg(mux_jpeg(img, quant=ones))
+    assert (a == c).all()
+
+
+def test_jpeg_lossy_bounds_and_std_tables():
+    """Random content through the full lossy path stays within the
+    quantization-error bound (Q=1: coefficient error <= 0.5 → small
+    spatial error), and the Annex K standard tables decode a smooth
+    gradient with moderate error — sanity that dequantization actually
+    multiplies the right table in the right order."""
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.jpeg import decode_jpeg, mux_jpeg
+
+    rng = np.random.default_rng(11)
+    ones = np.ones((8, 8), dtype=np.int64)
+    img = rng.integers(0, 256, (24, 33), dtype=np.uint8)
+    out = decode_jpeg(mux_jpeg(img, quant=ones))[:, :, 0]
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+    rgb = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    out = decode_jpeg(mux_jpeg(rgb, quant=ones, quant_chroma=ones))
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 6
+    yy, xx = np.mgrid[0:32, 0:32]
+    smooth = ((yy * 3 + xx * 2) % 200 + 20).astype(np.uint8)
+    out = decode_jpeg(mux_jpeg(smooth))[:, :, 0]  # Annex K tables
+    assert np.abs(out.astype(int) - smooth.astype(int)).max() <= 12
+
+
+def test_jpeg_16bit_dqt_and_gates():
+    """Pq=1 (16-bit) quantization tables parse and decode; progressive /
+    lossless / arithmetic SOFs and 12-bit precision gate loudly; every
+    structural damage class quarantines as None."""
+    import numpy as np
+    import pytest
+
+    from bridge_analytics_template_spark.llm.jpeg import ZIGZAG, decode_jpeg, mux_jpeg
+
+    rng = np.random.default_rng(3)
+    ones = np.ones((8, 8), dtype=np.int64)
+    blocks = rng.integers(0, 256, (2, 2), dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    base = mux_jpeg(img, quant=ones)
+
+    # rewrite the 8-bit DQT segment as a 16-bit (Pq=1) one: same values
+    i = base.find(b"\xff\xdb")
+    ln = int.from_bytes(base[i + 2 : i + 4], "big")
+    vals = base[i + 5 : i + 2 + ln]
+    seg16 = bytes([0x10]) + b"".join(bytes([0, v]) for v in vals)
+    rebuilt = (
+        base[:i] + b"\xff\xdb" + (len(seg16) + 2).to_bytes(2, "big") + seg16 + base[i + 2 + ln :]
+    )
+    out = decode_jpeg(rebuilt)
+    assert out is not None and (out[:, :, 0] == img).all()
+
+    j = base.find(b"\xff\xc0")
+    for sof in (0xC2, 0xC3, 0xC9, 0xCA):  # progressive/lossless/arithmetic
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(base[: j + 1] + bytes([sof]) + base[j + 2 :])
+    prec12 = base[: j + 4] + bytes([12]) + base[j + 5 :]
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(prec12)
+
+    assert decode_jpeg(b"") is None
+    assert decode_jpeg(b"junk") is None
+    assert decode_jpeg(b"\xff\xd8\xff\xd9") is None  # EOI before SOS
+    assert decode_jpeg(base[:-30]) is None  # truncated entropy data
+    assert ZIGZAG.shape == (64,) and sorted(ZIGZAG.tolist()) == list(range(64))
+
+
+def test_jpeg_fuzz_never_crashes():
+    """300 random mutations of a real baseline stream: every outcome is
+    None, a well-formed array, or the documented NotImplementedError —
+    never an IndexError / numpy shape error / unbounded loop."""
+    import random
+
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.jpeg import decode_jpeg, mux_jpeg
+
+    rng_np = np.random.default_rng(5)
+    img = rng_np.integers(0, 256, (16, 16), dtype=np.uint8)
+    base = mux_jpeg(img)
+    rng = random.Random(41)
+    for _ in range(300):
+        bb = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            bb[rng.randrange(len(bb))] = rng.randrange(256)
+        try:
+            out = decode_jpeg(bytes(bb))
+        except NotImplementedError:
+            continue
+        assert out is None or (out.ndim == 3 and out.dtype == np.uint8)
+
+
+def test_jpeg_decode_rgb_dispatch_and_resize(spark):
+    """JPEG payloads flow through _decode_rgb → resize_images like every
+    other decodable codec: the same block-constant pixels in PPM and
+    JPEG containers resize to identical P6 bytes."""
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.jpeg import mux_jpeg
+    from bridge_analytics_template_spark.llm.multimodal import (
+        _decode_rgb,
+        encode_ppm,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(9)
+    ones = np.ones((8, 8), dtype=np.int64)
+    blocks = rng.integers(0, 256, (2, 2), dtype=np.uint8)
+    gimg = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    px = np.stack([gimg] * 3, axis=2)
+    jpg = mux_jpeg(px, quant=ones, quant_chroma=ones)
+    assert (_decode_rgb(jpg) == px).all()
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_ppm(px))), (1, bytearray(jpg))], "doc_id long, content binary"
+    )
+    out = {r["doc_id"]: bytes(r["content"]) for r in resize_images(df, 4, 4).collect()}
+    yi = (np.arange(4, dtype=np.int64) * 16) // 4
+    want = encode_ppm(np.ascontiguousarray(px[yi][:, yi]))
+    assert out[0] == out[1] == want
