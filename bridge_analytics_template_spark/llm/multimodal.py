@@ -567,9 +567,17 @@ def demux_wav(b: bytes):
             return None
         u = np.frombuffer(frames(data, 1), dtype=np.uint8).reshape(-1, channels)
         x = (_g711_alaw_decode if audio_format == 0x0006 else _g711_ulaw_decode)(u)
-    elif audio_format in (0x0002, 0x0011, 0x0055):
-        # Genuinely compressed codings (MS ADPCM / IMA ADPCM / MP3):
-        # the honest env-gate, exactly like JPEG/WEBP on the image side.
+    elif audio_format == 0x0011:  # IMA ADPCM: formula-specified, decoded for real
+        if bits != 4 or len(fmt) < 20:
+            return None
+        block_align = int.from_bytes(fmt[12:14], "little")
+        samples_per_block = int.from_bytes(fmt[18:20], "little")
+        x = ima_adpcm_decode(data, channels, block_align, samples_per_block)
+        if x is None:
+            return None
+    elif audio_format in (0x0002, 0x0055):
+        # Genuinely library-bound codings (MS ADPCM / MP3): the honest
+        # env-gate, exactly like WEBP on the image side.
         raise NotImplementedError(
             f"WAV format tag 0x{audio_format:04x} is a compressed codec "
             "(libav/soundfile) — not available in this environment"
@@ -1656,3 +1664,171 @@ def wav_sample_moments(df: DataFrame, content_col: str = "content", id_col: str 
     return df.select(F.col(id_col).alias("doc_id"), F.col(content_col)).mapInPandas(
         run, schema="doc_id bigint, n_samples bigint, s_sum bigint, s_energy bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (WAV format tag 0x0011) — the first compressed AUDIO coding
+# decoded for real. The algorithm is fully formula-specified in the public
+# IMA/DVI spec (89-entry step table, 8-entry index-adaptation table, 4-bit
+# nibbles reconstructing a clamped predictor), so like JPEG it is pure spec
+# work. WAV framing: per block and channel a 4-byte header (int16
+# predictor = sample 0, step index, reserved), then nibble data in 4-byte
+# per-channel groups (low nibble first). Only MS ADPCM (0x0002) and
+# MP3-in-WAV (0x0055) remain env-gated on the audio side.
+# ---------------------------------------------------------------------------
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+    45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+    209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+    796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+    2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+    7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+    20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(predictor: int, index: int, nibble: int):
+    """One IMA ADPCM reconstruction step → (new_predictor, new_index)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    predictor = predictor - diff if nibble & 8 else predictor + diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + _IMA_INDEX[nibble & 7]))
+    return predictor, index
+
+
+def _ima_decode_block(block: bytes, channels: int, samples_per_block: int):
+    """Decode one IMA WAV block → (samples_per_block, channels) int16
+    list-of-lists, or None on structural damage."""
+    if len(block) < 4 * channels:
+        return None
+    preds, idxs = [], []
+    for c in range(channels):
+        h = block[4 * c : 4 * c + 4]
+        pred = int.from_bytes(h[0:2], "little", signed=True)
+        index = h[2]
+        if index > 88 or h[3] != 0:
+            return None
+        preds.append(pred)
+        idxs.append(index)
+    out = [[p] for p in preds]  # header predictor IS sample 0
+    data = block[4 * channels :]
+    # nibble stream: 4-byte groups per channel, low nibble first
+    need = samples_per_block - 1
+    pos = 0
+    while any(len(o) < samples_per_block for o in out):
+        for c in range(channels):
+            chunk = data[pos : pos + 4]
+            pos += 4
+            if len(chunk) < 4:
+                return None
+            for byte in chunk:
+                for nib in (byte & 0x0F, byte >> 4):
+                    if len(out[c]) <= need:
+                        preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                        out[c].append(preds[c])
+    return out
+
+
+def ima_adpcm_decode(data: bytes, channels: int, block_align: int, samples_per_block: int):
+    """Full IMA ADPCM data-chunk decode → (n, channels) int16 array or
+    None. Trailing partial blocks are dropped (quarantine-by-truncation,
+    the same policy the PCM path applies to partial frames)."""
+    import numpy as np
+
+    if channels < 1 or block_align < 4 * channels or samples_per_block < 1:
+        return None
+    expect = 4 * channels + ((samples_per_block - 1) * channels + 1) // 2
+    if block_align < expect:
+        return None
+    cols = [[] for _ in range(channels)]
+    for off in range(0, len(data) - block_align + 1, block_align):
+        block = _ima_decode_block(data[off : off + block_align], channels, samples_per_block)
+        if block is None:
+            return None
+        for c in range(channels):
+            cols[c].extend(block[c])
+    if not cols[0]:
+        return np.zeros((0, channels), dtype="<i2")
+    return np.stack([np.array(c, dtype="<i2") for c in cols], axis=1)
+
+
+def ima_adpcm_encode(samples, rate: int = 8000, samples_per_block: int = 505) -> bytes:
+    """IMA ADPCM WAV writer (fixture sibling of ``mux_wav``): (n,) or
+    (n, channels) int16 → a complete fmt-0x0011 RIFF/WAVE file using the
+    canonical greedy nibble chooser; input is zero-padded to whole
+    blocks. ``samples_per_block`` must be odd (nibble pairs)."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, channels = x.shape
+    if samples_per_block % 2 == 0:
+        raise ValueError("samples_per_block must be odd")
+    block_align = 4 * channels + (samples_per_block - 1) * channels // 2
+    nblocks = max(1, -(-n // samples_per_block))
+    pad = nblocks * samples_per_block - n
+    if pad:
+        x = np.vstack([x, np.zeros((pad, channels), dtype=np.int64)])
+
+    out = bytearray()
+    idxs = [0] * channels
+    for bi in range(nblocks):
+        seg = x[bi * samples_per_block : (bi + 1) * samples_per_block]
+        preds = [int(seg[0, c]) for c in range(channels)]
+        for c in range(channels):
+            out += int(preds[c]).to_bytes(2, "little", signed=True)
+            out += bytes([idxs[c], 0])
+        nibs: list[list[int]] = [[] for _ in range(channels)]
+        for c in range(channels):
+            for s in seg[1:, c]:
+                step = _IMA_STEPS[idxs[c]]
+                diff = int(s) - preds[c]
+                nib = 8 if diff < 0 else 0
+                diff = abs(diff)
+                tmp = step
+                if diff >= tmp:
+                    nib |= 4
+                    diff -= tmp
+                tmp >>= 1
+                if diff >= tmp:
+                    nib |= 2
+                    diff -= tmp
+                tmp >>= 1
+                if diff >= tmp:
+                    nib |= 1
+                preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                nibs[c].append(nib)
+        # pack: 4-byte groups per channel, low nibble first
+        per = len(nibs[0])
+        pos = 0
+        while pos < per:
+            for c in range(channels):
+                group = nibs[c][pos : pos + 8] + [0] * max(0, 8 - (per - pos))
+                for j in range(0, 8, 2):
+                    out.append(group[j] | (group[j + 1] << 4))
+            pos += 8
+    data = bytes(out)
+    fmt = (
+        (0x0011).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block_align // samples_per_block).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little") + (4).to_bytes(2, "little")
+        + (2).to_bytes(2, "little") + samples_per_block.to_bytes(2, "little")
+    )
+    chunks = (
+        b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"fact" + (4).to_bytes(4, "little") + (nblocks * samples_per_block).to_bytes(4, "little")
+        + b"data" + len(data).to_bytes(4, "little") + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks

@@ -836,7 +836,8 @@ def test_demux_wav_roundtrip_and_chunk_walk():
         (0x0001, 12, False),  # PCM at a bit depth PCM never uses
         (0x0006, 16, False),  # A-law is always 8-bit: corrupt header
         (0x0002, 4, True),    # MS ADPCM: compressed, honestly gated
-        (0x0011, 4, True),    # IMA ADPCM
+        (0x0011, 4, False),   # IMA ADPCM decodes now; a 16-byte fmt
+                              # (missing wSamplesPerBlock) is corrupt
         (0x0055, 16, True),   # MP3-in-WAV
     ):
         f = tag.to_bytes(2, "little") + fmt[2:14] + bits.to_bytes(2, "little")
@@ -1663,3 +1664,78 @@ def test_jpeg_decode_rgb_dispatch_and_resize(spark):
     yi = (np.arange(4, dtype=np.int64) * 16) // 4
     want = encode_ppm(np.ascontiguousarray(px[yi][:, yi]))
     assert out[0] == out[1] == want
+
+
+def test_ima_adpcm_decoder_matches_independent_reference():
+    """IMA ADPCM (WAV fmt 0x0011) decodes FOR REAL: the engine's
+    vectorized-block decoder is checked sample-for-sample against a
+    separately written scalar reference of the public IMA spec (step
+    table, index adaptation, clamped predictor, per-channel 4-byte nibble
+    groups), for mono and stereo; encode→demux tracking error stays
+    bounded and corrupt block headers quarantine."""
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.multimodal import (
+        _IMA_INDEX,
+        _IMA_STEPS,
+        demux_wav,
+        ima_adpcm_encode,
+    )
+
+    def ref_decode(data, channels, block_align, spb):
+        out = [[] for _ in range(channels)]
+        for off in range(0, len(data) - block_align + 1, block_align):
+            blk = data[off : off + block_align]
+            preds, idxs = [], []
+            for c in range(channels):
+                h = blk[4 * c : 4 * c + 4]
+                preds.append(int.from_bytes(h[:2], "little", signed=True))
+                idxs.append(h[2])
+                out[c].append(preds[c])
+            body = blk[4 * channels :]
+            nibs = [[] for _ in range(channels)]
+            pos = 0
+            while pos < len(body):
+                for c in range(channels):
+                    for byte in body[pos : pos + 4]:
+                        nibs[c] += [byte & 15, byte >> 4]
+                    pos += 4
+            for c in range(channels):
+                got = 1
+                for nib in nibs[c]:
+                    if got >= spb:
+                        break
+                    step = _IMA_STEPS[idxs[c]]
+                    diff = step >> 3
+                    if nib & 4:
+                        diff += step
+                    if nib & 2:
+                        diff += step >> 1
+                    if nib & 1:
+                        diff += step >> 2
+                    preds[c] = preds[c] - diff if nib & 8 else preds[c] + diff
+                    preds[c] = max(-32768, min(32767, preds[c]))
+                    idxs[c] = max(0, min(88, idxs[c] + _IMA_INDEX[nib & 7]))
+                    out[c].append(preds[c])
+                    got += 1
+        return np.stack([np.array(c) for c in out], axis=1)
+
+    for ch in (1, 2):
+        t = np.arange(1200)
+        sig = (8000 * np.sin(t / 20) + 2000 * np.sin(t / 3)).astype(np.int64)
+        x = np.stack([sig + c * 137 for c in range(ch)], axis=1)
+        wav = ima_adpcm_encode(x, samples_per_block=129)
+        _r, c2, y = demux_wav(wav)
+        assert c2 == ch
+        i = wav.find(b"data")
+        n = int.from_bytes(wav[i + 4 : i + 8], "little")
+        ref = ref_decode(wav[i + 8 : i + 8 + n], ch, 4 * ch + 128 * ch // 2, 129)
+        assert (y.astype(np.int64) == ref).all()
+        # lossy coding: bounded transient error, small average error
+        err = np.abs(y[:1200].astype(np.int64) - x)
+        assert err.max() < 6000 and err.mean() < 600
+
+    wav2 = bytearray(ima_adpcm_encode(np.zeros(9, dtype=np.int64), samples_per_block=9))
+    i = wav2.find(b"data")
+    wav2[i + 8 + 2] = 120  # step index > 88: corrupt header
+    assert demux_wav(bytes(wav2)) is None
