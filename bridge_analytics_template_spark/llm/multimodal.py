@@ -125,6 +125,13 @@ def _decode_rgb(b: bytes):
 
     if b.startswith(b"GIF8"):
         return decode_gif(b)
+    if b.startswith((b"II*\x00", b"MM\x00*")):
+        from .tiff import decode_tiff
+
+        img = decode_tiff(b)
+        if img is None:
+            return None
+        return np.repeat(img, 3, axis=2) if img.shape[2] == 1 else img
     if b.startswith(b"\xff\xd8"):
         from .jpeg import decode_jpeg
 

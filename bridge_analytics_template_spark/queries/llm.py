@@ -2267,3 +2267,67 @@ def llm_jpeg_features(spark, sf_dir):
         schema="doc_id bigint, gray_w int, gray_h int, color_w int, color_h int, "
         "gray_sum bigint, color_sum bigint",
     ).orderBy("doc_id")
+
+
+#: TIFF fixture geometry: one 6x9 RGB image per selected doc, pixel
+#: v(d,y,x,c) = (d*5 + y*7 + x*11 + c*13) mod 256. Even docs mux
+#: LZW-compressed little-endian with the horizontal-differencing
+#: predictor and 2-row strips; odd docs mux PackBits big-endian —
+#: decoded pixels (and thus the oracle) are identical either way.
+_TIF_H, _TIF_W = 6, 9
+
+
+@query(
+    "llm_tiff_features",
+    sql=f"""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 5),
+    px AS (
+      SELECT i.doc_id, c.c,
+             (i.doc_id * 5 + y.y * 7 + x.x * 11 + c.c * 13) % 256 AS v
+      FROM ids i,
+           generate_series(0, {_TIF_H - 1}) y(y),
+           generate_series(0, {_TIF_W - 1}) x(x),
+           generate_series(0, 2) c(c))
+    SELECT doc_id, CAST(TRUE AS BOOLEAN) AS ok,
+           CAST({_TIF_W} AS INT) AS width, CAST({_TIF_H} AS INT) AS height,
+           CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def llm_tiff_features(spark, sf_dir):
+    """L5 document-corpus codec: baseline TIFF decoded for real
+    (llm/tiff.py — IFD walk in both byte orders, strip assembly,
+    PackBits, and the TIFF-variant LZW with its early code-width change
+    plus the horizontal-differencing predictor, undone as a row cumsum).
+    Per selected doc a 6x9 RGB image is muxed as LZW+predictor 2-row
+    strips (even docs, little-endian) or PackBits (odd docs, big-endian)
+    and decoded back through ``_decode_rgb``; an IFD-offset slip,
+    early-change desync, predictor miss, or strip-boundary bug
+    hash-fails against the closed-form pixel oracle. Arrow-batched
+    mapInPandas both ways — no shuffle before the output sort."""
+    import numpy as np
+
+    from ..llm.multimodal import rgb_image_stats
+    from ..llm.tiff import mux_tiff
+
+    y_idx = np.arange(_TIF_H, dtype=np.int64)[:, None, None]
+    x_idx = np.arange(_TIF_W, dtype=np.int64)[None, :, None]
+    c_idx = np.arange(3, dtype=np.int64)[None, None, :]
+
+    def gen(batches):
+        import pandas as pd
+
+        def one(d):
+            img = ((d * 5 + y_idx * 7 + x_idx * 11 + c_idx * 13) % 256).astype(np.uint8)
+            if d % 2 == 0:
+                return mux_tiff(img, compression=5, predictor=2, rows_per_strip=2)
+            return mux_tiff(img, compression=32773, big_endian=True)
+
+        for pdf in batches:
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": pdf["doc_id"].map(lambda d: one(int(d)))})
+
+    ids = load(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 5).select("doc_id")
+    tiffs = ids.mapInPandas(gen, schema="doc_id bigint, content binary")
+    return rgb_image_stats(tiffs).orderBy("doc_id")
