@@ -582,11 +582,18 @@ def demux_wav(b: bytes):
         x = ima_adpcm_decode(data, channels, block_align, samples_per_block)
         if x is None:
             return None
-    elif audio_format in (0x0002, 0x0055):
-        # Genuinely library-bound codings (MS ADPCM / MP3): the honest
-        # env-gate, exactly like WEBP on the image side.
+    elif audio_format == 0x0002:  # MS ADPCM: formula-specified, decoded for real
+        if bits != 4 or len(fmt) < 20:
+            return None
+        block_align = int.from_bytes(fmt[12:14], "little")
+        samples_per_block = int.from_bytes(fmt[18:20], "little")
+        x = ms_adpcm_decode(data, channels, block_align, samples_per_block)
+        if x is None:
+            return None
+    elif audio_format == 0x0055:
+        # MP3-in-WAV: the one genuinely library-bound audio coding left.
         raise NotImplementedError(
-            f"WAV format tag 0x{audio_format:04x} is a compressed codec "
+            "WAV format tag 0x0055 (MP3) is a compressed codec "
             "(libav/soundfile) — not available in this environment"
         )
     else:
@@ -1835,6 +1842,149 @@ def ima_adpcm_encode(samples, rate: int = 8000, samples_per_block: int = 505) ->
     chunks = (
         b"fmt " + len(fmt).to_bytes(4, "little") + fmt
         + b"fact" + (4).to_bytes(4, "little") + (nblocks * samples_per_block).to_bytes(4, "little")
+        + b"data" + len(data).to_bytes(4, "little") + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+# ---------------------------------------------------------------------------
+# MS ADPCM (WAV format tag 0x0002) — like IMA, fully formula-specified in
+# the public format docs: 7 fixed prediction-coefficient pairs, a 16-entry
+# delta-adaptation table, 4-bit signed nibbles over a two-tap predictor.
+# With this one, MP3-in-WAV (0x0055) is the ONLY audio coding left gated.
+# ---------------------------------------------------------------------------
+
+_MS_COEFFS = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208), (392, -232)]
+_MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def _ms_adpcm_step(nib: int, samp1: int, samp2: int, delta: int, c1: int, c2: int):
+    """One MS ADPCM reconstruction step → (sample, new_delta)."""
+    signed = nib - 16 if nib >= 8 else nib
+    pred = ((samp1 * c1 + samp2 * c2) >> 8) + signed * delta
+    pred = max(-32768, min(32767, pred))
+    delta = max(16, (_MS_ADAPT[nib] * delta) >> 8)
+    return pred, delta
+
+
+def ms_adpcm_decode(data: bytes, channels: int, block_align: int, samples_per_block: int):
+    """MS ADPCM data-chunk decode → (n, channels) int16 array or None.
+    Block layout per the public spec: per-channel predictor index byte
+    (0..6), per-channel initial delta / sample1 / sample2 (int16 LE; the
+    two header samples are emitted oldest-first), then interleaved signed
+    nibbles high-nibble-first. Trailing partial blocks drop."""
+    import numpy as np
+
+    head = 7 * channels
+    if channels < 1 or block_align < head or samples_per_block < 2:
+        return None
+    cols = [[] for _ in range(channels)]
+    for off in range(0, len(data) - block_align + 1, block_align):
+        blk = data[off : off + block_align]
+        preds = list(blk[:channels])
+        if any(p > 6 for p in preds):
+            return None
+        def i16(base, c):
+            return int.from_bytes(
+                blk[base + 2 * c : base + 2 * c + 2], "little", signed=True
+            )
+        deltas = [i16(channels, c) for c in range(channels)]
+        samp1 = [i16(3 * channels, c) for c in range(channels)]
+        samp2 = [i16(5 * channels, c) for c in range(channels)]
+        if any(d <= 0 for d in deltas):
+            return None
+        for c in range(channels):
+            cols[c].append(samp2[c])  # oldest first
+            cols[c].append(samp1[c])
+        need = samples_per_block - 2
+        nib_idx = 0
+        body = blk[head:]
+        emitted = [2] * channels
+        while any(e < samples_per_block for e in emitted):
+            byte_i, hi = divmod(nib_idx, 2)
+            if byte_i >= len(body):
+                return None
+            nib = (body[byte_i] >> 4) if hi == 0 else (body[byte_i] & 0x0F)
+            c = nib_idx % channels if channels > 1 else 0
+            nib_idx += 1
+            if emitted[c] >= samples_per_block:
+                continue
+            c1, c2 = _MS_COEFFS[preds[c]]
+            s, deltas[c] = _ms_adpcm_step(nib, samp1[c], samp2[c], deltas[c], c1, c2)
+            samp2[c], samp1[c] = samp1[c], s
+            cols[c].append(s)
+            emitted[c] += 1
+        _ = need
+    if not cols[0]:
+        return np.zeros((0, channels), dtype="<i2")
+    return np.stack([np.array(c, dtype="<i2") for c in cols], axis=1)
+
+
+def ms_adpcm_encode(samples, rate: int = 8000, samples_per_block: int = 500,
+                    predictor: int = 0) -> bytes:
+    """MS ADPCM WAV writer (fixture sibling of ``ima_adpcm_encode``):
+    int16 (n,) or (n, channels) → complete fmt-0x0002 RIFF/WAVE using one
+    fixed predictor for every block and the canonical quantize-by-delta
+    nibble chooser. Input zero-pads to whole blocks."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, channels = x.shape
+    if not 0 <= predictor <= 6 or samples_per_block < 2:
+        raise ValueError("bad MS ADPCM encode parameters")
+    block_align = 7 * channels + ((samples_per_block - 2) * channels + 1) // 2
+    nblocks = max(1, -(-n // samples_per_block))
+    pad = nblocks * samples_per_block - n
+    if pad:
+        x = np.vstack([x, np.zeros((pad, channels), dtype=np.int64)])
+    c1, c2 = _MS_COEFFS[predictor]
+
+    out = bytearray()
+    for bi in range(nblocks):
+        seg = x[bi * samples_per_block : (bi + 1) * samples_per_block]
+        samp2 = [int(seg[0, c]) for c in range(channels)]
+        samp1 = [int(seg[1, c]) for c in range(channels)]
+        deltas = [max(16, int(np.abs(np.diff(seg[:16, c])).mean() // 4) if len(seg) > 2 else 16)
+                  for c in range(channels)]
+        out += bytes([predictor] * channels)
+        for arr in (deltas, samp1, samp2):
+            for c in range(channels):
+                out += int(arr[c]).to_bytes(2, "little", signed=True)
+        nibs = []
+        state = [(samp1[c], samp2[c], deltas[c]) for c in range(channels)]
+        for t in range(2, samples_per_block):
+            for c in range(channels):
+                s1, s2, d = state[c]
+                pred = (s1 * c1 + s2 * c2) >> 8
+                err = int(seg[t, c]) - pred
+                nib = max(-8, min(7, (err + (d // 2 if err >= 0 else -(d // 2))) // d))
+                nib &= 0x0F
+                rec, nd = _ms_adpcm_step(nib, s1, s2, d, c1, c2)
+                state[c] = (rec, s1, nd)
+                nibs.append(nib)
+        if len(nibs) % 2:
+            nibs.append(0)
+        for j in range(0, len(nibs), 2):
+            out.append((nibs[j] << 4) | nibs[j + 1])
+        # pad block to block_align
+        used = 7 * channels + len(nibs) // 2
+        out += bytes(block_align - used)
+    data = bytes(out)
+    fmt = (
+        (0x0002).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block_align // samples_per_block).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little") + (4).to_bytes(2, "little")
+        + (32).to_bytes(2, "little") + samples_per_block.to_bytes(2, "little")
+        + (7).to_bytes(2, "little")
+        + b"".join(a.to_bytes(2, "little", signed=True) + b_.to_bytes(2, "little", signed=True)
+                    for a, b_ in _MS_COEFFS)
+    )
+    chunks = (
+        b"fmt " + len(fmt).to_bytes(4, "little") + fmt
         + b"data" + len(data).to_bytes(4, "little") + data
         + (b"\x00" if len(data) % 2 else b"")
     )

@@ -835,10 +835,10 @@ def test_demux_wav_roundtrip_and_chunk_walk():
         (0x0000, 16, False),  # reserved/invalid -> quarantine
         (0x0001, 12, False),  # PCM at a bit depth PCM never uses
         (0x0006, 16, False),  # A-law is always 8-bit: corrupt header
-        (0x0002, 4, True),    # MS ADPCM: compressed, honestly gated
-        (0x0011, 4, False),   # IMA ADPCM decodes now; a 16-byte fmt
+        (0x0002, 4, False),   # MS ADPCM decodes now; a 16-byte fmt
                               # (missing wSamplesPerBlock) is corrupt
-        (0x0055, 16, True),   # MP3-in-WAV
+        (0x0011, 4, False),   # IMA ADPCM likewise
+        (0x0055, 16, True),   # MP3-in-WAV: the one gated audio tag
     ):
         f = tag.to_bytes(2, "little") + fmt[2:14] + bits.to_bytes(2, "little")
         wav_bad = (
@@ -1820,3 +1820,79 @@ def test_tiff_fuzz_never_crashes():
         except NotImplementedError:
             continue
         assert out is None or (out.ndim == 3 and out.dtype == np.uint8)
+
+
+def test_ms_adpcm_decoder_matches_independent_reference():
+    """MS ADPCM (WAV fmt 0x0002) decodes FOR REAL: two-tap predictor with
+    the 7 public coefficient pairs, 16-entry delta adaptation, signed
+    nibbles high-first, oldest-header-sample-first output — pinned
+    sample-for-sample against a separately written scalar reference for
+    mono/stereo across three predictors; corrupt predictor bytes
+    quarantine; MP3-in-WAV stays the only gated audio tag."""
+    import numpy as np
+    import pytest
+
+    from bridge_analytics_template_spark.llm.multimodal import (
+        _MS_ADAPT,
+        _MS_COEFFS,
+        demux_wav,
+        ms_adpcm_encode,
+        mux_wav_fmt,
+    )
+
+    def ref_decode(data, channels, block_align, spb):
+        cols = [[] for _ in range(channels)]
+        for off in range(0, len(data) - block_align + 1, block_align):
+            blk = data[off : off + block_align]
+            preds = list(blk[:channels])
+
+            def i16(base, c):
+                return int.from_bytes(blk[base + 2 * c : base + 2 * c + 2], "little", signed=True)
+
+            deltas = [i16(channels, c) for c in range(channels)]
+            s1 = [i16(3 * channels, c) for c in range(channels)]
+            s2 = [i16(5 * channels, c) for c in range(channels)]
+            for c in range(channels):
+                cols[c] += [s2[c], s1[c]]
+            nibs = []
+            for byte in blk[7 * channels :]:
+                nibs += [byte >> 4, byte & 15]
+            emitted = [2] * channels
+            k = 0
+            while any(e < spb for e in emitted) and k < len(nibs):
+                c = k % channels if channels > 1 else 0
+                nib = nibs[k]
+                k += 1
+                if emitted[c] >= spb:
+                    continue
+                c1, c2 = _MS_COEFFS[preds[c]]
+                signed = nib - 16 if nib >= 8 else nib
+                pred = ((s1[c] * c1 + s2[c] * c2) >> 8) + signed * deltas[c]
+                pred = max(-32768, min(32767, pred))
+                deltas[c] = max(16, (_MS_ADAPT[nib] * deltas[c]) >> 8)
+                s2[c], s1[c] = s1[c], pred
+                cols[c].append(pred)
+                emitted[c] += 1
+        return np.stack([np.array(c) for c in cols], axis=1)
+
+    for ch in (1, 2):
+        t = np.arange(1500)
+        sig = (6000 * np.sin(t / 25) + 1500 * np.sin(t / 4)).astype(np.int64)
+        x = np.stack([sig + c * 71 for c in range(ch)], axis=1)
+        for pred in (0, 1, 4):
+            wav = ms_adpcm_encode(x, samples_per_block=128, predictor=pred)
+            _r, c2, y = demux_wav(wav)
+            assert c2 == ch
+            i = wav.find(b"data")
+            n = int.from_bytes(wav[i + 4 : i + 8], "little")
+            ba = 7 * ch + (126 * ch + 1) // 2
+            ref = ref_decode(wav[i + 8 : i + 8 + n], ch, ba, 128)
+            assert (y.astype(np.int64) == ref).all(), (ch, pred)
+            assert np.abs(y[:1500].astype(np.int64) - x).mean() < 800
+
+    wav2 = bytearray(ms_adpcm_encode(np.zeros(10, dtype=np.int64), samples_per_block=10))
+    i = wav2.find(b"data")
+    wav2[i + 8] = 9  # predictor index > 6
+    assert demux_wav(bytes(wav2)) is None
+    with pytest.raises(NotImplementedError):
+        demux_wav(mux_wav_fmt(b"\x00" * 64, 0x0055, 1, bits=16))
