@@ -105,10 +105,11 @@ def sample_frames(
 
 
 #: Magic prefixes of compressed image codecs this container cannot decode.
-#: PNG left this list when the spec-written zlib decoder landed; GIF when
-#: the LZW coder did; JPEG when the baseline T.81 codec (llm/jpeg.py) did.
-#: What remains genuinely needs an external library: RIFF/WEBP (VP8).
-_COMPRESSED_MAGIC = (b"RIFF",)
+#: Now EMPTY: PNG left when the spec-written zlib decoder landed; GIF when
+#: the LZW coder did; JPEG with the baseline T.81 codec (llm/jpeg.py);
+#: WEBP-lossless with the VP8L decoder (llm/webp.py). The remaining gaps
+#: (lossy VP8, progressive JPEG) gate loudly INSIDE their decoders.
+_COMPRESSED_MAGIC = ()
 
 
 def _decode_rgb(b: bytes):
@@ -125,6 +126,13 @@ def _decode_rgb(b: bytes):
 
     if b.startswith(b"GIF8"):
         return decode_gif(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        img = decode_webp(b)  # lossy VP8 raises its gate from inside
+        if img is None:
+            return None
+        return np.ascontiguousarray(img[:, :, :3])
     if b.startswith((b"II*\x00", b"MM\x00*")):
         from .tiff import decode_tiff
 

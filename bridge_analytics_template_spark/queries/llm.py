@@ -2331,3 +2331,66 @@ def llm_tiff_features(spark, sf_dir):
     ids = load(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 5).select("doc_id")
     tiffs = ids.mapInPandas(gen, schema="doc_id bigint, content binary")
     return rgb_image_stats(tiffs).orderBy("doc_id")
+
+
+#: WEBP fixture geometry: one 7x6 RGB image per selected doc, pixel
+#: v(d,y,x,c) = (d*17 + y*3 + x*19 + c*7) mod 256, VP8L-encoded (always
+#: exactly lossless). Doc parity varies the stream shape at zero oracle
+#: cost: even docs use color cache + LZ77; odd docs add subtract-green.
+_WEBP_H, _WEBP_W = 6, 7
+
+
+@query(
+    "llm_webp_features",
+    sql=f"""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 15),
+    px AS (
+      SELECT i.doc_id, c.c,
+             (i.doc_id * 17 + y.y * 3 + x.x * 19 + c.c * 7) % 256 AS v
+      FROM ids i,
+           generate_series(0, {_WEBP_H - 1}) y(y),
+           generate_series(0, {_WEBP_W - 1}) x(x),
+           generate_series(0, 2) c(c))
+    SELECT doc_id, CAST(TRUE AS BOOLEAN) AS ok,
+           CAST({_WEBP_W} AS INT) AS width, CAST({_WEBP_H} AS INT) AS height,
+           CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def llm_webp_features(spark, sf_dir):
+    """L5: the LAST image-format env-gate falls — WEBP lossless (VP8L)
+    decoded for real by the spec-written DEFLATE-family pipeline in
+    llm/webp.py (code-length-coded canonical prefix codes, LZ77 backward
+    references, multiplicative-hash color cache, subtract-green
+    transform). Per selected doc a 7x6 RGB image rides a real VP8L
+    stream (even docs: cache + LZ77 runs; odd docs: + subtract-green)
+    through ``_decode_rgb``; a prefix-table slip, cache-state divergence,
+    LZ77 offset bug, or transform-inverse error hash-fails against the
+    closed-form pixel oracle. Only genuinely library-bound codecs remain
+    gated anywhere in the image tier: lossy VP8 and progressive JPEG.
+    Arrow-batched mapInPandas both ways — no shuffle before the sort."""
+    import numpy as np
+
+    from ..llm.multimodal import rgb_image_stats
+    from ..llm.webp import mux_webp_lossless
+
+    y_idx = np.arange(_WEBP_H, dtype=np.int64)[:, None, None]
+    x_idx = np.arange(_WEBP_W, dtype=np.int64)[None, :, None]
+    c_idx = np.arange(3, dtype=np.int64)[None, None, :]
+
+    def gen(batches):
+        import pandas as pd
+
+        def one(d):
+            img = ((d * 17 + y_idx * 3 + x_idx * 19 + c_idx * 7) % 256).astype(np.uint8)
+            return mux_webp_lossless(img, use_cache=True, use_lz77=True,
+                                     subtract_green=bool(d % 2))
+
+        for pdf in batches:
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": pdf["doc_id"].map(lambda d: one(int(d)))})
+
+    ids = load(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 15).select("doc_id")
+    webps = ids.mapInPandas(gen, schema="doc_id bigint, content binary")
+    return rgb_image_stats(webps).orderBy("doc_id")

@@ -208,13 +208,13 @@ def test_resize_images_real_decode_ppm_and_bmp(spark):
     want = encode_ppm(np.ascontiguousarray(px[yi][:, xi]))
     assert out[0] == want and out[1] == want
 
-    # WEBP (VP8) is the one image codec still env-gated; corrupt JPEG
-    # magic now QUARANTINES (real decoder, damaged stream) and falls to
-    # the deterministic tiling path instead of failing the batch.
-    webp = spark.createDataFrame(
-        [(2, bytearray(b"RIFF\x0c\x00\x00\x00WEBPjunkdata"))], "doc_id long, content binary"
-    )
-    with pytest.raises(Exception, match="turbojpeg"):
+    # lossy WEBP (VP8 intra codec) is the one image coding still
+    # env-gated — from inside decode_webp; corrupt payloads with valid
+    # magic QUARANTINE (real decoder, damaged stream) and fall to the
+    # deterministic tiling path instead of failing the batch.
+    lossy = b"RIFF\x14\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd"
+    webp = spark.createDataFrame([(2, bytearray(lossy))], "doc_id long, content binary")
+    with pytest.raises(Exception, match="VP8"):
         resize_images(webp, 3, 2).collect()
     corrupt_jpeg = spark.createDataFrame(
         [(3, bytearray(b"\xff\xd8\xff\xe0junk"))], "doc_id long, content binary"
@@ -1896,3 +1896,263 @@ def test_ms_adpcm_decoder_matches_independent_reference():
     assert demux_wav(bytes(wav2)) is None
     with pytest.raises(NotImplementedError):
         demux_wav(mux_wav_fmt(b"\x00" * 64, 0x0055, 1, bits=16))
+
+
+def test_webp_lossless_roundtrip_matrix():
+    """VP8L: mux→decode identity over dims x {RGB, RGBA} x {color cache,
+    LZ77 runs, subtract-green} — prefix-code serialization (simple AND
+    code-length-coded normal forms), length/distance extra bits, and the
+    multiplicative-hash cache all on the line."""
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.webp import decode_webp, mux_webp_lossless
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (1, 9), (9, 1), (6, 7), (16, 16), (33, 17)]:
+        for ch in (3, 4):
+            img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+            want = img if ch == 4 else np.dstack([img, np.full((h, w), 255, np.uint8)])
+            for cache in (False, True):
+                for lz in (False, True):
+                    for sg in (False, True):
+                        out = decode_webp(
+                            mux_webp_lossless(img, use_cache=cache, use_lz77=lz, subtract_green=sg)
+                        )
+                        assert out is not None and (out == want).all(), (h, w, ch, cache, lz, sg)
+    runs = np.zeros((20, 50, 3), dtype=np.uint8)
+    runs[5:, :, 0] = 77
+    runs[10:, :, 2] = np.arange(50, dtype=np.uint8)[None, :]
+    assert (decode_webp(mux_webp_lossless(runs))[:, :, :3] == runs).all()
+
+
+def test_webp_prefix_value_coding_bijection():
+    """LZ77 length/distance prefix-value coding: encoder inverse matches
+    the decoder mapping over the whole 20-bit range boundaries."""
+    from bridge_analytics_template_spark.llm.webp import _prefix_value, _value_to_prefix
+
+    class R:
+        def __init__(self, v, k):
+            self.v, self.k = v, k
+
+        def bits(self, k):
+            assert k == self.k
+            return self.v
+
+    for v in list(range(1, 300)) + [511, 512, 513, 4095, 4096, 65536, 1 << 19]:
+        code, eb, ev = _value_to_prefix(v)
+        assert code < 40 or v > (1 << 18)
+        assert _prefix_value(R(ev, eb), code) == v, v
+
+
+def test_webp_inverse_transforms_against_forward_references():
+    """Predictor (all 14 modes) and color-transform inverses checked
+    against independently written FORWARD transforms: residual = forward
+    (test-side) → inverse (engine) must reproduce the original exactly.
+    Color-indexing unbundling checked for 1/2/4-bit packings."""
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.webp import (
+        _apply_inverse_transforms,
+        _ch,
+        _predict,
+    )
+
+    rng = np.random.default_rng(11)
+    h, w = 9, 11
+
+    def pack(a, r, g, b):
+        return (a << 24) | (r << 16) | (g << 8) | b
+
+    # predictor: one constant mode per run, block size 4 (size_bits=2)
+    for mode in range(14):
+        img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8).astype(np.int64)
+        argb = (img[:, :, 3] << 24) | (img[:, :, 0] << 16) | (img[:, :, 1] << 8) | img[:, :, 2]
+        res = np.zeros_like(argb)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    pred = 0xFF000000
+                elif y == 0:
+                    pred = int(argb[0, x - 1])
+                elif x == 0:
+                    pred = int(argb[y - 1, 0])
+                else:
+                    L, T, TL = int(argb[y, x - 1]), int(argb[y - 1, x]), int(argb[y - 1, x - 1])
+                    TR = int(argb[y, 0]) if x == w - 1 else int(argb[y - 1, x + 1])
+                    pred = _predict(mode, L, T, TR, TL)
+                pa, pr, pg, pb = _ch(pred)
+                ca, cr, cg, cb = _ch(int(argb[y, x]))
+                res[y, x] = pack((ca - pa) & 0xFF, (cr - pr) & 0xFF, (cg - pg) & 0xFF, (cb - pb) & 0xFF)
+        bw = -(-w // 4)
+        bh = -(-h // 4)
+        sub = np.full(bw * bh, mode << 8, dtype=np.uint32)
+        out = _apply_inverse_transforms(res.reshape(-1).astype(np.uint32), w, h, [(0, (2, sub, bw))])
+        assert (out.reshape(h, w) == argb).all(), mode
+
+    # color transform: forward per RFC (deltas SUBTRACTED in encode order)
+    img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8).astype(np.int64)
+    argb = (img[:, :, 3] << 24) | (img[:, :, 0] << 16) | (img[:, :, 1] << 8) | img[:, :, 2]
+    g2r, g2b, r2b = 23, -45 & 0xFF, 101
+    cte = (r2b << 16) | (g2b << 8) | g2r
+
+    def delta(t, c):
+        s8 = lambda v: v - 256 if v >= 128 else v  # noqa: E731
+        return (s8(t & 0xFF) * s8(c & 0xFF)) >> 5
+
+    res = np.zeros_like(argb)
+    for y in range(h):
+        for x in range(w):
+            px = int(argb[y, x])
+            a, r, g, b = _ch(px)
+            # the RFC inverse adds the red-to-blue delta of the RECOVERED
+            # red (== original red), so the forward subtracts delta of
+            # the ORIGINAL red — not of the transformed residual
+            new_r = (r - delta(g2r, g)) & 0xFF
+            new_b = (b - delta(g2b, g) - delta(r2b, r)) & 0xFF
+            res[y, x] = pack(a, new_r, g, new_b)
+    bw = -(-w // 4)
+    bh = -(-h // 4)
+    sub = np.full(bw * bh, cte, dtype=np.uint32)
+    out = _apply_inverse_transforms(res.reshape(-1).astype(np.uint32), w, h, [(1, (2, sub, bw))])
+    assert (out.reshape(h, w) == argb).all()
+
+    # color indexing with bundling: pack indices, inverse must unbundle
+    for pal_size, bits in ((2, 1), (4, 2), (16, 4)):
+        pack_f = {1: 3, 2: 2, 4: 1}[bits]
+        per = 1 << pack_f
+        idx = rng.integers(0, pal_size, (h, w), dtype=np.int64)
+        pal = (rng.integers(0, 1 << 32, pal_size, dtype=np.uint64) & 0xFFFFFFFF).astype(np.uint32)
+        bw2 = -(-w // per)
+        packed = np.zeros((h, bw2), dtype=np.uint32)
+        for y in range(h):
+            for x in range(w):
+                packed[y, x // per] |= np.uint32(idx[y, x] << ((x % per) * bits))
+        packed = (packed << 8).reshape(-1)  # indices ride the green channel
+        out = _apply_inverse_transforms(packed, bw2, h, [(3, (pal, pack_f, w))])
+        assert (out.reshape(h, w) == pal[idx]).all(), pal_size
+
+
+def test_webp_short_distance_codes_hand_stream():
+    """Decoder-only path: a hand-assembled VP8L stream using
+    short-distance code 1 ((dx, dy) = (0, 1) → copy the row above) —
+    the neighborhood table head that real encoders hit most."""
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.webp import (
+        _LSBWriter,
+        decode_webp,
+    )
+
+    # 4x2 image: row 0 = four literals alternating two colors; row 1 =
+    # one backward reference, length 4, distance value 1 -> (0,1) -> d=w.
+    wtr = _LSBWriter()
+    wtr.put_bits(4 - 1, 14)
+    wtr.put_bits(2 - 1, 14)
+    wtr.put_bits(0, 1)  # alpha hint
+    wtr.put_bits(0, 3)  # version
+    wtr.put_bits(0, 1)  # no transforms
+    wtr.put_bits(0, 1)  # no color cache
+    wtr.put_bits(0, 1)  # no meta codes
+    # green: simple, 2 symbols: 10 (literal green) and 256 (length code 0)
+    wtr.put_bits(1, 1)
+    wtr.put_bits(1, 1)  # two symbols
+    wtr.put_bits(1, 1)  # first is 8-bit
+    wtr.put_bits(10, 8)
+    # second symbol is written in 8 bits — the spec's simple form caps at
+    # 255, so symbol 256 needs the normal form. Use normal form instead.
+    # (rebuild writer from scratch below)
+    wtr = _LSBWriter()
+    wtr.put_bits(4 - 1, 14)
+    wtr.put_bits(2 - 1, 14)
+    wtr.put_bits(0, 1)
+    wtr.put_bits(0, 3)
+    wtr.put_bits(0, 1)
+    wtr.put_bits(0, 1)
+    wtr.put_bits(0, 1)
+    # green code, normal form: symbols 10 and 256 with length 1 each.
+    # code-length alphabet: we need lengths {0 (zeros via 17/18), 1}.
+    wtr.put_bits(0, 1)  # not simple
+    # cl lengths: order [17,18,0,1,...]; give 17:1, 18:1, 1:2, 0:2? We
+    # need cl codes for symbols {17, 18, 1}. Use lengths 17->1, 18->2,
+    # 1->2 (Kraft: 1/2 + 1/4 + 1/4 = 1).
+    wtr.put_bits(4 - 4 + 0, 4)  # num_codes = 4: order slots 17,18,0,1
+    wtr.put_bits(1, 3)  # len(17) = 1
+    wtr.put_bits(2, 3)  # len(18) = 2
+    wtr.put_bits(0, 3)  # len(0)  = 0
+    wtr.put_bits(2, 3)  # len(1)  = 2
+    wtr.put_bits(0, 1)  # no max_symbol
+    # canonical over {17:1, 1:2, 18:2} (same-length ties order by
+    # symbol): 17 -> 0; 1 -> 10; 18 -> 11
+    def cl17():
+        wtr.put_code(0, 1)
+    def cl18():
+        wtr.put_code(0b11, 2)
+    def cl1():
+        wtr.put_code(0b10, 2)
+    # green lengths: 10 zeros? positions 0..9 zero, pos 10 len 1, 11..255
+    # zero, pos 256 len 1, rest trailing zeros (explicit).
+    cl17(); wtr.put_bits(7, 3)   # 17: 3+7 = 10 zeros (symbols 0..9)
+    cl1()                        # symbol 10: length 1
+    cl18(); wtr.put_bits(127, 7) # 18: 11+127 = 138 zeros (11..148)
+    cl18(); wtr.put_bits(96, 7)  # 18: 11+96 = 107 zeros (149..255)
+    cl1()                        # symbol 256: length 1
+    cl18(); wtr.put_bits(12, 7)  # 23 zeros (257..279)
+    # green canonical: {10: code 0 len 1, 256: code 1 len 1}
+    # red / blue / alpha: simple single-symbol codes (0-bit)
+    for val in (200, 30, 255):
+        wtr.put_bits(1, 1)  # simple
+        wtr.put_bits(0, 1)  # one symbol
+        wtr.put_bits(1, 1)  # 8-bit
+        wtr.put_bits(val, 8)
+    # distance: simple single symbol: code 0 (covers value 1)
+    wtr.put_bits(1, 1)
+    wtr.put_bits(0, 1)
+    wtr.put_bits(0, 1)  # 1-bit symbol
+    wtr.put_bits(0, 1)  # symbol 0
+    # pixels: 4 literals (green code 0), then length code: green sym 256
+    # = length code 0 = length 1... we need length 4: length prefix code
+    # index for 4 is 3 — but our green alphabet only has 256 (code 0).
+    # Emit the copy as FOUR length-1 references instead.
+    for _ in range(4):
+        wtr.put_code(0, 1)  # literal
+    for _ in range(4):
+        wtr.put_code(1, 1)  # length symbol 256 -> length value 1
+        # distance symbol is 0-bit (single); no extra bits for either
+    payload = b"\x2f" + wtr.flush()
+    chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    b = b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+    out = decode_webp(b)
+    assert out is not None and out.shape == (2, 4, 4)
+    px = np.array([200, 10, 30, 255], dtype=np.uint8)
+    assert (out == px[None, None, :]).all()
+
+
+def test_webp_gates_and_fuzz():
+    """Lossy VP8 gates loudly; garbage, truncation, bad version, and 300
+    random mutations never escape as exceptions."""
+    import random
+
+    import numpy as np
+    import pytest
+
+    from bridge_analytics_template_spark.llm.webp import decode_webp, mux_webp_lossless
+
+    with pytest.raises(NotImplementedError):
+        decode_webp(b"RIFF\x14\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd")
+    assert decode_webp(b"junk") is None
+    assert decode_webp(b"RIFF\x04\x00\x00\x00WAVE") is None
+    rng_np = np.random.default_rng(5)
+    base = mux_webp_lossless(rng_np.integers(0, 256, (9, 9, 3), dtype=np.uint8))
+    assert decode_webp(base[:-5]) is None
+    rng = random.Random(47)
+    for _ in range(300):
+        bb = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            bb[rng.randrange(len(bb))] = rng.randrange(256)
+        try:
+            out = decode_webp(bytes(bb))
+        except NotImplementedError:
+            continue
+        assert out is None or (out.ndim == 3 and out.dtype == np.uint8)
