@@ -1,19 +1,26 @@
-"""Baseline JPEG (ITU-T T.81) codec — spec-written, numpy-only.
+"""JPEG (ITU-T T.81) codec — baseline AND progressive, spec-written,
+numpy-only.
 
-The third compressed image codec this engine decodes for real. Everything
-here is from the public spec: marker segments, DQT/DHT table parsing,
-canonical Huffman code construction (Annex C), the zigzag scan, DC
-prediction + magnitude-category "extend" coding, per-MCU interleaving with
-arbitrary sampling factors (4:4:4 / 4:2:0 / 4:2:2), restart markers,
+Everything here is from the public spec: marker segments, DQT/DHT table
+parsing, canonical Huffman code construction (Annex C), the zigzag scan,
+DC prediction + magnitude-category "extend" coding, per-MCU interleaving
+with arbitrary sampling factors (4:4:4 / 4:2:0 / 4:2:2), restart markers,
 dequantize → 2-D IDCT (float64 separable, orthonormal 8x8 DCT matrix) →
-level shift, chroma upsample, and the JFIF YCbCr↔RGB transform. The
+level shift, chroma upsample, and the JFIF YCbCr↔RGB transform.
+Progressive (SOF2, Annex G.1/G.2) decodes in full: multi-scan coefficient
+accumulation with spectral selection, successive approximation (DC and AC
+refinement with correction bits), EOB-run coding, interleaved DC /
+non-interleaved AC block orders, and mid-stream DHT redefinition. The
 encoder (``mux_jpeg``) writes real baseline streams with the Annex K
-standard Huffman tables so fixtures look like what any camera emits.
+standard Huffman tables — and, with ``progressive=True``, real SOF2
+streams with per-scan histogram-built tables (standard tables lack the
+EOBn symbols progressive needs; the all-ones code is reserved via the
+deepest-phantom canonical build).
 
 Decode policy mirrors the rest of the multimodal tier: structural damage
 returns ``None`` (quarantine); valid-but-unimplemented coding processes —
-progressive (SOF2), lossless (SOF3/7/11), hierarchical, arithmetic
-(SOF9/10/13/14), 12-bit precision — raise ``NotImplementedError`` loudly.
+lossless (SOF3/7/11), hierarchical, arithmetic (SOF9/10/13/14), 12-bit
+precision — raise ``NotImplementedError`` loudly.
 
 Determinism note: with quantization tables of all ones and block-constant
 input, the only nonzero coefficient is DC = 8·(v-128) (the AC cosine sums
@@ -251,14 +258,18 @@ def _ycbcr_to_rgb(y, cb, cr) -> np.ndarray:
 
 
 def mux_jpeg(img, quant=None, quant_chroma=None, subsample: bool = False,
-             restart_interval: int = 0) -> bytes:
-    """Baseline JFIF encoder (fixture writer): (h, w) grayscale or
-    (h, w, 3) RGB uint8 → a real T.81 baseline stream with Annex K
-    standard Huffman tables. ``quant``/``quant_chroma`` are 8x8 integer
-    tables (default Annex K; pass ``np.ones((8, 8))`` for the exactly-
-    lossless block-constant regime the oracle uses). ``subsample`` writes
-    4:2:0 (2x2 box-averaged chroma); ``restart_interval`` > 0 emits DRI +
-    RSTn markers every that many MCUs."""
+             restart_interval: int = 0, progressive: bool = False) -> bytes:
+    """JFIF encoder (fixture writer): (h, w) grayscale or (h, w, 3) RGB
+    uint8 → a real T.81 stream. Baseline by default with Annex K standard
+    Huffman tables; ``progressive=True`` writes SOF2 with spectral
+    selection AND successive approximation (DC Al=1 → DC refine, AC bands
+    at Al=1 → AC refines with EOB-run and correction-bit coding) using
+    per-scan histogram-built Huffman tables (the standard tables lack the
+    EOBn symbols progressive needs). ``quant``/``quant_chroma`` are 8x8
+    integer tables (default Annex K; pass ``np.ones((8, 8))`` for the
+    exactly-lossless block-constant regime the oracle uses). ``subsample``
+    writes 4:2:0 (2x2 box-averaged chroma); ``restart_interval`` > 0
+    emits DRI + RSTn every that many MCUs (baseline path only)."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[0], img.shape[1]
@@ -309,6 +320,9 @@ def mux_jpeg(img, quant=None, quant_chroma=None, subsample: bool = False,
         q[hh:, :ww] = p[hh - 1 :, :]
         q[:, ww:] = q[:, ww - 1 : ww]
         padded.append(q)
+
+    if progressive:
+        return _mux_progressive(padded, samp, qmap, ql, qc, h, w, gray, mcux, mcuy)
 
     dc_tabs = [_canonical_codes(*_DC_LUM), _canonical_codes(*_DC_CHROM)]
     ac_tabs = [_canonical_codes(*_AC_LUM), _canonical_codes(*_AC_CHROM)]
@@ -400,9 +414,269 @@ def mux_jpeg(img, quant=None, quant_chroma=None, subsample: bool = False,
     return bytes(out)
 
 
+# --- progressive encoding (T.81 Annex G.1) --------------------------------
+
+
+def _jpeg_huffman_spec(counts):
+    """Histogram → (BITS[1..16], HUFFVAL) with the all-ones code reserved
+    (phantom max-symbol trick, then dropped) — the standard JPEG table
+    build. The phantom's heap key sorts BEFORE every real symbol on count
+    ties, so it joins the very first merge and is guaranteed a maximum-
+    depth leaf; being the largest symbol, canonical ordering then makes it
+    the LAST (all-ones) code, and dropping it shifts nothing."""
+    import heapq
+
+    n = len(counts)
+    ext = list(counts) + [1]
+    if not any(counts):
+        ext[0] = 1  # empty histogram: one real symbol + the phantom
+    live = [s for s, c in enumerate(ext) if c > 0]
+    heap = [(ext[s], (0 if s == n else 1 + s), (s,)) for s in live]
+    heapq.heapify(heap)
+    depth = dict.fromkeys(live, 0)
+    while len(heap) > 1:
+        c1, t1, g1 = heapq.heappop(heap)
+        c2, t2, g2 = heapq.heappop(heap)
+        for s in g1 + g2:
+            depth[s] += 1
+        heapq.heappush(heap, (c1 + c2, min(t1, t2), g1 + g2))
+    if len(live) == 1:  # only the phantom-pair degenerate case upstream
+        depth[live[0]] = 1
+    if max(depth.values()) > 16:
+        # complete two-level fallback; count-1 phantom (largest symbol)
+        # stays in the deep group and thus keeps the all-ones code
+        k = len(live)
+        lvl = max(1, (k - 1).bit_length())
+        short = (1 << lvl) - k
+        depth = {}
+        for j, s in enumerate(sorted(live, key=lambda s: -ext[s])):
+            depth[s] = lvl - 1 if j < short else lvl
+    ordered = sorted((ln, s) for s, ln in depth.items())
+    bits = [0] * 16
+    vals = []
+    enc = {}
+    code, prev = 0, ordered[0][0]
+    for ln, sym in ordered:
+        code <<= ln - prev
+        if sym < n:  # drop the phantom from the emitted table
+            bits[ln - 1] += 1
+            vals.append(sym)
+            enc[sym] = (code, ln)
+        code += 1
+        prev = ln
+    return bits, vals, enc
+
+
+class _ScanEmitter:
+    """Two-pass sink: pass 1 counts Huffman symbols, pass 2 writes bits."""
+
+    def __init__(self):
+        self.counting = True
+        self.counts: dict[int, int] = {}
+        self.enc = None
+        self.bw = None
+
+    def sym(self, s: int):
+        if self.counting:
+            self.counts[s] = self.counts.get(s, 0) + 1
+        else:
+            code, ln = self.enc[s]
+            self.bw.put(code, ln)
+
+    def raw(self, v: int, nbits: int):
+        if not self.counting and nbits:
+            self.bw.put(v, nbits)
+
+
+def _emit_dc_scan(em: _ScanEmitter, sel, coefs, samp, mcux, mcuy, Ah, Al):
+    preds = [0] * len(coefs)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in sel:
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        v = int(coefs[ci][my * sv + by, mx * sh + bx, 0])
+                        if Ah == 0:
+                            t = v >> Al
+                            diff = t - preds[ci]
+                            preds[ci] = t
+                            s = _category(diff)
+                            em.sym(s)
+                            em.raw(diff if diff > 0 else diff + (1 << s) - 1, s)
+                        else:
+                            em.raw((v >> Al) & 1, 1)
+
+
+def _emit_ac_first(em: _ScanEmitter, blocks, Ss, Se, Al):
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            em.sym(nb << 4)
+            em.raw(eobrun - (1 << nb), nb)
+            eobrun = 0
+
+    for blk in blocks:
+        r = 0
+        for k in range(Ss, Se + 1):
+            v = int(blk[k])
+            t = abs(v) >> Al
+            if t == 0:
+                r += 1
+                continue
+            flush()
+            while r > 15:
+                em.sym(0xF0)
+                r -= 16
+            s = _category(t)
+            em.sym((r << 4) | s)
+            sv = t if v > 0 else -t
+            em.raw(sv if sv > 0 else sv + (1 << s) - 1, s)
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _emit_ac_refine(em: _ScanEmitter, blocks, Ss, Se, Al):
+    eobrun = 0
+    be: list[int] = []  # correction bits pending with the EOB run
+
+    def flush():
+        nonlocal eobrun, be
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            em.sym(nb << 4)
+            em.raw(eobrun - (1 << nb), nb)
+            for bit in be:
+                em.raw(bit, 1)
+            eobrun, be = 0, []
+
+    for blk in blocks:
+        absv = [abs(int(blk[k])) >> Al for k in range(Ss, Se + 1)]
+        eob = Ss - 1
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = Ss + i
+        r = 0
+        br: list[int] = []
+        for i, k in enumerate(range(Ss, Se + 1)):
+            t = absv[i]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                flush()
+                em.sym(0xF0)
+                r -= 16
+                for bit in br:
+                    em.raw(bit, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            flush()
+            em.sym((r << 4) | 1)
+            em.raw(1 if int(blk[k]) > 0 else 0, 1)
+            for bit in br:
+                em.raw(bit, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            be += br
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _mux_progressive(padded, samp, qmap, ql, qc, h, w, gray, mcux, mcuy) -> bytes:
+    """SOF2 emission: DC(Al=1) interleaved → per-component AC bands at
+    Al=1 (the luma band split 1-5 / 6-63 exercises spectral assembly) →
+    DC refine → per-component AC refines. One histogram-built DHT pair
+    precedes each scan (the decoder's mid-stream DHT update path)."""
+    coefs = []
+    for ci, p in enumerate(padded):
+        q = ql if qmap[ci] == 0 else qc
+        bh, bwid = p.shape[0] // 8, p.shape[1] // 8
+        blocks = (p.reshape(bh, 8, bwid, 8).transpose(0, 2, 1, 3) - 128.0)
+        co = np.einsum("ub,ijbc,cv->ijuv", _C, blocks, _C.T) / q
+        coefs.append(np.round(co).astype(np.int64).reshape(bh, bwid, 64)[..., ZIGZAG])
+
+    ncomp = len(padded)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    def noninterleaved_blocks(ci):
+        sh, sv = samp[ci]
+        nbw = -(-(-(-w * sh // hmax)) // 8)
+        nbh = -(-(-(-h * sv // vmax)) // 8)
+        return [coefs[ci][by, bx] for by in range(nbh) for bx in range(nbw)]
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00" + bytes([0, 1, 0, 1, 0, 0]))
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in ql.reshape(64)[ZIGZAG]))
+    if not gray:
+        out += _seg(0xDB, bytes([0x01]) + bytes(int(v) for v in qc.reshape(64)[ZIGZAG]))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qmap[ci]])
+    out += _seg(0xC2, sof)
+
+    # scan plan: (kind, sel, Ss, Se, Ah, Al)
+    plan = [("dc", list(range(ncomp)), 0, 0, 0, 1)]
+    if gray:
+        plan += [("ac", [0], 1, 63, 0, 1)]
+    else:
+        plan += [("ac", [0], 1, 5, 0, 1), ("ac", [0], 6, 63, 0, 1),
+                 ("ac", [1], 1, 63, 0, 1), ("ac", [2], 1, 63, 0, 1)]
+    plan += [("dc", list(range(ncomp)), 0, 0, 1, 0)]
+    plan += [("ac", [ci], 1, 63, 1, 0) for ci in range(ncomp)]
+
+    for kind, sel, Ss, Se, Ah, Al in plan:
+        em = _ScanEmitter()
+
+        def run(emitter):
+            if kind == "dc":
+                _emit_dc_scan(emitter, sel, coefs, samp, mcux, mcuy, Ah, Al)
+            elif Ah == 0:
+                _emit_ac_first(emitter, noninterleaved_blocks(sel[0]), Ss, Se, Al)
+            else:
+                _emit_ac_refine(emitter, noninterleaved_blocks(sel[0]), Ss, Se, Al)
+
+        run(em)  # pass 1: histograms
+        needs_table = not (kind == "dc" and Ah > 0)  # DC refine reads no symbols
+        if needs_table:
+            n_syms = 12 if kind == "dc" else 256
+            counts = [0] * n_syms
+            for s, c in em.counts.items():
+                counts[s] = c
+            bits, vals, enc = _jpeg_huffman_spec(counts)
+            cls = 0 if kind == "dc" else 1
+            out += _seg(0xC4, bytes([(cls << 4) | 0] + bits) + bytes(vals))
+            em.enc = enc
+        em.counting = False
+        em.bw = _BitWriter()
+        run(em)  # pass 2: bits
+        sos = bytes([len(sel)])
+        for ci in sel:
+            sos += bytes([ci + 1, 0x00])  # DC table 0 / AC table 0
+        sos += bytes([Ss, Se, (Ah << 4) | Al])
+        out += _seg(0xDA, sos)
+        out += em.bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 #: SOF markers for coding processes that are valid JPEG but outside this
-#: baseline implementation — these gate loudly.
-_SOF_UNSUPPORTED = {0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+#: implementation (lossless, hierarchical, arithmetic) — these gate
+#: loudly. SOF2 (progressive) left this set when Annex G.1 decode landed.
+_SOF_UNSUPPORTED = {0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
 
 
 def decode_jpeg(b: bytes):
@@ -421,13 +695,19 @@ def decode_jpeg(b: bytes):
     ht: dict[tuple[int, int], dict] = {}
     frame = None
     ri = 0
+    coef_state = None
+    scans_done = 0
     try:
-        while i + 4 <= len(b):
+        while i + 2 <= len(b):
             if b[i] != 0xFF:
                 return None
             marker = b[i + 1]
             if marker == 0xD9:
-                return None  # EOI before SOS
+                # EOI: progressive frames finish here (baseline returns
+                # from inside its single scan)
+                if frame is not None and frame.get("progressive") and scans_done:
+                    return _reconstruct(frame, qt, coef_state)
+                return None
             if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
                 i += 2
                 continue
@@ -467,7 +747,7 @@ def decode_jpeg(b: bytes):
                     j += 17 + n
                 if j != len(seg):
                     return None
-            elif marker in (0xC0, 0xC1):
+            elif marker in (0xC0, 0xC1, 0xC2):
                 if len(seg) < 6:
                     return None
                 prec = seg[0]
@@ -487,7 +767,16 @@ def decode_jpeg(b: bytes):
                     if not (1 <= sh <= 4 and 1 <= sv <= 4):
                         return None
                     comps.append({"id": cid, "sh": sh, "sv": sv, "tq": tq})
-                frame = {"h": fh, "w": fw, "comps": comps}
+                frame = {"h": fh, "w": fw, "comps": comps, "progressive": marker == 0xC2}
+                if marker == 0xC2:
+                    hmax = max(c["sh"] for c in comps)
+                    vmax = max(c["sv"] for c in comps)
+                    mcux = -(-fw // (8 * hmax))
+                    mcuy = -(-fh // (8 * vmax))
+                    coef_state = [
+                        np.zeros((mcuy * c["sv"], mcux * c["sh"], 64), dtype=np.int64)
+                        for c in comps
+                    ]
             elif marker in _SOF_UNSUPPORTED:
                 raise NotImplementedError(
                     f"JPEG coding process SOF{marker - 0xC0} (progressive/lossless/"
@@ -501,13 +790,37 @@ def decode_jpeg(b: bytes):
                 if frame is None or len(seg) < 4:
                     return None
                 ns = seg[0]
-                if len(seg) != 1 + 2 * ns + 3 or ns != len(frame["comps"]):
+                if len(seg) != 1 + 2 * ns + 3:
                     return None
-                scan = {}
+                if not frame["progressive"]:
+                    if ns != len(frame["comps"]):
+                        return None
+                    scan = {}
+                    for k in range(ns):
+                        cid, tt = seg[1 + 2 * k], seg[2 + 2 * k]
+                        scan[cid] = (tt >> 4, tt & 15)
+                    return _decode_scan(b, i + 2 + ln, frame, scan, qt, ht, ri)
+                # progressive: one of possibly many scans
+                ids = {c["id"]: ix for ix, c in enumerate(frame["comps"])}
+                sel = []
                 for k in range(ns):
                     cid, tt = seg[1 + 2 * k], seg[2 + 2 * k]
-                    scan[cid] = (tt >> 4, tt & 15)
-                return _decode_scan(b, i + 2 + ln, frame, scan, qt, ht, ri)
+                    if cid not in ids:
+                        return None
+                    sel.append((ids[cid], tt >> 4, tt & 15))
+                ss, se, aa = seg[-3], seg[-2], seg[-1]
+                ah, al = aa >> 4, aa & 15
+                if ss > 63 or se > 63 or ss > se or ah > 13 or al > 13:
+                    return None
+                if (ss == 0) != (se == 0) or (ss > 0 and ns != 1):
+                    return None
+                i = _progressive_scan(
+                    b, i + 2 + ln, frame, sel, ss, se, ah, al, ht, ri, coef_state
+                )
+                scans_done += 1
+                while i < len(b) and b[i] != 0xFF:
+                    i += 1  # tolerate pad bytes before the next marker
+                continue
             # APPn / COM / anything else with a length: skip
             i += 2 + ln
         return None
@@ -583,6 +896,175 @@ def _decode_scan(b, pos, frame, scan, qt, ht, ri):
         up = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         out_planes.append(up[:h, :w])
     rounded = [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in out_planes]
+    if len(rounded) == 1:
+        return rounded[0][:, :, None]
+    return _ycbcr_to_rgb(*rounded)
+
+
+def _progressive_scan(b, pos, frame, sel, Ss, Se, Ah, Al, ht, ri, state):
+    """Decode one progressive scan (T.81 Annex G.2) into the coefficient
+    state, returning the byte position after its entropy data. DC scans
+    may interleave components over the MCU grid; AC scans are single-
+    component over that component's non-interleaved block grid. Handles
+    successive-approximation refinement (correction bits, EOB runs) and
+    restart markers."""
+    comps = frame["comps"]
+    hmax = max(c["sh"] for c in comps)
+    vmax = max(c["sv"] for c in comps)
+    w, h = frame["w"], frame["h"]
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    rd = _BitReader(b, pos)
+    eobrun = 0
+    preds = [0] * len(comps)
+    count = 0
+
+    def maybe_restart():
+        nonlocal eobrun, preds, count
+        if ri and count and count % ri == 0:
+            if rd.align_to_marker() is None:
+                raise _BadStream
+            preds = [0] * len(comps)
+            eobrun = 0
+        count += 1
+
+    if Ss == 0:
+        # DC scan (first or refinement)
+        dc_tabs = {}
+        for ci, dct, _act in sel:
+            if Ah == 0:
+                t = ht.get((0, dct))
+                if t is None:
+                    raise _BadStream
+                dc_tabs[ci] = t
+        if len(sel) > 1:
+            units = [("mcu", my, mx) for my in range(mcuy) for mx in range(mcux)]
+        else:
+            ci0 = sel[0][0]
+            c = comps[ci0]
+            nbw = -(-(-(-w * c["sh"] // hmax)) // 8)
+            nbh = -(-(-(-h * c["sv"] // vmax)) // 8)
+            units = [("blk", by, bx) for by in range(nbh) for bx in range(nbw)]
+        for kind, a0, a1 in units:
+            maybe_restart()
+            if kind == "mcu":
+                targets = [
+                    (ci, a0 * comps[ci]["sv"] + by, a1 * comps[ci]["sh"] + bx)
+                    for ci, _dct, _act in sel
+                    for by in range(comps[ci]["sv"])
+                    for bx in range(comps[ci]["sh"])
+                ]
+            else:
+                targets = [(sel[0][0], a0, a1)]
+            for ci, blky, blkx in targets:
+                if Ah == 0:
+                    s = rd.huff(dc_tabs[ci])
+                    if s > 11:
+                        raise _BadStream
+                    preds[ci] += _extend(rd.bits(s), s)
+                    state[ci][blky, blkx, 0] = preds[ci] << Al
+                else:
+                    if rd.bits(1):
+                        state[ci][blky, blkx, 0] |= 1 << Al
+        return rd.pos
+
+    # AC scan: exactly one component, non-interleaved order
+    ci, _dct, act = sel[0]
+    c = comps[ci]
+    ac_t = ht.get((1, act))
+    if ac_t is None:
+        raise _BadStream
+    nbw = -(-(-(-w * c["sh"] // hmax)) // 8)
+    nbh = -(-(-(-h * c["sv"] // vmax)) // 8)
+    coef = state[ci]
+    p1, m1 = 1 << Al, -(1 << Al)
+    for by in range(nbh):
+        for bx in range(nbw):
+            maybe_restart()
+            blk = coef[by, bx]
+            if Ah == 0:  # first pass for this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = Ss
+                while k <= Se:
+                    sym = rd.huff(ac_t)
+                    r, s = sym >> 4, sym & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1 + (rd.bits(r) if r else 0)
+                        break
+                    k += r
+                    if k > Se:
+                        raise _BadStream
+                    blk[k] = _extend(rd.bits(s), s) << Al
+                    k += 1
+            else:  # refinement (G.2's correction-bit walk)
+                k = Ss
+                if eobrun == 0:
+                    while k <= Se:
+                        sym = rd.huff(ac_t)
+                        r, s = sym >> 4, sym & 15
+                        val = 0
+                        if s == 0:
+                            if r < 15:
+                                eobrun = (1 << r) + (rd.bits(r) if r else 0)
+                                break
+                            # ZRL: skip 16 zero-history positions
+                        else:
+                            if s != 1:
+                                raise _BadStream
+                            val = p1 if rd.bits(1) else m1
+                        while k <= Se:
+                            if blk[k] != 0:
+                                if rd.bits(1) and (int(blk[k]) & p1) == 0:
+                                    blk[k] += p1 if blk[k] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= Se:
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= Se:
+                        if blk[k] != 0:
+                            if rd.bits(1) and (int(blk[k]) & p1) == 0:
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+    return rd.pos
+
+
+def _reconstruct(frame, qt, state):
+    """Coefficient state → pixels: dequantize, un-zigzag, batched IDCT,
+    level shift, chroma upsample, color convert — shared by the
+    progressive path (the baseline path reconstructs inline)."""
+    comps = frame["comps"]
+    hmax = max(c["sh"] for c in comps)
+    vmax = max(c["sv"] for c in comps)
+    w, h = frame["w"], frame["h"]
+    planes = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qt:
+            return None
+        q = qt[c["tq"]]
+        zz = state[ci]
+        bh, bw = zz.shape[0], zz.shape[1]
+        raster = np.zeros((bh, bw, 64), dtype=np.int64)
+        raster[..., ZIGZAG] = zz
+        blocks = raster.reshape(bh, bw, 8, 8) * q
+        pix = np.einsum("ub,ijbc,cv->ijuv", _C.T, blocks.astype(np.float64), _C) + 128.0
+        plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        ry, rx = vmax // c["sv"], hmax // c["sh"]
+        if vmax % c["sv"] or hmax % c["sh"]:
+            return None
+        up = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(up[:h, :w])
+    rounded = [np.clip(np.round(p), 0, 255).astype(np.uint8) for p in planes]
     if len(rounded) == 1:
         return rounded[0][:, :, None]
     return _ycbcr_to_rgb(*rounded)

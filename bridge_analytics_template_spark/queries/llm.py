@@ -2186,13 +2186,19 @@ _JPG_CBY, _JPG_CBX = 2, 3  # color: 16x16 super-blocks
       FROM ids i,
            generate_series(0, {_JPG_CBY - 1}) y(y),
            generate_series(0, {_JPG_CBX - 1}) x(x)),
+    pb AS (
+      SELECT i.doc_id, (i.doc_id * 43 + y.y * 17 + x.x * 29) % 256 AS p
+      FROM ids i,
+           generate_series(0, {_JPG_GBY - 1}) y(y),
+           generate_series(0, {_JPG_GBX - 1}) x(x)),
     gs AS (SELECT doc_id, CAST(SUM(v) * 64 AS BIGINT) AS gray_sum FROM gb GROUP BY doc_id),
-    cs AS (SELECT doc_id, CAST(SUM(u) * 256 AS BIGINT) AS color_sum FROM cb GROUP BY doc_id)
+    cs AS (SELECT doc_id, CAST(SUM(u) * 256 AS BIGINT) AS color_sum FROM cb GROUP BY doc_id),
+    ps AS (SELECT doc_id, CAST(SUM(p) * 64 AS BIGINT) AS prog_sum FROM pb GROUP BY doc_id)
     SELECT gs.doc_id,
            CAST({_JPG_GBX * 8} AS INT) AS gray_w, CAST({_JPG_GBY * 8} AS INT) AS gray_h,
            CAST({_JPG_CBX * 16} AS INT) AS color_w, CAST({_JPG_CBY * 16} AS INT) AS color_h,
-           gray_sum, color_sum
-    FROM gs JOIN cs USING (doc_id) ORDER BY gs.doc_id
+           gray_sum, color_sum, prog_sum
+    FROM gs JOIN cs USING (doc_id) JOIN ps USING (doc_id) ORDER BY gs.doc_id
     """,
 )
 def llm_jpeg_features(spark, sf_dir):
@@ -2203,7 +2209,10 @@ def llm_jpeg_features(spark, sf_dir):
     YCbCr→RGB). Per selected doc TWO containers are muxed by the
     matching spec-written encoder and decoded back through
     ``_decode_rgb``: a grayscale single-component scan and a
-    3-component 4:2:0 scan with DRI/RSTn every 2 MCUs. All-ones quant
+    3-component 4:2:0 scan with DRI/RSTn every 2 MCUs, plus a
+    PROGRESSIVE (SOF2) grayscale stream — spectral selection,
+    successive approximation, EOB-run and correction-bit coding
+    (Annex G), per-scan histogram-built Huffman tables. All-ones quant
     tables + block-constant pixels put the streams in the exactly-
     lossless regime, so a Huffman-table slip, zigzag error, DC-predictor
     bug, restart mishandling, subsampling misalignment, or color-
@@ -2223,7 +2232,7 @@ def llm_jpeg_features(spark, sf_dir):
         import pandas as pd
 
         out = {"doc_id": [], "gray_w": [], "gray_h": [], "color_w": [], "color_h": [],
-               "gray_sum": [], "color_sum": []}
+               "gray_sum": [], "color_sum": [], "prog_sum": []}
 
         def flushdf():
             return pd.DataFrame(
@@ -2235,6 +2244,7 @@ def llm_jpeg_features(spark, sf_dir):
                     "color_h": pd.Series(out["color_h"], dtype="int32"),
                     "gray_sum": pd.Series(out["gray_sum"], dtype="int64"),
                     "color_sum": pd.Series(out["color_sum"], dtype="int64"),
+                    "prog_sum": pd.Series(out["prog_sum"], dtype="int64"),
                 }
             )
 
@@ -2246,11 +2256,15 @@ def llm_jpeg_features(spark, sf_dir):
                 ublocks = ((d * 41 + gby * 23 + gbx * 13) % 256).astype(np.uint8)
                 uimg = np.repeat(np.repeat(ublocks, 16, axis=0), 16, axis=1)
                 cimg = np.stack([uimg] * 3, axis=2)
+                pblocks = ((d * 43 + gby * 17 + gbx * 29) % 256).astype(np.uint8)
+                pimg = np.repeat(np.repeat(pblocks, 8, axis=0), 8, axis=1)
                 gjpg = mux_jpeg(gimg, quant=ones)
                 cjpg = mux_jpeg(cimg, quant=ones, quant_chroma=ones,
                                 subsample=True, restart_interval=2)
+                pjpg = mux_jpeg(pimg, quant=ones, progressive=True)
                 gdec = _decode_rgb(gjpg)
                 cdec = _decode_rgb(cjpg)
+                pdec = _decode_rgb(pjpg)
                 out["doc_id"].append(d)
                 out["gray_w"].append(gdec.shape[1])
                 out["gray_h"].append(gdec.shape[0])
@@ -2258,6 +2272,7 @@ def llm_jpeg_features(spark, sf_dir):
                 out["color_h"].append(cdec.shape[0])
                 out["gray_sum"].append(int(gdec[:, :, 0].astype(np.int64).sum()))
                 out["color_sum"].append(int(cdec[:, :, 0].astype(np.int64).sum()))
+                out["prog_sum"].append(int(pdec[:, :, 0].astype(np.int64).sum()))
             yield flushdf()
             out = {k: [] for k in out}
 
@@ -2265,7 +2280,7 @@ def llm_jpeg_features(spark, sf_dir):
     return ids.mapInPandas(
         gen_and_decode,
         schema="doc_id bigint, gray_w int, gray_h int, color_w int, color_h int, "
-        "gray_sum bigint, color_sum bigint",
+        "gray_sum bigint, color_sum bigint, prog_sum bigint",
     ).orderBy("doc_id")
 
 

@@ -1598,9 +1598,12 @@ def test_jpeg_16bit_dqt_and_gates():
     assert out is not None and (out[:, :, 0] == img).all()
 
     j = base.find(b"\xff\xc0")
-    for sof in (0xC2, 0xC3, 0xC9, 0xCA):  # progressive/lossless/arithmetic
+    for sof in (0xC3, 0xC9, 0xCA):  # lossless/arithmetic (SOF2 decodes now)
         with pytest.raises(NotImplementedError):
             decode_jpeg(base[: j + 1] + bytes([sof]) + base[j + 2 :])
+    # a baseline stream relabeled SOF2 is structurally wrong progressive:
+    # quarantine, not crash
+    assert decode_jpeg(base[: j + 1] + b"\xc2" + base[j + 2 :]) is None
     prec12 = base[: j + 4] + bytes([12]) + base[j + 5 :]
     with pytest.raises(NotImplementedError):
         decode_jpeg(prec12)
@@ -2153,6 +2156,102 @@ def test_webp_gates_and_fuzz():
             bb[rng.randrange(len(bb))] = rng.randrange(256)
         try:
             out = decode_webp(bytes(bb))
+        except NotImplementedError:
+            continue
+        assert out is None or (out.ndim == 3 and out.dtype == np.uint8)
+
+
+def test_jpeg_progressive_roundtrips():
+    """Progressive (SOF2) decode: exact in the block-constant all-ones
+    regime (gray with odd dims, 4:4:4 and 4:2:0 gray-valued color — DC
+    successive approximation + AC band scans + refinement all on the
+    line), and within the same quantization-error bounds as baseline on
+    random content. Baseline and progressive pixel output may diverge
+    only by coefficient rounding order (<= 3 at Q=1)."""
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.jpeg import decode_jpeg, mux_jpeg
+
+    rng = np.random.default_rng(7)
+    ones = np.ones((8, 8), dtype=np.int64)
+    for h, w in [(8, 8), (16, 24), (5, 7), (17, 9), (40, 40)]:
+        bh, bw = -(-h // 8), -(-w // 8)
+        blocks = rng.integers(0, 256, (bh, bw), dtype=np.uint8)
+        img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)[:h, :w]
+        out = decode_jpeg(mux_jpeg(img, quant=ones, progressive=True))
+        assert out is not None and (out[:, :, 0] == img).all(), (h, w)
+    for sub in (False, True):
+        blocks = rng.integers(0, 256, (2, 3), dtype=np.uint8)
+        gimg = np.repeat(np.repeat(blocks, 16, axis=0), 16, axis=1)
+        img = np.stack([gimg] * 3, axis=2)
+        out = decode_jpeg(
+            mux_jpeg(img, quant=ones, quant_chroma=ones, subsample=sub, progressive=True)
+        )
+        assert out is not None and (out == img).all(), sub
+    rng2 = np.random.default_rng(99)
+    for trial in range(40):
+        h = int(rng2.integers(1, 40))
+        w = int(rng2.integers(1, 40))
+        if trial % 2:
+            img = rng2.integers(0, 256, (h, w), dtype=np.uint8)
+            c = decode_jpeg(mux_jpeg(img, quant=ones, progressive=True))
+            assert c is not None
+            assert np.abs(c[:, :, 0].astype(int) - img.astype(int)).max() <= 4
+        else:
+            img = rng2.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            c = decode_jpeg(
+                mux_jpeg(img, quant=ones, quant_chroma=ones,
+                         subsample=trial % 4 == 0, progressive=True)
+            )
+            assert c is not None
+            if trial % 4 != 0:
+                assert np.abs(c.astype(int) - img.astype(int)).max() <= 6
+    for _ in range(10):
+        h = int(rng2.integers(8, 40))
+        w = int(rng2.integers(8, 40))
+        img = rng2.integers(0, 256, (h, w), dtype=np.uint8)
+        a = decode_jpeg(mux_jpeg(img, quant=ones))[:, :, 0].astype(int)
+        c = decode_jpeg(mux_jpeg(img, quant=ones, progressive=True))[:, :, 0].astype(int)
+        assert np.abs(a - c).max() <= 3
+
+
+def test_jpeg_progressive_fuzz_and_huffman_spec():
+    """300 random mutations of a real progressive stream never escape as
+    exceptions; the histogram Huffman builder always reserves the
+    all-ones code (phantom deepest-and-last — the canonical-shift bug a
+    generic Huffman build hits) and its encode map always matches the
+    decoder's canonical reconstruction of the emitted BITS/HUFFVAL."""
+    import random
+
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.jpeg import (
+        _decode_table,
+        _jpeg_huffman_spec,
+        decode_jpeg,
+        mux_jpeg,
+    )
+
+    rng = random.Random(53)
+    for _trial in range(200):
+        n = rng.choice([12, 256])
+        counts = [0] * n
+        for _ in range(rng.randint(1, 40)):
+            counts[rng.randrange(n)] += rng.randint(1, 1000)
+        bits, vals, enc = _jpeg_huffman_spec(counts)
+        dec = _decode_table(bits, vals)
+        for s, (code, ln) in enc.items():
+            assert dec.get((ln, code)) == s, (s, code, ln)
+            assert not (ln <= 16 and code == (1 << ln) - 1), "all-ones emitted"
+
+    rng_np = np.random.default_rng(5)
+    base = mux_jpeg(rng_np.integers(0, 256, (16, 16), dtype=np.uint8), progressive=True)
+    for _ in range(300):
+        bb = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            bb[rng.randrange(len(bb))] = rng.randrange(256)
+        try:
+            out = decode_jpeg(bytes(bb))
         except NotImplementedError:
             continue
         assert out is None or (out.ndim == 3 and out.dtype == np.uint8)
