@@ -1997,3 +1997,22 @@ def ms_adpcm_encode(samples, rate: int = 8000, samples_per_block: int = 500,
         + (b"\x00" if len(data) % 2 else b"")
     )
     return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def mux_bmp(img) -> bytes:
+    """24-bit BI_RGB BMP writer (fixture sibling of ``encode_ppm``):
+    (h, w, 3) uint8 RGB → bottom-up, BGR, 4-byte-padded rows — the exact
+    layout ``_decode_rgb`` parses."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[0], img.shape[1]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    return (
+        b"BM" + (54 + stride * h).to_bytes(4, "little") + bytes(4) + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little") + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little") + bytes(24)
+        + rows.tobytes()
+    )

@@ -2409,3 +2409,87 @@ def llm_webp_features(spark, sf_dir):
     ids = load(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 15).select("doc_id")
     webps = ids.mapInPandas(gen, schema="doc_id bigint, content binary")
     return rgb_image_stats(webps).orderBy("doc_id")
+
+
+#: Mixed-codec corpus geometry: one 16x24 gray-valued image per selected
+#: doc (8x8-constant blocks v(d,by,bx) = (d*29 + by*13 + bx*23) mod 256,
+#: r=g=b so every container reproduces identical RGB), with the CONTAINER
+#: chosen by doc_id % 7: PPM, BMP, PNG, GIF, JPEG (baseline/progressive
+#: alternating), TIFF (LZW/PackBits alternating), WEBP-lossless. Every
+#: codec is exactly lossless on this content (JPEG via the all-ones
+#: block-constant regime), so ONE closed-form oracle covers all seven.
+_MIX_BY, _MIX_BX = 2, 3
+
+
+@query(
+    "llm_codec_dispatch",
+    sql=f"""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 3),
+    gb AS (
+      SELECT i.doc_id, (i.doc_id * 29 + y.y * 13 + x.x * 23) % 256 AS v
+      FROM ids i,
+           generate_series(0, {_MIX_BY - 1}) y(y),
+           generate_series(0, {_MIX_BX - 1}) x(x))
+    SELECT doc_id, CAST(TRUE AS BOOLEAN) AS ok,
+           CAST({_MIX_BX * 8} AS INT) AS width, CAST({_MIX_BY * 8} AS INT) AS height,
+           CAST(SUM(v) * 64 AS BIGINT) AS sum_r,
+           CAST(SUM(v) * 64 AS BIGINT) AS sum_g,
+           CAST(SUM(v) * 64 AS BIGINT) AS sum_b
+    FROM gb GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def llm_codec_dispatch(spark, sf_dir):
+    """L5 capstone: the mixed-format corpus shape — ONE Spark job over a
+    table whose binary payloads span SEVEN containers (PPM, BMP, PNG,
+    GIF, baseline AND progressive JPEG, LZW/PackBits TIFF, VP8L WEBP),
+    all decoded for real by ``_decode_rgb``'s magic dispatch inside one
+    Arrow-batched mapInPandas pass. The same gray-valued block-constant
+    pixels ride every container (JPEG exactly lossless via the all-ones
+    regime; GIF through an identity palette), so one closed-form oracle
+    value-checks all seven decoders AT ONCE: any codec producing even one
+    off-by-one pixel hash-fails the whole query. This is the end-to-end
+    proof that a curation pipeline needs no per-format branching — and no
+    image library — at 100 TB: decode cost rides the executors, zero
+    shuffle before the output sort."""
+    import numpy as np
+
+    from ..llm.jpeg import mux_jpeg
+    from ..llm.multimodal import encode_ppm, mux_bmp, mux_gif, mux_png, rgb_image_stats
+    from ..llm.tiff import mux_tiff
+    from ..llm.webp import mux_webp_lossless
+
+    gby = np.arange(_MIX_BY, dtype=np.int64)[:, None]
+    gbx = np.arange(_MIX_BX, dtype=np.int64)[None, :]
+    ones = np.ones((8, 8), dtype=np.int64)
+    identity_pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+
+    def gen(batches):
+        import pandas as pd
+
+        def one(d):
+            blocks = ((d * 29 + gby * 13 + gbx * 23) % 256).astype(np.uint8)
+            g2 = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+            g3 = np.stack([g2] * 3, axis=2)
+            sel = d % 7
+            if sel == 0:
+                return encode_ppm(g3)
+            if sel == 1:
+                return mux_bmp(g3)
+            if sel == 2:
+                return mux_png(g2, interlace=int(d % 2))
+            if sel == 3:
+                return mux_gif(g2, identity_pal, interlace=int(d % 2))
+            if sel == 4:
+                return mux_jpeg(g2, quant=ones, progressive=bool(d % 2))
+            if sel == 5:
+                if d % 2:
+                    return mux_tiff(g3, compression=32773, big_endian=True)
+                return mux_tiff(g2, compression=5, predictor=2, rows_per_strip=3)
+            return mux_webp_lossless(g3, subtract_green=bool(d % 2))
+
+        for pdf in batches:
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": pdf["doc_id"].map(lambda d: one(int(d)))})
+
+    ids = load(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 3).select("doc_id")
+    payloads = ids.mapInPandas(gen, schema="doc_id bigint, content binary")
+    return rgb_image_stats(payloads).orderBy("doc_id")

@@ -2255,3 +2255,45 @@ def test_jpeg_progressive_fuzz_and_huffman_spec():
         except NotImplementedError:
             continue
         assert out is None or (out.ndim == 3 and out.dtype == np.uint8)
+
+
+def test_codec_dispatch_parity_all_containers():
+    """Cross-codec parity: the SAME pixels muxed as PPM, BMP, PNG, GIF,
+    baseline JPEG, progressive JPEG, LZW- and PackBits-TIFF, and VP8L
+    WEBP all decode to identical (h, w, 3) arrays through _decode_rgb's
+    magic dispatch — the property llm_codec_dispatch pins per-row in
+    Spark, here checked array-for-array."""
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.jpeg import mux_jpeg
+    from bridge_analytics_template_spark.llm.multimodal import (
+        _decode_rgb,
+        encode_ppm,
+        mux_bmp,
+        mux_gif,
+        mux_png,
+    )
+    from bridge_analytics_template_spark.llm.tiff import mux_tiff
+    from bridge_analytics_template_spark.llm.webp import mux_webp_lossless
+
+    rng = np.random.default_rng(61)
+    ones = np.ones((8, 8), dtype=np.int64)
+    pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    blocks = rng.integers(0, 256, (2, 3), dtype=np.uint8)
+    g2 = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    g3 = np.stack([g2] * 3, axis=2)
+    containers = {
+        "ppm": encode_ppm(g3),
+        "bmp": mux_bmp(g3),
+        "png": mux_png(g2, interlace=1),
+        "gif": mux_gif(g2, pal, interlace=1),
+        "jpeg": mux_jpeg(g2, quant=ones),
+        "jpeg_prog": mux_jpeg(g2, quant=ones, progressive=True),
+        "tiff_lzw": mux_tiff(g2, compression=5, predictor=2, rows_per_strip=3),
+        "tiff_pb": mux_tiff(g3, compression=32773, big_endian=True),
+        "webp": mux_webp_lossless(g3, subtract_green=True),
+    }
+    for name, payload in containers.items():
+        out = _decode_rgb(payload)
+        assert out is not None and out.shape == (16, 24, 3), name
+        assert (out == g3).all(), name
