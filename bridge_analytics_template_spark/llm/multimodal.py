@@ -2016,3 +2016,74 @@ def mux_bmp(img) -> bytes:
         + (1).to_bytes(2, "little") + (24).to_bytes(2, "little") + bytes(24)
         + rows.tobytes()
     )
+
+
+def image_dhash(df: DataFrame, content_col: str = "content", id_col: str = "doc_id") -> DataFrame:
+    """Perceptual difference-hash over DECODED image payloads (any format
+    ``_decode_rgb`` handles): integer luma ``(r+g+b)//3`` → 8x8
+    nearest-neighbor resample (``src = floor(dst*in/out)``, the oracle's
+    arithmetic) → 56-bit row-wise gradient hash (bit ``ry*7+rx`` set when
+    ``gray[ry, rx+1] > gray[ry, rx]``; 56 bits keeps the value positive
+    in an int64 on every engine). Undecodable payloads quarantine by
+    omission. mapInPandas, no shuffle — the hash is the scale handle:
+    downstream near-dup joins band THIS value instead of touching pixels."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, buf in zip(pdf[id_col], pdf[content_col]):
+                img = _decode_rgb(bytes(buf))
+                if img is None:
+                    continue
+                gray = img.astype(np.int64).sum(axis=2) // 3
+                h, w = gray.shape
+                yi = (np.arange(8, dtype=np.int64) * h) // 8
+                xi = (np.arange(8, dtype=np.int64) * w) // 8
+                g8 = gray[yi][:, xi]
+                bits = (g8[:, 1:] > g8[:, :-1]).reshape(-1)  # 8 rows x 7 cols
+                val = 0
+                for j, b in enumerate(bits):
+                    if b:
+                        val |= 1 << j
+                ids.append(i)
+                hashes.append(val)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "dhash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(id_col).alias("doc_id"), F.col(content_col)).mapInPandas(
+        run, schema="doc_id bigint, dhash bigint"
+    )
+
+
+def dhash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Banded Hamming self-join over 56-bit dHashes: 4 bands of 14 bits —
+    pigeonhole-exact for ``max_hamming`` <= 3 (one band must match) — then
+    an exact ``bit_count(xor)`` verify. The 100 TB shape: candidates are
+    bounded by band-bucket sizes, never all-pairs."""
+    bands = [
+        F.struct(
+            F.lit(i).alias("band"),
+            (F.shiftright(F.col("dhash"), 14 * i) % (1 << 14)).alias("key"),
+        )
+        for i in range(4)
+    ]
+    exploded = hashes.select("doc_id", "dhash", F.explode(F.array(*bands)).alias("b"))
+    a = exploded.select(
+        F.col("doc_id").alias("doc_a"), F.col("dhash").alias("h_a"), "b"
+    )
+    bdf = exploded.select(
+        F.col("doc_id").alias("doc_b"), F.col("dhash").alias("h_b"), "b"
+    )
+    pairs = (
+        a.join(bdf, ["b"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

@@ -2493,3 +2493,78 @@ def llm_codec_dispatch(spark, sf_dir):
     ids = load(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 3).select("doc_id")
     payloads = ids.mapInPandas(gen, schema="doc_id bigint, content binary")
     return rgb_image_stats(payloads).orderBy("doc_id")
+
+
+#: Image near-dup fixture: docs in the same group (doc_id // 40) share a
+#: 16x16 gray base image b(g,y,x) = (g*31 + y*7 + x*13) mod 256; each doc
+#: perturbs the ~7 pixels where (y*16+x) mod 37 == doc_id mod 37 by +180
+#: (mod 256), so group members have small-but-nonzero dHash distances.
+#: Decimation is exactly 2x (16 -> 8), so the oracle substitutes
+#: y=2*ry, x=2*rx into the formula and rebuilds the 56-bit hash bit by
+#: bit; the all-pairs SQL filter is the recall reference for the banded
+#: join (pigeonhole-exact at Hamming <= 3 with 4 x 14-bit bands).
+_DH_G = 40
+
+
+@query(
+    "llm_image_dhash_dedup",
+    sql=f"""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
+    bits AS (
+      SELECT i.doc_id, ry.ry, rx.rx,
+        CASE WHEN
+          ((i.doc_id // {_DH_G}) * 31 + 2*ry.ry * 7 + 2*(rx.rx+1) * 13
+           + CASE WHEN (2*ry.ry*16 + 2*(rx.rx+1)) % 37 = i.doc_id % 37 THEN 180 ELSE 0 END) % 256
+          >
+          ((i.doc_id // {_DH_G}) * 31 + 2*ry.ry * 7 + 2*rx.rx * 13
+           + CASE WHEN (2*ry.ry*16 + 2*rx.rx) % 37 = i.doc_id % 37 THEN 180 ELSE 0 END) % 256
+        THEN CAST(1 AS BIGINT) << (ry.ry * 7 + rx.rx) ELSE 0 END AS bit
+      FROM ids i, generate_series(0, 7) ry(ry), generate_series(0, 6) rx(rx)),
+    h AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS dhash FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def llm_image_dhash_dedup(spark, sf_dir):
+    """Multimodal dedup tier: IMAGE near-duplicate pairs by perceptual
+    difference-hash — the codec tier composed with the dedup tier. Per
+    selected doc a 16x16 gray PNG is muxed (group-shared base pixels plus
+    a per-doc sparse perturbation), decoded FOR REAL, reduced to a 56-bit
+    row-gradient dHash (llm/multimodal.py::image_dhash), and joined
+    against itself through 4x14-bit Hamming bands (pigeonhole-exact at
+    distance <= 3) with an exact bit_count(xor) verify — the same
+    banded-join scale shape as the SimHash text tier, with candidates
+    bounded by band buckets instead of all-pairs. The oracle rebuilds
+    every hash bit arithmetically and filters all pairs, so a decode
+    slip, luma/resample drift, bit-packing bug, or band-recall gap
+    hash-fails. ~7 perturbed pixels per doc keep within-group distances
+    small but nonzero (both join sides exercised)."""
+    import numpy as np
+
+    from ..llm.multimodal import dhash_near_dup_pairs, image_dhash, mux_png
+
+    y_idx = np.arange(16, dtype=np.int64)[:, None]
+    x_idx = np.arange(16, dtype=np.int64)[None, :]
+
+    def gen(batches):
+        import pandas as pd
+
+        def one(d):
+            g = d // _DH_G
+            base = (g * 31 + y_idx * 7 + x_idx * 13
+                    + np.where((y_idx * 16 + x_idx) % 37 == d % 37, 180, 0)) % 256
+            return mux_png(base.astype(np.uint8))
+
+        for pdf in batches:
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": pdf["doc_id"].map(lambda d: one(int(d)))})
+
+    ids = load(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 7).select("doc_id")
+    pngs = ids.mapInPandas(gen, schema="doc_id bigint, content binary")
+    return (
+        dhash_near_dup_pairs(image_dhash(pngs), max_hamming=3)
+        .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -2297,3 +2297,48 @@ def test_codec_dispatch_parity_all_containers():
         out = _decode_rgb(payload)
         assert out is not None and out.shape == (16, 24, 3), name
         assert (out == g3).all(), name
+
+
+def test_image_dhash_banding_matches_bruteforce(spark):
+    """The 4x14-bit banded Hamming join returns EXACTLY the all-pairs
+    bit_count(xor) <= 3 set (pigeonhole recall) on randomized hashes with
+    planted near-duplicates; dHash itself is invariant under uniform
+    brightness shift and quarantines undecodable payloads."""
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.multimodal import (
+        dhash_near_dup_pairs,
+        image_dhash,
+        mux_png,
+    )
+
+    rng = np.random.default_rng(71)
+    vals = [int(v) for v in rng.integers(0, 1 << 56, 30, dtype=np.int64)]
+    # plant near-dups: flip 0..3 bits of earlier hashes
+    for i in range(10):
+        base = vals[i]
+        for _ in range(int(rng.integers(0, 4))):
+            base ^= 1 << int(rng.integers(0, 56))
+        vals.append(base)
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "doc_id long, dhash long")
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dhash_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    want = set()
+    for i in range(len(vals)):
+        for j in range(i + 1, len(vals)):
+            hmm = bin(vals[i] ^ vals[j]).count("1")
+            if hmm <= 3:
+                want.add((i, j, hmm))
+    assert got == want
+
+    img = rng.integers(0, 200, (16, 16), dtype=np.uint8)
+    rows = [
+        (0, bytearray(mux_png(img))),
+        (1, bytearray(mux_png(img + 50))),  # uniform shift: same gradient signs
+        (2, bytearray(b"not an image at all")),
+    ]
+    hdf = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r["doc_id"]: r["dhash"] for r in image_dhash(hdf).collect()}
+    assert out[0] == out[1] and 2 not in out and len(out) == 2
