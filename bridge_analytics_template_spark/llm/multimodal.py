@@ -2087,3 +2087,49 @@ def dhash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+def audio_fingerprint(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id",
+    window: int = 16, n_windows: int = 57,
+) -> DataFrame:
+    """Perceptual audio fingerprint over DECODED WAV payloads (any coding
+    ``demux_wav`` handles): channel-0 exact int64 energy per ``window``
+    samples → 56-bit energy-gradient hash (bit w set when
+    ``energy[w+1] > energy[w]`` — the audio twin of ``image_dhash``, and
+    the same shape real audio-fingerprint systems band on). Payloads too
+    short for ``n_windows`` windows, or undecodable ones, quarantine by
+    omission. mapInPandas, no shuffle; downstream joins band the hash."""
+    import numpy as np
+
+    need = window * n_windows
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, buf in zip(pdf[id_col], pdf[content_col]):
+                out = demux_wav(bytes(buf))
+                if out is None:
+                    continue
+                _rate, _ch, samples = out
+                x = samples[:, 0].astype(np.int64)
+                if x.shape[0] < need:
+                    continue
+                e = (x[:need].reshape(n_windows, window) ** 2).sum(axis=1)
+                bits = e[1:] > e[:-1]
+                val = 0
+                for j, b in enumerate(bits[:56]):
+                    if b:
+                        val |= 1 << j
+                ids.append(i)
+                hashes.append(val)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "dhash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(id_col).alias("doc_id"), F.col(content_col)).mapInPandas(
+        run, schema="doc_id bigint, dhash bigint"
+    )

@@ -2568,3 +2568,79 @@ def llm_image_dhash_dedup(spark, sf_dir):
         .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+#: Audio near-dup fixture: group (doc_id // 40) shares base samples
+#: s(g,t) = ((g*13 + t*7) mod 199) - 99; each doc DOUBLES the samples of
+#: the single window w == doc_id mod 57 (57 windows x 16 samples mono
+#: PCM), flipping at most the two fingerprint bits that touch it.
+_AFP_W, _AFP_N = 16, 57
+
+
+@query(
+    "llm_audio_fp_dedup",
+    sql=f"""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 9),
+    e AS (
+      SELECT i.doc_id, w.w,
+             SUM(CAST(
+               (((i.doc_id // 40) * 13 + (w.w * {_AFP_W} + j.j) * 7) % 199 - 99)
+               * (CASE WHEN w.w = i.doc_id % {_AFP_N} THEN 2 ELSE 1 END)
+               AS BIGINT) ** 2) AS e
+      FROM ids i,
+           generate_series(0, {_AFP_N - 1}) w(w),
+           generate_series(0, {_AFP_W - 1}) j(j)
+      GROUP BY i.doc_id, w.w),
+    lagged AS (
+      SELECT doc_id, w, e,
+             LEAD(e) OVER (PARTITION BY doc_id ORDER BY w) AS ne
+      FROM e),
+    h AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN w < 56 AND ne > e THEN (CAST(1 AS BIGINT) << w) ELSE 0 END) AS BIGINT) AS fp
+      FROM lagged GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def llm_audio_fp_dedup(spark, sf_dir):
+    """Multimodal dedup tier, audio twin of llm_image_dhash_dedup: AUDIO
+    near-duplicate pairs by energy-gradient fingerprint. Per selected doc
+    a 912-sample mono PCM WAV is muxed (group-shared base, one window
+    amplitude-doubled per doc), demuxed FOR REAL, reduced to a 56-bit
+    fingerprint (llm/multimodal.py::audio_fingerprint — exact int64
+    window energies, gradient-sign bits), and self-joined through the
+    SAME 4x14-bit Hamming bands as the image tier
+    (``dhash_near_dup_pairs`` is hash-agnostic). The oracle rebuilds
+    every energy and fingerprint bit arithmetically (LEAD window over
+    the per-window energy CTE) and filters all pairs — a demux slip,
+    energy overflow, window misalignment, bit-packing bug, or
+    band-recall gap hash-fails."""
+    import numpy as np
+
+    from ..llm.multimodal import audio_fingerprint, dhash_near_dup_pairs, mux_wav
+
+    t_idx = np.arange(_AFP_W * _AFP_N, dtype=np.int64)
+
+    def gen(batches):
+        import pandas as pd
+
+        def one(d):
+            g = d // 40
+            s = (g * 13 + t_idx * 7) % 199 - 99
+            s = s * np.where(t_idx // _AFP_W == d % _AFP_N, 2, 1)
+            return mux_wav(s.astype("<i2"))
+
+        for pdf in batches:
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": pdf["doc_id"].map(lambda d: one(int(d)))})
+
+    ids = load(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 9).select("doc_id")
+    wavs = ids.mapInPandas(gen, schema="doc_id bigint, content binary")
+    return (
+        dhash_near_dup_pairs(audio_fingerprint(wavs), max_hamming=3)
+        .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
