@@ -2644,3 +2644,83 @@ def llm_audio_fp_dedup(spark, sf_dir):
         .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+#: Video near-dup fixture: 57 frames of 4x5 RGB per selected doc; base
+#: pixel p(g,f,y,x,c) = (g*31 + f*17 + y*7 + x*5 + c*3) mod 251 (prime
+#: modulus keeps frame sums aperiodic), and each doc brightens every
+#: pixel of its one frame f == doc_id mod 57 by +40 (mod 251, still < 256
+#: so numpy uint8 and the SQL formula agree).
+_VFP_N, _VFP_H, _VFP_W = 57, 4, 5
+
+
+@query(
+    "llm_video_fp_dedup",
+    sql=f"""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 9),
+    s AS (
+      SELECT i.doc_id, f.f,
+             SUM(((i.doc_id // 40) * 31 + f.f * 17 + y.y * 7 + x.x * 5 + c.c * 3
+                  + CASE WHEN f.f = i.doc_id % {_VFP_N} THEN 40 ELSE 0 END) % 251) AS fsum
+      FROM ids i,
+           generate_series(0, {_VFP_N - 1}) f(f),
+           generate_series(0, {_VFP_H - 1}) y(y),
+           generate_series(0, {_VFP_W - 1}) x(x),
+           generate_series(0, 2) c(c)
+      GROUP BY i.doc_id, f.f),
+    lagged AS (
+      SELECT doc_id, f, fsum,
+             LEAD(fsum) OVER (PARTITION BY doc_id ORDER BY f) AS nsum
+      FROM s),
+    h AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN f < 56 AND nsum > fsum THEN (CAST(1 AS BIGINT) << f) ELSE 0 END) AS BIGINT) AS fp
+      FROM lagged GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def llm_video_fp_dedup(spark, sf_dir):
+    """Multimodal dedup tier, video member of the triad: VIDEO
+    near-duplicate pairs by temporal brightness-gradient fingerprint.
+    Per selected doc a 57-frame uncompressed AVI is muxed (group-shared
+    base frames, one frame uniformly brightened per doc), demuxed FOR
+    REAL through the RIFF chunk walker, reduced to a 56-bit fingerprint
+    of frame-sum gradient signs (llm/multimodal.py::video_fingerprint),
+    and self-joined through the SAME hash-agnostic 4x14-bit Hamming
+    bands as the image and audio tiers. One oracle rebuilds every frame
+    sum and bit; a demux/stride slip, frame-order bug, or band-recall
+    gap hash-fails. Together with llm_image_dhash_dedup and
+    llm_audio_fp_dedup this closes the near-dup triad: one banded-join
+    scale shape, three modalities."""
+    import numpy as np
+
+    from ..llm.multimodal import dhash_near_dup_pairs, mux_avi, video_fingerprint
+
+    f_idx = np.arange(_VFP_N, dtype=np.int64)[:, None, None, None]
+    y_idx = np.arange(_VFP_H, dtype=np.int64)[None, :, None, None]
+    x_idx = np.arange(_VFP_W, dtype=np.int64)[None, None, :, None]
+    c_idx = np.arange(3, dtype=np.int64)[None, None, None, :]
+
+    def gen(batches):
+        import pandas as pd
+
+        def one(d):
+            g = d // 40
+            px = (g * 31 + f_idx * 17 + y_idx * 7 + x_idx * 5 + c_idx * 3
+                  + np.where(f_idx == d % _VFP_N, 40, 0)) % 251
+            return mux_avi(px.astype(np.uint8))
+
+        for pdf in batches:
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": pdf["doc_id"].map(lambda d: one(int(d)))})
+
+    ids = load(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 9).select("doc_id")
+    avis = ids.mapInPandas(gen, schema="doc_id bigint, content binary")
+    return (
+        dhash_near_dup_pairs(video_fingerprint(avis), max_hamming=3)
+        .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -2380,3 +2380,27 @@ def test_audio_fingerprint_properties(spark):
     flipped = out[0] ^ out[1]
     assert flipped & ~((1 << 29) | (1 << 30)) == 0
     _ = wav8  # documented 8-bit sibling; exactness depends on signal scale
+
+
+def test_video_fingerprint_properties(spark):
+    """video_fingerprint: identical clips hash equal; one brightened
+    frame may flip only the two gradient bits that touch it; short clips
+    and garbage quarantine."""
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.multimodal import mux_avi, video_fingerprint
+
+    rng = np.random.default_rng(83)
+    base = rng.integers(0, 200, (57, 4, 5, 3), dtype=np.uint8)
+    bright = base.copy().astype(np.int64)
+    bright[20] += 55
+    rows = [
+        (0, bytearray(mux_avi(base))),
+        (1, bytearray(mux_avi(bright.astype(np.uint8)))),
+        (2, bytearray(mux_avi(base[:10]))),  # too few frames
+        (3, bytearray(b"garbage")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r["doc_id"]: r["dhash"] for r in video_fingerprint(df).collect()}
+    assert set(out) == {0, 1}
+    assert (out[0] ^ out[1]) & ~((1 << 19) | (1 << 20)) == 0
