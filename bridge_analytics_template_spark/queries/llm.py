@@ -2724,3 +2724,135 @@ def llm_video_fp_dedup(spark, sf_dir):
         .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+#: Shared HTML-extraction pipeline, kept to the regex subset Java
+#: (Spark) and RE2 (DuckDB) agree on: lazy quantifiers and (?s) yes,
+#: backreferences no (script/style get separate patterns).
+_HTML_STEPS = [
+    ("(?s)<script[^>]*>.*?</script>", " "),
+    ("(?s)<style[^>]*>.*?</style>", " "),
+    ("<[^>]*>", " "),
+]
+_HTML_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
+
+
+@query(
+    "llm_html_extract",
+    sql="""
+    WITH raw AS (
+      SELECT doc_id,
+             '<html><head><script type="t">skip();</script><style>.x{c:red}</style>'
+             || '<title>Doc ' || doc_id || '</title></head><body><h1>Doc &amp; '
+             || doc_id || '</h1><p>' || text
+             || '</p><br/><div class="f">tail &lt;esc&gt;</div></body></html>' AS html
+      FROM documents),
+    stripped AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                 '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+               '<[^>]*>', ' ', 'g') AS t
+      FROM raw),
+    decoded AS (
+      SELECT doc_id,
+             replace(replace(replace(replace(replace(t,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
+      FROM stripped),
+    clean AS (
+      SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean FROM decoded)
+    SELECT doc_id, clean,
+           CAST(length(clean) AS BIGINT) AS n_chars,
+           CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_tokens
+    FROM clean ORDER BY doc_id
+    """,
+)
+def llm_html_extract(spark, sf_dir):
+    """Document-corpus tier: HTML boilerplate strip / text extraction —
+    THE first step of every web-crawl pipeline — done entirely JVM-side:
+    a whole-stage-codegen chain of regexp_replace (script/style block
+    drop with (?s) lazy matches, tag strip) + entity decoding
+    (&amp; decoded LAST so no double-decode) + whitespace collapse. Zero
+    Python, zero shuffle before the output sort; at 100 TB this runs at
+    scan speed. Each doc's text is wrapped in a deterministic HTML
+    skeleton (script, style, title, headers, entities, self-closing and
+    attributed tags) so the oracle strips the SAME markup with RE2 —
+    patterns are kept to the Java/RE2 common subset (no backreferences).
+    The extracted STRING itself is value-compared, not just its stats."""
+    d = load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><script type="t">skip();</script><style>.x{c:red}</style><title>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><h1>Doc &amp; "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit('</p><br/><div class="f">tail &lt;esc&gt;</div></body></html>'),
+    )
+    t = html
+    for pat, rep in _HTML_STEPS:
+        t = F.regexp_replace(t, pat, rep)
+    for ent, ch in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    clean = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return (
+        d.select(
+            "doc_id",
+            clean.alias("clean"),
+            F.length(clean).cast("long").alias("n_chars"),
+            F.size(F.split(clean, " ")).cast("long").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "llm_pdf_extract",
+    sql="""
+    SELECT doc_id,
+           'Doc ' || doc_id || chr(10) || substr(text, 1, 40) || chr(10) || 'tail (of) doc' AS extracted,
+           CAST(length('Doc ' || doc_id || chr(10) || substr(text, 1, 40) || chr(10) || 'tail (of) doc') AS BIGINT) AS n_chars
+    FROM documents ORDER BY doc_id
+    """,
+)
+def llm_pdf_extract(spark, sf_dir):
+    """Document-corpus tier: PDF TEXT EXTRACTION — the other universal
+    crawl-pipeline entry point, spec-written with stdlib zlib only
+    (llm/pdf.py): object scan, /FlateDecode inflation, BT/ET content
+    walks with the full literal-string escape set, hex strings, TJ
+    arrays, and line-move newlines. Per doc a complete single-page PDF
+    is muxed carrying three planted lines (one of them a 40-char slice
+    of the doc's text; parens in content round-trip through write-side
+    escaping); even docs compress the content stream, odd docs leave it
+    raw — both decode paths inside one oracled query. The EXTRACTED
+    STRING is value-compared character-for-character. Arrow-batched
+    mapInPandas, no shuffle before the sort; corrupt streams quarantine
+    per-object rather than failing the batch."""
+    from ..llm.pdf import extract_pdf_text, mux_pdf
+
+    def gen_and_extract(batches):
+        import pandas as pd
+
+        for pdf_batch in batches:
+            ids, texts, chars = [], [], []
+            for d, text in zip(pdf_batch["doc_id"], pdf_batch["text"]):
+                d = int(d)
+                lines = [f"Doc {d}", str(text)[:40], "tail (of) doc"]
+                payload = mux_pdf(lines, compress=d % 2 == 0)
+                got = extract_pdf_text(payload)
+                ids.append(d)
+                texts.append(got)
+                chars.append(len(got))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "extracted": pd.Series(texts, dtype="object"),
+                    "n_chars": pd.Series(chars, dtype="int64"),
+                }
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        gen_and_extract, schema="doc_id bigint, extracted string, n_chars bigint"
+    ).orderBy("doc_id")

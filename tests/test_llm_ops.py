@@ -2404,3 +2404,65 @@ def test_video_fingerprint_properties(spark):
     out = {r["doc_id"]: r["dhash"] for r in video_fingerprint(df).collect()}
     assert set(out) == {0, 1}
     assert (out[0] ^ out[1]) & ~((1 << 19) | (1 << 20)) == 0
+
+
+def test_pdf_extraction_roundtrip_and_operators():
+    """PDF text extraction: mux→extract identity with literal-string
+    specials (parens, backslashes) in both compressed and raw streams;
+    hex strings, TJ arrays with kerning numbers, and the ' operator via
+    a hand-built content stream; /Length-delimited reading survives
+    compressed data whose trailing byte is whitespace-class (the classic
+    endstream-regex trap); corrupt streams quarantine per-object; 200
+    random mutations never escape as exceptions."""
+    import random
+    import zlib
+
+    from bridge_analytics_template_spark.llm.pdf import extract_pdf_text, mux_pdf
+
+    lines = ["Doc 42", "weird (parens) and \\backslash\\ and )close", "tail line"]
+    for comp in (True, False):
+        assert extract_pdf_text(mux_pdf(lines, compress=comp)) == "\n".join(lines)
+
+    # octal escapes + line continuation + hex + TJ + ' — hand stream
+    content = (
+        b"BT /F1 9 Tf 10 10 Td [(He) -120 (llo)] TJ 0 -14 Td "
+        b"<20776F726C64> Tj (nex\\164) ' (a\\\nb) Tj ET"
+    )
+    base = mux_pdf(["x"])
+    oldz = zlib.compress(b"BT /F1 12 Tf 72 720 Td (x) Tj ET")
+    newz = zlib.compress(content)
+    raw = base.replace(b"stream\n" + oldz, b"stream\n" + newz).replace(
+        b"/Length " + str(len(oldz)).encode(), b"/Length " + str(len(newz)).encode()
+    )
+    assert extract_pdf_text(raw) == "Hello\n world\nnextab"
+
+    # trailing-whitespace-class compressed byte: find a payload whose
+    # zlib output ends in 0x0A/0x20/0x09/0x0D and assert it still parses
+    found = False
+    rng0 = random.Random(7)
+    for _ in range(3000):
+        mid = "".join(rng0.choice("abcdefgh ") for _ in range(rng0.randint(5, 60)))
+        ls = ["Doc", mid, "tail"]
+        payload = mux_pdf(ls, compress=True)
+        i0 = payload.find(b"stream\n") + 7
+        j0 = payload.find(b"\nendstream", i0)
+        if payload[j0 - 1 : j0] in (b"\n", b" ", b"\t", b"\r"):
+            assert extract_pdf_text(payload) == "\n".join(ls)
+            found = True
+            break
+    assert found, "no whitespace-tailed zlib payload found (widen search)"
+
+    bad = bytearray(mux_pdf(lines))
+    i = bytes(bad).find(b"stream\n") + 9
+    bad[i] ^= 0xFF
+    assert extract_pdf_text(bytes(bad)) == ""  # quarantined, not fatal
+    assert extract_pdf_text(b"not a pdf") is None
+
+    rng = random.Random(59)
+    basebytes = mux_pdf(lines)
+    for _ in range(200):
+        bb = bytearray(basebytes)
+        for _ in range(rng.randint(1, 6)):
+            bb[rng.randrange(len(bb))] = rng.randrange(256)
+        out = extract_pdf_text(bytes(bb))
+        assert out is None or isinstance(out, str)
