@@ -1,0 +1,123 @@
+"""WARC (ISO 28500) record framing — the web-crawl container every
+corpus pipeline ingests (Common Crawl ships it). Spec-written: records
+are ``WARC/1.0`` header blocks terminated by CRLFCRLF with
+``Content-Length``-delimited payloads and CRLFCRLF record separators;
+response records carry an HTTP message whose body follows ITS OWN
+CRLFCRLF. ``mux_warc`` writes multi-record files (warcinfo + responses);
+``warc_html_bodies`` walks records and returns the HTML bodies of
+response records. Malformed framing quarantines (partial parse keeps
+earlier records — one bad record must not drop a shard).
+
+The text-strip step downstream (``strip_html``) mirrors the JVM-side
+``llm_html_extract`` pipeline pattern-for-pattern with ``re.ASCII`` so
+Python ``\\s`` means the same byte class as Java/RE2 ``\\s`` — the three
+engines must agree character-for-character.
+
+Scale note: per-row parsing inside Arrow-batched ``mapInPandas``; a real
+deployment points the same pass at ``binaryFile``-scanned WARC shards.
+"""
+
+from __future__ import annotations
+
+import re
+
+_CRLF2 = b"\r\n\r\n"
+
+#: the llm_html_extract pipeline, Python rendering (ASCII \s to match RE2/Java)
+_STRIP_STEPS = [
+    (re.compile(r"(?s)<script[^>]*>.*?</script>", re.ASCII), " "),
+    (re.compile(r"(?s)<style[^>]*>.*?</style>", re.ASCII), " "),
+    (re.compile(r"<[^>]*>", re.ASCII), " "),
+]
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
+_WS = re.compile(r"\s+", re.ASCII)
+
+
+def mux_warc(responses, *, info: str = "software: bridge-analytics-template-spark") -> bytes:
+    """(uri, html) pairs → a complete WARC file: one warcinfo record then
+    one response record per pair, each wrapping an HTTP/1.1 200 message."""
+    out = bytearray()
+
+    def record(headers: list[tuple[str, str]], payload: bytes):
+        head = b"WARC/1.0\r\n"
+        for k, v in headers + [("Content-Length", str(len(payload)))]:
+            head += f"{k}: {v}\r\n".encode()
+        out.extend(head + b"\r\n" + payload + _CRLF2)
+
+    record([("WARC-Type", "warcinfo"), ("Content-Type", "application/warc-fields")],
+           info.encode() + b"\r\n")
+    for uri, html in responses:
+        body = html.encode("utf-8")
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            + b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+        )
+        record(
+            [("WARC-Type", "response"), ("WARC-Target-URI", uri),
+             ("Content-Type", "application/http; msgtype=response")],
+            http,
+        )
+    return bytes(out)
+
+
+def parse_warc(b: bytes):
+    """WARC bytes → list of (warc_type, target_uri, payload bytes).
+    Content-Length-delimited; stops (keeping earlier records) at the
+    first malformed header block — partial shards stay usable."""
+    b = bytes(b)
+    out = []
+    i = 0
+    while i < len(b):
+        if not b[i:].startswith(b"WARC/"):
+            break
+        hend = b.find(_CRLF2, i)
+        if hend < 0:
+            break
+        headers = {}
+        for line in b[i:hend].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            ln = int(headers.get(b"content-length", b""))
+        except ValueError:
+            break
+        payload = b[hend + 4 : hend + 4 + ln]
+        if len(payload) < ln:
+            break
+        out.append(
+            (
+                headers.get(b"warc-type", b"").decode("ascii", "replace"),
+                headers.get(b"warc-target-uri", b"").decode("ascii", "replace"),
+                payload,
+            )
+        )
+        i = hend + 4 + ln
+        while b[i : i + 2] == b"\r\n":
+            i += 2
+    return out
+
+
+def warc_html_bodies(b: bytes):
+    """Response records → decoded HTML bodies (HTTP head split at its
+    own CRLFCRLF); non-response records and headerless payloads skip."""
+    bodies = []
+    for wtype, _uri, payload in parse_warc(b):
+        if wtype != "response":
+            continue
+        sep = payload.find(_CRLF2)
+        if sep < 0:
+            continue
+        bodies.append(payload[sep + 4 :].decode("utf-8", errors="replace"))
+    return bodies
+
+
+def strip_html(html: str) -> str:
+    """The llm_html_extract pipeline in Python (ASCII regex semantics):
+    script/style drop, tag strip, entity decode (&amp; last), whitespace
+    collapse, trim."""
+    t = html
+    for pat, rep in _STRIP_STEPS:
+        t = pat.sub(rep, t)
+    for ent, ch in _ENTITIES:
+        t = t.replace(ent, ch)
+    return _WS.sub(" ", t).strip()

@@ -2856,3 +2856,89 @@ def llm_pdf_extract(spark, sf_dir):
     return d.mapInPandas(
         gen_and_extract, schema="doc_id bigint, extracted string, n_chars bigint"
     ).orderBy("doc_id")
+
+
+@query(
+    "llm_warc_extract",
+    sql="""
+    WITH raw AS (
+      SELECT doc_id,
+             '<html><head><script type="t">skip();</script><style>.x{c:red}</style>'
+             || '<title>Doc ' || doc_id || '</title></head><body><h1>Doc &amp; '
+             || doc_id || '</h1><p>' || substr(text, 1, 60)
+             || '</p><br/><div class="f">tail &lt;esc&gt;</div></body></html>' AS html
+      FROM documents),
+    stripped AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                 '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+               '<[^>]*>', ' ', 'g') AS t
+      FROM raw),
+    decoded AS (
+      SELECT doc_id,
+             replace(replace(replace(replace(replace(t,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
+      FROM stripped),
+    clean AS (
+      SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean FROM decoded)
+    SELECT doc_id,
+           'https://example.org/doc/' || doc_id AS uri,
+           clean AS extracted,
+           CAST(length(clean) AS BIGINT) AS n_chars
+    FROM clean ORDER BY doc_id
+    """,
+)
+def llm_warc_extract(spark, sf_dir):
+    """Crawl-ingest tier end to end: WARC container (the Common-Crawl
+    shipping format) → HTTP response → HTML body → clean text, all from
+    BYTES. Per doc a complete two-record WARC file is muxed (warcinfo +
+    a response whose HTTP message wraps the llm_html_extract skeleton
+    around a 60-char slice of the doc's text), then the engine walks the
+    Content-Length-delimited records, splits the HTTP head at its own
+    CRLFCRLF, and strips the HTML with the SAME pipeline as
+    llm_html_extract — rendered in Python with re.ASCII so \\s means the
+    identical byte class as the oracle's RE2 and the JVM query's Java
+    regex. The extracted string AND the record's WARC-Target-URI are
+    value-compared. A framing slip (header terminator, payload length,
+    record separator) or any strip divergence hash-fails. Arrow-batched
+    mapInPandas; at scale the same pass reads binaryFile WARC shards."""
+    from ..llm.warc import mux_warc, parse_warc, strip_html, warc_html_bodies
+
+    def gen_and_extract(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, uris, texts, chars = [], [], [], []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                uri = f"https://example.org/doc/{d}"
+                html = (
+                    '<html><head><script type="t">skip();</script><style>.x{c:red}</style>'
+                    f"<title>Doc {d}</title></head><body><h1>Doc &amp; {d}</h1><p>"
+                    + str(text)[:60]
+                    + '</p><br/><div class="f">tail &lt;esc&gt;</div></body></html>'
+                )
+                payload = mux_warc([(uri, html)])
+                recs = parse_warc(payload)
+                got_uri = next(u for t2, u, _p in recs if t2 == "response")
+                body = warc_html_bodies(payload)[0]
+                clean = strip_html(body)
+                ids.append(d)
+                uris.append(got_uri)
+                texts.append(clean)
+                chars.append(len(clean))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "uri": pd.Series(uris, dtype="object"),
+                    "extracted": pd.Series(texts, dtype="object"),
+                    "n_chars": pd.Series(chars, dtype="int64"),
+                }
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        gen_and_extract, schema="doc_id bigint, uri string, extracted string, n_chars bigint"
+    ).orderBy("doc_id")

@@ -2466,3 +2466,47 @@ def test_pdf_extraction_roundtrip_and_operators():
             bb[rng.randrange(len(bb))] = rng.randrange(256)
         out = extract_pdf_text(bytes(bb))
         assert out is None or isinstance(out, str)
+
+
+def test_warc_framing_and_strip_parity():
+    """WARC framing: multi-record roundtrip (warcinfo skipped, response
+    URIs and bodies recovered), Content-Length discipline (body may
+    contain CRLFCRLF without splitting the record), truncation keeps
+    earlier records, and strip_html matches the JVM pipeline's output on
+    entity/tag/script cases; 200 random mutations never raise."""
+    import random
+
+    from bridge_analytics_template_spark.llm.warc import (
+        mux_warc,
+        parse_warc,
+        strip_html,
+        warc_html_bodies,
+    )
+
+    pages = [
+        ("https://a.example/1", "<p>Hello &amp; goodbye</p>"),
+        ("https://a.example/2", "<div>body with\r\n\r\nCRLFCRLF inside</div>"),
+        ("https://a.example/3", "<script>x</script><b>kept</b> &lt;esc&gt;"),
+    ]
+    b = mux_warc(pages)
+    recs = parse_warc(b)
+    assert [t for t, _u, _p in recs] == ["warcinfo", "response", "response", "response"]
+    assert [u for t, u, _p in recs if t == "response"] == [u for u, _h in pages]
+    bodies = warc_html_bodies(b)
+    assert bodies == [h for _u, h in pages]
+    assert strip_html(bodies[0]) == "Hello & goodbye"
+    assert strip_html(bodies[1]) == "body with CRLFCRLF inside"
+    assert strip_html(bodies[2]) == "kept <esc>"
+
+    # truncate inside the LAST record's payload: first two survive
+    cut = b[: b.rfind(b"kept")]
+    assert len(warc_html_bodies(cut)) == 2
+    assert parse_warc(b"not a warc") == []
+
+    rng = random.Random(67)
+    for _ in range(200):
+        bb = bytearray(b)
+        for _ in range(rng.randint(1, 6)):
+            bb[rng.randrange(len(bb))] = rng.randrange(256)
+        out = warc_html_bodies(bytes(bb))
+        assert isinstance(out, list)
