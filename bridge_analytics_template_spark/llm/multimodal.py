@@ -772,11 +772,18 @@ def mux_avi(frames, usec_per_frame: int = 40_000, audio=None, rate: int = 8000) 
         ]
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + strls)
     movi_body = chunk(b"JUNK", b"odd")  # odd size: word-alignment trap
+    index = []  # (chunk_id, offset of the chunk fourcc from the 'movi' fourcc, size)
     for f in range(n):
-        movi_body += chunk(b"00db", _bgr_rows(x[f]))
+        payload = _bgr_rows(x[f])
+        index.append((b"00db", 4 + len(movi_body), len(payload)))
+        movi_body += chunk(b"00db", payload)
         if audio_chunks:
+            index.append((b"01wb", 4 + len(movi_body), len(audio_chunks[f][8:])))
             movi_body += audio_chunks[f]
-    body = b"AVI " + hdrl + lst(b"movi", movi_body)
+    # idx1: the standard random-access index — one AVIINDEXENTRY per data
+    # chunk (id, AVIIF_KEYFRAME, movi-relative offset of the fourcc, size)
+    idx1 = b"".join(cid + u32(0x10) + u32(off) + u32(sz) for cid, off, sz in index)
+    body = b"AVI " + hdrl + lst(b"movi", movi_body) + chunk(b"idx1", idx1)
     return b"RIFF" + u32(len(body)) + body
 
 
@@ -2176,3 +2183,88 @@ def video_fingerprint(
     return df.select(F.col(id_col).alias("doc_id"), F.col(content_col)).mapInPandas(
         run, schema="doc_id bigint, dhash bigint"
     )
+
+
+def avi_seek_frames(b: bytes, frame_indices):
+    """idx1-based RANDOM ACCESS into an AVI: jump straight to the
+    requested video frames through the standard index instead of walking
+    the movi list linearly — the seek path a player or frame-sampling
+    pipeline uses on multi-GB files. Offsets are detected as
+    movi-relative (the common convention this writer emits) or absolute
+    by checking that the fourcc at the target matches the entry. Returns
+    ``(w, h, {frame_index: rgb_array})`` or None; files WITHOUT an idx1
+    fall back to the linear :func:`demux_avi` walk (same result, no
+    random access), and a corrupt index quarantines."""
+    import numpy as np
+
+    b = bytes(b)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    total = min(len(b), 8 + int.from_bytes(b[4:8], "little"))
+    i = 12
+    movi_fourcc_pos = None
+    idx1 = None
+    w = h = None
+    while i + 8 <= total:
+        cid, size = b[i : i + 4], int.from_bytes(b[i + 4 : i + 8], "little")
+        if i + 8 + size > total:
+            return None
+        if cid == b"LIST":
+            ltype = b[i + 8 : i + 12]
+            if ltype == b"movi":
+                movi_fourcc_pos = i + 8
+            elif ltype == b"hdrl" and w is None:
+                inner = _walk_chunks(b, i + 12, i + 8 + size)
+                if inner is None:
+                    return None
+                for icid, ipay in inner:
+                    if icid != b"LIST" or ipay[:4] != b"strl":
+                        continue
+                    strl = _walk_chunks(ipay, 4, len(ipay))
+                    if strl is None:
+                        return None
+                    kinds = {c: p for c, p in strl}
+                    strh = kinds.get(b"strh", b"")
+                    if strh[:4] == b"vids" and b"strf" in kinds:
+                        strf = kinds[b"strf"]
+                        if len(strf) >= 12:
+                            w = int.from_bytes(strf[4:8], "little", signed=True)
+                            h = int.from_bytes(strf[8:12], "little", signed=True)
+        elif cid == b"idx1":
+            idx1 = b[i + 8 : i + 8 + size]
+        i += 8 + size + (size % 2)
+    if idx1 is None:
+        full = demux_avi(b)  # no index: linear fallback, same answer
+        if full is None:
+            return None
+        fw, fh, _usec, frames = full
+        want = {f: frames[f] for f in frame_indices if 0 <= f < frames.shape[0]}
+        return fw, fh, want
+    if movi_fourcc_pos is None or w is None or not w or not h:
+        return None
+    # collect video ('..db'/'..dc' stream 00) entries in index order
+    entries = []
+    for off in range(0, len(idx1) - 15, 16):
+        cid = idx1[off : off + 4]
+        pos = int.from_bytes(idx1[off + 8 : off + 12], "little")
+        if cid[:2] == b"00" and cid[2:4] in (b"db", b"dc"):
+            entries.append((cid, pos))
+    out = {}
+    flip = h > 0
+    hh = abs(h)
+    for f in frame_indices:
+        if not 0 <= f < len(entries):
+            continue
+        cid, pos = entries[f]
+        for base in (movi_fourcc_pos, 0):  # movi-relative, then absolute
+            at = base + pos
+            if b[at : at + 4] == cid:
+                size = int.from_bytes(b[at + 4 : at + 8], "little")
+                frame = _rows_to_rgb(b[at + 8 : at + 8 + size], w, hh)
+                if frame is None:
+                    return None
+                out[f] = frame if flip else frame[::-1]
+                break
+        else:
+            return None  # index points at garbage: quarantine
+    return w, hh, out

@@ -2942,3 +2942,85 @@ def llm_warc_extract(spark, sf_dir):
     return d.mapInPandas(
         gen_and_extract, schema="doc_id bigint, uri string, extracted string, n_chars bigint"
     ).orderBy("doc_id")
+
+
+#: Seek fixture geometry: 24 frames of 4x5 RGB; the engine random-
+#: accesses frames {2, 9, 21} through idx1 (no linear movi walk) and
+#: reduces each to exact channel sums.
+_SEEK_N, _SEEK_FRAMES = 24, (2, 9, 21)
+
+
+@query(
+    "llm_avi_seek",
+    sql=f"""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 0),
+    px AS (
+      SELECT i.doc_id, f.f, c.c,
+             (i.doc_id * 11 + f.f * 41 + y.y * 7 + x.x * 5 + c.c * 13) % 256 AS v
+      FROM ids i,
+           (SELECT unnest([2, 9, 21]) AS f) f,
+           generate_series(0, 3) y(y),
+           generate_series(0, 4) x(x),
+           generate_series(0, 2) c(c))
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS r_sum,
+           CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS g_sum,
+           CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS b_sum
+    FROM px GROUP BY doc_id, f ORDER BY doc_id, frame_idx
+    """,
+)
+def llm_avi_seek(spark, sf_dir):
+    """L5 random-access tier: frame sampling through the AVI idx1 INDEX
+    (llm/multimodal.py::avi_seek_frames) — the seek path a frame-sampling
+    pipeline uses on multi-GB files, jumping straight to requested chunks
+    instead of walking movi linearly (offset convention auto-detected by
+    fourcc match; corrupt indexes quarantine; index-less files fall back
+    to the linear walk with identical results, pinned in tests). Per
+    selected doc a 24-frame AVI is muxed and frames {2, 9, 21} are
+    seeked and reduced to exact channel sums; an index-offset slip,
+    entry-order bug, or row decode error hash-fails against the
+    closed-form pixel oracle."""
+    import numpy as np
+
+    from ..llm.multimodal import avi_seek_frames, mux_avi
+
+    f_idx = np.arange(_SEEK_N, dtype=np.int64)[:, None, None, None]
+    y_idx = np.arange(4, dtype=np.int64)[None, :, None, None]
+    x_idx = np.arange(5, dtype=np.int64)[None, None, :, None]
+    c_idx = np.arange(3, dtype=np.int64)[None, None, None, :]
+
+    def gen_and_seek(batches):
+        import pandas as pd
+
+        ids, fidx, rs, gs, bs = [], [], [], [], []
+        for pdf in batches:
+            for d in pdf["doc_id"]:
+                d = int(d)
+                px = ((d * 11 + f_idx * 41 + y_idx * 7 + x_idx * 5 + c_idx * 13) % 256).astype(np.uint8)
+                got = avi_seek_frames(mux_avi(px), _SEEK_FRAMES)
+                if got is None:
+                    continue
+                _w, _h, frames = got
+                for f in _SEEK_FRAMES:
+                    s = frames[f].astype(np.int64).sum(axis=(0, 1))
+                    ids.append(d)
+                    fidx.append(f)
+                    rs.append(int(s[0]))
+                    gs.append(int(s[1]))
+                    bs.append(int(s[2]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "r_sum": pd.Series(rs, dtype="int64"),
+                    "g_sum": pd.Series(gs, dtype="int64"),
+                    "b_sum": pd.Series(bs, dtype="int64"),
+                }
+            )
+            ids, fidx, rs, gs, bs = [], [], [], [], []
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0).select("doc_id")
+    return d.mapInPandas(
+        gen_and_seek,
+        schema="doc_id bigint, frame_idx int, r_sum bigint, g_sum bigint, b_sum bigint",
+    ).orderBy("doc_id", "frame_idx")

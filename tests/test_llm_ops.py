@@ -2510,3 +2510,45 @@ def test_warc_framing_and_strip_parity():
             bb[rng.randrange(len(bb))] = rng.randrange(256)
         out = warc_html_bodies(bytes(bb))
         assert isinstance(out, list)
+
+
+def test_avi_idx1_seek():
+    """idx1 random access: seeked frames equal the linear demux
+    frame-for-frame (including on A/V interleaved files, where 01wb
+    entries must be skipped); index-less files fall back to the linear
+    walk with identical results; a corrupt index offset quarantines;
+    out-of-range requests are simply absent."""
+    import numpy as np
+
+    from bridge_analytics_template_spark.llm.multimodal import (
+        avi_seek_frames,
+        demux_avi,
+        demux_avi_audio,
+        mux_avi,
+    )
+
+    x = ((np.arange(40 * 6 * 7 * 3).reshape(40, 6, 7, 3) * 37) % 256).astype(np.uint8)
+    b = mux_avi(x)
+    _w, _h, _usec, frames = demux_avi(b)  # linear walk unaffected by idx1
+    assert (frames == x).all()
+    w2, h2, got = avi_seek_frames(b, [3, 17, 29, 99])
+    assert (w2, h2) == (7, 6) and set(got) == {3, 17, 29}
+    for f, fr in got.items():
+        assert (fr == x[f]).all()
+
+    i = b.rfind(b"idx1")
+    noidx = b[:i]
+    noidx = noidx[:4] + (len(noidx) - 8).to_bytes(4, "little") + noidx[8:]
+    r2 = avi_seek_frames(noidx, [3, 17])
+    assert r2 is not None and set(r2[2]) == {3, 17} and (r2[2][3] == x[3]).all()
+
+    bb = bytearray(b)
+    j = bb.rfind(b"idx1") + 8 + 8
+    bb[j : j + 4] = (999999).to_bytes(4, "little")
+    assert avi_seek_frames(bytes(bb), [0]) is None
+
+    aud = (np.arange(40 * 64, dtype=np.int64).reshape(-1, 1) % 100).astype("<i2")
+    bav = mux_avi(x, audio=aud)
+    r3 = avi_seek_frames(bav, [5])
+    assert r3 is not None and (r3[2][5] == x[5]).all()
+    assert demux_avi_audio(bav) is not None  # audio demux with idx1 present
