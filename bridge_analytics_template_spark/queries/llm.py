@@ -3024,3 +3024,57 @@ def llm_avi_seek(spark, sf_dir):
         gen_and_seek,
         schema="doc_id bigint, frame_idx int, r_sum bigint, g_sum bigint, b_sum bigint",
     ).orderBy("doc_id", "frame_idx")
+
+
+@query(
+    "llm_office_extract",
+    sql="""
+    SELECT doc_id,
+           'Doc ' || doc_id || chr(10) || substr(text, 1, 50) || chr(10) || 'tail <&> para' AS docx_text,
+           trim(regexp_replace('ch one ' || substr(text, 1, 30), '\s+', ' ', 'g'))
+             || chr(10) || 'ch two & end' AS epub_text
+    FROM documents ORDER BY doc_id
+    """,
+)
+def llm_office_extract(spark, sf_dir):
+    """Document-corpus tier: OFFICE/EBOOK containers — DOCX and EPUB are
+    both ZIP (stdlib zipfile) around XML/XHTML, extracted with the
+    engine's shared regex discipline (llm/office.py): DOCX pulls
+    ``<w:t>`` runs per ``<w:p>`` paragraph with XML entities decoded
+    (&amp; last); EPUB resolves the spine from the package document and
+    strips each chapter with the SAME pipeline as HTML/WARC extraction.
+    Per doc a complete DOCX (three paragraphs, one carrying XML-special
+    characters that round-trip through write-side escaping) and a
+    two-chapter EPUB are muxed and extracted from BYTES; both strings
+    are value-compared character-for-character. Arrow-batched
+    mapInPandas; at scale the same pass reads binaryFile shards."""
+    from ..llm.office import extract_docx_text, extract_epub_text, mux_docx, mux_epub
+
+    def gen_and_extract(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, docx_out, epub_out = [], [], []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = str(text)
+                docx = mux_docx([f"Doc {d}", t[:50], "tail <&> para"])
+                epub = mux_epub(
+                    [("c1.xhtml", f"<p>ch one {t[:30]}</p>"),
+                     ("c2.xhtml", "<div>ch two &amp; end</div>")]
+                )
+                ids.append(d)
+                docx_out.append(extract_docx_text(docx))
+                epub_out.append(extract_epub_text(epub))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "docx_text": pd.Series(docx_out, dtype="object"),
+                    "epub_text": pd.Series(epub_out, dtype="object"),
+                }
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        gen_and_extract, schema="doc_id bigint, docx_text string, epub_text string"
+    ).orderBy("doc_id")

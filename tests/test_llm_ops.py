@@ -2552,3 +2552,44 @@ def test_avi_idx1_seek():
     r3 = avi_seek_frames(bav, [5])
     assert r3 is not None and (r3[2][5] == x[5]).all()
     assert demux_avi_audio(bav) is not None  # audio demux with idx1 present
+
+
+def test_office_extraction_roundtrips_and_quarantine():
+    """DOCX and EPUB: mux→extract identity with XML-special characters
+    round-tripping through write-side escaping; EPUB spine order honored
+    and head content dropped; non-zip / truncated / memberless
+    containers quarantine as None; 200 random mutations never raise."""
+    import random
+
+    from bridge_analytics_template_spark.llm.office import (
+        extract_docx_text,
+        extract_epub_text,
+        mux_docx,
+        mux_epub,
+    )
+
+    paras = ["Title & <heading>", 'body with "quotes" and \'apostrophes\'', "tail"]
+    b = mux_docx(paras)
+    assert extract_docx_text(b) == "\n".join(paras)
+    assert extract_docx_text(b"nope") is None
+    assert extract_docx_text(b[:30]) is None
+
+    chs = [
+        ("c1.xhtml", "<p>Hello &amp; first</p>"),
+        ("c2.xhtml", "<div>second <b>chapter</b></div>"),
+    ]
+    e = mux_epub(chs)
+    assert extract_epub_text(e) == "Hello & first\nsecond chapter"
+    # spine order is authoritative, not zip member order
+    e2 = mux_epub(list(reversed(chs)))
+    assert extract_epub_text(e2) == "second chapter\nHello & first"
+    assert extract_epub_text(b"junk") is None
+
+    rng = random.Random(73)
+    for base in (b, e):
+        for _ in range(100):
+            bb = bytearray(base)
+            for _ in range(rng.randint(1, 6)):
+                bb[rng.randrange(len(bb))] = rng.randrange(256)
+            assert extract_docx_text(bytes(bb)) is None or True
+            assert extract_epub_text(bytes(bb)) is None or True
