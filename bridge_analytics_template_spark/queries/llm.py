@@ -3078,3 +3078,90 @@ def llm_office_extract(spark, sf_dir):
     return d.mapInPandas(
         gen_and_extract, schema="doc_id bigint, docx_text string, epub_text string"
     ).orderBy("doc_id")
+
+
+@query(
+    "llm_ipynb_extract",
+    sql="""
+    WITH nb AS (
+      SELECT doc_id,
+             '{"nbformat": 4, "cells": ['
+             || '{"cell_type": "markdown", "source": ["# Doc ' || doc_id || '"]},'
+             || '{"cell_type": "code", "source": ["x = ' || doc_id || '\\n", "print(x)"]},'
+             || '{"cell_type": "markdown", "source": ["notes: ' || substr(text, 1, 30) || '"]},'
+             || '{"cell_type": "code", "source": ["y = x * 2"]}'
+             || ']}' AS payload
+      FROM documents),
+    cells AS (
+      SELECT doc_id,
+             unnest(from_json(json_extract(payload, '$.cells'),
+                    '[{"cell_type": "VARCHAR", "source": ["VARCHAR"]}]')) AS cell
+      FROM nb)
+    SELECT doc_id,
+           CAST(COUNT(*) FILTER (cell.cell_type = 'code') AS BIGINT) AS n_code,
+           CAST(COUNT(*) FILTER (cell.cell_type = 'markdown') AS BIGINT) AS n_markdown,
+           string_agg(CASE WHEN cell.cell_type = 'code'
+                           THEN array_to_string(cell.source, '') END, chr(10) ORDER BY doc_id) AS code,
+           CAST(SUM(CASE WHEN cell.cell_type = 'code'
+                         THEN length(array_to_string(cell.source, '')) ELSE 0 END) AS BIGINT) AS code_chars
+    FROM cells GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def llm_ipynb_extract(spark, sf_dir):
+    """Code-corpus tier: JUPYTER NOTEBOOK extraction done entirely
+    JVM-side — .ipynb is JSON, so ``from_json`` with a typed cells
+    schema + higher-order ``filter``/``transform``/``aggregate`` pull
+    the code cells, join their source-line arrays, and count both cell
+    types with zero Python and zero shuffle before the sort (the shape
+    a code-pretraining pipeline runs over millions of notebooks). Each
+    doc carries a synthesized 4-cell notebook (markdown/code alternating,
+    one code cell with a multi-line source array); the concatenated CODE
+    text is value-compared against DuckDB's JSON path. Escaping note:
+    the fixture embeds only JSON-safe text slices — real corpora front
+    this with the same from_json plan."""
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    payload = F.concat(
+        F.lit('{"nbformat": 4, "cells": ['),
+        F.lit('{"cell_type": "markdown", "source": ["# Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('"]},{"cell_type": "code", "source": ["x = '),
+        F.col("doc_id").cast("string"),
+        F.lit('\\n", "print(x)"]},{"cell_type": "markdown", "source": ["notes: '),
+        F.substring(F.col("text"), 1, 30),
+        F.lit('"]},{"cell_type": "code", "source": ["y = x * 2"]}]}'),
+    )
+    cell_schema = StructType(
+        [
+            StructField(
+                "cells",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("cell_type", StringType()),
+                            StructField("source", ArrayType(StringType())),
+                        ]
+                    )
+                ),
+            )
+        ]
+    )
+    parsed = d.select("doc_id", F.from_json(payload, cell_schema).alias("nb"))
+    cells = F.col("nb.cells")
+    code_cells = F.filter(cells, lambda c: c["cell_type"] == F.lit("code"))
+    code_texts = F.transform(code_cells, lambda c: F.array_join(c["source"], ""))
+    return (
+        parsed.select(
+            "doc_id",
+            F.size(code_cells).cast("long").alias("n_code"),
+            F.size(F.filter(cells, lambda c: c["cell_type"] == F.lit("markdown")))
+            .cast("long")
+            .alias("n_markdown"),
+            F.array_join(code_texts, "\n").alias("code"),
+            F.aggregate(
+                code_texts, F.lit(0), lambda acc, t: acc + F.length(t)
+            ).cast("long").alias("code_chars"),
+        )
+        .orderBy("doc_id")
+    )
