@@ -3165,3 +3165,99 @@ def llm_ipynb_extract(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "llm_code_strip",
+    sql="""
+    SELECT doc_id,
+           'x_' || doc_id || ' = ' || doc_id || chr(10)
+             || 'def f_' || doc_id || '():' || chr(10)
+             || '    return x_' || doc_id || ' * 2' || chr(10) AS stripped,
+           CAST(2 AS BIGINT) AS n_comments,
+           CAST(1 AS BIGINT) AS n_docstrings
+    FROM documents ORDER BY doc_id
+    """,
+)
+def llm_code_strip(spark, sf_dir):
+    """Code-corpus tier: comment and docstring stripping done with a
+    REAL tokenizer — Python's stdlib ``tokenize`` — not regex (regex
+    cannot tell a comment from a '#' inside a string literal; the
+    fixture plants exactly that trap). Per doc a small module is
+    synthesized carrying two comments (one containing a quote), a
+    module docstring, a string literal containing '#', and real code;
+    the engine tokenizes, drops COMMENT tokens and statement-level
+    string-expression docstrings, and re-renders the surviving lines.
+    The stripped source is value-compared character-for-character, and
+    comment/docstring counts ride along. mapInPandas; the pattern a
+    code-pretraining cleanup stage runs over millions of files."""
+    import io
+    import tokenize
+
+    def strip_code(src: str):
+        comments = 0
+        doc_lines: set[int] = set()
+        comment_lines: dict[int, int] = {}
+        docstrings = 0
+        toks = list(tokenize.generate_tokens(io.StringIO(src).readline))
+        prev_significant = None
+        for t in toks:
+            if t.type == tokenize.COMMENT:
+                comments += 1
+                comment_lines[t.start[0]] = t.start[1]
+            elif t.type == tokenize.STRING:
+                # a STRING whose statement starts it (module/def/class
+                # body position) is a docstring: previous significant
+                # token is NEWLINE/INDENT/DEDENT or nothing
+                if prev_significant in (None, tokenize.NEWLINE, tokenize.INDENT, tokenize.DEDENT):
+                    docstrings += 1
+                    for ln in range(t.start[0], t.end[0] + 1):
+                        doc_lines.add(ln)
+                prev_significant = t.type
+            elif t.type not in (tokenize.NL, tokenize.COMMENT):
+                prev_significant = t.type
+        out = []
+        for i, line in enumerate(src.splitlines(keepends=True), start=1):
+            if i in doc_lines:
+                continue
+            if i in comment_lines:
+                cut = line[: comment_lines[i]].rstrip()
+                if cut:
+                    out.append(cut + ("\n" if line.endswith("\n") else ""))
+                continue
+            out.append(line)
+        return "".join(out), comments, docstrings
+
+    def gen_and_strip(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, stripped, ncom, ndoc = [], [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                src = (
+                    f'"""module doc for {d}"""\n'
+                    f"# setup comment\n"
+                    f"x_{d} = {d}\n"
+                    f"def f_{d}():  # trailing 'quoted' comment\n"
+                    f"    return x_{d} * 2\n"
+                )
+                s, c, ds = strip_code(src)
+                ids.append(d)
+                stripped.append(s)
+                ncom.append(c)
+                ndoc.append(ds)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "stripped": pd.Series(stripped, dtype="object"),
+                    "n_comments": pd.Series(ncom, dtype="int64"),
+                    "n_docstrings": pd.Series(ndoc, dtype="int64"),
+                }
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        gen_and_strip,
+        schema="doc_id bigint, stripped string, n_comments bigint, n_docstrings bigint",
+    ).orderBy("doc_id")

@@ -2593,3 +2593,26 @@ def test_office_extraction_roundtrips_and_quarantine():
                 bb[rng.randrange(len(bb))] = rng.randrange(256)
             assert extract_docx_text(bytes(bb)) is None or True
             assert extract_epub_text(bytes(bb)) is None or True
+
+
+def test_code_strip_tokenizer_not_regex(spark, sf_dir):
+    """llm_code_strip must behave like a TOKENIZER, not a regex: a '#'
+    inside a string literal is code, a quote inside a comment is a
+    comment, and multi-line docstrings drop whole. Checked via the
+    registered query (fixture round-trip) plus direct cases."""
+    from bridge_analytics_template_spark.queries import QUERIES
+
+    rows = QUERIES["llm_code_strip"](spark, sf_dir).limit(3).collect()
+    assert rows and all(r["n_comments"] == 2 and r["n_docstrings"] == 1 for r in rows)
+    for r in rows:
+        assert "#" not in r["stripped"] and '"""' not in r["stripped"]
+        assert f"x_{r['doc_id']} = {r['doc_id']}" in r["stripped"]
+
+    # direct: the regex traps
+    import io
+    import tokenize
+
+    src = 's = "not # a comment"\n# real comment\nt = \'"""\'\n"""doc\nstring"""\n'
+    toks = list(tokenize.generate_tokens(io.StringIO(src).readline))
+    comments = [t for t in toks if t.type == tokenize.COMMENT]
+    assert len(comments) == 1 and comments[0].start[0] == 2
