@@ -20,8 +20,10 @@ deployment points the same pass at ``binaryFile``-scanned WARC shards.
 from __future__ import annotations
 
 import re
+import zlib
 
 _CRLF2 = b"\r\n\r\n"
+_GZ_MAGIC = b"\x1f\x8b"
 
 #: the llm_html_extract pipeline, Python rendering (ASCII \s to match RE2/Java)
 _STRIP_STEPS = [
@@ -33,16 +35,24 @@ _ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&a
 _WS = re.compile(r"\s+", re.ASCII)
 
 
-def mux_warc(responses, *, info: str = "software: bridge-analytics-template-spark") -> bytes:
+def mux_warc(responses, *, info: str = "software: bridge-analytics-template-spark",
+             gzip_members: bool = False) -> bytes:
     """(uri, html) pairs → a complete WARC file: one warcinfo record then
-    one response record per pair, each wrapping an HTTP/1.1 200 message."""
+    one response record per pair, each wrapping an HTTP/1.1 200 message.
+    With ``gzip_members`` each record is its OWN gzip member (the
+    ``.warc.gz`` layout Common Crawl ships — members concatenate, so a
+    reader can still seek record boundaries)."""
     out = bytearray()
 
     def record(headers: list[tuple[str, str]], payload: bytes):
         head = b"WARC/1.0\r\n"
         for k, v in headers + [("Content-Length", str(len(payload)))]:
             head += f"{k}: {v}\r\n".encode()
-        out.extend(head + b"\r\n" + payload + _CRLF2)
+        rec = head + b"\r\n" + payload + _CRLF2
+        if gzip_members:
+            co = zlib.compressobj(wbits=31)  # gzip wrapper
+            rec = co.compress(rec) + co.flush()
+        out.extend(rec)
 
     record([("WARC-Type", "warcinfo"), ("Content-Type", "application/warc-fields")],
            info.encode() + b"\r\n")
@@ -65,6 +75,23 @@ def parse_warc(b: bytes):
     Content-Length-delimited; stops (keeping earlier records) at the
     first malformed header block — partial shards stay usable."""
     b = bytes(b)
+    if b.startswith(_GZ_MAGIC):
+        # .warc.gz: one gzip member per record — inflate member by member
+        # (unused_data hands back the next member's start); a corrupt
+        # member keeps the records before it
+        plain = bytearray()
+        rest = b
+        while rest.startswith(_GZ_MAGIC):
+            d = zlib.decompressobj(wbits=31)
+            try:
+                plain += d.decompress(rest)
+                plain += d.flush()
+            except zlib.error:
+                break
+            if not d.eof or d.unused_data == rest:
+                break
+            rest = d.unused_data
+        b = bytes(plain)
     out = []
     i = 0
     while i < len(b):

@@ -2894,7 +2894,9 @@ def llm_warc_extract(spark, sf_dir):
     """Crawl-ingest tier end to end: WARC container (the Common-Crawl
     shipping format) → HTTP response → HTML body → clean text, all from
     BYTES. Per doc a complete two-record WARC file is muxed (warcinfo +
-    a response whose HTTP message wraps the llm_html_extract skeleton
+    a response whose HTTP message wraps the llm_html_extract skeleton;
+    odd docs ship as .warc.gz — one gzip member per record, the
+    Common-Crawl layout, inflated member-by-member
     around a 60-char slice of the doc's text), then the engine walks the
     Content-Length-delimited records, splits the HTTP head at its own
     CRLFCRLF, and strips the HTML with the SAME pipeline as
@@ -2920,7 +2922,7 @@ def llm_warc_extract(spark, sf_dir):
                     + str(text)[:60]
                     + '</p><br/><div class="f">tail &lt;esc&gt;</div></body></html>'
                 )
-                payload = mux_warc([(uri, html)])
+                payload = mux_warc([(uri, html)], gzip_members=d % 2 == 1)
                 recs = parse_warc(payload)
                 got_uri = next(u for t2, u, _p in recs if t2 == "response")
                 body = warc_html_bodies(payload)[0]

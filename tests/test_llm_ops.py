@@ -2503,13 +2503,22 @@ def test_warc_framing_and_strip_parity():
     assert len(warc_html_bodies(cut)) == 2
     assert parse_warc(b"not a warc") == []
 
+    # .warc.gz: per-record gzip members (the Common-Crawl layout) parse
+    # identically; a corrupt member keeps the records before it
+    gz = mux_warc(pages, gzip_members=True)
+    assert gz[:2] == b"\x1f\x8b" and warc_html_bodies(gz) == [h for _u, h in pages]
+    gzc = bytearray(gz)
+    gzc[len(gzc) // 2] ^= 0xFF
+    assert isinstance(warc_html_bodies(bytes(gzc)), list)  # partial, no raise
+
     rng = random.Random(67)
-    for _ in range(200):
-        bb = bytearray(b)
-        for _ in range(rng.randint(1, 6)):
-            bb[rng.randrange(len(bb))] = rng.randrange(256)
-        out = warc_html_bodies(bytes(bb))
-        assert isinstance(out, list)
+    for base in (b, gz):
+        for _ in range(150):
+            bb = bytearray(base)
+            for _ in range(rng.randint(1, 6)):
+                bb[rng.randrange(len(bb))] = rng.randrange(256)
+            out = warc_html_bodies(bytes(bb))
+            assert isinstance(out, list)
 
 
 def test_avi_idx1_seek():
