@@ -148,3 +148,47 @@ def strip_html(html: str) -> str:
     for ent, ch in _ENTITIES:
         t = t.replace(ent, ch)
     return _WS.sub(" ", t).strip()
+
+
+# --- timed text (SRT / WebVTT) ---------------------------------------------
+
+_TS_RE = re.compile(
+    r"(\d{2}):(\d{2}):(\d{2})[,.](\d{3})\s*-->\s*(\d{2}):(\d{2}):(\d{2})[,.](\d{3})",
+    re.ASCII,
+)
+
+
+def mux_subtitles(cues, *, vtt: bool = False) -> str:
+    """(start_ms, end_ms, text) cues → an SRT document, or WebVTT with
+    ``vtt`` (header line, '.' millisecond separator, no cue numbers)."""
+
+    def ts(ms: int) -> str:
+        sep = "." if vtt else ","
+        return f"{ms // 3600000:02d}:{ms // 60000 % 60:02d}:{ms // 1000 % 60:02d}{sep}{ms % 1000:03d}"
+
+    blocks = []
+    for k, (start, end, text) in enumerate(cues, start=1):
+        head = "" if vtt else f"{k}\n"
+        blocks.append(f"{head}{ts(start)} --> {ts(end)}\n{text}")
+    prefix = "WEBVTT\n\n" if vtt else ""
+    return prefix + "\n\n".join(blocks) + "\n"
+
+
+def parse_subtitles(doc: str):
+    """SRT or WebVTT → list of (start_ms, end_ms, text). Cue numbers,
+    the WEBVTT header, and cue settings after the timestamp line are
+    tolerated; blocks without a valid timestamp line are skipped
+    (quarantine-by-omission)."""
+    out = []
+    for block in re.split(r"\n\s*\n", doc.strip(), flags=re.ASCII):
+        lines = [ln for ln in block.split("\n")]
+        for i, ln in enumerate(lines):
+            m = _TS_RE.search(ln)
+            if m:
+                g = [int(x) for x in m.groups()]
+                start = ((g[0] * 60 + g[1]) * 60 + g[2]) * 1000 + g[3]
+                end = ((g[4] * 60 + g[5]) * 60 + g[6]) * 1000 + g[7]
+                text = "\n".join(lines[i + 1 :]).strip()
+                out.append((start, end, text))
+                break
+    return out

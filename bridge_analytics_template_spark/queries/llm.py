@@ -3263,3 +3263,72 @@ def llm_code_strip(spark, sf_dir):
         gen_and_strip,
         schema="doc_id bigint, stripped string, n_comments bigint, n_docstrings bigint",
     ).orderBy("doc_id")
+
+
+#: Subtitle fixture: 3 cues per doc; cue k starts at (d%7)*1000 + 2000k
+#: ms and lasts 1000 + ((d+k)%5)*100 ms; text = 'cue k: ' + a 10-char
+#: slice of the doc's text. Even docs mux SRT, odd docs WebVTT — parsed
+#: cues (and thus the oracle) are identical.
+_SUB_N = 3
+
+
+@query(
+    "llm_subtitle_extract",
+    sql=f"""
+    WITH cues AS (
+      SELECT d.doc_id, k.k,
+             1000 + ((d.doc_id + k.k) % 5) * 100 AS dur,
+             rtrim('cue ' || k.k || ': ' || substr(d.text, 1 + 10 * k.k, 10)) AS ctext
+      FROM documents d, generate_series(0, {_SUB_N - 1}) k(k))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cues,
+           CAST(SUM(dur) AS BIGINT) AS total_ms,
+           string_agg(ctext, chr(10) ORDER BY k) AS text
+    FROM cues GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def llm_subtitle_extract(spark, sf_dir):
+    """A/V-corpus timed text: SRT and WebVTT subtitle parsing — the
+    transcript side of speech/video datasets. Per doc three cues with
+    closed-form timestamps and doc-derived text are muxed (even docs
+    SRT with cue numbers and ',' milliseconds; odd docs WebVTT with the
+    header and '.' milliseconds — llm/warc.py::mux_subtitles/
+    parse_subtitles) and parsed back from the DOCUMENT TEXT: cue count,
+    exact summed duration in ms, and the newline-joined transcript are
+    value-compared under one format-independent oracle. A timestamp-
+    arithmetic slip, separator confusion, or block-splitting bug
+    hash-fails. mapInPandas, no shuffle before the sort."""
+    from ..llm.warc import mux_subtitles, parse_subtitles
+
+    def gen_and_parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ncues, total, texts = [], [], [], []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = str(text)
+                cues = []
+                for k in range(_SUB_N):
+                    start = (d % 7) * 1000 + 2000 * k
+                    dur = 1000 + ((d + k) % 5) * 100
+                    cues.append((start, start + dur, f"cue {k}: {t[10 * k : 10 * k + 10]}"))
+                doc = mux_subtitles(cues, vtt=d % 2 == 1)
+                parsed = parse_subtitles(doc)
+                ids.append(d)
+                ncues.append(len(parsed))
+                total.append(sum(e - s for s, e, _t in parsed))
+                texts.append("\n".join(tx for _s, _e, tx in parsed))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_cues": pd.Series(ncues, dtype="int64"),
+                    "total_ms": pd.Series(total, dtype="int64"),
+                    "text": pd.Series(texts, dtype="object"),
+                }
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        gen_and_parse, schema="doc_id bigint, n_cues bigint, total_ms bigint, text string"
+    ).orderBy("doc_id")

@@ -2625,3 +2625,26 @@ def test_code_strip_tokenizer_not_regex(spark, sf_dir):
     toks = list(tokenize.generate_tokens(io.StringIO(src).readline))
     comments = [t for t in toks if t.type == tokenize.COMMENT]
     assert len(comments) == 1 and comments[0].start[0] == 2
+
+
+def test_subtitle_parse_formats_and_tolerance():
+    """SRT and VTT of the same cues parse identically; multi-line cue
+    text, cue settings after the timestamp, missing blocks, and garbage
+    blocks quarantine-by-omission."""
+    from bridge_analytics_template_spark.llm.warc import mux_subtitles, parse_subtitles
+
+    cues = [(1000, 2500, "first line\nsecond line"), (4000, 4800, "solo")]
+    srt = mux_subtitles(cues)
+    vtt = mux_subtitles(cues, vtt=True)
+    assert parse_subtitles(srt) == cues
+    assert parse_subtitles(vtt) == cues
+    assert vtt.startswith("WEBVTT") and "," not in vtt.split("\n")[2]
+
+    tolerant = (
+        "WEBVTT\n\nintro-note\n\n00:00:01.000 --> 00:00:02.000 align:start\nstyled cue\n\n"
+        "garbage block without timestamps\n\n99:59:59,999 --> 99:59:59,999\nedge"
+    )
+    got = parse_subtitles(tolerant)
+    assert got[0] == (1000, 2000, "styled cue")
+    assert got[1][2] == "edge" and len(got) == 2
+    assert parse_subtitles("") == []
