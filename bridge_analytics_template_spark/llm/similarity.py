@@ -116,6 +116,7 @@ def knn_lsh(
     n_bits: int = 8,
     radius: int = 1,
     tables: int = 4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table sign LSH: table *t* buckets on the
     sign pattern of dimensions ``[t·n_bits, (t+1)·n_bits)``; a candidate is
@@ -124,7 +125,17 @@ def knn_lsh(
     most signs, so they collide with probability → 1 as tables grow; for
     near-orthogonal (random) vectors, collisions — and therefore recall —
     are low by construction. The guarantee tested in tests/test_llm_ops.py
-    is planted-near-neighbor retrieval, not top-k on noise."""
+    is planted-near-neighbor retrieval, not top-k on noise.
+
+    ``bucket_cap`` (optional, OFF by default) bounds each (table, bucket)
+    index list to its ``bucket_cap`` lowest-id members before the probe
+    join — the dup-dense-corpus knob: a bucket holding c colliding copies
+    contributes c candidates per probe, so total candidate volume is
+    Θ(probes x bucket size); capping trades recall on mega-buckets for a
+    HARD bound on join fan-out. The skinny-pair dedup already keeps the
+    uncapped path disk-safe (measured at the 100x replica), so the cap is
+    a latency/recall dial, not a correctness requirement; cap ≥ every
+    bucket's size is exactly the uncapped result (pinned in tests)."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double(F.col(vec_col)).alias("qv"),
@@ -182,8 +193,16 @@ def knn_lsh(
     # against the candidate relation, qv via the broadcast probe set (a
     # probe set small enough to broadcast is the precondition of this
     # path, same as knn_bruteforce_np).
+    c_index = c_bucketed.select("neighbor_id", "table", "bucket")
+    if bucket_cap is not None:
+        wcap = Window.partitionBy("table", "bucket").orderBy("neighbor_id")
+        c_index = (
+            c_index.withColumn("_rn", F.row_number().over(wcap))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
     pair_ids = (
-        c_bucketed.select("neighbor_id", "table", "bucket")
+        c_index
         .join(F.broadcast(q_probed.select("query_id", "table", "bucket")), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")

@@ -36,42 +36,82 @@ _WS = re.compile(r"\s+", re.ASCII)
 
 
 def mux_warc(responses, *, info: str = "software: bridge-analytics-template-spark",
-             gzip_members: bool = False) -> bytes:
+             gzip_members: bool = False, requests: bool = False,
+             revisits=None) -> bytes:
     """(uri, html) pairs → a complete WARC file: one warcinfo record then
     one response record per pair, each wrapping an HTTP/1.1 200 message.
     With ``gzip_members`` each record is its OWN gzip member (the
     ``.warc.gz`` layout Common Crawl ships — members concatenate, so a
-    reader can still seek record boundaries)."""
+    reader can still seek record boundaries). With ``requests`` each
+    response is preceded by its ``request`` record (the crawler's outgoing
+    HTTP GET, linked the ISO 28500 way: the response names the request via
+    ``WARC-Concurrent-To``). ``revisits`` maps uri → count: after a uri's
+    response, that many ``revisit`` records are written (the
+    identical-payload-digest profile — a re-crawl that matched the stored
+    digest, so only headers ship; body bytes are NOT stored, which is the
+    crawl-time dedup the record type exists for)."""
     out = bytearray()
+    seq = [0]
 
-    def record(headers: list[tuple[str, str]], payload: bytes):
+    def record(headers: list[tuple[str, str]], payload: bytes) -> str:
+        rid = f"<urn:uuid:rec-{seq[0]:08d}>"
+        seq[0] += 1
         head = b"WARC/1.0\r\n"
-        for k, v in headers + [("Content-Length", str(len(payload)))]:
+        for k, v in [("WARC-Record-ID", rid)] + headers + [("Content-Length", str(len(payload)))]:
             head += f"{k}: {v}\r\n".encode()
         rec = head + b"\r\n" + payload + _CRLF2
         if gzip_members:
             co = zlib.compressobj(wbits=31)  # gzip wrapper
             rec = co.compress(rec) + co.flush()
         out.extend(rec)
+        return rid
 
     record([("WARC-Type", "warcinfo"), ("Content-Type", "application/warc-fields")],
            info.encode() + b"\r\n")
     for uri, html in responses:
         body = html.encode("utf-8")
+        req_id = None
+        if requests:
+            host = uri.split("/")[2] if "//" in uri else ""
+            path = "/" + uri.split("/", 3)[3] if uri.count("/") >= 3 else "/"
+            req_http = (
+                f"GET {path} HTTP/1.1\r\nHost: {host}\r\n\r\n".encode()
+            )
+            req_id = record(
+                [("WARC-Type", "request"), ("WARC-Target-URI", uri),
+                 ("Content-Type", "application/http; msgtype=request")],
+                req_http,
+            )
         http = (
             b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
             + b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
         )
-        record(
-            [("WARC-Type", "response"), ("WARC-Target-URI", uri),
-             ("Content-Type", "application/http; msgtype=response")],
-            http,
-        )
+        digest = f"sha1:{zlib.crc32(body):08x}"  # placeholder digest algo, self-consistent
+        resp_headers = [
+            ("WARC-Type", "response"), ("WARC-Target-URI", uri),
+            ("WARC-Payload-Digest", digest),
+            ("Content-Type", "application/http; msgtype=response"),
+        ]
+        if req_id is not None:
+            resp_headers.insert(2, ("WARC-Concurrent-To", req_id))
+        record(resp_headers, http)
+        for _ in range((revisits or {}).get(uri, 0)):
+            # identical-payload-digest revisit: HTTP head only, no body
+            record(
+                [("WARC-Type", "revisit"), ("WARC-Target-URI", uri),
+                 ("WARC-Profile",
+                  "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"),
+                 ("WARC-Refers-To-Target-URI", uri),
+                 ("WARC-Payload-Digest", digest),
+                 ("Content-Type", "application/http; msgtype=response")],
+                b"HTTP/1.1 304 Not Modified\r\n\r\n",
+            )
     return bytes(out)
 
 
-def parse_warc(b: bytes):
-    """WARC bytes → list of (warc_type, target_uri, payload bytes).
+def parse_warc(b: bytes, with_headers: bool = False):
+    """WARC bytes → list of (warc_type, target_uri, payload bytes)
+    (plus the raw lowercase-keyed header dict with ``with_headers``).
     Content-Length-delimited; stops (keeping earlier records) at the
     first malformed header block — partial shards stay usable."""
     b = bytes(b)
@@ -116,12 +156,44 @@ def parse_warc(b: bytes):
                 headers.get(b"warc-type", b"").decode("ascii", "replace"),
                 headers.get(b"warc-target-uri", b"").decode("ascii", "replace"),
                 payload,
+                headers,
+            )
+            if with_headers
+            else (
+                headers.get(b"warc-type", b"").decode("ascii", "replace"),
+                headers.get(b"warc-target-uri", b"").decode("ascii", "replace"),
+                payload,
             )
         )
         i = hend + 4 + ln
         while b[i : i + 2] == b"\r\n":
             i += 2
     return out
+
+
+def warc_record_stats(b: bytes):
+    """Full-fidelity record walk: every record → (warc_type, target_uri,
+    payload_len, http_body_len, refers_to_uri, payload_digest). The
+    crawl-accounting view a dedup-aware ingest needs: ``response`` records
+    carry stored body bytes, ``revisit`` records carry none (their HTTP
+    message is headers-only under the identical-payload-digest profile),
+    and the digest/refers-to columns let the reader join a revisit back to
+    the capture it deduplicated against."""
+    stats = []
+    for wtype, uri, payload, headers in parse_warc(b, with_headers=True):
+        sep = payload.find(_CRLF2)
+        body_len = len(payload) - sep - 4 if sep >= 0 else 0
+        stats.append(
+            (
+                wtype,
+                uri,
+                len(payload),
+                body_len,
+                headers.get(b"warc-refers-to-target-uri", b"").decode("ascii", "replace"),
+                headers.get(b"warc-payload-digest", b"").decode("ascii", "replace"),
+            )
+        )
+    return stats
 
 
 def warc_html_bodies(b: bytes):

@@ -2808,6 +2808,81 @@ def llm_html_extract(spark, sf_dir):
 
 
 @query(
+    "llm_link_graph",
+    sql="""
+    WITH raw AS (
+      SELECT doc_id,
+             'h' || (doc_id % 5) || '.example.com' AS src_host,
+             '<html><body><a href="https://h' || ((doc_id * 7) % 100) % 5
+             || '.example.com/p/' || (doc_id * 7) % 100 || '">x</a>'
+             || '<a href=''https://h' || ((doc_id * 13) % 100) % 5
+             || '.example.com/p/' || (doc_id * 13) % 100 || '''>y</a>'
+             || '<a href="/local/' || doc_id || '">self</a>'
+             || '<a name="anchor">no href</a></body></html>' AS html
+      FROM documents),
+    links AS (
+      SELECT doc_id, src_host,
+             unnest(regexp_extract_all(html, 'href=["'']?([^"'' >]+)["'']?', 1)) AS link
+      FROM raw),
+    edges AS (
+      SELECT src_host,
+             CASE WHEN link LIKE 'http%'
+                  THEN regexp_extract(link, '^https?://([^/]+)', 1)
+                  ELSE src_host END AS dst_host
+      FROM links)
+    SELECT src_host, dst_host, COUNT(*) AS n_links
+    FROM edges GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def llm_link_graph(spark, sf_dir):
+    """Crawl link-graph construction — the op that feeds PageRank-style
+    quality signals and frontier discovery: extract every href from each
+    page (JVM-side regexp_extract_all over a deterministic skeleton with
+    BOTH quote styles, a relative link, and an href-less anchor as a trap),
+    resolve relative links against the page's own host, reduce URL → host,
+    and aggregate the host-level edge list with link counts. Zero Python
+    and one shuffle (the final host-pair aggregate, preceded by a map-side
+    combine): at 100 TB this is scan speed + one skewable agg — hosts are
+    Zipfian, but the groupBy key is the (src, dst) PAIR, not the hub host
+    alone, and AQE skew handling absorbs the residue. The regex lives in
+    the Java/RE2 common subset so the oracle extracts identically."""
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    src_host = F.concat(F.lit("h"), (did % 5).cast("string"), F.lit(".example.com"))
+    html = F.concat(
+        F.lit('<html><body><a href="https://h'),
+        ((did * 7) % 100 % 5).cast("string"),
+        F.lit(".example.com/p/"),
+        ((did * 7) % 100).cast("string"),
+        F.lit('">x</a>'),
+        F.lit("<a href='https://h"),
+        ((did * 13) % 100 % 5).cast("string"),
+        F.lit(".example.com/p/"),
+        ((did * 13) % 100).cast("string"),
+        F.lit("'>y</a>"),
+        F.lit('<a href="/local/'),
+        did.cast("string"),
+        F.lit('">self</a><a name="anchor">no href</a></body></html>'),
+    )
+    links = d.select(
+        src_host.alias("src_host"),
+        F.explode(
+            F.regexp_extract_all(html, F.lit("""href=["']?([^"' >]+)["']?"""), F.lit(1))
+        ).alias("link"),
+    )
+    dst = F.when(
+        F.col("link").startswith("http"),
+        F.regexp_extract("link", r"^https?://([^/]+)", 1),
+    ).otherwise(F.col("src_host"))
+    return (
+        links.select("src_host", dst.alias("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+        .orderBy("src_host", "dst_host")
+    )
+
+
+@query(
     "llm_pdf_extract",
     sql="""
     SELECT doc_id,
@@ -2943,6 +3018,104 @@ def llm_warc_extract(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(
         gen_and_extract, schema="doc_id bigint, uri string, extracted string, n_chars bigint"
+    ).orderBy("doc_id")
+
+
+@query(
+    "llm_warc_revisit",
+    sql="""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(strlen('<p>Doc ' || doc_id || ' ' || substr(text, 1, 40) || '</p>')
+                  AS BIGINT) AS body_bytes
+      FROM documents)
+    SELECT doc_id,
+           'https://example.org/doc/' || doc_id AS uri,
+           CAST(1 AS BIGINT) AS n_request,
+           CAST(1 AS BIGINT) AS n_response,
+           CAST(doc_id % 3 AS BIGINT) AS n_revisit,
+           body_bytes AS stored_body_bytes,
+           CAST((doc_id % 3) * body_bytes AS BIGINT) AS saved_bytes,
+           CAST(doc_id % 3 AS BIGINT) AS n_digest_match
+    FROM b ORDER BY doc_id
+    """,
+)
+def llm_warc_revisit(spark, sf_dir):
+    """Crawl-time dedup accounting: WARC ``request``/``response``/``revisit``
+    record types (ISO 28500 §6; the identical-payload-digest revisit profile
+    is how a crawler records "this re-crawl matched the stored digest, so no
+    body bytes were stored"). Per doc a WARC is muxed with the request
+    record, the response (its payload digest stamped), and ``doc_id % 3``
+    revisit records referring back to the capture; odd docs ship as
+    .warc.gz. The engine walks the records (``warc_record_stats``) and
+    reports per-URI capture counts, stored body bytes, the bytes the
+    revisit mechanism SAVED (revisits x body size), and how many revisits'
+    digests actually match their capture's digest — the join a dedup-aware
+    ingest does before trusting a revisit. A record-framing slip, a digest
+    mismatch, or body bytes leaking into a revisit hash-fails the
+    closed-form oracle. Arrow-batched mapInPandas, linear per shard."""
+    from ..llm.warc import mux_warc, warc_record_stats
+
+    def gen_and_account(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "uri", "n_request", "n_response",
+                                    "n_revisit", "stored_body_bytes", "saved_bytes",
+                                    "n_digest_match")}
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                uri = f"https://example.org/doc/{d}"
+                html = f"<p>Doc {d} " + str(text)[:40] + "</p>"
+                payload = mux_warc(
+                    [(uri, html)],
+                    requests=True,
+                    revisits={uri: d % 3},
+                    gzip_members=d % 2 == 1,
+                )
+                stats = warc_record_stats(payload)
+                resp_digest = {u: dg for t, u, _pl, _bl, _r, dg in stats if t == "response"}
+                n_req = sum(1 for t, *_ in stats if t == "request")
+                n_resp = sum(1 for t, *_ in stats if t == "response")
+                n_rev = sum(1 for t, *_ in stats if t == "revisit")
+                stored = sum(bl for t, _u, _pl, bl, _r, _dg in stats if t == "response")
+                saved = sum(
+                    resp_body
+                    for t, _u, _pl, _bl, ref, _dg in stats
+                    if t == "revisit"
+                    for resp_body in [
+                        next(bl2 for t2, u2, _p2, bl2, _r2, _d2 in stats
+                             if t2 == "response" and u2 == ref)
+                    ]
+                )
+                match = sum(
+                    1
+                    for t, _u, _pl, _bl, ref, dg in stats
+                    if t == "revisit" and resp_digest.get(ref) == dg
+                )
+                for k, v in zip(rows, (d, uri, n_req, n_resp, n_rev, stored, saved, match)):
+                    rows[k].append(v)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "uri": pd.Series(rows["uri"], dtype="object"),
+                    "n_request": pd.Series(rows["n_request"], dtype="int64"),
+                    "n_response": pd.Series(rows["n_response"], dtype="int64"),
+                    "n_revisit": pd.Series(rows["n_revisit"], dtype="int64"),
+                    "stored_body_bytes": pd.Series(rows["stored_body_bytes"], dtype="int64"),
+                    "saved_bytes": pd.Series(rows["saved_bytes"], dtype="int64"),
+                    "n_digest_match": pd.Series(rows["n_digest_match"], dtype="int64"),
+                }
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        gen_and_account,
+        schema=(
+            "doc_id bigint, uri string, n_request bigint, n_response bigint, "
+            "n_revisit bigint, stored_body_bytes bigint, saved_bytes bigint, "
+            "n_digest_match bigint"
+        ),
     ).orderBy("doc_id")
 
 

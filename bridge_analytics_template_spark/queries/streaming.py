@@ -658,3 +658,49 @@ def t_resample_interp(spark, sf_dir):
         .otherwise(F.col("pv") + ((F.col("nv") - F.col("pv")) * frac))
         .alias("v_interp"),
     ).orderBy("user_id", "bucket")
+
+
+@query(
+    "t_stream_heavy_hitters",
+    sql="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+      FROM c)
+    SELECT user_id, event_type AS top_type, CAST(n AS BIGINT) AS n_top
+    FROM r WHERE rk = 1 ORDER BY user_id
+    """,
+)
+def t_stream_heavy_hitters(spark, sf_dir):
+    """T-custom, ORACLED streaming execution: per-user heavy hitters via a
+    bounded Misra-Gries summary in keyed state (streaming/stateful.py::
+    heavy_hitters_stream), driven through readStream → applyInPandasWithState
+    → memory sink to completion, then reduced to each user's top event type.
+
+    Why a genuinely-streaming run can be value-exact against a batch SQL
+    oracle: MG with k counters is EXACT whenever k exceeds the key's
+    distinct-item count (no decrement ever fires), and the fixture has 5
+    event types vs k=8. In the exact regime every update-mode emission is a
+    monotone per-(user, type) count, so max() over the sink's accumulated
+    rows is the final summary regardless of how many micro-batches the file
+    source produced. The approximation guarantee at small k (est within
+    N/k, order-free) is pinned separately in tests/test_stateful_streaming.py.
+    State is O(k) per user — event-volume-independent, the 100 TB shape."""
+    from ..streaming.stateful import heavy_hitters_stream
+
+    hh = heavy_hitters_stream(stream_events(spark, sf_dir), k=8)
+    out = run_to_memory(hh, "update")
+    final = out.groupBy("user_id", "event_type").agg(F.max("n").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        final.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("top_type"),
+            F.col("n").alias("n_top"),
+        )
+        .orderBy("user_id")
+    )

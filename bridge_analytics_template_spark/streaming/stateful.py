@@ -45,6 +45,69 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+# --- bounded-state heavy hitters (Misra-Gries) -----------------------------
+
+HH_OUTPUT_SCHEMA = "user_id long, event_type string, n long"
+HH_STATE_SCHEMA = "types array<string>, counts array<long>"
+
+
+def _make_misra_gries_update(k: int):
+    """Build the applyInPandasWithState update fn for a k-counter
+    Misra-Gries summary. The MG guarantees are ORDER-FREE, which is what
+    makes this a sound streaming operator: for every item,
+    ``true - N/k <= est <= true`` (N = items seen for the key), and any
+    item with frequency > N/k is guaranteed to be retained — regardless of
+    arrival order or micro-batch boundaries. With k larger than the key's
+    distinct-item count no decrement ever fires and the summary is EXACT,
+    which is the regime the oracled query pins; the error bound at small k
+    is pinned separately in tests."""
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            types, counts = state.get
+            summary = dict(zip(list(types), [int(c) for c in counts]))
+        else:
+            summary = {}
+        for pdf in batches:
+            for t in pdf["event_type"]:
+                t = str(t)
+                if t in summary:
+                    summary[t] += 1
+                elif len(summary) < k:
+                    summary[t] = 1
+                else:  # decrement step: all counters down one, drop zeros
+                    summary = {u: c - 1 for u, c in summary.items() if c > 1}
+        state.update((list(summary.keys()), list(summary.values())))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(summary),
+                "event_type": list(summary.keys()),
+                "n": list(summary.values()),
+            }
+        )
+
+    return update
+
+
+def heavy_hitters_stream(events: DataFrame, k: int = 8) -> DataFrame:
+    """Streaming per-user heavy hitters with BOUNDED keyed state: a
+    k-counter Misra-Gries summary per user (state is O(k) per key — at
+    100 TB/day the state store holds |users| x k counters, independent of
+    event volume, which is the whole point vs an exact per-(user, type)
+    count whose key space is unbounded on high-cardinality dimensions)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_misra_gries_update(k),
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # --- transformWithState (Spark 4 StatefulProcessor API) -------------------
 # The successor to applyInPandasWithState: named state variables on a
 # handle (value/list/map state), timers, and TTL — composable state instead

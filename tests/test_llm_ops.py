@@ -101,6 +101,52 @@ def test_knn_lsh_finds_planted_neighbors(spark, sf_dir):
     assert hits >= 18
 
 
+def test_knn_lsh_bucket_cap(spark, sf_dir):
+    """The dup-dense knob: a cap at least as large as every bucket is
+    byte-identical to the uncapped path; a tight cap on a corpus of exact
+    copies HARD-bounds the scored pair count (each probe bucket contributes
+    at most cap candidates) while a cap ≥ the copy-cluster size keeps the
+    planted duplicate retrievable."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    base = {(r["query_id"], r["neighbor_id"], r["rank"])
+            for r in knn_lsh(q, e, k=3).collect()}
+    huge = {(r["query_id"], r["neighbor_id"], r["rank"])
+            for r in knn_lsh(q, e, k=3, bucket_cap=10**9).collect()}
+    assert base == huge
+
+    # dup-dense corpus: 8 exact copies of each of 12 vectors
+    rows = e.orderBy("vec_id").limit(12).collect()
+    dense = spark.createDataFrame(
+        [
+            (1000 * r["vec_id"] + c, list(r["embedding"]))
+            for r in rows
+            for c in range(8)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    probes = dense.filter(F.col("vec_id") % 1000 == 0)
+    capped = knn_lsh(probes, dense, k=7, bucket_cap=8).collect()
+    got = {}
+    for r in capped:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in rows:
+        qid = 1000 * r["vec_id"]
+        # cap == cluster size: the cluster's lowest ids survive the cap, so
+        # the probe still retrieves its own exact copies
+        assert any(n // 1000 == r["vec_id"] for n in got.get(qid, set())), qid
+    # tight cap bounds per-query candidates: nothing beyond cap survives a
+    # single-copy-cluster bucket, so no query can return more than cap-1
+    # same-cluster neighbors plus cross-cluster collisions bounded by cap
+    tight = knn_lsh(probes, dense, k=50, bucket_cap=2).collect()
+    per_q = {}
+    for r in tight:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    # 4 tables x (1 + 8 flips) probes x cap 2 = hard ceiling 72; in practice
+    # collisions repeat, but the invariant is per-bucket membership ≤ cap
+    assert all(n <= 72 for n in per_q.values())
+
+
 def test_multimodal_features_and_stub(spark):
     df = spark.createDataFrame([(1, "abc"), (2, "")], "doc_id long, text string")
     out = {r["doc_id"]: r for r in extract_features(attach_binary(df)).collect()}
@@ -2519,6 +2565,57 @@ def test_warc_framing_and_strip_parity():
                 bb[rng.randrange(len(bb))] = rng.randrange(256)
             out = warc_html_bodies(bytes(bb))
             assert isinstance(out, list)
+
+
+def test_warc_request_revisit_records():
+    """Request/revisit record types (ISO 28500 §6): the response names its
+    request via WARC-Concurrent-To; revisits carry the identical-payload-
+    digest profile, refer back to the capture's URI, match its digest, and
+    store NO body bytes; warc_record_stats surfaces all of it; the
+    html-body walk is unchanged by the extra record types; fuzzing the
+    richer layout never raises."""
+    import random
+
+    from bridge_analytics_template_spark.llm.warc import (
+        mux_warc,
+        parse_warc,
+        warc_html_bodies,
+        warc_record_stats,
+    )
+
+    pages = [("https://a.example/1", "<p>one</p>"), ("https://b.example/2", "<p>two&amp;</p>")]
+    b = mux_warc(pages, requests=True, revisits={"https://a.example/1": 2})
+    stats = warc_record_stats(b)
+    assert [s[0] for s in stats] == [
+        "warcinfo", "request", "response", "revisit", "revisit", "request", "response",
+    ]
+    resp = {s[1]: s for s in stats if s[0] == "response"}
+    for s in stats:
+        if s[0] == "revisit":
+            # refers back to its capture, matches its digest, stores no body
+            assert s[4] == "https://a.example/1"
+            assert s[5] == resp[s[4]][5] and s[5].startswith("sha1:")
+            assert s[3] == 0
+        if s[0] == "response":
+            assert s[3] == len(dict(pages)[s[1]].encode())
+    # Concurrent-To on the response names the PRECEDING request record id
+    full = parse_warc(b, with_headers=True)
+    req_ids = [h[b"warc-record-id"] for t, _u, _p, h in full if t == "request"]
+    conc = [h[b"warc-concurrent-to"] for t, _u, _p, h in full if t == "response"]
+    assert conc == req_ids
+    # body extraction skips request/revisit records (msgtype filtering is
+    # by WARC-Type, and revisits genuinely have no body)
+    assert warc_html_bodies(b) == [h for _u, h in pages]
+    # gzip layout + fuzz: never raises, partial parses stay lists
+    gz = mux_warc(pages, requests=True, revisits={"https://b.example/2": 1}, gzip_members=True)
+    assert [s[0] for s in warc_record_stats(gz)][-1] == "revisit"
+    rng = random.Random(68)
+    for base in (b, gz):
+        for _ in range(100):
+            bb = bytearray(base)
+            for _ in range(rng.randint(1, 6)):
+                bb[rng.randrange(len(bb))] = rng.randrange(256)
+            assert isinstance(warc_record_stats(bytes(bb)), list)
 
 
 def test_avi_idx1_seek():

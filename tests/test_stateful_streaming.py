@@ -85,3 +85,88 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
     for u, (n, t) in batch.items():
         assert streamed[u][0] == n
         assert abs(streamed[u][1] - t) < 1e-6
+
+
+def test_misra_gries_exact_regime_matches_batch(spark, sf_dir):
+    """k=8 > 5 distinct event types → no decrement ever fires and the MG
+    summary is EXACT: the streamed per-(user, type) counts equal the batch
+    group-by, for every user and every type."""
+    import uuid
+
+    from bridge_analytics_template_spark.streaming.stateful import heavy_hitters_stream
+
+    out = heavy_hitters_stream(stream_events(spark, sf_dir), k=8)
+    name = f"hh_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # exact regime → counts monotone across emissions: keep the max
+    streamed = {
+        (r["user_id"], r["event_type"]): r["n"]
+        for r in spark.table(name)
+        .groupBy("user_id", "event_type")
+        .agg(F.max("n").alias("n"))
+        .collect()
+    }
+    batch = {
+        (r["user_id"], r["event_type"]): r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert streamed == batch
+
+
+def test_misra_gries_error_bound_small_k():
+    """The MG guarantees at k=2 on a skewed synthetic stream, checked
+    directly on the update fn (order-free, so any batch split is fair):
+    every estimate is an UNDERcount by at most N/k, and any item with
+    frequency > N/k is guaranteed retained — across several arrival orders
+    AND micro-batch splits, including state roundtrips between batches."""
+    import pandas as pd
+
+    from bridge_analytics_template_spark.streaming.stateful import (
+        _make_misra_gries_update,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    items = ["a"] * 60 + ["b"] * 25 + ["c"] * 10 + ["d"] * 5
+    n = len(items)
+    k = 2
+    true = {t: items.count(t) for t in set(items)}
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        order = items[:]
+        rng.shuffle(order)
+        update = _make_misra_gries_update(k)
+        state = FakeState()
+        # split into 4 micro-batches: state must roundtrip between them
+        cuts = sorted(rng.sample(range(1, n), 3))
+        spans = [order[a:b] for a, b in zip([0] + cuts, cuts + [n])]
+        last = None
+        for span in spans:
+            out = list(update((7,), iter([pd.DataFrame({"event_type": span})]), state))
+            last = out[-1]
+        got = dict(zip(last["event_type"], last["n"]))
+        for t, est in got.items():
+            assert est <= true[t], (t, est, true[t])
+            assert est >= true[t] - n // k, (t, est, true[t])
+        # retention guarantee: freq > N/k (= 50) ⇒ present ('a' at 60)
+        assert "a" in got
