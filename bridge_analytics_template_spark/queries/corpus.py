@@ -500,6 +500,113 @@ def graph_pagerank_ppm(spark, sf_dir):
     return ranks.select("node", F.col("r").alias("rank_ppm")).orderBy("node")
 
 
+# --- Oracle-exact fixed-point HITS (hubs & authorities) ----------------------
+
+_HITS_ITERS = 2
+_HITS_INIT = 1_000_000
+
+
+def _hits_oracle_sql() -> str:
+    """Unrolled integer HITS over the same hand-off arcs as PageRank:
+    auth_raw(v) = Σ hub(u) over u→v, hub_raw(u) = Σ auth(v) over u→v, each
+    L1-normalized to ppm as (raw * 1e6) // total — all-integer, so the
+    Spark loop agrees bit-for-bit with the unrolled CTE stages."""
+    parts = [
+        f"""
+    WITH arcs AS (
+      SELECT e.user_id AS src, n.user_id AS dst
+      FROM events e JOIN events n ON n.event_id = e.event_id + 1
+      WHERE n.user_id <> e.user_id),
+    nodes AS (
+      SELECT DISTINCT node FROM (SELECT src AS node FROM arcs
+                                 UNION ALL SELECT dst FROM arcs)),
+    h0 AS (SELECT node, CAST({_HITS_INIT} AS BIGINT) AS v FROM nodes)"""
+    ]
+    prev_h = "h0"
+    for k in range(1, _HITS_ITERS + 1):
+        parts.append(
+            f""",
+    a{k}r AS (
+      SELECT a.dst AS node, SUM(p.v) AS s
+      FROM arcs a JOIN {prev_h} p ON p.node = a.src GROUP BY a.dst),
+    a{k}t AS (SELECT SUM(s) AS t FROM a{k}r),
+    a{k} AS (
+      SELECT n.node, (COALESCE(r.s, 0) * {_HITS_INIT}) // t.t AS v
+      FROM nodes n LEFT JOIN a{k}r r ON r.node = n.node CROSS JOIN a{k}t t),
+    h{k}r AS (
+      SELECT a.src AS node, SUM(p.v) AS s
+      FROM arcs a JOIN a{k} p ON p.node = a.dst GROUP BY a.src),
+    h{k}t AS (SELECT SUM(s) AS t FROM h{k}r),
+    h{k} AS (
+      SELECT n.node, (COALESCE(r.s, 0) * {_HITS_INIT}) // t.t AS v
+      FROM nodes n LEFT JOIN h{k}r r ON r.node = n.node CROSS JOIN h{k}t t)"""
+        )
+        prev_h = f"h{k}"
+    parts.append(
+        f"""
+    SELECT a.node, CAST(a.v AS BIGINT) AS auth_ppm, CAST(h.v AS BIGINT) AS hub_ppm
+    FROM a{_HITS_ITERS} a JOIN h{_HITS_ITERS} h ON a.node = h.node ORDER BY a.node"""
+    )
+    return "".join(parts)
+
+
+@query("graph_hits_ppm", sql=_hits_oracle_sql())
+def graph_hits_ppm(spark, sf_dir):
+    """Oracle-exact HITS (Kleinberg hubs & authorities) — the second
+    classic link-analysis signal next to PageRank, and the natural consumer
+    of llm_link_graph's edge list: authorities concentrate incoming weight
+    from good hubs, hubs from pointing at good authorities. Scores are
+    int64 ppm; each half-step is one co-keyed join of the persisted arc
+    relation with the current score vector, a dst- (or src-) keyed sum,
+    and an L1 ppm renormalization whose total is a 1-row broadcast — so an
+    iteration is two shuffles regardless of graph size, the same loop shape
+    as graph_pagerank_ppm. All arithmetic is integer ((raw * 1e6) // total),
+    so {_HITS_ITERS} iterations agree bit-for-bit with the oracle's
+    unrolled CTEs."""
+    e = load(spark, sf_dir, "events").select("event_id", "user_id")
+    nxt = e.select((F.col("event_id") - 1).alias("event_id"), F.col("user_id").alias("next_user"))
+    arcs = (
+        e.join(nxt, "event_id")
+        .where(F.col("next_user") != F.col("user_id"))
+        .select(F.col("user_id").alias("src"), F.col("next_user").alias("dst"))
+    )
+    arcs = track(arcs.persist())
+    nodes = track(
+        arcs.select(F.col("src").alias("node"))
+        .unionByName(arcs.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+
+    def half_step(scores: DataFrame, in_key: str, out_key: str) -> DataFrame:
+        raw = (
+            arcs.join(scores, arcs[in_key] == scores["node"])
+            .select(F.col(out_key).alias("n2"), "v")
+            .groupBy("n2")
+            .agg(F.sum("v").alias("s"))
+        )
+        total = raw.agg(F.sum("s").alias("t"))
+        return (
+            nodes.join(raw, nodes["node"] == raw["n2"], "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "node",
+                F.expr(f"(coalesce(s, 0) * {_HITS_INIT}) div t").alias("v"),
+            )
+        )
+
+    hubs = nodes.select("node", F.lit(_HITS_INIT).cast("long").alias("v"))
+    auths = None
+    for _ in range(_HITS_ITERS):
+        auths = half_step(hubs, "src", "dst")
+        hubs = half_step(auths, "dst", "src")
+    return (
+        auths.select("node", F.col("v").alias("auth_ppm"))
+        .join(hubs.select("node", F.col("v").alias("hub_ppm")), "node")
+        .orderBy("node")
+    )
+
+
 # --- Schema-evolution ingest (mergeSchema) ----------------------------------
 
 
@@ -686,6 +793,179 @@ def llm_semantic_decontaminate(spark, sf_dir):
             (F.col("b.c") >= _SEM_TAU).alias("contaminated"),
         )
         .orderBy("vec_id")
+    )
+
+
+# --- Margin-based bitext mining (parallel-corpus curation) ------------------
+
+
+@query(
+    "llm_bitext_mine",
+    sql=f"""
+    WITH src AS MATERIALIZED (
+      SELECT vec_id AS x, {_QVEC_SQL} AS v,
+             list_sum(list_transform({_QVEC_SQL}, t -> t * t)) AS nn
+      FROM embeddings WHERE vec_id % 2 = 0),
+    tgt AS MATERIALIZED (
+      SELECT vec_id AS y, {_QVEC_SQL} AS v,
+             list_sum(list_transform({_QVEC_SQL}, t -> t * t)) AS nn
+      FROM embeddings WHERE vec_id % 2 = 1),
+    sims AS MATERIALIZED (
+      SELECT s.x, t.y,
+             CAST(list_sum(list_transform(generate_series(1, len(s.v)), i -> s.v[i] * t.v[i])) AS DOUBLE)
+               / (sqrt(CAST(s.nn AS DOUBLE)) * sqrt(CAST(t.nn AS DOUBLE))) AS cos
+      FROM src s, tgt t),
+    rx AS (
+      SELECT x, (MAX(CASE WHEN rn = 1 THEN cos END) + MAX(CASE WHEN rn = 2 THEN cos END)) / 2 AS r
+      FROM (SELECT x, cos, ROW_NUMBER() OVER (PARTITION BY x ORDER BY cos DESC, y) AS rn FROM sims)
+      WHERE rn <= 2 GROUP BY x),
+    ry AS (
+      SELECT y, (MAX(CASE WHEN rn = 1 THEN cos END) + MAX(CASE WHEN rn = 2 THEN cos END)) / 2 AS r
+      FROM (SELECT y, cos, ROW_NUMBER() OVER (PARTITION BY y ORDER BY cos DESC, x) AS rn FROM sims)
+      WHERE rn <= 2 GROUP BY y),
+    scored AS (
+      SELECT s.x, s.y, s.cos + s.cos - ry.r - rx.r AS csls
+      FROM sims s JOIN rx ON s.x = rx.x JOIN ry ON s.y = ry.y),
+    best AS (
+      SELECT x, max(struct_pack(c := csls, nid := -y)) AS b FROM scored GROUP BY x)
+    SELECT x AS src_id, -b.nid AS tgt_id, b.c AS csls, b.c > 0 AS mined
+    FROM best ORDER BY src_id
+    """,
+)
+def llm_bitext_mine(spark, sf_dir):
+    """Margin-based bitext mining (the CSLS criterion of Conneau et al. '18 /
+    Artetxe & Schwenk '19) — the parallel-corpus curation step of a
+    multilingual training pipeline: for every "source-language" vector
+    (vec_id even) find the "target-language" vector (vec_id odd) maximizing
+    csls(x, y) = 2·cos(x, y) − r(x) − r(y), where r(·) is the mean cosine of
+    the vector's 2 nearest cross-lingual neighbours — the hubness-correcting
+    margin that plain cosine retrieval lacks. Pair mined when csls > 0.
+
+    Exactness: quantized floor(x·1e6) integer dots/norms, cosine ONE
+    fixed-parenthesization double; r is the mean of the top-2 (one addition —
+    order-free); csls is the same left-associated chain in both engines, so
+    the per-source argmax (ties to the lowest target id) is deterministic.
+
+    Scale shape: bipartite BLOCKED GEMM, the same O(n²)-flops-without-
+    O(n²)-rows machinery as blocked_cosine_pairs — the sims matrix is never
+    materialized as rows. Both halves pack into ~1k-row blocks; a
+    distributed block-pair grid joins packed blocks; two Arrow-batched
+    numpy kernels run the exact dense math (pass 1: per-row top-2 partials
+    for the r(·) means, a semilattice combine so block order is free;
+    pass 2: per-source argmax of 2·cos − r(y), with r(x) subtracted after
+    the combine — legal because r(x) is constant within a source). All dot
+    products are quantized-integer-valued and stay below 2^53, so float64
+    GEMM is EXACT and every emitted double is the same IEEE expression the
+    oracle computes — hash-equality survives the BLAS path. (The first cut
+    computed sims via JVM higher-order folds; the 10x sweep caught it at
+    1066 s — 100M interpreted 64-dim folds. The GEMM form is the fix, not
+    a subset dodge.)"""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.rowids import assign_contiguous_ids
+
+    e = load(spark, sf_dir, "embeddings")
+    qv = F.transform("embedding", lambda v: F.floor(v.cast("double") * _MMR_Q).cast("long"))
+    nn = F.aggregate(
+        F.transform("v", lambda v: v * v), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    base = e.select("vec_id", qv.alias("v")).select("vec_id", "v", nn.alias("nn"))
+
+    _B = 1024
+
+    def packed(side: DataFrame, blk: str, rows: str) -> tuple[DataFrame, int]:
+        n = side.count()
+        ranked = assign_contiguous_ids(side, "vec_id", id_name="_rk")
+        p = (
+            ranked.withColumn(blk, (F.col("_rk") / F.lit(_B)).cast("long"))
+            .groupBy(blk)
+            .agg(F.collect_list(F.struct("vec_id", "v", "nn")).alias(rows))
+        )
+        return p, max(1, -(-n // _B))
+
+    src, tgt = base.filter(F.col("vec_id") % 2 == 0), base.filter(F.col("vec_id") % 2 == 1)
+    pa, na = packed(src, "blk_a", "rows_a")
+    pb, nb = packed(tgt, "blk_b", "rows_b")
+    pa, pb = track(pa.persist()), track(pb.persist())
+    grid = spark.range(na).select(
+        F.col("id").alias("blk_a"),
+        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("blk_b"),
+    )
+    joined = pa.join(F.broadcast(grid), "blk_a").join(pb, "blk_b")
+
+    def unpack(cell, extra=None):
+        ids = np.array([r["vec_id"] for r in cell], dtype=np.int64)
+        m = np.array([list(r["v"]) for r in cell], dtype=np.float64)
+        rt = np.sqrt(np.array([r["nn"] for r in cell], dtype=np.float64))
+        ex = np.array([r[extra] for r in cell], dtype=np.float64) if extra else None
+        return ids, m, rt, ex
+
+    def top2_partials(batches):
+        # pass 1: per block pair, each side's two largest cos values —
+        # a semilattice partial (global top-2 = top-2 of unioned partials)
+        for pdf in batches:
+            for ra, rb in zip(pdf["rows_a"], pdf["rows_b"]):
+                ia, ma, rta, _ = unpack(ra)
+                ib, mb, rtb, _ = unpack(rb)
+                cos = (ma @ mb.T) / (rta[:, None] * rtb[None, :])
+                k_a = min(2, cos.shape[1])
+                k_b = min(2, cos.shape[0])
+                xa = -np.sort(-cos, axis=1)[:, :k_a]  # per-x top-2 over this block's y
+                xb = -np.sort(-cos.T, axis=1)[:, :k_b]
+                yield pd.DataFrame(
+                    {
+                        "side": ["x"] * (len(ia) * k_a) + ["y"] * (len(ib) * k_b),
+                        "id": np.concatenate([ia.repeat(k_a), ib.repeat(k_b)]),
+                        "c": np.concatenate([xa.ravel(), xb.ravel()]),
+                    }
+                )
+
+    partials = joined.mapInPandas(top2_partials, schema="side string, id long, c double")
+    top2 = F.slice(F.sort_array(F.collect_list("c"), asc=False), 1, 2)
+    means = partials.groupBy("side", "id").agg(
+        ((F.element_at(top2, 1) + F.element_at(top2, 2)) / 2).alias("r")
+    )
+    rx = means.filter(F.col("side") == "x").select(F.col("id").alias("x"), F.col("r").alias("rx"))
+    ry = means.filter(F.col("side") == "y").select(F.col("id").alias("y"), F.col("r").alias("ry"))
+
+    # pass 2: r(y) rides the packed target rows; per source the block-local
+    # argmax of m = 2·cos − r(y) combines via max(struct) — r(x) is constant
+    # per source, so csls = m − r(x) attaches after the combine.
+    tgt_r = tgt.join(ry, tgt["vec_id"] == ry["y"]).select("vec_id", "v", "nn", "ry")
+    pb2 = (
+        assign_contiguous_ids(tgt_r, "vec_id", id_name="_rk")
+        .withColumn("blk_b", (F.col("_rk") / F.lit(_B)).cast("long"))
+        .groupBy("blk_b")
+        .agg(F.collect_list(F.struct("vec_id", "v", "nn", "ry")).alias("rows_b"))
+    )
+    joined2 = pa.join(F.broadcast(grid), "blk_a").join(pb2, "blk_b")
+
+    def best_margin(batches):
+        for pdf in batches:
+            for ra, rb in zip(pdf["rows_a"], pdf["rows_b"]):
+                ia, ma, rta, _ = unpack(ra)
+                ib, mb, rtb, ryv = unpack(rb, extra="ry")
+                cos = (ma @ mb.T) / (rta[:, None] * rtb[None, :])
+                m = cos + cos - ryv[None, :]
+                mx = m.max(axis=1)
+                # tie → lowest target id, same as the oracle's (csls, -y) struct
+                best_y = np.where(m == mx[:, None], ib[None, :], np.iinfo(np.int64).max).min(axis=1)
+                yield pd.DataFrame({"x": ia, "m": mx, "y": best_y})
+
+    block_best = joined2.mapInPandas(best_margin, schema="x long, m double, y long")
+    best = block_best.groupBy("x").agg(
+        F.max(F.struct(F.col("m").alias("c"), (-F.col("y")).alias("nid"))).alias("b")
+    )
+    return (
+        best.join(rx, "x")
+        .select(
+            F.col("x").alias("src_id"),
+            (-F.col("b.nid")).alias("tgt_id"),
+            (F.col("b.c") - F.col("rx")).alias("csls"),
+            ((F.col("b.c") - F.col("rx")) > 0).alias("mined"),
+        )
+        .orderBy("src_id")
     )
 
 

@@ -704,3 +704,83 @@ def t_stream_heavy_hitters(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "t_stream_drift",
+    sql="""
+    WITH h AS (
+      SELECT event_type, LEAST(7, CAST(floor(value / 20) AS BIGINT)) AS bin, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    t AS (SELECT event_type, SUM(n) AS t FROM h GROUP BY 1),
+    p AS (SELECT bin, SUM(n) AS pn FROM h GROUP BY 1),
+    pt AS (SELECT SUM(pn) AS pt FROM p),
+    d AS (
+      SELECT g.event_type, g.t, pt.pt AS pt,
+             ABS(COALESCE(hh.n, 0) * pt.pt - g.pn * g.t) AS diff
+      FROM (SELECT t.event_type, t.t, p.bin, p.pn FROM t CROSS JOIN p) g
+      LEFT JOIN h hh ON hh.event_type = g.event_type AND hh.bin = g.bin
+      CROSS JOIN pt),
+    s AS (SELECT event_type, MAX(t) AS total, SUM(diff) AS sd, MAX(pt) AS pt
+          FROM d GROUP BY 1)
+    SELECT event_type, CAST(total AS BIGINT) AS total,
+           CAST(sd * 1000000 // (2 * total * pt) AS BIGINT) AS tvd_ppm,
+           (sd * 1000000 // (2 * total * pt)) > 100000 AS drifted
+    FROM s ORDER BY event_type
+    """,
+)
+def t_stream_drift(spark, sf_dir):
+    """T-custom, ORACLED streaming execution #2: distribution-drift
+    monitoring. A bounded per-key value histogram accumulates in keyed
+    state (streaming/stateful.py::value_histogram_stream — O(bins) state
+    per event type, commutative counting so micro-batch order is
+    irrelevant), then each type's running distribution is scored against
+    the pooled corpus distribution by total-variation distance in exact
+    ppm: tvd = |n·pt − pn·t| summed over the pooled bin grid, floored
+    through one DECIMAL(38)/HUGEINT division. Types whose value mix
+    diverges from the pooled mix by > 10% flag as drifted. The streamed
+    histogram is value-exact (same IEEE floor(value/20) bin both engines,
+    counts monotone per (type, bin) so max() over the update-mode sink is
+    the final state), making the whole drift report hash-comparable —
+    a genuinely-streaming drift monitor with a batch SQL oracle."""
+    from ..streaming.stateful import value_histogram_stream
+
+    hist = value_histogram_stream(stream_events(spark, sf_dir))
+    out = run_to_memory(hist, "update")
+    final = (
+        out.groupBy("event_type", "bin")
+        .agg(F.max("n").alias("n"))
+        .filter(F.col("n") > 0)  # mirror the oracle's GROUP BY (observed bins only)
+    )
+    t = final.groupBy("event_type").agg(F.sum("n").alias("t"))
+    p = final.groupBy("bin").agg(F.sum("n").alias("pn"))
+    pt = p.agg(F.sum("pn").alias("pt"))
+    grid = t.crossJoin(F.broadcast(p))
+    # fresh exprIds on the probe side: grid and final share the memory-sink
+    # lineage, and a straight self-join trips conflicting-reference resolution
+    f2 = final.select(
+        F.col("event_type").alias("et2"), F.col("bin").alias("bin2"), "n"
+    )
+    d = (
+        grid.join(
+            f2, (grid["event_type"] == f2["et2"]) & (grid["bin"] == f2["bin2"]), "left"
+        )
+        .crossJoin(F.broadcast(pt))
+        .withColumn(
+            "diff",
+            F.expr("abs(CAST(coalesce(n, 0) AS DECIMAL(38,0)) * pt - CAST(pn AS DECIMAL(38,0)) * t)"),
+        )
+    )
+    s = d.groupBy("event_type").agg(
+        F.max("t").alias("total"), F.sum("diff").alias("sd"), F.max("pt").alias("ptt")
+    )
+    tvd = F.expr("CAST(sd * 1000000 div (2 * CAST(total AS DECIMAL(38,0)) * ptt) AS BIGINT)")
+    return (
+        s.select(
+            "event_type",
+            F.col("total").cast("long").alias("total"),
+            tvd.alias("tvd_ppm"),
+        )
+        .withColumn("drifted", F.col("tvd_ppm") > 100000)
+        .orderBy("event_type")
+    )

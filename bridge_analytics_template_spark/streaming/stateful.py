@@ -108,6 +108,54 @@ def heavy_hitters_stream(events: DataFrame, k: int = 8) -> DataFrame:
     )
 
 
+# --- bounded-state value histogram (drift detection feed) ------------------
+
+HIST_BINS = 8
+HIST_WIDTH = 20.0
+HIST_OUTPUT_SCHEMA = "event_type string, bin long, n long"
+HIST_STATE_SCHEMA = "bins array<long>"
+
+
+def _update_value_histogram(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-key fixed-bin histogram of ``value`` in keyed state. Bin =
+    min(HIST_BINS-1, floor(value / HIST_WIDTH)) — the same IEEE division +
+    floor the JVM/batch/oracle forms compute, so the streamed counts are
+    value-exact. Counting is commutative, so the result is order-free
+    across micro-batch boundaries; state is HIST_BINS longs per key."""
+    import numpy as np
+
+    counts = np.array(list(state.get[0]) if state.exists else [0] * HIST_BINS, dtype=np.int64)
+    for pdf in batches:
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        bins = np.minimum(HIST_BINS - 1, np.floor(v / HIST_WIDTH).astype(np.int64))
+        counts += np.bincount(np.maximum(bins, 0), minlength=HIST_BINS)
+    state.update(([int(c) for c in counts],))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * HIST_BINS,
+            "bin": np.arange(HIST_BINS, dtype=np.int64),
+            "n": counts,
+        }
+    )
+
+
+def value_histogram_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-event-type value histogram with O(bins) keyed state —
+    the feed of a distribution-drift monitor: at any trigger the sink holds
+    each key's exact running histogram, independent of event volume."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update_value_histogram,
+        outputStructType=HIST_OUTPUT_SCHEMA,
+        stateStructType=HIST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # --- transformWithState (Spark 4 StatefulProcessor API) -------------------
 # The successor to applyInPandasWithState: named state variables on a
 # handle (value/list/map state), timers, and TTL — composable state instead

@@ -633,3 +633,49 @@ def test_domain_cap_plan_and_counts(spark, sf_dir):
     # determinism across rebuilds
     again = QUERIES["llm_domain_cap"](spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_hits_ppm_reference_and_invariants(spark):
+    """graph_hits_ppm vs an independent python rendering of the SAME
+    integer recurrence on the real sf0.001 arc graph, plus the HITS
+    invariants: ppm scores bounded by the L1 normalizer, bit-identical
+    recompute, and source-only/sink-only nodes get zero authority/hub."""
+    from bridge_analytics_template_spark.queries.corpus import (
+        _HITS_INIT,
+        _HITS_ITERS,
+        graph_hits_ppm,
+    )
+
+    rows = graph_hits_ppm(spark, SF_SMALL).collect()
+    assert rows
+    got = {r.node: (r.auth_ppm, r.hub_ppm) for r in rows}
+    again = {r.node: (r.auth_ppm, r.hub_ppm) for r in graph_hits_ppm(spark, SF_SMALL).collect()}
+    assert got == again
+
+    # independent python reference on the same arcs
+    e = {r.event_id: r.user_id
+         for r in spark.read.parquet(f"{SF_SMALL}/events.parquet")
+         .select("event_id", "user_id").collect()}
+    arcs = [(u, e[i + 1]) for i, u in e.items() if i + 1 in e and e[i + 1] != u]
+    nodes = {s for s, _ in arcs} | {d for _, d in arcs}
+    hub = {n: _HITS_INIT for n in nodes}
+    auth = {}
+    for _ in range(_HITS_ITERS):
+        raw = {}
+        for s, d in arcs:
+            raw[d] = raw.get(d, 0) + hub[s]
+        t = sum(raw.values())
+        auth = {n: (raw.get(n, 0) * _HITS_INIT) // t for n in nodes}
+        raw = {}
+        for s, d in arcs:
+            raw[s] = raw.get(s, 0) + auth[d]
+        t = sum(raw.values())
+        hub = {n: (raw.get(n, 0) * _HITS_INIT) // t for n in nodes}
+    assert got == {n: (auth[n], hub[n]) for n in nodes}
+
+    srcs = {s for s, _ in arcs}
+    dsts = {d for _, d in arcs}
+    for n in nodes - dsts:
+        assert got[n][0] == 0  # never pointed at: zero authority
+    for n in nodes - srcs:
+        assert got[n][1] == 0  # never points: zero hub

@@ -2745,3 +2745,55 @@ def test_subtitle_parse_formats_and_tolerance():
     assert got[0] == (1000, 2000, "styled cue")
     assert got[1][2] == "edge" and len(got) == 2
     assert parse_subtitles("") == []
+
+
+def test_bitext_mine_csls_reference(spark, tmp_path):
+    """CSLS mining vs an independent numpy reference on a corpus with
+    planted translation pairs: each even vector 2k has a slightly-perturbed
+    odd twin 2k+1 (the 'translation'), plus odd-only distractors. The
+    planted twin must be mined for every source, and every (src, tgt, csls)
+    row must match the reference's argmax and value to 1e-12."""
+    import numpy as np
+
+    from bridge_analytics_template_spark.queries.corpus import llm_bitext_mine
+
+    rng = np.random.default_rng(42)
+    n, dim = 12, 16
+    srcs = rng.normal(size=(n, dim))
+    rows = []
+    for i in range(n):
+        rows.append((2 * i, [float(x) for x in srcs[i]], 0))
+        twin = srcs[i] + 0.01 * rng.normal(size=dim)
+        rows.append((2 * i + 1, [float(x) for x in twin], 0))
+    # odd-only distractors (ids beyond the paired range)
+    for j in range(6):
+        rows.append((2 * n + 2 * j + 1, [float(x) for x in rng.normal(size=dim)], 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    d = str(tmp_path / "bitext")
+    df.write.parquet(d + "/embeddings.parquet")
+
+    got = {r["src_id"]: (r["tgt_id"], r["csls"], r["mined"])
+           for r in llm_bitext_mine(spark, d).collect()}
+
+    # numpy reference, same quantization — from the FLOAT32 values the
+    # parquet actually stores, not the python float64 originals
+    q = {vid: np.floor(np.array(v, dtype=np.float32).astype(np.float64) * 1_000_000)
+         for vid, v, _ in rows}
+    xs = sorted(v for v in q if v % 2 == 0)
+    ys = sorted(v for v in q if v % 2 == 1)
+    cos = {
+        (x, y): float(q[x] @ q[y]) / (np.sqrt(float(q[x] @ q[x])) * np.sqrt(float(q[y] @ q[y])))
+        for x in xs for y in ys
+    }
+    rx = {x: sum(sorted((cos[(x, y)] for y in ys), reverse=True)[:2]) / 2 for x in xs}
+    ry = {y: sum(sorted((cos[(x, y)] for x in xs), reverse=True)[:2]) / 2 for y in ys}
+    for x in xs:
+        scored = sorted(
+            ((cos[(x, y)] + cos[(x, y)] - ry[y] - rx[x], -y) for y in ys), reverse=True
+        )
+        c, nid = scored[0]
+        assert got[x][0] == -nid
+        assert abs(got[x][1] - c) < 1e-12
+        assert got[x][2] == (c > 0)
+        # the planted twin is the mined translation
+        assert -nid == x + 1, (x, -nid)

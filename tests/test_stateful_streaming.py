@@ -170,3 +170,49 @@ def test_misra_gries_error_bound_small_k():
             assert est >= true[t] - n // k, (t, est, true[t])
         # retention guarantee: freq > N/k (= 50) ⇒ present ('a' at 60)
         assert "a" in got
+
+
+def test_value_histogram_stream_matches_batch(spark, sf_dir):
+    """The streamed per-type histogram equals the batch bin counts exactly
+    (same IEEE floor(value/20), capped at the last bin); zero bins are
+    emitted but carry 0."""
+    import uuid
+
+    from bridge_analytics_template_spark.streaming.stateful import (
+        HIST_BINS,
+        HIST_WIDTH,
+        value_histogram_stream,
+    )
+
+    out = value_histogram_stream(stream_events(spark, sf_dir))
+    name = f"vh_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r["event_type"], r["bin"]): r["n"]
+        for r in spark.table(name)
+        .groupBy("event_type", "bin")
+        .agg(F.max("n").alias("n"))
+        .collect()
+    }
+    batch = {
+        (r["event_type"], r["bin"]): r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.least(
+                F.lit(HIST_BINS - 1),
+                F.floor(F.col("value") / F.lit(HIST_WIDTH)).cast("long"),
+            ).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for key, n in batch.items():
+        assert streamed.get(key) == n, key
+    # streamed-only keys are the explicitly-emitted empty bins
+    for key in set(streamed) - set(batch):
+        assert streamed[key] == 0, key
