@@ -162,3 +162,91 @@ def extract_epub_text(b: bytes):
             EOFError, NotImplementedError):  # exotic compression-method bytes
         return None
     return "\n".join(out)
+
+
+# --- ODS (OpenDocument spreadsheet) ------------------------------------------
+
+_ODS_ROW_RE = re.compile(r"(?s)<table:table-row(?:\s[^>]*)?>(.*?)</table:table-row>", re.ASCII)
+_ODS_CELL_RE = re.compile(
+    r"(?s)<table:table-cell((?:\s[^>]*)?)(?:/>|>(.*?)</table:table-cell>)", re.ASCII
+)
+_ODS_TP_RE = re.compile(r"(?s)<text:p>(.*?)</text:p>", re.ASCII)
+_ODS_VAL_RE = re.compile(r'office:value="(-?\d+)"', re.ASCII)
+_ODS_REP_RE = re.compile(r'table:number-columns-repeated="(\d+)"', re.ASCII)
+
+
+def mux_ods(rows) -> bytes:
+    """Rows of cells → a complete minimal ODS. Each cell is a str (string
+    cell, XML-escaped on write), an int (float-typed cell carrying
+    ``office:value``), or None (an empty self-closing cell — written with
+    ``number-columns-repeated="2"`` so the reader's repeat handling is
+    always exercised)."""
+    body_rows = []
+    for row in rows:
+        cells = []
+        for c in row:
+            if c is None:
+                cells.append('<table:table-cell table:number-columns-repeated="2"/>')
+            elif isinstance(c, int):
+                cells.append(
+                    f'<table:table-cell office:value-type="float" office:value="{c}">'
+                    f"<text:p>{c}</text:p></table:table-cell>"
+                )
+            else:
+                cells.append(
+                    '<table:table-cell office:value-type="string">'
+                    f"<text:p>{_xml_escape(c)}</text:p></table:table-cell>"
+                )
+        body_rows.append(f"<table:table-row>{''.join(cells)}</table:table-row>")
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<office:document-content xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        "<office:body><office:spreadsheet>"
+        f'<table:table table:name="Sheet1">{"".join(body_rows)}</table:table>'
+        "</office:spreadsheet></office:body></office:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("mimetype", "application/vnd.oasis.opendocument.spreadsheet",
+                   compress_type=zipfile.ZIP_STORED)
+        z.writestr(
+            "META-INF/manifest.xml",
+            '<?xml version="1.0"?><manifest:manifest '
+            'xmlns:manifest="urn:oasis:names:tc:opendocument:xmlns:manifest:1.0">'
+            '<manifest:file-entry manifest:full-path="/" '
+            'manifest:media-type="application/vnd.oasis.opendocument.spreadsheet"/>'
+            '<manifest:file-entry manifest:full-path="content.xml" manifest:media-type="text/xml"/>'
+            "</manifest:manifest>",
+            compress_type=zipfile.ZIP_DEFLATED,
+        )
+        z.writestr("content.xml", content, compress_type=zipfile.ZIP_DEFLATED)
+    return buf.getvalue()
+
+
+def extract_ods_cells(b: bytes):
+    """ODS bytes → list of rows, each a list of (text, value) cells —
+    ``text`` the entity-decoded cell text, ``value`` the integer
+    ``office:value`` for float-typed cells (None for string cells).
+    Empty repeated cells expand to ``number-columns-repeated`` ("", None)
+    entries, the way a dataloader sees the grid. None for non-zip payloads
+    or containers without content.xml."""
+    try:
+        with zipfile.ZipFile(io.BytesIO(bytes(b))) as z:
+            xml = z.read("content.xml").decode("utf-8", errors="replace")
+    except (zipfile.BadZipFile, KeyError, OSError, ValueError, zlib.error,
+            EOFError, NotImplementedError):
+        return None
+    rows = []
+    for row_xml in _ODS_ROW_RE.findall(xml):
+        cells = []
+        for attrs, inner in _ODS_CELL_RE.findall(row_xml):
+            rep = _ODS_REP_RE.search(attrs)
+            n_rep = int(rep.group(1)) if rep else 1
+            val = _ODS_VAL_RE.search(attrs)
+            text = "".join(_xml_unescape(m) for m in _ODS_TP_RE.findall(inner or ""))
+            for _ in range(min(n_rep, 10_000)):  # clamp hostile repeat counts
+                cells.append((text, int(val.group(1)) if val else None))
+        rows.append(cells)
+    return rows

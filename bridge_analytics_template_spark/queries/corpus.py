@@ -901,18 +901,38 @@ def llm_bitext_mine(spark, sf_dir):
         ex = np.array([r[extra] for r in cell], dtype=np.float64) if extra else None
         return ids, m, rt, ex
 
+    def unpack_memo(cache: dict, key, cell, extra=None):
+        # a task sees each packed block once per BLOCK PAIR — memoizing the
+        # struct-list → numpy conversion by block id cuts the dominant
+        # per-pair constant (measured at 100x: unpack, not GEMM, ruled)
+        hit = cache.get(key)
+        if hit is None:
+            if len(cache) >= 512:  # bound worker memory on huge grids
+                cache.clear()
+            hit = cache[key] = unpack(cell, extra)
+        return hit
+
+    def top2(cos: "np.ndarray") -> "np.ndarray":
+        # two largest per row, UNORDERED — np.partition is O(cols) per row
+        # vs the O(cols log cols) full sort that dominated the first 100x
+        # run; order is irrelevant because the downstream combine re-sorts
+        # the unioned partials
+        if cos.shape[1] < 2:
+            return cos
+        return -np.partition(-cos, kth=1, axis=1)[:, :2]
+
     def top2_partials(batches):
         # pass 1: per block pair, each side's two largest cos values —
         # a semilattice partial (global top-2 = top-2 of unioned partials)
+        cache: dict = {}
         for pdf in batches:
-            for ra, rb in zip(pdf["rows_a"], pdf["rows_b"]):
-                ia, ma, rta, _ = unpack(ra)
-                ib, mb, rtb, _ = unpack(rb)
+            for ba, bb, ra, rb in zip(pdf["blk_a"], pdf["blk_b"], pdf["rows_a"], pdf["rows_b"]):
+                ia, ma, rta, _ = unpack_memo(cache, ("a", int(ba)), ra)
+                ib, mb, rtb, _ = unpack_memo(cache, ("b", int(bb)), rb)
                 cos = (ma @ mb.T) / (rta[:, None] * rtb[None, :])
-                k_a = min(2, cos.shape[1])
-                k_b = min(2, cos.shape[0])
-                xa = -np.sort(-cos, axis=1)[:, :k_a]  # per-x top-2 over this block's y
-                xb = -np.sort(-cos.T, axis=1)[:, :k_b]
+                xa = top2(cos)
+                xb = top2(np.ascontiguousarray(cos.T))
+                k_a, k_b = xa.shape[1], xb.shape[1]
                 yield pd.DataFrame(
                     {
                         "side": ["x"] * (len(ia) * k_a) + ["y"] * (len(ib) * k_b),
@@ -942,10 +962,11 @@ def llm_bitext_mine(spark, sf_dir):
     joined2 = pa.join(F.broadcast(grid), "blk_a").join(pb2, "blk_b")
 
     def best_margin(batches):
+        cache: dict = {}
         for pdf in batches:
-            for ra, rb in zip(pdf["rows_a"], pdf["rows_b"]):
-                ia, ma, rta, _ = unpack(ra)
-                ib, mb, rtb, ryv = unpack(rb, extra="ry")
+            for ba, bb, ra, rb in zip(pdf["blk_a"], pdf["blk_b"], pdf["rows_a"], pdf["rows_b"]):
+                ia, ma, rta, _ = unpack_memo(cache, ("a", int(ba)), ra)
+                ib, mb, rtb, ryv = unpack_memo(cache, ("b", int(bb)), rb, extra="ry")
                 cos = (ma @ mb.T) / (rta[:, None] * rtb[None, :])
                 m = cos + cos - ryv[None, :]
                 mx = m.max(axis=1)

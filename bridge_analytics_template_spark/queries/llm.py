@@ -3022,6 +3022,92 @@ def llm_warc_extract(spark, sf_dir):
 
 
 @query(
+    "llm_crawl_frontier",
+    sql="""
+    WITH raw AS (
+      SELECT doc_id,
+             '<html><body><a href="https://h' || ((doc_id * 7 + 3) % 100000) % 5
+             || '.example.com/p/' || (doc_id * 7 + 3) % 100000 || '">x</a>'
+             || '<a href=''https://h' || ((doc_id * 13 + 57) % 100000) % 5
+             || '.example.com/p/' || (doc_id * 13 + 57) % 100000 || '''>y</a></body></html>' AS html
+      FROM documents),
+    links AS (
+      SELECT unnest(regexp_extract_all(html, 'href=["'']?([^"'' >]+)["'']?', 1)) AS url
+      FROM raw),
+    parsed AS (
+      SELECT url,
+             regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+             CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT) AS page_id
+      FROM links),
+    host_score AS (SELECT host, COUNT(*) AS host_inlinks FROM parsed GROUP BY host),
+    frontier AS (
+      SELECT p.host, p.url, COUNT(*) AS n_discoveries
+      FROM parsed p ANTI JOIN documents d ON p.page_id = d.doc_id
+      GROUP BY p.host, p.url),
+    ranked AS (
+      SELECT f.host, f.url, f.n_discoveries, h.host_inlinks,
+             ROW_NUMBER() OVER (PARTITION BY f.host
+                                ORDER BY f.n_discoveries DESC, f.url) AS rank
+      FROM frontier f JOIN host_score h ON f.host = h.host)
+    SELECT host, url, n_discoveries, host_inlinks, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 2 ORDER BY host, rank
+    """,
+)
+def llm_crawl_frontier(spark, sf_dir):
+    """Crawl-frontier prioritization — the decision step after
+    llm_link_graph: extract outgoing links, drop targets already in the
+    corpus (anti-join on the page id — "have we crawled this?"), count
+    independent discoveries per URL, score hosts by total in-links, and
+    emit each host's top-2 frontier URLs (discovery count desc, URL asc) —
+    the politeness cap that stops a single hub host from flooding the
+    fetch queue. Entirely JVM relational: regexp extraction at scan speed,
+    one broadcast-able anti-join against the crawled set, one host-pair
+    aggregate, and a per-host WindowGroupLimit (rank <= 2 pushes the
+    group-limit into the shuffle, never a full sort). At 100 TB every
+    stage keys on url/host — Zipfian host skew lands on the capped window
+    whose input was already reduced to distinct frontier URLs."""
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k1, k2 = (did * 7 + 3) % 100000, (did * 13 + 57) % 100000
+    html = F.concat(
+        F.lit('<html><body><a href="https://h'),
+        (k1 % 5).cast("string"),
+        F.lit(".example.com/p/"),
+        k1.cast("string"),
+        F.lit('">x</a>'),
+        F.lit("<a href='https://h"),
+        (k2 % 5).cast("string"),
+        F.lit(".example.com/p/"),
+        k2.cast("string"),
+        F.lit("'>y</a></body></html>"),
+    )
+    links = d.select(
+        F.explode(
+            F.regexp_extract_all(html, F.lit("""href=["']?([^"' >]+)["']?"""), F.lit(1))
+        ).alias("url")
+    )
+    parsed = links.select(
+        "url",
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long").alias("page_id"),
+    )
+    host_score = parsed.groupBy("host").agg(F.count(F.lit(1)).alias("host_inlinks"))
+    frontier = (
+        parsed.join(d.select(did.alias("page_id")), "page_id", "left_anti")
+        .groupBy("host", "url")
+        .agg(F.count(F.lit(1)).alias("n_discoveries"))
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("n_discoveries"), F.asc("url"))
+    return (
+        frontier.join(host_score, "host")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 2)
+        .select("host", "url", "n_discoveries", "host_inlinks", "rank")
+        .orderBy("host", "rank")
+    )
+
+
+@query(
     "llm_warc_revisit",
     sql="""
     WITH b AS (
@@ -3252,6 +3338,71 @@ def llm_office_extract(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(
         gen_and_extract, schema="doc_id bigint, docx_text string, epub_text string"
+    ).orderBy("doc_id")
+
+
+@query(
+    "llm_ods_extract",
+    sql="""
+    SELECT doc_id,
+           'Doc ' || doc_id || ' & r0' || chr(9) || CAST(doc_id * 10 AS VARCHAR)
+             || chr(10) ||
+           'Doc ' || doc_id || ' & r1' || chr(9) || CAST(doc_id * 10 + 1 AS VARCHAR)
+             || chr(10) ||
+           'Doc ' || doc_id || ' & r2' || chr(9) || CAST(doc_id * 10 + 2 AS VARCHAR)
+             AS extracted,
+           CAST(3 AS BIGINT) AS n_rows,
+           CAST(12 AS BIGINT) AS n_cells,
+           CAST(30 * doc_id + 3 AS BIGINT) AS value_sum
+    FROM documents ORDER BY doc_id
+    """,
+)
+def llm_ods_extract(spark, sf_dir):
+    """Spreadsheet-corpus extraction (the tabular side of the document
+    tier): per doc a complete ODS container is muxed (mimetype stored
+    uncompressed per spec, manifest, content.xml with string cells,
+    float-typed cells carrying office:value, XML escapes, and a
+    number-columns-repeated empty cell per row), then the engine walks
+    table-row/table-cell structure (llm/office.py::extract_ods_cells),
+    expands repeats, decodes entities, and emits the text grid
+    (tab-joined cells, newline-joined rows), the cell count INCLUDING
+    repeat expansion, and the exact integer sum of typed values. A repeat
+    miscount, entity slip, or attribute-vs-content confusion hash-fails
+    the closed-form oracle. Arrow-batched mapInPandas, linear per shard."""
+    from ..llm.office import extract_ods_cells, mux_ods
+
+    def gen_and_extract(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, texts, nr, nc, vs = [], [], [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rows = [[f"Doc {d} & r{r}", d * 10 + r, None] for r in range(3)]
+                cells = extract_ods_cells(mux_ods(rows))
+                ids.append(d)
+                texts.append(
+                    "\n".join(
+                        "\t".join(t for t, _v in row if t != "") for row in cells
+                    )
+                )
+                nr.append(len(cells))
+                nc.append(sum(len(row) for row in cells))
+                vs.append(sum(v for row in cells for _t, v in row if v is not None))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "extracted": pd.Series(texts, dtype="object"),
+                    "n_rows": pd.Series(nr, dtype="int64"),
+                    "n_cells": pd.Series(nc, dtype="int64"),
+                    "value_sum": pd.Series(vs, dtype="int64"),
+                }
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        gen_and_extract,
+        schema="doc_id bigint, extracted string, n_rows bigint, n_cells bigint, value_sum bigint",
     ).orderBy("doc_id")
 
 

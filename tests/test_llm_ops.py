@@ -2797,3 +2797,44 @@ def test_bitext_mine_csls_reference(spark, tmp_path):
         assert got[x][2] == (c > 0)
         # the planted twin is the mined translation
         assert -nid == x + 1, (x, -nid)
+
+
+def test_ods_extract_roundtrip_and_fuzz():
+    """ODS reader: string/float cells, entity decode, repeat expansion
+    (including a hostile repeat count, clamped), attribute digits must not
+    leak into text, truncation/garbage quarantine as None; 150 random
+    mutations never raise."""
+    import random
+
+    from bridge_analytics_template_spark.llm.office import extract_ods_cells, mux_ods
+
+    b = mux_ods([["a & <b>", 7, None], ["", -3, None]])
+    rows = extract_ods_cells(b)
+    assert rows == [
+        [("a & <b>", None), ("7", 7), ("", None), ("", None)],
+        [("", None), ("-3", -3), ("", None), ("", None)],
+    ]
+    assert extract_ods_cells(b"PK garbage") is None
+    assert extract_ods_cells(b"") is None
+
+    # hostile repeat count: clamped, not OOM
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(
+            "content.xml",
+            '<table:table-row><table:table-cell table:number-columns-repeated='
+            '"999999999"/></table:table-row>',
+        )
+    rows = extract_ods_cells(buf.getvalue())
+    assert len(rows[0]) == 10_000
+
+    rng = random.Random(69)
+    for _ in range(150):
+        bb = bytearray(b)
+        for _ in range(rng.randint(1, 5)):
+            bb[rng.randrange(len(bb))] = rng.randrange(256)
+        out = extract_ods_cells(bytes(bb))
+        assert out is None or isinstance(out, list)
