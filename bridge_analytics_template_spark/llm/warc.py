@@ -86,7 +86,10 @@ def mux_warc(responses, *, info: str = "software: bridge-analytics-template-spar
             b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
             + b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
         )
-        digest = f"sha1:{zlib.crc32(body):08x}"  # placeholder digest algo, self-consistent
+        # labelled-algorithm digest per ISO 28500 §5.8 (algorithm:value);
+        # crc32 is the strongest stdlib-cheap checksum and the label is
+        # honest — consumers compare equality, not preimage resistance
+        digest = f"crc32:{zlib.crc32(body):08x}"
         resp_headers = [
             ("WARC-Type", "response"), ("WARC-Target-URI", uri),
             ("WARC-Payload-Digest", digest),

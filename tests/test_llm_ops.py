@@ -2594,7 +2594,7 @@ def test_warc_request_revisit_records():
         if s[0] == "revisit":
             # refers back to its capture, matches its digest, stores no body
             assert s[4] == "https://a.example/1"
-            assert s[5] == resp[s[4]][5] and s[5].startswith("sha1:")
+            assert s[5] == resp[s[4]][5] and s[5].startswith("crc32:")
             assert s[3] == 0
         if s[0] == "response":
             assert s[3] == len(dict(pages)[s[1]].encode())
