@@ -3022,6 +3022,110 @@ def llm_warc_extract(spark, sf_dir):
 
 
 @query(
+    "llm_anchor_text",
+    sql="""
+    WITH raw AS (
+      SELECT doc_id,
+             '<p>pre</p><a href="https://h' || ((doc_id * 7) % 200) % 5
+             || '.example.com/p/' || (doc_id * 7) % 200
+             || '">visit <b>page</b> ' || doc_id % 3 || '</a>'
+             || '<a href="https://h' || ((doc_id * 13) % 200) % 5
+             || '.example.com/p/' || (doc_id * 13) % 200
+             || '">docs &amp; refs ' || doc_id % 2 || '</a>' AS html
+      FROM documents),
+    snips AS (
+      SELECT unnest(regexp_extract_all(html, '<a href="[^"]+"[^>]*>.*?</a>')) AS snip
+      FROM raw),
+    pairs AS (
+      SELECT CAST(regexp_extract(snip, '/p/(\\d+)"', 1) AS BIGINT) AS target_id,
+             trim(replace(regexp_replace(regexp_extract(snip, '>(.*?)</a>', 1),
+                                         '<[^>]*>', '', 'g'), '&amp;', '&')) AS anchor
+      FROM snips),
+    counts AS (
+      SELECT target_id, anchor, COUNT(*) AS n FROM pairs GROUP BY 1, 2),
+    ranked AS (
+      SELECT target_id, anchor, n,
+             SUM(n) OVER (PARTITION BY target_id) AS n_anchors,
+             COUNT(*) OVER (PARTITION BY target_id) AS n_unique_texts,
+             ROW_NUMBER() OVER (PARTITION BY target_id ORDER BY n DESC, anchor) AS rk
+      FROM counts)
+    SELECT target_id, CAST(n_anchors AS BIGINT) AS n_anchors,
+           CAST(n_unique_texts AS BIGINT) AS n_unique_texts,
+           anchor AS top_anchor, n AS top_n
+    FROM ranked WHERE rk = 1 ORDER BY target_id
+    """,
+)
+def llm_anchor_text(spark, sf_dir):
+    """Anchor-text aggregation — the cross-page description signal
+    (what OTHER pages call a page) that web-search ranking and several
+    pretraining-quality pipelines mine from crawls: pull every <a> snippet
+    (JVM regexp_extract_all), split href from the anchor's inner text,
+    strip nested markup inside the anchor (<b> trap planted), decode
+    entities, reduce href → target page id, then per target aggregate
+    total anchors, distinct texts, and the dominant anchor (count desc,
+    text asc — rank 1 of a WindowGroupLimit-able window). Zero Python;
+    scan-speed extraction plus one (target, text) count and one
+    target-keyed window over the already-aggregated counts — at 100 TB
+    the window input is |distinct (target, text)|, not |anchors|."""
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k1, k2 = (did * 7) % 200, (did * 13) % 200
+    html = F.concat(
+        F.lit('<p>pre</p><a href="https://h'),
+        (k1 % 5).cast("string"),
+        F.lit(".example.com/p/"),
+        k1.cast("string"),
+        F.lit('">visit <b>page</b> '),
+        (did % 3).cast("string"),
+        F.lit('</a><a href="https://h'),
+        (k2 % 5).cast("string"),
+        F.lit(".example.com/p/"),
+        k2.cast("string"),
+        F.lit('">docs &amp; refs '),
+        (did % 2).cast("string"),
+        F.lit("</a>"),
+    )
+    snips = d.select(
+        F.explode(
+            F.regexp_extract_all(html, F.lit('<a href="[^"]+"[^>]*>.*?</a>'), F.lit(0))
+        ).alias("snip")
+    )
+    anchor = F.trim(
+        F.replace(
+            F.regexp_replace(F.regexp_extract("snip", ">(.*?)</a>", 1), "<[^>]*>", ""),
+            F.lit("&amp;"),
+            F.lit("&"),
+        )
+    )
+    pairs = snips.select(
+        F.regexp_extract("snip", r'/p/(\d+)"', 1).cast("long").alias("target_id"),
+        anchor.alias("anchor"),
+    )
+    counts = pairs.groupBy("target_id", "anchor").agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("target_id")
+    wr = wt.orderBy(F.desc("n"), F.asc("anchor"))
+    return (
+        counts.select(
+            "target_id",
+            "anchor",
+            "n",
+            F.sum("n").over(wt).alias("n_anchors"),
+            F.count(F.lit(1)).over(wt).alias("n_unique_texts"),
+            F.row_number().over(wr).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "target_id",
+            F.col("n_anchors").cast("long").alias("n_anchors"),
+            F.col("n_unique_texts").cast("long").alias("n_unique_texts"),
+            F.col("anchor").alias("top_anchor"),
+            F.col("n").alias("top_n"),
+        )
+        .orderBy("target_id")
+    )
+
+
+@query(
     "llm_crawl_frontier",
     sql="""
     WITH raw AS (
