@@ -1077,3 +1077,80 @@ def llm_wordlist_flags(spark, sf_dir):
         (F.col("n_flagged") > 0).alias("flagged"),
         F.expr("n_flagged * 1000000 div words").cast("long").alias("flagged_ppm"),
     ).orderBy("doc_id")
+
+
+# --- robots.txt crawl-politeness gate (RFC 9309) -----------------------------
+
+
+@query(
+    "llm_robots_filter",
+    sql="""
+    WITH c AS (
+      SELECT doc_id, doc_id % 5 AS cls, (doc_id // 5) % 2 AS par FROM documents)
+    SELECT doc_id,
+           CASE cls WHEN 0 THEN '/p/1' WHEN 1 THEN '/private/x'
+                    WHEN 2 THEN '/private/ok' WHEN 3 THEN '/doc.pdf'
+                    ELSE '/public/a' END AS path,
+           CASE WHEN cls = 0 THEN par = 0
+                WHEN cls = 1 THEN FALSE
+                WHEN cls = 2 THEN TRUE
+                WHEN cls = 3 THEN FALSE
+                ELSE TRUE END AS allowed,
+           CASE WHEN cls = 0 THEN (CASE WHEN par = 0 THEN '/' ELSE '/p/' END)
+                WHEN cls = 1 THEN '/private'
+                WHEN cls = 2 THEN '/private/ok$'
+                WHEN cls = 3 THEN '/*.pdf$'
+                ELSE '/' END AS rule
+    FROM c ORDER BY doc_id
+    """,
+)
+def llm_robots_filter(spark, sf_dir):
+    """Crawl-politeness gate: RFC 9309 robots.txt evaluation
+    (llm/robots.py — spec-written group selection by longest agent-token
+    substring, ``*``/``$`` wildcard matching from the first path byte,
+    longest-pattern-wins with Allow winning length ties, default allow).
+    Per doc a host-parity-dependent robots.txt is parsed (odd host
+    generations add a ``Disallow: /p/`` rule) and one of five path
+    classes is evaluated; the oracle is the hand-derived RFC truth table,
+    so ANY matcher slip — group selection, anchor, wildcard, tie rule —
+    hash-fails. The kernel caches parsed rule lists per distinct robots
+    text (a real corpus has bounded hosts per task), so evaluation is a
+    regex match per rule, linear per shard."""
+    from ..llm.robots import parse_robots, robots_allowed
+
+    base_head = "User-agent: other\nDisallow: /\n\nUser-agent: bridgebot\n"
+    base_tail = "Disallow: /private\nAllow: /private/ok$\nDisallow: /*.pdf$\nAllow: /\n"
+    paths = ["/p/1", "/private/x", "/private/ok", "/doc.pdf", "/public/a"]
+
+    def evaluate(batches):
+        import pandas as pd
+
+        cache: dict = {}
+        for pdf in batches:
+            ids, ps, ok, rl = [], [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                par = (d // 5) % 2
+                txt = base_head + ("Disallow: /p/\n" if par else "") + base_tail
+                rules = cache.get(txt)
+                if rules is None:
+                    rules = cache[txt] = parse_robots(txt, agent="bridgebot")
+                path = paths[d % 5]
+                allowed, rule = robots_allowed(rules, path)
+                ids.append(d)
+                ps.append(path)
+                ok.append(allowed)
+                rl.append(rule)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "path": pd.Series(ps, dtype="object"),
+                    "allowed": pd.Series(ok, dtype="bool"),
+                    "rule": pd.Series(rl, dtype="object"),
+                }
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        evaluate, schema="doc_id bigint, path string, allowed boolean, rule string"
+    ).orderBy("doc_id")

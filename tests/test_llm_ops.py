@@ -2838,3 +2838,48 @@ def test_ods_extract_roundtrip_and_fuzz():
             bb[rng.randrange(len(bb))] = rng.randrange(256)
         out = extract_ods_cells(bytes(bb))
         assert out is None or isinstance(out, list)
+
+
+def test_robots_rfc9309_semantics():
+    """The RFC 9309 corner table: group selection by longest agent-token
+    substring (falling to *, then to allow-all), rule accumulation across
+    consecutive User-agent lines, $ anchor, * wildcard, longest-match
+    specificity, Allow on length ties, empty Disallow as no-op, comments
+    and case-insensitive fields; garbage lines never raise."""
+    from bridge_analytics_template_spark.llm.robots import (
+        parse_robots,
+        robots_allowed,
+    )
+
+    txt = """
+# comment line
+USER-AGENT: megabot
+user-agent: bridgebot-images
+disallow: /img
+User-agent: bridge
+Disallow: /b
+
+User-agent: *
+Disallow: /star
+"""
+    # 'bridgebot-images' is NOT a substring of 'bridgebot'; 'bridge' is —
+    # and for agent 'bridgebot-images' the longer token wins over 'bridge'
+    assert robots_allowed(parse_robots(txt, "bridgebot"), "/b/x") == (False, "/b")
+    assert robots_allowed(parse_robots(txt, "bridgebot-images"), "/img/1") == (False, "/img")
+    # consecutive User-agent lines share one group: megabot obeys /img too
+    assert robots_allowed(parse_robots(txt, "megabot"), "/img/1") == (False, "/img")
+    assert robots_allowed(parse_robots(txt, "unrelated"), "/star/x") == (False, "/star")
+    assert robots_allowed(parse_robots("User-agent: a\nDisallow: /q\n", "zzz"), "/q")[0]
+
+    # wildcard, anchor, tie and specificity semantics
+    rules = parse_robots(
+        "User-agent: b\nDisallow: /a/*/c$\nAllow: /a\nDisallow: /a$\nAllow: /a$\n", "b"
+    )
+    assert robots_allowed(rules, "/a/x/c") == (False, "/a/*/c$")
+    assert robots_allowed(rules, "/a/x/c/d")[0]  # $ anchor: no match past end
+    # /a matches Allow:/a (2), Disallow:/a$ (3), Allow:/a$ (3) → tie at 3 → Allow
+    assert robots_allowed(rules, "/a") == (True, "/a$")
+    # empty Disallow is a no-op; nothing matches → default allow
+    assert robots_allowed(parse_robots("User-agent: b\nDisallow:\n", "b"), "/x") == (True, "")
+    # garbage never raises
+    assert isinstance(parse_robots("::::\nnot a field\nUser-agent\n", "b"), list)
