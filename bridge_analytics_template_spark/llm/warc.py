@@ -267,3 +267,80 @@ def parse_subtitles(doc: str):
                 out.append((start, end, text))
                 break
     return out
+
+
+# --- WET / WAT (the Common Crawl sibling formats) ---------------------------
+
+
+def mux_wet(pages, *, gzip_members: bool = False) -> bytes:
+    """(uri, text) pairs → a WET file: warcinfo + one ``conversion``
+    record per page (Content-Type text/plain, the extracted-text layout
+    Common Crawl ships as .wet — what most LLM ingest pipelines actually
+    read instead of raw WARC)."""
+    out = bytearray()
+
+    def record(headers, payload: bytes):
+        head = b"WARC/1.0\r\n"
+        for k, v in headers + [("Content-Length", str(len(payload)))]:
+            head += f"{k}: {v}\r\n".encode()
+        rec = head + b"\r\n" + payload + _CRLF2
+        if gzip_members:
+            co = zlib.compressobj(wbits=31)
+            rec = co.compress(rec) + co.flush()
+        out.extend(rec)
+
+    record([("WARC-Type", "warcinfo"), ("Content-Type", "application/warc-fields")],
+           b"format: WET File Format 1.0\r\n")
+    for uri, text in pages:
+        record(
+            [("WARC-Type", "conversion"), ("WARC-Target-URI", uri),
+             ("Content-Type", "text/plain")],
+            text.encode("utf-8"),
+        )
+    return bytes(out)
+
+
+def wet_texts(b: bytes):
+    """WET bytes → [(uri, text)] from conversion records (payload IS the
+    text — no HTTP head to split, unlike response records)."""
+    return [
+        (uri, payload.decode("utf-8", errors="replace"))
+        for wtype, uri, payload in parse_warc(b)
+        if wtype == "conversion"
+    ]
+
+
+def mux_wat(entries, *, gzip_members: bool = False) -> bytes:
+    """(uri, json_str) pairs → a WAT file: warcinfo + one ``metadata``
+    record per page (Content-Type application/json — the link/title
+    metadata sidecar Common Crawl ships as .wat)."""
+    out = bytearray()
+
+    def record(headers, payload: bytes):
+        head = b"WARC/1.0\r\n"
+        for k, v in headers + [("Content-Length", str(len(payload)))]:
+            head += f"{k}: {v}\r\n".encode()
+        rec = head + b"\r\n" + payload + _CRLF2
+        if gzip_members:
+            co = zlib.compressobj(wbits=31)
+            rec = co.compress(rec) + co.flush()
+        out.extend(rec)
+
+    record([("WARC-Type", "warcinfo"), ("Content-Type", "application/warc-fields")],
+           b"format: WAT File Format 1.0\r\n")
+    for uri, js in entries:
+        record(
+            [("WARC-Type", "metadata"), ("WARC-Target-URI", uri),
+             ("Content-Type", "application/json")],
+            js.encode("utf-8"),
+        )
+    return bytes(out)
+
+
+def wat_json(b: bytes):
+    """WAT bytes → [(uri, json_str)] from metadata records."""
+    return [
+        (uri, payload.decode("utf-8", errors="replace"))
+        for wtype, uri, payload in parse_warc(b)
+        if wtype == "metadata"
+    ]

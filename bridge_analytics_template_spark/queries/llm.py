@@ -3309,6 +3309,130 @@ def llm_warc_revisit(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+@query(
+    "llm_wet_extract",
+    sql="""
+    SELECT doc_id,
+           'https://example.org/doc/' || doc_id AS uri,
+           'Doc ' || doc_id || ': ' || substr(text, 1, 50) AS wet_text,
+           CAST(length('Doc ' || doc_id || ': ' || substr(text, 1, 50)) AS BIGINT) AS n_chars
+    FROM documents ORDER BY doc_id
+    """,
+)
+def llm_wet_extract(spark, sf_dir):
+    """WET ingest — the Common Crawl EXTRACTED-TEXT layout (.wet files:
+    warcinfo + one ``conversion`` record per page whose payload IS the
+    plain text, no HTTP head), which is what most LLM data pipelines
+    actually read instead of raw WARC. Per doc a WET file is muxed (odd
+    docs as per-record gzip members) and the engine walks the
+    Content-Length-delimited conversion records; URI and the extracted
+    text itself are value-compared. Arrow-batched mapInPandas; at scale
+    the same pass reads binaryFile-scanned .wet.gz shards."""
+    from ..llm.warc import mux_wet, wet_texts
+
+    def gen_and_extract(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, uris, texts, chars = [], [], [], []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                uri = f"https://example.org/doc/{d}"
+                t = f"Doc {d}: " + str(text)[:50]
+                got = wet_texts(mux_wet([(uri, t)], gzip_members=d % 2 == 1))
+                ids.append(d)
+                uris.append(got[0][0])
+                texts.append(got[0][1])
+                chars.append(len(got[0][1]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "uri": pd.Series(uris, dtype="object"),
+                    "wet_text": pd.Series(texts, dtype="object"),
+                    "n_chars": pd.Series(chars, dtype="int64"),
+                }
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        gen_and_extract,
+        schema="doc_id bigint, uri string, wet_text string, n_chars bigint",
+    ).orderBy("doc_id")
+
+
+@query(
+    "llm_wat_extract",
+    sql="""
+    SELECT doc_id,
+           'Doc ' || doc_id AS title,
+           CAST(2 AS BIGINT) AS n_links,
+           CAST((doc_id * 7) % 100 + (doc_id * 13) % 100 AS BIGINT) AS link_sum
+    FROM documents ORDER BY doc_id
+    """,
+)
+def llm_wat_extract(spark, sf_dir):
+    """WAT ingest — the Common Crawl METADATA sidecar (.wat files:
+    ``metadata`` records carrying JSON link/title summaries per page).
+    Two-layer pipeline: the container walk (Python, record framing) hands
+    the JSON STRING to the JVM, where from_json with a typed schema +
+    higher-order aggregate pull title, link count, and exact link sum —
+    the metadata join key a link-graph builder consumes without touching
+    raw HTML. A framing slip, JSON escape slip, or schema drift
+    hash-fails the closed-form oracle."""
+    from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
+
+    from ..llm.warc import mux_wat, wat_json
+
+    def gen_and_extract(batches):
+        import json
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, js = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                payload = json.dumps(
+                    {
+                        "title": f"Doc {d}",
+                        "links": [(d * 7) % 100, (d * 13) % 100],
+                    }
+                )
+                got = wat_json(
+                    mux_wat([(f"https://example.org/doc/{d}", payload)],
+                            gzip_members=d % 2 == 0)
+                )
+                ids.append(d)
+                js.append(got[0][1])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "js": pd.Series(js, dtype="object"),
+                }
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    raw = d.mapInPandas(gen_and_extract, schema="doc_id bigint, js string")
+    schema = StructType(
+        [
+            StructField("title", StringType()),
+            StructField("links", ArrayType(LongType())),
+        ]
+    )
+    parsed = raw.select("doc_id", F.from_json("js", schema).alias("m"))
+    return (
+        parsed.select(
+            "doc_id",
+            F.col("m.title").alias("title"),
+            F.size("m.links").cast("long").alias("n_links"),
+            F.aggregate(
+                "m.links", F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("link_sum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: Seek fixture geometry: 24 frames of 4x5 RGB; the engine random-
 #: accesses frames {2, 9, 21} through idx1 (no linear movi walk) and
 #: reduces each to exact channel sums.

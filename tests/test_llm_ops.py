@@ -2883,3 +2883,39 @@ Disallow: /star
     assert robots_allowed(parse_robots("User-agent: b\nDisallow:\n", "b"), "/x") == (True, "")
     # garbage never raises
     assert isinstance(parse_robots("::::\nnot a field\nUser-agent\n", "b"), list)
+
+
+def test_wet_wat_roundtrip_and_fuzz():
+    """WET conversion records: payload IS the text (no HTTP head), text
+    containing CRLFCRLF must not split a record; WAT metadata records
+    round-trip JSON strings; gzip member layout parses identically;
+    truncation keeps earlier records; 100 mutations never raise."""
+    import random
+
+    from bridge_analytics_template_spark.llm.warc import (
+        mux_wat,
+        mux_wet,
+        wat_json,
+        wet_texts,
+    )
+
+    pages = [("u1", "line one\r\n\r\nline two"), ("u2", "x")]
+    b = mux_wet(pages)
+    assert wet_texts(b) == pages
+    assert wet_texts(mux_wet(pages, gzip_members=True)) == pages
+    cut = b[: b.rfind(b"x")]
+    assert wet_texts(cut) == pages[:1]
+
+    entries = [("u1", '{"a": 1}'), ("u2", '{"b": [2, 3]}')]
+    w = mux_wat(entries)
+    assert wat_json(w) == entries
+    assert wat_json(mux_wat(entries, gzip_members=True)) == entries
+
+    rng = random.Random(70)
+    for base in (b, w):
+        for _ in range(100):
+            bb = bytearray(base)
+            for _ in range(rng.randint(1, 5)):
+                bb[rng.randrange(len(bb))] = rng.randrange(256)
+            assert isinstance(wet_texts(bytes(bb)), list)
+            assert isinstance(wat_json(bytes(bb)), list)
