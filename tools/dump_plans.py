@@ -59,6 +59,11 @@ SHOW = [
     ("llm_linear_quality_score", "r5: hashed-feature linear classifier as pure in-row projection — zero hash exchanges before the output sort"),
     ("llm_dedup_survivors", "r5: dedup survivorship — prefix edges → CC → in-row scores → ONE max_by hash aggregate election, keep flag via equi-join (no cluster window)"),
     ("llm_av_features", "r5: WAV demux + per-(channel,window) features — two Arrow mapInPandas lanes, no shuffle before the output sort"),
+    ("llm_bitext_mine", "r6s2: CSLS bitext mining — bipartite blocked GEMM (packed blocks × broadcast block-pair grid, sims never materialized as rows), top-2 partials combine, argmax of 2cos−r(y) block-local with r(x) joined post-combine"),
+    ("llm_link_graph", "r6s2: crawl link graph — regexp_extract_all at scan speed, ONE host-pair hash aggregate, zero Python"),
+    ("llm_crawl_frontier", "r6s2: frontier decision — anti-join vs crawled set, distinct-URL counts, per-host rank≤2 compiles to WindowGroupLimit"),
+    ("llm_anchor_text", "r6s2: anchor-text aggregation — per-target window runs over distinct (target, text) COUNTS, never raw anchors"),
+    ("graph_hits_ppm", "r6s2: integer HITS — two co-keyed shuffles per iteration, L1 renorm totals as 1-row broadcasts"),
 ]
 
 SF = "/root/testdata/sf0.01"
