@@ -514,3 +514,47 @@ def test_multimodal_decode_plan_arrow_only(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     sort_pos = plan.index("Sort ")
     assert "Exchange hashpartitioning" not in plan[sort_pos:]
+
+
+def test_link_graph_plan_jvm_only(spark, sf_dir):
+    """llm_link_graph's contract: extraction entirely JVM-side (no Python
+    lane of any kind), one hash aggregate on the host pair, no window, no
+    cartesian."""
+    plan = plan_of(spark, sf_dir, "llm_link_graph")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_crawl_frontier_plan_group_limit(spark, sf_dir):
+    """llm_crawl_frontier's politeness cap (rank <= 2) must compile to a
+    WindowGroupLimit so hub hosts never fully sort; the crawled-set
+    exclusion is a real anti-join; zero Python."""
+    plan = plan_of(spark, sf_dir, "llm_crawl_frontier")
+    assert "WindowGroupLimit" in plan
+    assert "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_anchor_text_window_over_counts(spark, sf_dir):
+    """llm_anchor_text windows over the (target, text) COUNT aggregate,
+    never the raw anchor rows: the plan must aggregate BEFORE the window,
+    and the dominant-anchor rank must compile to WindowGroupLimit."""
+    plan = plan_of(spark, sf_dir, "llm_anchor_text")
+    assert "WindowGroupLimit" in plan
+    agg_pos = plan.index("HashAggregate")
+    # the window sits above (earlier in the printed tree than) an aggregate
+    assert "Window" in plan[:agg_pos] or "HashAggregate" in plan[: plan.index("Window")]
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_bitext_mine_plan_blocked_gemm(spark, sf_dir):
+    """llm_bitext_mine must run the blocked-GEMM shape: Arrow-batched
+    kernels (two mapInPandas lanes), a broadcast block-pair grid, and NO
+    cartesian product / row-materialized sims relation."""
+    plan = plan_of(spark, sf_dir, "llm_bitext_mine")
+    assert plan.count("MapInPandas") >= 2  # top-2 partials + best-margin
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
