@@ -212,15 +212,37 @@ def _banded_signatures(signatures: DataFrame, bands: int, num_perm: int) -> Data
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16, num_perm: int = 64) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 16,
+    num_perm: int = 64,
+    bucket_cap: int | None = None,
+) -> DataFrame:
     """Band the signatures and self-join on (band index, band hash): docs
     agreeing on any band become a candidate pair. The join key space is
-    (bands × hash) — uniformly distributed, no skew by construction."""
+    (bands × hash) — uniformly distributed for DISTINCT texts; exact
+    duplicates all land in the same buckets, which is where the optional
+    ``bucket_cap`` comes in (same dial as ``knn_lsh``): keep only each
+    bucket's ``bucket_cap`` lowest-id members, hard-bounding a c-copy
+    bucket's pair fan-out from c² to cap². The trade is explicit and
+    blunt: members beyond the cap are dropped from the index and emit NO
+    pairs (pinned in tests) — the dial fits pipelines that only need a
+    bounded witness set per dup cluster (survivorship keeps one
+    representative anyway), NOT exhaustive pair extraction. OFF by
+    default; cap ≥ every bucket's size is exactly the uncapped result
+    (pinned in tests)."""
     # Materialize the banded signatures once: a self-join of an unpersisted
     # plan computes the 64-permutation projection for BOTH sides (alias
     # exprIds defeat ReuseExchange). At corpus scale this is the signature
     # checkpoint every MinHash pipeline writes anyway.
     banded = track(_banded_signatures(signatures, bands, num_perm).persist())
+    if bucket_cap is not None:
+        wcap = Window.partitionBy("band", "band_hash").orderBy("doc")
+        banded = (
+            banded.withColumn("_rn", F.row_number().over(wcap))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

