@@ -4,9 +4,10 @@ The crawl-politeness gate every fetch pipeline runs before touching a
 URL (Common Crawl's CCBot honors it). Semantics implemented:
 
 * **Group selection** (§2.2.1): consecutive ``User-agent`` lines open a
-  group sharing the rules that follow; the crawler obeys the group whose
-  agent token is the LONGEST substring of its own product token, falling
-  back to the ``*`` group, else no rules (allow all).
+  group sharing the rules that follow; the crawler obeys ALL groups whose
+  agent token is the LONGEST substring of its own product token (rules of
+  same-agent groups are combined into one, per the RFC's MUST), falling
+  back to the union of every ``*`` group, else no rules (allow all).
 * **Rule matching** (§2.2.2): ``Allow``/``Disallow`` values match from
   the first path byte; ``*`` matches any character run, a trailing ``$``
   anchors the end. The MOST SPECIFIC rule wins — longest pattern string —
@@ -47,18 +48,23 @@ def parse_robots(txt: str, agent: str = "bridgebot"):
     if cur_agents:
         groups.append((cur_agents, cur_rules))
 
+    # §2.2.1: rules of every group matched by the same (most specific)
+    # agent token MUST be combined into one group — real robots.txt files
+    # commonly repeat `User-agent: *` blocks, so concatenate, don't pick
+    # the first.
     al = agent.lower()
-    best, best_len = None, -1
-    for agents, rules in groups:
-        for a in agents:
-            if a != "*" and a in al and len(a) > best_len:
-                best, best_len = rules, len(a)
-    if best is not None:
-        return best
-    for agents, rules in groups:
-        if "*" in agents:
-            return rules
-    return []
+    best_len = max(
+        (len(a) for agents, _ in groups for a in agents if a != "*" and a in al),
+        default=-1,
+    )
+    if best_len >= 0:
+        return [
+            r
+            for agents, rules in groups
+            if any(a != "*" and a in al and len(a) == best_len for a in agents)
+            for r in rules
+        ]
+    return [r for agents, rules in groups if "*" in agents for r in rules]
 
 
 def _compile(pattern: str):

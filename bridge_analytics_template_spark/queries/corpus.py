@@ -942,9 +942,13 @@ def llm_bitext_mine(spark, sf_dir):
                 )
 
     partials = joined.mapInPandas(top2_partials, schema="side string, id long, c double")
-    top2 = F.slice(F.sort_array(F.collect_list("c"), asc=False), 1, 2)
+    # distinct name from the numpy `top2` helper above: the closure only
+    # works because the UDF is pickled at the mapInPandas() call site —
+    # rebinding the same name to a Column would break under any
+    # deferred-serialization path (e.g. Spark Connect)
+    top2_col = F.slice(F.sort_array(F.collect_list("c"), asc=False), 1, 2)
     means = partials.groupBy("side", "id").agg(
-        ((F.element_at(top2, 1) + F.element_at(top2, 2)) / 2).alias("r")
+        ((F.element_at(top2_col, 1) + F.element_at(top2_col, 2)) / 2).alias("r")
     )
     rx = means.filter(F.col("side") == "x").select(F.col("id").alias("x"), F.col("r").alias("rx"))
     ry = means.filter(F.col("side") == "y").select(F.col("id").alias("y"), F.col("r").alias("ry"))

@@ -269,6 +269,66 @@ def llm_knn_lsh(spark, sf_dir):
     )
 
 
+def _ann_index_dir(sf_dir, kind):
+    """Deterministic on-disk index location keyed by corpus identity
+    (sf dir + embeddings file mtime): a regenerated fixture gets a fresh
+    build, an unchanged one reuses the stored index across runs — the
+    build-once/probe-many lifecycle the module exists for."""
+    import os
+
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    token = f"{os.path.basename(os.path.normpath(sf_dir))}_{int(os.path.getmtime(emb))}"
+    return os.path.join("/tmp", f"ann_index_{kind}_{token}")
+
+
+@query("emb_ivf_index_probe")  # rows-only: approximate by design (pruned)
+def emb_ivf_index_probe(spark, sf_dir):
+    """L3f: probe a PERSISTED IVF index (llm/ann_index.py) — built once to
+    parquet inverted lists partitioned by centroid_id + a meta.json
+    quantizer, then probed by any later job: the probed-centroid filter
+    prunes whole partitions of the stored index at scan time, the
+    production read pattern for a 100 TB corpus index. Probe-from-disk is
+    pinned equal to build-and-probe (ivf_knn) in tests/test_llm_ops.py."""
+    import os
+
+    from ..llm.ann_index import probe_ivf_index, save_ivf_index
+
+    e = load(spark, sf_dir, "embeddings")
+    path = _ann_index_dir(sf_dir, "ivf")
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        save_ivf_index(e, path)
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return (
+        probe_ivf_index(spark, path, q, k=5)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@query("emb_ivfpq_index_probe")  # rows-only: approximate by design (pruned+quantized)
+def emb_ivfpq_index_probe(spark, sf_dir):
+    """L3g: probe a PERSISTED IVF-PQ index — m-byte residual codes in
+    centroid-partitioned parquet (~32x smaller than the vectors), coarse
+    centroids + codebooks in meta.json; probing builds per-query ADC
+    tables from the STORED codebooks and reads only the probed lists.
+    Probe-from-disk pinned equal to build-and-probe (ivfpq_knn) in
+    tests/test_llm_ops.py."""
+    import os
+
+    from ..llm.ann_index import probe_ivfpq_index, save_ivfpq_index
+
+    e = load(spark, sf_dir, "embeddings")
+    path = _ann_index_dir(sf_dir, "ivfpq")
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        save_ivfpq_index(e, path)
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return (
+        probe_ivfpq_index(spark, path, q, k=5)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 @query(
     "llm_text_stats",
     sql=f"""
@@ -3269,14 +3329,14 @@ def llm_warc_revisit(spark, sf_dir):
                 n_resp = sum(1 for t, *_ in stats if t == "response")
                 n_rev = sum(1 for t, *_ in stats if t == "revisit")
                 stored = sum(bl for t, _u, _pl, bl, _r, _dg in stats if t == "response")
+                # uri → response body length; a revisit whose Refers-To
+                # target has no response record contributes 0 instead of
+                # raising StopIteration→RuntimeError (PEP 479)
+                resp_len = {u: bl for t, u, _pl, bl, _r, _dg in stats if t == "response"}
                 saved = sum(
-                    resp_body
+                    resp_len.get(ref, 0)
                     for t, _u, _pl, _bl, ref, _dg in stats
                     if t == "revisit"
-                    for resp_body in [
-                        next(bl2 for t2, u2, _p2, bl2, _r2, _d2 in stats
-                             if t2 == "response" and u2 == ref)
-                    ]
                 )
                 match = sum(
                     1
@@ -3517,7 +3577,7 @@ def llm_avi_seek(spark, sf_dir):
 
 @query(
     "llm_office_extract",
-    sql="""
+    sql=r"""
     SELECT doc_id,
            'Doc ' || doc_id || chr(10) || substr(text, 1, 50) || chr(10) || 'tail <&> para' AS docx_text,
            trim(regexp_replace('ch one ' || substr(text, 1, 30), '\s+', ' ', 'g'))

@@ -710,8 +710,10 @@ def t_stream_heavy_hitters(spark, sf_dir):
     "t_stream_drift",
     sql="""
     WITH h AS (
-      SELECT event_type, LEAST(7, CAST(floor(value / 20) AS BIGINT)) AS bin, COUNT(*) AS n
-      FROM events GROUP BY 1, 2),
+      SELECT event_type,
+             GREATEST(0, LEAST(7, CAST(floor(value / 20) AS BIGINT))) AS bin,
+             COUNT(*) AS n
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1, 2),
     t AS (SELECT event_type, SUM(n) AS t FROM h GROUP BY 1),
     p AS (SELECT bin, SUM(n) AS pn FROM h GROUP BY 1),
     pt AS (SELECT SUM(pn) AS pt FROM p),

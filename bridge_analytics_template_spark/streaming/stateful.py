@@ -122,17 +122,22 @@ def _update_value_histogram(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     """Per-key fixed-bin histogram of ``value`` in keyed state. Bin =
-    min(HIST_BINS-1, floor(value / HIST_WIDTH)) — the same IEEE division +
-    floor the JVM/batch/oracle forms compute, so the streamed counts are
-    value-exact. Counting is commutative, so the result is order-free
-    across micro-batch boundaries; state is HIST_BINS longs per key."""
+    clip(floor(value / HIST_WIDTH), 0, HIST_BINS-1) — the same IEEE
+    division + floor + two-sided clamp the JVM/batch/oracle forms compute
+    (GREATEST(0, LEAST(...)) there), so the streamed counts are
+    value-exact including negative outliers; null/NaN values are dropped
+    on every side (floor(NaN).astype(int64) is undefined behavior, and
+    pandas nulls arrive as NaN in the float64 view). Counting is
+    commutative, so the result is order-free across micro-batch
+    boundaries; state is HIST_BINS longs per key."""
     import numpy as np
 
     counts = np.array(list(state.get[0]) if state.exists else [0] * HIST_BINS, dtype=np.int64)
     for pdf in batches:
         v = pdf["value"].to_numpy(dtype=np.float64)
-        bins = np.minimum(HIST_BINS - 1, np.floor(v / HIST_WIDTH).astype(np.int64))
-        counts += np.bincount(np.maximum(bins, 0), minlength=HIST_BINS)
+        v = v[~np.isnan(v)]
+        bins = np.clip(np.floor(v / HIST_WIDTH), 0, HIST_BINS - 1).astype(np.int64)
+        counts += np.bincount(bins, minlength=HIST_BINS)
     state.update(([int(c) for c in counts],))
     yield pd.DataFrame(
         {

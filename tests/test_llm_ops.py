@@ -2885,6 +2885,47 @@ Disallow: /star
     assert isinstance(parse_robots("::::\nnot a field\nUser-agent\n", "b"), list)
 
 
+def test_robots_multi_group_merge():
+    """§2.2.1 MUST-combine: rules of EVERY group matched by the winning
+    agent token apply, and the * fallback is the union of all * groups —
+    real robots.txt files repeat `User-agent: *` blocks and a crawler
+    that reads only the first one under-blocks."""
+    from bridge_analytics_template_spark.llm.robots import (
+        parse_robots,
+        robots_allowed,
+    )
+
+    # two separate groups for the same agent token — both apply
+    txt = (
+        "User-agent: bridgebot\nDisallow: /a\n\n"
+        "User-agent: *\nDisallow: /x\n\n"
+        "User-agent: bridgebot\nDisallow: /b\n"
+    )
+    rules = parse_robots(txt, "bridgebot")
+    assert robots_allowed(rules, "/a/1") == (False, "/a")
+    assert robots_allowed(rules, "/b/1") == (False, "/b")  # second group honored
+    assert robots_allowed(rules, "/x/1")[0]  # * group does NOT apply when named
+
+    # repeated * groups: a fallback agent obeys their UNION
+    star = parse_robots(
+        "User-agent: *\nDisallow: /one\n\nUser-agent: *\nDisallow: /two\n", "nobody"
+    )
+    assert robots_allowed(star, "/one/p") == (False, "/one")
+    assert robots_allowed(star, "/two/p") == (False, "/two")
+
+    # longest-token tie across groups: both equal-length tokens combine,
+    # but a shorter matching token's group stays out
+    tie = parse_robots(
+        "User-agent: bridge\nDisallow: /short\n\n"
+        "User-agent: bridgebot\nDisallow: /p\n\n"
+        "User-agent: bridgebot\nDisallow: /q\n",
+        "bridgebot-images",
+    )
+    assert robots_allowed(tie, "/p/1")[0] is False
+    assert robots_allowed(tie, "/q/1")[0] is False
+    assert robots_allowed(tie, "/short/1")[0] is True
+
+
 def test_wet_wat_roundtrip_and_fuzz():
     """WET conversion records: payload IS the text (no HTTP head), text
     containing CRLFCRLF must not split a record; WAT metadata records

@@ -65,6 +65,72 @@ def test_ivf_deterministic(spark, sf_dir):
     assert sorted(a) == sorted(b)
 
 
+def test_ann_index_probe_from_disk_matches_build_and_probe(spark, sf_dir, tmp_path):
+    """The persisted-index lifecycle (llm/ann_index.py): probe-from-disk
+    reproduces the in-query build-and-probe ids/ranks EXACTLY for both IVF
+    (raw-vector lists, JVM cosine re-scoring) and IVF-PQ (residual-code
+    lists, ADC scoring) — same deterministic trainer, same kernels, so the
+    stored index is a pure build/probe split, not an approximation of one.
+    Also pins probe-twice determinism (the stored index never retrains)
+    and that new ids absent from the build corpus can probe it."""
+    from bridge_analytics_template_spark.llm.ann_index import (
+        probe_ivf_index,
+        probe_ivfpq_index,
+        save_ivf_index,
+        save_ivfpq_index,
+    )
+    from bridge_analytics_template_spark.llm.pq import ivfpq_knn
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+
+    ivf_path = str(tmp_path / "ivf")
+    save_ivf_index(e, ivf_path)
+    got = probe_ivf_index(spark, ivf_path, q, k=3)
+    want = ivf_knn(q, e, k=3)
+    got_rows = sorted(((r["query_id"], r["neighbor_id"], r["rank"]) for r in got.collect()))
+    want_rows = sorted(((r["query_id"], r["neighbor_id"], r["rank"]) for r in want.collect()))
+    assert got_rows == want_rows
+    # probe again from the same stored index: bit-stable, no retraining
+    again = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in probe_ivf_index(spark, ivf_path, q, k=3).collect()
+    )
+    assert again == got_rows
+
+    pq_path = str(tmp_path / "ivfpq")
+    save_ivfpq_index(e, pq_path)
+    got_pq = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in probe_ivfpq_index(spark, pq_path, q, k=3).collect()
+    )
+    want_pq = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivfpq_knn(q, e, k=3).collect()
+    )
+    assert got_pq == want_pq
+
+    # incremental-ingest shape: vectors NOT in the build corpus probe the
+    # stored index (each planted twin must find its source, which proves
+    # the probe path quantizes fresh queries against the stored quantizer)
+    base = e.orderBy("vec_id").limit(10).collect()
+    fresh = spark.createDataFrame(
+        [
+            (
+                10_000 + r["vec_id"],
+                [x + 0.01 * ((i % 3) - 1) for i, x in enumerate(r["embedding"])],
+            )
+            for r in base
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    hits = {
+        r["query_id"]: r["neighbor_id"]
+        for r in probe_ivf_index(spark, ivf_path, fresh, k=1).collect()
+    }
+    assert sum(hits.get(10_000 + r["vec_id"]) == r["vec_id"] for r in base) >= 8
+
+
 def test_merge_apply_cdc_semantics(spark):
     """U rows replace, I rows insert, D rows remove — exact key algebra."""
     from bridge_analytics_template_spark.operators.merge import merge_apply_cdc

@@ -172,6 +172,45 @@ def test_misra_gries_error_bound_small_k():
         assert "a" in got
 
 
+def test_value_histogram_kernel_negative_nan_null():
+    """The histogram kernel on hostile inputs, checked directly on the
+    update fn: negatives clamp to bin 0 (matching the oracle's
+    GREATEST(0, ...)), NaN and null rows are dropped instead of feeding
+    floor(NaN).astype(int64) undefined behavior, and state roundtrips."""
+    import numpy as np
+    import pandas as pd
+
+    from bridge_analytics_template_spark.streaming.stateful import (
+        HIST_BINS,
+        _update_value_histogram,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    state = FakeState()
+    b1 = pd.DataFrame({"value": [-5.0, -0.001, 0.0, 19.99, np.nan, None, 500.0]})
+    b2 = pd.DataFrame({"value": [25.0, float("nan"), -1e9]})
+    out = list(_update_value_histogram(("t",), iter([b1]), state))
+    out = list(_update_value_histogram(("t",), iter([b2]), state))
+    got = dict(zip(out[-1]["bin"], out[-1]["n"]))
+    # bin 0: -5, -0.001, 0.0, 19.99 (batch 1) + -1e9 (batch 2) = 5
+    assert got[0] == 5
+    assert got[1] == 1  # 25.0
+    assert got[HIST_BINS - 1] == 1  # 500.0 clamps to the top bin
+    assert sum(got.values()) == 7  # the three NaN/null rows dropped
+
+
 def test_value_histogram_stream_matches_batch(spark, sf_dir):
     """The streamed per-type histogram equals the batch bin counts exactly
     (same IEEE floor(value/20), capped at the last bin); zero bins are
@@ -201,11 +240,15 @@ def test_value_histogram_stream_matches_batch(spark, sf_dir):
     batch = {
         (r["event_type"], r["bin"]): r["n"]
         for r in load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
         .groupBy(
             "event_type",
-            F.least(
-                F.lit(HIST_BINS - 1),
-                F.floor(F.col("value") / F.lit(HIST_WIDTH)).cast("long"),
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(HIST_BINS - 1),
+                    F.floor(F.col("value") / F.lit(HIST_WIDTH)).cast("long"),
+                ),
             ).alias("bin"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
