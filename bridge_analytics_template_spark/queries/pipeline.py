@@ -160,7 +160,7 @@ def llm_dedup_clusters(spark, sf_dir):
     # string form modulo 2^-64 collisions, at a fraction of the join bytes.
     arrays = _shingle_arrays(reps, "text", "doc_id", 5, hashed=True)
     rep_pairs = prefix_filtered_pairs(arrays, min_jaccard=0.5).select("doc_a", "doc_b")
-    edges = rep_pairs.unionByName(star)
+    edges = rep_pairs if star is None else rep_pairs.unionByName(star)
     return (
         connected_components(edges)
         .select(F.col("node").alias("doc_id"), "cluster_id")
@@ -221,11 +221,8 @@ def llm_dedup_survivors(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     reps, star = collapse_exact_duplicates(d)  # r6: distinct-first, see llm_dedup_clusters
     arrays = _shingle_arrays(reps, "text", "doc_id", 5, hashed=True)
-    edges = (
-        prefix_filtered_pairs(arrays, min_jaccard=0.5)
-        .select("doc_a", "doc_b")
-        .unionByName(star)
-    )
+    rep_pairs = prefix_filtered_pairs(arrays, min_jaccard=0.5).select("doc_a", "doc_b")
+    edges = rep_pairs if star is None else rep_pairs.unionByName(star)
     lab = connected_components(edges).select(F.col("node").alias("doc_id"), "cluster_id")
     score = F.expr(
         f"aggregate(transform(t, tok -> {_LIN_W}), cast(0 as bigint), (acc, x) -> acc + x)"
@@ -499,11 +496,8 @@ def llm_dedup_clusters_lsh(spark, sf_dir):
     # their jaccard-1 pairs were deterministic collisions anyway); copies
     # attach by star edges. Bit-identical components, k²-smaller verify.
     reps, star = collapse_exact_duplicates(d)
-    edges = (
-        minhash_near_dups(reps, min_jaccard=0.5)
-        .select("doc_a", "doc_b")
-        .unionByName(star)
-    )
+    rep_pairs = minhash_near_dups(reps, min_jaccard=0.5).select("doc_a", "doc_b")
+    edges = rep_pairs if star is None else rep_pairs.unionByName(star)
     return (
         connected_components(edges)
         .select(F.col("node").alias("doc_id"), "cluster_id")

@@ -1237,6 +1237,46 @@ def test_collapse_exact_duplicates_component_parity(spark):
     assert {(3, 1), (7, 1), (5, 1), (9, 1), (1, 1), (2, 2), (8, 2)} == full
 
 
+def test_collapse_adaptive_probe(spark):
+    """r7 adaptive collapse: a dup-LIGHT corpus (every text distinct) skips
+    the md5 window-min — reps come back as the FULL doc set with star=None
+    (connectivity trivially identical; None rather than an empty frame so
+    consumers skip the union entirely) — while forcing adaptive=False
+    still collapses; on a dup-DENSE corpus the probe ENGAGES the collapse;
+    and the probe memoizes per plan identity."""
+    from bridge_analytics_template_spark.llm.dedup import (
+        _DUP_FACTOR_CACHE,
+        collapse_exact_duplicates,
+    )
+
+    light = spark.createDataFrame(
+        [(i, f"distinct text number {i} with unique words w{i}") for i in range(1, 9)],
+        "doc_id long, text string",
+    )
+    reps, star = collapse_exact_duplicates(light)
+    assert reps.count() == 8  # full set, no collapse pass
+    assert star is None
+    # probe memo: a second call over the same plan hits the cache
+    n_before = len(_DUP_FACTOR_CACHE)
+    assert n_before >= 1
+    reps2, star2 = collapse_exact_duplicates(light)
+    assert len(_DUP_FACTOR_CACHE) == n_before
+    assert star2 is None
+    # forced collapse on the same corpus: identical reps (all texts
+    # distinct → every doc is its own rep), empty but REAL star frame
+    reps_f, star_f = collapse_exact_duplicates(light, adaptive=False)
+    assert {r.doc_id for r in reps_f.collect()} == {r.doc_id for r in reps.collect()}
+    assert star_f is not None and star_f.count() == 0
+
+    dense = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "same text"), (4, "other")],
+        "doc_id long, text string",
+    )
+    reps_d, star_d = collapse_exact_duplicates(dense)
+    assert {r.doc_id for r in reps_d.collect()} == {1, 4}
+    assert {(r.doc_a, r.doc_b) for r in star_d.collect()} == {(1, 2), (1, 3)}
+
+
 def test_png_roundtrip_matrix():
     """mux→decode identity over every supported color type (gray,
     gray+alpha, RGB, RGBA), awkward dims (1x1, single row/column, sizes
