@@ -19,7 +19,7 @@ phases around a stored layout:
   scoring, no float vector touched at probe time).
 
 Probe-from-disk is pinned equal to build-and-probe in
-tests/test_llm_ops.py: the stored index reproduces ``ivf_knn`` /
+tests/test_merge_ivf.py: the stored index reproduces ``ivf_knn`` /
 ``ivfpq_knn`` ids and ranks exactly (same deterministic trainer, same
 scoring kernels). New documents can probe a stored index without touching
 the corpus that built it — the incremental-ingest pairing of

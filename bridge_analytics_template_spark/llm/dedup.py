@@ -784,6 +784,124 @@ def containment_filtered_pairs(
     )
 
 
+def save_minhash_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 5,
+    bands: int = 16,
+    num_perm: int = 64,
+) -> None:
+    """Persist a corpus's MinHash dedup index for build-once/probe-many
+    incremental ingest (the text-tier sibling of llm/ann_index.py):
+
+    * ``{path}/bands/`` — the banded signature table as parquet
+      PARTITIONED BY ``band``: (band, band_hash, doc). The candidate tier
+      of every later probe is a join against this, never a rescan of the
+      corpus text.
+    * ``{path}/shingles/`` — the per-doc hashed shingle ARRAYS, so the
+      exact-Jaccard verify tier never re-tokenizes the stored corpus
+      either (at 100 TB re-shingling the snapshot on every daily batch is
+      the dominant avoidable cost; the arrays are ~8 bytes/shingle).
+    * ``{path}/meta.json`` — shingle width / bands / permutations, so a
+      probe always hashes the NEW batch with the stored parameters
+      (mismatched banding silently finds nothing).
+
+    Deterministic end-to-end: signatures are seeded xxhash64 folds, so a
+    probe against the stored index equals the in-memory cross-band join
+    over the same halves — pinned in tests/test_llm_ops.py."""
+    import json as _json
+    import os as _os
+
+    arrays = track(
+        _shingle_arrays(docs, text_col, id_col, shingle_words, hashed=True).persist()
+    )
+    sig = minhash_signatures(arrays, num_perm)
+    _banded_signatures(sig, bands, num_perm).write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(_os.path.join(path, "bands"))
+    arrays.write.mode("overwrite").parquet(_os.path.join(path, "shingles"))
+    arrays.unpersist()
+    with open(_os.path.join(path, "meta.json"), "w") as fh:
+        _json.dump(
+            {
+                "kind": "minhash",
+                "shingle_words": shingle_words,
+                "bands": bands,
+                "num_perm": num_perm,
+            },
+            fh,
+        )
+
+
+def probe_minhash_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    min_jaccard: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs (doc_a = new, doc_b = stored) of a NEW batch against
+    a :func:`save_minhash_index` snapshot: shingle+sign only the new batch
+    with the stored parameters, band-join against the stored band table,
+    then exact-verify candidates against the STORED shingle arrays — the
+    stored corpus text is never touched. Precision 1 by construction
+    (exact verify); recall is the banding guarantee, same as the
+    in-memory cross tier."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "meta.json")) as fh:
+        meta = _json.load(fh)
+    arrays_new = track(
+        _shingle_arrays(
+            new_docs, text_col, id_col, meta["shingle_words"], hashed=True
+        ).persist()
+    )
+    sig_new = minhash_signatures(arrays_new, meta["num_perm"])
+    banded_new = _banded_signatures(sig_new, meta["bands"], meta["num_perm"])
+    banded_old = (
+        spark.read.parquet(_os.path.join(path, "bands"))
+        # partition-column inference narrows band to int; normalize both
+        # sides so the join keys match exactly
+        .withColumn("band", F.col("band").cast("int"))
+    )
+    cand = (
+        banded_new.alias("a")
+        .join(
+            banded_old.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = arrays_new.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = spark.read.parquet(_os.path.join(path, "shingles")).select(
+        F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+    )
+
+
 def lsh_cross_candidate_pairs(
     sig_new: DataFrame, sig_old: DataFrame, bands: int = 16, num_perm: int = 64
 ) -> DataFrame:

@@ -288,7 +288,7 @@ def emb_ivf_index_probe(spark, sf_dir):
     quantizer, then probed by any later job: the probed-centroid filter
     prunes whole partitions of the stored index at scan time, the
     production read pattern for a 100 TB corpus index. Probe-from-disk is
-    pinned equal to build-and-probe (ivf_knn) in tests/test_llm_ops.py."""
+    pinned equal to build-and-probe (ivf_knn) in tests/test_merge_ivf.py."""
     import os
 
     from ..llm.ann_index import probe_ivf_index, save_ivf_index
@@ -312,7 +312,7 @@ def emb_ivfpq_index_probe(spark, sf_dir):
     centroids + codebooks in meta.json; probing builds per-query ADC
     tables from the STORED codebooks and reads only the probed lists.
     Probe-from-disk pinned equal to build-and-probe (ivfpq_knn) in
-    tests/test_llm_ops.py."""
+    tests/test_merge_ivf.py."""
     import os
 
     from ..llm.ann_index import probe_ivfpq_index, save_ivfpq_index
@@ -1137,6 +1137,69 @@ def llm_crossdup_minhash(spark, sf_dir):
     return (
         jaccard_for_candidates(arrays, cand, min_jaccard=0.5)
         .select(
+            F.col("doc_a").alias("new_doc"),
+            F.col("doc_b").alias("old_doc"),
+            "n_inter",
+        )
+        .orderBy("new_doc", "old_doc")
+    )
+
+
+@query(
+    "llm_dedup_incremental_lsh",
+    # same contract (and oracle) as llm_crossdup_minhash — exact cross-half
+    # pair set at j >= 0.5 — but the engine path goes through a PERSISTED
+    # index: the stored half is banded+shingled once on disk and never
+    # re-tokenized at probe time.
+    sql=f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, unnest({_SQL_SHINGLES5_PADDED}) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS new_doc, b.doc AS old_doc, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.doc % 2 = 1 AND b.doc % 2 = 0
+      GROUP BY 1, 2
+    )
+    SELECT i.new_doc, i.old_doc, i.n_inter
+    FROM inter i
+    JOIN sizes sa ON i.new_doc = sa.doc
+    JOIN sizes sb ON i.old_doc = sb.doc
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
+    ORDER BY new_doc, old_doc
+    """,
+)
+def llm_dedup_incremental_lsh(spark, sf_dir):
+    """Incremental near-dedup against a PERSISTED MinHash index
+    (llm/dedup.py::save_minhash_index/probe_minhash_index) — the daily-
+    crawl lifecycle llm_dedup_incremental covers for EXACT dups, extended
+    to near-dups: the stored snapshot's banded signatures and hashed
+    shingle arrays live on disk (bands partitioned by band index), and
+    each new batch is shingled+signed with the stored parameters, band-
+    joined against the stored table, and exact-verified against the
+    stored arrays — the snapshot text is never re-read. The even-id half
+    plays the snapshot (index built once per fixture generation, mtime-
+    keyed), the odd-id half the new batch. Probe-from-disk is pinned
+    equal to the in-memory cross-band tier (llm_crossdup_minhash) in
+    tests/test_llm_ops.py; oracle validity rides the same banding-recall
+    fixture pin (test_crossdup_minhash_oracle_recall)."""
+    import os
+
+    from ..llm.dedup import probe_minhash_index, save_minhash_index
+
+    d = load(spark, sf_dir, "documents")
+    emb = os.path.join(sf_dir, "documents.parquet")
+    token = f"{os.path.basename(os.path.normpath(sf_dir))}_{int(os.path.getmtime(emb))}"
+    path = os.path.join("/tmp", f"minhash_index_{token}")
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        save_minhash_index(d.filter(F.col("doc_id") % 2 == 0), path)
+    probe = probe_minhash_index(
+        spark, path, d.filter(F.col("doc_id") % 2 == 1), min_jaccard=0.5
+    )
+    return (
+        probe.select(
             F.col("doc_a").alias("new_doc"),
             F.col("doc_b").alias("old_doc"),
             "n_inter",

@@ -786,3 +786,49 @@ def t_stream_drift(spark, sf_dir):
         .withColumn("drifted", F.col("tvd_ppm") > 100000)
         .orderBy("event_type")
     )
+
+
+@query(
+    "t_stream_topk",
+    sql="""
+    SELECT event_type, rank, value, event_id FROM (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rank,
+             value, event_id
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value))
+    WHERE rank <= 3 ORDER BY event_type, rank
+    """,
+)
+def t_stream_topk(spark, sf_dir):
+    """T-custom, ORACLED streaming execution #3: per-event-type top-3
+    records by value (streaming/stateful.py::topk_stream — 2k scalars of
+    keyed state per type, the monitoring-feed shape).
+
+    Why this genuinely-streaming run is value-exact against a batch SQL
+    oracle: top-k maintenance under the (value desc, event_id asc) total
+    order is a SEMILATTICE (merge-then-truncate), so the final state is
+    the exact batch top-k regardless of arrival order or micro-batch
+    boundaries; and because inserting elements only ever IMPROVES the
+    occupant of each rank under that order, every intermediate update-mode
+    emission is pointwise dominated — max(struct(value, -event_id)) per
+    (type, rank) over the accumulated sink rows reconstructs the final
+    trigger's state. That is the same monotone-reduction trick the
+    heavy-hitters and drift ops use on counts, applied to order
+    statistics; order-shuffle invariance is property-tested in
+    tests/test_stateful_streaming.py. Values pass through untouched
+    (parquet double in, same double out), so the comparison is bit-exact."""
+    from ..streaming.stateful import topk_stream
+
+    out = run_to_memory(topk_stream(stream_events(spark, sf_dir), k=3), "update")
+    final = (
+        out.groupBy("event_type", "rank")
+        .agg(F.max(F.struct(F.col("value"), (-F.col("event_id")).alias("nid"))).alias("b"))
+        .select(
+            "event_type",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("b.value").alias("value"),
+            (-F.col("b.nid")).alias("event_id"),
+        )
+    )
+    return final.orderBy("event_type", "rank")

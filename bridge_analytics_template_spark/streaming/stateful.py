@@ -161,6 +161,70 @@ def value_histogram_stream(events: DataFrame) -> DataFrame:
     )
 
 
+# --- bounded-state streaming top-k ------------------------------------------
+
+TOPK_OUTPUT_SCHEMA = "event_type string, rank int, value double, event_id long"
+TOPK_STATE_SCHEMA = "vals array<double>, ids array<long>"
+
+
+def _make_topk_update(k: int):
+    """Build the applyInPandasWithState update fn for a per-key top-k by
+    (value desc, event_id asc). Top-k maintenance is a SEMILATTICE —
+    merge-then-truncate is associative and commutative under the total
+    order — so the final state is EXACTLY the batch top-k regardless of
+    arrival order or micro-batch boundaries, and every intermediate
+    emission is pointwise dominated: inserting elements into a sorted set
+    only ever improves the occupant of rank r under the order, so
+    max(struct(value, -event_id)) per (key, rank) over an update-mode
+    sink reconstructs the final state (the monotone-reduction trick the
+    other oracled streaming ops use on counts, applied to order
+    statistics). NaN/null values are dropped, same as the histogram
+    kernel. State is 2k scalars per key — event-volume-independent."""
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            pairs = list(zip(state.get[0], state.get[1]))
+        else:
+            pairs = []
+        for pdf in batches:
+            v = pdf["value"].to_numpy(dtype="float64")
+            ids = pdf["event_id"].to_numpy(dtype="int64")
+            keep = ~pd.isna(v)
+            pairs.extend(zip(v[keep].tolist(), ids[keep].tolist()))
+            # merge-then-truncate inside the batch loop keeps the working
+            # set bounded at |state| + |batch| even on huge partitions
+            pairs.sort(key=lambda p: (-p[0], p[1]))
+            del pairs[k:]
+        state.update(([p[0] for p in pairs], [p[1] for p in pairs]))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(pairs),
+                "rank": pd.Series(range(1, len(pairs) + 1), dtype="int32"),
+                "value": [p[0] for p in pairs],
+                "event_id": [p[1] for p in pairs],
+            }
+        )
+
+    return update
+
+
+def topk_stream(events: DataFrame, k: int = 3) -> DataFrame:
+    """Streaming per-event-type top-k records by value with O(k) keyed
+    state — the monitoring-feed shape (largest transactions, worst
+    latencies) where the full stream is never retained."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _make_topk_update(k),
+        outputStructType=TOPK_OUTPUT_SCHEMA,
+        stateStructType=TOPK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # --- transformWithState (Spark 4 StatefulProcessor API) -------------------
 # The successor to applyInPandasWithState: named state variables on a
 # handle (value/list/map state), timers, and TTL — composable state instead

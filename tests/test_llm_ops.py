@@ -665,6 +665,51 @@ def test_minhash_oracle_recall_on_current_fixture(spark, sf_dir):
     assert got == want
 
 
+def test_minhash_index_probe_matches_inmemory_cross_tier(spark, sf_dir, tmp_path):
+    """The persisted MinHash index (save_minhash_index/probe_minhash_index):
+    probing the on-disk snapshot with the new half reproduces the
+    in-memory cross-band tier's verified pair set EXACTLY (same seeded
+    signatures, same banding, same exact verify — the disk roundtrip
+    changes nothing), and a second probe from the same stored index is
+    bit-stable. Value columns (n_inter, jaccard) compare exactly too."""
+    from pyspark.sql import functions as F
+
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.llm.dedup import (
+        _shingle_arrays,
+        jaccard_for_candidates,
+        lsh_cross_candidate_pairs,
+        minhash_signatures,
+        probe_minhash_index,
+        save_minhash_index,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    path = str(tmp_path / "mh")
+    save_minhash_index(d.filter(F.col("doc_id") % 2 == 0), path)
+    new_docs = d.filter(F.col("doc_id") % 2 == 1)
+    got = {
+        (r["doc_a"], r["doc_b"], r["n_inter"], r["jaccard"])
+        for r in probe_minhash_index(spark, path, new_docs, 0.5).collect()
+    }
+    arrays = _shingle_arrays(d, "text", "doc_id", 5, hashed=True).persist()
+    cand = lsh_cross_candidate_pairs(
+        minhash_signatures(arrays.filter(F.col("doc") % 2 == 1)),
+        minhash_signatures(arrays.filter(F.col("doc") % 2 == 0)),
+    )
+    want = {
+        (r["doc_a"], r["doc_b"], r["n_inter"], r["jaccard"])
+        for r in jaccard_for_candidates(arrays, cand, min_jaccard=0.5).collect()
+    }
+    arrays.unpersist()
+    assert got == want
+    again = {
+        (r["doc_a"], r["doc_b"], r["n_inter"], r["jaccard"])
+        for r in probe_minhash_index(spark, path, new_docs, 0.5).collect()
+    }
+    assert again == got
+
+
 def test_crossdup_minhash_oracle_recall(spark, sf_dir):
     """llm_crossdup_minhash's oracle (r3) is the exact cross-half pair set
     at j >= 0.5 — pin cross-banded LSH recall == 1 on the current fixture

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from bridge_analytics_template_spark.catalog import load
 from bridge_analytics_template_spark.streaming.stateful import running_user_totals
@@ -209,6 +209,89 @@ def test_value_histogram_kernel_negative_nan_null():
     assert got[1] == 1  # 25.0
     assert got[HIST_BINS - 1] == 1  # 500.0 clamps to the top bin
     assert sum(got.values()) == 7  # the three NaN/null rows dropped
+
+
+def test_topk_kernel_order_invariance():
+    """The top-k update fn is order-free: the same multiset fed in several
+    shuffled orders AND micro-batch splits (state roundtripping between
+    batches) lands in the identical final state, ties broken (value desc,
+    id asc); NaN/null values are dropped; and every intermediate emission
+    is pointwise dominated by the final one (the monotone-reduction
+    premise of the t_stream_topk oracle)."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from bridge_analytics_template_spark.streaming.stateful import _make_topk_update
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    rows = [
+        (10.0, 7), (10.0, 3), (9.5, 1), (11.25, 9), (np.nan, 2),
+        (8.0, 4), (11.25, 5), (None, 6), (7.5, 8), (10.0, 11),
+    ]
+    want = [(11.25, 5), (11.25, 9), (10.0, 3)]  # value desc, id asc
+    update = _make_topk_update(3)
+    for seed in (1, 2, 3, 4):
+        rng = random.Random(seed)
+        order = rows[:]
+        rng.shuffle(order)
+        cuts = sorted(rng.sample(range(1, len(order)), 3))
+        spans = [order[a:b] for a, b in zip([0] + cuts, cuts + [len(order)])]
+        state = FakeState()
+        emitted = []
+        for span in spans:
+            pdf = pd.DataFrame(
+                {"value": [v for v, _ in span], "event_id": [i for _, i in span]}
+            )
+            emitted.append(list(update(("t",), iter([pdf]), state))[-1])
+        got = list(zip(state.get[0], state.get[1]))
+        assert got == want, (seed, got)
+        # pointwise domination: rank r's (value, -id) never degrades
+        per_rank: dict = {}
+        for em in emitted:
+            for r, v, i in zip(em["rank"], em["value"], em["event_id"]):
+                prev = per_rank.get(r)
+                cur = (v, -i)
+                assert prev is None or cur >= prev, (seed, r, prev, cur)
+                per_rank[r] = cur
+
+
+def test_topk_stream_matches_batch(spark, sf_dir):
+    """The streamed per-type top-3 (after the monotone max-struct
+    reduction) equals the batch window top-3 exactly."""
+    from bridge_analytics_template_spark.queries import QUERIES
+
+    got = [
+        (r["event_type"], r["rank"], r["value"], r["event_id"])
+        for r in QUERIES["t_stream_topk"](spark, sf_dir).collect()
+    ]
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    want = [
+        (r["event_type"], r["rank"], r["value"], r["event_id"])
+        for r in load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "rank", "value", "event_id")
+        .orderBy("event_type", "rank")
+        .collect()
+    ]
+    assert got == want
 
 
 def test_value_histogram_stream_matches_batch(spark, sf_dir):

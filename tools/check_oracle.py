@@ -167,6 +167,14 @@ def main() -> int:
         action="store_true",
         help="plant wrong answers and assert the comparator catches them",
     )
+    ap.add_argument(
+        "--require-oracle",
+        action="store_true",
+        help="fail any selected query that has no oracle SQL (rows-only) — "
+        "the window-curation invariant: a driver window slot spent on an "
+        "unoracled query buys weaker official evidence, so the first-50 "
+        "gate in ci.sh runs with this flag",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -190,8 +198,12 @@ def main() -> int:
             srows = sdf.collect()
             scols, svals = frame_to_rows(sdf.columns, [tuple(r) for r in srows])
             if name not in oracles:
-                status = f"rows-only ({len(svals)} rows)"
-                ok = True
+                ok = not args.require_oracle
+                status = (
+                    f"rows-only ({len(svals)} rows)"
+                    if ok
+                    else "NO ORACLE in a window slot (--require-oracle)"
+                )
             else:
                 cur = con.execute(oracles[name])
                 dcols = [d[0] for d in cur.description]

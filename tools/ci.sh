@@ -3,6 +3,13 @@
 set -e
 cd "$(dirname "$0")/.."
 python tools/check_oracle.py
+# Window-curation invariant (VERDICT r6 task 4): the 50 names the driver
+# will snapshot must ALL be green AND hash-comparable before a round ends
+# — a late registration can never ship an unverified or rows-only window
+# slot while oracled never-checked names remain in the backlog. Drop
+# --require-oracle once the oracled backlog clears (~r9) and rows-only
+# entries legitimately rotate in.
+python tools/check_oracle.py --first 50 --require-oracle
 python -m pytest tests/ -q
 python tools/plan_lint.py
 python tools/check_coverage.py
