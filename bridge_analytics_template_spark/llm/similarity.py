@@ -59,6 +59,7 @@ def knn_bruteforce_np(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sim_ceiling: float | None = None,
 ) -> DataFrame:
     """Arrow-vectorized exact top-k: one numpy GEMM per candidate Arrow
     batch against the broadcast (normalized) query matrix, partial top-k
@@ -70,7 +71,13 @@ def knn_bruteforce_np(
     interpreted per element, while BLAS does the same arithmetic at memory
     bandwidth — same ids/ranks, ~10× the throughput. The query side is
     collected+broadcast by design (a probe set small enough to broadcast is
-    the precondition for ANY brute-force path)."""
+    the precondition for ANY brute-force path).
+
+    ``sim_ceiling`` (optional): exclude candidates with cosine >=
+    ceiling BEFORE the per-batch partial top-k — the hard-negative-mining
+    mask (near-duplicates and the positive itself must not be "negatives").
+    Applying it inside the kernel keeps the partial-top-k exact: masked
+    candidates can never crowd true survivors out of a batch's partial."""
     import numpy as np
     import pandas as pd
 
@@ -90,14 +97,17 @@ def knn_bruteforce_np(
             cm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
             sims = cm @ qm.T  # (n_cand, n_q)
+            if sim_ceiling is not None:
+                sims[sims >= sim_ceiling] = -np.inf
             kk = min(k + 1, len(cids))  # +1: self-match removed downstream
             top = np.argpartition(-sims, kth=kk - 1, axis=0)[:kk]  # (kk, n_q)
-            nq = len(qids)
+            vals = np.take_along_axis(sims, top, axis=0).T.ravel()
+            keep = np.isfinite(vals)
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(qids, kk),
-                    "neighbor_id": cids[top.T.ravel()],
-                    "sim": np.take_along_axis(sims, top, axis=0).T.ravel(),
+                    "query_id": np.repeat(qids, kk)[keep],
+                    "neighbor_id": cids[top.T.ravel()][keep],
+                    "sim": vals[keep],
                 }
             )
 

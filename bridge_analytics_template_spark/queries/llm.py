@@ -226,6 +226,45 @@ def llm_knn_ids(spark, sf_dir):
     )
 
 
+@query(
+    "emb_hard_negatives",
+    sql="""
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id % 50 = 0
+        AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                   CAST(c.embedding AS DOUBLE[])) < 0.9)
+    WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def emb_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: per anchor, the 5
+    MOST similar candidates BELOW the near-duplicate ceiling (cosine <
+    0.9) — similar enough to be informative negatives, dissimilar enough
+    not to be unlabeled positives (the standard retrieval/embedding-
+    training recipe; ceiling-masked duplicates would poison the loss).
+    Engine path is the GEMM brute-force kernel with the ceiling applied
+    INSIDE the per-batch partial top-k (llm/similarity.py::
+    knn_bruteforce_np sim_ceiling) so masked candidates can never crowd
+    true survivors out of a batch partial — exact ids/ranks vs the
+    windowed SQL oracle. At corpus scale the anchor set is the broadcast
+    probe side, same precondition as every brute-force tier; the ANN
+    indexes serve the same mask via post-filtered probes."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return (
+        knn_bruteforce_np(q, e, k=5, sim_ceiling=0.9)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 @query("llm_knn_pq")  # rows-only: approximate by design (quantized scores)
 def llm_knn_pq(spark, sf_dir):
     """L3d: product-quantization ANN (llm/pq.py) — the memory-bound scale

@@ -832,3 +832,46 @@ def t_stream_topk(spark, sf_dir):
         )
     )
     return final.orderBy("event_type", "rank")
+
+
+@query(
+    "t_stream_lww_upsert",
+    sql="""
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           event_type AS last_type, value AS last_value
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def t_stream_lww_upsert(spark, sf_dir):
+    """T-custom, ORACLED streaming execution #4: the last-writer-wins
+    upsert view (streaming/stateful.py::last_writer_wins_stream) — per
+    user, the latest event by (ts desc, event_id desc) maintained in ONE
+    record of keyed state: the current-state materialized view a CDC feed
+    keeps in a serving store. LWW under a total order is max — a
+    semilattice — so the genuinely-streaming run is order-free-exact, and
+    each update-mode emission is the running max, so max(struct(...))
+    per user over the sink reconstructs the final view; value-exact
+    against the batch ROW_NUMBER oracle (ts/value pass through
+    untouched)."""
+    from ..streaming.stateful import last_writer_wins_stream
+
+    out = run_to_memory(last_writer_wins_stream(stream_events(spark, sf_dir)), "update")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("last_ts", "last_event_id", "last_type", "last_value")
+            ).alias("b")
+        )
+        .select(
+            "user_id",
+            F.col("b.last_ts").alias("last_ts"),
+            F.col("b.last_event_id").alias("last_event_id"),
+            F.col("b.last_type").alias("last_type"),
+            F.col("b.last_value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -225,6 +225,69 @@ def topk_stream(events: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+# --- last-writer-wins upsert (streaming materialized view) ------------------
+
+LWW_OUTPUT_SCHEMA = (
+    "user_id long, last_ts timestamp, last_event_id long, "
+    "last_type string, last_value double"
+)
+LWW_STATE_SCHEMA = "ts_ns long, event_id long, event_type string, value double"
+
+
+def _update_last_writer(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-key latest record by (ts desc, event_id desc) — the streaming
+    upsert that maintains a current-state materialized view over a CDC/
+    event feed with ONE record of keyed state. Last-writer-wins under a
+    total order is a semilattice (max), so the final state is order-free-
+    exact across micro-batch boundaries, and each emission is the running
+    max — monotone, so max(struct(...)) over an update-mode sink
+    reconstructs the final view (the same reduction every oracled
+    streaming op here uses)."""
+    import numpy as np
+
+    best = tuple(state.get) if state.exists else None
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        ts = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+        eid = pdf["event_id"].to_numpy(dtype="int64")
+        i = int(np.lexsort((eid, ts))[-1])  # max ts, ties to max event_id
+        cand = (
+            int(ts[i]),
+            int(eid[i]),
+            pdf["event_type"].iloc[i],
+            float(pdf["value"].iloc[i]),
+        )
+        if best is None or cand[:2] > best[:2]:
+            best = cand
+    state.update(best)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "last_ts": pd.to_datetime([best[0]]),
+            "last_event_id": [best[1]],
+            "last_type": [best[2]],
+            "last_value": [best[3]],
+        }
+    )
+
+
+def last_writer_wins_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-user current-state view (latest event wins) with one
+    record of keyed state — the upsert-into-serving-store shape."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_last_writer,
+        outputStructType=LWW_OUTPUT_SCHEMA,
+        stateStructType=LWW_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # --- transformWithState (Spark 4 StatefulProcessor API) -------------------
 # The successor to applyInPandasWithState: named state variables on a
 # handle (value/list/map state), timers, and TTL — composable state instead

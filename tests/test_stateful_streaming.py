@@ -294,6 +294,49 @@ def test_topk_stream_matches_batch(spark, sf_dir):
     assert got == want
 
 
+def test_lww_kernel_order_invariance():
+    """The last-writer-wins update fn is order-free: the same events fed
+    in shuffled orders and micro-batch splits land in the identical final
+    state ((ts desc, event_id desc) winner), with state roundtripping."""
+    import random
+
+    import pandas as pd
+
+    from bridge_analytics_template_spark.streaming.stateful import _update_last_writer
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    t = pd.Timestamp("2024-03-01 12:00:00")
+    rows = [
+        (t, 10, "a", 1.0),
+        (t + pd.Timedelta(seconds=5), 11, "b", 2.0),
+        (t + pd.Timedelta(seconds=5), 14, "c", 3.0),  # ts tie → max event_id
+        (t - pd.Timedelta(seconds=9), 99, "d", 4.0),  # older ts, bigger id: loses
+    ]
+    want_ts = int((t + pd.Timedelta(seconds=5)).value)
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        order = rows[:]
+        rng.shuffle(order)
+        cut = rng.randrange(1, len(order))
+        state = FakeState()
+        for span in (order[:cut], order[cut:]):
+            pdf = pd.DataFrame(span, columns=["ts", "event_id", "event_type", "value"])
+            list(_update_last_writer((7,), iter([pdf]), state))
+        assert state.get == (want_ts, 14, "c", 3.0), (seed, state.get)
+
+
 def test_value_histogram_stream_matches_batch(spark, sf_dir):
     """The streamed per-type histogram equals the batch bin counts exactly
     (same IEEE floor(value/20), capped at the last bin); zero bins are
