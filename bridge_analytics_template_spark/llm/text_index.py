@@ -1,0 +1,143 @@
+"""Persistent lexical (BM25) index — build once, probe many times.
+
+The third build-once/probe-many surface next to the ANN index
+(llm/ann_index.py) and the MinHash dedup index (llm/dedup.py): a corpus's
+inverted postings are tokenized, counted, and written ONCE; every later
+retrieval probe (RAG lookups, decontamination search, eval-set mining)
+joins the stored postings instead of re-tokenizing 100 TB of text.
+
+Layout:
+
+* ``{path}/postings/`` — (tok, doc_id, tf) parquet PARTITIONED BY
+  ``bucket = pmod(xxhash64(tok), n_buckets)``: a probe computes its
+  terms' buckets and reads ONLY those partitions — hash-bucketed
+  partition pruning, the scan-level analogue of an inverted index's
+  term-dictionary seek. At corpus scale n_buckets grows to a few
+  thousand so a probe touches a sliver of the index.
+* ``{path}/df/`` — (tok, df) with the same bucketing (document
+  frequencies are index-time facts; probing must not rescan postings to
+  count them).
+* ``{path}/doclen/`` — (doc_id, dl) for the BM25 length normalization.
+* ``{path}/meta.json`` — corpus stats (N docs, total length) and
+  n_buckets, the bounded driver state.
+
+Scoring follows the engine's cross-engine float discipline (see
+llm_bm25_topk): Robertson's rational idf, one identical IEEE expression
+tree per term, ppm-floored then integer-summed — so probe-from-disk is
+BIT-EQUAL to the live computation, pinned in tests/test_llm_ops.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import ws_tokens
+
+
+def save_bm25_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> None:
+    """Tokenize + count + persist the corpus's BM25 index (one pass over
+    the text; postings and document frequencies partitioned by token-hash
+    bucket, document lengths flat, corpus stats to meta.json)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode_outer(ws_tokens(F.col(text_col))).alias("tok")
+    )
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("bucket", F.pmod(F.xxhash64("tok"), F.lit(n_buckets)))
+    )
+    tf.write.mode("overwrite").partitionBy("bucket").parquet(os.path.join(path, "postings"))
+    # df derives from the just-written postings — reading them back costs
+    # one columnar scan and guarantees the two tables can never drift
+    spark = docs.sparkSession
+    dfreq = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("bucket", F.pmod(F.xxhash64("tok"), F.lit(n_buckets)))
+    )
+    dfreq.write.mode("overwrite").partitionBy("bucket").parquet(os.path.join(path, "df"))
+    docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(ws_tokens(F.col(text_col))).cast("long").alias("dl"),
+    ).write.mode("overwrite").parquet(os.path.join(path, "doclen"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(ws_tokens(F.col(text_col)))).cast("long").alias("l"),
+    ).first()
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(
+            {
+                "kind": "bm25",
+                "n_buckets": n_buckets,
+                "n_docs": int(stats["n"]),
+                "total_len": int(stats["l"]),
+            },
+            fh,
+        )
+
+
+def probe_bm25_index(
+    spark: SparkSession,
+    path: str,
+    probe_terms: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 top-k against a stored index for a probe term set (a DataFrame
+    with a ``tok`` column; broadcast-small by precondition). Reads only
+    the probed token-hash buckets of postings/df; never touches corpus
+    text. Scores are ppm-floored per term and integer-summed — bit-equal
+    to the live llm_bm25_topk computation for the same probe."""
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    n_buckets = meta["n_buckets"]
+    terms = probe_terms.select("tok").distinct()
+    bucket_rows = terms.select(
+        F.pmod(F.xxhash64("tok"), F.lit(n_buckets)).alias("bucket")
+    ).collect()
+    probed = sorted({r["bucket"] for r in bucket_rows})
+    postings = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("bucket").cast("long").isin(probed))
+        .join(F.broadcast(terms), "tok")
+    )
+    dfreq = (
+        spark.read.parquet(os.path.join(path, "df"))
+        .filter(F.col("bucket").cast("long").isin(probed))
+        .join(F.broadcast(terms), "tok")
+        .select("tok", "df")
+    )
+    dl = spark.read.parquet(os.path.join(path, "doclen"))
+    n, l = F.lit(meta["n_docs"]).cast("long"), F.lit(meta["total_len"]).cast("long")
+    num = (
+        (2 * n - 2 * F.col("df") + 1).cast("double")
+        * (22 * F.col("tf")).cast("double")
+        * l.cast("double")
+    )
+    den = (2 * F.col("df") + 1).cast("double") * (
+        10 * F.col("tf") * l + 3 * l + 9 * F.col("dl") * n
+    ).cast("double")
+    contrib = (
+        postings.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .select("doc_id", F.floor(num / den * 1000000.0).alias("c_ppm"))
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.sum("c_ppm").cast("long").alias("score_ppm"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .orderBy(F.desc("score_ppm"), "doc_id")
+        .limit(k)
+    )

@@ -1343,6 +1343,36 @@ def llm_bm25_topk(spark, sf_dir):
     )
 
 
+@query("llm_bm25_indexed", sql=_BM25_SQL)
+def llm_bm25_indexed(spark, sf_dir):
+    """BM25 retrieval against a PERSISTED inverted index (llm/
+    text_index.py — the third build-once/probe-many surface next to the
+    ANN and MinHash indexes): postings and document frequencies live in
+    parquet partitioned by pmod(xxhash64(tok), n_buckets), so a probe
+    computes its terms' buckets and scans ONLY those partitions — the
+    hash-bucketed analogue of a term-dictionary seek; corpus text is
+    never re-tokenized at probe time. Same probe (distinct tokens of doc
+    3), same rational-idf integer-ppm scoring discipline, same oracle as
+    llm_bm25_topk — the two queries must agree bit-for-bit, additionally
+    pinned live-vs-disk in tests/test_llm_ops.py."""
+    import os
+
+    from ..llm.text_index import probe_bm25_index, save_bm25_index
+
+    d = load(spark, sf_dir, "documents")
+    src = os.path.join(sf_dir, "documents.parquet")
+    token = f"{os.path.basename(os.path.normpath(sf_dir))}_{int(os.path.getmtime(src))}"
+    path = os.path.join("/tmp", f"bm25_index_{token}")
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        save_bm25_index(d, path)
+    probe = (
+        d.filter(F.col("doc_id") == 3)
+        .select(F.explode_outer(ws_tokens("text")).alias("tok"))
+        .distinct()
+    )
+    return probe_bm25_index(spark, path, probe, k=10)
+
+
 _PCM_SQL = """
     WITH t AS (
       SELECT doc_id, text, length(text) // 2 AS n

@@ -710,6 +710,42 @@ def test_minhash_index_probe_matches_inmemory_cross_tier(spark, sf_dir, tmp_path
     assert again == got
 
 
+def test_bm25_index_probe_matches_live(spark, sf_dir, tmp_path):
+    """The persisted BM25 index: probe-from-disk is BIT-EQUAL to the live
+    llm_bm25_topk computation for the same probe terms (same rational-idf
+    integer-ppm expression tree, corpus stats riding meta.json instead of
+    a live aggregate), including for a probe whose terms hit only a
+    subset of the hash buckets; and a repeat probe is stable."""
+    from pyspark.sql import functions as F
+
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.functions.text import ws_tokens
+    from bridge_analytics_template_spark.llm.text_index import (
+        probe_bm25_index,
+        save_bm25_index,
+    )
+    from bridge_analytics_template_spark.queries import QUERIES
+
+    d = load(spark, sf_dir, "documents")
+    path = str(tmp_path / "bm25")
+    save_bm25_index(d, path)
+    probe = (
+        d.filter(F.col("doc_id") == 3)
+        .select(F.explode_outer(ws_tokens("text")).alias("tok"))
+        .distinct()
+    )
+    got = [tuple(r) for r in probe_bm25_index(spark, path, probe, k=10).collect()]
+    want = [tuple(r) for r in QUERIES["llm_bm25_topk"].__wrapped__(spark, sf_dir).collect()]
+    assert got == want
+    again = [tuple(r) for r in probe_bm25_index(spark, path, probe, k=10).collect()]
+    assert again == got
+    # single-term probe: exercises the bucket pruning path (one bucket)
+    one = probe.limit(1)
+    rows = probe_bm25_index(spark, path, one, k=5).collect()
+    assert 0 < len(rows) <= 5
+    assert all(r["n_terms"] == 1 for r in rows)
+
+
 def test_crossdup_minhash_oracle_recall(spark, sf_dir):
     """llm_crossdup_minhash's oracle (r3) is the exact cross-half pair set
     at j >= 0.5 — pin cross-banded LSH recall == 1 on the current fixture
