@@ -830,9 +830,50 @@ def save_minhash_index(
                 "shingle_words": shingle_words,
                 "bands": bands,
                 "num_perm": num_perm,
+                "segments": [],
             },
             fh,
         )
+
+
+def append_minhash_segment(
+    new_docs: DataFrame,
+    path: str,
+    segment: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """GROW a stored MinHash index without rewriting it: the new batch is
+    shingled and banded with the STORED parameters and lands as an
+    immutable segment ``{path}/segments/{segment}/{bands,shingles}`` —
+    the Lucene-style segment model, which is what makes daily ingest
+    O(new batch) at 100 TB: the base index's files are never touched, and
+    a probe unions the base with every segment (same schemas, so the
+    union is a multi-path scan, not a shuffle). Compaction (rewriting
+    base+segments into one) is a plain re-save over the unioned corpus
+    when segment count grows — deliberately not automatic."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "meta.json")) as fh:
+        meta = _json.load(fh)
+    if segment in meta.get("segments", []):
+        raise ValueError(f"segment {segment!r} already exists in {path}")
+    seg_dir = _os.path.join(path, "segments", segment)
+    arrays = track(
+        _shingle_arrays(
+            new_docs, text_col, id_col, meta["shingle_words"], hashed=True
+        ).persist()
+    )
+    sig = minhash_signatures(arrays, meta["num_perm"])
+    _banded_signatures(sig, meta["bands"], meta["num_perm"]).write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(_os.path.join(seg_dir, "bands"))
+    arrays.write.mode("overwrite").parquet(_os.path.join(seg_dir, "shingles"))
+    arrays.unpersist()
+    meta["segments"] = meta.get("segments", []) + [segment]
+    with open(_os.path.join(path, "meta.json"), "w") as fh:
+        _json.dump(meta, fh)
 
 
 def probe_minhash_index(
@@ -847,14 +888,16 @@ def probe_minhash_index(
     a :func:`save_minhash_index` snapshot: shingle+sign only the new batch
     with the stored parameters, band-join against the stored band table,
     then exact-verify candidates against the STORED shingle arrays — the
-    stored corpus text is never touched. Precision 1 by construction
-    (exact verify); recall is the banding guarantee, same as the
-    in-memory cross tier."""
+    stored corpus text is never touched. The stored side is the BASE index
+    unioned with every appended segment (one multi-path scan per table —
+    same schemas, no shuffle). Precision 1 by construction (exact verify);
+    recall is the banding guarantee, same as the in-memory cross tier."""
     import json as _json
     import os as _os
 
     with open(_os.path.join(path, "meta.json")) as fh:
         meta = _json.load(fh)
+    seg_dirs = [_os.path.join(path, "segments", s) for s in meta.get("segments", [])]
     arrays_new = track(
         _shingle_arrays(
             new_docs, text_col, id_col, meta["shingle_words"], hashed=True
@@ -862,8 +905,21 @@ def probe_minhash_index(
     )
     sig_new = minhash_signatures(arrays_new, meta["num_perm"])
     banded_new = _banded_signatures(sig_new, meta["bands"], meta["num_perm"])
+    # One read per segment root, unioned by name: a single multi-path read
+    # trips parquet partition discovery (band= dirs at different depths →
+    # CONFLICTING_DIRECTORY_STRUCTURES); the union of separate scans is
+    # the same plan shape — parallel file scans, no shuffle.
+    def _read_all(sub):
+        parts = [spark.read.parquet(_os.path.join(path, sub))] + [
+            spark.read.parquet(_os.path.join(s, sub)) for s in seg_dirs
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     banded_old = (
-        spark.read.parquet(_os.path.join(path, "bands"))
+        _read_all("bands")
         # partition-column inference narrows band to int; normalize both
         # sides so the join keys match exactly
         .withColumn("band", F.col("band").cast("int"))
@@ -879,7 +935,7 @@ def probe_minhash_index(
         .distinct()
     )
     sa = arrays_new.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = spark.read.parquet(_os.path.join(path, "shingles")).select(
+    sb = _read_all("shingles").select(
         F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")
     )
     return (
