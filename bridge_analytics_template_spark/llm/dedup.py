@@ -876,6 +876,50 @@ def append_minhash_segment(
         _json.dump(meta, fh)
 
 
+def compact_minhash_index(spark, path: str) -> None:
+    """Fold every appended segment back into the base index — the
+    compaction step that bounds probe fan-in after many appends. No
+    re-shingling happens: the stored band rows and shingle arrays are
+    already final (signatures are content-deterministic), so compaction
+    is a pure file rewrite — read base+segments, write a fresh base,
+    swap, drop the segment dirs. At 100 TB this is the background merge
+    job; probes keep working against the old layout until the atomic
+    meta rewrite."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    with open(_os.path.join(path, "meta.json")) as fh:
+        meta = _json.load(fh)
+    segs = meta.get("segments", [])
+    if not segs:
+        return
+    seg_dirs = [_os.path.join(path, "segments", s) for s in segs]
+    tmp = _os.path.join(path, "_compact")
+
+    def _read_all(sub):
+        parts = [spark.read.parquet(_os.path.join(path, sub))] + [
+            spark.read.parquet(_os.path.join(s, sub)) for s in seg_dirs
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    _read_all("bands").withColumn("band", F.col("band").cast("int")).write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(_os.path.join(tmp, "bands"))
+    _read_all("shingles").write.mode("overwrite").parquet(_os.path.join(tmp, "shingles"))
+    for sub in ("bands", "shingles"):
+        _shutil.rmtree(_os.path.join(path, sub))
+        _os.rename(_os.path.join(tmp, sub), _os.path.join(path, sub))
+    _shutil.rmtree(_os.path.join(path, "segments"))
+    _os.rmdir(tmp)
+    meta["segments"] = []
+    with open(_os.path.join(path, "meta.json"), "w") as fh:
+        _json.dump(meta, fh)
+
+
 def probe_minhash_index(
     spark,
     path: str,

@@ -751,6 +751,22 @@ def test_minhash_index_segment_append(spark, sf_dir, tmp_path):
     # must be an odd (segment) id, otherwise the test proves nothing
     assert any(b % 4 == 1 for _, b, _ in got)
 
+    # compaction: fold segments into the base — identical probe results,
+    # segment dirs gone, meta cleared
+    import json
+    import os
+
+    from bridge_analytics_template_spark.llm.dedup import compact_minhash_index
+
+    compact_minhash_index(spark, grown)
+    assert json.load(open(os.path.join(grown, "meta.json")))["segments"] == []
+    assert not os.path.exists(os.path.join(grown, "segments"))
+    compacted = {
+        (r["doc_a"], r["doc_b"], r["n_inter"])
+        for r in probe_minhash_index(spark, grown, new_docs, 0.5).collect()
+    }
+    assert compacted == got
+
 
 def test_bm25_index_probe_matches_live(spark, sf_dir, tmp_path):
     """The persisted BM25 index: probe-from-disk is BIT-EQUAL to the live

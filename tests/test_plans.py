@@ -549,6 +549,40 @@ def test_anchor_text_window_over_counts(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
 
 
+def test_ivf_index_probe_partition_pruning(spark, sf_dir):
+    """emb_ivf_index_probe's contract: the stored inverted lists are
+    parquet PARTITIONED BY centroid_id and the probed-centroid filter
+    must reach the scan as PartitionFilters — only nprobe/n_centroids of
+    the index's files are read. The probe set rides a broadcast join."""
+    plan = plan_of(spark, sf_dir, "emb_ivf_index_probe")
+    assert "PartitionFilters" in plan
+    import re
+
+    # at least one scan carries a NON-EMPTY partition filter on centroid_id
+    assert re.search(r"PartitionFilters: \[[^\]]*centroid_id", plan), plan[:2000]
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_index_probe_partition_pruning(spark, sf_dir):
+    """llm_bm25_indexed's contract: postings and df scans are pruned to
+    the probe terms' hash buckets (PartitionFilters on bucket) and probe
+    terms ride broadcast joins. The only corpus read is the probe-term
+    extraction itself (doc_id = 3, pushed to the scan) — the tf/df/stats
+    tiers come from the stored index, so no corpus-wide tokenize/aggregate
+    appears."""
+    plan = plan_of(spark, sf_dir, "llm_bm25_indexed")
+    import re
+
+    assert re.search(r"PartitionFilters: \[[^\]]*bucket", plan), plan[:2000]
+    assert "BroadcastHashJoin" in plan
+    # probe-term extraction is the ONLY documents.parquet scan, and it
+    # carries the pushed doc_id filter
+    doc_scans = plan.count("documents.parquet")
+    assert doc_scans <= 2  # FileScan prints the path in location + schema lines
+    assert re.search(r"PushedFilters: \[[^\]]*doc_id", plan)
+
+
 def test_bitext_mine_plan_blocked_gemm(spark, sf_dir):
     """llm_bitext_mine must run the blocked-GEMM shape: Arrow-batched
     kernels (two mapInPandas lanes), a broadcast block-pair grid, and NO

@@ -64,6 +64,10 @@ SHOW = [
     ("llm_crawl_frontier", "r6s2: frontier decision — anti-join vs crawled set, distinct-URL counts, per-host rank≤2 compiles to WindowGroupLimit"),
     ("llm_anchor_text", "r6s2: anchor-text aggregation — per-target window runs over distinct (target, text) COUNTS, never raw anchors"),
     ("graph_hits_ppm", "r6s2: integer HITS — two co-keyed shuffles per iteration, L1 renorm totals as 1-row broadcasts"),
+    ("emb_ivf_index_probe", "r7: persisted IVF probe — probed-centroid filter prunes stored list PARTITIONS at scan time; broadcast probe set, JVM cosine re-score"),
+    ("llm_dedup_incremental_lsh", "r7: incremental near-dedup vs stored MinHash index — new batch signed in-row, band join against the stored band table, exact verify against stored shingle arrays (snapshot text never read)"),
+    ("llm_bm25_indexed", "r7: BM25 probe of a stored inverted index — bucket filter prunes postings/df partitions, broadcast probe terms, stats from meta (no corpus aggregate)"),
+    ("emb_hard_negatives", "r7: hard-negative mining — GEMM partial top-k with the dup-ceiling masked INSIDE the kernel, exact global top-k over batch survivors"),
 ]
 
 SF = "/root/testdata/sf0.01"
