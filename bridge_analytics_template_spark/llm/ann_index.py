@@ -34,9 +34,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine
+from ..functions.vectors import as_double
 from ..partitioning import ensure_parallelism
-from .similarity import _nearest_centroids_np, _ranked
+from .similarity import _nearest_centroids_np
 
 
 def _meta_path(path: str) -> str:
@@ -97,7 +97,9 @@ def probe_ivf_index(
 ) -> DataFrame:
     """Top-k against a stored IVF index. The probed-centroid filter reaches
     the parquet scan as partition pruning — only nprobe/n_centroids of the
-    stored lists are read. Scoring is the same JVM cosine as ivf_knn."""
+    stored lists are read. Scoring is the same per-list GEMM as ivf_knn
+    (shared `_score_ivf_lists_np`), so probe-from-disk stays bit-identical
+    to build-and-probe."""
     from pyspark.sql import Row
 
     with open(_meta_path(path)) as fh:
@@ -121,12 +123,9 @@ def probe_ivf_index(
         .withColumn("centroid_id", F.col("centroid_id").cast("long"))
         .filter(F.col("centroid_id").isin(probed_cents))
     )
-    pairs = (
-        lists.join(F.broadcast(probes), "centroid_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
-    )
-    return _ranked(pairs, k)
+    from .similarity import _score_ivf_lists_np
+
+    return _score_ivf_lists_np(lists, probes, k)
 
 
 # --- IVF-PQ: inverted lists of residual codes --------------------------------

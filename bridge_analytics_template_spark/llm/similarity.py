@@ -265,6 +265,52 @@ def _nearest_centroids_np(
     )
 
 
+def _score_ivf_lists_np(assigned: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+    """Score probed IVF lists by per-list GEMM: each coarse list is packed
+    into ONE row (collect_list — bounded by corpus/n_centroids; size
+    n_centroids ~ sqrt(corpus) to keep lists executor-sized), equi-joined
+    with the queries probing it, and scored as one BLAS matmul per
+    (list, probing-queries) pair, emitting per-query top-(k+1) partials.
+    Exact: a candidate lives in exactly ONE list (topn=1 assignment), so
+    partials are disjoint and the global rank window sees every true
+    survivor. Replaces the per-pair interpreted JVM cosine fold, which at
+    the 100x replica put emb_ivf_index_probe at 209 s — the same
+    fold-vs-GEMM lesson as knn_bruteforce_np (NOTES.md lesson 4)."""
+    import numpy as np
+    import pandas as pd
+
+    packed = assigned.groupBy("centroid_id").agg(
+        F.collect_list(F.struct("neighbor_id", "cv")).alias("rows")
+    )
+    qpacked = probes.groupBy("centroid_id").agg(
+        F.collect_list(F.struct("query_id", "qv")).alias("qrows")
+    )
+    joined = packed.join(qpacked, "centroid_id")
+
+    def run(batches):
+        for pdf in batches:
+            for rows, qrows in zip(pdf["rows"], pdf["qrows"]):
+                cids = np.array([r["neighbor_id"] for r in rows], dtype=np.int64)
+                cm = np.array([list(r["cv"]) for r in rows], dtype=np.float64)
+                cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+                qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+                qm = np.array([list(r["qv"]) for r in qrows], dtype=np.float64)
+                qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+                sims = cm @ qm.T  # (n_cand, n_q)
+                kk = min(k + 1, len(cids))
+                top = np.argpartition(-sims, kth=kk - 1, axis=0)[:kk]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids, kk),
+                        "neighbor_id": cids[top.T.ravel()],
+                        "sim": np.take_along_axis(sims, top, axis=0).T.ravel(),
+                    }
+                )
+
+    partial = joined.mapInPandas(run, schema="query_id long, neighbor_id long, sim double")
+    return _ranked(partial.filter(F.col("query_id") != F.col("neighbor_id")), k)
+
+
 def ivf_knn(
     queries: DataFrame,
     candidates: DataFrame,
@@ -304,12 +350,7 @@ def ivf_knn(
     assigned = _nearest_centroids_np(c, "neighbor_id", "cv", cents_rows, 1)
     q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
     probes = _nearest_centroids_np(q, "query_id", "qv", cents_rows, nprobe)
-    pairs = (
-        assigned.join(F.broadcast(probes), "centroid_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
-    )
-    return _ranked(pairs, k)
+    return _score_ivf_lists_np(assigned, probes, k)
 
 
 def blocked_cosine_pairs(

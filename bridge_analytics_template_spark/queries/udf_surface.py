@@ -198,6 +198,90 @@ def s_text_roundtrip(spark, sf_dir):
 
 
 @query(
+    "s_avro_roundtrip",
+    sql="""
+    SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name,
+           CAST(SUM(CASE WHEN n_nationkey % 5 = 0 THEN 0
+                         ELSE length('nation ' || n_name) END) AS BIGINT) AS comment_chars
+    FROM nation GROUP BY 1 ORDER BY 1
+    """,
+)
+def s_avro_roundtrip(spark, sf_dir):
+    """S-extra: Avro Object Container ingest WITHOUT the spark-avro module
+    (absent from this environment — format("avro") fails; env-gate
+    re-checked r7). The container format is implemented from the public
+    Avro 1.12 spec (sources/avro_codec.py: zigzag varints, deflate codec,
+    sync-marked blocks, metadata map), the same spec-written pattern as
+    the image/audio codec tier. One Arrow lane encodes each partition's
+    rows into one deflate container (at scale: the shard files a binary
+    sink lands in the object store), a second lane parses them back —
+    including a nullable-union column with real nulls — and the aggregate
+    must equal the source table. Roundtrip/hand-vector/corruption tests
+    in tests/test_sources.py pin the codec itself."""
+    from ..sources.avro_codec import decode_avro, encode_avro
+
+    # the fixture nation table carries no comment column — synthesize a
+    # nullable one so the ["null","string"] union path sees real nulls
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        F.when(F.col("n_nationkey") % 5 == 0, F.lit(None))
+        .otherwise(F.concat(F.lit("nation "), F.col("n_name")))
+        .alias("n_comment"),
+    )
+    avro_schema = {
+        "type": "record",
+        "name": "nation",
+        "fields": [
+            {"name": "n_nationkey", "type": "long"},
+            {"name": "n_name", "type": "string"},
+            {"name": "n_regionkey", "type": "long"},
+            {"name": "n_comment", "type": ["null", "string"]},
+        ],
+    }
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            recs = [
+                {
+                    "n_nationkey": int(r.n_nationkey),
+                    "n_name": r.n_name,
+                    "n_regionkey": int(r.n_regionkey),
+                    "n_comment": None if r.n_comment is None else r.n_comment,
+                }
+                for r in pdf.itertuples()
+            ]
+            yield pd.DataFrame({"blob": [encode_avro(recs, avro_schema, codec="deflate")]})
+
+    def dec(batches):
+        for pdf in batches:
+            for blob in pdf["blob"]:
+                _, recs = decode_avro(bytes(blob))
+                yield pd.DataFrame.from_records(
+                    recs,
+                    columns=["n_nationkey", "n_name", "n_regionkey", "n_comment"],
+                )
+
+    blobs = n.mapInPandas(enc, schema="blob binary")
+    back = blobs.mapInPandas(
+        dec,
+        schema="n_nationkey long, n_name string, n_regionkey long, n_comment string",
+    )
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_name"),
+            F.sum(F.coalesce(F.length("n_comment"), F.lit(0))).alias("comment_chars"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
     "s_binaryfile_scan",
     sql="""
     SELECT 'documents.parquet' AS file_name, TRUE AS content_matches_meta,

@@ -366,3 +366,144 @@ def test_catalog_scan_cache_staleness_and_clear(spark, tmp_path):
     assert b is not a and b.count() == 5
     clear_scan_cache()
     assert load(spark, str(d), "region") is not b
+
+
+# --- Avro Object Container codec (sources/avro_codec.py) ---------------------
+
+
+def test_avro_roundtrip_matrix():
+    """encode→decode identity across the supported schema subset: every
+    primitive, nullable unions in both branch orders, arrays (empty and
+    non-empty), both codecs, multi-block containers, and the empty
+    container."""
+    import math
+
+    from bridge_analytics_template_spark.sources.avro_codec import (
+        decode_avro,
+        encode_avro,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "b", "type": "boolean"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "by", "type": "bytes"},
+            {"name": "u1", "type": ["null", "string"]},
+            {"name": "u2", "type": ["long", "null"]},
+            {"name": "a", "type": {"type": "array", "items": "long"}},
+        ],
+    }
+    rows = [
+        {
+            "b": i % 2 == 0,
+            "i": i - 5,
+            "l": (i - 3) * 10**15,
+            "f": 0.5 * i,
+            "d": i / 7.0,
+            "s": f"row {i} é中",
+            "by": bytes([i % 256, 255 - i % 256]),
+            "u1": None if i % 3 == 0 else f"u{i}",
+            "u2": None if i % 4 == 0 else i * 7,
+            "a": list(range(i % 4)),
+        }
+        for i in range(25)
+    ]
+    for codec in ("null", "deflate"):
+        blob = encode_avro(rows, schema, codec=codec, records_per_block=7)
+        got_schema, got = decode_avro(blob)
+        assert got_schema == schema
+        assert len(got) == len(rows)
+        for a, b in zip(got, rows):
+            for k in b:
+                if k == "f":  # float32 roundtrip quantizes
+                    assert a[k] == (
+                        b[k]
+                        if b[k] == 0
+                        else __import__("struct").unpack(
+                            "<f", __import__("struct").pack("<f", b[k])
+                        )[0]
+                    )
+                elif k == "d":
+                    assert a[k] == b[k] or (math.isnan(a[k]) and math.isnan(b[k]))
+                else:
+                    assert a[k] == b[k], (k, a[k], b[k])
+    # empty container: header only, zero records
+    assert decode_avro(encode_avro([], schema))[1] == []
+
+
+def test_avro_hand_vector():
+    """Spec hand-vector: the binary encoding of known values, computed by
+    hand from the Avro 1.12 spec (zigzag+varint, length-prefixed string),
+    must appear byte-for-byte in the container body — independent
+    evidence the encoder isn't just self-consistent."""
+    from bridge_analytics_template_spark.sources.avro_codec import (
+        _enc_long,
+        decode_avro,
+        encode_avro,
+    )
+
+    # spec examples: 0→00, -1→01, 1→02, -2→03, 2→04, -64→7f, 64→80 01
+    assert _enc_long(0) == b"\x00"
+    assert _enc_long(-1) == b"\x01"
+    assert _enc_long(1) == b"\x02"
+    assert _enc_long(-2) == b"\x03"
+    assert _enc_long(2) == b"\x04"
+    assert _enc_long(-64) == b"\x7f"
+    assert _enc_long(64) == b"\x80\x01"
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "n", "type": "long"}, {"name": "s", "type": "string"}],
+    }
+    blob = encode_avro([{"n": 1, "s": "ab"}], schema, codec="null")
+    # record body: long 1 = 02, string "ab" = 04 61 62
+    assert b"\x02\x04ab" in blob
+    assert decode_avro(blob)[1] == [{"n": 1, "s": "ab"}]
+
+
+def test_avro_corruption_rejected():
+    """Hostile containers fail CLEANLY (ValueError), never crash or
+    silently return wrong rows: bad magic, flipped sync marker, truncated
+    block, trailing garbage inside a block."""
+    import pytest
+
+    from bridge_analytics_template_spark.sources.avro_codec import (
+        decode_avro,
+        encode_avro,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "n", "type": "long"}],
+    }
+    blob = bytearray(encode_avro([{"n": i} for i in range(10)], schema))
+    with pytest.raises(ValueError):
+        decode_avro(b"Junk" + bytes(blob[4:]))
+    flipped = bytearray(blob)
+    flipped[-1] ^= 0xFF  # trailing sync marker byte
+    with pytest.raises(ValueError):
+        decode_avro(bytes(flipped))
+    with pytest.raises(ValueError):
+        decode_avro(bytes(blob[:-3]))  # truncated
+    # random fuzz never raises anything but ValueError
+    import random
+
+    rng = random.Random(7)
+    for _ in range(200):
+        fz = bytearray(blob)
+        for _ in range(rng.randrange(1, 6)):
+            fz[rng.randrange(len(fz))] = rng.randrange(256)
+        try:
+            decode_avro(bytes(fz))
+        except ValueError:
+            pass
+        except Exception as ex:  # noqa: BLE001
+            raise AssertionError(f"non-ValueError escape: {type(ex).__name__}: {ex}")
