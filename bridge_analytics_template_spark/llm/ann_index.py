@@ -81,7 +81,41 @@ def save_ivf_index(
         "n_centroids": n_centroids,
         "centroid_ids": [int(r["centroid_id"]) for r in cents_rows],
         "centroids": [list(map(float, r["cent"])) for r in cents_rows],
+        "segments": [],
     }
+    with open(_meta_path(path), "w") as fh:
+        json.dump(meta, fh)
+
+
+def append_ivf_segment(
+    new_vectors: DataFrame,
+    path: str,
+    segment: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """GROW a stored IVF index: the new batch is assigned with the STORED
+    coarse quantizer (the centroids never move — quantizer drift is a
+    rebuild decision, not an append) and lands as an immutable segment
+    ``{path}/segments/{segment}/lists``, centroid-partitioned like the
+    base. Probes union base + segments; daily ingest is O(new batch)."""
+    from pyspark.sql import Row
+
+    with open(_meta_path(path)) as fh:
+        meta = json.load(fh)
+    if segment in meta.get("segments", []):
+        raise ValueError(f"segment {segment!r} already exists in {path}")
+    cents_rows = [
+        Row(centroid_id=cid, cent=cent)
+        for cid, cent in zip(meta["centroid_ids"], meta["centroids"])
+    ]
+    c = ensure_parallelism(new_vectors).select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    assigned = _nearest_centroids_np(c, "neighbor_id", "cv", cents_rows, 1)
+    seg_lists = os.path.join(path, "segments", segment, "lists")
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(seg_lists)
+    meta["segments"] = meta.get("segments", []) + [segment]
     with open(_meta_path(path), "w") as fh:
         json.dump(meta, fh)
 
@@ -118,11 +152,20 @@ def probe_ivf_index(
     # probe path), so the union of probed list ids is bounded driver state
     # — and, pushed into the scan, prunes whole partitions of the index.
     probed_cents = sorted({r["centroid_id"] for r in probes.select("centroid_id").collect()})
-    lists = (
-        spark.read.parquet(_lists_path(path))
+    roots = [_lists_path(path)] + [
+        os.path.join(path, "segments", s, "lists") for s in meta.get("segments", [])
+    ]
+    # one pruned read per segment root, unioned by name (multi-path reads
+    # trip partition discovery at mixed depths)
+    parts = [
+        spark.read.parquet(r)
         .withColumn("centroid_id", F.col("centroid_id").cast("long"))
         .filter(F.col("centroid_id").isin(probed_cents))
-    )
+        for r in roots
+    ]
+    lists = parts[0]
+    for p in parts[1:]:
+        lists = lists.unionByName(p)
     from .similarity import _score_ivf_lists_np
 
     return _score_ivf_lists_np(lists, probes, k)
@@ -163,9 +206,33 @@ def save_ivfpq_index(
     cents = _train_codebooks(sm, 1, n_centroids, train_iters)[0]
     s_assign = (sm @ cents.T).argmax(axis=1)
     books = _train_codebooks(sm - cents[s_assign], m, ks, train_iters)
+    encoded = _encode_ivfpq(candidates, cents, books, id_col, vec_col)
+    encoded.write.mode("overwrite").partitionBy("cent_id").parquet(_lists_path(path))
+    meta = {
+        "kind": "ivfpq",
+        "n_centroids": n_centroids,
+        "m": m,
+        "ks": ks,
+        "dim": int(sm.shape[1]),
+        "centroids": cents.tolist(),
+        "codebooks": books.tolist(),
+        "segments": [],
+    }
+    with open(_meta_path(path), "w") as fh:
+        json.dump(meta, fh)
+
+
+def _encode_ivfpq(candidates, cents, books, id_col, vec_col):
+    """Residual-PQ encode against a FIXED quantizer (coarse centroids +
+    codebooks) — one Arrow pass; shared by the initial build and segment
+    appends so grown and rebuilt indexes carry identical codes."""
+    import numpy as np
+    import pandas as pd
+
+    spark = candidates.sparkSession
+    m = books.shape[0]
+    dsub = books.shape[2]
     b_enc = spark.sparkContext.broadcast((cents, books))
-    d = sm.shape[1]
-    dsub = d // m
 
     def encode(batches):
         cents_l, books_l = b_enc.value
@@ -189,19 +256,34 @@ def save_ivfpq_index(
                 }
             )
 
-    encoded = candidates.select(id_col, vec_col).mapInPandas(
+    return candidates.select(id_col, vec_col).mapInPandas(
         encode, schema="neighbor_id long, cent_id long, codes array<int>"
     )
-    encoded.write.mode("overwrite").partitionBy("cent_id").parquet(_lists_path(path))
-    meta = {
-        "kind": "ivfpq",
-        "n_centroids": n_centroids,
-        "m": m,
-        "ks": ks,
-        "dim": int(d),
-        "centroids": cents.tolist(),
-        "codebooks": books.tolist(),
-    }
+
+
+def append_ivfpq_segment(
+    new_vectors: DataFrame,
+    path: str,
+    segment: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """GROW a stored IVF-PQ index: encode the new batch with the STORED
+    centroids and codebooks (no retraining — drift is a rebuild decision)
+    into an immutable centroid-partitioned segment of code rows."""
+    import numpy as np
+
+    with open(_meta_path(path)) as fh:
+        meta = json.load(fh)
+    if segment in meta.get("segments", []):
+        raise ValueError(f"segment {segment!r} already exists in {path}")
+    cents = np.array(meta["centroids"], dtype=np.float64)
+    books = np.array(meta["codebooks"], dtype=np.float64)
+    encoded = _encode_ivfpq(new_vectors, cents, books, id_col, vec_col)
+    encoded.write.mode("overwrite").partitionBy("cent_id").parquet(
+        os.path.join(path, "segments", segment, "lists")
+    )
+    meta["segments"] = meta.get("segments", []) + [segment]
     with open(_meta_path(path), "w") as fh:
         json.dump(meta, fh)
 
@@ -243,11 +325,18 @@ def probe_ivfpq_index(
     b_search = spark.sparkContext.broadcast((qids, qc, probed, tables))
 
     probed_cents = sorted(int(c) for c in np.unique(order))
-    codes_df = (
-        spark.read.parquet(_lists_path(path))
+    roots = [_lists_path(path)] + [
+        os.path.join(path, "segments", s, "lists") for s in meta.get("segments", [])
+    ]
+    parts = [
+        spark.read.parquet(r)
         .withColumn("cent_id", F.col("cent_id").cast("long"))
         .filter(F.col("cent_id").isin(probed_cents))
-    )
+        for r in roots
+    ]
+    codes_df = parts[0]
+    for p in parts[1:]:
+        codes_df = codes_df.unionByName(p)
 
     def score(batches):
         qids_l, qc_l, probed_l, tabs = b_search.value

@@ -82,9 +82,66 @@ def save_bm25_index(
                 "n_buckets": n_buckets,
                 "n_docs": int(stats["n"]),
                 "total_len": int(stats["l"]),
+                "segments": [],
             },
             fh,
         )
+
+
+def append_bm25_segment(
+    new_docs: DataFrame,
+    path: str,
+    segment: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """GROW a stored BM25 index without rewriting it (the Lucene segment
+    model, same as ``append_minhash_segment``): the new batch's postings,
+    per-segment document frequencies, and doc lengths land under
+    ``{path}/segments/{segment}/`` bucketed with the STORED n_buckets;
+    per-segment corpus stats go to meta.json. A probe SUMS df and corpus
+    stats across base+segments — document frequency and BM25's N/avgdl
+    are integer sums, so a grown index scores BIT-EQUAL to one rebuilt
+    over the combined corpus (test-pinned). Daily ingest is O(new
+    batch); the base files are never touched."""
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    if any(s["name"] == segment for s in meta.get("segments", [])):
+        raise ValueError(f"segment {segment!r} already exists in {path}")
+    n_buckets = meta["n_buckets"]
+    seg_dir = os.path.join(path, "segments", segment)
+    toks = new_docs.select(
+        F.col(id_col).alias("doc_id"), F.explode_outer(ws_tokens(F.col(text_col))).alias("tok")
+    )
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("bucket", F.pmod(F.xxhash64("tok"), F.lit(n_buckets)))
+    )
+    tf.write.mode("overwrite").partitionBy("bucket").parquet(os.path.join(seg_dir, "postings"))
+    spark = new_docs.sparkSession
+    (
+        spark.read.parquet(os.path.join(seg_dir, "postings"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("bucket", F.pmod(F.xxhash64("tok"), F.lit(n_buckets)))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(seg_dir, "df"))
+    )
+    new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(ws_tokens(F.col(text_col))).cast("long").alias("dl"),
+    ).write.mode("overwrite").parquet(os.path.join(seg_dir, "doclen"))
+    stats = new_docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(ws_tokens(F.col(text_col)))).cast("long").alias("l"),
+    ).first()
+    meta["segments"] = meta.get("segments", []) + [
+        {"name": segment, "n_docs": int(stats["n"]), "total_len": int(stats["l"])}
+    ]
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
 
 
 def probe_bm25_index(
@@ -101,24 +158,44 @@ def probe_bm25_index(
     with open(os.path.join(path, "meta.json")) as fh:
         meta = json.load(fh)
     n_buckets = meta["n_buckets"]
+    segs = meta.get("segments", [])
+    seg_dirs = [os.path.join(path, "segments", s["name"]) for s in segs]
     terms = probe_terms.select("tok").distinct()
     bucket_rows = terms.select(
         F.pmod(F.xxhash64("tok"), F.lit(n_buckets)).alias("bucket")
     ).collect()
     probed = sorted({r["bucket"] for r in bucket_rows})
+
+    # one read per segment root unioned by name (a single multi-path read
+    # trips partition discovery at mixed depths — same lesson as the
+    # MinHash index); bucket pruning applies to every root
+    def _read_all(sub):
+        parts = [spark.read.parquet(os.path.join(path, sub))] + [
+            spark.read.parquet(os.path.join(s, sub)) for s in seg_dirs
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     postings = (
-        spark.read.parquet(os.path.join(path, "postings"))
+        _read_all("postings")
         .filter(F.col("bucket").cast("long").isin(probed))
         .join(F.broadcast(terms), "tok")
     )
+    # df is an integer sum across base + segments — exactly the df a
+    # rebuild over the combined corpus would count
     dfreq = (
-        spark.read.parquet(os.path.join(path, "df"))
+        _read_all("df")
         .filter(F.col("bucket").cast("long").isin(probed))
         .join(F.broadcast(terms), "tok")
-        .select("tok", "df")
+        .groupBy("tok")
+        .agg(F.sum("df").alias("df"))
     )
-    dl = spark.read.parquet(os.path.join(path, "doclen"))
-    n, l = F.lit(meta["n_docs"]).cast("long"), F.lit(meta["total_len"]).cast("long")
+    dl = _read_all("doclen")
+    n_total = meta["n_docs"] + sum(s["n_docs"] for s in segs)
+    l_total = meta["total_len"] + sum(s["total_len"] for s in segs)
+    n, l = F.lit(n_total).cast("long"), F.lit(l_total).cast("long")
     num = (
         (2 * n - 2 * F.col("df") + 1).cast("double")
         * (22 * F.col("tf")).cast("double")

@@ -804,6 +804,41 @@ def test_bm25_index_probe_matches_live(spark, sf_dir, tmp_path):
     assert all(r["n_terms"] == 1 for r in rows)
 
 
+def test_bm25_index_segment_append(spark, sf_dir, tmp_path):
+    """Segment-grown BM25 index == rebuilt index, BIT-EQUAL: document
+    frequency and corpus stats merge as integer sums, so scoring a probe
+    against base+segment reproduces the single-index scores exactly.
+    Duplicate segment names are rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.functions.text import ws_tokens
+    from bridge_analytics_template_spark.llm.text_index import (
+        append_bm25_segment,
+        probe_bm25_index,
+        save_bm25_index,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    grown = str(tmp_path / "grown")
+    save_bm25_index(d.filter(F.col("doc_id") % 3 != 2), grown)
+    append_bm25_segment(d.filter(F.col("doc_id") % 3 == 2), grown, "day1")
+    with pytest.raises(ValueError):
+        append_bm25_segment(d.filter(F.col("doc_id") % 3 == 2), grown, "day1")
+    rebuilt = str(tmp_path / "rebuilt")
+    save_bm25_index(d, rebuilt)
+    probe = (
+        d.filter(F.col("doc_id") == 3)
+        .select(F.explode_outer(ws_tokens("text")).alias("tok"))
+        .distinct()
+    )
+    got = [tuple(r) for r in probe_bm25_index(spark, grown, probe, k=10).collect()]
+    want = [tuple(r) for r in probe_bm25_index(spark, rebuilt, probe, k=10).collect()]
+    assert got == want
+    assert len(got) == 10
+
+
 def test_crossdup_minhash_oracle_recall(spark, sf_dir):
     """llm_crossdup_minhash's oracle (r3) is the exact cross-half pair set
     at j >= 0.5 — pin cross-banded LSH recall == 1 on the current fixture

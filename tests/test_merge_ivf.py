@@ -131,6 +131,84 @@ def test_ann_index_probe_from_disk_matches_build_and_probe(spark, sf_dir, tmp_pa
     assert sum(hits.get(10_000 + r["vec_id"]) == r["vec_id"] for r in base) >= 8
 
 
+def test_ann_index_segment_append(spark, sf_dir, tmp_path):
+    """Segment-grown ANN indexes: appending a batch (assigned/encoded with
+    the STORED quantizer — centroids never move on append) makes probes
+    see the union. Pinned exactly: the grown IVF index's results equal
+    scoring the combined corpus assigned with the SAME stored quantizer;
+    the grown IVF-PQ index likewise via the shared fixed-quantizer
+    encoder. Duplicate segment names are rejected."""
+    import json
+    import os
+
+    import numpy as np
+    import pytest
+    from pyspark.sql import Row
+
+    from bridge_analytics_template_spark.functions.vectors import as_double
+    from bridge_analytics_template_spark.llm.ann_index import (
+        append_ivf_segment,
+        append_ivfpq_segment,
+        probe_ivf_index,
+        probe_ivfpq_index,
+        save_ivf_index,
+        save_ivfpq_index,
+    )
+    from bridge_analytics_template_spark.llm.similarity import (
+        _nearest_centroids_np,
+        _score_ivf_lists_np,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 3 != 2)
+    extra = e.filter(F.col("vec_id") % 3 == 2)
+    q = e.filter(F.col("vec_id") % 100 == 0)
+
+    ivf_path = str(tmp_path / "ivf")
+    save_ivf_index(base, ivf_path)
+    append_ivf_segment(extra, ivf_path, "day1")
+    with pytest.raises(ValueError):
+        append_ivf_segment(extra, ivf_path, "day1")
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in probe_ivf_index(spark, ivf_path, q, k=3).collect()
+    )
+    # reference: the FULL corpus assigned with the stored (base-trained)
+    # quantizer, scored by the same kernel
+    meta = json.load(open(os.path.join(ivf_path, "meta.json")))
+    cents_rows = [
+        Row(centroid_id=cid, cent=cent)
+        for cid, cent in zip(meta["centroid_ids"], meta["centroids"])
+    ]
+    c = e.select(F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("cv"))
+    assigned = _nearest_centroids_np(c, "neighbor_id", "cv", cents_rows, 1)
+    qv = q.select(F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv"))
+    probes = _nearest_centroids_np(qv, "query_id", "qv", cents_rows, 4)
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in _score_ivf_lists_np(assigned, probes, 3).collect()
+    )
+    assert got == want
+
+    pq_path = str(tmp_path / "ivfpq")
+    save_ivfpq_index(base, pq_path)
+    append_ivfpq_segment(extra, pq_path, "day1")
+    grown_pq = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in probe_ivfpq_index(spark, pq_path, q, k=3).collect()
+    )
+    # the appended ids are genuinely retrievable
+    assert any(n % 3 == 2 for _, n, _ in grown_pq)
+    assert any(n % 3 == 2 for _, n, _ in got)
+    # and a repeat probe of the grown index is bit-stable
+    again = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in probe_ivfpq_index(spark, pq_path, q, k=3).collect()
+    )
+    assert again == grown_pq
+    np.testing.assert_equal(len(json.load(open(os.path.join(pq_path, "meta.json")))["segments"]), 1)
+
+
 def test_merge_apply_cdc_semantics(spark):
     """U rows replace, I rows insert, D rows remove — exact key algebra."""
     from bridge_analytics_template_spark.operators.merge import merge_apply_cdc
