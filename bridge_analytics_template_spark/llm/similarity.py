@@ -265,21 +265,38 @@ def _nearest_centroids_np(
     )
 
 
-def _score_ivf_lists_np(assigned: DataFrame, probes: DataFrame, k: int) -> DataFrame:
-    """Score probed IVF lists by per-list GEMM: each coarse list is packed
-    into ONE row (collect_list — bounded by corpus/n_centroids; size
-    n_centroids ~ sqrt(corpus) to keep lists executor-sized), equi-joined
-    with the queries probing it, and scored as one BLAS matmul per
-    (list, probing-queries) pair, emitting per-query top-(k+1) partials.
-    Exact: a candidate lives in exactly ONE list (topn=1 assignment), so
-    partials are disjoint and the global rank window sees every true
-    survivor. Replaces the per-pair interpreted JVM cosine fold, which at
-    the 100x replica put emb_ivf_index_probe at 209 s — the same
-    fold-vs-GEMM lesson as knn_bruteforce_np (NOTES.md lesson 4)."""
+def _score_ivf_lists_np(
+    assigned: DataFrame, probes: DataFrame, k: int, block_size: int = 4096
+) -> DataFrame:
+    """Score probed IVF lists by per-list GEMM, equi-joining packed list
+    blocks with the queries probing them and scoring each (block,
+    probing-queries) pair as one BLAS matmul that emits per-query
+    top-(k+1) partials. Exact: a candidate lives in exactly ONE list
+    (topn=1 assignment), so partials are disjoint across lists AND across
+    a list's blocks, and the global rank window sees every true survivor.
+    Replaces the per-pair interpreted JVM cosine fold, which at the 100x
+    replica put emb_ivf_index_probe at 209 s — the same fold-vs-GEMM
+    lesson as knn_bruteforce_np (NOTES.md lesson 4).
+
+    Lists are SUB-BLOCKED at ``block_size`` rows (a centroid-partitioned
+    row_number, same exchange the packing group-by needs anyway), so a
+    skewed or under-quantized corpus can never materialize a mega-list as
+    one unbounded collect_list row — the packed-row memory cliff is
+    bounded at block_size·dim·8 bytes regardless of list skew."""
     import numpy as np
     import pandas as pd
 
-    packed = assigned.groupBy("centroid_id").agg(
+    blocked = assigned.select(
+        "centroid_id",
+        "neighbor_id",
+        "cv",
+        (
+            (F.row_number().over(
+                Window.partitionBy("centroid_id").orderBy("neighbor_id")
+            ) - 1) / F.lit(block_size)
+        ).cast("long").alias("_blk"),
+    )
+    packed = blocked.groupBy("centroid_id", "_blk").agg(
         F.collect_list(F.struct("neighbor_id", "cv")).alias("rows")
     )
     qpacked = probes.groupBy("centroid_id").agg(

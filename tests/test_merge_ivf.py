@@ -209,6 +209,43 @@ def test_ann_index_segment_append(spark, sf_dir, tmp_path):
     np.testing.assert_equal(len(json.load(open(os.path.join(pq_path, "meta.json")))["segments"]), 1)
 
 
+def test_ivf_scoring_block_size_invariant(spark, sf_dir):
+    """The IVF GEMM scorer's sub-blocking is result-invariant: a tiny
+    block size (forcing many blocks per list) and an effectively-unbounded
+    one produce identical ids/ranks — per-query top-(k+1) partials are
+    exact across disjoint blocks, so the mega-list memory bound costs
+    nothing in correctness."""
+    from bridge_analytics_template_spark.functions.vectors import as_double
+    from bridge_analytics_template_spark.llm.similarity import (
+        _nearest_centroids_np,
+        _score_ivf_lists_np,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    c = e.select(F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("cv"))
+    cents = (
+        e.select(F.col("vec_id").alias("centroid_id"), as_double("embedding").alias("cent"))
+        .orderBy(F.xxhash64("centroid_id"), "centroid_id")
+        .limit(16)
+        .orderBy("centroid_id")
+        .collect()
+    )
+    assigned = _nearest_centroids_np(c, "neighbor_id", "cv", cents, 1)
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    )
+    probes = _nearest_centroids_np(q, "query_id", "qv", cents, 4)
+    small = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in _score_ivf_lists_np(assigned, probes, 3, block_size=7).collect()
+    )
+    big = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in _score_ivf_lists_np(assigned, probes, 3, block_size=10**6).collect()
+    )
+    assert small == big and small
+
+
 def test_merge_apply_cdc_semantics(spark):
     """U rows replace, I rows insert, D rows remove — exact key algebra."""
     from bridge_analytics_template_spark.operators.merge import merge_apply_cdc
