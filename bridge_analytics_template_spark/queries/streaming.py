@@ -834,6 +834,39 @@ def t_stream_topk(spark, sf_dir):
     return final.orderBy("event_type", "rank")
 
 
+@query("t_stream_distinct_kmv")  # rows-only: sketch estimate (deterministic)
+def t_stream_distinct_kmv(spark, sf_dir):
+    """T-custom, streaming execution #5: bounded-state distinct counting —
+    a K-Minimum-Values sketch (k=64 longs per key) accumulates in keyed
+    state (streaming/stateful.py::kmv_distinct_stream); union-distinct-
+    then-truncate is a semilattice so the run is order-free-exact on the
+    SKETCH, and the rank-r minimum only decreases, so min(h) per (type,
+    rank) over the update sink reconstructs the final state. The estimate
+    (k-1)·2^64 / (h_k + 2^63) computes in exact DECIMAL(38) integer
+    arithmetic — fully deterministic, but approximate by nature (±1/√k),
+    hence rows-only; stream==batch sketch equality and the accuracy bound
+    vs exact distinct are pinned in tests/test_stateful_streaming.py."""
+    from ..streaming.stateful import kmv_distinct_stream
+
+    k = 64
+    out = run_to_memory(kmv_distinct_stream(stream_events(spark, sf_dir), k=k), "update")
+    final = out.groupBy("event_type", "rank").agg(F.min("h").alias("h"))
+    est = (
+        final.groupBy("event_type")
+        .agg(F.max("rank").alias("n_ranks"), F.max(F.struct("rank", "h")).alias("kth"))
+        .select(
+            "event_type",
+            F.when(F.col("n_ranks") < k, F.col("n_ranks").cast("long")).otherwise(
+                F.expr(
+                    f"CAST(CAST({k - 1} AS DECIMAL(38,0)) * CAST(18446744073709551616 AS DECIMAL(38,0)) "
+                    "div (CAST(kth.h AS DECIMAL(38,0)) + CAST(9223372036854775808 AS DECIMAL(38,0))) AS BIGINT)"
+                )
+            ).alias("est_users"),
+        )
+    )
+    return est.orderBy("event_type")
+
+
 @query(
     "t_stream_lww_upsert",
     sql="""

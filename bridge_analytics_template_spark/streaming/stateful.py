@@ -288,6 +288,66 @@ def last_writer_wins_stream(events: DataFrame) -> DataFrame:
     )
 
 
+# --- bounded-state distinct count (KMV sketch) -------------------------------
+
+KMV_OUTPUT_SCHEMA = "event_type string, rank int, h long"
+KMV_STATE_SCHEMA = "hs array<long>"
+
+
+def _make_kmv_update(k: int):
+    """Build the applyInPandasWithState update fn for a K-Minimum-Values
+    distinct sketch (Bar-Yossef et al. 2002 — public literature): keep the
+    k smallest DISTINCT hash values per key. Union-distinct-then-truncate
+    is a SEMILATTICE, so the final state is order-free-exact across
+    micro-batch boundaries; and the rank-r smallest hash only ever
+    DECREASES as data arrives, so min(h) per (key, rank) over an
+    update-mode sink reconstructs the final state (the monotone reduction
+    again, downward this time). Input rows carry a precomputed ``h``
+    column (JVM xxhash64 of the tracked id — signed order == unsigned
+    order of h + 2^63, so plain long comparisons are the right total
+    order). State is k longs per key; the estimate derives downstream as
+    (k-1)·2^64 / (h_k + 2^63), exact-integer arithmetic."""
+    import numpy as np
+
+    def update(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        hs = np.array(list(state.get[0]) if state.exists else [], dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            hs = np.unique(np.concatenate([hs, pdf["h"].to_numpy(dtype=np.int64)]))
+            hs = hs[:k]  # np.unique sorts ascending — keep the k smallest
+        state.update((hs.tolist(),))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(hs),
+                "rank": pd.Series(range(1, len(hs) + 1), dtype="int32"),
+                "h": hs,
+            }
+        )
+
+    return update
+
+
+def kmv_distinct_stream(events: DataFrame, k: int = 64) -> DataFrame:
+    """Streaming per-event-type distinct-user sketch with k longs of keyed
+    state — the bounded-cardinality monitor: at any trigger the sink holds
+    each key's exact k smallest user-hash values, independent of volume."""
+    from pyspark.sql import functions as F
+
+    hashed = events.select("event_type", F.xxhash64("user_id").alias("h"))
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        _make_kmv_update(k),
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # --- transformWithState (Spark 4 StatefulProcessor API) -------------------
 # The successor to applyInPandasWithState: named state variables on a
 # handle (value/list/map state), timers, and TTL — composable state instead

@@ -337,6 +337,109 @@ def test_lww_kernel_order_invariance():
         assert state.get == (want_ts, 14, "c", 3.0), (seed, state.get)
 
 
+def test_kmv_kernel_order_invariance():
+    """The KMV update fn is order-free: the same values fed in shuffled
+    orders and batch splits land in the identical final sketch (the k
+    smallest DISTINCT hashes, ascending), duplicates collapse, and the
+    rank-r minimum never increases across emissions."""
+    import random
+
+    import pandas as pd
+
+    from bridge_analytics_template_spark.streaming.stateful import _make_kmv_update
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    vals = [9, -4, 9, 100, 3, -4, 7, 0, -50, 42, 3, 8]
+    want = sorted(set(vals))[:4]
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        order = vals[:]
+        rng.shuffle(order)
+        cut = rng.randrange(1, len(order))
+        state = FakeState()
+        update = _make_kmv_update(4)
+        per_rank: dict = {}
+        for span in (order[:cut], order[cut:]):
+            out = list(update(("t",), iter([pd.DataFrame({"h": span})]), state))[-1]
+            for r, h in zip(out["rank"], out["h"]):
+                assert r not in per_rank or h <= per_rank[r], (seed, r)
+                per_rank[r] = h
+        assert list(state.get[0]) == want, (seed, state.get)
+
+
+def test_kmv_stream_matches_batch_and_accuracy(spark, sf_dir):
+    """The streamed KMV sketch (after the min reduction) equals the batch
+    k smallest distinct xxhash64(user_id) per type EXACTLY, and the
+    registered query's estimate lands within 3/sqrt(k) of the true
+    distinct count (the KMV standard-error bound with margin)."""
+    import math
+
+    from bridge_analytics_template_spark.queries import QUERIES
+    from bridge_analytics_template_spark.streaming.stateful import kmv_distinct_stream
+
+    k = 64
+    import uuid
+
+    name = f"kmv_{uuid.uuid4().hex[:8]}"
+    q = (
+        kmv_distinct_stream(stream_events(spark, sf_dir), k=k)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r["event_type"], r["rank"]): r["h"]
+        for r in spark.table(name)
+        .groupBy("event_type", "rank")
+        .agg(F.min("h").alias("h"))
+        .collect()
+    }
+    batch = {}
+    w = Window.partitionBy("event_type").orderBy("h")
+    for r in (
+        load(spark, sf_dir, "events")
+        .select("event_type", F.xxhash64("user_id").alias("h"))
+        .distinct()
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .collect()
+    ):
+        batch[(r["event_type"], r["rank"])] = r["h"]
+    assert streamed == batch
+
+    true = {
+        r["event_type"]: r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    est = {
+        r["event_type"]: r["est_users"]
+        for r in QUERIES["t_stream_distinct_kmv"].__wrapped__(spark, sf_dir).collect()
+    }
+    tol = 3.0 / math.sqrt(k)
+    for t, n in true.items():
+        assert abs(est[t] - n) <= max(tol * n, 2), (t, est[t], n)
+
+
 def test_value_histogram_stream_matches_batch(spark, sf_dir):
     """The streamed per-type histogram equals the batch bin counts exactly
     (same IEEE floor(value/20), capped at the last bin); zero bins are
