@@ -87,6 +87,40 @@ def save_ivf_index(
         json.dump(meta, fh)
 
 
+def compact_ann_index(spark: SparkSession, path: str) -> None:
+    """Fold appended segments back into an IVF or IVF-PQ base index —
+    assignments/codes are already final (the stored quantizer never moves
+    on append), so compaction is a pure file rewrite: read base+segments,
+    rewrite the base lists, drop the segment dirs, clear meta. Works for
+    both kinds (the partition column differs: centroid_id vs cent_id)."""
+    import shutil
+
+    with open(_meta_path(path)) as fh:
+        meta = json.load(fh)
+    segs = meta.get("segments", [])
+    if not segs:
+        return
+    part_col = "centroid_id" if meta["kind"] == "ivf" else "cent_id"
+    roots = [_lists_path(path)] + [
+        os.path.join(path, "segments", s, "lists") for s in segs
+    ]
+    parts = [
+        spark.read.parquet(r).withColumn(part_col, F.col(part_col).cast("long"))
+        for r in roots
+    ]
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    tmp = os.path.join(path, "_compact_lists")
+    union.write.mode("overwrite").partitionBy(part_col).parquet(tmp)
+    shutil.rmtree(_lists_path(path))
+    os.rename(tmp, _lists_path(path))
+    shutil.rmtree(os.path.join(path, "segments"))
+    meta["segments"] = []
+    with open(_meta_path(path), "w") as fh:
+        json.dump(meta, fh)
+
+
 def append_ivf_segment(
     new_vectors: DataFrame,
     path: str,

@@ -144,6 +144,61 @@ def append_bm25_segment(
         json.dump(meta, fh)
 
 
+def compact_bm25_index(spark: SparkSession, path: str) -> None:
+    """Fold appended segments back into the base BM25 index: postings and
+    doclen concatenate, per-token document frequencies SUM (an integer
+    merge, so the compacted index scores bit-equal to the grown one), and
+    per-segment corpus stats fold into the base stats. Pure file rewrite
+    plus an atomic meta update — the background merge job shape."""
+    import shutil
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    segs = meta.get("segments", [])
+    if not segs:
+        return
+    seg_dirs = [os.path.join(path, "segments", s["name"]) for s in segs]
+    n_buckets = meta["n_buckets"]
+    tmp = os.path.join(path, "_compact")
+
+    def _read_all(sub):
+        parts = [spark.read.parquet(os.path.join(path, sub))] + [
+            spark.read.parquet(os.path.join(s, sub)) for s in seg_dirs
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    (
+        _read_all("postings")
+        .withColumn("bucket", F.col("bucket").cast("long"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(tmp, "postings"))
+    )
+    (
+        _read_all("df")
+        .groupBy("tok")
+        .agg(F.sum("df").alias("df"))
+        .withColumn("bucket", F.pmod(F.xxhash64("tok"), F.lit(n_buckets)))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(tmp, "df"))
+    )
+    _read_all("doclen").write.mode("overwrite").parquet(os.path.join(tmp, "doclen"))
+    for sub in ("postings", "df", "doclen"):
+        shutil.rmtree(os.path.join(path, sub))
+        os.rename(os.path.join(tmp, sub), os.path.join(path, sub))
+    shutil.rmtree(os.path.join(path, "segments"))
+    os.rmdir(tmp)
+    meta["n_docs"] += sum(s["n_docs"] for s in segs)
+    meta["total_len"] += sum(s["total_len"] for s in segs)
+    meta["segments"] = []
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
 def probe_bm25_index(
     spark: SparkSession,
     path: str,

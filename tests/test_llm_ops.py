@@ -838,6 +838,19 @@ def test_bm25_index_segment_append(spark, sf_dir, tmp_path):
     assert got == want
     assert len(got) == 10
 
+    # compaction folds segments into the base: identical scores, segment
+    # dirs gone, df/stats merged
+    import json
+    import os
+
+    from bridge_analytics_template_spark.llm.text_index import compact_bm25_index
+
+    compact_bm25_index(spark, grown)
+    meta = json.load(open(os.path.join(grown, "meta.json")))
+    assert meta["segments"] == [] and not os.path.exists(os.path.join(grown, "segments"))
+    compacted = [tuple(r) for r in probe_bm25_index(spark, grown, probe, k=10).collect()]
+    assert compacted == got
+
 
 def test_crossdup_minhash_oracle_recall(spark, sf_dir):
     """llm_crossdup_minhash's oracle (r3) is the exact cross-half pair set

@@ -208,6 +208,29 @@ def test_ann_index_segment_append(spark, sf_dir, tmp_path):
     assert again == grown_pq
     np.testing.assert_equal(len(json.load(open(os.path.join(pq_path, "meta.json")))["segments"]), 1)
 
+    # compaction (both kinds): identical probe results, segments gone
+    from bridge_analytics_template_spark.llm.ann_index import compact_ann_index
+
+    compact_ann_index(spark, ivf_path)
+    compact_ann_index(spark, pq_path)
+    for p in (ivf_path, pq_path):
+        assert json.load(open(os.path.join(p, "meta.json")))["segments"] == []
+        assert not os.path.exists(os.path.join(p, "segments"))
+    assert (
+        sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in probe_ivf_index(spark, ivf_path, q, k=3).collect()
+        )
+        == got
+    )
+    assert (
+        sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in probe_ivfpq_index(spark, pq_path, q, k=3).collect()
+        )
+        == grown_pq
+    )
+
 
 def test_ivf_scoring_block_size_invariant(spark, sf_dir):
     """The IVF GEMM scorer's sub-blocking is result-invariant: a tiny
