@@ -558,3 +558,44 @@ def test_png_mux_demux_roundtrip(h, w, channels, interlace, seed):
     img = rng.integers(0, 256, (h, w, channels), dtype=np.uint8)
     out = decode_png(mux_png(img, interlace=interlace))
     assert out is not None and out.shape == (h, w, channels) and (out == img).all()
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            st.text(max_size=40),
+            st.one_of(st.none(), st.text(max_size=20)),
+            st.lists(st.integers(min_value=-(2**31), max_value=2**31 - 1), max_size=6),
+        ),
+        max_size=40,
+    ),
+    codec=st.sampled_from(["null", "deflate"]),
+    rpb=st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=60, deadline=None)
+def test_avro_roundtrip_property(rows, codec, rpb):
+    """Hypothesis: encode→decode identity over arbitrary longs (full
+    64-bit range — the zigzag varint edge), arbitrary finite doubles,
+    arbitrary unicode strings, nullable unions, and int arrays, at every
+    block split and both codecs."""
+    from bridge_analytics_template_spark.sources.avro_codec import (
+        decode_avro,
+        encode_avro,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "l", "type": "long"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "u", "type": ["null", "string"]},
+            {"name": "a", "type": {"type": "array", "items": "int"}},
+        ],
+    }
+    recs = [{"l": l, "d": d, "s": s, "u": u, "a": a} for l, d, s, u, a in rows]
+    _, got = decode_avro(encode_avro(recs, schema, codec=codec, records_per_block=rpb))
+    assert got == recs
