@@ -891,3 +891,109 @@ def llm_minhash_estimate(spark, sf_dir):
             f" - n_inter * 1000000 div (n_a + n_b - n_inter))"
         ).alias("abs_err_ppm"),
     ).orderBy("doc_a", "doc_b")
+
+
+# --- filter-cascade attrition funnel -----------------------------------------
+
+_FUNNEL_SQL = r"""
+    WITH f AS (
+      SELECT doc_id,
+             length(text) >= 200 AS f1,
+             len(string_split_regex(trim(lower(text)), '\s+')) >= 40 AS f2,
+             CAST(length(regexp_replace(text, '[a-zA-Z ]', '', 'g')) AS BIGINT) * 10
+               <= CAST(length(text) AS BIGINT) * 3 AS f3,
+             CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) * 10
+               >= CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) * 3 AS f4,
+             doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS f5
+      FROM documents),
+    c AS (
+      SELECT COUNT(*) AS n0,
+             SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS n2,
+             SUM(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS n3,
+             SUM(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS n4,
+             SUM(CASE WHEN f1 AND f2 AND f3 AND f4 AND f5 THEN 1 ELSE 0 END) AS n5
+      FROM f)
+    SELECT stage, CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
+           CAST((n_in - n_out) * 1000000 // GREATEST(n_in, 1) AS BIGINT) AS drop_ppm
+    FROM (
+      SELECT '1_min_length'   AS stage, n0 AS n_in, n1 AS n_out FROM c UNION ALL
+      SELECT '2_min_words'    AS stage, n1, n2 FROM c UNION ALL
+      SELECT '3_symbol_ratio' AS stage, n2, n3 FROM c UNION ALL
+      SELECT '4_distinct_ratio' AS stage, n3, n4 FROM c UNION ALL
+      SELECT '5_exact_dedup'  AS stage, n4, n5 FROM c)
+    ORDER BY stage
+"""
+
+
+@query("pipeline_filter_funnel", sql=_FUNNEL_SQL)
+def pipeline_filter_funnel(spark, sf_dir):
+    """Curation observability: the ATTRITION FUNNEL through an ordered
+    filter cascade — per stage, how many documents entered, survived, and
+    the exact drop rate in ppm. This is the table every data-pipeline
+    dashboard actually shows (which gate is eating the corpus?); stages
+    here are the standard cheap gates (min length, min words, symbol
+    ratio, distinct-token ratio, exact dedup keep-min) with integer-exact
+    thresholds (ratio >= 0.3 spelled as 10·lhs >= 3·rhs — no float
+    division anywhere, so both engines agree bit-for-bit).
+
+    Plan shape: every per-doc flag computes in ONE projection over the
+    scan (codegen'd, zero Python); the whole funnel is then ONE aggregate
+    of running-AND sums (map-side combinable — at 100 TB this is a single
+    pass over the corpus plus one md5 window for the dedup stage, which
+    is itself the established collapse exchange). Stage counts chain
+    n_in(k+1) = n_out(k), so monotonicity is structural."""
+    d = load(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    f1 = F.length("text") >= 200
+    f2 = F.size(toks) >= 40
+    # symbol ratio: non-[a-zA-Z space] chars must be <= 30% of all chars
+    f3 = (
+        F.length(F.regexp_replace("text", "[a-zA-Z ]", "")).cast("long") * 10
+        <= F.length("text").cast("long") * 3
+    )
+    f4 = (
+        F.size(F.array_distinct(toks)).cast("long") * 10
+        >= F.size(toks).cast("long") * 3
+    )
+    from pyspark.sql import Window as _W
+
+    f5 = F.col("doc_id") == F.min("doc_id").over(
+        _W.partitionBy(F.md5(F.col("text")))
+    )
+    flagged = d.select(
+        f1.alias("f1"), f2.alias("f2"), f3.alias("f3"), f4.alias("f4"), f5.alias("f5")
+    )
+    c = flagged.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("f1").cast("long")).alias("n1"),
+        F.sum((F.col("f1") & F.col("f2")).cast("long")).alias("n2"),
+        F.sum((F.col("f1") & F.col("f2") & F.col("f3")).cast("long")).alias("n3"),
+        F.sum(
+            (F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4")).cast("long")
+        ).alias("n4"),
+        F.sum(
+            (F.col("f1") & F.col("f2") & F.col("f3") & F.col("f4") & F.col("f5")).cast(
+                "long"
+            )
+        ).alias("n5"),
+    )
+    stages = [
+        ("1_min_length", "n0", "n1"),
+        ("2_min_words", "n1", "n2"),
+        ("3_symbol_ratio", "n2", "n3"),
+        ("4_distinct_ratio", "n3", "n4"),
+        ("5_exact_dedup", "n4", "n5"),
+    ]
+    rows = None
+    for name, nin, nout in stages:
+        r = c.select(
+            F.lit(name).alias("stage"),
+            F.col(nin).alias("n_in"),
+            F.col(nout).alias("n_out"),
+            F.expr(f"CAST(({nin} - {nout}) * 1000000 div GREATEST({nin}, 1) AS BIGINT)").alias(
+                "drop_ppm"
+            ),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("stage")
