@@ -3191,7 +3191,9 @@ def llm_warc_extract(spark, sf_dir):
                 )
                 payload = mux_warc([(uri, html)], gzip_members=d % 2 == 1)
                 recs = parse_warc(payload)
-                got_uri = next(u for t2, u, _p in recs if t2 == "response")
+                # default avoids PEP 479 RuntimeError if a record set ever
+                # lacks a response (same hardening as llm_warc_revisit)
+                got_uri = next((u for t2, u, _p in recs if t2 == "response"), uri)
                 body = warc_html_bodies(payload)[0]
                 clean = strip_html(body)
                 ids.append(d)

@@ -437,6 +437,52 @@ def s_python_datasource(spark, sf_dir):
 
 
 @query(
+    "s_python_stream_source",
+    sql="""
+    WITH g AS (
+      SELECT i AS event_id,
+             CASE WHEN substring(md5(CAST(i AS VARCHAR)), 1, 2) <= '55' THEN 'a'
+                  WHEN substring(md5(CAST(i AS VARCHAR)), 1, 2) <= 'aa' THEN 'b'
+                  ELSE 'c' END AS kind,
+             (i * 2654435761) % 1000 AS val
+      FROM generate_series(0, 1199) AS t(i))
+    SELECT kind, COUNT(*) AS n, CAST(SUM(val) AS BIGINT) AS total,
+           MIN(event_id) AS first_id, MAX(event_id) AS last_id
+    FROM g GROUP BY kind ORDER BY kind
+    """,
+)
+def s_python_stream_source(spark, sf_dir):
+    """S9b: custom STREAMING connector via the Python DataSource API
+    (Spark 4 SimpleDataSourceStreamReader — sources/pydatasource.py): the
+    same deterministic generator as s_python_datasource, but read
+    incrementally through the offset protocol a real queue/REST-poll
+    connector implements (initialOffset → read(start) → committed
+    offsets), 250 rows per micro-batch over 1200 total. The complete-mode
+    memory sink holds the FINAL trigger's full aggregate, so the
+    genuinely-streaming run is value-exact against DuckDB reproducing the
+    generator from generate_series — the custom-source analog of the
+    t_stream_* oracled executions. Stream==batch row equivalence is
+    additionally pinned in tests/test_sources.py."""
+    from ..sources.pydatasource import register_stream
+    from ..streaming.windows import run_to_memory
+
+    register_stream(spark)
+    stream = (
+        spark.readStream.format("synthetic_events_stream")
+        .option("num_rows", 1200)
+        .option("batch_rows", 250)
+        .load()
+    )
+    agg = stream.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val").alias("total"),
+        F.min("event_id").alias("first_id"),
+        F.max("event_id").alias("last_id"),
+    )
+    return run_to_memory(agg, "complete").orderBy("kind")
+
+
+@query(
     "profile_documents",
     sql="""
     SELECT COUNT(*) AS n_rows,

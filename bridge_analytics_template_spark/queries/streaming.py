@@ -868,6 +868,43 @@ def t_stream_distinct_kmv(spark, sf_dir):
 
 
 @query(
+    "t_stream_stream_join",
+    sql="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+    ORDER BY purchase_id, click_id
+    """,
+)
+def t_stream_stream_join(spark, sf_dir):
+    """T8, ORACLED streaming execution: the watermarked stream-stream INNER
+    join (streaming/windows.py::stream_stream_attribution) driven end-to-end
+    through readStream → join → append-mode memory sink. Both sides carry
+    watermarks and the join condition bounds event time on both ends, so
+    buffered state evicts past watermark+gap — the property that makes
+    stream-stream joins viable at 100 TB/day.
+
+    Why a genuinely-streaming run is value-exact against the batch SQL
+    oracle: an append-mode inner join emits each matched pair EXACTLY ONCE
+    (when the later of the two rows arrives and meets the other side's
+    buffered state), and emits nothing else — the sink's accumulated rows
+    are therefore precisely the join's result SET, independent of
+    micro-batch boundaries or arrival order. No monotone-reduction trick is
+    even needed (unlike the update-mode stateful ops); the join output is
+    set-semantics by construction. t_attribution_join oracles the batch
+    formulation of the same plan; this entry puts the streaming EXECUTION
+    itself under the hash gate."""
+    from ..streaming.windows import stream_stream_attribution
+
+    out = run_to_memory(
+        stream_stream_attribution(stream_events(spark, sf_dir)), "append"
+    )
+    return out.orderBy("purchase_id", "click_id")
+
+
+@query(
     "t_stream_lww_upsert",
     sql="""
     SELECT user_id, ts AS last_ts, event_id AS last_event_id,
@@ -907,4 +944,71 @@ def t_stream_lww_upsert(spark, sf_dir):
             F.col("b.last_value").alias("last_value"),
         )
         .orderBy("user_id")
+    )
+
+
+# shared with the llm dedup tier: the oracle re-derives 5-word shingles the
+# same way on the DuckDB side (module import is one-way — llm.py never
+# imports streaming.py)
+from .llm import _SQL_SHINGLES5_PADDED  # noqa: E402
+
+
+@query(
+    "t_stream_ingest_dedup",
+    sql=f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, unnest({_SQL_SHINGLES5_PADDED}) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, CAST(i.n_inter AS BIGINT) AS n_inter
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc
+    JOIN sizes sb ON i.doc_b = sb.doc
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+def t_stream_ingest_dedup(spark, sf_dir):
+    """T-custom, ORACLED streaming execution #6: the CONTINUOUS-INGEST
+    near-dedup pipeline — the lifecycle a 100 TB crawl actually runs.
+    Documents arrive as micro-batches (file stream, one shard per
+    trigger); each batch, inside ``foreachBatch``:
+
+      1. PROBE the persisted MinHash index (llm/dedup.py::
+         probe_minhash_index) for near-dups of the batch against every
+         previously ingested document — stored text is never re-read,
+         only the banded signatures and hashed shingle arrays;
+      2. self-join the batch for WITHIN-batch near-dups
+         (minhash_near_dups — same banding, batch-sized input);
+      3. APPEND the batch to the index as an immutable Lucene-style
+         segment (append_minhash_segment — O(batch), base never
+         rewritten), so later batches see it.
+
+    Pair emissions accumulate in epoch-keyed parquet (idempotent under
+    replay). Why the genuinely-streaming run is value-exact against the
+    batch full-corpus oracle: every near-dup pair (i, j) is emitted
+    EXACTLY ONCE — by step 2 if i and j share a batch, else by step 1 of
+    the LATER doc's batch (the earlier doc is in the index by then, and
+    probe-before-append means a batch never matches itself through the
+    index) — so the union over batches is the exact pair set at
+    j ≥ 0.5, independent of shard order or batch boundaries. Oracle
+    validity rides the same banding-recall fixture pin as
+    llm_dedup_minhash; streaming==batch pair-set equality and
+    shard-count invariance are pinned in tests/test_streaming.py."""
+    import os
+
+    from ..streaming.ingest import stream_ingest_dedup_pairs
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    token = f"{os.path.basename(os.path.normpath(sf_dir))}_{int(os.path.getmtime(src))}"
+    run = os.path.join("/tmp", f"stream_ingest_dedup_{token}")
+    d = load(spark, sf_dir, "documents")
+    return stream_ingest_dedup_pairs(spark, d, run, n_shards=4).orderBy(
+        "doc_a", "doc_b"
     )

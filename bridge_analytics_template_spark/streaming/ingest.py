@@ -1,0 +1,121 @@
+"""Continuous-ingest near-dedup: the streaming lifecycle of the persisted
+MinHash index (llm/dedup.py::save/probe/append_minhash_index).
+
+At 100 TB a corpus is not deduped once — it GROWS, one crawl shard at a
+time, and each shard must be deduped against everything already ingested
+without re-reading the stored text. This module runs that lifecycle through
+Structured Streaming: a file stream admits one shard per micro-batch, and
+``foreachBatch`` probes the index (cross-batch pairs), self-joins the batch
+(within-batch pairs), then appends the batch as an immutable index segment.
+Pair outputs land in epoch-keyed parquet (idempotent under replay — a
+retried epoch overwrites its own directory).
+
+Exactness argument (why the streaming run equals the batch full-corpus pair
+set): every near-dup pair (i, j) is emitted exactly once — by the self-join
+if i and j share a batch, else by the probe of the LATER doc's batch (the
+earlier doc is in the index by then; probe-before-append means a batch never
+matches itself through the index). The union over epochs is therefore the
+exact pair set, independent of shard order, shard count, or micro-batch
+boundaries — pinned in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_ingest_dedup_pairs(
+    spark: SparkSession,
+    docs: DataFrame,
+    run_dir: str,
+    n_shards: int = 4,
+    min_jaccard: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drive ``docs`` through the continuous-ingest dedup pipeline in
+    ``n_shards`` micro-batches; returns the accumulated near-dup pairs
+    (doc_a < doc_b, n_inter) as a batch DataFrame. The run directory is a
+    completion-marked cache: a finished run is reused (the pair set is
+    content-deterministic), a partial one is discarded and redone."""
+    from ..llm.dedup import (
+        append_minhash_segment,
+        minhash_near_dups,
+        probe_minhash_index,
+        save_minhash_index,
+    )
+
+    pairs_glob = os.path.join(run_dir, "pairs", "epoch_*")
+    done = os.path.join(run_dir, "done")
+    if not os.path.exists(done):
+        shutil.rmtree(run_dir, ignore_errors=True)
+        os.makedirs(os.path.join(run_dir, "in"), exist_ok=True)
+        # one parquet FILE per shard so maxFilesPerTrigger=1 yields one
+        # micro-batch per shard (fixtures ship as single files)
+        for k in range(n_shards):
+            tmp = os.path.join(run_dir, f"_shard{k}")
+            docs.filter(F.col(id_col) % n_shards == k).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            os.rename(
+                os.path.join(tmp, part),
+                os.path.join(run_dir, "in", f"shard{k}.parquet"),
+            )
+            shutil.rmtree(tmp)
+        schema = spark.read.parquet(os.path.join(run_dir, "in")).schema
+        idx = os.path.join(run_dir, "idx")
+
+        def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+            pairs = minhash_near_dups(
+                batch_df, min_jaccard=min_jaccard, text_col=text_col, id_col=id_col
+            ).select("doc_a", "doc_b", F.col("n_inter").cast("long").alias("n_inter"))
+            if os.path.exists(os.path.join(idx, "meta.json")):
+                cross = probe_minhash_index(
+                    spark,
+                    idx,
+                    batch_df,
+                    min_jaccard=min_jaccard,
+                    text_col=text_col,
+                    id_col=id_col,
+                ).select(
+                    F.least("doc_a", "doc_b").alias("doc_a"),
+                    F.greatest("doc_a", "doc_b").alias("doc_b"),
+                    F.col("n_inter").cast("long").alias("n_inter"),
+                )
+                pairs = pairs.unionByName(cross)
+                pairs.write.mode("overwrite").parquet(
+                    os.path.join(run_dir, "pairs", f"epoch_{epoch_id}")
+                )
+                try:
+                    append_minhash_segment(
+                        batch_df, idx, segment=f"e{epoch_id}",
+                        text_col=text_col, id_col=id_col,
+                    )
+                except ValueError:
+                    pass  # replayed epoch: segment already appended (idempotent)
+            else:
+                pairs.write.mode("overwrite").parquet(
+                    os.path.join(run_dir, "pairs", f"epoch_{epoch_id}")
+                )
+                save_minhash_index(
+                    batch_df, idx, text_col=text_col, id_col=id_col
+                )
+
+        q = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(os.path.join(run_dir, "in"))
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        open(done, "w").close()
+    return spark.read.parquet(pairs_glob)

@@ -319,3 +319,32 @@ def test_stream_stream_outer_join_equals_batch(spark, sf_dir, tmp_path):
     assert len(batch) > 0
     assert any(c is None for _, c in batch)  # fixture has unmatched purchases
     assert streamed == batch
+
+
+def test_stream_ingest_dedup_equals_batch_and_shard_invariant(spark, sf_dir, tmp_path):
+    """The continuous-ingest dedup pipeline (streaming/ingest.py) must
+    produce EXACTLY the batch full-corpus near-dup pair set, for any shard
+    count — each pair arrives once, via the within-batch self-join or the
+    later doc's index probe (probe-before-append)."""
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.llm.dedup import minhash_near_dups
+    from bridge_analytics_template_spark.streaming.ingest import (
+        stream_ingest_dedup_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    batch = sorted(
+        (r["doc_a"], r["doc_b"], r["n_inter"])
+        for r in minhash_near_dups(docs, min_jaccard=0.5)
+        .select("doc_a", "doc_b", "n_inter")
+        .collect()
+    )
+    assert len(batch) > 0
+    for n_shards in (2, 3):
+        streamed = sorted(
+            (r["doc_a"], r["doc_b"], r["n_inter"])
+            for r in stream_ingest_dedup_pairs(
+                spark, docs, str(tmp_path / f"run{n_shards}"), n_shards=n_shards
+            ).collect()
+        )
+        assert streamed == batch, f"n_shards={n_shards}"
