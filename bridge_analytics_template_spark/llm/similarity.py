@@ -452,6 +452,75 @@ def blocked_cosine_pairs(
     return joined.mapInPandas(gemm, schema="id_a long, id_b long, sim double")
 
 
+def blocked_cosine_cross_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 128,
+) -> DataFrame:
+    """EXACT bipartite cosine-threshold join via blocked GEMM — the
+    cross-relation form of :func:`blocked_cosine_pairs` (new batch vs
+    stored corpus, queries vs candidates). Same shape: contiguous block
+    ids per side, blocks packed one-row-each, a driver-free block-pair
+    index equi-joined against both packed relations, BLAS scoring per
+    block pair emitting only rows ≥ threshold. Differences from the self
+    form: the index is the full nb_l × nb_r grid (every left block meets
+    every right block exactly once) and no id-ordering mask — the two
+    relations are disjoint by contract, so (id_l, id_r) already names each
+    cross pair once. Shuffle volume is (n_l·n_r/B)·d, never n_l·n_r rows."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.rowids import assign_contiguous_ids
+
+    spark = left.sparkSession
+    l = left.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v"))
+    r = right.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v"))
+    nb_l = max(1, -(-l.count() // block_size))
+    nb_r = max(1, -(-r.count() // block_size))
+
+    def pack(v, blk_name):
+        ranked = assign_contiguous_ids(v, "vid", id_name="_rk")
+        return (
+            ranked.withColumn(blk_name, (F.col("_rk") / F.lit(block_size)).cast("long"))
+            .groupBy(blk_name)
+            .agg(F.collect_list(F.struct(F.col("vid"), F.col("v"))).alias(f"rows_{blk_name[-1]}"))
+        )
+
+    a = pack(l, "blk_a").select("blk_a", F.col("rows_a"))
+    b = pack(r, "blk_b").select("blk_b", F.col("rows_b"))
+    pair_index = spark.range(nb_l).select(
+        F.col("id").alias("blk_a"),
+        F.explode(F.sequence(F.lit(0), F.lit(nb_r - 1))).alias("blk_b"),
+    )
+    joined = a.join(F.broadcast(pair_index), "blk_a").join(b, "blk_b")
+
+    def unpack(cell):
+        ids = np.array([row["vid"] for row in cell], dtype=np.int64)
+        m = np.array([list(row["v"]) for row in cell], dtype=np.float64)
+        return ids, m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    def gemm(batches):
+        for pdf in batches:
+            for rows_a, rows_b in zip(pdf["rows_a"], pdf["rows_b"]):
+                ids_a, ma = unpack(rows_a)
+                ids_b, mb = unpack(rows_b)
+                sims = ma @ mb.T
+                ii, jj = np.nonzero(sims >= threshold)
+                if len(ii):
+                    yield pd.DataFrame(
+                        {
+                            "id_l": ids_a[ii],
+                            "id_r": ids_b[jj],
+                            "sim": sims[ii, jj],
+                        }
+                    )
+
+    return joined.mapInPandas(gemm, schema="id_l long, id_r long, sim double")
+
+
 def near_dup_pairs(
     vectors: DataFrame,
     threshold: float,

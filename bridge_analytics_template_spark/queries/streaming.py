@@ -1012,3 +1012,42 @@ def t_stream_ingest_dedup(spark, sf_dir):
     return stream_ingest_dedup_pairs(spark, d, run, n_shards=4).orderBy(
         "doc_a", "doc_b"
     )
+
+
+@query(
+    "t_stream_ingest_embed",
+    sql="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def t_stream_ingest_embed(spark, sf_dir):
+    """T-custom, ORACLED streaming execution #7: continuous-ingest
+    EMBEDDING near-dedup — the t_stream_ingest_dedup lifecycle with the
+    modality swapped (streaming/ingest.py::stream_ingest_embed_pairs).
+    Each micro-batch of new vectors cross-joins the stored vector
+    segments by exact bipartite blocked GEMM
+    (llm/similarity.py::blocked_cosine_cross_pairs — O(batch·stored)
+    flops at BLAS speed, never O(batch·stored) rows), self-joins within
+    the batch (blocked_cosine_pairs), then lands as an immutable segment
+    later batches probe. Every cosine-threshold pair emits exactly once
+    (cross with the later vector's batch — the batch's own segment is
+    written after the probe; self with the shared batch), so the epoch
+    union equals the batch full-corpus pair set (llm_embed_neardup's
+    oracle) for any shard count — pinned with shard-count invariance in
+    tests/test_streaming.py. Ids only: float sims are engine-unstable
+    (same contract as llm_embed_neardup)."""
+    import os
+
+    from ..streaming.ingest import stream_ingest_embed_pairs
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    token = f"{os.path.basename(os.path.normpath(sf_dir))}_{int(os.path.getmtime(src))}"
+    run = os.path.join("/tmp", f"stream_ingest_embed_{token}")
+    e = load(spark, sf_dir, "embeddings")
+    return stream_ingest_embed_pairs(spark, e, run, n_shards=4, threshold=0.4).orderBy(
+        "id_a", "id_b"
+    )

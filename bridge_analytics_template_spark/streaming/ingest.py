@@ -28,6 +28,111 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _split_shards(
+    df: DataFrame, run_dir: str, n_shards: int, id_col: str
+) -> None:
+    """Write ``df`` as ``n_shards`` single-file parquet shards under
+    ``{run_dir}/in`` — one parquet FILE per shard so maxFilesPerTrigger=1
+    yields one micro-batch per shard (fixtures ship as single files)."""
+    os.makedirs(os.path.join(run_dir, "in"), exist_ok=True)
+    for k in range(n_shards):
+        tmp = os.path.join(run_dir, f"_shard{k}")
+        df.filter(F.col(id_col) % n_shards == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(
+            os.path.join(tmp, part), os.path.join(run_dir, "in", f"shard{k}.parquet")
+        )
+        shutil.rmtree(tmp)
+
+
+def _run_available_now(
+    spark: SparkSession, run_dir: str, ingest, schema
+) -> None:
+    """Drive ``{run_dir}/in`` through ``foreachBatch(ingest)`` to
+    exhaustion (availableNow + one file per trigger)."""
+    q = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(os.path.join(run_dir, "in"))
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_ingest_embed_pairs(
+    spark: SparkSession,
+    vectors: DataFrame,
+    run_dir: str,
+    n_shards: int = 4,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The EMBEDDING sibling of :func:`stream_ingest_dedup_pairs`: the
+    continuous-ingest lifecycle for cosine near-dedup. Each micro-batch of
+    new vectors (1) cross-joins the STORED vector segments via exact
+    bipartite blocked GEMM (llm/similarity.py::blocked_cosine_cross_pairs
+    — O(batch·stored) flops, never O(batch·stored) rows), (2) self-joins
+    within the batch (blocked_cosine_pairs), then (3) lands as an
+    immutable vector segment later batches read. The same
+    exactly-once-per-pair argument applies (cross pairs emit with the
+    later vector's batch, self pairs with the shared batch; probe reads
+    only EARLIER segments because the batch's own segment is written
+    after), so the epoch union is the exact cosine-threshold pair set of
+    the whole corpus for any shard count. Ids only (float sims are
+    engine-unstable; same contract as llm_embed_neardup)."""
+    from ..llm.similarity import blocked_cosine_cross_pairs, blocked_cosine_pairs
+
+    pairs_glob = os.path.join(run_dir, "pairs", "epoch_*")
+    done = os.path.join(run_dir, "done")
+    if not os.path.exists(done):
+        shutil.rmtree(run_dir, ignore_errors=True)
+        _split_shards(
+            vectors.select(id_col, vec_col), run_dir, n_shards, id_col
+        )
+        schema = spark.read.parquet(os.path.join(run_dir, "in")).schema
+        vecs_dir = os.path.join(run_dir, "vecs")
+
+        def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+            pairs = blocked_cosine_pairs(
+                batch_df, threshold, id_col=id_col, vec_col=vec_col
+            ).select("id_a", "id_b")
+            stored_epochs = [
+                e
+                for e in (sorted(os.listdir(vecs_dir)) if os.path.isdir(vecs_dir) else [])
+                # a REPLAYED epoch must not see its own segment (it would
+                # match itself through the store and double-emit)
+                if e != f"epoch_{epoch_id}"
+            ]
+            if stored_epochs:
+                stored = spark.read.parquet(
+                    *(os.path.join(vecs_dir, e) for e in stored_epochs)
+                )
+                cross = blocked_cosine_cross_pairs(
+                    batch_df, stored, threshold, id_col=id_col, vec_col=vec_col
+                ).select(
+                    F.least("id_l", "id_r").alias("id_a"),
+                    F.greatest("id_l", "id_r").alias("id_b"),
+                )
+                pairs = pairs.unionByName(cross)
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(run_dir, "pairs", f"epoch_{epoch_id}")
+            )
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(vecs_dir, f"epoch_{epoch_id}")
+            )
+
+        _run_available_now(spark, run_dir, ingest, schema)
+        open(done, "w").close()
+    return spark.read.parquet(pairs_glob)
+
+
 def stream_ingest_dedup_pairs(
     spark: SparkSession,
     docs: DataFrame,
@@ -53,20 +158,7 @@ def stream_ingest_dedup_pairs(
     done = os.path.join(run_dir, "done")
     if not os.path.exists(done):
         shutil.rmtree(run_dir, ignore_errors=True)
-        os.makedirs(os.path.join(run_dir, "in"), exist_ok=True)
-        # one parquet FILE per shard so maxFilesPerTrigger=1 yields one
-        # micro-batch per shard (fixtures ship as single files)
-        for k in range(n_shards):
-            tmp = os.path.join(run_dir, f"_shard{k}")
-            docs.filter(F.col(id_col) % n_shards == k).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(tmp)
-            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-            os.rename(
-                os.path.join(tmp, part),
-                os.path.join(run_dir, "in", f"shard{k}.parquet"),
-            )
-            shutil.rmtree(tmp)
+        _split_shards(docs, run_dir, n_shards, id_col)
         schema = spark.read.parquet(os.path.join(run_dir, "in")).schema
         idx = os.path.join(run_dir, "idx")
 

@@ -348,3 +348,30 @@ def test_stream_ingest_dedup_equals_batch_and_shard_invariant(spark, sf_dir, tmp
             ).collect()
         )
         assert streamed == batch, f"n_shards={n_shards}"
+
+
+def test_stream_ingest_embed_equals_batch_and_shard_invariant(spark, sf_dir, tmp_path):
+    """The embedding continuous-ingest pipeline must produce EXACTLY the
+    batch full-corpus cosine-threshold pair set, for any shard count —
+    cross pairs via the bipartite blocked GEMM against earlier segments,
+    self pairs within the batch."""
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.llm.similarity import blocked_cosine_pairs
+    from bridge_analytics_template_spark.streaming.ingest import (
+        stream_ingest_embed_pairs,
+    )
+
+    vecs = load(spark, sf_dir, "embeddings")
+    batch = sorted(
+        (r["id_a"], r["id_b"])
+        for r in blocked_cosine_pairs(vecs, 0.4).select("id_a", "id_b").collect()
+    )
+    assert len(batch) > 0
+    for n_shards in (2, 3):
+        streamed = sorted(
+            (r["id_a"], r["id_b"])
+            for r in stream_ingest_embed_pairs(
+                spark, vecs, str(tmp_path / f"erun{n_shards}"), n_shards=n_shards
+            ).collect()
+        )
+        assert streamed == batch, f"n_shards={n_shards}"
