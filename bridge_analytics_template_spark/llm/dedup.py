@@ -927,6 +927,7 @@ def probe_minhash_index(
     min_jaccard: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    exclude_segments: tuple[str, ...] = (),
 ) -> DataFrame:
     """Near-dup pairs (doc_a = new, doc_b = stored) of a NEW batch against
     a :func:`save_minhash_index` snapshot: shingle+sign only the new batch
@@ -935,13 +936,22 @@ def probe_minhash_index(
     stored corpus text is never touched. The stored side is the BASE index
     unioned with every appended segment (one multi-path scan per table —
     same schemas, no shuffle). Precision 1 by construction (exact verify);
-    recall is the banding guarantee, same as the in-memory cross tier."""
+    recall is the banding guarantee, same as the in-memory cross tier.
+
+    ``exclude_segments`` drops named segments from the stored side — the
+    crash-replay guard for streaming ingest: a micro-batch retried AFTER
+    its own segment landed must not match itself through the index
+    (streaming/ingest.py passes its own epoch's segment name)."""
     import json as _json
     import os as _os
 
     with open(_os.path.join(path, "meta.json")) as fh:
         meta = _json.load(fh)
-    seg_dirs = [_os.path.join(path, "segments", s) for s in meta.get("segments", [])]
+    seg_dirs = [
+        _os.path.join(path, "segments", s)
+        for s in meta.get("segments", [])
+        if s not in exclude_segments
+    ]
     arrays_new = track(
         _shingle_arrays(
             new_docs, text_col, id_col, meta["shingle_words"], hashed=True

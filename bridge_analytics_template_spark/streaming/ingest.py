@@ -92,10 +92,14 @@ def stream_ingest_embed_pairs(
     pairs_glob = os.path.join(run_dir, "pairs", "epoch_*")
     done = os.path.join(run_dir, "done")
     if not os.path.exists(done):
-        shutil.rmtree(run_dir, ignore_errors=True)
-        _split_shards(
-            vectors.select(id_col, vec_col), run_dir, n_shards, id_col
-        )
+        # same RESUME contract as stream_ingest_dedup_pairs: an existing
+        # checkpoint resumes the remaining shards; replay safety comes from
+        # the own-epoch segment exclusion below + overwrite-mode writes
+        if not os.path.exists(os.path.join(run_dir, "ckpt")):
+            shutil.rmtree(run_dir, ignore_errors=True)
+            _split_shards(
+                vectors.select(id_col, vec_col), run_dir, n_shards, id_col
+            )
         schema = spark.read.parquet(os.path.join(run_dir, "in")).schema
         vecs_dir = os.path.join(run_dir, "vecs")
 
@@ -157,16 +161,31 @@ def stream_ingest_dedup_pairs(
     pairs_glob = os.path.join(run_dir, "pairs", "epoch_*")
     done = os.path.join(run_dir, "done")
     if not os.path.exists(done):
-        shutil.rmtree(run_dir, ignore_errors=True)
-        _split_shards(docs, run_dir, n_shards, id_col)
+        # RESUME contract: a checkpoint means the shard split completed and
+        # some epochs may have committed — rerunning the stream with the
+        # same checkpoint processes only the remaining shards (a production
+        # ingest never redoes 90 TB because shard 37 crashed). No
+        # checkpoint → fresh or torn-before-start run: rebuild from scratch.
+        if not os.path.exists(os.path.join(run_dir, "ckpt")):
+            shutil.rmtree(run_dir, ignore_errors=True)
+            _split_shards(docs, run_dir, n_shards, id_col)
         schema = spark.read.parquet(os.path.join(run_dir, "in")).schema
         idx = os.path.join(run_dir, "idx")
+        base_marker = os.path.join(idx, "base_epoch")
 
         def ingest(batch_df: DataFrame, epoch_id: int) -> None:
             pairs = minhash_near_dups(
                 batch_df, min_jaccard=min_jaccard, text_col=text_col, id_col=id_col
             ).select("doc_a", "doc_b", F.col("n_inter").cast("long").alias("n_inter"))
-            if os.path.exists(os.path.join(idx, "meta.json")):
+            # crash-replay guard: an epoch retried AFTER its index write
+            # landed must not match itself through the store — the base
+            # epoch re-saves (marker file), later epochs exclude their own
+            # segment from the probe
+            replayed_base = (
+                os.path.exists(base_marker)
+                and open(base_marker).read() == str(epoch_id)
+            )
+            if os.path.exists(os.path.join(idx, "meta.json")) and not replayed_base:
                 cross = probe_minhash_index(
                     spark,
                     idx,
@@ -174,6 +193,7 @@ def stream_ingest_dedup_pairs(
                     min_jaccard=min_jaccard,
                     text_col=text_col,
                     id_col=id_col,
+                    exclude_segments=(f"e{epoch_id}",),
                 ).select(
                     F.least("doc_a", "doc_b").alias("doc_a"),
                     F.greatest("doc_a", "doc_b").alias("doc_b"),
@@ -197,6 +217,8 @@ def stream_ingest_dedup_pairs(
                 save_minhash_index(
                     batch_df, idx, text_col=text_col, id_col=id_col
                 )
+                with open(base_marker, "w") as fh:
+                    fh.write(str(epoch_id))
 
         q = (
             spark.readStream.schema(schema)

@@ -375,3 +375,82 @@ def test_stream_ingest_embed_equals_batch_and_shard_invariant(spark, sf_dir, tmp
             ).collect()
         )
         assert streamed == batch, f"n_shards={n_shards}"
+
+
+def test_stream_ingest_dedup_resumes_from_checkpoint(spark, sf_dir, tmp_path):
+    """A crashed ingest run must RESUME from its checkpoint — remaining
+    shards only — and still produce the exact batch pair set. Fault
+    injection: the per-batch kernel raises on the 3rd micro-batch; the
+    second invocation reuses the run dir's checkpoint."""
+    import bridge_analytics_template_spark.llm.dedup as dedup_mod
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.llm.dedup import minhash_near_dups
+    from bridge_analytics_template_spark.streaming.ingest import (
+        stream_ingest_dedup_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    batch = sorted(
+        (r["doc_a"], r["doc_b"], r["n_inter"])
+        for r in minhash_near_dups(docs, min_jaccard=0.5)
+        .select("doc_a", "doc_b", "n_inter")
+        .collect()
+    )
+    run = str(tmp_path / "resume_run")
+    real = dedup_mod.minhash_near_dups
+    calls = {"n": 0}
+
+    def flaky(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("injected shard crash")
+        return real(*args, **kwargs)
+
+    dedup_mod.minhash_near_dups = flaky
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="injected shard crash"):
+            stream_ingest_dedup_pairs(spark, docs, run, n_shards=4)
+    finally:
+        dedup_mod.minhash_near_dups = real
+    assert calls["n"] == 3  # two committed epochs, one failed
+    import os
+
+    assert os.path.exists(os.path.join(run, "ckpt"))  # resume state intact
+    streamed = sorted(
+        (r["doc_a"], r["doc_b"], r["n_inter"])
+        for r in stream_ingest_dedup_pairs(spark, docs, run, n_shards=4).collect()
+    )
+    assert streamed == batch
+
+
+def test_probe_minhash_index_exclude_segments(spark, sf_dir, tmp_path):
+    """The crash-replay guard: probing with a batch's own segment excluded
+    must find only pairs against the OTHER stored docs (a replayed epoch
+    must not match itself through the index)."""
+    from pyspark.sql import functions as F
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.llm.dedup import (
+        append_minhash_segment,
+        probe_minhash_index,
+        save_minhash_index,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "idx")
+    save_minhash_index(base, idx)
+    append_minhash_segment(batch, idx, segment="e1")
+    with_self = probe_minhash_index(spark, idx, batch, min_jaccard=0.5)
+    without_self = probe_minhash_index(
+        spark, idx, batch, min_jaccard=0.5, exclude_segments=("e1",)
+    )
+    # every doc matches itself at j=1.0 through its own segment...
+    self_pairs = {(r["doc_a"], r["doc_b"]) for r in with_self.collect()}
+    assert all((d, d) in self_pairs for d in [r["doc_id"] for r in batch.select("doc_id").limit(5).collect()])
+    # ...and the exclusion removes exactly the own-segment matches
+    cross_only = {(r["doc_a"], r["doc_b"]) for r in without_self.collect()}
+    assert all(a != b or (a, b) not in cross_only for a, b in self_pairs)
+    assert cross_only == {(a, b) for a, b in self_pairs if b % 2 == 0}
