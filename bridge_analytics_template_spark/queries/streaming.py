@@ -834,18 +834,42 @@ def t_stream_topk(spark, sf_dir):
     return final.orderBy("event_type", "rank")
 
 
-@query("t_stream_distinct_kmv")  # rows-only: sketch estimate (deterministic)
+from ..functions.numeric import sql_hash60 as _h60  # noqa: E402
+
+
+@query(
+    "t_stream_distinct_kmv",
+    sql=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST({_h60("CAST(user_id AS VARCHAR)")} AS BIGINT) AS hv FROM events),
+    ranked AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+      FROM h)
+    SELECT event_type,
+           CASE WHEN n_exact < 64 THEN n_exact
+                ELSE CAST((CAST(63 AS HUGEINT) * {16 ** 15}) // hv AS BIGINT)
+           END AS est_users
+    FROM ranked WHERE rn = least(64, n_exact) ORDER BY event_type
+    """,
+)
 def t_stream_distinct_kmv(spark, sf_dir):
-    """T-custom, streaming execution #5: bounded-state distinct counting —
-    a K-Minimum-Values sketch (k=64 longs per key) accumulates in keyed
-    state (streaming/stateful.py::kmv_distinct_stream); union-distinct-
-    then-truncate is a semilattice so the run is order-free-exact on the
-    SKETCH, and the rank-r minimum only decreases, so min(h) per (type,
-    rank) over the update sink reconstructs the final state. The estimate
-    (k-1)·2^64 / (h_k + 2^63) computes in exact DECIMAL(38) integer
-    arithmetic — fully deterministic, but approximate by nature (±1/√k),
-    hence rows-only; stream==batch sketch equality and the accuracy bound
-    vs exact distinct are pinned in tests/test_stateful_streaming.py."""
+    """T-custom, ORACLED streaming execution #5 (upgraded from rows-only):
+    bounded-state distinct counting — a K-Minimum-Values sketch (k=64
+    longs per key) accumulates in keyed state (streaming/stateful.py::
+    kmv_distinct_stream); union-distinct-then-truncate is a semilattice so
+    the run is order-free-exact on the SKETCH, and the rank-r minimum only
+    decreases, so min(h) per (type, rank) over the update sink
+    reconstructs the final state. The hash is the md5-nibble 60-bit
+    packing shared with agg_kmv_distinct — reproducible in BOTH engines —
+    and the estimate (k-1)·2^60 // kth_min computes in exact
+    DECIMAL(38)/HUGEINT arithmetic, so the genuinely-streaming sketch
+    estimate itself is value-exact under the hash gate (with the standard
+    small-set rule: fewer than k distinct values → exact count).
+    Stream==batch sketch equality and the ±3/√k accuracy bound vs the
+    true distinct count stay pinned in tests/test_stateful_streaming.py."""
     from ..streaming.stateful import kmv_distinct_stream
 
     k = 64
@@ -858,8 +882,8 @@ def t_stream_distinct_kmv(spark, sf_dir):
             "event_type",
             F.when(F.col("n_ranks") < k, F.col("n_ranks").cast("long")).otherwise(
                 F.expr(
-                    f"CAST(CAST({k - 1} AS DECIMAL(38,0)) * CAST(18446744073709551616 AS DECIMAL(38,0)) "
-                    "div (CAST(kth.h AS DECIMAL(38,0)) + CAST(9223372036854775808 AS DECIMAL(38,0))) AS BIGINT)"
+                    f"CAST(CAST({k - 1} AS DECIMAL(38,0)) * CAST({16 ** 15} AS DECIMAL(38,0)) "
+                    "div CAST(kth.h AS DECIMAL(38,0)) AS BIGINT)"
                 )
             ).alias("est_users"),
         )

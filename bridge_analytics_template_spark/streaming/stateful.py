@@ -335,10 +335,21 @@ def _make_kmv_update(k: int):
 def kmv_distinct_stream(events: DataFrame, k: int = 64) -> DataFrame:
     """Streaming per-event-type distinct-user sketch with k longs of keyed
     state — the bounded-cardinality monitor: at any trigger the sink holds
-    each key's exact k smallest user-hash values, independent of volume."""
+    each key's exact k smallest user-hash values, independent of volume.
+
+    The hash is the md5-nibble 60-bit packing (functions/numeric.py::
+    sql_hash60) — the SAME engine-reproducible hash under agg_kmv_distinct
+    — so the whole sketch AND its estimate are SQL-oracle-exact, not just
+    deterministic (what upgraded t_stream_distinct_kmv from rows-only to
+    the hash gate)."""
     from pyspark.sql import functions as F
 
-    hashed = events.select("event_type", F.xxhash64("user_id").alias("h"))
+    from ..functions.numeric import sql_hash60
+
+    hashed = events.select(
+        "event_type",
+        F.expr(f"CAST({sql_hash60('CAST(user_id AS STRING)')} AS BIGINT)").alias("h"),
+    )
     return hashed.groupBy("event_type").applyInPandasWithState(
         _make_kmv_update(k),
         outputStructType=KMV_OUTPUT_SCHEMA,

@@ -381,7 +381,7 @@ def test_kmv_kernel_order_invariance():
 
 def test_kmv_stream_matches_batch_and_accuracy(spark, sf_dir):
     """The streamed KMV sketch (after the min reduction) equals the batch
-    k smallest distinct xxhash64(user_id) per type EXACTLY, and the
+    k smallest distinct hash60(user_id) per type EXACTLY, and the
     registered query's estimate lands within 3/sqrt(k) of the true
     distinct count (the KMV standard-error bound with margin)."""
     import math
@@ -413,9 +413,16 @@ def test_kmv_stream_matches_batch_and_accuracy(spark, sf_dir):
     }
     batch = {}
     w = Window.partitionBy("event_type").orderBy("h")
+    from bridge_analytics_template_spark.functions.numeric import sql_hash60
+
     for r in (
         load(spark, sf_dir, "events")
-        .select("event_type", F.xxhash64("user_id").alias("h"))
+        .select(
+            "event_type",
+            F.expr(
+                f"CAST({sql_hash60('CAST(user_id AS STRING)')} AS BIGINT)"
+            ).alias("h"),
+        )
         .distinct()
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
