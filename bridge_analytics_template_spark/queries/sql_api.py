@@ -163,11 +163,20 @@ def llm_knn_ivf(spark, sf_dir):
     return ivf_knn(q, e, k=5).select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
 
 
-@query("t_stream_stateful")  # rows-only: custom stateful streaming op
+@query(
+    "t_stream_stateful",
+    sql="""
+    SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
 def t_stream_stateful(spark, sf_dir):
-    """T-custom: applyInPandasWithState running per-user totals over the
-    event stream; final state == batch aggregate is asserted in
-    tests/test_stateful_streaming.py."""
+    """T-custom (ORACLED — upgraded r7 from rows-only): applyInPandasWithState
+    running per-user totals over the event stream. Per-user event counts
+    are MONOTONE across update-mode emissions, so max(n_events) over the
+    accumulated sink is the final state — the same monotone-reduction
+    argument as the r6 stateful tier — and the genuinely-streaming run is
+    value-exact against the one-line batch aggregate. Final state == batch
+    is additionally asserted in tests/test_stateful_streaming.py."""
     import uuid
 
     from ..streaming.stateful import running_user_totals

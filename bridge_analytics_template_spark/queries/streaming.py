@@ -119,19 +119,42 @@ def t_dedup_equiv(spark, sf_dir):
     )
 
 
-@query("t_stream_tumbling")  # rows-only: genuinely-streaming execution
+@query(
+    "t_stream_tumbling",
+    sql="""
+    SELECT CAST(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 600) * 600 AS BIGINT))
+                AS TIMESTAMP) AS window_start,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
 def t_stream_tumbling(spark, sf_dir):
-    """T1/T4 (streaming execution): readStream over the events parquet with
-    a 10-minute watermark, tumbling counts, memory sink driven to
-    completion. Stream==batch equality is asserted in tests."""
+    """T1/T4 (streaming execution, ORACLED — upgraded r7 from rows-only):
+    readStream over the events parquet with a 10-minute watermark, tumbling
+    counts, memory sink driven to completion. A COMPLETE-mode sink holds
+    the final trigger's full aggregate — deterministic over the finite
+    source (the watermark gates emission, never state retention, in
+    complete mode) — so the genuinely-streaming run is value-exact against
+    the same epoch-floor oracle as its batch twin t_tumbling_counts."""
     agg = tumbling_counts(stream_events(spark, sf_dir))
     return run_to_memory(agg, "complete").orderBy("window_start", "event_type")
 
 
-@query("t_stream_dedup")  # rows-only: stateful streaming dedup
+@query(
+    "t_stream_dedup",
+    sql="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
 def t_stream_dedup(spark, sf_dir):
-    """T5 (streaming execution): watermarked dropDuplicates over the stream;
-    returns the per-type counts of the deduped stream."""
+    """T5 (streaming execution, ORACLED — upgraded r7 from rows-only):
+    watermarked dropDuplicates over the stream; returns the per-type
+    counts of the deduped stream. Deterministic because the file source
+    admits whole files (a parquet file is never split across
+    micro-batches), so no row can arrive behind the watermark and be
+    late-dropped — the deduped stream is exactly the distinct event_id
+    set, and the append-mode sink accumulates it all."""
     deduped = dedup_stream(stream_events(spark, sf_dir))
     out = run_to_memory(deduped, "append")
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).orderBy("event_type")
@@ -160,11 +183,34 @@ def t_attribution_join(spark, sf_dir):
     return stream_stream_attribution(e).orderBy("purchase_id", "click_id")
 
 
-@query("t_stream_session")  # rows-only: genuinely-streaming execution
+@query(
+    "t_stream_session",
+    sql="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR date_diff('microsecond', LAG(ts) OVER w, ts) > 300000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessioned AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_seq
+      FROM flagged)
+    SELECT CAST(MIN(ts) AS TIMESTAMP) AS session_start, user_id, COUNT(*) AS n_events
+    FROM sessioned GROUP BY user_id, session_seq ORDER BY session_start, user_id
+    """,
+)
 def t_stream_session(spark, sf_dir):
-    """T3 (streaming form): native session_window with a 5-minute gap,
-    driven through readStream → memory sink. Equivalence with the batch
-    island formulation is asserted in tests/test_streaming.py."""
+    """T3 (streaming form, ORACLED — upgraded r7 from rows-only): native
+    session_window with a 5-minute gap, driven through readStream → memory
+    sink in complete mode (final trigger's full merged-session state —
+    deterministic). Value-exact against the lag+cumsum island formulation,
+    the same oracle its batch twin t_session_native_batch carries; the
+    inclusive-merge boundary semantics are pinned in
+    tests/test_properties.py."""
     from ..streaming.windows import session_windows_stream
 
     sess = session_windows_stream(stream_events(spark, sf_dir))
