@@ -3219,3 +3219,33 @@ def test_minhash_bucket_cap(spark):
     copy_pairs = {(a, b) for a, b in capped if a < 100 and b < 100}
     assert copy_pairs == {(0, 1), (0, 2), (1, 2)}
     assert all(p in base for p in capped)
+
+
+def test_blocked_cosine_cross_pairs_matches_all_pairs(spark, sf_dir):
+    """The bipartite blocked GEMM (streaming-ingest probe kernel) must
+    return the identical cross pair set as a naive all-pairs filter — at a
+    block size small enough to force an asymmetric multi-block grid — and
+    its plan must stay an equi-join (no CartesianProduct)."""
+    from pyspark.sql import functions as F
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.llm.similarity import (
+        blocked_cosine_cross_pairs,
+        near_dup_pairs,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    left = e.filter(F.col("vec_id") % 3 == 0)
+    right = e.filter(F.col("vec_id") % 3 != 0)
+    out = blocked_cosine_cross_pairs(left, right, threshold=0.35, block_size=64)
+    assert "CartesianProduct" not in out._jdf.queryExecution().executedPlan().toString()
+    blocked = sorted((r["id_l"], r["id_r"]) for r in out.collect())
+    naive = sorted(
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+        for r in near_dup_pairs(e, threshold=0.35).collect()
+        if (r["id_a"] % 3 == 0) != (r["id_b"] % 3 == 0)
+    )
+    naive = sorted(
+        (a, b) if a % 3 == 0 else (b, a) for a, b in naive
+    )
+    assert len(naive) > 0
+    assert sorted(blocked) == sorted(naive)
