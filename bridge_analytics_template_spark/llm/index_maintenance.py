@@ -1,0 +1,48 @@
+"""Segment-count compaction policy for the persisted index tier.
+
+All three persisted indexes (MinHash dedup — llm/dedup.py, IVF / IVF-PQ —
+llm/ann_index.py, BM25 — llm/text_index.py) grow by immutable Lucene-style
+segment appends and expose a compaction that is a pure file rewrite
+(segment contents are content-deterministic, so folding them into the base
+changes nothing a probe can observe — pinned per index in tests). What was
+deliberately left manual is the POLICY: when to fold.
+
+This module is that policy. The trigger is segment COUNT, not size: every
+probe unions base + all segments (one multi-path scan per table), so the
+cost a segment adds is per-scan file/footers overhead — linear in segment
+count and independent of segment size. At 100 TB the background merge job
+calls :func:`maybe_compact` after each ingest batch; the threshold bounds
+probe fan-in to ``max_segments + 1`` scans per table forever.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+
+def _compact(spark: SparkSession, path: str, kind: str) -> None:
+    # dispatch lazily so importing the policy never drags in all tiers
+    if kind == "minhash":
+        from .dedup import compact_minhash_index as fn
+    elif kind in ("ivf", "ivfpq"):
+        from .ann_index import compact_ann_index as fn
+    elif kind == "bm25":
+        from .text_index import compact_bm25_index as fn
+    else:
+        raise ValueError(f"unknown index kind {kind!r} at {path}")
+    fn(spark, path)
+
+
+def maybe_compact(spark: SparkSession, path: str, max_segments: int = 8) -> bool:
+    """Compact the index at ``path`` iff it has grown past ``max_segments``
+    appended segments. Returns True when a compaction ran. Kind-agnostic:
+    reads ``meta.json`` (every persisted index writes ``kind`` and
+    ``segments``) and dispatches to that tier's compactor."""
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    if len(meta.get("segments", [])) <= max_segments:
+        return False
+    _compact(spark, path, meta["kind"])
+    return True

@@ -145,12 +145,20 @@ def stream_ingest_dedup_pairs(
     min_jaccard: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_segments: int | None = None,
 ) -> DataFrame:
     """Drive ``docs`` through the continuous-ingest dedup pipeline in
     ``n_shards`` micro-batches; returns the accumulated near-dup pairs
     (doc_a < doc_b, n_inter) as a batch DataFrame. The run directory is a
     completion-marked cache: a finished run is reused (the pair set is
-    content-deterministic), a partial one is discarded and redone."""
+    content-deterministic), a partial one is discarded and redone.
+
+    ``max_segments`` enables the background-merge policy inline
+    (llm/index_maintenance.py::maybe_compact): each epoch folds the index
+    when segment count exceeds the threshold, BEFORE probing and only when
+    the epoch's own segment is absent — replay-safe (compaction never
+    folds a segment the retried epoch still needs to exclude), and
+    result-invariant because compaction is a pure file rewrite."""
     from ..llm.dedup import (
         append_minhash_segment,
         minhash_near_dups,
@@ -186,6 +194,17 @@ def stream_ingest_dedup_pairs(
                 and open(base_marker).read() == str(epoch_id)
             )
             if os.path.exists(os.path.join(idx, "meta.json")) and not replayed_base:
+                if max_segments is not None:
+                    import json as _json
+
+                    from ..llm.index_maintenance import maybe_compact
+
+                    with open(os.path.join(idx, "meta.json")) as fh:
+                        _segs = _json.load(fh).get("segments", [])
+                    # never fold a segment this (possibly replayed) epoch
+                    # still needs to exclude from its own probe
+                    if f"e{epoch_id}" not in _segs:
+                        maybe_compact(spark, idx, max_segments)
                 cross = probe_minhash_index(
                     spark,
                     idx,

@@ -3249,3 +3249,41 @@ def test_blocked_cosine_cross_pairs_matches_all_pairs(spark, sf_dir):
     )
     assert len(naive) > 0
     assert sorted(blocked) == sorted(naive)
+
+
+def test_maybe_compact_policy_thresholds_and_dispatch(spark, sf_dir, tmp_path):
+    """The segment-count compaction policy: below threshold = no-op,
+    above = dispatches to the right tier's compactor (BM25 here; the
+    minhash dispatch is exercised end-to-end by the streaming ingest
+    compaction test) and probes are unchanged."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.functions.text import ws_tokens
+    from bridge_analytics_template_spark.llm.index_maintenance import maybe_compact
+    from bridge_analytics_template_spark.llm.text_index import (
+        append_bm25_segment,
+        probe_bm25_index,
+        save_bm25_index,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    path = str(tmp_path / "bm25")
+    save_bm25_index(d.filter(F.col("doc_id") % 3 == 0), path)
+    append_bm25_segment(d.filter(F.col("doc_id") % 3 == 1), path, "day1")
+    append_bm25_segment(d.filter(F.col("doc_id") % 3 == 2), path, "day2")
+    probe = (
+        d.filter(F.col("doc_id") == 3)
+        .select(F.explode_outer(ws_tokens("text")).alias("tok"))
+        .distinct()
+    )
+    before = [tuple(r) for r in probe_bm25_index(spark, path, probe, k=10).collect()]
+    assert maybe_compact(spark, path, max_segments=2) is False  # at threshold: no-op
+    assert len(json.load(open(os.path.join(path, "meta.json")))["segments"]) == 2
+    assert maybe_compact(spark, path, max_segments=1) is True  # over: folds
+    assert json.load(open(os.path.join(path, "meta.json")))["segments"] == []
+    after = [tuple(r) for r in probe_bm25_index(spark, path, probe, k=10).collect()]
+    assert after == before

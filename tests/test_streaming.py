@@ -454,3 +454,37 @@ def test_probe_minhash_index_exclude_segments(spark, sf_dir, tmp_path):
     cross_only = {(r["doc_a"], r["doc_b"]) for r in without_self.collect()}
     assert all(a != b or (a, b) not in cross_only for a, b in self_pairs)
     assert cross_only == {(a, b) for a, b in self_pairs if b % 2 == 0}
+
+
+def test_stream_ingest_dedup_with_compaction_policy(spark, sf_dir, tmp_path):
+    """The inline background-merge policy (maybe_compact at segment-count
+    threshold) must leave the pair set bit-identical — compaction is a
+    pure file rewrite — while actually folding segments during the run."""
+    import json
+    import os
+
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.llm.dedup import minhash_near_dups
+    from bridge_analytics_template_spark.streaming.ingest import (
+        stream_ingest_dedup_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    batch = sorted(
+        (r["doc_a"], r["doc_b"], r["n_inter"])
+        for r in minhash_near_dups(docs, min_jaccard=0.5)
+        .select("doc_a", "doc_b", "n_inter")
+        .collect()
+    )
+    run = str(tmp_path / "compact_run")
+    streamed = sorted(
+        (r["doc_a"], r["doc_b"], r["n_inter"])
+        for r in stream_ingest_dedup_pairs(
+            spark, docs, run, n_shards=4, max_segments=1
+        ).collect()
+    )
+    assert streamed == batch
+    meta = json.load(open(os.path.join(run, "idx", "meta.json")))
+    # 3 segments appended (epochs after the base); threshold 1 must have
+    # folded at least once, so fewer than 3 survive at the end
+    assert len(meta["segments"]) < 3
