@@ -483,6 +483,38 @@ def s_python_stream_source(spark, sf_dir):
 
 
 @query(
+    "s_corrupt_file_skip",
+    sql="""
+    SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name
+    FROM nation GROUP BY 1 ORDER BY 1
+    """,
+)
+def s_corrupt_file_skip(spark, sf_dir):
+    """S-resilience: scanning past corrupt files — the parquet sibling of
+    s_corrupt_records (which covers malformed ROWS in permissive JSON).
+    At petabyte scale a multi-million-file table WILL contain the odd
+    truncated or garbage object (failed upload, partial multipart commit),
+    and failing the whole job on one bad footer is not an option: the
+    per-read ``ignoreCorruptFiles`` option skips files whose footer or
+    pages fail to parse, keeping every healthy row. Here the nation table
+    is written healthy, a garbage member is planted beside it, and the
+    resilient read must aggregate to exactly the clean table (the oracle
+    never sees the junk). The strict-mode failure (the default read
+    RAISES on the same directory) is pinned in tests/test_sources.py."""
+    path = scratch_path(spark, "corrupt_skip_nation")
+    n = load(spark, sf_dir, "nation")
+    n.write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, "zz_corrupt.parquet"), "wb") as fh:
+        fh.write(b"PAR1 this is definitely not a parquet file \x00\xff" * 64)
+    back = spark.read.option("ignoreCorruptFiles", "true").parquet(path)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_name"))
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
     "profile_documents",
     sql="""
     SELECT COUNT(*) AS n_rows,

@@ -507,3 +507,23 @@ def test_avro_corruption_rejected():
             pass
         except Exception as ex:  # noqa: BLE001
             raise AssertionError(f"non-ValueError escape: {type(ex).__name__}: {ex}")
+
+
+def test_corrupt_file_skip_and_strict_failure(spark, sf_dir, tmp_path):
+    """ignoreCorruptFiles must skip a planted garbage member and return
+    exactly the healthy rows; the default strict read must RAISE on the
+    same directory (the resilience is opt-in, never silent)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from bridge_analytics_template_spark.catalog import load
+
+    n = load(spark, sf_dir, "nation")
+    path = str(tmp_path / "dirty")
+    n.write.parquet(path)
+    with open(f"{path}/zz_corrupt.parquet", "wb") as fh:
+        fh.write(b"garbage that is not parquet" * 32)
+    clean = spark.read.option("ignoreCorruptFiles", "true").parquet(path)
+    assert clean.count() == n.count()
+    with pytest.raises((Py4JJavaError, Exception)):
+        spark.read.parquet(path).count()
