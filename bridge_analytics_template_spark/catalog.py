@@ -45,6 +45,27 @@ def scratch_path(spark: SparkSession, name: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"{name}-{app}")
 
 
+def index_scratch_dir(
+    spark: SparkSession, sf_dir: str, name: str, src_table: str
+) -> str:
+    """On-disk location for a derived artifact (persisted index, ingest
+    run) keyed by corpus identity AND session: the fixture basename +
+    source-file mtime invalidate on regeneration (build-once/probe-many
+    within a process), while ``applicationId`` keeps concurrent sessions
+    from racing on one directory — the same isolation rule as
+    :func:`scratch_path` (ADVICE r2: fixed paths under gettempdir raced
+    across parallel drivers; a torn concurrent index build is the same
+    failure one layer up)."""
+    import tempfile
+
+    src = os.path.join(sf_dir, src_table)
+    token = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{int(os.path.getmtime(src))}"
+        f"_{spark.sparkContext.applicationId}"
+    )
+    return os.path.join(tempfile.gettempdir(), f"{name}_{token}")
+
+
 def _ensure_session_defaults(spark: SparkSession) -> None:
     """Pin the runtime-settable confs correctness and plan quality depend
     on, so queries behave identically under any caller's session (the

@@ -43,8 +43,13 @@ def _meta_path(path: str) -> str:
     return os.path.join(path, "meta.json")
 
 
-def _lists_path(path: str) -> str:
-    return os.path.join(path, "lists")
+def _lists_path(path: str, meta: dict | None = None) -> str:
+    """Base lists location. After a compaction the base lives in a
+    versioned subdir recorded in meta ("base_dir") — meta.json is the
+    atomic commit point, so readers resolve through it and a crashed
+    compaction can never leave them pointing at half-deleted data."""
+    base = (meta or {}).get("base_dir") or ""
+    return os.path.join(path, base, "lists") if base else os.path.join(path, "lists")
 
 
 # --- IVF: inverted lists of raw vectors -------------------------------------
@@ -83,17 +88,24 @@ def save_ivf_index(
         "centroids": [list(map(float, r["cent"])) for r in cents_rows],
         "segments": [],
     }
-    with open(_meta_path(path), "w") as fh:
-        json.dump(meta, fh)
+    from .index_maintenance import atomic_write_json
+
+    atomic_write_json(_meta_path(path), meta)
 
 
 def compact_ann_index(spark: SparkSession, path: str) -> None:
     """Fold appended segments back into an IVF or IVF-PQ base index —
     assignments/codes are already final (the stored quantizer never moves
     on append), so compaction is a pure file rewrite: read base+segments,
-    rewrite the base lists, drop the segment dirs, clear meta. Works for
+    write a NEW versioned base dir, then atomically commit meta to point
+    at it (base_dir + cleared segments). Probes keep working against the
+    old layout until the meta replace — a crash at any instant leaves
+    either the old index fully intact or the new one committed with only
+    stale directories to sweep (swept best-effort afterwards). Works for
     both kinds (the partition column differs: centroid_id vs cent_id)."""
     import shutil
+
+    from .index_maintenance import atomic_write_json, next_base_dir, sweep_stale_bases
 
     with open(_meta_path(path)) as fh:
         meta = json.load(fh)
@@ -101,7 +113,7 @@ def compact_ann_index(spark: SparkSession, path: str) -> None:
     if not segs:
         return
     part_col = "centroid_id" if meta["kind"] == "ivf" else "cent_id"
-    roots = [_lists_path(path)] + [
+    roots = [_lists_path(path, meta)] + [
         os.path.join(path, "segments", s, "lists") for s in segs
     ]
     parts = [
@@ -111,14 +123,17 @@ def compact_ann_index(spark: SparkSession, path: str) -> None:
     union = parts[0]
     for p in parts[1:]:
         union = union.unionByName(p)
-    tmp = os.path.join(path, "_compact_lists")
-    union.write.mode("overwrite").partitionBy(part_col).parquet(tmp)
-    shutil.rmtree(_lists_path(path))
-    os.rename(tmp, _lists_path(path))
-    shutil.rmtree(os.path.join(path, "segments"))
+    old_base = meta.get("base_dir") or ""
+    new_base = next_base_dir(meta)
+    union.write.mode("overwrite").partitionBy(part_col).parquet(
+        os.path.join(path, new_base, "lists")
+    )
+    meta["base_dir"] = new_base
     meta["segments"] = []
-    with open(_meta_path(path), "w") as fh:
-        json.dump(meta, fh)
+    atomic_write_json(_meta_path(path), meta)  # COMMIT
+    if not old_base:  # pre-compaction base lived at the index root
+        shutil.rmtree(os.path.join(path, "lists"), ignore_errors=True)
+    sweep_stale_bases(path, keep=new_base)
 
 
 def append_ivf_segment(
@@ -150,8 +165,9 @@ def append_ivf_segment(
     seg_lists = os.path.join(path, "segments", segment, "lists")
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(seg_lists)
     meta["segments"] = meta.get("segments", []) + [segment]
-    with open(_meta_path(path), "w") as fh:
-        json.dump(meta, fh)
+    from .index_maintenance import atomic_write_json
+
+    atomic_write_json(_meta_path(path), meta)
 
 
 def probe_ivf_index(
@@ -186,7 +202,7 @@ def probe_ivf_index(
     # probe path), so the union of probed list ids is bounded driver state
     # — and, pushed into the scan, prunes whole partitions of the index.
     probed_cents = sorted({r["centroid_id"] for r in probes.select("centroid_id").collect()})
-    roots = [_lists_path(path)] + [
+    roots = [_lists_path(path, meta)] + [
         os.path.join(path, "segments", s, "lists") for s in meta.get("segments", [])
     ]
     # one pruned read per segment root, unioned by name (multi-path reads
@@ -252,8 +268,9 @@ def save_ivfpq_index(
         "codebooks": books.tolist(),
         "segments": [],
     }
-    with open(_meta_path(path), "w") as fh:
-        json.dump(meta, fh)
+    from .index_maintenance import atomic_write_json
+
+    atomic_write_json(_meta_path(path), meta)
 
 
 def _encode_ivfpq(candidates, cents, books, id_col, vec_col):
@@ -318,8 +335,9 @@ def append_ivfpq_segment(
         os.path.join(path, "segments", segment, "lists")
     )
     meta["segments"] = meta.get("segments", []) + [segment]
-    with open(_meta_path(path), "w") as fh:
-        json.dump(meta, fh)
+    from .index_maintenance import atomic_write_json
+
+    atomic_write_json(_meta_path(path), meta)
 
 
 def probe_ivfpq_index(
@@ -359,7 +377,7 @@ def probe_ivfpq_index(
     b_search = spark.sparkContext.broadcast((qids, qc, probed, tables))
 
     probed_cents = sorted(int(c) for c in np.unique(order))
-    roots = [_lists_path(path)] + [
+    roots = [_lists_path(path, meta)] + [
         os.path.join(path, "segments", s, "lists") for s in meta.get("segments", [])
     ]
     parts = [

@@ -784,6 +784,17 @@ def containment_filtered_pairs(
     )
 
 
+def _minhash_base(path: str, meta: dict, sub: str) -> str:
+    """Base table location. After a compaction the base lives in a
+    versioned subdir recorded in meta ("base_dir") — meta.json is the
+    atomic commit point, so readers resolve through it and a crashed
+    compaction can never leave them pointing at half-deleted data."""
+    import os as _os
+
+    b = meta.get("base_dir") or ""
+    return _os.path.join(path, b, sub) if b else _os.path.join(path, sub)
+
+
 def save_minhash_index(
     docs: DataFrame,
     path: str,
@@ -823,17 +834,18 @@ def save_minhash_index(
     ).parquet(_os.path.join(path, "bands"))
     arrays.write.mode("overwrite").parquet(_os.path.join(path, "shingles"))
     arrays.unpersist()
-    with open(_os.path.join(path, "meta.json"), "w") as fh:
-        _json.dump(
-            {
-                "kind": "minhash",
-                "shingle_words": shingle_words,
-                "bands": bands,
-                "num_perm": num_perm,
-                "segments": [],
-            },
-            fh,
-        )
+    from .index_maintenance import atomic_write_json
+
+    atomic_write_json(
+        _os.path.join(path, "meta.json"),
+        {
+            "kind": "minhash",
+            "shingle_words": shingle_words,
+            "bands": bands,
+            "num_perm": num_perm,
+            "segments": [],
+        },
+    )
 
 
 def append_minhash_segment(
@@ -872,8 +884,9 @@ def append_minhash_segment(
     arrays.write.mode("overwrite").parquet(_os.path.join(seg_dir, "shingles"))
     arrays.unpersist()
     meta["segments"] = meta.get("segments", []) + [segment]
-    with open(_os.path.join(path, "meta.json"), "w") as fh:
-        _json.dump(meta, fh)
+    from .index_maintenance import atomic_write_json
+
+    atomic_write_json(_os.path.join(path, "meta.json"), meta)
 
 
 def compact_minhash_index(spark, path: str) -> None:
@@ -881,13 +894,17 @@ def compact_minhash_index(spark, path: str) -> None:
     compaction step that bounds probe fan-in after many appends. No
     re-shingling happens: the stored band rows and shingle arrays are
     already final (signatures are content-deterministic), so compaction
-    is a pure file rewrite — read base+segments, write a fresh base,
-    swap, drop the segment dirs. At 100 TB this is the background merge
-    job; probes keep working against the old layout until the atomic
-    meta rewrite."""
+    is a pure file rewrite — read base+segments into a fresh VERSIONED
+    base dir, then atomically commit meta to point at it (os.replace).
+    At 100 TB this is the background merge job; probes keep working
+    against the old layout until the commit instant, and a crash at any
+    point leaves either the old index fully intact or the new one
+    committed with only stale dirs to sweep (swept best-effort)."""
     import json as _json
     import os as _os
     import shutil as _shutil
+
+    from .index_maintenance import atomic_write_json, next_base_dir, sweep_stale_bases
 
     with open(_os.path.join(path, "meta.json")) as fh:
         meta = _json.load(fh)
@@ -895,10 +912,12 @@ def compact_minhash_index(spark, path: str) -> None:
     if not segs:
         return
     seg_dirs = [_os.path.join(path, "segments", s) for s in segs]
-    tmp = _os.path.join(path, "_compact")
+    old_base = meta.get("base_dir") or ""
+    new_base = next_base_dir(meta)
+    tmp = _os.path.join(path, new_base)
 
     def _read_all(sub):
-        parts = [spark.read.parquet(_os.path.join(path, sub))] + [
+        parts = [spark.read.parquet(_minhash_base(path, meta, sub))] + [
             spark.read.parquet(_os.path.join(s, sub)) for s in seg_dirs
         ]
         out = parts[0]
@@ -910,14 +929,13 @@ def compact_minhash_index(spark, path: str) -> None:
         "overwrite"
     ).partitionBy("band").parquet(_os.path.join(tmp, "bands"))
     _read_all("shingles").write.mode("overwrite").parquet(_os.path.join(tmp, "shingles"))
-    for sub in ("bands", "shingles"):
-        _shutil.rmtree(_os.path.join(path, sub))
-        _os.rename(_os.path.join(tmp, sub), _os.path.join(path, sub))
-    _shutil.rmtree(_os.path.join(path, "segments"))
-    _os.rmdir(tmp)
     meta["segments"] = []
-    with open(_os.path.join(path, "meta.json"), "w") as fh:
-        _json.dump(meta, fh)
+    meta["base_dir"] = new_base
+    atomic_write_json(_os.path.join(path, "meta.json"), meta)  # COMMIT
+    if not old_base:  # pre-compaction base lived at the index root
+        for sub in ("bands", "shingles"):
+            _shutil.rmtree(_os.path.join(path, sub), ignore_errors=True)
+    sweep_stale_bases(path, keep=new_base)
 
 
 def probe_minhash_index(
@@ -964,7 +982,7 @@ def probe_minhash_index(
     # CONFLICTING_DIRECTORY_STRUCTURES); the union of separate scans is
     # the same plan shape — parallel file scans, no shuffle.
     def _read_all(sub):
-        parts = [spark.read.parquet(_os.path.join(path, sub))] + [
+        parts = [spark.read.parquet(_minhash_base(path, meta, sub))] + [
             spark.read.parquet(_os.path.join(s, sub)) for s in seg_dirs
         ]
         out = parts[0]

@@ -22,6 +22,41 @@ import os
 
 from pyspark.sql import SparkSession
 
+def atomic_write_json(target: str, obj) -> None:
+    """Write JSON via tmp-file + ``os.replace`` — the COMMIT POINT of every
+    index mutation. ``os.replace`` is atomic on POSIX, so readers see
+    either the old meta or the new one, never a torn file; compaction and
+    append order their data writes BEFORE this call and their deletes
+    after, making a crash at any instant recoverable (old layout intact,
+    or new layout committed with only stale garbage left to sweep)."""
+    tmp = target + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh)
+    os.replace(tmp, target)
+
+
+def next_base_dir(meta: dict) -> str:
+    """The next versioned base directory name for a compaction: meta's
+    ``base_dir`` is ``""``/absent for the index root (how save_* writes)
+    or ``base_vN`` after N compactions."""
+    cur = meta.get("base_dir") or ""
+    n = int(cur.rsplit("_v", 1)[1]) if cur else 0
+    return f"base_v{n + 1}"
+
+
+def sweep_stale_bases(path: str, keep: str) -> None:
+    """Best-effort removal of superseded base layouts and segment dirs
+    after a committed compaction (or a fresh save). Failures are ignored —
+    stale dirs are unreachable garbage once meta no longer points at
+    them."""
+    import shutil
+
+    for d in os.listdir(path) if os.path.isdir(path) else []:
+        if d.startswith("base_v") and d != keep:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    shutil.rmtree(os.path.join(path, "segments"), ignore_errors=True)
+
+
 def _compact(spark: SparkSession, path: str, kind: str) -> None:
     # dispatch lazily so importing the policy never drags in all tiers
     if kind == "minhash":

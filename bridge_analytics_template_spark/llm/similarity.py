@@ -370,6 +370,60 @@ def ivf_knn(
     return _score_ivf_lists_np(assigned, probes, k)
 
 
+def _pack_blocks(vectors, id_col, vec_col, block_size, blk_name, rows_name):
+    """Contiguous block ids in id order (operators/rowids.py — range
+    partition, no global window), each block packed into ONE row
+    (collect_list of (id, vec): B·d doubles ≈ block_size·dim·8 bytes).
+    Shared packing stage of the blocked-GEMM joins below."""
+    from ..operators.rowids import assign_contiguous_ids
+
+    v = vectors.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v"))
+    ranked = assign_contiguous_ids(v, "vid", id_name="_rk")
+    return (
+        ranked.withColumn(blk_name, (F.col("_rk") / F.lit(block_size)).cast("long"))
+        .groupBy(blk_name)
+        .agg(F.collect_list(F.struct(F.col("vid"), F.col("v"))).alias(rows_name))
+    )
+
+
+def _unpack_block(cell):
+    """Packed block cell → (ids, row-normalized matrix). All-zero vectors
+    normalize to NaN rows; every comparison against NaN is False, so such
+    vectors simply never pair (cosine is undefined for the zero vector) —
+    consistent with the all-pairs verifier, where the SQL cosine is
+    null/NaN for them too."""
+    import numpy as np
+
+    ids = np.array([row["vid"] for row in cell], dtype=np.int64)
+    m = np.array([list(row["v"]) for row in cell], dtype=np.float64)
+    return ids, m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def _gemm_block_pairs(joined, threshold, mask_ordered, out_a, out_b):
+    """Shared BLAS kernel of the blocked-GEMM joins: score each joined
+    block pair, keep entries ≥ threshold (plus the id_a < id_b mask for
+    the self form), emit only surviving pairs."""
+    import numpy as np
+    import pandas as pd
+
+    def gemm(batches):
+        for pdf in batches:
+            for rows_a, rows_b in zip(pdf["rows_a"], pdf["rows_b"]):
+                ids_a, ma = _unpack_block(rows_a)
+                ids_b, mb = _unpack_block(rows_b)
+                sims = ma @ mb.T
+                hit = sims >= threshold
+                if mask_ordered:
+                    hit &= ids_a[:, None] < ids_b[None, :]
+                ii, jj = np.nonzero(hit)
+                if len(ii):
+                    yield pd.DataFrame(
+                        {out_a: ids_a[ii], out_b: ids_b[jj], "sim": sims[ii, jj]}
+                    )
+
+    return joined.mapInPandas(gemm, schema=f"{out_a} long, {out_b} long, sim double")
+
+
 def blocked_cosine_pairs(
     vectors: DataFrame,
     threshold: float,
@@ -386,12 +440,12 @@ def blocked_cosine_pairs(
     while avoiding the O(n²) *rows*: no cartesian join, no per-pair row
     materialization before the filter.
 
-    Plan: contiguous block ids in id order (operators/rowids.py — range
-    partition, no global window), pack each block into ONE row
-    (collect_list of (id, vec): B·d doubles ≈ block_size·dim·8 bytes), then
-    equi-join a driver-built block-pair index (nb(nb+1)/2 tiny rows)
-    against the packed blocks twice, and GEMM each block pair in an
-    Arrow-batched mapInPandas kernel that emits ONLY pairs ≥ threshold.
+    Plan: pack blocks (_pack_blocks), equi-join a driver-free block-pair
+    index (nb(nb+1)/2 rows from one spark.range fan-out — at corpus scale
+    nb can reach 1e4+ and nb²/2 pairs on the driver would be a memory
+    cliff) against the packed blocks twice, and GEMM each block pair in an
+    Arrow-batched mapInPandas kernel that emits ONLY pairs ≥ threshold
+    (_gemm_block_pairs).
 
     Shuffle volume is n²d/B (each block replicated n/B times) instead of
     the n²d a pair-materializing join moves — with B=4096 that is three
@@ -400,25 +454,10 @@ def blocked_cosine_pairs(
     id, so blk_a ≤ blk_b plus an elementwise id_a < id_b mask yields each
     unordered pair exactly once.
     """
-    import numpy as np
-    import pandas as pd
-
-    from ..operators.rowids import assign_contiguous_ids
-
     spark = vectors.sparkSession
-    v = vectors.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v"))
-    n = v.count()
+    n = vectors.count()
     n_blocks = max(1, -(-n // block_size))
-    ranked = assign_contiguous_ids(v, "vid", id_name="_rk")
-    packed = (
-        ranked.withColumn("_blk", (F.col("_rk") / F.lit(block_size)).cast("long"))
-        .groupBy("_blk")
-        .agg(F.collect_list(F.struct(F.col("vid"), F.col("v"))).alias("rows"))
-    )
-    # Block-pair index built DISTRIBUTED (range + in-row sequence fan-out):
-    # at corpus scale nb can reach 1e4+, and nb²/2 pairs materialized on
-    # the driver would be its own memory cliff. One spark.range scan,
-    # zero joins, never touches the driver.
+    packed = _pack_blocks(vectors, id_col, vec_col, block_size, "_blk", "rows")
     pair_index = spark.range(n_blocks).select(
         F.col("id").alias("blk_a"),
         F.explode(F.sequence(F.col("id"), F.lit(n_blocks - 1))).alias("blk_b"),
@@ -426,30 +465,7 @@ def blocked_cosine_pairs(
     a = packed.select(F.col("_blk").alias("blk_a"), F.col("rows").alias("rows_a"))
     b = packed.select(F.col("_blk").alias("blk_b"), F.col("rows").alias("rows_b"))
     joined = a.join(F.broadcast(pair_index), "blk_a").join(b, "blk_b")
-
-    def unpack(cell):
-        ids = np.array([r["vid"] for r in cell], dtype=np.int64)
-        m = np.array([list(r["v"]) for r in cell], dtype=np.float64)
-        return ids, m / np.linalg.norm(m, axis=1, keepdims=True)
-
-    def gemm(batches):
-        for pdf in batches:
-            for rows_a, rows_b in zip(pdf["rows_a"], pdf["rows_b"]):
-                ids_a, ma = unpack(rows_a)
-                ids_b, mb = unpack(rows_b)
-                sims = ma @ mb.T
-                hit = (sims >= threshold) & (ids_a[:, None] < ids_b[None, :])
-                ii, jj = np.nonzero(hit)
-                if len(ii):
-                    yield pd.DataFrame(
-                        {
-                            "id_a": ids_a[ii],
-                            "id_b": ids_b[jj],
-                            "sim": sims[ii, jj],
-                        }
-                    )
-
-    return joined.mapInPandas(gemm, schema="id_a long, id_b long, sim double")
+    return _gemm_block_pairs(joined, threshold, mask_ordered=True, out_a="id_a", out_b="id_b")
 
 
 def blocked_cosine_cross_pairs(
@@ -462,63 +478,24 @@ def blocked_cosine_cross_pairs(
 ) -> DataFrame:
     """EXACT bipartite cosine-threshold join via blocked GEMM — the
     cross-relation form of :func:`blocked_cosine_pairs` (new batch vs
-    stored corpus, queries vs candidates). Same shape: contiguous block
-    ids per side, blocks packed one-row-each, a driver-free block-pair
-    index equi-joined against both packed relations, BLAS scoring per
-    block pair emitting only rows ≥ threshold. Differences from the self
-    form: the index is the full nb_l × nb_r grid (every left block meets
-    every right block exactly once) and no id-ordering mask — the two
-    relations are disjoint by contract, so (id_l, id_r) already names each
-    cross pair once. Shuffle volume is (n_l·n_r/B)·d, never n_l·n_r rows."""
-    import numpy as np
-    import pandas as pd
-
-    from ..operators.rowids import assign_contiguous_ids
-
+    stored corpus, queries vs candidates), sharing its packing and BLAS
+    kernel (_pack_blocks / _gemm_block_pairs). Differences from the self
+    form: the block-pair index is the full nb_l × nb_r grid (every left
+    block meets every right block exactly once) and no id-ordering mask —
+    the two relations are disjoint by contract, so (id_l, id_r) already
+    names each cross pair once. Shuffle volume is (n_l·n_r/B)·d, never
+    n_l·n_r rows."""
     spark = left.sparkSession
-    l = left.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v"))
-    r = right.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v"))
-    nb_l = max(1, -(-l.count() // block_size))
-    nb_r = max(1, -(-r.count() // block_size))
-
-    def pack(v, blk_name):
-        ranked = assign_contiguous_ids(v, "vid", id_name="_rk")
-        return (
-            ranked.withColumn(blk_name, (F.col("_rk") / F.lit(block_size)).cast("long"))
-            .groupBy(blk_name)
-            .agg(F.collect_list(F.struct(F.col("vid"), F.col("v"))).alias(f"rows_{blk_name[-1]}"))
-        )
-
-    a = pack(l, "blk_a").select("blk_a", F.col("rows_a"))
-    b = pack(r, "blk_b").select("blk_b", F.col("rows_b"))
+    nb_l = max(1, -(-left.count() // block_size))
+    nb_r = max(1, -(-right.count() // block_size))
+    a = _pack_blocks(left, id_col, vec_col, block_size, "blk_a", "rows_a")
+    b = _pack_blocks(right, id_col, vec_col, block_size, "blk_b", "rows_b")
     pair_index = spark.range(nb_l).select(
         F.col("id").alias("blk_a"),
         F.explode(F.sequence(F.lit(0), F.lit(nb_r - 1))).alias("blk_b"),
     )
     joined = a.join(F.broadcast(pair_index), "blk_a").join(b, "blk_b")
-
-    def unpack(cell):
-        ids = np.array([row["vid"] for row in cell], dtype=np.int64)
-        m = np.array([list(row["v"]) for row in cell], dtype=np.float64)
-        return ids, m / np.linalg.norm(m, axis=1, keepdims=True)
-
-    def gemm(batches):
-        for pdf in batches:
-            for rows_a, rows_b in zip(pdf["rows_a"], pdf["rows_b"]):
-                ids_a, ma = unpack(rows_a)
-                ids_b, mb = unpack(rows_b)
-                sims = ma @ mb.T
-                ii, jj = np.nonzero(sims >= threshold)
-                if len(ii):
-                    yield pd.DataFrame(
-                        {
-                            "id_l": ids_a[ii],
-                            "id_r": ids_b[jj],
-                            "sim": sims[ii, jj],
-                        }
-                    )
-
-    return joined.mapInPandas(gemm, schema="id_l long, id_r long, sim double")
+    return _gemm_block_pairs(joined, threshold, mask_ordered=False, out_a="id_l", out_b="id_r")
 
 
 def near_dup_pairs(

@@ -38,6 +38,15 @@ from pyspark.sql import functions as F
 from ..functions.text import ws_tokens
 
 
+def _base(path: str, meta: dict, sub: str) -> str:
+    """Base table location. After a compaction the base lives in a
+    versioned subdir recorded in meta ("base_dir") — meta.json is the
+    atomic commit point, so readers resolve through it and a crashed
+    compaction can never leave them pointing at half-deleted data."""
+    b = meta.get("base_dir") or ""
+    return os.path.join(path, b, sub) if b else os.path.join(path, sub)
+
+
 def save_bm25_index(
     docs: DataFrame,
     path: str,
@@ -75,17 +84,18 @@ def save_bm25_index(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.size(ws_tokens(F.col(text_col)))).cast("long").alias("l"),
     ).first()
-    with open(os.path.join(path, "meta.json"), "w") as fh:
-        json.dump(
-            {
-                "kind": "bm25",
-                "n_buckets": n_buckets,
-                "n_docs": int(stats["n"]),
-                "total_len": int(stats["l"]),
-                "segments": [],
-            },
-            fh,
-        )
+    from .index_maintenance import atomic_write_json
+
+    atomic_write_json(
+        os.path.join(path, "meta.json"),
+        {
+            "kind": "bm25",
+            "n_buckets": n_buckets,
+            "n_docs": int(stats["n"]),
+            "total_len": int(stats["l"]),
+            "segments": [],
+        },
+    )
 
 
 def append_bm25_segment(
@@ -140,8 +150,9 @@ def append_bm25_segment(
     meta["segments"] = meta.get("segments", []) + [
         {"name": segment, "n_docs": int(stats["n"]), "total_len": int(stats["l"])}
     ]
-    with open(os.path.join(path, "meta.json"), "w") as fh:
-        json.dump(meta, fh)
+    from .index_maintenance import atomic_write_json
+
+    atomic_write_json(os.path.join(path, "meta.json"), meta)
 
 
 def compact_bm25_index(spark: SparkSession, path: str) -> None:
@@ -149,8 +160,14 @@ def compact_bm25_index(spark: SparkSession, path: str) -> None:
     doclen concatenate, per-token document frequencies SUM (an integer
     merge, so the compacted index scores bit-equal to the grown one), and
     per-segment corpus stats fold into the base stats. Pure file rewrite
-    plus an atomic meta update — the background merge job shape."""
+    plus an atomic meta COMMIT: the new base is written into a fresh
+    versioned dir and meta.json flips to it via os.replace — probes keep
+    working against the old layout until that instant, and a crash leaves
+    either the old index fully intact or the new one committed with only
+    stale dirs to sweep."""
     import shutil
+
+    from .index_maintenance import atomic_write_json, next_base_dir, sweep_stale_bases
 
     with open(os.path.join(path, "meta.json")) as fh:
         meta = json.load(fh)
@@ -159,10 +176,12 @@ def compact_bm25_index(spark: SparkSession, path: str) -> None:
         return
     seg_dirs = [os.path.join(path, "segments", s["name"]) for s in segs]
     n_buckets = meta["n_buckets"]
-    tmp = os.path.join(path, "_compact")
+    old_base = meta.get("base_dir") or ""
+    new_base = next_base_dir(meta)
+    tmp = os.path.join(path, new_base)
 
     def _read_all(sub):
-        parts = [spark.read.parquet(os.path.join(path, sub))] + [
+        parts = [spark.read.parquet(_base(path, meta, sub))] + [
             spark.read.parquet(os.path.join(s, sub)) for s in seg_dirs
         ]
         out = parts[0]
@@ -187,16 +206,15 @@ def compact_bm25_index(spark: SparkSession, path: str) -> None:
         .parquet(os.path.join(tmp, "df"))
     )
     _read_all("doclen").write.mode("overwrite").parquet(os.path.join(tmp, "doclen"))
-    for sub in ("postings", "df", "doclen"):
-        shutil.rmtree(os.path.join(path, sub))
-        os.rename(os.path.join(tmp, sub), os.path.join(path, sub))
-    shutil.rmtree(os.path.join(path, "segments"))
-    os.rmdir(tmp)
     meta["n_docs"] += sum(s["n_docs"] for s in segs)
     meta["total_len"] += sum(s["total_len"] for s in segs)
     meta["segments"] = []
-    with open(os.path.join(path, "meta.json"), "w") as fh:
-        json.dump(meta, fh)
+    meta["base_dir"] = new_base
+    atomic_write_json(os.path.join(path, "meta.json"), meta)  # COMMIT
+    if not old_base:  # pre-compaction base lived at the index root
+        for sub in ("postings", "df", "doclen"):
+            shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
+    sweep_stale_bases(path, keep=new_base)
 
 
 def probe_bm25_index(
@@ -225,7 +243,7 @@ def probe_bm25_index(
     # trips partition discovery at mixed depths — same lesson as the
     # MinHash index); bucket pruning applies to every root
     def _read_all(sub):
-        parts = [spark.read.parquet(os.path.join(path, sub))] + [
+        parts = [spark.read.parquet(_base(path, meta, sub))] + [
             spark.read.parquet(os.path.join(s, sub)) for s in seg_dirs
         ]
         out = parts[0]

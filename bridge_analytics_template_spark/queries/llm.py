@@ -308,16 +308,15 @@ def llm_knn_lsh(spark, sf_dir):
     )
 
 
-def _ann_index_dir(sf_dir, kind):
+def _ann_index_dir(spark, sf_dir, kind):
     """Deterministic on-disk index location keyed by corpus identity
-    (sf dir + embeddings file mtime): a regenerated fixture gets a fresh
-    build, an unchanged one reuses the stored index across runs — the
-    build-once/probe-many lifecycle the module exists for."""
-    import os
+    (sf dir + embeddings file mtime — a regenerated fixture gets a fresh
+    build) and by session (concurrent drivers must not race one build —
+    catalog.index_scratch_dir): the build-once/probe-many lifecycle the
+    module exists for, per process."""
+    from ..catalog import index_scratch_dir
 
-    emb = os.path.join(sf_dir, "embeddings.parquet")
-    token = f"{os.path.basename(os.path.normpath(sf_dir))}_{int(os.path.getmtime(emb))}"
-    return os.path.join("/tmp", f"ann_index_{kind}_{token}")
+    return index_scratch_dir(spark, sf_dir, f"ann_index_{kind}", "embeddings.parquet")
 
 
 @query("emb_ivf_index_probe")  # rows-only: approximate by design (pruned)
@@ -333,7 +332,7 @@ def emb_ivf_index_probe(spark, sf_dir):
     from ..llm.ann_index import probe_ivf_index, save_ivf_index
 
     e = load(spark, sf_dir, "embeddings")
-    path = _ann_index_dir(sf_dir, "ivf")
+    path = _ann_index_dir(spark, sf_dir, "ivf")
     if not os.path.exists(os.path.join(path, "meta.json")):
         save_ivf_index(e, path)
     q = e.filter(F.col("vec_id") % 50 == 0)
@@ -357,7 +356,7 @@ def emb_ivfpq_index_probe(spark, sf_dir):
     from ..llm.ann_index import probe_ivfpq_index, save_ivfpq_index
 
     e = load(spark, sf_dir, "embeddings")
-    path = _ann_index_dir(sf_dir, "ivfpq")
+    path = _ann_index_dir(spark, sf_dir, "ivfpq")
     if not os.path.exists(os.path.join(path, "meta.json")):
         save_ivfpq_index(e, path)
     q = e.filter(F.col("vec_id") % 50 == 0)
@@ -1229,9 +1228,9 @@ def llm_dedup_incremental_lsh(spark, sf_dir):
     from ..llm.dedup import probe_minhash_index, save_minhash_index
 
     d = load(spark, sf_dir, "documents")
-    emb = os.path.join(sf_dir, "documents.parquet")
-    token = f"{os.path.basename(os.path.normpath(sf_dir))}_{int(os.path.getmtime(emb))}"
-    path = os.path.join("/tmp", f"minhash_index_{token}")
+    from ..catalog import index_scratch_dir
+
+    path = index_scratch_dir(spark, sf_dir, "minhash_index", "documents.parquet")
     if not os.path.exists(os.path.join(path, "meta.json")):
         save_minhash_index(d.filter(F.col("doc_id") % 2 == 0), path)
     probe = probe_minhash_index(
@@ -1360,9 +1359,9 @@ def llm_bm25_indexed(spark, sf_dir):
     from ..llm.text_index import probe_bm25_index, save_bm25_index
 
     d = load(spark, sf_dir, "documents")
-    src = os.path.join(sf_dir, "documents.parquet")
-    token = f"{os.path.basename(os.path.normpath(sf_dir))}_{int(os.path.getmtime(src))}"
-    path = os.path.join("/tmp", f"bm25_index_{token}")
+    from ..catalog import index_scratch_dir
+
+    path = index_scratch_dir(spark, sf_dir, "bm25_index", "documents.parquet")
     if not os.path.exists(os.path.join(path, "meta.json")):
         save_bm25_index(d, path)
     probe = (

@@ -1071,13 +1071,10 @@ def t_stream_ingest_dedup(spark, sf_dir):
     validity rides the same banding-recall fixture pin as
     llm_dedup_minhash; streaming==batch pair-set equality and
     shard-count invariance are pinned in tests/test_streaming.py."""
-    import os
-
+    from ..catalog import index_scratch_dir
     from ..streaming.ingest import stream_ingest_dedup_pairs
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    token = f"{os.path.basename(os.path.normpath(sf_dir))}_{int(os.path.getmtime(src))}"
-    run = os.path.join("/tmp", f"stream_ingest_dedup_{token}")
+    run = index_scratch_dir(spark, sf_dir, "stream_ingest_dedup", "documents.parquet")
     d = load(spark, sf_dir, "documents")
     return stream_ingest_dedup_pairs(spark, d, run, n_shards=4).orderBy(
         "doc_a", "doc_b"
@@ -1110,13 +1107,10 @@ def t_stream_ingest_embed(spark, sf_dir):
     oracle) for any shard count — pinned with shard-count invariance in
     tests/test_streaming.py. Ids only: float sims are engine-unstable
     (same contract as llm_embed_neardup)."""
-    import os
-
+    from ..catalog import index_scratch_dir
     from ..streaming.ingest import stream_ingest_embed_pairs
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    token = f"{os.path.basename(os.path.normpath(sf_dir))}_{int(os.path.getmtime(src))}"
-    run = os.path.join("/tmp", f"stream_ingest_embed_{token}")
+    run = index_scratch_dir(spark, sf_dir, "stream_ingest_embed", "embeddings.parquet")
     e = load(spark, sf_dir, "embeddings")
     return stream_ingest_embed_pairs(spark, e, run, n_shards=4, threshold=0.4).orderBy(
         "id_a", "id_b"

@@ -33,18 +33,25 @@ def _split_shards(
 ) -> None:
     """Write ``df`` as ``n_shards`` single-file parquet shards under
     ``{run_dir}/in`` — one parquet FILE per shard so maxFilesPerTrigger=1
-    yields one micro-batch per shard (fixtures ship as single files)."""
+    yields one micro-batch per shard (fixtures ship as single files).
+    The source is cached across the per-shard filtered writes so the
+    split is one underlying scan, not n_shards of them."""
     os.makedirs(os.path.join(run_dir, "in"), exist_ok=True)
-    for k in range(n_shards):
-        tmp = os.path.join(run_dir, f"_shard{k}")
-        df.filter(F.col(id_col) % n_shards == k).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-        os.rename(
-            os.path.join(tmp, part), os.path.join(run_dir, "in", f"shard{k}.parquet")
-        )
-        shutil.rmtree(tmp)
+    df = df.persist()
+    try:
+        for k in range(n_shards):
+            tmp = os.path.join(run_dir, f"_shard{k}")
+            df.filter(F.col(id_col) % n_shards == k).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            os.rename(
+                os.path.join(tmp, part),
+                os.path.join(run_dir, "in", f"shard{k}.parquet"),
+            )
+            shutil.rmtree(tmp)
+    finally:
+        df.unpersist()
 
 
 def _run_available_now(
@@ -233,22 +240,19 @@ def stream_ingest_dedup_pairs(
                 pairs.write.mode("overwrite").parquet(
                     os.path.join(run_dir, "pairs", f"epoch_{epoch_id}")
                 )
+                # marker BEFORE save: a crash between save and the marker
+                # would make the replayed base epoch take the probe branch
+                # and match itself through the base (which exclude_segments
+                # cannot exclude). Marker-then-crash-mid-save is safe: the
+                # replay sees replayed_base=True (or no meta yet) and lands
+                # back here, where save overwrites cleanly.
+                os.makedirs(idx, exist_ok=True)
+                with open(base_marker, "w") as fh:
+                    fh.write(str(epoch_id))
                 save_minhash_index(
                     batch_df, idx, text_col=text_col, id_col=id_col
                 )
-                with open(base_marker, "w") as fh:
-                    fh.write(str(epoch_id))
 
-        q = (
-            spark.readStream.schema(schema)
-            .format("parquet")
-            .option("maxFilesPerTrigger", 1)
-            .load(os.path.join(run_dir, "in"))
-            .writeStream.foreachBatch(ingest)
-            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        _run_available_now(spark, run_dir, ingest, schema)
         open(done, "w").close()
     return spark.read.parquet(pairs_glob)

@@ -303,10 +303,11 @@ def _make_kmv_update(k: int):
     DECREASES as data arrives, so min(h) per (key, rank) over an
     update-mode sink reconstructs the final state (the monotone reduction
     again, downward this time). Input rows carry a precomputed ``h``
-    column (JVM xxhash64 of the tracked id — signed order == unsigned
-    order of h + 2^63, so plain long comparisons are the right total
-    order). State is k longs per key; the estimate derives downstream as
-    (k-1)·2^64 / (h_k + 2^63), exact-integer arithmetic."""
+    column — the md5-nibble 60-bit hash (functions/numeric.py::sql_hash60,
+    fed by kmv_distinct_stream): nonnegative, so plain long comparisons
+    are the right total order, and reproducible in DuckDB, which is what
+    makes the estimate (k-1)·2^60 // h_k (exact HUGEINT/DECIMAL integer
+    arithmetic downstream) SQL-oracle-exact. State is k longs per key."""
     import numpy as np
 
     def update(

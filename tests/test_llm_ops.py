@@ -3287,3 +3287,60 @@ def test_maybe_compact_policy_thresholds_and_dispatch(spark, sf_dir, tmp_path):
     assert json.load(open(os.path.join(path, "meta.json")))["segments"] == []
     after = [tuple(r) for r in probe_bm25_index(spark, path, probe, k=10).collect()]
     assert after == before
+
+
+def test_compaction_crash_before_commit_leaves_old_layout_usable(spark, sf_dir, tmp_path):
+    """The review-flagged crash window: a compaction that dies BEFORE the
+    atomic meta commit must leave the old base + segments fully probeable
+    (meta.json is the commit point; nothing is deleted before it), and a
+    retried compaction must then succeed with identical probe results."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    import bridge_analytics_template_spark.llm.dedup as dedup_mod
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.llm.dedup import (
+        append_minhash_segment,
+        compact_minhash_index,
+        probe_minhash_index,
+        save_minhash_index,
+    )
+    from bridge_analytics_template_spark.llm import index_maintenance
+
+    docs = load(spark, sf_dir, "documents")
+    idx = str(tmp_path / "idx")
+    save_minhash_index(docs.filter(F.col("doc_id") % 3 == 0), idx)
+    append_minhash_segment(docs.filter(F.col("doc_id") % 3 == 1), idx, "day1")
+    probe = docs.filter(F.col("doc_id") % 3 == 2)
+    want = sorted(
+        (r["doc_a"], r["doc_b"]) for r in probe_minhash_index(spark, idx, probe).collect()
+    )
+    assert len(want) > 0
+
+    real = index_maintenance.atomic_write_json
+    def crash(*a, **k):
+        raise RuntimeError("injected crash before meta commit")
+    index_maintenance.atomic_write_json = crash
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            compact_minhash_index(spark, idx)
+    finally:
+        index_maintenance.atomic_write_json = real
+    # old layout untouched: meta still lists the segment, probe identical
+    meta = json.load(open(os.path.join(idx, "meta.json")))
+    assert meta["segments"] == ["day1"] and "base_dir" not in meta
+    mid = sorted(
+        (r["doc_a"], r["doc_b"]) for r in probe_minhash_index(spark, idx, probe).collect()
+    )
+    assert mid == want
+    # retry commits: versioned base, no segments, identical probe
+    compact_minhash_index(spark, idx)
+    meta = json.load(open(os.path.join(idx, "meta.json")))
+    assert meta["segments"] == [] and meta["base_dir"].startswith("base_v")
+    after = sorted(
+        (r["doc_a"], r["doc_b"]) for r in probe_minhash_index(spark, idx, probe).collect()
+    )
+    assert after == want

@@ -514,7 +514,6 @@ def test_corrupt_file_skip_and_strict_failure(spark, sf_dir, tmp_path):
     exactly the healthy rows; the default strict read must RAISE on the
     same directory (the resilience is opt-in, never silent)."""
     import pytest
-    from py4j.protocol import Py4JJavaError
 
     from bridge_analytics_template_spark.catalog import load
 
@@ -525,5 +524,7 @@ def test_corrupt_file_skip_and_strict_failure(spark, sf_dir, tmp_path):
         fh.write(b"garbage that is not parquet" * 32)
     clean = spark.read.option("ignoreCorruptFiles", "true").parquet(path)
     assert clean.count() == n.count()
-    with pytest.raises((Py4JJavaError, Exception)):
+    # strict default must fail ON THE CORRUPT FOOTER specifically — match
+    # the corrupt-file error class so an unrelated failure can't pass
+    with pytest.raises(Exception, match="(?i)parquet|footer|corrupt"):
         spark.read.parquet(path).count()
