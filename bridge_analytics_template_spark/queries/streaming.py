@@ -1017,6 +1017,64 @@ def t_stream_lww_upsert(spark, sf_dir):
     )
 
 
+@query(
+    "t_stream_state_inspect",
+    sql="""
+    SELECT CAST(to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 600) * 600 AS BIGINT))
+                AS TIMESTAMP) AS window_start,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def t_stream_state_inspect(spark, sf_dir):
+    """T-custom, ORACLED: the State Data Source reader — Spark's
+    observability surface for STATEFUL STREAMING STATE
+    (``spark.read.format("statestore").load(checkpoint)``). Debugging a
+    stateful job at 100 TB/day means inspecting what the state store
+    actually holds (skewed keys, leaked state, watermark stalls) without
+    stopping the query; this runs the watermarked tumbling aggregation to
+    completion against its checkpoint, then reads the operator's state
+    store AS A BATCH TABLE: one row per (window, event_type) key with the
+    running count as the value struct.
+
+    Value-exact against the batch epoch-floor oracle because a streaming
+    aggregation's state IS the final merged aggregate per key (complete
+    mode never evicts; the finite source drains fully), so the state dump
+    equals the batch GROUP BY — which also pins that no state leaked and
+    no key got dropped, exactly the invariant a production state
+    inspection checks. The state-metadata reader (operator names, batch
+    range, partition counts) rides the same checkpoint in
+    tests/test_streaming.py."""
+    import os
+    import uuid
+
+    from ..catalog import index_scratch_dir
+
+    ck = index_scratch_dir(spark, sf_dir, "state_inspect_ck", "events.parquet")
+    if not os.path.isdir(ck):
+        agg = tumbling_counts(stream_events(spark, sf_dir))
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(f"si_{uuid.uuid4().hex[:8]}")
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    st = spark.read.format("statestore").load(ck)
+    return (
+        st.select(
+            F.col("key.window.start").alias("window_start"),
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").alias("n"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 # shared with the llm dedup tier: the oracle re-derives 5-word shingles the
 # same way on the DuckDB side (module import is one-way — llm.py never
 # imports streaming.py)

@@ -488,3 +488,21 @@ def test_stream_ingest_dedup_with_compaction_policy(spark, sf_dir, tmp_path):
     # 3 segments appended (epochs after the base); threshold 1 must have
     # folded at least once, so fewer than 3 survive at the end
     assert len(meta["segments"]) < 3
+
+
+def test_state_metadata_reader_describes_checkpoint(spark, sf_dir):
+    """The state-metadata companion of the statestore reader must describe
+    the aggregation operator's checkpoint (operator name, partitions,
+    batch range) — the first thing a state inspection looks at."""
+    from bridge_analytics_template_spark.catalog import index_scratch_dir
+    from bridge_analytics_template_spark.queries import QUERIES
+
+    # materialize the checkpoint via the registered query (cached per run)
+    assert QUERIES["t_stream_state_inspect"].__wrapped__(spark, sf_dir).count() > 0
+    ck = index_scratch_dir(spark, sf_dir, "state_inspect_ck", "events.parquet")
+    meta = spark.read.format("state-metadata").load(ck).collect()
+    assert len(meta) == 1
+    row = meta[0]
+    assert row["operatorName"] == "stateStoreSave"
+    assert row["numPartitions"] > 0
+    assert row["minBatchId"] == 0
