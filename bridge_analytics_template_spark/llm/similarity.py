@@ -370,6 +370,22 @@ def ivf_knn(
     return _score_ivf_lists_np(assigned, probes, k)
 
 
+def _auto_block_size(n: int) -> int:
+    """Corpus-adaptive block size for the blocked-GEMM joins. Total
+    shuffle volume is n²·d/B (each block replicated once per partner
+    block), so B must GROW with the corpus: B ≈ √n (rounded up to a power
+    of two) keeps the packed row at B·d·8 bytes executor-friendly while
+    shrinking the shuffle linearly in B. Clamped to [128, 4096]: 128
+    reproduces the historical fixture-scale plans exactly (√2000 rounds
+    to 128), 4096 caps the packed row at a few MB for high dims. At the
+    100x replica (200k vectors) this picks 512 — 4× less shuffle than a
+    fixed 128 for identical output (any B yields the same pair set)."""
+    import math
+
+    b = 1 << max(7, int(math.ceil(math.log2(max(1.0, math.sqrt(n))))))
+    return min(b, 4096)
+
+
 def _pack_blocks(vectors, id_col, vec_col, block_size, blk_name, rows_name):
     """Contiguous block ids in id order (operators/rowids.py — range
     partition, no global window), each block packed into ONE row
@@ -429,7 +445,7 @@ def blocked_cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_size: int = 128,
+    block_size: int | None = None,
 ) -> DataFrame:
     """EXACT cosine-threshold self-join via blocked GEMM — the distributed
     shape for exhaustive similarity joins.
@@ -456,6 +472,8 @@ def blocked_cosine_pairs(
     """
     spark = vectors.sparkSession
     n = vectors.count()
+    if block_size is None:
+        block_size = _auto_block_size(n)
     n_blocks = max(1, -(-n // block_size))
     packed = _pack_blocks(vectors, id_col, vec_col, block_size, "_blk", "rows")
     pair_index = spark.range(n_blocks).select(
@@ -474,7 +492,7 @@ def blocked_cosine_cross_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_size: int = 128,
+    block_size: int | None = None,
 ) -> DataFrame:
     """EXACT bipartite cosine-threshold join via blocked GEMM — the
     cross-relation form of :func:`blocked_cosine_pairs` (new batch vs
@@ -486,8 +504,12 @@ def blocked_cosine_cross_pairs(
     names each cross pair once. Shuffle volume is (n_l·n_r/B)·d, never
     n_l·n_r rows."""
     spark = left.sparkSession
-    nb_l = max(1, -(-left.count() // block_size))
-    nb_r = max(1, -(-right.count() // block_size))
+    n_l, n_r = left.count(), right.count()
+    if block_size is None:
+        # size to the LARGER side — it dominates both shuffle and flops
+        block_size = _auto_block_size(max(n_l, n_r))
+    nb_l = max(1, -(-n_l // block_size))
+    nb_r = max(1, -(-n_r // block_size))
     a = _pack_blocks(left, id_col, vec_col, block_size, "blk_a", "rows_a")
     b = _pack_blocks(right, id_col, vec_col, block_size, "blk_b", "rows_b")
     pair_index = spark.range(nb_l).select(
