@@ -373,16 +373,23 @@ def ivf_knn(
 def _auto_block_size(n: int) -> int:
     """Corpus-adaptive block size for the blocked-GEMM joins. Total
     shuffle volume is n²·d/B (each block replicated once per partner
-    block), so B must GROW with the corpus: B ≈ √n (rounded up to a power
-    of two) keeps the packed row at B·d·8 bytes executor-friendly while
-    shrinking the shuffle linearly in B. Clamped to [128, 4096]: 128
-    reproduces the historical fixture-scale plans exactly (√2000 rounds
-    to 128), 4096 caps the packed row at a few MB for high dims. At the
-    100x replica (200k vectors) this picks 512 — 4× less shuffle than a
-    fixed 128 for identical output (any B yields the same pair set)."""
+    block), so B must GROW with the corpus; the opposing pressure is task
+    granularity (block-pair count (n/B)²/2 should stay ≥ cores) and
+    per-task emission batch size. MEASURED on the replicas (d=64,
+    warm min-of-2, identical pair sets at every B — r7 NOTES):
+
+        n=20k:  B=128→17.5s  256→10.3  512→4.0  1024→4.1  2048→4.1
+        n=200k: B=512→114s   1024→48.9 2048→69  4096→80.6
+        (B=128 at n=200k is INFEASIBLE here: ~160 GB shuffle > disk)
+
+    The minimum tracks B ≈ 2·√n rounded up to a power of two — that is
+    what this returns, clamped to [128, 4096]: 128 reproduces the
+    historical fixture-scale plans exactly (2·√2000 rounds to 128), and
+    the cap bounds the packed row at B·d·8 bytes. Any B yields the same
+    output; explicit ``block_size`` overrides for tests/tuning."""
     import math
 
-    b = 1 << max(7, int(math.ceil(math.log2(max(1.0, math.sqrt(n))))))
+    b = 1 << max(7, int(math.ceil(math.log2(max(1.0, 2.0 * math.sqrt(n))))))
     return min(b, 4096)
 
 

@@ -3347,12 +3347,13 @@ def test_compaction_crash_before_commit_leaves_old_layout_usable(spark, sf_dir, 
 
 
 def test_auto_block_size_heuristic():
-    """B = clamp(next-pow2(sqrt(n)), 128, 4096): fixture scale reproduces
-    the historical 128 exactly; the 10x/100x replicas grow it."""
+    """B = clamp(next-pow2(2*sqrt(n)), 128, 4096): fixture scale
+    reproduces the historical 128 exactly; the replicas land on their
+    measured optima (see _auto_block_size docstring)."""
     from bridge_analytics_template_spark.llm.similarity import _auto_block_size
 
     assert _auto_block_size(1) == 128
     assert _auto_block_size(2000) == 128      # sf0.01 embeddings
-    assert _auto_block_size(20000) == 256     # 10x replica
-    assert _auto_block_size(200000) == 512    # 100x replica
+    assert _auto_block_size(20000) == 512     # 10x replica: measured best
+    assert _auto_block_size(200000) == 1024   # 100x replica: measured best
     assert _auto_block_size(10**9) == 4096    # cap
