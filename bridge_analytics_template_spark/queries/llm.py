@@ -193,8 +193,11 @@ def llm_embed_neardup(spark, sf_dir):
     the threshold filter; identical answer to the all-pairs oracle by
     construction (tests assert the equivalence against near_dup_pairs)."""
     e = load(spark, sf_dir, "embeddings")
+    # block size auto-tunes to the corpus (clamp(2√n) — measured optimum,
+    # see _auto_block_size); at this fixture it resolves to the historical
+    # 128, so the official plan and result are unchanged
     return (
-        blocked_cosine_pairs(e, threshold=0.4, block_size=128)
+        blocked_cosine_pairs(e, threshold=0.4)
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     )
