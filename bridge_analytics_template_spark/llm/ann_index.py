@@ -98,14 +98,14 @@ def compact_ann_index(spark: SparkSession, path: str) -> None:
     assignments/codes are already final (the stored quantizer never moves
     on append), so compaction is a pure file rewrite: read base+segments,
     write a NEW versioned base dir, then atomically commit meta to point
-    at it (base_dir + cleared segments). Probes keep working against the
-    old layout until the meta replace — a crash at any instant leaves
-    either the old index fully intact or the new one committed with only
-    stale directories to sweep (swept best-effort afterwards). Works for
-    both kinds (the partition column differs: centroid_id vs cent_id)."""
-    import shutil
-
-    from .index_maintenance import atomic_write_json, next_base_dir, sweep_stale_bases
+    at it (base_dir + cleared segments). The superseded layout is
+    DEFER-SWEPT — kept on disk until the NEXT compaction commits
+    (index_maintenance.commit_compaction) — so probe DataFrames planned
+    against the old meta keep resolving their files for a full cycle; a
+    crash at any instant leaves either the old index fully intact or the
+    new one committed with only stale dirs pending sweep. Works for both
+    kinds (the partition column differs: centroid_id vs cent_id)."""
+    from .index_maintenance import commit_compaction, next_base_dir
 
     with open(_meta_path(path)) as fh:
         meta = json.load(fh)
@@ -128,12 +128,12 @@ def compact_ann_index(spark: SparkSession, path: str) -> None:
     union.write.mode("overwrite").partitionBy(part_col).parquet(
         os.path.join(path, new_base, "lists")
     )
+    superseded = ([old_base] if old_base else ["lists"]) + [
+        os.path.join("segments", s) for s in segs
+    ]
     meta["base_dir"] = new_base
     meta["segments"] = []
-    atomic_write_json(_meta_path(path), meta)  # COMMIT
-    if not old_base:  # pre-compaction base lived at the index root
-        shutil.rmtree(os.path.join(path, "lists"), ignore_errors=True)
-    sweep_stale_bases(path, keep=new_base)
+    commit_compaction(path, _meta_path(path), meta, superseded)
 
 
 def append_ivf_segment(

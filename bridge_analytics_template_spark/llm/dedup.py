@@ -896,15 +896,16 @@ def compact_minhash_index(spark, path: str) -> None:
     already final (signatures are content-deterministic), so compaction
     is a pure file rewrite — read base+segments into a fresh VERSIONED
     base dir, then atomically commit meta to point at it (os.replace).
-    At 100 TB this is the background merge job; probes keep working
-    against the old layout until the commit instant, and a crash at any
-    point leaves either the old index fully intact or the new one
-    committed with only stale dirs to sweep (swept best-effort)."""
+    At 100 TB this is the background merge job; the superseded layout is
+    DEFER-SWEPT — left on disk until the NEXT compaction commits
+    (index_maintenance.commit_compaction) — so probe DataFrames planned
+    against the old meta keep working across a full compaction cycle,
+    and a crash at any point leaves either the old index fully intact or
+    the new one committed with only stale dirs pending sweep."""
     import json as _json
     import os as _os
-    import shutil as _shutil
 
-    from .index_maintenance import atomic_write_json, next_base_dir, sweep_stale_bases
+    from .index_maintenance import commit_compaction, next_base_dir
 
     with open(_os.path.join(path, "meta.json")) as fh:
         meta = _json.load(fh)
@@ -929,13 +930,12 @@ def compact_minhash_index(spark, path: str) -> None:
         "overwrite"
     ).partitionBy("band").parquet(_os.path.join(tmp, "bands"))
     _read_all("shingles").write.mode("overwrite").parquet(_os.path.join(tmp, "shingles"))
+    superseded = ([old_base] if old_base else ["bands", "shingles"]) + [
+        _os.path.join("segments", s) for s in segs
+    ]
     meta["segments"] = []
     meta["base_dir"] = new_base
-    atomic_write_json(_os.path.join(path, "meta.json"), meta)  # COMMIT
-    if not old_base:  # pre-compaction base lived at the index root
-        for sub in ("bands", "shingles"):
-            _shutil.rmtree(_os.path.join(path, sub), ignore_errors=True)
-    sweep_stale_bases(path, keep=new_base)
+    commit_compaction(path, _os.path.join(path, "meta.json"), meta, superseded)
 
 
 def probe_minhash_index(

@@ -44,17 +44,33 @@ def next_base_dir(meta: dict) -> str:
     return f"base_v{n + 1}"
 
 
-def sweep_stale_bases(path: str, keep: str) -> None:
-    """Best-effort removal of superseded base layouts and segment dirs
-    after a committed compaction (or a fresh save). Failures are ignored —
-    stale dirs are unreachable garbage once meta no longer points at
-    them."""
+def commit_compaction(
+    path: str, meta_path: str, meta: dict, superseded: list[str]
+) -> None:
+    """Atomically commit a compaction, then sweep only the GENERATION
+    BEFORE LAST (deferred sweep).
+
+    ``superseded`` lists the relative paths (old base dir — or the
+    root-level table dirs for a never-compacted index — plus the folded
+    segment dirs) that THIS compaction replaced. They are recorded in
+    ``meta['stale']`` and deliberately left on disk until the NEXT
+    compaction commits, so a lazily-evaluated probe DataFrame planned
+    against the previous meta (this process or a concurrent reader) keeps
+    resolving its files across one full compaction cycle — the guarantee
+    the versioned-base design exists for. Only the PREVIOUS compaction's
+    recorded stale list — two metas old, unreachable by any plan younger
+    than a full cycle — is physically removed here, best-effort.
+
+    Sweeping names individual segment dirs (never ``segments/``
+    wholesale), so a segment appended concurrently after the commit
+    instant is never destroyed by the sweep."""
     import shutil
 
-    for d in os.listdir(path) if os.path.isdir(path) else []:
-        if d.startswith("base_v") and d != keep:
-            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
-    shutil.rmtree(os.path.join(path, "segments"), ignore_errors=True)
+    prev = meta.get("stale", [])
+    meta["stale"] = superseded
+    atomic_write_json(meta_path, meta)  # COMMIT
+    for rel in prev:
+        shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
 
 
 def _compact(spark: SparkSession, path: str, kind: str) -> None:

@@ -161,13 +161,13 @@ def compact_bm25_index(spark: SparkSession, path: str) -> None:
     merge, so the compacted index scores bit-equal to the grown one), and
     per-segment corpus stats fold into the base stats. Pure file rewrite
     plus an atomic meta COMMIT: the new base is written into a fresh
-    versioned dir and meta.json flips to it via os.replace — probes keep
-    working against the old layout until that instant, and a crash leaves
-    either the old index fully intact or the new one committed with only
-    stale dirs to sweep."""
-    import shutil
-
-    from .index_maintenance import atomic_write_json, next_base_dir, sweep_stale_bases
+    versioned dir and meta.json flips to it via os.replace; the
+    superseded layout is DEFER-SWEPT — kept on disk until the NEXT
+    compaction commits (index_maintenance.commit_compaction) — so probe
+    DataFrames planned against the old meta keep resolving their files
+    for a full cycle, and a crash leaves either the old index fully
+    intact or the new one committed with only stale dirs pending sweep."""
+    from .index_maintenance import commit_compaction, next_base_dir
 
     with open(os.path.join(path, "meta.json")) as fh:
         meta = json.load(fh)
@@ -208,13 +208,12 @@ def compact_bm25_index(spark: SparkSession, path: str) -> None:
     _read_all("doclen").write.mode("overwrite").parquet(os.path.join(tmp, "doclen"))
     meta["n_docs"] += sum(s["n_docs"] for s in segs)
     meta["total_len"] += sum(s["total_len"] for s in segs)
+    superseded = (
+        [old_base] if old_base else ["postings", "df", "doclen"]
+    ) + [os.path.join("segments", s["name"]) for s in segs]
     meta["segments"] = []
     meta["base_dir"] = new_base
-    atomic_write_json(os.path.join(path, "meta.json"), meta)  # COMMIT
-    if not old_base:  # pre-compaction base lived at the index root
-        for sub in ("postings", "df", "doclen"):
-            shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
-    sweep_stale_bases(path, keep=new_base)
+    commit_compaction(path, os.path.join(path, "meta.json"), meta, superseded)
 
 
 def probe_bm25_index(

@@ -1820,7 +1820,7 @@ from ..functions.numeric import sql_hash60 as _hash60  # noqa: E402 — canonica
       FROM h)
     SELECT event_type, CAST({_KMV_K} AS BIGINT) AS k, CAST(hv AS BIGINT) AS kth_min,
            CASE WHEN n_exact < {_KMV_K} THEN n_exact
-                ELSE CAST((CAST({_KMV_K - 1} AS HUGEINT) * {16 ** 15}) // hv AS BIGINT)
+                ELSE CAST((CAST({_KMV_K - 1} AS HUGEINT) * {16 ** 15}) // greatest(hv, 1) AS BIGINT)
            END AS est_distinct,
            n_exact
     FROM ranked WHERE rn = least({_KMV_K}, n_exact) ORDER BY event_type
@@ -1870,7 +1870,11 @@ def agg_kmv_distinct(spark, sf_dir):
             F.when(F.col("n_exact") < _KMV_K, F.col("n_exact"))
             .otherwise(
                 F.expr(
-                    f"CAST(CAST({_KMV_K - 1} AS DECIMAL(38,0)) * {16 ** 15} DIV hv AS BIGINT)"
+                    # greatest(hv, 1): hash60's range includes 0; Spark's
+                    # non-ANSI DECIMAL div yields NULL there while DuckDB's
+                    # HUGEINT // raises — the guard keeps both totals and
+                    # identical (mirrored in the SQL oracle).
+                    f"CAST(CAST({_KMV_K - 1} AS DECIMAL(38,0)) * {16 ** 15} DIV greatest(hv, 1) AS BIGINT)"
                 )
             )
             .alias("est_distinct"),

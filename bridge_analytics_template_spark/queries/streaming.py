@@ -896,7 +896,7 @@ from ..functions.numeric import sql_hash60 as _h60  # noqa: E402
       FROM h)
     SELECT event_type,
            CASE WHEN n_exact < 64 THEN n_exact
-                ELSE CAST((CAST(63 AS HUGEINT) * {16 ** 15}) // hv AS BIGINT)
+                ELSE CAST((CAST(63 AS HUGEINT) * {16 ** 15}) // greatest(hv, 1) AS BIGINT)
            END AS est_users
     FROM ranked WHERE rn = least(64, n_exact) ORDER BY event_type
     """,
@@ -928,8 +928,14 @@ def t_stream_distinct_kmv(spark, sf_dir):
             "event_type",
             F.when(F.col("n_ranks") < k, F.col("n_ranks").cast("long")).otherwise(
                 F.expr(
+                    # greatest(h, 1): hash60's range includes 0 (the old
+                    # xxhash64 form added 2^63 so the divisor was always
+                    # >= 1); on a zero hash Spark's non-ANSI DECIMAL div
+                    # yields NULL while DuckDB's HUGEINT // raises — the
+                    # guard keeps both expressions total and identical
+                    # (mirrored in the SQL oracle above).
                     f"CAST(CAST({k - 1} AS DECIMAL(38,0)) * CAST({16 ** 15} AS DECIMAL(38,0)) "
-                    "div CAST(kth.h AS DECIMAL(38,0)) AS BIGINT)"
+                    "div CAST(greatest(kth.h, 1) AS DECIMAL(38,0)) AS BIGINT)"
                 )
             ).alias("est_users"),
         )
@@ -1051,7 +1057,14 @@ def t_stream_state_inspect(spark, sf_dir):
     from ..catalog import index_scratch_dir
 
     ck = index_scratch_dir(spark, sf_dir, "state_inspect_ck", "events.parquet")
-    if not os.path.isdir(ck):
+    # Completion marker, NOT bare dir existence (mirrors streaming/
+    # ingest.py's done file): a first attempt that dies after .start()
+    # leaves a partial checkpoint; keying the cache on isdir(ck) would
+    # read that partial state store as if it were final. The marker is
+    # written only after processAllAvailable() succeeds; a retry with the
+    # marker absent RESUMES the checkpoint and drains the remainder.
+    done = ck + ".done"
+    if not os.path.exists(done):
         agg = tumbling_counts(stream_events(spark, sf_dir))
         q = (
             agg.writeStream.outputMode("complete")
@@ -1064,6 +1077,7 @@ def t_stream_state_inspect(spark, sf_dir):
             q.processAllAvailable()
         finally:
             q.stop()
+        open(done, "w").close()
     st = spark.read.format("statestore").load(ck)
     return (
         st.select(

@@ -752,15 +752,22 @@ def test_minhash_index_segment_append(spark, sf_dir, tmp_path):
     assert any(b % 4 == 1 for _, b, _ in got)
 
     # compaction: fold segments into the base — identical probe results,
-    # segment dirs gone, meta cleared
+    # meta cleared; the superseded dirs are DEFER-SWEPT (recorded in
+    # meta["stale"], still on disk until the NEXT compaction) so probe
+    # plans against the old meta keep working
     import json
     import os
 
     from bridge_analytics_template_spark.llm.dedup import compact_minhash_index
 
     compact_minhash_index(spark, grown)
-    assert json.load(open(os.path.join(grown, "meta.json")))["segments"] == []
-    assert not os.path.exists(os.path.join(grown, "segments"))
+    meta_c = json.load(open(os.path.join(grown, "meta.json")))
+    assert meta_c["segments"] == []
+    assert sorted(meta_c["stale"]) == sorted(
+        ["bands", "shingles", os.path.join("segments", "day1")]
+    )
+    for rel in meta_c["stale"]:
+        assert os.path.exists(os.path.join(grown, rel))
     compacted = {
         (r["doc_a"], r["doc_b"], r["n_inter"])
         for r in probe_minhash_index(spark, grown, new_docs, 0.5).collect()
@@ -838,8 +845,9 @@ def test_bm25_index_segment_append(spark, sf_dir, tmp_path):
     assert got == want
     assert len(got) == 10
 
-    # compaction folds segments into the base: identical scores, segment
-    # dirs gone, df/stats merged
+    # compaction folds segments into the base: identical scores, df/stats
+    # merged; superseded dirs are DEFER-SWEPT (recorded in meta["stale"],
+    # removed only by the next compaction)
     import json
     import os
 
@@ -847,7 +855,12 @@ def test_bm25_index_segment_append(spark, sf_dir, tmp_path):
 
     compact_bm25_index(spark, grown)
     meta = json.load(open(os.path.join(grown, "meta.json")))
-    assert meta["segments"] == [] and not os.path.exists(os.path.join(grown, "segments"))
+    assert meta["segments"] == []
+    assert sorted(meta["stale"]) == sorted(
+        ["postings", "df", "doclen", os.path.join("segments", "day1")]
+    )
+    for rel in meta["stale"]:
+        assert os.path.exists(os.path.join(grown, rel))
     compacted = [tuple(r) for r in probe_bm25_index(spark, grown, probe, k=10).collect()]
     assert compacted == got
 

@@ -208,14 +208,23 @@ def test_ann_index_segment_append(spark, sf_dir, tmp_path):
     assert again == grown_pq
     np.testing.assert_equal(len(json.load(open(os.path.join(pq_path, "meta.json")))["segments"]), 1)
 
-    # compaction (both kinds): identical probe results, segments gone
-    from bridge_analytics_template_spark.llm.ann_index import compact_ann_index
+    # compaction (both kinds): identical probe results; the superseded
+    # layout is DEFER-SWEPT — still on disk after the first compaction
+    # (so probe plans against the old meta keep working), recorded in
+    # meta["stale"], and physically removed by the NEXT compaction.
+    from bridge_analytics_template_spark.llm.ann_index import (
+        append_ivf_segment,
+        compact_ann_index,
+    )
 
     compact_ann_index(spark, ivf_path)
     compact_ann_index(spark, pq_path)
     for p in (ivf_path, pq_path):
-        assert json.load(open(os.path.join(p, "meta.json")))["segments"] == []
-        assert not os.path.exists(os.path.join(p, "segments"))
+        meta2 = json.load(open(os.path.join(p, "meta.json")))
+        assert meta2["segments"] == []
+        assert set(meta2["stale"]) == {"lists", os.path.join("segments", "day1")}
+        for rel in meta2["stale"]:  # deferred: generation N-1 survives
+            assert os.path.exists(os.path.join(p, rel))
     assert (
         sorted(
             (r["query_id"], r["neighbor_id"], r["rank"])
@@ -230,6 +239,17 @@ def test_ann_index_segment_append(spark, sf_dir, tmp_path):
         )
         == grown_pq
     )
+    # a second compaction CYCLE physically sweeps the recorded generation
+    # (and only it): day1/old-root gone, the newly-superseded base_v1 +
+    # day2 dirs stay readable for one more cycle.
+    append_ivf_segment(extra.withColumn("vec_id", F.col("vec_id") + 10000), ivf_path, "day2")
+    compact_ann_index(spark, ivf_path)
+    assert not os.path.exists(os.path.join(ivf_path, "lists"))
+    assert not os.path.exists(os.path.join(ivf_path, "segments", "day1"))
+    meta3 = json.load(open(os.path.join(ivf_path, "meta.json")))
+    assert set(meta3["stale"]) == {"base_v1", os.path.join("segments", "day2")}
+    assert os.path.exists(os.path.join(ivf_path, "base_v1"))
+    assert os.path.exists(os.path.join(ivf_path, "segments", "day2"))
 
 
 def test_ivf_scoring_block_size_invariant(spark, sf_dir):
