@@ -105,13 +105,15 @@ def compact_ann_index(spark: SparkSession, path: str) -> None:
     crash at any instant leaves either the old index fully intact or the
     new one committed with only stale dirs pending sweep. Works for both
     kinds (the partition column differs: centroid_id vs cent_id)."""
-    from .index_maintenance import commit_compaction, next_base_dir
+    from .index_maintenance import commit_compaction, next_base_dir, read_tombstones
 
     with open(_meta_path(path)) as fh:
         meta = json.load(fh)
     segs = meta.get("segments", [])
-    if not segs:
+    tombs = meta.get("tombstones", [])
+    if not segs and not tombs:
         return
+    tomb = read_tombstones(spark, path, meta)
     part_col = "centroid_id" if meta["kind"] == "ivf" else "cent_id"
     roots = [_lists_path(path, meta)] + [
         os.path.join(path, "segments", s, "lists") for s in segs
@@ -123,16 +125,21 @@ def compact_ann_index(spark: SparkSession, path: str) -> None:
     union = parts[0]
     for p in parts[1:]:
         union = union.unionByName(p)
+    if tomb is not None:  # tombstoned vectors drop PHYSICALLY here
+        union = union.join(tomb, union["neighbor_id"] == tomb["id"], "left_anti")
     old_base = meta.get("base_dir") or ""
     new_base = next_base_dir(meta)
     union.write.mode("overwrite").partitionBy(part_col).parquet(
         os.path.join(path, new_base, "lists")
     )
-    superseded = ([old_base] if old_base else ["lists"]) + [
-        os.path.join("segments", s) for s in segs
-    ]
+    superseded = (
+        ([old_base] if old_base else ["lists"])
+        + [os.path.join("segments", s) for s in segs]
+        + [os.path.join("tombstones", t) for t in tombs]
+    )
     meta["base_dir"] = new_base
     meta["segments"] = []
+    meta["tombstones"] = []
     commit_compaction(path, _meta_path(path), meta, superseded)
 
 
@@ -183,8 +190,13 @@ def probe_ivf_index(
     the parquet scan as partition pruning — only nprobe/n_centroids of the
     stored lists are read. Scoring is the same per-list GEMM as ivf_knn
     (shared `_score_ivf_lists_np`), so probe-from-disk stays bit-identical
-    to build-and-probe."""
+    to build-and-probe. Committed tombstones (index_maintenance.
+    add_tombstones) are anti-joined out of the pruned lists before
+    scoring, so an erased vector can never be returned as a neighbor —
+    probe-after-delete == rebuild-without-deleted, test-pinned."""
     from pyspark.sql import Row
+
+    from .index_maintenance import read_tombstones
 
     with open(_meta_path(path)) as fh:
         meta = json.load(fh)
@@ -216,6 +228,9 @@ def probe_ivf_index(
     lists = parts[0]
     for p in parts[1:]:
         lists = lists.unionByName(p)
+    tomb = read_tombstones(spark, path, meta)
+    if tomb is not None:
+        lists = lists.join(tomb, lists["neighbor_id"] == tomb["id"], "left_anti")
     from .similarity import _score_ivf_lists_np
 
     return _score_ivf_lists_np(lists, probes, k)
@@ -389,6 +404,13 @@ def probe_ivfpq_index(
     codes_df = parts[0]
     for p in parts[1:]:
         codes_df = codes_df.unionByName(p)
+    from .index_maintenance import read_tombstones
+
+    tomb = read_tombstones(spark, path, meta)
+    if tomb is not None:  # erased vectors never reach the ADC scorer
+        codes_df = codes_df.join(
+            tomb, codes_df["neighbor_id"] == tomb["id"], "left_anti"
+        )
 
     def score(batches):
         qids_l, qc_l, probed_l, tabs = b_search.value

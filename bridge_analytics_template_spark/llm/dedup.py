@@ -905,13 +905,15 @@ def compact_minhash_index(spark, path: str) -> None:
     import json as _json
     import os as _os
 
-    from .index_maintenance import commit_compaction, next_base_dir
+    from .index_maintenance import commit_compaction, next_base_dir, read_tombstones
 
     with open(_os.path.join(path, "meta.json")) as fh:
         meta = _json.load(fh)
     segs = meta.get("segments", [])
-    if not segs:
+    tombs = meta.get("tombstones", [])
+    if not segs and not tombs:
         return
+    tomb = read_tombstones(spark, path, meta)
     seg_dirs = [_os.path.join(path, "segments", s) for s in segs]
     old_base = meta.get("base_dir") or ""
     new_base = next_base_dir(meta)
@@ -924,16 +926,21 @@ def compact_minhash_index(spark, path: str) -> None:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if tomb is not None:  # tombstoned docs drop PHYSICALLY here
+            out = out.join(tomb, out["doc"] == tomb["id"], "left_anti")
         return out
 
     _read_all("bands").withColumn("band", F.col("band").cast("int")).write.mode(
         "overwrite"
     ).partitionBy("band").parquet(_os.path.join(tmp, "bands"))
     _read_all("shingles").write.mode("overwrite").parquet(_os.path.join(tmp, "shingles"))
-    superseded = ([old_base] if old_base else ["bands", "shingles"]) + [
-        _os.path.join("segments", s) for s in segs
-    ]
+    superseded = (
+        ([old_base] if old_base else ["bands", "shingles"])
+        + [_os.path.join("segments", s) for s in segs]
+        + [_os.path.join("tombstones", t) for t in tombs]
+    )
     meta["segments"] = []
+    meta["tombstones"] = []
     meta["base_dir"] = new_base
     commit_compaction(path, _os.path.join(path, "meta.json"), meta, superseded)
 
@@ -959,12 +966,21 @@ def probe_minhash_index(
     ``exclude_segments`` drops named segments from the stored side — the
     crash-replay guard for streaming ingest: a micro-batch retried AFTER
     its own segment landed must not match itself through the index
-    (streaming/ingest.py passes its own epoch's segment name)."""
+    (streaming/ingest.py passes its own epoch's segment name).
+
+    Committed tombstones (index_maintenance.add_tombstones — GDPR-style
+    erasure without an index rewrite) are anti-joined out of the stored
+    band table before the candidate join, so an erased doc can never
+    surface in any pair; probe-after-delete equals a rebuild over the
+    surviving corpus exactly (oracled in llm_dedup_index_erasure)."""
     import json as _json
     import os as _os
 
+    from .index_maintenance import read_tombstones
+
     with open(_os.path.join(path, "meta.json")) as fh:
         meta = _json.load(fh)
+    tomb = read_tombstones(spark, path, meta)
     seg_dirs = [
         _os.path.join(path, "segments", s)
         for s in meta.get("segments", [])
@@ -996,6 +1012,12 @@ def probe_minhash_index(
         # sides so the join keys match exactly
         .withColumn("band", F.col("band").cast("int"))
     )
+    if tomb is not None:
+        # anti-join (not isin) so a large erasure batch stays distributed;
+        # AQE broadcasts the usual small delete set on its own
+        banded_old = banded_old.join(
+            tomb, banded_old["doc"] == tomb["id"], "left_anti"
+        )
     cand = (
         banded_new.alias("a")
         .join(

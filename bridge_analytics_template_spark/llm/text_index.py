@@ -167,13 +167,15 @@ def compact_bm25_index(spark: SparkSession, path: str) -> None:
     DataFrames planned against the old meta keep resolving their files
     for a full cycle, and a crash leaves either the old index fully
     intact or the new one committed with only stale dirs pending sweep."""
-    from .index_maintenance import commit_compaction, next_base_dir
+    from .index_maintenance import commit_compaction, next_base_dir, read_tombstones
 
     with open(os.path.join(path, "meta.json")) as fh:
         meta = json.load(fh)
     segs = meta.get("segments", [])
-    if not segs:
+    tombs = meta.get("tombstones", [])
+    if not segs and not tombs:
         return
+    tomb = read_tombstones(spark, path, meta)
     seg_dirs = [os.path.join(path, "segments", s["name"]) for s in segs]
     n_buckets = meta["n_buckets"]
     old_base = meta.get("base_dir") or ""
@@ -189,29 +191,51 @@ def compact_bm25_index(spark: SparkSession, path: str) -> None:
             out = out.unionByName(p)
         return out
 
-    (
-        _read_all("postings")
-        .withColumn("bucket", F.col("bucket").cast("long"))
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(os.path.join(tmp, "postings"))
+    def _live(df, key="doc_id"):
+        if tomb is None:
+            return df
+        return df.join(tomb, df[key] == tomb["id"], "left_anti")
+
+    postings = _live(
+        _read_all("postings").withColumn("bucket", F.col("bucket").cast("long"))
+    ).persist()
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(tmp, "postings")
     )
+    if tomb is None:
+        # no deletions: df is a pure integer merge of the stored tables
+        df_new = _read_all("df").groupBy("tok").agg(F.sum("df").alias("df"))
+    else:
+        # deletions: recompute df from the surviving postings (one row per
+        # (tok, doc) == one df unit) — exactly what a rebuild would count
+        df_new = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     (
-        _read_all("df")
-        .groupBy("tok")
-        .agg(F.sum("df").alias("df"))
-        .withColumn("bucket", F.pmod(F.xxhash64("tok"), F.lit(n_buckets)))
+        df_new.withColumn("bucket", F.pmod(F.xxhash64("tok"), F.lit(n_buckets)))
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(os.path.join(tmp, "df"))
     )
-    _read_all("doclen").write.mode("overwrite").parquet(os.path.join(tmp, "doclen"))
-    meta["n_docs"] += sum(s["n_docs"] for s in segs)
-    meta["total_len"] += sum(s["total_len"] for s in segs)
+    doclen = _live(_read_all("doclen"))
+    doclen.write.mode("overwrite").parquet(os.path.join(tmp, "doclen"))
+    if tomb is None:
+        meta["n_docs"] += sum(s["n_docs"] for s in segs)
+        meta["total_len"] += sum(s["total_len"] for s in segs)
+    else:
+        # corpus stats re-derived from the surviving doclen (1-row action)
+        stats = doclen.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("l"),
+        ).collect()[0]
+        meta["n_docs"] = int(stats["n"])
+        meta["total_len"] = int(stats["l"])
+    postings.unpersist()
     superseded = (
-        [old_base] if old_base else ["postings", "df", "doclen"]
-    ) + [os.path.join("segments", s["name"]) for s in segs]
+        ([old_base] if old_base else ["postings", "df", "doclen"])
+        + [os.path.join("segments", s["name"]) for s in segs]
+        + [os.path.join("tombstones", t) for t in tombs]
+    )
     meta["segments"] = []
+    meta["tombstones"] = []
     meta["base_dir"] = new_base
     commit_compaction(path, os.path.join(path, "meta.json"), meta, superseded)
 
@@ -267,7 +291,49 @@ def probe_bm25_index(
     dl = _read_all("doclen")
     n_total = meta["n_docs"] + sum(s["n_docs"] for s in segs)
     l_total = meta["total_len"] + sum(s["total_len"] for s in segs)
-    n, l = F.lit(n_total).cast("long"), F.lit(l_total).cast("long")
+
+    from .index_maintenance import read_tombstones
+
+    tomb = read_tombstones(spark, path, meta)
+    if tomb is None:
+        n, l = F.lit(n_total).cast("long"), F.lit(l_total).cast("long")
+        joined = postings.join(F.broadcast(dfreq), "tok").join(dl, "doc_id")
+    else:
+        # Erasure must adjust EVERY stat BM25 reads, or the surviving
+        # docs' scores drift from a rebuild-without-deleted:
+        # 1. per-token df decrement — each postings row of a tombstoned
+        #    doc is one df unit, counted on the SAME pruned scan (only the
+        #    probe's buckets are touched);
+        del_df = (
+            postings.join(tomb, postings["doc_id"] == tomb["id"], "left_semi")
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df_del"))
+        )
+        dfreq = dfreq.join(del_df, "tok", "left").select(
+            "tok",
+            (F.col("df") - F.coalesce(F.col("df_del"), F.lit(0))).alias("df"),
+        )
+        # 2. the tombstoned postings themselves;
+        postings = postings.join(
+            tomb, postings["doc_id"] == tomb["id"], "left_anti"
+        )
+        # 3. corpus stats (N docs, total length) — a 1-row aggregate over
+        #    the tombstoned doclen rows, broadcast into the score (the
+        #    scalar-totals crossJoin pattern). Integer arithmetic
+        #    throughout, so scores stay bit-equal to a rebuild over the
+        #    surviving corpus (oracled in llm_bm25_erasure).
+        adj = dl.join(tomb, dl["doc_id"] == tomb["id"], "left_semi").agg(
+            (F.lit(n_total) - F.count(F.lit(1))).cast("long").alias("n_live"),
+            (F.lit(l_total) - F.coalesce(F.sum("dl"), F.lit(0)))
+            .cast("long")
+            .alias("l_live"),
+        )
+        n, l = F.col("n_live"), F.col("l_live")
+        joined = (
+            postings.join(F.broadcast(dfreq), "tok")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(adj))
+        )
     num = (
         (2 * n - 2 * F.col("df") + 1).cast("double")
         * (22 * F.col("tf")).cast("double")
@@ -276,11 +342,7 @@ def probe_bm25_index(
     den = (2 * F.col("df") + 1).cast("double") * (
         10 * F.col("tf") * l + 3 * l + 9 * F.col("dl") * n
     ).cast("double")
-    contrib = (
-        postings.join(F.broadcast(dfreq), "tok")
-        .join(dl, "doc_id")
-        .select("doc_id", F.floor(num / den * 1000000.0).alias("c_ppm"))
-    )
+    contrib = joined.select("doc_id", F.floor(num / den * 1000000.0).alias("c_ppm"))
     return (
         contrib.groupBy("doc_id")
         .agg(

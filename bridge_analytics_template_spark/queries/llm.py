@@ -1376,6 +1376,146 @@ def llm_bm25_indexed(spark, sf_dir):
     return probe_bm25_index(spark, path, probe, k=10)
 
 
+@query(
+    "llm_dedup_index_erasure",
+    # rebuild-without-deleted semantics: the oracle's stored side is the
+    # SURVIVING snapshot only (even ids with doc % 4 == 2 — the % 4 == 0
+    # half was tombstoned), same exact cross-pair SQL as
+    # llm_dedup_incremental_lsh otherwise.
+    sql=f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, unnest({_SQL_SHINGLES5_PADDED}) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS new_doc, b.doc AS old_doc, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.doc % 2 = 1 AND b.doc % 4 = 2
+      GROUP BY 1, 2
+    )
+    SELECT i.new_doc, i.old_doc, i.n_inter
+    FROM inter i
+    JOIN sizes sa ON i.new_doc = sa.doc
+    JOIN sizes sb ON i.old_doc = sb.doc
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
+    ORDER BY new_doc, old_doc
+    """,
+)
+def llm_dedup_index_erasure(spark, sf_dir):
+    """GDPR-style erasure against the PERSISTED MinHash index
+    (llm/index_maintenance.py::add_tombstones): the even-id half is the
+    stored snapshot, then HALF OF IT (doc_id % 4 == 0) is deleted —
+    tombstoned, no index rewrite, O(deletes) cost — and the odd-id batch
+    probes. Tombstoned docs must never surface in a pair: the result is
+    value-exact against a rebuild over the surviving corpus (the oracle's
+    % 4 == 2 stored side), which is the erasure guarantee a 100 TB corpus
+    needs — a right-to-be-forgotten request takes effect at the NEXT
+    probe, not the next full index rebuild. Compaction later drops the
+    tombstoned rows physically (pinned with crash-atomicity in
+    tests/test_llm_ops.py)."""
+    import json
+    import os
+
+    from ..llm.dedup import probe_minhash_index, save_minhash_index
+    from ..llm.index_maintenance import add_tombstones
+
+    d = load(spark, sf_dir, "documents")
+    from ..catalog import index_scratch_dir
+
+    # dedicated index dir — tombstones must not leak into the shared
+    # minhash_index that llm_dedup_incremental_lsh probes
+    path = index_scratch_dir(spark, sf_dir, "minhash_index_erasure", "documents.parquet")
+    meta_p = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_p):
+        save_minhash_index(d.filter(F.col("doc_id") % 2 == 0), path)
+    if not json.load(open(meta_p)).get("tombstones"):  # idempotent re-run
+        add_tombstones(spark, path, d.filter(F.col("doc_id") % 4 == 0).select("doc_id"))
+    probe = probe_minhash_index(
+        spark, path, d.filter(F.col("doc_id") % 2 == 1), min_jaccard=0.5
+    )
+    return (
+        probe.select(
+            F.col("doc_a").alias("new_doc"),
+            F.col("doc_b").alias("old_doc"),
+            "n_inter",
+        )
+        .orderBy("new_doc", "old_doc")
+    )
+
+
+# rebuild-without-deleted: every corpus-side CTE reads only the surviving
+# docs (the erasure tombstoned doc_id % 4 == 0); the probe doc (3) survives
+_BM25_ERASURE_SQL = _BM25_SQL.replace(
+    "FROM documents", "FROM (SELECT * FROM documents WHERE doc_id % 4 <> 0)"
+)
+
+
+@query("llm_bm25_erasure", sql=_BM25_ERASURE_SQL)
+def llm_bm25_erasure(spark, sf_dir):
+    """Erasure against the PERSISTED BM25 index: index ALL docs, tombstone
+    the doc_id % 4 == 0 quarter, probe with doc 3's tokens. BM25 is the
+    hard erasure case — deleting a doc changes every OTHER doc's score
+    (df and the corpus N/avgdl move), so the probe adjusts all three
+    stats from the tombstone set (per-token df decrements counted on the
+    same pruned bucket scan, N/total-length from a 1-row broadcast
+    aggregate) in the same integer-ppm discipline. Value-exact against a
+    DuckDB rebuild over the surviving corpus — scores, not just id sets.
+    Physical drop + stats re-derivation at compaction is pinned in
+    tests/test_llm_ops.py."""
+    import json
+    import os
+
+    from ..llm.index_maintenance import add_tombstones
+    from ..llm.text_index import probe_bm25_index, save_bm25_index
+
+    d = load(spark, sf_dir, "documents")
+    from ..catalog import index_scratch_dir
+
+    path = index_scratch_dir(spark, sf_dir, "bm25_index_erasure", "documents.parquet")
+    meta_p = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_p):
+        save_bm25_index(d, path)
+    if not json.load(open(meta_p)).get("tombstones"):
+        add_tombstones(spark, path, d.filter(F.col("doc_id") % 4 == 0).select("doc_id"))
+    probe = (
+        d.filter(F.col("doc_id") == 3)
+        .select(F.explode_outer(ws_tokens("text")).alias("tok"))
+        .distinct()
+    )
+    return probe_bm25_index(spark, path, probe, k=10)
+
+
+@query("emb_ann_index_erasure")  # rows-only: ANN tier, approximate by design
+def emb_ann_index_erasure(spark, sf_dir):
+    """Erasure against the PERSISTED IVF index: index all embeddings,
+    tombstone vec_id % 4 == 0, probe — an erased vector can never be
+    returned as a neighbor (the tombstone anti-join runs before the
+    per-list GEMM, so ranks re-pack over survivors exactly as a rebuild
+    would). Probe-after-delete == rebuild-over-survivors is pinned
+    exactly in tests/test_merge_ivf.py; rows-only here like every ANN
+    tier (pruned search is approximate by design)."""
+    import json
+    import os
+
+    from ..llm.ann_index import probe_ivf_index, save_ivf_index
+    from ..llm.index_maintenance import add_tombstones
+
+    e = load(spark, sf_dir, "embeddings")
+    path = _ann_index_dir(spark, sf_dir, "ivf_erasure")
+    meta_p = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_p):
+        save_ivf_index(e, path)
+    if not json.load(open(meta_p)).get("tombstones"):
+        add_tombstones(spark, path, e.filter(F.col("vec_id") % 4 == 0).select("vec_id"))
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return (
+        probe_ivf_index(spark, path, q, k=5)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 _PCM_SQL = """
     WITH t AS (
       SELECT doc_id, text, length(text) // 2 AS n
