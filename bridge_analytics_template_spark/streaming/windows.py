@@ -139,6 +139,12 @@ def dedup_stream_within_watermark(events: DataFrame, watermark: str = "10 minute
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def _gap_bucket(ts_col, gap_minutes: int):
+    """Event-time bucket of width ``gap_minutes`` — the interval-join key
+    refinement (below)."""
+    return F.floor(F.unix_timestamp(ts_col) / F.lit(gap_minutes * 60))
+
+
 def stream_stream_attribution(
     events: DataFrame, gap_minutes: int = 30, watermark: str = "1 hour"
 ) -> DataFrame:
@@ -147,7 +153,25 @@ def stream_stream_attribution(
     watermarks and the join condition bounds event time on BOTH ends, so
     Spark can evict buffered state past ``watermark + gap`` instead of
     holding the full history (the thing that makes stream-stream joins
-    viable at scale). Batch equivalent: the same time-bounded self-join."""
+    viable at scale). Batch equivalent: the same time-bounded self-join.
+
+    SKEW HARDENING (r8, found by the zipf skew-replica gate): Spark's
+    symmetric-hash-join state stores buffered rows per EQUALITY key and
+    linearly scans all of a key's values for every arriving row with that
+    key — a user holding 30% of the stream makes that scan quadratic
+    (the gate measured one task pinning a core for 15+ minutes at 10×
+    sf0.1 with a 30% hot user, state probes in
+    SymmetricHashJoinStateManager). The fix is the standard interval-join
+    refinement: add the gap-width EVENT-TIME BUCKET to the equality key.
+    A click registers under its own bucket and the next (one `explode` of
+    two copies); a purchase joins only its own bucket, and since
+    0 ≤ p_ts − c_ts ≤ gap implies floor(p/gap) ∈ {floor(c/gap),
+    floor(c/gap)+1}, exactly ONE copy matches each qualifying pair —
+    results identical (oracled in t_stream_stream_join, order-shuffle
+    kernel test), but per-key buffered state is now one gap-window's
+    events per user, so the hot key degrades to 2-bucket scans instead
+    of full-history scans. Post-fix the same gate run completes in
+    seconds (budget-pinned in tools/sweep_skew_list.txt)."""
     purchases = (
         events.filter(F.col("event_type") == "purchase")
         .select(
@@ -155,6 +179,7 @@ def stream_stream_attribution(
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("p_ts"),
         )
+        .withColumn("p_bkt", _gap_bucket(F.col("p_ts"), gap_minutes))
         .withWatermark("p_ts", watermark)
     )
     clicks = (
@@ -164,10 +189,20 @@ def stream_stream_attribution(
             F.col("user_id").alias("c_user"),
             F.col("ts").alias("c_ts"),
         )
+        .withColumn(
+            "c_bkt",
+            F.explode(
+                F.array(
+                    _gap_bucket(F.col("c_ts"), gap_minutes),
+                    _gap_bucket(F.col("c_ts"), gap_minutes) + 1,
+                )
+            ),
+        )
         .withWatermark("c_ts", watermark)
     )
     cond = (
         (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_bkt") == F.col("c_bkt"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {gap_minutes} MINUTES"))
         & (F.col("c_ts") <= F.col("p_ts"))
     )
@@ -273,7 +308,12 @@ def stream_stream_attribution_outer(
     matching click could still be buffered), so outer results trail the
     inner ones by up to watermark + gap — and a final otherwise-empty
     batch is what flushes the last unmatched rows (see the test's filler
-    file; the same one-batch watermark lag as aggregation)."""
+    file; the same one-batch watermark lag as aggregation).
+
+    Same gap-bucket skew hardening as the inner form: the right-side
+    duplication cannot duplicate LEFT rows (an outer join emits one null
+    row per unmatched left row regardless of how many right rows fail the
+    condition), and a matched pair still matches exactly one click copy."""
     purchases = (
         events.filter(F.col("event_type") == "purchase")
         .select(
@@ -281,6 +321,7 @@ def stream_stream_attribution_outer(
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("p_ts"),
         )
+        .withColumn("p_bkt", _gap_bucket(F.col("p_ts"), gap_minutes))
         .withWatermark("p_ts", watermark)
     )
     clicks = (
@@ -290,10 +331,20 @@ def stream_stream_attribution_outer(
             F.col("user_id").alias("c_user"),
             F.col("ts").alias("c_ts"),
         )
+        .withColumn(
+            "c_bkt",
+            F.explode(
+                F.array(
+                    _gap_bucket(F.col("c_ts"), gap_minutes),
+                    _gap_bucket(F.col("c_ts"), gap_minutes) + 1,
+                )
+            ),
+        )
         .withWatermark("c_ts", watermark)
     )
     cond = (
         (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_bkt") == F.col("c_bkt"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {gap_minutes} MINUTES"))
         & (F.col("c_ts") <= F.col("p_ts"))
     )

@@ -33,6 +33,15 @@ if [ ! -f /tmp/scale100/documents.parquet ] || \
     python tools/make_replica.py --dst /tmp/scale100 --n 100
 fi
 python tools/scale_sweep.py --dir /tmp/scale100 --list tools/sweep100_list.txt
+# Zipf skew-replica gate (VERDICT r7 task 6): one hot key with ~30% of
+# fact rows — the hot-shuffle-partition failure mode uniform replicas
+# cannot see. Caught t_stream_stream_join's quadratic per-key state scan
+# in r8 (fixed via gap-bucket join keys).
+if [ ! -f /tmp/skew10/documents.parquet ] || \
+   [ /root/testdata/sf0.1/documents.parquet -nt /tmp/skew10/documents.parquet ]; then
+    python tools/make_replica.py --dst /tmp/skew10 --skew zipf
+fi
+python tools/scale_sweep.py --dir /tmp/skew10 --list tools/sweep_skew_list.txt
 # Negative control: the comparator must be shown to CATCH planted wrong
 # answers (value flip / dropped row / dtype drift / renamed column).
 python tools/check_oracle.py --self-test
