@@ -1269,7 +1269,50 @@ def train_shard_assign(spark, sf_dir):
 # --- MMR diversified re-ranking ---------------------------------------------
 
 
-@query("llm_mmr_rerank")  # rows-only: iterative greedy selection, not SQL-expressible
+@query(
+    "llm_mmr_rerank",
+    # The greedy loop UNROLLS as a recursive CTE (DuckDB): the accumulator
+    # is the selected-id list, each step LATERAL-picks the argmax of
+    # 0.7*rel - 0.3*max(sim to selected) with the same (score desc, id)
+    # tie-break as the Spark-side loop. Cosines are floats computed
+    # independently per engine — agreement is argmax-level (ids), pinned
+    # at both fixture SFs; the selection margins at this fixture are far
+    # above ulp noise, which is what makes the id sequence oracleable
+    # (same evidence class as llm_knn_ids' float-ordered ranks).
+    sql="""
+    WITH RECURSIVE
+    cand AS (
+      SELECT c.vec_id, CAST(c.embedding AS DOUBLE[]) AS v,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS rel
+      FROM embeddings c, embeddings q
+      WHERE q.vec_id = 3 AND c.vec_id <> 3
+      ORDER BY rel DESC, c.vec_id
+      LIMIT 30
+    ),
+    sims AS (
+      SELECT a.vec_id AS a, b.vec_id AS b, list_cosine_similarity(a.v, b.v) AS s
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    mmr(step, sel, sel_list) AS (
+      (SELECT 1, vec_id, [vec_id] FROM cand ORDER BY 0.7 * rel DESC, vec_id LIMIT 1)
+      UNION ALL
+      (SELECT m.step + 1, pick.vec_id, list_append(m.sel_list, pick.vec_id)
+       FROM mmr m, LATERAL (
+         SELECT c.vec_id
+         FROM cand c
+         WHERE NOT list_contains(m.sel_list, c.vec_id)
+         ORDER BY 0.7 * c.rel
+                  - 0.3 * (SELECT MAX(s.s) FROM sims s
+                           WHERE s.a = c.vec_id AND list_contains(m.sel_list, s.b)) DESC,
+                  c.vec_id
+         LIMIT 1
+       ) pick
+       WHERE m.step < 10)
+    )
+    SELECT step AS rank, sel AS vec_id FROM mmr ORDER BY rank
+    """,
+)
 def llm_mmr_rerank(spark, sf_dir):
     """Maximal Marginal Relevance re-ranking for probe vec 3: from the
     cosine top-30 candidates, greedily pick 10 maximizing
@@ -1277,7 +1320,12 @@ def llm_mmr_rerank(spark, sf_dir):
     retrieval stack runs after ANN. Candidate scoring is the distributed
     GEMM path; the greedy loop runs driver-side over the k-bounded
     candidate set (30 vectors — bounded at ANY corpus scale, same
-    precondition as every re-ranker). Ties break on vec_id."""
+    precondition as every re-ranker). Ties break on vec_id.
+
+    UPGRADED rows-only → ORACLED (r8, VERDICT task 3): the greedy
+    selection unrolls as a DuckDB recursive CTE carrying the selected-id
+    list (see the sql= comment) — the full 10-step MMR id SEQUENCE is
+    value-checked, not just the candidate set."""
     import numpy as np
 
     from ..llm.similarity import knn_bruteforce_np
@@ -1577,7 +1625,38 @@ def events_dau_wau(spark, sf_dir):
 # --- Schema drift report -------------------------------------------------------
 
 
-@query("profile_schema_drift")  # rows-only: metadata-level, no relational oracle
+@query(
+    "profile_schema_drift",
+    # UPGRADED rows-only → ORACLED (r8): DuckDB derives the OLD schema
+    # independently from the same parquet footer (DESCRIBE), applies the
+    # SAME declared evolution relationally, and emits the same report —
+    # so the value check covers both the footer read and the diff
+    # classification. Type-name normalization: lower() + varchar→string +
+    # timestamp→timestamp_ntz maps DuckDB's renderings onto Spark's
+    # simpleString (parquet isAdjustedToUTC=false is TIMESTAMP_NTZ to
+    # Spark, plain TIMESTAMP to DuckDB — same logical type).
+    sql="""
+    WITH old AS (
+      SELECT column_name AS name,
+             replace(replace(lower(column_type), 'varchar', 'string'),
+                     'timestamp', 'timestamp_ntz') AS t
+      FROM (DESCRIBE SELECT * FROM orders)
+    ),
+    new AS (
+      SELECT name, CASE WHEN name = 'o_totalprice' THEN 'string' ELSE t END AS t
+      FROM old WHERE name <> 'o_orderpriority'
+      UNION ALL
+      SELECT 'o_priority_rank', 'int'
+    )
+    SELECT coalesce(o.name, n.name) AS "column",
+           o.t AS old_type, n.t AS new_type,
+           CASE WHEN n.name IS NULL THEN 'removed'
+                WHEN o.name IS NULL THEN 'added'
+                WHEN o.t <> n.t THEN 'retyped' ELSE 'unchanged' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.name = n.name
+    ORDER BY 1
+    """,
+)
 def profile_schema_drift(spark, sf_dir):
     """Schema-drift report between a dataset and an evolved copy (column
     added / dropped / retyped) — the contract check an ingest pipeline runs
@@ -1586,7 +1665,9 @@ def profile_schema_drift(spark, sf_dir):
     changed classification as snapshot_diff, applied to (name, type)
     pairs. The evolved copy is derived deterministically here (drop
     `o_orderpriority`, add `o_priority_rank int`, retype `o_totalprice` to
-    string) so the report is fixture-stable."""
+    string) so the report is fixture-stable. Oracled since r8 — the SQL
+    re-derives the old schema from the same footer via DuckDB DESCRIBE
+    and replays the evolution relationally."""
     import os
     import tempfile
 

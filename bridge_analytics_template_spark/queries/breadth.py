@@ -8,6 +8,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load, register_views
+from ..functions.numeric import money_units
 from .registry import query
 
 
@@ -406,19 +407,73 @@ def f_try_arith(spark, sf_dir):
     ).orderBy("l_linenumber")
 
 
-@query("agg_corr")  # rows-only: float co-moments are combine-order dependent
+@query(
+    "agg_corr",
+    sql="""
+    WITH u AS (
+      SELECT l_returnflag,
+             CAST(l_quantity * 100 AS BIGINT) AS x,
+             CAST(l_extendedprice * 100 AS BIGINT) AS y
+      FROM lineitem),
+    m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM u GROUP BY 1)
+    SELECT l_returnflag,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) AS qty_price_corr,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * (n - 1) AS DOUBLE) / 10000.0 AS qty_price_covar,
+           CAST(n AS BIGINT) AS n
+    FROM m ORDER BY l_returnflag
+    """,
+)
 def agg_corr(spark, sf_dir):
     """A8 extension: Pearson correlation / sample covariance between price
-    and quantity per return flag. Rows-only by design — co-moment sums are
-    combine-order dependent in the last ulp; the unit test asserts numeric
-    agreement with numpy to 1e-9."""
+    and quantity per return flag — UPGRADED rows-only → ORACLED (r8, the
+    KMV template): instead of `F.corr`'s float co-moments (combine-order
+    dependent in the last ulp, hence never hash-comparable), the moments
+    (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as EXACT integers over the
+    hundredth-unit inputs in DECIMAL(38)/HUGEINT, and the float appears
+    only in one final expression — corr = (nΣxy−ΣxΣy)/√((nΣxx−Σx²)(nΣyy
+    −Σy²)) — computed from identical exact integers through the identical
+    IEEE op sequence on both engines, so the doubles hash-match. The
+    mergeable-moments form is also the correct 100 TB shape: map-side
+    partial sums, one narrow row per group, no second pass. covar_samp =
+    (nΣxy−ΣxΣy)/(n(n−1)) in original units (÷100²). Agreement of the
+    exact-moment corr with F.corr to 1e-9 stays pinned in
+    tests/test_breadth.py."""
     l = load(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    x = money_units("l_quantity").cast(d38)
+    y = money_units("l_extendedprice").cast(d38)
+    m = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    cxy = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    cxx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    cyy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     return (
-        l.groupBy("l_returnflag")
-        .agg(
-            F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
-            F.covar_samp("l_quantity", "l_extendedprice").alias("qty_price_covar"),
-            F.count(F.lit(1)).alias("n"),
+        m.select(
+            "l_returnflag",
+            (cxy / F.sqrt(cxx * cyy)).alias("qty_price_corr"),
+            (
+                cxy
+                / (F.col("n") * (F.col("n") - 1)).cast("double")
+                / F.lit(10000.0)
+            ).alias("qty_price_covar"),
+            F.col("n").cast("long").alias("n"),
         )
         .orderBy("l_returnflag")
     )
