@@ -1187,3 +1187,66 @@ def t_stream_ingest_embed(spark, sf_dir):
     return stream_ingest_embed_pairs(spark, e, run, n_shards=4, threshold=0.4).orderBy(
         "id_a", "id_b"
     )
+
+
+@query(
+    "t_stream_ingest_erasure",
+    # The GDPR timeline stated as three id-arithmetic clauses over the
+    # exact-Jaccard pair set: even ids streamed in first (phase 1), then
+    # doc % 4 == 0 was erased, then odd ids streamed in. Pairs emitted
+    # before the erasure are history (both-even clause INCLUDES deleted
+    # docs); pairs after can only touch survivors (the cross clause
+    # requires the stored side % 4 == 2); phase-2-internal pairs are
+    # unaffected.
+    sql=f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, unnest({_SQL_SHINGLES5_PADDED}) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, CAST(i.n_inter AS BIGINT) AS n_inter
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc
+    JOIN sizes sb ON i.doc_b = sb.doc
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
+      AND (   (i.doc_a % 2 = 0 AND i.doc_b % 2 = 0)
+           OR (i.doc_a % 2 = 1 AND i.doc_b % 2 = 1)
+           OR (i.doc_a % 4 = 2 AND i.doc_b % 2 = 1)
+           OR (i.doc_b % 4 = 2 AND i.doc_a % 2 = 1))
+    ORDER BY doc_a, doc_b
+    """,
+)
+def t_stream_ingest_erasure(spark, sf_dir):
+    """T-custom, ORACLED streaming execution: the RIGHT-TO-BE-FORGOTTEN
+    timeline through the continuous-ingest dedup pipeline
+    (streaming/ingest.py::stream_ingest_dedup_with_erasure). The initial
+    corpus (even ids) streams in shard by shard; a deletion request
+    erases half of it (doc % 4 == 0 — tombstoned in the persisted MinHash
+    index, O(deletes), no rewrite); the stream keeps ingesting (odd ids)
+    against the survivor index.
+
+    Value-exact because erasure semantics are DETERMINISTIC IN THE
+    TIMELINE: every pair emitted before the deletion stays in the pair
+    log (an output is not the index — exactly how production pair logs
+    behave under GDPR: the derived artifact is regenerated, the source
+    doc stops matching), and every pair emitted after can only involve
+    survivors, because the tombstone anti-join runs inside each probe.
+    The epoch union is therefore the three-clause SQL above — no
+    order-dependence remains once the phases are fixed, by the same
+    exactly-once-per-pair argument as t_stream_ingest_dedup."""
+    from ..catalog import index_scratch_dir
+    from ..streaming.ingest import stream_ingest_dedup_with_erasure
+
+    run = index_scratch_dir(spark, sf_dir, "stream_ingest_erasure", "documents.parquet")
+    d = load(spark, sf_dir, "documents")
+    # 2 shards per phase: still genuinely multi-batch on both sides of the
+    # erasure (the result is shard-count invariant — same argument as
+    # t_stream_ingest_dedup, pinned there at K=2,3) at half the fixture cost
+    return stream_ingest_dedup_with_erasure(spark, d, run, n_shards=2).orderBy(
+        "doc_a", "doc_b"
+    )

@@ -29,19 +29,25 @@ from pyspark.sql import functions as F
 
 
 def _split_shards(
-    df: DataFrame, run_dir: str, n_shards: int, id_col: str
+    df: DataFrame, run_dir: str, n_shards: int, id_col: str, shard_key=None
 ) -> None:
     """Write ``df`` as ``n_shards`` single-file parquet shards under
     ``{run_dir}/in`` — one parquet FILE per shard so maxFilesPerTrigger=1
     yields one micro-batch per shard (fixtures ship as single files).
     The source is cached across the per-shard filtered writes so the
-    split is one underlying scan, not n_shards of them."""
+    split is one underlying scan, not n_shards of them. ``shard_key``
+    overrides the default ``id % n_shards`` Column — needed when the
+    input ids are themselves a residue class (the erasure lifecycle
+    streams evens then odds; ``id % n`` would leave half the shards
+    empty)."""
+    if shard_key is None:
+        shard_key = F.col(id_col) % n_shards
     os.makedirs(os.path.join(run_dir, "in"), exist_ok=True)
     df = df.persist()
     try:
         for k in range(n_shards):
             tmp = os.path.join(run_dir, f"_shard{k}")
-            df.filter(F.col(id_col) % n_shards == k).coalesce(1).write.mode(
+            df.filter(shard_key == k).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(tmp)
             part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
@@ -111,6 +117,8 @@ def stream_ingest_embed_pairs(
         vecs_dir = os.path.join(run_dir, "vecs")
 
         def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+            if batch_df.isEmpty():  # an empty shard must not write an
+                return              # unreadable empty partitioned segment
             pairs = blocked_cosine_pairs(
                 batch_df, threshold, id_col=id_col, vec_col=vec_col
             ).select("id_a", "id_b")
@@ -153,6 +161,7 @@ def stream_ingest_dedup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_segments: int | None = None,
+    shard_key=None,
 ) -> DataFrame:
     """Drive ``docs`` through the continuous-ingest dedup pipeline in
     ``n_shards`` micro-batches; returns the accumulated near-dup pairs
@@ -183,12 +192,14 @@ def stream_ingest_dedup_pairs(
         # checkpoint → fresh or torn-before-start run: rebuild from scratch.
         if not os.path.exists(os.path.join(run_dir, "ckpt")):
             shutil.rmtree(run_dir, ignore_errors=True)
-            _split_shards(docs, run_dir, n_shards, id_col)
+            _split_shards(docs, run_dir, n_shards, id_col, shard_key=shard_key)
         schema = spark.read.parquet(os.path.join(run_dir, "in")).schema
         idx = os.path.join(run_dir, "idx")
         base_marker = os.path.join(idx, "base_epoch")
 
         def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+            if batch_df.isEmpty():  # an empty shard must not write an
+                return              # unreadable empty partitioned segment
             pairs = minhash_near_dups(
                 batch_df, min_jaccard=min_jaccard, text_col=text_col, id_col=id_col
             ).select("doc_a", "doc_b", F.col("n_inter").cast("long").alias("n_inter"))
@@ -256,3 +267,126 @@ def stream_ingest_dedup_pairs(
         _run_available_now(spark, run_dir, ingest, schema)
         open(done, "w").close()
     return spark.read.parquet(pairs_glob)
+
+
+def stream_ingest_dedup_with_erasure(
+    spark: SparkSession,
+    docs: DataFrame,
+    run_dir: str,
+    n_shards: int = 4,
+    min_jaccard: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The GDPR lifecycle through the CONTINUOUS ingest path: ingest the
+    initial corpus (even ids) as a streaming run, then an ERASURE arrives
+    (tombstone ``id % 4 == 0`` — half the stored corpus, via
+    llm/index_maintenance.py::add_tombstones, no index rewrite), then the
+    stream keeps ingesting (odd ids) against the survivor index.
+
+    What this pins, and why it is oracle-exact:
+
+    * pairs emitted BEFORE the erasure are history — an output log is not
+      the index; erasure revokes future matchability, it cannot unemit
+      (exactly how a production pair log behaves);
+    * pairs emitted AFTER the erasure can only touch survivors — the
+      tombstone anti-join runs inside every probe;
+    * so the final epoch union is exactly: (phase-1 × phase-1) ∪
+      (phase-2 × phase-2) ∪ (phase-2 × (phase-1 − deleted)) at the
+      jaccard threshold — three id-arithmetic clauses a SQL oracle states
+      verbatim (t_stream_ingest_erasure).
+
+    Same completion-marker cache, resume, and replay discipline as
+    :func:`stream_ingest_dedup_pairs`; phase-2 segments are named
+    ``p2e{epoch}`` and replays exclude their own segment."""
+    from ..llm.dedup import (
+        append_minhash_segment,
+        minhash_near_dups,
+        probe_minhash_index,
+    )
+    from ..llm.index_maintenance import add_tombstones
+
+    pairs_all = os.path.join(run_dir, "pairs_all", "*", "epoch_*")
+    done = os.path.join(run_dir, "done")
+    if not os.path.exists(done):
+        # phase 1: the initial corpus streams in through the standard
+        # ingest (its own completion-marked subdir; builds {p1}/idx)
+        p1 = os.path.join(run_dir, "p1")
+        stream_ingest_dedup_pairs(
+            spark,
+            docs.filter(F.col(id_col) % 2 == 0),
+            p1,
+            n_shards=n_shards,
+            min_jaccard=min_jaccard,
+            id_col=id_col,
+            text_col=text_col,
+            # the phase holds one residue class — shard on id div 2 so all
+            # n_shards shards are non-empty
+            shard_key=F.expr(f"({id_col} div 2) % {n_shards}"),
+        )
+        os.makedirs(os.path.join(run_dir, "pairs_all"), exist_ok=True)
+        tgt = os.path.join(run_dir, "pairs_all", "p1")
+        if not os.path.exists(tgt):
+            # copy-then-rename: a crash mid-copy leaves only the tmp dir,
+            # so the retry never trusts a torn phase-1 pair log
+            shutil.copytree(os.path.join(p1, "pairs"), tgt + ".tmp")
+            os.rename(tgt + ".tmp", tgt)
+        idx = os.path.join(p1, "idx")
+
+        # the erasure: half the stored corpus is tombstoned, O(deletes)
+        import json as _json
+
+        with open(os.path.join(idx, "meta.json")) as fh:
+            _meta = _json.load(fh)
+        if not _meta.get("tombstones"):
+            add_tombstones(
+                spark, idx, docs.filter(F.col(id_col) % 4 == 0).select(id_col)
+            )
+
+        # phase 2: the stream continues — new docs probe the SURVIVOR index
+        p2in = os.path.join(run_dir, "p2")
+        if not os.path.exists(os.path.join(p2in, "ckpt")):
+            shutil.rmtree(p2in, ignore_errors=True)
+            _split_shards(
+                docs.filter(F.col(id_col) % 2 == 1).select(id_col, text_col),
+                p2in,
+                n_shards,
+                id_col,
+                shard_key=F.expr(f"({id_col} div 2) % {n_shards}"),
+            )
+        schema = spark.read.parquet(os.path.join(p2in, "in")).schema
+        out2 = os.path.join(run_dir, "pairs_all", "p2")
+
+        def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+            if batch_df.isEmpty():  # an empty shard must not write an
+                return              # unreadable empty partitioned segment
+            pairs = minhash_near_dups(
+                batch_df, min_jaccard=min_jaccard, text_col=text_col, id_col=id_col
+            ).select("doc_a", "doc_b", F.col("n_inter").cast("long").alias("n_inter"))
+            cross = probe_minhash_index(
+                spark,
+                idx,
+                batch_df,
+                min_jaccard=min_jaccard,
+                text_col=text_col,
+                id_col=id_col,
+                exclude_segments=(f"p2e{epoch_id}",),
+            ).select(
+                F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"),
+                F.col("n_inter").cast("long").alias("n_inter"),
+            )
+            pairs.unionByName(cross).write.mode("overwrite").parquet(
+                os.path.join(out2, f"epoch_{epoch_id}")
+            )
+            try:
+                append_minhash_segment(
+                    batch_df, idx, segment=f"p2e{epoch_id}",
+                    text_col=text_col, id_col=id_col,
+                )
+            except ValueError:
+                pass  # replayed epoch: segment already appended (idempotent)
+
+        _run_available_now(spark, p2in, ingest, schema)
+        open(done, "w").close()
+    return spark.read.parquet(pairs_all)

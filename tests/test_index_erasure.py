@@ -207,3 +207,39 @@ def test_bm25_erasure_compaction_rederives_stats(spark, sf_dir, tmp_path):
     assert (meta["n_docs"], meta["total_len"]) == (meta_r["n_docs"], meta_r["total_len"])
     after = [tuple(r) for r in probe_bm25_index(spark, full, probe, k=10).collect()]
     assert after == want
+
+
+def test_stream_ingest_erasure_shard_invariant_and_history(spark, sf_dir, tmp_path):
+    """The streaming GDPR timeline (ingest evens → erase %4==0 → ingest
+    odds): the pair set is shard-count invariant, pairs EMITTED BEFORE the
+    erasure keep their deleted participants (history is an output, not the
+    index), and no pair emitted after the erasure touches a deleted doc."""
+    from bridge_analytics_template_spark.streaming.ingest import (
+        stream_ingest_dedup_with_erasure,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    runs = {}
+    for k in (2, 3):
+        out = stream_ingest_dedup_with_erasure(
+            spark, d, str(tmp_path / f"run_k{k}"), n_shards=k
+        )
+        runs[k] = sorted(
+            (r["doc_a"], r["doc_b"], r["n_inter"]) for r in out.collect()
+        )
+    assert runs[2] == runs[3]  # shard-count invariance
+
+    pairs = runs[2]
+    assert pairs
+    deleted = lambda x: x % 4 == 0
+    phase1 = lambda x: x % 2 == 0
+    touched_deleted = [(a, b) for a, b, _ in pairs if deleted(a) or deleted(b)]
+    # history: deleted docs DO appear — but only in both-phase-1 pairs
+    assert touched_deleted
+    assert all(phase1(a) and phase1(b) for a, b in touched_deleted)
+    # post-erasure emissions: every cross-phase pair's stored side survived
+    cross = [(a, b) for a, b, _ in pairs if phase1(a) != phase1(b)]
+    assert cross
+    for a, b in cross:
+        stored = a if phase1(a) else b
+        assert stored % 4 == 2
