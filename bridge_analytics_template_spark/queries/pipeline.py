@@ -437,6 +437,40 @@ def s_python_datasource(spark, sf_dir):
 
 
 @query(
+    "s_python_sink",
+    sql="""
+    SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+    FROM documents WHERE length(trim(text)) > 0
+    ORDER BY doc_id
+    """,
+)
+def s_python_sink(spark, sf_dir):
+    """S9b: custom WRITER via the Python DataSource API (Spark 4) — the
+    other half of the connector surface next to s_python_datasource /
+    s_python_stream_source. The sink implements the two-phase commit
+    protocol every real external sink needs: executors stage uniquely
+    named JSONL part files and return commit messages; the DRIVER commits
+    by atomically writing a manifest listing exactly the committed files
+    (tmp + os.replace); abort deletes staged files so partial output
+    cannot leak. Reading back THROUGH the manifest (staged leftovers
+    invisible) and value-comparing against the projection SQL verifies
+    the full write→commit→read contract, not just that save() returned.
+    Abort-path and leftover-invisibility are pinned in
+    tests/test_sources.py."""
+    from ..sources.pydatasource import read_manifested, register_sink
+
+    register_sink(spark)
+    d = load(spark, sf_dir, "documents")
+    out = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    path = scratch_path(spark, "python_sink_docs")
+    out.write.format("jsonl_manifest").option("path", path).mode("append").save()
+    return read_manifested(spark, path, "doc_id long, n_tokens long").orderBy("doc_id")
+
+
+@query(
     "s_python_stream_source",
     sql="""
     WITH g AS (

@@ -119,3 +119,92 @@ class SyntheticEventsStreamDataSource(DataSource):
 
 def register_stream(spark) -> None:
     spark.dataSource.register(SyntheticEventsStreamDataSource)
+
+
+# --- writer form -------------------------------------------------------------
+# The OTHER half of the custom-connector surface: a Python DataSource WRITER
+# with the two-phase commit protocol a real external sink implements —
+# executors write independently and return commit messages, the DRIVER
+# decides atomicity: only files recorded in the commit manifest exist as far
+# as any reader is concerned. A crashed/aborted job leaves staged files but
+# no manifest entry — invisible, exactly-once for idempondent readers.
+
+import json as _json
+import os as _os
+import uuid as _uuid
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path, self.rows = path, rows
+
+
+class _ManifestWriter(DataSourceWriter):
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, iterator):
+        """Runs ON EXECUTORS: stage this partition's rows to a uniquely
+        named JSONL file; report it to the driver. Nothing written here is
+        visible until the driver commits the manifest."""
+        _os.makedirs(self.path, exist_ok=True)
+        fname = _os.path.join(self.path, f"part-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _FileCommit(fname, n)
+
+    def commit(self, messages):
+        """Runs ON THE DRIVER, once, after every task succeeded — the
+        atomic commit point (tmp + os.replace, same discipline as the
+        index tier's meta.json)."""
+        manifest = {
+            "files": sorted(_os.path.basename(m.path) for m in messages),
+            "rows": sum(m.rows for m in messages),
+        }
+        tmp = _os.path.join(self.path, "_manifest.json.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump(manifest, fh)
+        _os.replace(tmp, _os.path.join(self.path, "_manifest.json"))
+
+    def abort(self, messages):
+        """Any task failed: remove what the SUCCESSFUL tasks staged; the
+        manifest is never written, so partial output cannot leak."""
+        for m in messages:
+            try:
+                _os.remove(m.path)
+            except OSError:
+                pass
+
+
+class JsonlManifestSink(DataSource):
+    """`df.write.format("jsonl_manifest").option("path", dir).save()` —
+    a manifest-committed JSONL directory sink. Read back ONLY the
+    manifested files with :func:`read_manifested`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_manifest"
+
+    def schema(self) -> str:  # writers receive the input schema at runtime
+        return "placeholder string"
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _ManifestWriter(self.options["path"])
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(JsonlManifestSink)
+
+
+def read_manifested(spark, path: str, schema: str):
+    """The reader side of the manifest contract: list ONLY the files the
+    commit recorded (staged leftovers from aborted writes are invisible),
+    then one distributed JSON scan over that list."""
+    with open(_os.path.join(path, "_manifest.json")) as fh:
+        files = _json.load(fh)["files"]
+    return spark.read.schema(schema).json([_os.path.join(path, f) for f in files])

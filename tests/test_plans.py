@@ -592,3 +592,49 @@ def test_bitext_mine_plan_blocked_gemm(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The configured AQE skew-join handling, DEMONSTRATED (VERDICT r7
+    task 6): on the zipf skew replica (one l_suppkey holding ~30% of
+    lineitem) a sort-merge join re-plans at runtime into
+    SortMergeJoin(skew=true) with a 'skewed' AQEShuffleRead — the hot
+    shuffle partition is split instead of pinning one task. Thresholds
+    are lowered to make the 10x replica's hot partition qualify the same
+    way a real 100 TB partition would at the defaults. Skips when the
+    replica hasn't been built (ci.sh builds it)."""
+    import os
+
+    import pytest
+
+    if not os.path.exists("/tmp/skew10/lineitem.parquet"):
+        pytest.skip("skew replica not built (run tools/make_replica.py --skew zipf)")
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512k",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet("/tmp/skew10/lineitem.parquet")
+        s = spark.read.parquet("/tmp/skew10/supplier.parquet")
+        j = li.join(s, li.l_suppkey == s.s_suppkey).select("l_orderkey", "s_name")
+        qe = j._jdf.queryExecution()
+        # execute THIS QueryExecution (collect()/write build new ones —
+        # their runtime re-plan would be invisible here)
+        qe.toRdd().count()
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = qe.explainString(mode)
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "skewed" in plan  # the AQEShuffleRead argument
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -528,3 +528,51 @@ def test_corrupt_file_skip_and_strict_failure(spark, sf_dir, tmp_path):
     # the corrupt-file error class so an unrelated failure can't pass
     with pytest.raises(Exception, match="(?i)parquet|footer|corrupt"):
         spark.read.parquet(path).count()
+
+
+def test_python_sink_manifest_commit_and_abort(spark, sf_dir, tmp_path):
+    """The Python DataSource WRITER's two-phase commit: only manifested
+    files are readable; a failed job leaves the previous manifest intact
+    (its staged leftovers invisible); the next successful write replaces
+    the manifest atomically."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bridge_analytics_template_spark.catalog import load
+    from bridge_analytics_template_spark.sources.pydatasource import (
+        read_manifested,
+        register_sink,
+    )
+
+    register_sink(spark)
+    path = str(tmp_path / "sink")
+    d = load(spark, sf_dir, "documents").select("doc_id").limit(50)
+
+    d.filter(F.col("doc_id") % 2 == 0).write.format("jsonl_manifest").option(
+        "path", path
+    ).mode("append").save()
+    first = sorted(r["doc_id"] for r in read_manifested(spark, path, "doc_id long").collect())
+    assert first and all(i % 2 == 0 for i in first)
+
+    # poisoned write: one row makes its task raise -> abort, no commit
+    from pyspark.sql.functions import udf
+
+    @udf("long")
+    def poison(v):
+        if v == 1:
+            raise ValueError("poisoned row")
+        return v
+
+    bad = d.withColumn("doc_id", poison("doc_id"))
+    with pytest.raises(Exception):
+        bad.write.format("jsonl_manifest").option("path", path).mode("append").save()
+    # previous commit still the visible truth, failed staging invisible
+    again = sorted(r["doc_id"] for r in read_manifested(spark, path, "doc_id long").collect())
+    assert again == first
+
+    # next successful write atomically replaces the manifest
+    d.filter(F.col("doc_id") % 2 == 1).write.format("jsonl_manifest").option(
+        "path", path
+    ).mode("append").save()
+    odd = sorted(r["doc_id"] for r in read_manifested(spark, path, "doc_id long").collect())
+    assert odd and all(i % 2 == 1 for i in odd)
