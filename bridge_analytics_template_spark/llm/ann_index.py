@@ -161,6 +161,11 @@ def append_ivf_segment(
         meta = json.load(fh)
     if segment in meta.get("segments", []):
         raise ValueError(f"segment {segment!r} already exists in {path}")
+    if os.path.join("segments", segment) in meta.get("stale", []):
+        # the name's dir is deferred-swept garbage of the previous
+        # compaction — writing into it would break old-meta probe plans
+        # (same hazard as tombstone-name reuse; review finding r8)
+        raise ValueError(f"segment name {segment!r} is pending deferred sweep in {path}; pick a fresh name")
     cents_rows = [
         Row(centroid_id=cid, cent=cent)
         for cid, cent in zip(meta["centroid_ids"], meta["centroids"])
@@ -343,6 +348,11 @@ def append_ivfpq_segment(
         meta = json.load(fh)
     if segment in meta.get("segments", []):
         raise ValueError(f"segment {segment!r} already exists in {path}")
+    if os.path.join("segments", segment) in meta.get("stale", []):
+        # the name's dir is deferred-swept garbage of the previous
+        # compaction — writing into it would break old-meta probe plans
+        # (same hazard as tombstone-name reuse; review finding r8)
+        raise ValueError(f"segment name {segment!r} is pending deferred sweep in {path}; pick a fresh name")
     cents = np.array(meta["centroids"], dtype=np.float64)
     books = np.array(meta["codebooks"], dtype=np.float64)
     encoded = _encode_ivfpq(new_vectors, cents, books, id_col, vec_col)

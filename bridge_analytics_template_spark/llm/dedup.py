@@ -871,6 +871,11 @@ def append_minhash_segment(
         meta = _json.load(fh)
     if segment in meta.get("segments", []):
         raise ValueError(f"segment {segment!r} already exists in {path}")
+    if _os.path.join("segments", segment) in meta.get("stale", []):
+        # the name's dir is deferred-swept garbage of the previous
+        # compaction — writing into it would break old-meta probe plans
+        # (same hazard as tombstone-name reuse; review finding r8)
+        raise ValueError(f"segment name {segment!r} is pending deferred sweep in {path}; pick a fresh name")
     seg_dir = _os.path.join(path, "segments", segment)
     arrays = track(
         _shingle_arrays(

@@ -108,13 +108,20 @@ def add_tombstones(spark: SparkSession, path: str, ids) -> str:
     with open(meta_path) as fh:
         meta = json.load(fh)
     existing = meta.get("tombstones", [])
-    name = f"del_{len(existing)}"
+    # MONOTONIC sequence, never len(existing): compaction clears the
+    # tombstone list while the folded del_N dirs live on under
+    # meta['stale'] for one deferred-sweep cycle — a length-derived name
+    # would overwrite a dir that old-meta probe plans still resolve
+    # (review finding r8).
+    seq = meta.get("tombstone_seq", len(existing))
+    name = f"del_{seq}"
     if hasattr(ids, "toDF") or hasattr(ids, "select"):  # DataFrame
         df = ids.select(F.col(ids.columns[0]).cast("long").alias("id"))
     else:
         df = spark.createDataFrame([(int(i),) for i in ids], "id long")
     df.write.mode("overwrite").parquet(os.path.join(path, "tombstones", name))
     meta["tombstones"] = existing + [name]
+    meta["tombstone_seq"] = seq + 1
     atomic_write_json(meta_path, meta)  # COMMIT
     return name
 

@@ -118,6 +118,11 @@ def append_bm25_segment(
         meta = json.load(fh)
     if any(s["name"] == segment for s in meta.get("segments", [])):
         raise ValueError(f"segment {segment!r} already exists in {path}")
+    if os.path.join("segments", segment) in meta.get("stale", []):
+        # the name's dir is deferred-swept garbage of the previous
+        # compaction — writing into it would break old-meta probe plans
+        # (same hazard as tombstone-name reuse; review finding r8)
+        raise ValueError(f"segment name {segment!r} is pending deferred sweep in {path}; pick a fresh name")
     n_buckets = meta["n_buckets"]
     seg_dir = os.path.join(path, "segments", segment)
     toks = new_docs.select(
@@ -198,7 +203,13 @@ def compact_bm25_index(spark: SparkSession, path: str) -> None:
 
     postings = _live(
         _read_all("postings").withColumn("bucket", F.col("bucket").cast("long"))
-    ).persist()
+    )
+    if tomb is not None:
+        # persist only when a SECOND consumer exists (the df recount
+        # below); the no-tombstone branch consumes postings exactly once
+        # — caching it there just evicts other executor storage for
+        # nothing (review finding r8)
+        postings = postings.persist()
     postings.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(tmp, "postings")
     )

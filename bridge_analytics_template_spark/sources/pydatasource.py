@@ -173,8 +173,13 @@ class _ManifestWriter(DataSourceWriter):
 
     def abort(self, messages):
         """Any task failed: remove what the SUCCESSFUL tasks staged; the
-        manifest is never written, so partial output cannot leak."""
+        manifest is never written, so partial output cannot leak. The
+        messages list carries None for each FAILED task (the PySpark
+        abort contract) — and abort only runs when at least one task
+        failed, so the None check is load-bearing (review finding r8)."""
         for m in messages:
+            if m is None:
+                continue
             try:
                 _os.remove(m.path)
             except OSError:

@@ -328,7 +328,10 @@ def stream_ingest_dedup_with_erasure(
         tgt = os.path.join(run_dir, "pairs_all", "p1")
         if not os.path.exists(tgt):
             # copy-then-rename: a crash mid-copy leaves only the tmp dir,
-            # so the retry never trusts a torn phase-1 pair log
+            # so the retry never trusts a torn phase-1 pair log — and the
+            # retry must clear that leftover first (copytree refuses an
+            # existing destination; review finding r8)
+            shutil.rmtree(tgt + ".tmp", ignore_errors=True)
             shutil.copytree(os.path.join(p1, "pairs"), tgt + ".tmp")
             os.rename(tgt + ".tmp", tgt)
         idx = os.path.join(p1, "idx")

@@ -243,3 +243,38 @@ def test_stream_ingest_erasure_shard_invariant_and_history(spark, sf_dir, tmp_pa
     for a, b in cross:
         stored = a if phase1(a) else b
         assert stored % 4 == 2
+
+
+def test_tombstone_names_never_reused_after_compaction(spark, sf_dir, tmp_path):
+    """del_N names are a persisted monotonic sequence, not len(tombstones):
+    compaction clears the list while the folded delta dirs live on under
+    meta['stale'] for one deferred-sweep cycle — a length-derived name
+    would overwrite a dir old-meta probe plans still resolve."""
+    from bridge_analytics_template_spark.llm.dedup import (
+        compact_minhash_index,
+        save_minhash_index,
+    )
+    from bridge_analytics_template_spark.llm.index_maintenance import add_tombstones
+
+    d = load(spark, sf_dir, "documents")
+    idx = str(tmp_path / "mh")
+    save_minhash_index(d.filter(F.col("doc_id") % 2 == 0), idx)
+    first = add_tombstones(spark, idx, d.filter(F.col("doc_id") % 8 == 0).select("doc_id"))
+    assert first == "del_0"
+    compact_minhash_index(spark, idx)
+    meta = json.load(open(os.path.join(idx, "meta.json")))
+    assert os.path.join("tombstones", "del_0") in meta["stale"]
+    second = add_tombstones(spark, idx, d.filter(F.col("doc_id") % 8 == 4).select("doc_id"))
+    assert second == "del_1"  # the deferred del_0 dir is untouched
+    assert os.path.isdir(os.path.join(idx, "tombstones", "del_0"))
+    meta = json.load(open(os.path.join(idx, "meta.json")))
+    assert meta["tombstones"] == ["del_1"] and meta["tombstone_seq"] == 2
+    # segment-name reuse is rejected while the old dir awaits its sweep
+    import pytest as _pytest
+
+    from bridge_analytics_template_spark.llm.dedup import append_minhash_segment
+
+    append_minhash_segment(d.filter(F.col("doc_id") % 4 == 1), idx, "day1")
+    compact_minhash_index(spark, idx)
+    with _pytest.raises(ValueError, match="pending deferred sweep"):
+        append_minhash_segment(d.filter(F.col("doc_id") % 4 == 3), idx, "day1")

@@ -63,24 +63,32 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1", help="data dir to time at")
     args = ap.parse_args()
 
-    fns = {spec: resolve(spec) for spec in args.variants}
+    # label by position so duplicate specs stay DISTINCT runs — an A/A
+    # calibration (`ab.py q q`) must measure the box's real noise, not
+    # collapse both variants onto one timing list and report fabricated
+    # perfect stability (review finding r8)
+    labels = [
+        spec if args.variants.count(spec) == 1 else f"{spec}#{i}"
+        for i, spec in enumerate(args.variants)
+    ]
+    fns = [(lab, resolve(spec)) for lab, spec in zip(labels, args.variants)]
     spark = get_spark("ab")
 
-    for spec, f in fns.items():  # compile every plan shape before timing
+    for _, f in fns:  # compile every plan shape before timing
         f(spark, WARM_SF).count()
         spark.catalog.clearCache()
 
-    times: dict[str, list[float]] = {spec: [] for spec in fns}
+    times: dict[str, list[float]] = {lab: [] for lab, _ in fns}
     for _ in range(args.n):
-        for spec, f in fns.items():
+        for lab, f in fns:
             t0 = time.time()
             f(spark, args.sf).count()
-            times[spec].append(round(time.time() - t0, 3))
+            times[lab].append(round(time.time() - t0, 3))
             spark.catalog.clearCache()
 
-    out = {spec: {"min": min(v), "passes": v} for spec, v in times.items()}
-    if len(args.variants) == 2:
-        a, b = args.variants
+    out = {lab: {"min": min(v), "passes": v} for lab, v in times.items()}
+    if len(labels) == 2:
+        a, b = labels
         deltas = [round(tb - ta, 3) for ta, tb in zip(times[a], times[b])]
         out["paired_delta_b_minus_a"] = {
             "per_pass": deltas,
