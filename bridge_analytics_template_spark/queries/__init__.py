@@ -116,8 +116,12 @@ def _auto_window(
     Priority: flagship (driver smoke) → latest-row FAILURES (a fix must
     show green) → rows-only entries that since GAINED an oracle (upgrade
     deserves a hash row) → never-officially-checked names in registration
-    order → everything else. Returns None (→ static fallback) when no
-    ledger newer than the static window's round exists."""
+    order → STALE green rows, oldest official evidence first (VERDICT r8
+    task 3: once the never-checked backlog clears, each window re-certifies
+    the ~49 names whose latest official row is oldest — most §2 operators'
+    rows date from r1-r2 and the code has changed since). Returns None
+    (→ static fallback) when no ledger newer than the static window's
+    round exists."""
     import glob
     import json
     import re
@@ -130,11 +134,15 @@ def _auto_window(
         return None
     latest: dict[str, dict] = {}
     checked: set[str] = set()
+    latest_round: dict[str, int] = {}
     try:
         for path in ledgers:
+            rnd = int(re.search(r"_r(\d+)", path).group(1))
             rows = json.load(open(path))
             checked.update(rows)
             latest.update(rows)
+            for name in rows:
+                latest_round[name] = rnd
     except (OSError, ValueError):
         return None
     failed = [
@@ -148,14 +156,27 @@ def _auto_window(
         for n, row in latest.items()
         if n in QUERIES and n in ORACLES and row.get("err") == "no_oracle"
     ]
-    # Oracled names first: a hash row in the official ledger is strictly
-    # stronger evidence than a rows-only row, so rows-only entries queue
-    # behind every never-checked oracled query.
-    never = [n for n in QUERIES if n not in checked and n in ORACLES] + [
-        n for n in QUERIES if n not in checked and n not in ORACLES
-    ]
+    # FIFO by registration: through r8 the bucket was oracled-first (a
+    # hash row is stronger evidence, so rows-only names queued behind every
+    # never-checked oracled query — correct while the oracled backlog
+    # exceeded the window). With the backlog now inside one window,
+    # starvation-avoidance wins: registration order guarantees the oldest
+    # never-checked names clear before anything registered this round, so
+    # a new query can never displace an r1-era backlog name.
+    # REGISTRATION_ORDER survives _apply_window's prefix reorder; fall back
+    # to the live registry on the first (import-time) call.
+    order = [n for n in (REGISTRATION_ORDER or list(QUERIES)) if n in QUERIES]
+    never = [n for n in order if n not in checked]
+    # Stale-rotation bucket: checked-and-green names, oldest official row
+    # first (ties: oracled before rows-only — a fresh hash row is stronger
+    # evidence — then registration order, which enumerate() makes stable).
+    reg_index = {n: i for i, n in enumerate(order)}
+    stale = sorted(
+        (n for n in order if n in checked),
+        key=lambda n: (latest_round.get(n, 0), n not in ORACLES, reg_index[n]),
+    )
     out: list[str] = []
-    for name in ["flagship", *failed, *upgraded, *never]:
+    for name in ["flagship", *failed, *upgraded, *never, *stale]:
         if name in QUERIES and name not in out:
             out.append(name)
         if len(out) >= window_size:
@@ -163,7 +184,13 @@ def _auto_window(
     return out
 
 
+# Original registration order, captured before _apply_window reorders the
+# registry prefix — the FIFO backlog invariant is untestable without it.
+REGISTRATION_ORDER: list[str] = []
+
+
 def _apply_window() -> None:
+    REGISTRATION_ORDER.extend(QUERIES)
     window = _auto_window() or _WINDOW
     missing = [n for n in window if n not in QUERIES]
     if missing:

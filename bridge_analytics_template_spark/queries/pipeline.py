@@ -466,7 +466,10 @@ def s_python_sink(spark, sf_dir):
         F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
     )
     path = scratch_path(spark, "python_sink_docs")
-    out.write.format("jsonl_manifest").option("path", path).mode("append").save()
+    # overwrite, not append: append now MERGES manifests (ADVICE r8), so a
+    # re-run in the same session would double the rows; overwrite commits
+    # only this job's files and removes superseded parts — idempotent.
+    out.write.format("jsonl_manifest").option("path", path).mode("overwrite").save()
     return read_manifested(spark, path, "doc_id long, n_tokens long").orderBy("doc_id")
 
 

@@ -82,8 +82,10 @@ def agg_regr_exact(spark, sf_dir):
 #
 # events.value is NOT 2-decimal exact in the fixture, so quantize with
 # floor(value*100) — one IEEE multiply + floor, identical on both engines —
-# instead of a decimal cast (whose double→decimal rounding differs between
-# engines; see .claude/skills/verify gotchas).
+# instead of a decimal cast: Spark's CAST(double AS DECIMAL) rounds
+# HALF_UP while DuckDB rounds half-to-even, so a value like x.005 lands on
+# different decimals and the hash comparison breaks even though both casts
+# are "correct".
 
 _MAD_SQL = """
 WITH q AS (

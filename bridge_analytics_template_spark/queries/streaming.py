@@ -1250,3 +1250,59 @@ def t_stream_ingest_erasure(spark, sf_dir):
     return stream_ingest_dedup_with_erasure(spark, d, run, n_shards=2).orderBy(
         "doc_a", "doc_b"
     )
+
+
+@query(
+    "t_stream_ingest_erasure_compact",
+    # IDENTICAL oracle to t_stream_ingest_erasure: auto-compaction is a
+    # result-invariant background policy, so the pair set must not move.
+    sql=f"""
+    WITH sh AS (
+      SELECT doc_id AS doc, unnest({_SQL_SHINGLES5_PADDED}) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, CAST(i.n_inter AS BIGINT) AS n_inter
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc
+    JOIN sizes sb ON i.doc_b = sb.doc
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5
+      AND (   (i.doc_a % 2 = 0 AND i.doc_b % 2 = 0)
+           OR (i.doc_a % 2 = 1 AND i.doc_b % 2 = 1)
+           OR (i.doc_a % 4 = 2 AND i.doc_b % 2 = 1)
+           OR (i.doc_b % 4 = 2 AND i.doc_a % 2 = 1))
+    ORDER BY doc_a, doc_b
+    """,
+)
+def t_stream_ingest_erasure_compact(spark, sf_dir):
+    """T-custom, ORACLED: the GDPR timeline WITH the auto-compaction
+    policy forced mid-stream (VERDICT r8 task 5) — ingest even ids →
+    tombstone doc % 4 == 0 → the CONTINUING stream's own maybe_compact
+    (max_segments=1) folds the index while tombstones are live, physically
+    dropping the erased rows and retiring the deltas → later batches keep
+    probing the compacted survivor base. n_shards=3 per phase gives the
+    policy two trips inside phase 2 (epochs 0 and 2), i.e. probes run
+    against the tombstone-anti-join index, the freshly compacted base,
+    AND a post-compaction appended segment within one run.
+
+    The oracle is t_stream_ingest_erasure's three-clause phase SQL,
+    UNCHANGED: compaction is result-invariant by construction (the probe's
+    tombstone anti-join equals the physical drop; folding segments is a
+    pure file rewrite of content-deterministic signatures), so the exact
+    pair set certifies both the policy's replay guard and the
+    deferred-sweep lifecycle under live tombstones."""
+    from ..catalog import index_scratch_dir
+    from ..streaming.ingest import stream_ingest_dedup_with_erasure
+
+    run = index_scratch_dir(
+        spark, sf_dir, "stream_ingest_erasure_compact", "documents.parquet"
+    )
+    d = load(spark, sf_dir, "documents")
+    return stream_ingest_dedup_with_erasure(
+        spark, d, run, n_shards=3, max_segments=1
+    ).orderBy("doc_a", "doc_b")

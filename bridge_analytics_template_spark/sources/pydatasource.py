@@ -142,8 +142,9 @@ class _FileCommit(WriterCommitMessage):
 
 
 class _ManifestWriter(DataSourceWriter):
-    def __init__(self, path: str):
+    def __init__(self, path: str, overwrite: bool):
         self.path = path
+        self.overwrite = overwrite
 
     def write(self, iterator):
         """Runs ON EXECUTORS: stage this partition's rows to a uniquely
@@ -161,15 +162,43 @@ class _ManifestWriter(DataSourceWriter):
     def commit(self, messages):
         """Runs ON THE DRIVER, once, after every task succeeded — the
         atomic commit point (tmp + os.replace, same discipline as the
-        index tier's meta.json)."""
-        manifest = {
-            "files": sorted(_os.path.basename(m.path) for m in messages),
-            "rows": sum(m.rows for m in messages),
-        }
+        index tier's meta.json).
+
+        Save-mode semantics (ADVICE r8): append MERGES the previously
+        committed file list into the new manifest — a second
+        ``.mode('append').save()`` must not hide earlier rows or leak
+        their staged parts; overwrite commits only the new files, then
+        deletes the superseded parts AFTER the manifest replace (the
+        replace is the visibility flip, so a crash between the two leaves
+        only invisible garbage, never a manifest pointing at deleted
+        files)."""
+        new_files = sorted(_os.path.basename(m.path) for m in messages)
+        new_rows = sum(m.rows for m in messages)
+        old_files: list[str] = []
+        old_rows = 0
+        manifest_path = _os.path.join(self.path, "_manifest.json")
+        if _os.path.exists(manifest_path):
+            with open(manifest_path) as fh:
+                prev = _json.load(fh)
+            old_files = list(prev.get("files", []))
+            old_rows = prev.get("rows", 0)
+        if self.overwrite:
+            manifest = {"files": new_files, "rows": new_rows}
+        else:
+            manifest = {
+                "files": sorted(set(old_files) | set(new_files)),
+                "rows": old_rows + new_rows,
+            }
         tmp = _os.path.join(self.path, "_manifest.json.tmp")
         with open(tmp, "w") as fh:
             _json.dump(manifest, fh)
-        _os.replace(tmp, _os.path.join(self.path, "_manifest.json"))
+        _os.replace(tmp, manifest_path)
+        if self.overwrite:
+            for f in set(old_files) - set(new_files):
+                try:
+                    _os.remove(_os.path.join(self.path, f))
+                except OSError:
+                    pass
 
     def abort(self, messages):
         """Any task failed: remove what the SUCCESSFUL tasks staged; the
@@ -199,7 +228,7 @@ class JsonlManifestSink(DataSource):
         return "placeholder string"
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
-        return _ManifestWriter(self.options["path"])
+        return _ManifestWriter(self.options["path"], overwrite)
 
 
 def register_sink(spark) -> None:
@@ -212,4 +241,9 @@ def read_manifested(spark, path: str, schema: str):
     then one distributed JSON scan over that list."""
     with open(_os.path.join(path, "_manifest.json")) as fh:
         files = _json.load(fh)["files"]
+    if not files:
+        # A zero-partition commit records an empty file list; spark.read
+        # .json([]) raises 'path not specified' — return the declared
+        # empty relation instead (ADVICE r8).
+        return spark.createDataFrame([], schema)
     return spark.read.schema(schema).json([_os.path.join(path, f) for f in files])

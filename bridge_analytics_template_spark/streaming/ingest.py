@@ -160,7 +160,7 @@ def stream_ingest_dedup_pairs(
     min_jaccard: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_segments: int | None = None,
+    max_segments: int | None = 8,
     shard_key=None,
 ) -> DataFrame:
     """Drive ``docs`` through the continuous-ingest dedup pipeline in
@@ -169,12 +169,14 @@ def stream_ingest_dedup_pairs(
     completion-marked cache: a finished run is reused (the pair set is
     content-deterministic), a partial one is discarded and redone.
 
-    ``max_segments`` enables the background-merge policy inline
-    (llm/index_maintenance.py::maybe_compact): each epoch folds the index
-    when segment count exceeds the threshold, BEFORE probing and only when
-    the epoch's own segment is absent — replay-safe (compaction never
-    folds a segment the retried epoch still needs to exclude), and
-    result-invariant because compaction is a pure file rewrite."""
+    ``max_segments`` is the background-merge policy, ON BY DEFAULT
+    (VERDICT r8 task 5; pass None to disable — llm/index_maintenance.py::
+    maybe_compact, which also triggers on accumulated tombstone deltas):
+    each epoch folds the index when a threshold trips, BEFORE probing and
+    only when the epoch's own segment is absent — replay-safe (compaction
+    never folds a segment the retried epoch still needs to exclude), and
+    result-invariant because compaction is a pure file rewrite (and the
+    tombstone anti-join equals the physical drop)."""
     from ..llm.dedup import (
         append_minhash_segment,
         minhash_near_dups,
@@ -245,8 +247,12 @@ def stream_ingest_dedup_pairs(
                         batch_df, idx, segment=f"e{epoch_id}",
                         text_col=text_col, id_col=id_col,
                     )
-                except ValueError:
-                    pass  # replayed epoch: segment already appended (idempotent)
+                except ValueError as e:
+                    # Only the replay case is idempotent; a 'pending
+                    # deferred sweep' name collision would silently drop
+                    # the batch from the index (ADVICE r8) — re-raise it.
+                    if "already exists" not in str(e):
+                        raise
             else:
                 pairs.write.mode("overwrite").parquet(
                     os.path.join(run_dir, "pairs", f"epoch_{epoch_id}")
@@ -277,6 +283,7 @@ def stream_ingest_dedup_with_erasure(
     min_jaccard: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_segments: int | None = 8,
 ) -> DataFrame:
     """The GDPR lifecycle through the CONTINUOUS ingest path: ingest the
     initial corpus (even ids) as a streaming run, then an ERASURE arrives
@@ -320,6 +327,7 @@ def stream_ingest_dedup_with_erasure(
             min_jaccard=min_jaccard,
             id_col=id_col,
             text_col=text_col,
+            max_segments=max_segments,
             # the phase holds one residue class — shard on id div 2 so all
             # n_shards shards are non-empty
             shard_key=F.expr(f"({id_col} div 2) % {n_shards}"),
@@ -366,6 +374,22 @@ def stream_ingest_dedup_with_erasure(
             pairs = minhash_near_dups(
                 batch_df, min_jaccard=min_jaccard, text_col=text_col, id_col=id_col
             ).select("doc_a", "doc_b", F.col("n_inter").cast("long").alias("n_inter"))
+            if max_segments is not None:
+                import json as _json
+
+                from ..llm.index_maintenance import maybe_compact
+
+                with open(os.path.join(idx, "meta.json")) as fh:
+                    _segs = _json.load(fh).get("segments", [])
+                # replay safety: never fold a segment this (possibly
+                # replayed) epoch still needs to exclude from its probe.
+                # Mid-stream compaction here is the production shape the
+                # erasure tier must survive: it physically drops the
+                # tombstoned rows and retires the deltas, and the pair set
+                # is unchanged because the probe's tombstone anti-join
+                # equals the physical drop.
+                if f"p2e{epoch_id}" not in _segs:
+                    maybe_compact(spark, idx, max_segments)
             cross = probe_minhash_index(
                 spark,
                 idx,
@@ -387,8 +411,11 @@ def stream_ingest_dedup_with_erasure(
                     batch_df, idx, segment=f"p2e{epoch_id}",
                     text_col=text_col, id_col=id_col,
                 )
-            except ValueError:
-                pass  # replayed epoch: segment already appended (idempotent)
+            except ValueError as e:
+                # Replay-idempotence only; any other ValueError (e.g. a
+                # deferred-sweep name collision) must surface (ADVICE r8).
+                if "already exists" not in str(e):
+                    raise
 
         _run_available_now(spark, p2in, ingest, schema)
         open(done, "w").close()

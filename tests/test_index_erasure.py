@@ -229,6 +229,17 @@ def test_stream_ingest_erasure_shard_invariant_and_history(spark, sf_dir, tmp_pa
         )
     assert runs[2] == runs[3]  # shard-count invariance
 
+    # auto-compaction forced MID-STREAM (max_segments=1: the policy trips
+    # inside phase 2 while tombstones are live — physical drop + deferred
+    # sweep under a continuing stream) must not move the pair set
+    out_c = stream_ingest_dedup_with_erasure(
+        spark, d, str(tmp_path / "run_compact"), n_shards=3, max_segments=1
+    )
+    assert (
+        sorted((r["doc_a"], r["doc_b"], r["n_inter"]) for r in out_c.collect())
+        == runs[2]
+    )
+
     pairs = runs[2]
     assert pairs
     deleted = lambda x: x % 4 == 0

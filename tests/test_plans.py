@@ -350,21 +350,28 @@ def test_driver_window_integrity():
     assert len(window) == 50
     assert window[0] == "flagship"
     assert all(n in QUERIES for n in window)
-    no_oracle = [n for n in window if n not in ORACLES]
-    assert len(no_oracle) <= 10, no_oracle  # mostly value-exact rows
 
     if _auto_window() is not None:
-        # Latest-official failures must lead the rotation (right after
-        # flagship) so a fix shows green in the very next ledger.
-        latest: dict[str, dict] = {}
+        # Assert the REAL rotation invariants, not a static non-oracled
+        # bound (the old `<= 10` broke by design the moment the r8 ledger
+        # shrank the oracled backlog below 49 and rows-only names rotated
+        # in — VERDICT r8 item 1).
         import glob
         import re
 
+        latest: dict[str, dict] = {}
+        latest_round: dict[str, int] = {}
         for path in sorted(
             glob.glob("/root/repo/CORRECTNESS_r*.json"),
             key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
         ):
-            latest.update(json.load(open(path)))
+            rnd = int(re.search(r"_r(\d+)", path).group(1))
+            rows = json.load(open(path))
+            latest.update(rows)
+            for name in rows:
+                latest_round[name] = rnd
+        # 1. Latest-official failures lead (right after flagship) so a fix
+        #    shows green in the very next ledger.
         failed = [
             n
             for n, row in latest.items()
@@ -373,6 +380,38 @@ def test_driver_window_integrity():
             and (row.get("hash_match") is False or row.get("rows_match") is False)
         ]
         assert set(window[1 : 1 + len(failed)]) == set(failed)
+        # 2. The never-checked backlog burns FIFO by registration: the
+        #    window's never-checked slots are exactly the OLDEST
+        #    registrations — a name registered this round can never
+        #    displace an earlier backlog name.
+        never_in_window = [
+            n for n in window[1:] if n not in latest and n not in failed
+        ]
+        from bridge_analytics_template_spark.queries import REGISTRATION_ORDER
+
+        never_all = [
+            n for n in REGISTRATION_ORDER if n not in latest and n != "flagship"
+        ]
+        assert never_in_window == never_all[: len(never_in_window)], (
+            "never-checked backlog not burned FIFO by registration"
+        )
+        # 3. Stale re-certification slots (already-checked greens) appear
+        #    only AFTER the never-checked backlog is exhausted, ordered
+        #    oldest-official-row first.
+        tail = window[1 + len(failed):]
+        first_stale = next(
+            (i for i, n in enumerate(tail)
+             if n in latest and latest[n].get("err") != "no_oracle"),
+            len(tail),
+        )
+        stale = [n for n in tail[first_stale:] if n in latest]
+        assert all(n in latest for n in tail[first_stale:]), (
+            "never-checked name queued behind a stale re-certification slot"
+        )
+        rounds = [latest_round[n] for n in stale]
+        assert rounds == sorted(rounds), (
+            "stale rotation not oldest-official-row-first"
+        )
 
 
 def test_bloom_dedup_prefilter_plan(spark, sf_dir):
@@ -638,3 +677,29 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_scale_sweep_ratio_gate_drift_vs_regression():
+    """The 100x budget gate (VERDICT r8 task 4): a simulated 1.5x BOX
+    drift (sentinel and query inflate together) passes, while a
+    deliberate 3x slowdown of the query ALONE is caught; the absolute
+    wall survives as a backstop when no sentinel exists."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from scale_sweep import is_over
+
+    # calibration: query measured 40s, sentinel 5s, ratio pinned 10
+    # (allowed = 50s at calibration speed), abs backstop 150s
+    assert not is_over(40, abs_budget=150, ratio_budget=10, sentinel=5)
+    # 1.5x box drift: BOTH inflate -> ratio unchanged -> pass
+    assert not is_over(60, abs_budget=150, ratio_budget=10, sentinel=7.5)
+    # 3x regression of the query alone -> ratio trips -> caught
+    assert is_over(120, abs_budget=150, ratio_budget=10, sentinel=5)
+    # ratio fine but catastrophic absolute blowout (sentinel broken large)
+    assert is_over(200, abs_budget=150, ratio_budget=10, sentinel=50)
+    # legacy entry (no ratio): absolute gates alone
+    assert is_over(121, abs_budget=120)
+    assert not is_over(119, abs_budget=120)
+    # no budgets at all -> never over
+    assert not is_over(1e6)

@@ -190,6 +190,48 @@ def test_auto_window_rotation_rules(tmp_path):
     assert _auto_window(ledger_glob=str(tmp_path / "CORRECTNESS_r*.json"), min_ledgers=4) is None
 
 
+def test_auto_window_stale_rotation(tmp_path):
+    """Once every name has an official row, the window re-certifies STALE
+    greens oldest-official-round first (oracled before rows-only on round
+    ties) — VERDICT r8 task 3."""
+    import json
+
+    from bridge_analytics_template_spark.queries import ORACLES, QUERIES, _auto_window
+
+    names = list(QUERIES)
+    green = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    # Everything checked green in r3 except: two names last checked in r1
+    # (one oracled, one rows-only) and one in r2. No failures, no upgrades,
+    # no never-checked -> the window is flagship + pure stale rotation.
+    rows_only = [n for n in names if n not in ORACLES]
+    old_oracled = next(n for n in names if n in ORACLES and n != "flagship")
+    old_rows_only = rows_only[0]
+    mid = next(
+        n for n in names if n in ORACLES and n not in ("flagship", old_oracled)
+    )
+    ro_row = {"rows_match": True, "hash_match": None, "err": "no_oracle"}
+    (tmp_path / "CORRECTNESS_r1.json").write_text(
+        json.dumps({old_oracled: green, old_rows_only: ro_row})
+    )
+    (tmp_path / "CORRECTNESS_r2.json").write_text(json.dumps({mid: green}))
+    r3 = {
+        n: (green if n in ORACLES else ro_row)
+        for n in names
+        if n not in (old_oracled, old_rows_only, mid)
+    }
+    (tmp_path / "CORRECTNESS_r3.json").write_text(json.dumps(r3))
+
+    got = _auto_window(window_size=6, ledger_glob=str(tmp_path / "CORRECTNESS_r*.json"))
+    assert got is not None
+    assert got[0] == "flagship"
+    # r1 names first (oracled before rows-only), then the r2 name, then r3s.
+    assert got[1] == old_oracled
+    assert got[2] == old_rows_only
+    assert got[3] == mid
+    assert len(got) == 6
+    assert all(n in r3 for n in got[4:])
+
+
 def test_partitioned_cumsum_recompute_deterministic(spark, sf_dir):
     """Same ADVICE r2 hazard class as rowids: cumsums must be identical
     when the returned DataFrame re-executes after a cache wipe."""

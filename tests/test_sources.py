@@ -570,9 +570,47 @@ def test_python_sink_manifest_commit_and_abort(spark, sf_dir, tmp_path):
     again = sorted(r["doc_id"] for r in read_manifested(spark, path, "doc_id long").collect())
     assert again == first
 
-    # next successful write atomically replaces the manifest
+    # append MERGES with the committed manifest (ADVICE r8): the second
+    # save must not hide the first commit's rows
     d.filter(F.col("doc_id") % 2 == 1).write.format("jsonl_manifest").option(
         "path", path
     ).mode("append").save()
+    both = sorted(r["doc_id"] for r in read_manifested(spark, path, "doc_id long").collect())
+    all_ids = sorted(r["doc_id"] for r in d.collect())
+    assert both == all_ids
+
+    # overwrite commits only the new files AND physically removes the
+    # superseded parts — no silent staged-file leak
+    import json
+    import os
+
+    d.filter(F.col("doc_id") % 2 == 1).write.format("jsonl_manifest").option(
+        "path", path
+    ).mode("overwrite").save()
     odd = sorted(r["doc_id"] for r in read_manifested(spark, path, "doc_id long").collect())
     assert odd and all(i % 2 == 1 for i in odd)
+    with open(os.path.join(path, "_manifest.json")) as fh:
+        manifest = json.load(fh)
+    on_disk = {f for f in os.listdir(path) if f.startswith("part-")}
+    # the aborted write's staging was removed by abort(); the overwrite
+    # removed every superseded committed part — disk holds exactly the
+    # manifested files
+    assert on_disk == set(manifest["files"])
+
+
+def test_python_sink_empty_commit_reads_empty(spark, tmp_path):
+    """A zero-row write commits an empty manifest; read_manifested returns
+    an empty DataFrame of the declared schema instead of raising (ADVICE
+    r8)."""
+    from bridge_analytics_template_spark.sources.pydatasource import (
+        read_manifested,
+        register_sink,
+    )
+
+    register_sink(spark)
+    path = str(tmp_path / "empty_sink")
+    empty = spark.range(0).selectExpr("id as doc_id")
+    empty.write.format("jsonl_manifest").option("path", path).mode("append").save()
+    out = read_manifested(spark, path, "doc_id long")
+    assert out.count() == 0
+    assert out.schema.fieldNames() == ["doc_id"]

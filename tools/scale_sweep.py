@@ -6,6 +6,16 @@ a query that OOMs, one-tasks, or goes quadratic shows up here long before
 a cluster run would.
 
     python tools/scale_sweep.py [--dir /tmp/scale10] [name ...]
+
+Budget gating (VERDICT r8 task 4): absolute wall budgets on a box with a
+documented 1.3–1.6× cross-hour drift converge to vacuous (every drift-over
+forces a re-pin that loosens the gate). List entries can therefore carry a
+RATIO budget — wall / same-process SENTINEL wall — as the primary gate:
+the sentinel (a fixed parquet scan+aggregate over the sweep dir's lineitem,
+min of 3 runs in this very process) inflates with the box exactly like the
+query under test, so box drift cancels while a real regression (the query
+alone slowing) trips the ratio. The absolute budget is kept only as a
+generous backstop (e.g. sentinel itself broken by a config change).
 """
 
 from __future__ import annotations
@@ -19,6 +29,42 @@ sys.path.insert(0, "/root/repo")
 
 from bridge_analytics_template_spark.queries import QUERIES  # noqa: E402
 from bridge_analytics_template_spark.session import get_spark  # noqa: E402
+
+
+def is_over(
+    dt: float,
+    abs_budget: float = 0.0,
+    ratio_budget: float = 0.0,
+    sentinel: float = 0.0,
+) -> bool:
+    """The budget decision, factored out for the drift-vs-regression unit
+    test: with a ratio budget and a measured sentinel, the RATIO is the
+    gate (drift-immune — a 1.5× box slowdown inflates dt and sentinel
+    together) and the absolute wall is a backstop; without, the absolute
+    wall gates alone (legacy entries)."""
+    if ratio_budget and sentinel:
+        if dt > ratio_budget * sentinel:
+            return True
+        return bool(abs_budget) and dt > abs_budget
+    return bool(abs_budget) and dt > abs_budget
+
+
+def measure_sentinel(spark, data_dir: str, runs: int = 3) -> float:
+    """Fixed probe: full lineitem scan + group-aggregate, min over `runs`
+    executions in THIS process — the box-speed yardstick every ratio
+    budget divides by. min-of-N absorbs JIT/GC warmup; the probe is pure
+    built-in JVM work so it tracks CPU/IO speed, not any query's code."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{data_dir}/lineitem.parquet")
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.time()
+        li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))
+        ).collect()
+        best = min(best, time.time() - t0)
+    return best
 
 
 def main() -> None:
@@ -36,17 +82,18 @@ def main() -> None:
         dest="list_file",
         default=None,
         help="file with one query name per line (# comments allowed) — the "
-        "standing CI target set (tools/sweep_list.txt)",
+        "standing CI target set (tools/sweep_list.txt). Lines are "
+        "'name', 'name <abs-budget-s>' or 'name <abs-budget-s> <ratio>'; "
+        "a ratio entry gates on wall/sentinel with the absolute budget "
+        "as backstop.",
     )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
     spark = get_spark("scale-sweep")
     names = list(args.names)
     budgets: dict[str, float] = {}
+    ratios: dict[str, float] = {}
     if args.list_file:
-        # List lines are "name" or "name <budget-seconds>" — the second form
-        # pins a per-query budget (the 100x tier sets these from measured
-        # r5 numbers +50%, VERDICT r5 task 2) overriding --budget.
         with open(args.list_file) as fh:
             for ln in fh:
                 ln = ln.strip()
@@ -56,25 +103,60 @@ def main() -> None:
                 names.append(parts[0])
                 if len(parts) > 1:
                     budgets[parts[0]] = float(parts[1])
+                if len(parts) > 2:
+                    ratios[parts[0]] = float(parts[2])
     names = names or list(QUERIES)
     unknown = [n for n in names if n not in QUERIES]
     if unknown:
         print(f"unknown queries in sweep list: {unknown}")
         sys.exit(1)
+    sentinel = 0.0
+    if ratios:
+        sentinel = measure_sentinel(spark, args.dir)
+        print(f"sentinel (lineitem scan+agg, min of 3): {sentinel:.2f}s", flush=True)
     failures, slow = [], []
     for name in names:
         t0 = time.time()
         try:
             n = QUERIES[name](spark, args.dir).count()
             dt = time.time() - t0
-            budget = budgets.get(name, args.budget)
-            over = budget and dt > budget
+            over = is_over(
+                dt,
+                abs_budget=budgets.get(name, args.budget),
+                ratio_budget=ratios.get(name, 0.0),
+                sentinel=sentinel,
+            )
+            if over and name in ratios and sentinel:
+                # Transient-contention guard: the sentinel was measured at
+                # sweep start; a load spike minutes later inflates only the
+                # query. Re-measure the yardstick NOW and retry once —
+                # a real regression stays over, a contended window clears.
+                sentinel_now = max(sentinel, measure_sentinel(spark, args.dir, runs=2))
+                spark.catalog.clearCache()
+                t0 = time.time()
+                n = QUERIES[name](spark, args.dir).count()
+                dt = min(dt, time.time() - t0)
+                over = is_over(
+                    dt,
+                    abs_budget=budgets.get(name, args.budget),
+                    ratio_budget=ratios[name],
+                    sentinel=sentinel_now,
+                )
+                print(f"        {name}: retried (sentinel {sentinel_now:.2f}s)", flush=True)
+            ratio_note = (
+                f" ratio={dt / sentinel:5.1f}/{ratios[name]:g}"
+                if name in ratios and sentinel
+                else ""
+            )
             flag = " OVER-BUDGET" if over else (" SLOW" if dt > 60 else "")
             if over:
                 failures.append(name)
             elif dt > 60:
                 slow.append(name)
-            print(f"[{'FAIL' if over else 'ok'}]   {name:32s} {dt:7.2f}s rows={n}{flag}", flush=True)
+            print(
+                f"[{'FAIL' if over else 'ok'}]   {name:32s} {dt:7.2f}s rows={n}{ratio_note}{flag}",
+                flush=True,
+            )
         except Exception:
             dt = time.time() - t0
             failures.append(name)
