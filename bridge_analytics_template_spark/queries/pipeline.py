@@ -1112,3 +1112,159 @@ def pipeline_filter_funnel(spark, sf_dir):
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows.orderBy("stage")
+
+
+# --- Manifest-table GDPR erasure: executing the delete plan -------------------
+#
+# profile_erasure_audit (queries/stats.py) reports the deletion-request
+# blast radius; these two EXECUTE it through the copy-on-write snapshot
+# machinery (sources/manifest_table.py). Same deterministic tombstone set
+# (c_custkey % 37 == 0) so audit and execution tell one story.
+
+
+@query(
+    "s_table_erasure",
+    sql="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM orders
+    WHERE o_custkey NOT IN
+          (SELECT c_custkey FROM customer WHERE c_custkey % 37 = 0)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def s_table_erasure(spark, sf_dir):
+    """S10: copy-on-write row DELETE on a manifest-versioned parquet table
+    (sources/manifest_table.py) — the table-level execution of the GDPR
+    plan the r8 tier implemented for derived indexes. orders is published
+    as a range-clustered snapshot (per-file key bounds in the manifest);
+    the tombstoned customers' orders are erased via erase_rows: bounds
+    prune the candidate files from metadata, only files actually holding a
+    tombstoned row are rewritten, untouched files are referenced verbatim
+    in the new manifest, and one atomic manifest replace flips visibility
+    (the pre-erase snapshot stays readable for audit until vacuum).
+    Verified by aggregating the SURVIVOR snapshot per order status —
+    count + exact key checksum + key extrema catch a dropped, duplicated,
+    or resurrected row anywhere in the rewrite. Snapshot isolation,
+    file-reuse, crash-atomicity and vacuum are pinned in
+    tests/test_manifest_table.py."""
+    from ..catalog import index_scratch_dir
+    from ..sources.manifest_table import (
+        _versions,
+        erase_rows,
+        publish_snapshot,
+        read_snapshot,
+    )
+
+    base = index_scratch_dir(spark, sf_dir, "mtable_orders", "orders.parquet")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    if not _versions(base):
+        publish_snapshot(o, base, "o_custkey", n_files=8)
+    tomb = c.filter(F.col("c_custkey") % 37 == 0).select("c_custkey")
+    v = erase_rows(spark, base, tomb, "o_custkey")
+    s = read_snapshot(spark, base, v)
+    return (
+        s.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "s_table_erasure_cascade",
+    sql="""
+    WITH tomb AS (SELECT c_custkey FROM customer WHERE c_custkey % 37 = 0),
+    aff_o AS (SELECT o_orderkey FROM orders
+              WHERE o_custkey IN (SELECT c_custkey FROM tomb))
+    SELECT 'customer' AS table_name,
+           COUNT(*) AS n_survivors,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM tomb)
+    UNION ALL
+    SELECT 'lineitem', COUNT(*), CAST(SUM(l_orderkey) AS BIGINT)
+    FROM lineitem
+    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM aff_o)
+    UNION ALL
+    SELECT 'orders', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+    FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM tomb)
+    ORDER BY table_name
+    """,
+)
+def s_table_erasure_cascade(spark, sf_dir):
+    """S10b: the full TRANSITIVE deletion-request execution — exactly the
+    three-table blast radius profile_erasure_audit reports, now enforced:
+    tombstoned customers are erased from customer, their orders from
+    orders, and those orders' line items from lineitem (the derived
+    tombstone set for the child table is computed from the PRE-erase
+    orders snapshot, the order a real erasure job must use). Each table is
+    an independent manifest-versioned dataset; each erase is its own
+    atomic snapshot commit, so a crash between tables leaves a consistent
+    prefix of the cascade plus intact pre-erase snapshots — re-issuing the
+    request is idempotent (erase_rows returns the current version when
+    nothing matches). Verified per table by survivor count + exact key
+    checksum."""
+    from ..catalog import index_scratch_dir
+    from ..sources.manifest_table import (
+        _versions,
+        erase_rows,
+        publish_snapshot,
+        read_snapshot,
+    )
+
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    tomb_c = c.filter(F.col("c_custkey") % 37 == 0).select("c_custkey")
+
+    bases = {}
+    for name, df, key in (
+        ("customer", c, "c_custkey"),
+        ("orders", o, "o_custkey"),
+        ("lineitem", l, "l_orderkey"),
+    ):
+        base = index_scratch_dir(
+            spark, sf_dir, f"mtable_cascade_{name}", f"{name}.parquet"
+        )
+        if not _versions(base):
+            publish_snapshot(df, base, key, n_files=8)
+        bases[name] = base
+
+    # derived child tombstones from the PRE-erase orders snapshot (v=1 is
+    # immutable, so recomputing on a re-run sees the same order set)
+    aff_orders = (
+        read_snapshot(spark, bases["orders"], 1)
+        .join(F.broadcast(tomb_c), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select("o_orderkey")
+    )
+
+    erase_rows(spark, bases["customer"], tomb_c, "c_custkey")
+    erase_rows(spark, bases["orders"], tomb_c.select(F.col("c_custkey").alias("o_custkey")), "o_custkey")
+    erase_rows(spark, bases["lineitem"], aff_orders.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey")
+
+    out = None
+    for name, key in (
+        ("customer", "c_custkey"),
+        ("lineitem", "l_orderkey"),
+        ("orders", "o_orderkey"),
+    ):
+        r = (
+            read_snapshot(spark, bases[name])
+            .agg(
+                F.count(F.lit(1)).alias("n_survivors"),
+                F.sum(key).alias("key_sum"),
+            )
+            .select(F.lit(name).alias("table_name"), "n_survivors", "key_sum")
+        )
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("table_name")

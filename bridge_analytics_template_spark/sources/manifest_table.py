@@ -1,0 +1,282 @@
+"""Manifest-versioned parquet table: snapshot isolation, copy-on-write row
+erasure, vacuum — the lakehouse commit protocol reduced to what a governed
+100 TB lake actually needs to EXECUTE a deletion request (the reference's
+data-governance surface is ACL curation, `/root/reference/src/
+copy_from_template.py:244-277`; this module is the row-level enforcement
+side of the same governance story, and the table-level completion of the
+r8 index-erasure tier).
+
+Layout::
+
+    base/files/part-<uuid>.parquet   immutable data files, content-addressed
+                                     names — a file is NEVER rewritten in
+                                     place, only referenced or replaced
+    base/v=N.manifest.json           snapshot N = the member-file list with
+                                     per-file row counts and key bounds
+
+Why manifests and not directories (``sources/versioning.py`` keeps the
+directory-per-version form for full-replacement publishes): a deletion that
+touches 0.1% of files must not copy the other 99.9%. A manifest snapshot
+references unchanged files VERBATIM — copy-on-write at file granularity,
+which is exactly the Iceberg/Delta data-file reuse contract. The commit
+point is one ``tmp + os.replace`` of the manifest (the same atomicity
+discipline as the persisted-index ``meta.json`` and the Python DataSource
+sink): a crash mid-erase leaves orphan data files and the OLD snapshot
+fully intact; ``vacuum`` collects the orphans.
+
+Erasure plan at scale (``erase_rows``):
+
+1. FILE PRUNING from bounded metadata — the per-file [min, max] key bounds
+   stored in the manifest (the embedded form of ``sources/fileindex.py``'s
+   standalone bounds index) range-semi-join the tombstone keys; a file whose
+   envelope contains no tombstone is reused by reference without being
+   opened. Range-clustered publishes make the bounds tight.
+2. EXACT AFFECTED SET — scan only the candidate files, semi-join the
+   tombstones, collect the distinct file list (bounded by file count,
+   never rows).
+3. REWRITE survivors of affected files only (one distributed anti-join
+   write), ingest the new parts with fresh stats.
+4. COMMIT a new manifest: untouched entries verbatim + replacement entries.
+
+Old snapshots stay readable (audit/time-travel) until ``vacuum`` drops
+their exclusive files — GDPR practice: the deletion SLA is met at commit
+time by the new snapshot, physical destruction completes at vacuum, both
+timestamps auditable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_MANIFEST = re.compile(r"^v=(\d+)\.manifest\.json$")
+
+
+def _versions(base: str) -> list[int]:
+    if not os.path.isdir(base):
+        return []
+    return sorted(
+        int(m.group(1)) for d in os.listdir(base) if (m := _MANIFEST.match(d))
+    )
+
+
+def _manifest_path(base: str, version: int) -> str:
+    return os.path.join(base, f"v={version}.manifest.json")
+
+
+def read_manifest(base: str, version: int | None = None) -> dict:
+    vs = _versions(base)
+    if not vs:
+        raise FileNotFoundError(f"no snapshots under {base}")
+    v = version if version is not None else vs[-1]
+    if v not in vs:
+        raise FileNotFoundError(f"snapshot v={v} not in {vs}")
+    with open(_manifest_path(base, v)) as fh:
+        return json.load(fh)
+
+
+def _commit_manifest(base: str, version: int, manifest: dict) -> None:
+    tmp = _manifest_path(base, version) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, _manifest_path(base, version))
+
+
+def _ingest_parts(
+    spark: SparkSession, base: str, staging: str, key_col: str
+) -> list[dict]:
+    """Move a staged parquet write's parts into ``files/`` under fresh
+    content-addressed names and return their manifest entries. Stats come
+    from ONE re-read of the staged parts grouped by file (column-pruned to
+    the key — bounded metadata out, |files| rows); at real scale the same
+    numbers come free from write-time observed metrics, the re-read keeps
+    this implementation honest and simple."""
+    parts = [
+        f
+        for f in os.listdir(staging)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+    if not parts:
+        return []
+    stats = {
+        os.path.basename(
+            r["file"].removeprefix("file://").removeprefix("file:")
+        ): r
+        for r in spark.read.parquet(staging)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min(key_col).alias("lo"),
+            F.max(key_col).alias("hi"),
+        )
+        .collect()
+    }
+    files_dir = os.path.join(base, "files")
+    os.makedirs(files_dir, exist_ok=True)
+    entries = []
+    for p in parts:
+        if p not in stats:
+            # a zero-row partition still writes a part file; an empty part
+            # has no stats group — drop it rather than manifest it
+            os.remove(os.path.join(staging, p))
+            continue
+        final = f"part-{uuid.uuid4().hex}.parquet"
+        os.rename(os.path.join(staging, p), os.path.join(files_dir, final))
+        s = stats[p]
+        entries.append(
+            {"file": final, "rows": s["rows"], "lo": s["lo"], "hi": s["hi"]}
+        )
+    return entries
+
+
+def publish_snapshot(
+    df: DataFrame, base: str, key_col: str, n_files: int | None = None
+) -> int:
+    """Publish ``df`` as a full new snapshot; returns its version. When
+    ``n_files`` is given the write is RANGE-CLUSTERED on the key first —
+    tight per-file bounds are what make erase-time file pruning selective
+    (same layout argument as operators/zorder.py)."""
+    os.makedirs(base, exist_ok=True)
+    staging = os.path.join(base, f"_staging_{uuid.uuid4().hex}")
+    out = df.repartitionByRange(n_files, F.col(key_col)) if n_files else df
+    out.write.parquet(staging)
+    try:
+        entries = _ingest_parts(df.sparkSession, base, staging, key_col)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    vs = _versions(base)
+    v = (vs[-1] + 1) if vs else 1
+    _commit_manifest(
+        base,
+        v,
+        {
+            "key_col": key_col,
+            "schema": df.schema.json(),
+            "files": entries,
+            "rows": sum(e["rows"] for e in entries),
+        },
+    )
+    return v
+
+
+def read_snapshot(
+    spark: SparkSession, base: str, version: int | None = None
+) -> DataFrame:
+    """Read a pinned snapshot (default latest): exactly the manifested
+    files — an uncommitted/orphan part can never leak into a read."""
+    m = read_manifest(base, version)
+    paths = [os.path.join(base, "files", e["file"]) for e in m["files"]]
+    if not paths:
+        return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema"])))
+    return spark.read.parquet(*paths)
+
+
+def erase_rows(
+    spark: SparkSession, base: str, tombstones: DataFrame, key_col: str | None = None
+) -> int:
+    """Copy-on-write DELETE: commit a new snapshot in which every row whose
+    key appears in ``tombstones`` is gone. Files whose key bounds exclude
+    all tombstones are reused BY REFERENCE (never opened); only files that
+    actually hold a tombstoned row are rewritten. Returns the new version —
+    or the CURRENT version unchanged when nothing matches (idempotent
+    re-issue of a deletion request is a no-op, not a new snapshot)."""
+    m = read_manifest(base)
+    if not m["files"]:
+        return _versions(base)[-1]
+    key = key_col or m["key_col"]
+    tomb = tombstones.select(F.col(tombstones.columns[0]).alias(key)).distinct()
+
+    # 1. prune candidates from the manifest's bounded stats: |files| × |tomb|
+    # range semi-join where the stats side is tiny by construction
+    stats = spark.createDataFrame(
+        [(e["file"], e["lo"], e["hi"]) for e in m["files"]],
+        ["file", "lo", "hi"],
+    )
+    cand = [
+        r["file"]
+        for r in stats.join(
+            tomb,
+            (F.col(key) >= F.col("lo")) & (F.col(key) <= F.col("hi")),
+            "left_semi",
+        )
+        .select("file")
+        .collect()
+    ]
+    if not cand:
+        return _versions(base)[-1]
+
+    # 2. exact affected files: scan candidates ONLY; collect is bounded by
+    # the file count, never by rows
+    files_dir = os.path.join(base, "files")
+    cand_paths = [os.path.join(files_dir, f) for f in cand]
+    scan = spark.read.parquet(*cand_paths).withColumn("_f", F.input_file_name())
+    affected = {
+        os.path.basename(r["_f"].removeprefix("file://").removeprefix("file:"))
+        for r in scan.join(tomb, key, "left_semi").select("_f").distinct().collect()
+    }
+    if not affected:
+        return _versions(base)[-1]
+
+    # 3. rewrite survivors of the affected files in one distributed pass
+    staging = os.path.join(base, f"_staging_{uuid.uuid4().hex}")
+    survivors = spark.read.parquet(
+        *(os.path.join(files_dir, f) for f in affected)
+    ).join(tomb, key, "left_anti")
+    survivors.write.parquet(staging)
+    try:
+        new_entries = _ingest_parts(spark, base, staging, key)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+    # 4. the commit: untouched entries verbatim + replacements; the
+    # manifest replace is the single visibility flip
+    entries = [e for e in m["files"] if e["file"] not in affected] + new_entries
+    v = _versions(base)[-1] + 1
+    _commit_manifest(
+        base,
+        v,
+        {
+            "key_col": m["key_col"],
+            "schema": m["schema"],
+            "files": entries,
+            "rows": sum(e["rows"] for e in entries),
+        },
+    )
+    return v
+
+
+def vacuum(base: str, keep_versions: int = 1) -> list[str]:
+    """Physically drop everything no KEPT snapshot references: old
+    manifests beyond the retention, their exclusive data files, and any
+    orphan parts from crashed commits or staging. Until vacuum runs, every
+    retained snapshot stays readable — the audit window between logical
+    deletion (erase_rows commit) and physical destruction. Returns the
+    deleted file names."""
+    vs = _versions(base)
+    keep = vs[-keep_versions:] if keep_versions > 0 else []
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(e["file"] for e in read_manifest(base, v)["files"])
+    removed = []
+    files_dir = os.path.join(base, "files")
+    if os.path.isdir(files_dir):
+        for f in os.listdir(files_dir):
+            if f not in referenced:
+                os.remove(os.path.join(files_dir, f))
+                removed.append(f)
+    for v in vs:
+        if v not in keep:
+            os.remove(_manifest_path(base, v))
+            removed.append(f"v={v}.manifest.json")
+    for d in os.listdir(base):
+        if d.startswith("_staging_"):
+            shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+            removed.append(d)
+    return removed

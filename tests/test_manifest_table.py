@@ -1,0 +1,173 @@
+"""Manifest-versioned table (sources/manifest_table.py): snapshot
+isolation, copy-on-write file reuse, bounds-based candidate pruning,
+crash-atomic commits, vacuum retention."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bridge_analytics_template_spark.catalog import load
+from bridge_analytics_template_spark.sources.manifest_table import (
+    erase_rows,
+    publish_snapshot,
+    read_manifest,
+    read_snapshot,
+    vacuum,
+)
+
+
+def _ids(df, col="o_orderkey"):
+    return sorted(r[col] for r in df.select(col).collect())
+
+
+def test_snapshot_isolation_and_erase(spark, sf_dir, tmp_path):
+    """erase_rows commits a NEW snapshot with exactly the survivors; the
+    pre-erase snapshot stays readable and bit-identical until vacuum."""
+    base = str(tmp_path / "t")
+    o = load(spark, sf_dir, "orders")
+    v1 = publish_snapshot(o, base, "o_custkey", n_files=8)
+    assert v1 == 1
+    before = _ids(read_snapshot(spark, base, v1))
+
+    tomb = o.select("o_custkey").distinct().limit(20)
+    tomb_keys = {r["o_custkey"] for r in tomb.collect()}
+    v2 = erase_rows(spark, base, tomb, "o_custkey")
+    assert v2 == 2
+
+    survivors = read_snapshot(spark, base, v2)
+    assert survivors.filter(F.col("o_custkey").isin(tomb_keys)).count() == 0
+    want = _ids(o.filter(~F.col("o_custkey").isin(tomb_keys)))
+    assert _ids(survivors) == want
+    # time travel: v1 unchanged
+    assert _ids(read_snapshot(spark, base, 1)) == before
+
+
+def test_cow_file_reuse_and_bounds_pruning(spark, sf_dir, tmp_path):
+    """A key-range-local deletion rewrites ONLY the files whose bounds
+    cover the tombstones; every other file is referenced verbatim (same
+    file name) in the new manifest — the 0.1%-of-files rewrite a 100 TB
+    deletion must be."""
+    base = str(tmp_path / "t")
+    o = load(spark, sf_dir, "orders")
+    publish_snapshot(o, base, "o_custkey", n_files=8)
+    m1 = read_manifest(base)
+    assert len(m1["files"]) >= 6  # range-clustered into several files
+
+    lo = min(e["lo"] for e in m1["files"])
+    # tombstones confined to the lowest-bounds file's range
+    target = min(m1["files"], key=lambda e: e["lo"])
+    tomb = o.filter(
+        (F.col("o_custkey") >= lo) & (F.col("o_custkey") <= target["hi"])
+    ).select("o_custkey").distinct().limit(5)
+    v2 = erase_rows(spark, base, tomb, "o_custkey")
+    m2 = read_manifest(base, v2)
+
+    f1, f2 = {e["file"] for e in m1["files"]}, {e["file"] for e in m2["files"]}
+    reused = f1 & f2
+    rewritten = f1 - f2
+    # bounds pruning: files whose envelope excludes the tombstone range
+    # were never touched — at least the top half of the range survives
+    assert rewritten, "no file was rewritten"
+    assert len(reused) >= len(m1["files"]) - 3, (reused, rewritten)
+    # row accounting: manifest row counts match the survivor read
+    assert m2["rows"] == read_snapshot(spark, base, v2).count()
+
+
+def test_erase_no_match_is_noop(spark, sf_dir, tmp_path):
+    """A tombstone set hitting nothing (out-of-range keys) returns the
+    CURRENT version — re-issuing an executed deletion request does not
+    mint snapshots."""
+    base = str(tmp_path / "t")
+    o = load(spark, sf_dir, "orders").limit(100)
+    v1 = publish_snapshot(o, base, "o_custkey")
+    ghost = spark.range(1).select((F.lit(10**15)).alias("o_custkey"))
+    assert erase_rows(spark, base, ghost, "o_custkey") == v1
+    assert read_manifest(base)["files"] == read_manifest(base, v1)["files"]
+
+
+def test_erase_crash_before_commit_leaves_old_snapshot(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Injected crash at the commit point: the manifest replace never
+    happens, the old snapshot is untouched, the staged rewrite is orphan
+    garbage vacuum collects, and a retry commits cleanly."""
+    import bridge_analytics_template_spark.sources.manifest_table as mt
+
+    base = str(tmp_path / "t")
+    o = load(spark, sf_dir, "orders").limit(500)
+    v1 = publish_snapshot(o, base, "o_custkey", n_files=4)
+    before = _ids(read_snapshot(spark, base))
+    tomb = o.select("o_custkey").distinct().limit(10)
+
+    real_commit = mt._commit_manifest
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash at commit")
+
+    monkeypatch.setattr(mt, "_commit_manifest", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        erase_rows(spark, base, tomb, "o_custkey")
+    monkeypatch.setattr(mt, "_commit_manifest", real_commit)
+
+    # old snapshot fully intact; orphan parts invisible to reads
+    assert read_manifest(base)["files"] == read_manifest(base, v1)["files"]
+    assert _ids(read_snapshot(spark, base)) == before
+
+    v2 = erase_rows(spark, base, tomb, "o_custkey")
+    assert v2 == v1 + 1
+    survivors = read_snapshot(spark, base, v2)
+    tomb_keys = {r["o_custkey"] for r in tomb.collect()}
+    assert survivors.filter(F.col("o_custkey").isin(tomb_keys)).count() == 0
+    # vacuum removes the crash's orphans + v1's exclusive files
+    removed = vacuum(base, keep_versions=1)
+    assert removed
+    on_disk = set(os.listdir(os.path.join(base, "files")))
+    assert on_disk == {e["file"] for e in read_manifest(base, v2)["files"]}
+
+
+def test_vacuum_retention(spark, sf_dir, tmp_path):
+    """vacuum(keep_versions=1) drops older manifests and their exclusive
+    files; the kept snapshot reads identically; the dropped one raises."""
+    base = str(tmp_path / "t")
+    o = load(spark, sf_dir, "orders").limit(1000)
+    publish_snapshot(o, base, "o_custkey", n_files=4)
+    tomb = o.select("o_custkey").distinct().limit(50)
+    v2 = erase_rows(spark, base, tomb, "o_custkey")
+    keep = _ids(read_snapshot(spark, base, v2))
+
+    vacuum(base, keep_versions=1)
+    assert _ids(read_snapshot(spark, base)) == keep
+    with pytest.raises(FileNotFoundError):
+        read_manifest(base, 1)
+    # every surviving on-disk file is referenced by the kept manifest
+    on_disk = set(os.listdir(os.path.join(base, "files")))
+    assert on_disk == {e["file"] for e in read_manifest(base, v2)["files"]}
+
+
+def test_erase_empties_a_file_entirely(spark, tmp_path):
+    """Deleting every row of one file drops its entry (no empty parquet in
+    the manifest); other files unaffected; empty-table read keeps schema."""
+    base = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    publish_snapshot(df, base, "k", n_files=4)
+    m1 = read_manifest(base)
+    target = m1["files"][0]
+    tomb = spark.range(int(target["lo"]), int(target["hi"]) + 1).select(
+        F.col("id").alias("k")
+    )
+    v2 = erase_rows(spark, base, tomb, "k")
+    m2 = read_manifest(base, v2)
+    assert target["file"] not in {e["file"] for e in m2["files"]}
+    assert m2["rows"] == 100 - target["rows"]
+
+    # erase everything -> empty snapshot, schema preserved
+    v3 = erase_rows(spark, base, df.select("k"), "k")
+    empty = read_snapshot(spark, base, v3)
+    assert empty.count() == 0
+    assert empty.schema.fieldNames() == ["k", "v"]
