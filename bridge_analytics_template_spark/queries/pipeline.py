@@ -1268,3 +1268,71 @@ def s_table_erasure_cascade(spark, sf_dir):
         )
         out = r if out is None else out.unionByName(r)
     return out.orderBy("table_name")
+
+
+@query(
+    "s_table_merge_upsert",
+    sql="""
+    WITH upd AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             'U-MERGED' AS o_orderpriority
+      FROM orders WHERE o_orderkey % 100 = 7),
+    ins AS (
+      SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, 'I-MERGED' AS o_orderpriority
+      FROM orders WHERE o_orderkey % 100 = 13),
+    merged AS (
+      SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM ins)
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+    FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def s_table_merge_upsert(spark, sf_dir):
+    """S10c: atomic MERGE / upsert into the manifest-versioned table
+    (sources/manifest_table.py::merge_rows) — rows of the source REPLACE
+    same-key rows (an update wave re-prioritizing every 100th order) and
+    new keys INSERT (a late-arriving batch with shifted ids), committed as
+    ONE snapshot: the delete half reuses erase_rows' copy-on-write plan
+    (bounds-pruned candidates, untouched files referenced verbatim), the
+    insert half is one staged write, and a single manifest replace flips
+    both into visibility together — no reader can ever observe the delete
+    without the insert. The storage-level transactional form of
+    operators/merge.py::merge_upsert. Verified by the survivor aggregate
+    per priority (the merged rows land in their own 'U-MERGED'/'I-MERGED'
+    groups with exact key checksums)."""
+    from ..catalog import index_scratch_dir
+    from ..sources.manifest_table import (
+        _versions,
+        merge_rows,
+        publish_snapshot,
+        read_snapshot,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    base = index_scratch_dir(spark, sf_dir, "mtable_merge_orders", "orders.parquet")
+    if not _versions(base):
+        publish_snapshot(o, base, "o_orderkey", n_files=8)
+    upd = o.filter(F.col("o_orderkey") % 100 == 7).withColumn(
+        "o_orderpriority", F.lit("U-MERGED")
+    )
+    ins = (
+        o.filter(F.col("o_orderkey") % 100 == 13)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(1000000000))
+        .withColumn("o_orderpriority", F.lit("I-MERGED"))
+    )
+    merge_rows(spark, base, upd.unionByName(ins))
+    return (
+        read_snapshot(spark, base)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum("o_custkey").alias("cust_sum"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -8,6 +8,8 @@ and are asserted stream==batch in tests/test_streaming.py.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window, functions as F
 
 from ..catalog import load
@@ -1306,3 +1308,44 @@ def t_stream_ingest_erasure_compact(spark, sf_dir):
     return stream_ingest_dedup_with_erasure(
         spark, d, run, n_shards=3, max_segments=1
     ).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "t_stream_table_append",
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           CAST(SUM(user_id) AS BIGINT) AS user_sum
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def t_stream_table_append(spark, sf_dir):
+    """T-custom, ORACLED streaming execution: the STREAMING LAKEHOUSE SINK
+    — events stream in micro-batches (file source, one shard per trigger)
+    into a manifest-versioned table (sources/manifest_table.py), each
+    batch an atomic epoch-tagged append_rows commit. Exactly-once comes
+    from the manifest itself: the epoch registry makes a replayed batch
+    (the foreachBatch crash-between-commits window) a recognized no-op,
+    so the final snapshot holds every source row exactly once regardless
+    of retries — which is why the genuinely-streaming run is value-exact
+    against the plain batch GROUP BY over the same fixture. Replay
+    idempotence and resume are pinned in tests/test_manifest_table.py."""
+    from ..catalog import index_scratch_dir
+    from ..sources.manifest_table import read_snapshot
+    from ..streaming.ingest import stream_append_table
+
+    run = index_scratch_dir(spark, sf_dir, "stream_table_append", "events.parquet")
+    base = os.path.join(run, "table")
+    e = load(spark, sf_dir, "events")
+    stream_append_table(spark, e, run, base, key_col="event_id", n_shards=4)
+    return (
+        read_snapshot(spark, base)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").alias("id_sum"),
+            F.sum("user_id").alias("user_sum"),
+        )
+        .orderBy("event_type")
+    )

@@ -161,6 +161,7 @@ def publish_snapshot(
             "schema": df.schema.json(),
             "files": entries,
             "rows": sum(e["rows"] for e in entries),
+            "epochs": [],
         },
     )
     return v
@@ -247,6 +248,121 @@ def erase_rows(
             "schema": m["schema"],
             "files": entries,
             "rows": sum(e["rows"] for e in entries),
+            # the epoch registry survives every commit kind: an erase or
+            # merge mid-stream must not reopen replayed appends
+            "epochs": m.get("epochs", []),
+        },
+    )
+    return v
+
+
+def append_rows(df: DataFrame, base: str, epoch: str | None = None) -> int:
+    """Atomic APPEND: new data files + a manifest that unions them with the
+    current snapshot's list. With ``epoch`` set, the append is IDEMPOTENT
+    under replay: an epoch tag already recorded in the manifest makes the
+    call a no-op returning the current version — the exactly-once
+    discipline a streaming foreachBatch sink needs (a retried micro-batch
+    must not double its rows)."""
+    m = read_manifest(base)
+    if epoch is not None and epoch in m.get("epochs", []):
+        return _versions(base)[-1]
+    staging = os.path.join(base, f"_staging_{uuid.uuid4().hex}")
+    df.write.parquet(staging)
+    try:
+        new_entries = _ingest_parts(df.sparkSession, base, staging, m["key_col"])
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    entries = m["files"] + new_entries
+    v = _versions(base)[-1] + 1
+    _commit_manifest(
+        base,
+        v,
+        {
+            "key_col": m["key_col"],
+            "schema": m["schema"],
+            "files": entries,
+            "rows": sum(e["rows"] for e in entries),
+            "epochs": m.get("epochs", []) + ([epoch] if epoch is not None else []),
+        },
+    )
+    return v
+
+
+def merge_rows(spark: SparkSession, base: str, source: DataFrame) -> int:
+    """Atomic MERGE / upsert: rows of ``source`` REPLACE current rows with
+    the same key; source keys absent from the table are inserts. One
+    snapshot commit covers both — the storage-level transactional form of
+    ``operators/merge.py::merge_upsert`` (which computes the merged
+    RELATION; this commits it with copy-on-write file granularity). The
+    delete half reuses erase_rows' plan shape: bounds-prune candidate
+    files against the source keys, rewrite only files holding a matched
+    key, reference the rest verbatim; the insert half is one staged write
+    of the full source. A crash anywhere before the manifest replace
+    leaves the old snapshot intact and only orphan files behind."""
+    m = read_manifest(base)
+    key = m["key_col"]
+    src_keys = source.select(key).distinct()
+
+    affected: set[str] = set()
+    files_dir = os.path.join(base, "files")
+    if m["files"]:
+        stats = spark.createDataFrame(
+            [(e["file"], e["lo"], e["hi"]) for e in m["files"]],
+            ["file", "lo", "hi"],
+        )
+        cand = [
+            r["file"]
+            for r in stats.join(
+                src_keys,
+                (F.col(key) >= F.col("lo")) & (F.col(key) <= F.col("hi")),
+                "left_semi",
+            )
+            .select("file")
+            .collect()
+        ]
+        if cand:
+            scan = spark.read.parquet(
+                *(os.path.join(files_dir, f) for f in cand)
+            ).withColumn("_f", F.input_file_name())
+            affected = {
+                os.path.basename(
+                    r["_f"].removeprefix("file://").removeprefix("file:")
+                )
+                for r in scan.join(src_keys, key, "left_semi")
+                .select("_f")
+                .distinct()
+                .collect()
+            }
+
+    staging = os.path.join(base, f"_staging_{uuid.uuid4().hex}")
+    if affected:
+        survivors = spark.read.parquet(
+            *(os.path.join(files_dir, f) for f in affected)
+        ).join(src_keys, key, "left_anti")
+        out = survivors.unionByName(source.select(*survivors.columns))
+    else:
+        cols = [
+            f.name
+            for f in StructType.fromJson(json.loads(m["schema"])).fields
+        ]
+        out = source.select(*cols)
+    out.write.parquet(staging)
+    try:
+        new_entries = _ingest_parts(spark, base, staging, key)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+    entries = [e for e in m["files"] if e["file"] not in affected] + new_entries
+    v = _versions(base)[-1] + 1
+    _commit_manifest(
+        base,
+        v,
+        {
+            "key_col": key,
+            "schema": m["schema"],
+            "files": entries,
+            "rows": sum(e["rows"] for e in entries),
+            "epochs": m.get("epochs", []),
         },
     )
     return v

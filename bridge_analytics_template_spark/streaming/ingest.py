@@ -420,3 +420,49 @@ def stream_ingest_dedup_with_erasure(
         _run_available_now(spark, p2in, ingest, schema)
         open(done, "w").close()
     return spark.read.parquet(pairs_all)
+
+
+def stream_append_table(
+    spark: SparkSession,
+    src: DataFrame,
+    run_dir: str,
+    base: str,
+    key_col: str,
+    n_shards: int = 4,
+    id_col: str | None = None,
+) -> None:
+    """Stream ``src`` into a manifest-versioned table
+    (sources/manifest_table.py) with EXACTLY-ONCE appends — the streaming
+    lakehouse sink: each micro-batch commits through ``append_rows`` with
+    an epoch tag recorded in the manifest, so a replayed batch (crash
+    between the append commit and the checkpoint commit — the classic
+    foreachBatch double-write window) is recognized and skipped. The
+    table is born as an empty v=1 snapshot carrying the schema; the same
+    completion-marker/checkpoint-resume discipline as the ingest
+    pipelines applies (a crashed run resumes remaining shards; it never
+    rewrites what an earlier epoch committed)."""
+    from ..sources.manifest_table import (
+        _versions,
+        append_rows,
+        publish_snapshot,
+    )
+
+    done = os.path.join(run_dir, "done")
+    if os.path.exists(done):
+        return
+    if not os.path.exists(os.path.join(run_dir, "ckpt")):
+        shutil.rmtree(run_dir, ignore_errors=True)
+        _split_shards(src, run_dir, n_shards, id_col or key_col)
+    schema = spark.read.parquet(os.path.join(run_dir, "in")).schema
+    if not _versions(base):
+        publish_snapshot(
+            spark.createDataFrame([], schema), base, key_col
+        )
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_rows(batch_df, base, epoch=f"e{epoch_id}")
+
+    _run_available_now(spark, run_dir, ingest, schema)
+    open(done, "w").close()

@@ -171,3 +171,57 @@ def test_erase_empties_a_file_entirely(spark, tmp_path):
     empty = read_snapshot(spark, base, v3)
     assert empty.count() == 0
     assert empty.schema.fieldNames() == ["k", "v"]
+
+
+def test_append_epoch_idempotent(spark, tmp_path):
+    """append_rows with an already-recorded epoch tag is a no-op — the
+    exactly-once guard for the foreachBatch crash-between-commits window."""
+    from bridge_analytics_template_spark.sources.manifest_table import (
+        append_rows,
+    )
+
+    base = str(tmp_path / "t")
+    df = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    publish_snapshot(df, base, "k")
+    batch = spark.range(50, 80).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    v2 = append_rows(batch, base, epoch="e7")
+    assert read_snapshot(spark, base).count() == 80
+    # replayed epoch: same tag -> no new version, no double rows
+    assert append_rows(batch, base, epoch="e7") == v2
+    assert read_snapshot(spark, base).count() == 80
+    # the epoch registry survives an erase commit in between: the replayed
+    # append is still recognized (returns the erase's version, no new rows)
+    v3 = erase_rows(spark, base, spark.range(5).select(F.col("id").alias("k")), "k")
+    assert append_rows(batch, base, epoch="e7") == v3
+    assert read_snapshot(spark, base).count() == 75
+
+
+def test_stream_append_table_exactly_once_and_resume(spark, sf_dir, tmp_path):
+    """The streaming lakehouse sink: final table == source exactly; a
+    second run over the same completed run_dir (resume path) changes
+    nothing; a forced re-drive with the same checkpoint replays no epoch."""
+    from bridge_analytics_template_spark.streaming.ingest import (
+        stream_append_table,
+    )
+
+    run = str(tmp_path / "run")
+    base = str(tmp_path / "run" / "table")
+    e = load(spark, sf_dir, "events").limit(2000)
+    src = e.select("event_id", "user_id", "event_type")
+    stream_append_table(spark, src, run, base, key_col="event_id", n_shards=3)
+    want = sorted(r["event_id"] for r in src.collect())
+    got = sorted(r["event_id"] for r in read_snapshot(spark, base).collect())
+    assert got == want
+
+    # completed-run reuse: a second call is a no-op
+    stream_append_table(spark, src, run, base, key_col="event_id", n_shards=3)
+    assert read_snapshot(spark, base).count() == len(want)
+
+    # forced re-drive with the done marker removed: availableNow over the
+    # same checkpoint admits no new files AND the epoch registry guards
+    # any replayed batch — still no duplicates
+    os.remove(os.path.join(run, "done"))
+    stream_append_table(spark, src, run, base, key_col="event_id", n_shards=3)
+    assert sorted(
+        r["event_id"] for r in read_snapshot(spark, base).collect()
+    ) == want
