@@ -124,6 +124,7 @@ def _auto_window(
     round exists."""
     import glob
     import json
+    import os
     import re
 
     ledgers = sorted(
@@ -156,17 +157,30 @@ def _auto_window(
         for n, row in latest.items()
         if n in QUERIES and n in ORACLES and row.get("err") == "no_oracle"
     ]
-    # FIFO by registration: through r8 the bucket was oracled-first (a
-    # hash row is stronger evidence, so rows-only names queued behind every
+    # FIFO by AGE: through r8 the bucket was oracled-first (a hash row is
+    # stronger evidence, so rows-only names queued behind every
     # never-checked oracled query — correct while the oracled backlog
     # exceeded the window). With the backlog now inside one window,
-    # starvation-avoidance wins: registration order guarantees the oldest
-    # never-checked names clear before anything registered this round, so
-    # a new query can never displace an r1-era backlog name.
-    # REGISTRATION_ORDER survives _apply_window's prefix reorder; fall back
-    # to the live registry on the first (import-time) call.
+    # starvation-avoidance wins: the oldest never-checked names clear
+    # before anything registered this round, so a new query can never
+    # displace an r1-era backlog name. Age comes from the persisted
+    # first-seen-round map (_first_seen.json, maintained by
+    # tools/update_first_seen.py each ci run) because registration order
+    # is NOT chronological across rounds — additions land mid-order in
+    # whichever module they extend. Unmapped names are newest by
+    # definition. REGISTRATION_ORDER survives _apply_window's prefix
+    # reorder; fall back to the live registry on the first call.
     order = [n for n in (REGISTRATION_ORDER or list(QUERIES)) if n in QUERIES]
-    never = [n for n in order if n not in checked]
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "_first_seen.json")) as fh:
+            first_seen = json.load(fh)
+    except (OSError, ValueError):
+        first_seen = {}
+    reg_pos = {n: i for i, n in enumerate(order)}
+    never = sorted(
+        (n for n in order if n not in checked),
+        key=lambda n: (first_seen.get(n, 10**9), reg_pos[n]),
+    )
     # Stale-rotation bucket: checked-and-green names, oldest official row
     # first (ties: oracled before rows-only — a fresh hash row is stronger
     # evidence — then registration order, which enumerate() makes stable).

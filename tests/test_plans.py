@@ -380,20 +380,32 @@ def test_driver_window_integrity():
             and (row.get("hash_match") is False or row.get("rows_match") is False)
         ]
         assert set(window[1 : 1 + len(failed)]) == set(failed)
-        # 2. The never-checked backlog burns FIFO by registration: the
-        #    window's never-checked slots are exactly the OLDEST
-        #    registrations — a name registered this round can never
-        #    displace an earlier backlog name.
+        # 2. The never-checked backlog burns FIFO by AGE (the persisted
+        #    first-seen-round map): the window's never-checked slots are
+        #    exactly the OLDEST names — a query registered this round can
+        #    never displace an earlier backlog name.
         never_in_window = [
             n for n in window[1:] if n not in latest and n not in failed
         ]
-        from bridge_analytics_template_spark.queries import REGISTRATION_ORDER
+        import os as _os
 
-        never_all = [
-            n for n in REGISTRATION_ORDER if n not in latest and n != "flagship"
-        ]
+        from bridge_analytics_template_spark import queries as _q
+
+        with open(
+            _os.path.join(_os.path.dirname(_q.__file__), "_first_seen.json")
+        ) as fh:
+            first_seen = json.load(fh)
+        reg_pos = {n: i for i, n in enumerate(_q.REGISTRATION_ORDER)}
+        never_all = sorted(
+            (
+                n
+                for n in _q.REGISTRATION_ORDER
+                if n not in latest and n != "flagship"
+            ),
+            key=lambda n: (first_seen.get(n, 10**9), reg_pos[n]),
+        )
         assert never_in_window == never_all[: len(never_in_window)], (
-            "never-checked backlog not burned FIFO by registration"
+            "never-checked backlog not burned FIFO by age"
         )
         # 3. Stale re-certification slots (already-checked greens) appear
         #    only AFTER the never-checked backlog is exhausted, ordered

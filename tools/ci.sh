@@ -2,6 +2,9 @@
 # The whole verification battery, one command, exit 0 == healthy.
 set -e
 cd "$(dirname "$0")/.."
+# Record first-seen rounds for any queries registered since the last run —
+# the window curation's FIFO-by-age bucket sorts by this map.
+python tools/update_first_seen.py
 python tools/check_oracle.py
 # Window-curation invariant (VERDICT r6 task 4): the 50 names the driver
 # will snapshot must ALL be green before a round ends. --require-oracle was
