@@ -1349,3 +1349,46 @@ def t_stream_table_append(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "s_table_compact_optimize",
+    sql="""
+    SELECT user_id % 8 AS user_bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS id_sum,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def s_table_compact_optimize(spark, sf_dir):
+    """S10d: transactional OPTIMIZE — the small-files problem a streaming
+    append sink creates, then solves: events stream into the manifest
+    table in micro-batch appends (one small file per epoch), then
+    compact_snapshot bin-packs the fragments into few range-clustered
+    files as a NEW content-identical snapshot (readers of the pre-compact
+    snapshot never block; superseded parts live until vacuum; tight
+    per-file key bounds restored for later erases). The aggregate over the
+    COMPACTED snapshot hash-matches the plain batch SQL — rewriting files
+    moved bytes, not data. File-count reduction, content invariance, and
+    the CAS commit-conflict path are pinned in
+    tests/test_manifest_table.py."""
+    from ..catalog import index_scratch_dir
+    from ..sources.manifest_table import compact_snapshot, read_snapshot
+    from ..streaming.ingest import stream_append_table
+
+    run = index_scratch_dir(spark, sf_dir, "stream_table_compact", "events.parquet")
+    base = os.path.join(run, "table")
+    e = load(spark, sf_dir, "events")
+    stream_append_table(spark, e, run, base, key_col="event_id", n_shards=4)
+    v = compact_snapshot(spark, base, target_file_bytes=1 << 30)
+    return (
+        read_snapshot(spark, base, v)
+        .groupBy((F.col("user_id") % 8).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").alias("id_sum"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy("user_bucket")
+    )

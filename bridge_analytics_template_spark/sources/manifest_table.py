@@ -82,11 +82,31 @@ def read_manifest(base: str, version: int | None = None) -> dict:
         return json.load(fh)
 
 
+class CommitConflict(Exception):
+    """Another writer committed this version first — re-read the table
+    state and retry the operation (optimistic concurrency)."""
+
+
 def _commit_manifest(base: str, version: int, manifest: dict) -> None:
-    tmp = _manifest_path(base, version) + ".tmp"
+    """Atomic compare-and-swap commit: the manifest for ``version`` is
+    created EXCLUSIVELY (write tmp, then ``os.link`` — link fails if the
+    target exists), so two writers that both read snapshot N and try to
+    commit N+1 cannot both win; the loser gets :class:`CommitConflict`
+    and must re-read + retry. This is the version-file CAS every
+    manifest-log table format builds its isolation on (on object stores
+    the same contract comes from if-none-match puts)."""
+    tmp = _manifest_path(base, version) + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
-    os.replace(tmp, _manifest_path(base, version))
+    try:
+        os.link(tmp, _manifest_path(base, version))
+    except FileExistsError:
+        raise CommitConflict(
+            f"snapshot v={version} was committed concurrently at {base}; "
+            "re-read and retry"
+        ) from None
+    finally:
+        os.unlink(tmp)
 
 
 def _ingest_parts(
@@ -368,6 +388,50 @@ def merge_rows(spark: SparkSession, base: str, source: DataFrame) -> int:
     return v
 
 
+def compact_snapshot(
+    spark: SparkSession, base: str, target_file_bytes: int = 128 << 20
+) -> int:
+    """Transactional OPTIMIZE: bin-pack the current snapshot's small files
+    into ~``target_file_bytes`` files, committed as a new snapshot that is
+    CONTENT-IDENTICAL (pure file rewrite — the lakehouse answer to the
+    small-files problem a streaming append sink creates; readers of the
+    old snapshot are never blocked, and the superseded parts stay on disk
+    for them until vacuum). Range-clusters on the key while rewriting, so
+    compaction also restores tight per-file bounds for later erases.
+    Returns the new version; a snapshot that is already one file (or
+    empty) is left alone."""
+    m = read_manifest(base)
+    files_dir = os.path.join(base, "files")
+    if len(m["files"]) <= 1:
+        return _versions(base)[-1]
+    total = sum(
+        os.path.getsize(os.path.join(files_dir, e["file"])) for e in m["files"]
+    )
+    n_files = max(1, -(-total // target_file_bytes))
+    if n_files >= len(m["files"]):
+        return _versions(base)[-1]
+    df = read_snapshot(spark, base)
+    staging = os.path.join(base, f"_staging_{uuid.uuid4().hex}")
+    df.repartitionByRange(n_files, F.col(m["key_col"])).write.parquet(staging)
+    try:
+        entries = _ingest_parts(spark, base, staging, m["key_col"])
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    v = _versions(base)[-1] + 1
+    _commit_manifest(
+        base,
+        v,
+        {
+            "key_col": m["key_col"],
+            "schema": m["schema"],
+            "files": entries,
+            "rows": sum(e["rows"] for e in entries),
+            "epochs": m.get("epochs", []),
+        },
+    )
+    return v
+
+
 def vacuum(base: str, keep_versions: int = 1) -> list[str]:
     """Physically drop everything no KEPT snapshot references: old
     manifests beyond the retention, their exclusive data files, and any
@@ -394,5 +458,9 @@ def vacuum(base: str, keep_versions: int = 1) -> list[str]:
     for d in os.listdir(base):
         if d.startswith("_staging_"):
             shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+            removed.append(d)
+        elif ".tmp." in d:
+            # a crash between CAS link and tmp unlink leaves the tmp copy
+            os.remove(os.path.join(base, d))
             removed.append(d)
     return removed

@@ -225,3 +225,75 @@ def test_stream_append_table_exactly_once_and_resume(spark, sf_dir, tmp_path):
     assert sorted(
         r["event_id"] for r in read_snapshot(spark, base).collect()
     ) == want
+
+
+def test_compact_snapshot_content_identical(spark, tmp_path):
+    """OPTIMIZE bin-packs fragments into fewer files as a new snapshot
+    whose content is row-for-row identical; the fragmented snapshot stays
+    readable; a compact of an already-compact table is a no-op."""
+    from bridge_analytics_template_spark.sources.manifest_table import (
+        append_rows,
+        compact_snapshot,
+    )
+
+    base = str(tmp_path / "t")
+    df = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 7).alias("v"))
+    publish_snapshot(df.filter(F.col("k") < 100), base, "k")
+    for i in range(1, 10):
+        append_rows(
+            df.filter((F.col("k") >= i * 100) & (F.col("k") < (i + 1) * 100)),
+            base,
+            epoch=f"e{i}",
+        )
+    frag = read_manifest(base)
+    assert len(frag["files"]) >= 10
+    v_frag = 10
+
+    v = compact_snapshot(spark, base, target_file_bytes=1 << 30)
+    m = read_manifest(base, v)
+    assert len(m["files"]) < len(frag["files"])
+    assert m["rows"] == 1000
+    got = sorted((r["k"], r["v"]) for r in read_snapshot(spark, base, v).collect())
+    assert got == [(i, i * 7) for i in range(1000)]
+    # pre-compact snapshot still readable until vacuum
+    assert read_snapshot(spark, base, v_frag).count() == 1000
+    # no-op on an already-compact table
+    assert compact_snapshot(spark, base, target_file_bytes=1 << 30) == v
+
+
+def test_commit_conflict_cas(spark, tmp_path):
+    """Two writers racing from the same snapshot: the second commit of
+    v=N+1 loses with CommitConflict and the table state is the winner's —
+    never a silent overwrite."""
+    from bridge_analytics_template_spark.sources.manifest_table import (
+        CommitConflict,
+        erase_rows,
+    )
+
+    base = str(tmp_path / "t")
+    df = spark.range(200).select(F.col("id").alias("k"), (F.col("id") + 1).alias("v"))
+    publish_snapshot(df, base, "k")
+
+    # simulate the race: a concurrent writer lands v=2 between this
+    # writer's manifest read and its commit
+    import bridge_analytics_template_spark.sources.manifest_table as mt
+
+    real_commit = mt._commit_manifest
+
+    def racing_commit(b, version, manifest):
+        # the other writer wins first, then the original commit runs
+        if not os.path.exists(mt._manifest_path(b, version)):
+            real_commit(b, version, {**manifest, "rows": -1, "files": manifest["files"]})
+        real_commit(b, version, manifest)
+
+    tomb = spark.range(10).select(F.col("id").alias("k"))
+    import pytest as _pytest
+
+    try:
+        mt._commit_manifest = racing_commit
+        with _pytest.raises(CommitConflict):
+            erase_rows(spark, base, tomb, "k")
+    finally:
+        mt._commit_manifest = real_commit
+    # the winner's commit is the table state
+    assert read_manifest(base, 2)["rows"] == -1
