@@ -42,6 +42,10 @@ Old snapshots stay readable (audit/time-travel) until ``vacuum`` drops
 their exclusive files — GDPR practice: the deletion SLA is met at commit
 time by the new snapshot, physical destruction completes at vacuum, both
 timestamps auditable.
+
+Constraint: the table key must be a numeric or string column — its
+per-file min/max bounds are stored as JSON in the manifest (a timestamp
+key would need an epoch-micros surrogate column).
 """
 
 from __future__ import annotations
