@@ -297,3 +297,64 @@ def test_commit_conflict_cas(spark, tmp_path):
         mt._commit_manifest = real_commit
     # the winner's commit is the table state
     assert read_manifest(base, 2)["rows"] == -1
+
+
+def test_model_based_random_dml_sequences(spark, tmp_path):
+    """Model-based check of the transactional surface: a seeded random
+    sequence of publish/append/erase/merge/compact/vacuum against an
+    in-memory dict model — after EVERY operation the latest snapshot must
+    equal the model exactly. Catches cross-operation interactions no
+    single-op test sees (e.g. merge after compact after erase)."""
+    import random
+
+    from bridge_analytics_template_spark.sources.manifest_table import (
+        append_rows,
+        compact_snapshot,
+        merge_rows,
+    )
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [(k, v) for k, v in rows], "k long, v long"
+        )
+
+    for seed in (7, 42):
+        rng = random.Random(seed)
+        base = str(tmp_path / f"t{seed}")
+        model: dict[int, int] = {i: i * 11 for i in range(0, 200, 2)}
+        publish_snapshot(df_of(model.items()), base, "k", n_files=4)
+        epoch = 0
+        for step in range(10):
+            op = rng.choice(["append", "erase", "merge", "compact", "vacuum"])
+            if op == "append":
+                # fresh keys only (append does not dedupe by key)
+                new = {
+                    k: k * 13
+                    for k in rng.sample(range(1000, 2000), 20)
+                    if k not in model
+                }
+                epoch += 1
+                append_rows(df_of(new.items()), base, epoch=f"s{seed}e{epoch}")
+                model.update(new)
+            elif op == "erase":
+                keys = rng.sample(sorted(model), min(15, len(model)))
+                erase_rows(
+                    spark,
+                    base,
+                    spark.createDataFrame([(k,) for k in keys], "k long"),
+                    "k",
+                )
+                for k in keys:
+                    model.pop(k, None)
+            elif op == "merge":
+                upd = {k: k * 17 for k in rng.sample(sorted(model), min(10, len(model)))}
+                ins = {k: k * 17 for k in rng.sample(range(5000, 6000), 5)}
+                merge_rows(spark, base, df_of({**upd, **ins}.items()))
+                model.update(upd)
+                model.update(ins)
+            elif op == "compact":
+                compact_snapshot(spark, base, target_file_bytes=1 << 30)
+            else:
+                vacuum(base, keep_versions=1)
+            got = {r["k"]: r["v"] for r in read_snapshot(spark, base).collect()}
+            assert got == model, f"seed {seed} diverged after step {step}: {op}"
