@@ -1336,3 +1336,135 @@ def s_table_merge_upsert(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "s_table_changes",
+    sql="""
+    WITH upd AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             'U-MERGED' AS o_orderpriority
+      FROM orders WHERE o_orderkey % 100 = 7),
+    ins AS (
+      SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, 'I-MERGED' AS o_orderpriority
+      FROM orders WHERE o_orderkey % 100 = 13),
+    merged AS (
+      SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM ins),
+    final AS (SELECT * FROM merged WHERE o_custkey % 37 <> 0),
+    ins_rows AS (SELECT * FROM final EXCEPT ALL SELECT * FROM orders),
+    del_rows AS (SELECT * FROM orders EXCEPT ALL SELECT * FROM final)
+    SELECT * FROM (
+      SELECT 'delete' AS change_type, COUNT(*) AS n_rows,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+             CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+             COUNT(DISTINCT o_orderkey) AS n_keys
+      FROM del_rows
+      UNION ALL
+      SELECT 'insert', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+             CAST(SUM(o_custkey) AS BIGINT), COUNT(DISTINCT o_orderkey)
+      FROM ins_rows)
+    ORDER BY change_type
+    """,
+)
+def s_table_changes(spark, sf_dir):
+    """S10e: CHANGE DATA FEED over the manifest-versioned table
+    (sources/manifest_table.py::read_changes) — the downstream-incremental
+    primitive: a consumer that materialized snapshot v1 applies exactly
+    the emitted delete/insert rows to reach the head snapshot instead of
+    re-reading the table. The table takes one MERGE wave (every 100th
+    order re-prioritized = delete+insert pairs; a late batch of shifted
+    keys = pure inserts) and one GDPR erase (tombstoned customers' orders,
+    resolved to ORDER keys from the pre-erase snapshot because pruning
+    metadata lives on the published key); the feed across the whole span
+    is computed from the manifests' FILE set difference — only rewritten
+    files are opened, survivors copied by a COW rewrite cancel exactly
+    under EXCEPT ALL (multiplicity included). Verified by per-change-type
+    row counts + exact key checksums against a relational replay of the
+    same DML in DuckDB."""
+    from ..catalog import index_scratch_dir
+    from ..sources.manifest_table import (
+        _versions,
+        erase_rows,
+        merge_rows,
+        publish_snapshot,
+        read_changes,
+        read_snapshot,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    base = index_scratch_dir(spark, sf_dir, "mtable_cdf_orders", "orders.parquet")
+    if not _versions(base):
+        publish_snapshot(o, base, "o_orderkey", n_files=8)
+        upd = o.filter(F.col("o_orderkey") % 100 == 7).withColumn(
+            "o_orderpriority", F.lit("U-MERGED")
+        )
+        ins = (
+            o.filter(F.col("o_orderkey") % 100 == 13)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(1000000000))
+            .withColumn("o_orderpriority", F.lit("I-MERGED"))
+        )
+        merge_rows(spark, base, upd.unionByName(ins))
+        # the erase is keyed on the PUBLISHED key: resolve the customer
+        # tombstones to order keys from the pre-erase snapshot
+        tomb_keys = (
+            read_snapshot(spark, base)
+            .filter(F.col("o_custkey") % 37 == 0)
+            .select("o_orderkey")
+        )
+        erase_rows(spark, base, tomb_keys, "o_orderkey")
+    return (
+        read_changes(spark, base, 1)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum("o_custkey").alias("cust_sum"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+        )
+        .orderBy("change_type")
+    )
+
+
+@query(
+    "s_table_point_lookup",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 997 = 0
+    ORDER BY o_orderkey
+    """,
+)
+def s_table_point_lookup(spark, sf_dir):
+    """S10f: bloom-pruned POINT LOOKUP (sources/manifest_table.py::
+    lookup_rows). The table is published HASH-distributed — every file's
+    [min, max] key envelope spans nearly the whole domain, the layout on
+    which range-bound pruning fundamentally cannot help (an
+    append-fragmented streaming table looks the same) — so file pruning
+    falls entirely to the PER-FILE KEY BLOOM each manifest entry carries
+    (~10 bits/key, k=3, pure-JVM xxhash64 probe against the broadcast
+    stats relation). A false positive costs one extra file read, never a
+    wrong row: candidates are still semi-joined on the exact key set.
+    File-count pruning (and the bounds-only fallback for pre-bloom
+    manifests) is pinned in tests/test_manifest_table.py; this query
+    certifies end-to-end value exactness of the pruned read."""
+    from ..catalog import index_scratch_dir
+    from ..sources.manifest_table import (
+        _versions,
+        lookup_rows,
+        publish_snapshot,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    base = index_scratch_dir(spark, sf_dir, "mtable_lookup_orders", "orders.parquet")
+    if not _versions(base):
+        publish_snapshot(
+            o.repartition(8, F.col("o_custkey")), base, "o_orderkey"
+        )
+    keys = o.filter(F.col("o_orderkey") % 997 == 0).select("o_orderkey")
+    return (
+        lookup_rows(spark, base, keys)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )

@@ -1392,3 +1392,62 @@ def s_table_compact_optimize(spark, sf_dir):
         )
         .orderBy("user_bucket")
     )
+
+
+@query(
+    "t_stream_table_upsert",
+    sql="""
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           event_type AS last_type, value AS last_value
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def t_stream_table_upsert(spark, sf_dir):
+    """T-custom, ORACLED streaming execution: the STREAMING CDC-APPLY SINK
+    — events stream in micro-batches into a manifest-versioned table
+    through the CONDITIONAL newer-wins merge
+    (sources/manifest_table.py::merge_rows(order_cols=...), driven by
+    streaming/ingest.py::stream_upsert_table): per batch, one atomic
+    epoch-tagged COW commit that replaces a key's row only when the
+    incoming (ts, event_id) tuple is strictly newer. The shards split by
+    id residue, NOT time, so batches arrive OUT OF EVENT-TIME ORDER — the
+    delivery a real distributed CDC feed produces — and exactly-once comes
+    from the manifest's epoch registry (a replayed batch is a recognized
+    no-op). Because the conditional merge is a join-semilattice on
+    (key -> max tuple), the final table equals the global last-writer-wins
+    view REGARDLESS of batch order or boundaries — which is why the
+    genuinely-streaming run is value-exact against the batch ROW_NUMBER
+    oracle (same final view t_stream_lww_upsert maintains in keyed state;
+    this is its TRANSACTIONAL-TABLE form, surviving restarts and serving
+    readers mid-stream with snapshot isolation)."""
+    from ..catalog import index_scratch_dir
+    from ..sources.manifest_table import read_snapshot
+    from ..streaming.ingest import stream_upsert_table
+
+    run = index_scratch_dir(spark, sf_dir, "stream_table_upsert", "events.parquet")
+    base = os.path.join(run, "table")
+    e = load(spark, sf_dir, "events")
+    stream_upsert_table(
+        spark,
+        e,
+        run,
+        base,
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        n_shards=4,
+        id_col="event_id",
+    )
+    return (
+        read_snapshot(spark, base)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -46,6 +46,18 @@ timestamps auditable.
 Constraint: the table key must be a numeric or string column — its
 per-file min/max bounds are stored as JSON in the manifest (a timestamp
 key would need an epoch-micros surrogate column).
+
+Beyond bounds, every data file carries a PER-FILE BLOOM FILTER over the
+key in its manifest entry (hex bitmap + bit count): range bounds prune
+range-clustered layouts, but an append-heavy or hash-distributed table has
+near-full-range bounds on every file, and there a point probe (equality
+tombstone, CDC merge key, lookup) still has to open everything. The bloom
+answers "might this file hold this key?" from manifest metadata alone —
+the same role as Parquet footer blooms / Iceberg puffin sidecars, kept in
+the manifest here because fixture files are small; at real file sizes the
+bitmap would move to a sidecar referenced by the entry. Probing is pure
+JVM expression (xxhash64 + shift/mask on a broadcast stats relation), so
+a million tombstones probe |files| blooms in one tiny join.
 """
 
 from __future__ import annotations
@@ -113,6 +125,133 @@ def _commit_manifest(base: str, version: int, manifest: dict) -> None:
         os.unlink(tmp)
 
 
+# --- Per-file key bloom filters ----------------------------------------------
+
+_BLOOM_K = 3  # probe positions per key; with ~10 bits/key -> ~1.7% fp
+_BLOOM_MIN_BITS = 1 << 10
+_BLOOM_MAX_BITS = 1 << 20  # cap: a saturated bloom is a harmless all-pass;
+# past ~100k rows/file the bitmap belongs in a sidecar, not the manifest
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1)).bit_length()
+
+
+def _bloom_positions(key, m):
+    """The k probe positions of ``key`` in an ``m``-bit bloom, as JVM
+    columns — build and probe MUST share this exact expression (seeded by
+    mixing a literal into xxhash64's input)."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m).cast("long"))
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _bloom_build(
+    spark: SparkSession, staging: str, key_col: str, rows_per_file: dict[str, int]
+) -> tuple[int, dict[str, str]]:
+    """One JVM pass over the staged parts: explode each key's probe
+    positions, bit_or them into 64-bit words per (file, word) — the only
+    thing the driver ever sees is |files| x (set words) of metadata, never
+    rows. Returns (m, {staged part basename: hex bitmap})."""
+    if not rows_per_file:
+        return _BLOOM_MIN_BITS, {}
+    m = min(
+        _BLOOM_MAX_BITS,
+        max(_BLOOM_MIN_BITS, _next_pow2(10 * max(rows_per_file.values()))),
+    )
+    df = spark.read.parquet(staging).select(
+        F.input_file_name().alias("_f"), F.col(key_col).alias("_k")
+    )
+    words = (
+        df.select("_f", F.explode(F.array(*_bloom_positions(F.col("_k"), m))).alias("_p"))
+        .groupBy("_f", (F.col("_p") / 64).cast("long").alias("_w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT)))"
+            ).alias("_bits")
+        )
+        .collect()
+    )
+    maps: dict[str, bytearray] = {}
+    for r in words:
+        name = os.path.basename(
+            r["_f"].removeprefix("file://").removeprefix("file:")
+        )
+        buf = maps.setdefault(name, bytearray(m // 8))
+        w = r["_bits"] & ((1 << 64) - 1)  # signed long -> raw bits
+        buf[8 * r["_w"] : 8 * r["_w"] + 8] = w.to_bytes(8, "little")
+    return m, {name: buf.hex() for name, buf in maps.items()}
+
+
+def _bloom_words(entry: dict) -> list[int] | None:
+    """Manifest entry's bitmap as SIGNED 64-bit words (Spark LongType), or
+    None for entries written before blooms existed (back-compat: no bloom
+    means the file always MIGHT match)."""
+    hx = entry.get("bloom")
+    if not hx:
+        return None
+    raw = bytes.fromhex(hx)
+    out = []
+    for i in range(0, len(raw), 8):
+        w = int.from_bytes(raw[i : i + 8], "little")
+        out.append(w - (1 << 64) if w >= (1 << 63) else w)
+    return out
+
+
+def _candidate_files(
+    spark: SparkSession, m: dict, keys: DataFrame, key: str
+) -> list[str]:
+    """Files of snapshot-manifest ``m`` that MIGHT hold any key of
+    ``keys`` — pruned purely from manifest metadata: the per-file
+    [lo, hi] range envelope AND the per-file key bloom, both evaluated in
+    one broadcast join (the stats side is |files| rows by construction).
+    Sound (never drops a file that holds a key); the exact affected set
+    still needs a scan of the survivors."""
+    entries = m["files"]
+    if not entries:
+        return []
+    k = keys.select(F.col(keys.columns[0]).alias(key)).distinct()
+    have_bloom = any(e.get("bloom") for e in entries)
+    if have_bloom:
+        stats = spark.createDataFrame(
+            [
+                (e["file"], e["lo"], e["hi"], _bloom_words(e), e.get("bloom_m"))
+                for e in entries
+            ],
+            ["file", "lo", "hi", "_bm", "_m"],
+        )
+    else:
+        stats = spark.createDataFrame(
+            [(e["file"], e["lo"], e["hi"]) for e in entries],
+            ["file", "lo", "hi"],
+        )
+    cond = (F.col(key) >= F.col("lo")) & (F.col(key) <= F.col("hi"))
+    if have_bloom:
+        bit_checks = [
+            F.expr(
+                f"(shiftright(element_at(_bm, CAST(pmod(xxhash64({key}, {i}), _m) "
+                f"DIV 64 AS INT) + 1), CAST(pmod(xxhash64({key}, {i}), _m) % 64 "
+                "AS INT)) & 1) = 1"
+            )
+            for i in range(_BLOOM_K)
+        ]
+        maybe = bit_checks[0]
+        for c in bit_checks[1:]:
+            maybe = maybe & c
+        cond = cond & (F.col("_bm").isNull() | maybe)
+    # stream the (arbitrarily large) key set against the BROADCAST stats
+    # relation; distinct collapses to <= |files| rows map-side before the
+    # driver ever sees anything
+    return [
+        r["file"]
+        for r in k.join(F.broadcast(stats), cond, "inner")
+        .select("file")
+        .distinct()
+        .collect()
+    ]
+
+
 def _ingest_parts(
     spark: SparkSession, base: str, staging: str, key_col: str
 ) -> list[dict]:
@@ -142,6 +281,9 @@ def _ingest_parts(
         )
         .collect()
     }
+    m_bits, blooms = _bloom_build(
+        spark, staging, key_col, {p: stats[p]["rows"] for p in parts if p in stats}
+    )
     files_dir = os.path.join(base, "files")
     os.makedirs(files_dir, exist_ok=True)
     entries = []
@@ -155,7 +297,14 @@ def _ingest_parts(
         os.rename(os.path.join(staging, p), os.path.join(files_dir, final))
         s = stats[p]
         entries.append(
-            {"file": final, "rows": s["rows"], "lo": s["lo"], "hi": s["hi"]}
+            {
+                "file": final,
+                "rows": s["rows"],
+                "lo": s["lo"],
+                "hi": s["hi"],
+                "bloom": blooms.get(p),
+                "bloom_m": m_bits if p in blooms else None,
+            }
         )
     return entries
 
@@ -203,6 +352,77 @@ def read_snapshot(
     return spark.read.parquet(*paths)
 
 
+def read_changes(
+    spark: SparkSession, base: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """CHANGE DATA FEED: the row-level changes between two snapshots —
+    every row inserted after ``from_version`` (tagged ``_change_type =
+    'insert'``) and every row deleted (``'delete'``); an update surfaces
+    as its delete+insert pair. The downstream-incremental primitive: a
+    consumer that materialized ``from_version`` applies exactly these rows
+    to reach ``to_version`` instead of re-reading the table.
+
+    Computed from the manifests' FILE set difference, so only files that
+    changed across the span are ever opened — a 0.1% erase on 10k files
+    reads the handful of rewritten files, not the table. Within the
+    changed files, net row changes are two EXCEPT ALLs (a COW rewrite
+    copies the surviving rows into new files; survivors cancel exactly,
+    multiplicity included). A pure compaction span nets zero changes by
+    the same argument. Both span manifests must still be within vacuum
+    retention (their files on disk); ``read_manifest`` raises otherwise.
+    """
+    m_from = read_manifest(base, from_version)
+    m_to = read_manifest(base, to_version)
+    if (
+        to_version is not None and to_version < from_version
+    ):  # pragma: no cover - caller error
+        raise ValueError(f"empty span: {from_version} -> {to_version}")
+    schema = StructType.fromJson(json.loads(m_to["schema"]))
+    cols = [f.name for f in schema.fields]
+    from_files = {e["file"] for e in m_from["files"]}
+    to_files = {e["file"] for e in m_to["files"]}
+    files_dir = os.path.join(base, "files")
+
+    def scan(names: set[str]) -> DataFrame:
+        if not names:
+            return spark.createDataFrame([], schema).select(*cols)
+        return spark.read.parquet(
+            *(os.path.join(files_dir, n) for n in sorted(names))
+        ).select(*cols)
+
+    added = scan(to_files - from_files)
+    removed = scan(from_files - to_files)
+    return (
+        added.exceptAll(removed)
+        .withColumn("_change_type", F.lit("insert"))
+        .unionByName(
+            removed.exceptAll(added).withColumn("_change_type", F.lit("delete"))
+        )
+    )
+
+
+def lookup_rows(spark: SparkSession, base: str, keys: DataFrame) -> DataFrame:
+    """Point lookup: the current snapshot's rows whose key is in ``keys``,
+    scanning only files whose manifest metadata (bounds + bloom) cannot
+    rule the probe out. On a hash-distributed or append-fragmented layout
+    the range bounds are all-pass and the BLOOM does the pruning — the
+    case per-file min/max fundamentally cannot help with. The scan of the
+    surviving files is a plain semi-join (no exact-affected refinement
+    needed: a bloom false positive costs one extra file read, never a
+    wrong row)."""
+    m = read_manifest(base)
+    key = m["key_col"]
+    k = keys.select(F.col(keys.columns[0]).alias(key)).distinct()
+    cand = _candidate_files(spark, m, k, key)
+    if not cand:
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        return spark.createDataFrame([], schema)
+    files_dir = os.path.join(base, "files")
+    return spark.read.parquet(
+        *(os.path.join(files_dir, f) for f in cand)
+    ).join(F.broadcast(k), key, "left_semi")
+
+
 def erase_rows(
     spark: SparkSession, base: str, tombstones: DataFrame, key_col: str | None = None
 ) -> int:
@@ -216,24 +436,19 @@ def erase_rows(
     if not m["files"]:
         return _versions(base)[-1]
     key = key_col or m["key_col"]
+    if key != m["key_col"]:
+        # bounds and blooms in the manifest are built on the PUBLISHED key;
+        # pruning on any other column would be unsound (silently missed
+        # files). Tombstones on a non-key column must first be resolved to
+        # key tombstones (see s_table_erasure_cascade / s_table_changes).
+        raise ValueError(
+            f"tombstone column {key!r} != table key {m['key_col']!r}"
+        )
     tomb = tombstones.select(F.col(tombstones.columns[0]).alias(key)).distinct()
 
-    # 1. prune candidates from the manifest's bounded stats: |files| × |tomb|
-    # range semi-join where the stats side is tiny by construction
-    stats = spark.createDataFrame(
-        [(e["file"], e["lo"], e["hi"]) for e in m["files"]],
-        ["file", "lo", "hi"],
-    )
-    cand = [
-        r["file"]
-        for r in stats.join(
-            tomb,
-            (F.col(key) >= F.col("lo")) & (F.col(key) <= F.col("hi")),
-            "left_semi",
-        )
-        .select("file")
-        .collect()
-    ]
+    # 1. prune candidates from the manifest's bounded stats: per-file key
+    # bounds AND per-file blooms, one broadcast join over |files| rows
+    cand = _candidate_files(spark, m, tomb, key)
     if not cand:
         return _versions(base)[-1]
 
@@ -312,63 +527,99 @@ def append_rows(df: DataFrame, base: str, epoch: str | None = None) -> int:
     return v
 
 
-def merge_rows(spark: SparkSession, base: str, source: DataFrame) -> int:
+def merge_rows(
+    spark: SparkSession,
+    base: str,
+    source: DataFrame,
+    order_cols: list[str] | None = None,
+    epoch: str | None = None,
+) -> int:
     """Atomic MERGE / upsert: rows of ``source`` REPLACE current rows with
     the same key; source keys absent from the table are inserts. One
     snapshot commit covers both — the storage-level transactional form of
     ``operators/merge.py::merge_upsert`` (which computes the merged
     RELATION; this commits it with copy-on-write file granularity). The
-    delete half reuses erase_rows' plan shape: bounds-prune candidate
+    delete half reuses erase_rows' plan shape: bounds+bloom-prune candidate
     files against the source keys, rewrite only files holding a matched
     key, reference the rest verbatim; the insert half is one staged write
     of the full source. A crash anywhere before the manifest replace
-    leaves the old snapshot intact and only orphan files behind."""
+    leaves the old snapshot intact and only orphan files behind.
+
+    ``order_cols`` turns the unconditional replace into a CONDITIONAL
+    newer-wins merge (CDC apply): a source row replaces the table row of
+    the same key only when its ``order_cols`` tuple is STRICTLY greater
+    (struct comparison, ties keep the table row); duplicate keys inside
+    ``source`` collapse to the per-key maximum first. This makes the merge
+    a join-semilattice on (key -> max tuple): applying update batches in
+    ANY order — including the out-of-order delivery a distributed CDC feed
+    actually produces — converges to the same last-writer-wins table.
+
+    ``epoch`` gives the merge the same replay idempotence as
+    ``append_rows``: an epoch tag already in the manifest makes the call a
+    recognized no-op — the exactly-once contract a streaming foreachBatch
+    upsert sink needs."""
     m = read_manifest(base)
+    if epoch is not None and epoch in m.get("epochs", []):
+        return _versions(base)[-1]
     key = m["key_col"]
+    if order_cols:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        source = (
+            source.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     src_keys = source.select(key).distinct()
 
     affected: set[str] = set()
     files_dir = os.path.join(base, "files")
-    if m["files"]:
-        stats = spark.createDataFrame(
-            [(e["file"], e["lo"], e["hi"]) for e in m["files"]],
-            ["file", "lo", "hi"],
-        )
-        cand = [
-            r["file"]
-            for r in stats.join(
-                src_keys,
-                (F.col(key) >= F.col("lo")) & (F.col(key) <= F.col("hi")),
-                "left_semi",
+    cand = _candidate_files(spark, m, src_keys, key)
+    if cand:
+        scan = spark.read.parquet(
+            *(os.path.join(files_dir, f) for f in cand)
+        ).withColumn("_f", F.input_file_name())
+        affected = {
+            os.path.basename(
+                r["_f"].removeprefix("file://").removeprefix("file:")
             )
-            .select("file")
+            for r in scan.join(src_keys, key, "left_semi")
+            .select("_f")
+            .distinct()
             .collect()
-        ]
-        if cand:
-            scan = spark.read.parquet(
-                *(os.path.join(files_dir, f) for f in cand)
-            ).withColumn("_f", F.input_file_name())
-            affected = {
-                os.path.basename(
-                    r["_f"].removeprefix("file://").removeprefix("file:")
-                )
-                for r in scan.join(src_keys, key, "left_semi")
-                .select("_f")
-                .distinct()
-                .collect()
-            }
+        }
 
+    cols = [f.name for f in StructType.fromJson(json.loads(m["schema"])).fields]
     staging = os.path.join(base, f"_staging_{uuid.uuid4().hex}")
-    if affected:
+    if affected and order_cols:
+        table = spark.read.parquet(
+            *(os.path.join(files_dir, f) for f in affected)
+        ).alias("t")
+        src = source.select(*cols).alias("s")
+        s_tuple = F.struct(*[F.col(f"s.{c}") for c in order_cols])
+        t_tuple = F.struct(*[F.col(f"t.{c}") for c in order_cols])
+        src_wins = F.col(f"t.{key}").isNull() | (
+            F.col(f"s.{key}").isNotNull() & (s_tuple > t_tuple)
+        )
+        out = table.join(
+            src, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer"
+        ).select(
+            *[
+                F.when(src_wins, F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+                for c in cols
+            ]
+        )
+    elif affected:
         survivors = spark.read.parquet(
             *(os.path.join(files_dir, f) for f in affected)
         ).join(src_keys, key, "left_anti")
         out = survivors.unionByName(source.select(*survivors.columns))
     else:
-        cols = [
-            f.name
-            for f in StructType.fromJson(json.loads(m["schema"])).fields
-        ]
         out = source.select(*cols)
     out.write.parquet(staging)
     try:
@@ -386,7 +637,7 @@ def merge_rows(spark: SparkSession, base: str, source: DataFrame) -> int:
             "schema": m["schema"],
             "files": entries,
             "rows": sum(e["rows"] for e in entries),
-            "epochs": m.get("epochs", []),
+            "epochs": m.get("epochs", []) + ([epoch] if epoch is not None else []),
         },
     )
     return v

@@ -466,3 +466,55 @@ def stream_append_table(
 
     _run_available_now(spark, run_dir, ingest, schema)
     open(done, "w").close()
+
+
+def stream_upsert_table(
+    spark: SparkSession,
+    src: DataFrame,
+    run_dir: str,
+    base: str,
+    key_col: str,
+    order_cols: list[str],
+    n_shards: int = 4,
+    id_col: str | None = None,
+) -> None:
+    """Stream ``src`` as CDC update batches into a manifest-versioned
+    table with EXACTLY-ONCE, OUT-OF-ORDER-TOLERANT upserts: each
+    micro-batch commits through ``merge_rows(order_cols=...)`` — the
+    conditional newer-wins merge — tagged with its epoch, so a replayed
+    batch is a recognized no-op and a batch that arrives with OLDER
+    versions of a key than the table already holds cannot regress it.
+    Because the conditional merge is a join-semilattice on
+    (key -> max order tuple), the final table equals the global
+    last-writer-wins view for ANY sharding of the source — the shards
+    here deliberately interleave event time (split by id residue, not
+    time), the delivery order a real distributed CDC feed produces."""
+    from ..sources.manifest_table import (
+        _versions,
+        merge_rows,
+        publish_snapshot,
+    )
+
+    done = os.path.join(run_dir, "done")
+    if os.path.exists(done):
+        return
+    if not os.path.exists(os.path.join(run_dir, "ckpt")):
+        shutil.rmtree(run_dir, ignore_errors=True)
+        _split_shards(src, run_dir, n_shards, id_col or key_col)
+    schema = spark.read.parquet(os.path.join(run_dir, "in")).schema
+    if not _versions(base):
+        publish_snapshot(spark.createDataFrame([], schema), base, key_col)
+
+    def ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_rows(
+            spark,
+            base,
+            batch_df,
+            order_cols=order_cols,
+            epoch=f"e{epoch_id}",
+        )
+
+    _run_available_now(spark, run_dir, ingest, schema)
+    open(done, "w").close()

@@ -358,3 +358,207 @@ def test_model_based_random_dml_sequences(spark, tmp_path):
                 vacuum(base, keep_versions=1)
             got = {r["k"]: r["v"] for r in read_snapshot(spark, base).collect()}
             assert got == model, f"seed {seed} diverged after step {step}: {op}"
+
+
+def test_read_changes_insert_delete_update_and_compaction_cancel(
+    spark, tmp_path
+):
+    """CHANGE DATA FEED: across publish -> append -> erase -> merge ->
+    compact, read_changes(v_i, v_j) must emit exactly the net row delta
+    (update = delete+insert pair), and a pure-compaction span must net
+    ZERO changes (content-identical rewrite cancels under EXCEPT ALL)."""
+    from bridge_analytics_template_spark.sources.manifest_table import (
+        append_rows,
+        compact_snapshot,
+        merge_rows,
+        read_changes,
+    )
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "k long, v long")
+
+    base = str(tmp_path / "t")
+    v1 = publish_snapshot(df_of([(i, i) for i in range(100)]), base, "k", n_files=4)
+    v2 = append_rows(df_of([(i, i) for i in range(100, 120)]), base, epoch="e1")
+    v3 = erase_rows(
+        spark, base, spark.createDataFrame([(k,) for k in range(0, 10)], "k long"), "k"
+    )
+    v4 = merge_rows(spark, base, df_of([(50, 5050), (500, 500)]))  # update + insert
+
+    ch = read_changes(spark, base, v1, v4).collect()
+    ins = {(r["k"], r["v"]) for r in ch if r["_change_type"] == "insert"}
+    dels = {(r["k"], r["v"]) for r in ch if r["_change_type"] == "delete"}
+    assert ins == {(i, i) for i in range(100, 120)} | {(50, 5050), (500, 500)}
+    assert dels == {(i, i) for i in range(0, 10)} | {(50, 50)}
+    # applying the feed to v1 reproduces v4 exactly
+    v1_rows = {(r["k"], r["v"]) for r in read_snapshot(spark, base, v1).collect()}
+    v4_rows = {(r["k"], r["v"]) for r in read_snapshot(spark, base, v4).collect()}
+    assert (v1_rows | ins) - dels == v4_rows
+
+    v5 = compact_snapshot(spark, base, target_file_bytes=1 << 30)
+    assert v5 == v4 + 1  # several small files -> actually compacted
+    assert read_changes(spark, base, v4, v5).count() == 0
+    # empty span and sub-spans
+    assert read_changes(spark, base, v2, v2).count() == 0
+    sub = read_changes(spark, base, v2, v3).collect()
+    assert {(r["k"], r["_change_type"]) for r in sub} == {
+        (k, "delete") for k in range(0, 10)
+    }
+
+
+def test_bloom_prunes_hash_layout_and_lookup_exact(spark, sf_dir, tmp_path):
+    """On a HASH-distributed layout every file's range bounds span the
+    whole key domain (bounds prune nothing); the per-file bloom must
+    prune a point probe to a strict subset of files WITHOUT ever dropping
+    a file that truly holds a key — and lookup_rows must stay value-exact.
+    Stripping the blooms from the manifest (a pre-bloom table) degrades
+    to bounds-only all-pass, still exact."""
+    from bridge_analytics_template_spark.sources.manifest_table import (
+        _candidate_files,
+        lookup_rows,
+    )
+
+    base = str(tmp_path / "t")
+    o = load(spark, sf_dir, "orders")
+    publish_snapshot(o.repartition(8, F.col("o_custkey")), base, "o_orderkey")
+    m = read_manifest(base)
+    assert len(m["files"]) == 8 and all(e.get("bloom") for e in m["files"])
+
+    # mid-domain keys: a hash-distributed file's [lo, hi] envelope covers
+    # the middle of the domain (its lo/hi are near-extremes of a random
+    # subset), so range bounds cannot prune these — only the bloom can
+    all_keys = sorted(r["o_orderkey"] for r in o.select("o_orderkey").collect())
+    n = len(all_keys)
+    some = [all_keys[n // 3], all_keys[n // 2], all_keys[2 * n // 3]]
+    keys = spark.createDataFrame([(k,) for k in some], "o_orderkey long")
+    cand = set(_candidate_files(spark, m, keys, "o_orderkey"))
+    # soundness: every file that truly holds a probed key is a candidate
+    truth = {
+        os.path.basename(r["_f"].removeprefix("file://").removeprefix("file:"))
+        for r in read_snapshot(spark, base)
+        .withColumn("_f", F.input_file_name())
+        .filter(F.col("o_orderkey").isin(some))
+        .select("_f")
+        .collect()
+    }
+    assert truth <= cand
+    # effectiveness: 3 keys in 8 hash files -> bloom must rule some out
+    assert len(cand) < len(m["files"])
+
+    got = sorted(
+        (r["o_orderkey"], r["o_custkey"])
+        for r in lookup_rows(spark, base, keys).collect()
+    )
+    want = sorted(
+        (r["o_orderkey"], r["o_custkey"])
+        for r in o.filter(F.col("o_orderkey").isin(some)).collect()
+    )
+    assert got == want
+
+    # back-compat: a manifest without blooms (pre-bloom table) -> all-pass
+    vs = max(
+        int(f.split("=")[1].split(".")[0])
+        for f in os.listdir(base)
+        if f.endswith(".manifest.json")
+    )
+    path = os.path.join(base, f"v={vs}.manifest.json")
+    with open(path) as fh:
+        stripped = json.load(fh)
+    for e in stripped["files"]:
+        e.pop("bloom", None)
+        e.pop("bloom_m", None)
+    with open(path, "w") as fh:
+        json.dump(stripped, fh)
+    m2 = read_manifest(base)
+    cand2 = set(_candidate_files(spark, m2, keys, "o_orderkey"))
+    assert cand2 == {e["file"] for e in m2["files"]}  # bounds are all-pass
+    got2 = sorted(
+        (r["o_orderkey"], r["o_custkey"])
+        for r in lookup_rows(spark, base, keys).collect()
+    )
+    assert got2 == want
+
+
+def test_merge_lww_out_of_order_converges_and_replays_noop(spark, tmp_path):
+    """Conditional newer-wins merge (order_cols): update batches applied
+    OUT of version order converge to the last-writer-wins view; a stale
+    or tied source row never regresses the table; a replayed epoch is a
+    recognized no-op."""
+    from bridge_analytics_template_spark.sources.manifest_table import merge_rows
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "k long, ver long, val string")
+
+    base = str(tmp_path / "t")
+    publish_snapshot(
+        df_of([(k, 0, f"base{k}") for k in range(50)]), base, "k", n_files=4
+    )
+    # batches deliberately out of version order: ver 2 lands before ver 1
+    merge_rows(
+        spark,
+        base,
+        df_of([(k, 2, f"v2-{k}") for k in range(0, 30)]),
+        order_cols=["ver"],
+        epoch="b2",
+    )
+    merge_rows(
+        spark,
+        base,
+        df_of([(k, 1, f"v1-{k}") for k in range(0, 40)] + [(100, 1, "new")]),
+        order_cols=["ver"],
+        epoch="b1",
+    )
+    got = {
+        r["k"]: (r["ver"], r["val"])
+        for r in read_snapshot(spark, base).collect()
+    }
+    want = {k: (2, f"v2-{k}") for k in range(0, 30)}
+    want.update({k: (1, f"v1-{k}") for k in range(30, 40)})
+    want.update({k: (0, f"base{k}") for k in range(40, 50)})
+    want[100] = (1, "new")
+    assert got == want
+
+    # duplicate keys inside one batch collapse to the per-key max tuple
+    merge_rows(
+        spark,
+        base,
+        df_of([(7, 3, "lo"), (7, 5, "hi"), (7, 4, "mid")]),
+        order_cols=["ver"],
+        epoch="b3",
+    )
+    assert {
+        (r["ver"], r["val"])
+        for r in read_snapshot(spark, base).filter(F.col("k") == 7).collect()
+    } == {(5, "hi")}
+
+    # a tied tuple keeps the table row (strictly-greater wins only)
+    merge_rows(
+        spark, base, df_of([(7, 5, "tied")]), order_cols=["ver"], epoch="b4"
+    )
+    assert {
+        r["val"]
+        for r in read_snapshot(spark, base).filter(F.col("k") == 7).collect()
+    } == {"hi"}
+
+    # epoch replay: recognized no-op, version unchanged
+    before = read_manifest(base)
+    merge_rows(
+        spark,
+        base,
+        df_of([(0, 99, "SHOULD NOT LAND")]),
+        order_cols=["ver"],
+        epoch="b1",
+    )
+    assert read_manifest(base) == before
+
+
+def test_erase_key_mismatch_raises(spark, tmp_path):
+    """Pruning metadata lives on the PUBLISHED key; an erase keyed on any
+    other column must fail loudly instead of silently missing files."""
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k long, other long")
+    base = str(tmp_path / "t")
+    publish_snapshot(df, base, "k")
+    with pytest.raises(ValueError, match="table key"):
+        erase_rows(
+            spark, base, spark.createDataFrame([(10,)], "other long"), "other"
+        )
