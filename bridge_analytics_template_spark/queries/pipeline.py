@@ -1468,3 +1468,89 @@ def s_table_point_lookup(spark, sf_dir):
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "s_table_schema_evolution",
+    sql="""
+    WITH legacy AS (
+      SELECT o_orderkey, o_custkey, 'LEGACY' AS o_channel, 0.0 AS price
+      FROM orders),
+    web AS (
+      SELECT o_orderkey + 2000000000, o_custkey, 'WEB', 0.0
+      FROM orders WHERE o_orderkey % 3 = 0),
+    app AS (
+      SELECT o_orderkey + 4000000000, o_custkey, 'APP', o_totalprice
+      FROM orders WHERE o_orderkey % 5 = 0),
+    allr AS (SELECT * FROM legacy
+             UNION ALL SELECT * FROM web
+             UNION ALL SELECT * FROM app)
+    SELECT o_channel,
+           COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CASE WHEN price <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_priced,
+           CAST(SUM(CAST(CAST(price AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM allr GROUP BY o_channel ORDER BY o_channel
+    """,
+)
+def s_table_schema_evolution(spark, sf_dir):
+    """S10g: SCHEMA EVOLUTION on the manifest table
+    (sources/manifest_table.py::evolve_schema) — ADD and DROP are
+    METADATA-ONLY commits (zero bytes rewritten, O(1) in table size, the
+    property a 100 TB ALTER TABLE needs). The timeline: publish orders ->
+    ADD o_channel default 'LEGACY' (all existing rows show the default) ->
+    append a 'WEB' wave under the widened schema -> DROP o_totalprice ->
+    re-ADD o_totalprice default 0.0 -> append an 'APP' wave carrying real
+    prices. Readers reconcile per write-generation: a column comes from a
+    file's bytes only when the file's generation >= the column's `since`,
+    else the default — so the re-added price column shows 0.0 for every
+    pre-re-add row (LEGACY and WEB waves) and real values only for APP:
+    the drop/re-add NON-RESURRECTION guarantee real formats get from field
+    IDs, certified here by the per-channel priced-row counts and exact
+    integer-cent checksums against a relational replay. Metadata-only-ness
+    (identical file list across the evolve commits) and rewrite
+    materialization are pinned in tests/test_manifest_table.py."""
+    from ..catalog import index_scratch_dir
+    from ..functions.numeric import money_units
+    from ..sources.manifest_table import (
+        _versions,
+        append_rows,
+        evolve_schema,
+        publish_snapshot,
+        read_snapshot,
+    )
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    base = index_scratch_dir(spark, sf_dir, "mtable_evolve_orders", "orders.parquet")
+    if not _versions(base):
+        publish_snapshot(o, base, "o_orderkey", n_files=8)
+        evolve_schema(base, add=[("o_channel", "string", "LEGACY")])
+        web = (
+            o.filter(F.col("o_orderkey") % 3 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(2000000000))
+            .withColumn("o_channel", F.lit("WEB"))
+        )
+        append_rows(web, base, epoch="web")
+        evolve_schema(base, drop=["o_totalprice"])
+        evolve_schema(base, add=[("o_totalprice", "double", 0.0)])
+        app = (
+            o.filter(F.col("o_orderkey") % 5 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(4000000000))
+            .withColumn("o_channel", F.lit("APP"))
+        )
+        append_rows(app, base, epoch="app")
+    return (
+        read_snapshot(spark, base)
+        .groupBy("o_channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum(
+                F.when(F.col("o_totalprice") != 0, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("n_priced"),
+            F.sum(money_units("o_totalprice")).alias("price_cents"),
+        )
+        .orderBy("o_channel")
+    )

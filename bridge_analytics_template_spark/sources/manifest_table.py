@@ -125,6 +125,143 @@ def _commit_manifest(base: str, version: int, manifest: dict) -> None:
         os.unlink(tmp)
 
 
+# --- Schema evolution ---------------------------------------------------------
+#
+# The manifest carries the TABLE schema as an ordered column spec
+# ``columns: [{name, type, since, default}]`` plus a monotonically bumped
+# ``schema_id``; every data-file entry records the schema_id it was WRITTEN
+# under. ADD and DROP are metadata-only commits (no file is touched — the
+# operation is O(1) regardless of table size, the property that makes schema
+# change viable on a 100 TB table). Readers reconcile per generation:
+#
+# - a column is taken from a file's bytes only when the file's generation is
+#   >= the column's ``since``; otherwise the column's DEFAULT is projected.
+#   This gives Delta/Iceberg ADD-with-default semantics (existing rows show
+#   the default, new writes materialize real values) — and, crucially, makes
+#   DROP + re-ADD of the same name safe: old files' bytes can never
+#   resurrect through the re-added column, because their generation predates
+#   its ``since`` (the same guarantee real formats get from field IDs).
+# - a dropped column simply leaves the spec; old files still carry the bytes
+#   (time travel to a pre-drop snapshot still sees them) until a rewrite
+#   (erase/merge/compact) materializes the current spec.
+
+
+def _columns_of(m: dict) -> list[dict] | None:
+    return m.get("columns")
+
+
+def _spec_from_schema(schema: StructType, since: int) -> list[dict]:
+    return [
+        {
+            "name": f.name,
+            "type": f.dataType.simpleString(),
+            "since": since,
+            "default": None,
+        }
+        for f in schema.fields
+    ]
+
+
+def _schema_from_spec(columns: list[dict]) -> StructType:
+    return StructType.fromDDL(
+        ", ".join(f"`{c['name']}` {c['type']}" for c in columns)
+    )
+
+
+def _read_entries(
+    spark: SparkSession, base: str, m: dict, entries: list[dict]
+) -> DataFrame:
+    """Read the given manifest entries reconciled to ``m``'s CURRENT column
+    spec: files are grouped by the generation they were written under (one
+    group per schema_id — a handful, never per-file), each group projects
+    spec columns present in its physical schema and >= their ``since``
+    generation from bytes, everything else from the column's default. A
+    manifest predating the spec machinery reads as-is."""
+    files_dir = os.path.join(base, "files")
+    columns = _columns_of(m)
+    if columns is None:
+        if not entries:
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(m["schema"]))
+            )
+        return spark.read.parquet(
+            *(os.path.join(files_dir, e["file"]) for e in entries)
+        )
+    if not entries:
+        return spark.createDataFrame([], _schema_from_spec(columns))
+    groups: dict[int, list[str]] = {}
+    for e in entries:
+        groups.setdefault(e.get("schema_id", 1), []).append(e["file"])
+    out = None
+    for sid in sorted(groups):
+        df = spark.read.parquet(
+            *(os.path.join(files_dir, f) for f in groups[sid])
+        )
+        have = set(df.columns)
+        sel = [
+            (
+                F.col(c["name"])
+                if c["name"] in have and sid >= c["since"]
+                else F.lit(c["default"])
+            )
+            .cast(c["type"])
+            .alias(c["name"])
+            for c in columns
+        ]
+        g = df.select(*sel)
+        out = g if out is None else out.unionByName(g)
+    return out
+
+
+def evolve_schema(
+    base: str,
+    add: list[tuple[str, str, object]] | None = None,
+    drop: list[str] | None = None,
+) -> int:
+    """Metadata-only schema change: ADD columns (name, sparkSQL type,
+    default — shown for every row written before the add) and/or DROP
+    columns. Commits a new snapshot with the SAME file list — zero bytes
+    rewritten, the O(1)-in-table-size property a 100 TB ALTER TABLE needs.
+    The table key cannot be dropped (pruning metadata lives on it).
+    Returns the new version."""
+    m = read_manifest(base)
+    columns = _columns_of(m)
+    if columns is None:
+        # upgrade a legacy manifest: current schema becomes generation 1
+        columns = _spec_from_schema(
+            StructType.fromJson(json.loads(m["schema"])), 1
+        )
+    sid = m.get("schema_id", 1) + 1
+    names = [c["name"] for c in columns]
+    for d in drop or []:
+        if d == m["key_col"]:
+            raise ValueError(f"cannot drop the table key {d!r}")
+        if d not in names:
+            raise ValueError(f"cannot drop unknown column {d!r}")
+    columns = [c for c in columns if c["name"] not in set(drop or [])]
+    for name, typ, default in add or []:
+        if name in (c["name"] for c in columns):
+            raise ValueError(f"column {name!r} already exists")
+        columns.append(
+            {"name": name, "type": typ, "since": sid, "default": default}
+        )
+    v = _versions(base)[-1] + 1
+    _commit_manifest(
+        base,
+        v,
+        {
+            "key_col": m["key_col"],
+            "schema": _schema_from_spec(columns).json(),
+            "schema_id": sid,
+            "columns": columns,
+            "files": m["files"],
+            "rows": m["rows"],
+            "epochs": m.get("epochs", []),
+        },
+    )
+    return v
+
+
 # --- Per-file key bloom filters ----------------------------------------------
 
 _BLOOM_K = 3  # probe positions per key; with ~10 bits/key -> ~1.7% fp
@@ -252,8 +389,24 @@ def _candidate_files(
     ]
 
 
+def _carry(m: dict, files: list[dict], epochs: list[str] | None = None) -> dict:
+    """Next-version manifest dict carrying the table-level metadata (key,
+    schema spec + generation, epoch registry) forward unchanged."""
+    out = {
+        "key_col": m["key_col"],
+        "schema": m["schema"],
+        "files": files,
+        "rows": sum(e["rows"] for e in files),
+        "epochs": epochs if epochs is not None else m.get("epochs", []),
+    }
+    if _columns_of(m) is not None:
+        out["schema_id"] = m.get("schema_id", 1)
+        out["columns"] = m["columns"]
+    return out
+
+
 def _ingest_parts(
-    spark: SparkSession, base: str, staging: str, key_col: str
+    spark: SparkSession, base: str, staging: str, key_col: str, schema_id: int = 1
 ) -> list[dict]:
     """Move a staged parquet write's parts into ``files/`` under fresh
     content-addressed names and return their manifest entries. Stats come
@@ -304,6 +457,7 @@ def _ingest_parts(
                 "hi": s["hi"],
                 "bloom": blooms.get(p),
                 "bloom_m": m_bits if p in blooms else None,
+                "schema_id": schema_id,
             }
         )
     return entries
@@ -332,6 +486,8 @@ def publish_snapshot(
         {
             "key_col": key_col,
             "schema": df.schema.json(),
+            "schema_id": 1,
+            "columns": _spec_from_schema(df.schema, 1),
             "files": entries,
             "rows": sum(e["rows"] for e in entries),
             "epochs": [],
@@ -344,12 +500,11 @@ def read_snapshot(
     spark: SparkSession, base: str, version: int | None = None
 ) -> DataFrame:
     """Read a pinned snapshot (default latest): exactly the manifested
-    files — an uncommitted/orphan part can never leak into a read."""
+    files — an uncommitted/orphan part can never leak into a read — and
+    reconciled per generation to the snapshot's column spec (added columns
+    backfill their default on pre-add files; see ``evolve_schema``)."""
     m = read_manifest(base, version)
-    paths = [os.path.join(base, "files", e["file"]) for e in m["files"]]
-    if not paths:
-        return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema"])))
-    return spark.read.parquet(*paths)
+    return _read_entries(spark, base, m, m["files"])
 
 
 def read_changes(
@@ -377,18 +532,17 @@ def read_changes(
         to_version is not None and to_version < from_version
     ):  # pragma: no cover - caller error
         raise ValueError(f"empty span: {from_version} -> {to_version}")
-    schema = StructType.fromJson(json.loads(m_to["schema"]))
-    cols = [f.name for f in schema.fields]
     from_files = {e["file"] for e in m_from["files"]}
     to_files = {e["file"] for e in m_to["files"]}
-    files_dir = os.path.join(base, "files")
+    by_name = {e["file"]: e for e in m_from["files"] + m_to["files"]}
 
     def scan(names: set[str]) -> DataFrame:
-        if not names:
-            return spark.createDataFrame([], schema).select(*cols)
-        return spark.read.parquet(
-            *(os.path.join(files_dir, n) for n in sorted(names))
-        ).select(*cols)
+        # both sides reconcile to the TO-snapshot's column spec (each
+        # entry's own write generation decides bytes-vs-default), so a
+        # span crossing an evolve_schema diffs in one consistent shape
+        return _read_entries(
+            spark, base, m_to, [by_name[n] for n in sorted(names)]
+        )
 
     added = scan(to_files - from_files)
     removed = scan(from_files - to_files)
@@ -413,13 +567,9 @@ def lookup_rows(spark: SparkSession, base: str, keys: DataFrame) -> DataFrame:
     m = read_manifest(base)
     key = m["key_col"]
     k = keys.select(F.col(keys.columns[0]).alias(key)).distinct()
-    cand = _candidate_files(spark, m, k, key)
-    if not cand:
-        schema = StructType.fromJson(json.loads(m["schema"]))
-        return spark.createDataFrame([], schema)
-    files_dir = os.path.join(base, "files")
-    return spark.read.parquet(
-        *(os.path.join(files_dir, f) for f in cand)
+    cand = set(_candidate_files(spark, m, k, key))
+    return _read_entries(
+        spark, base, m, [e for e in m["files"] if e["file"] in cand]
     ).join(F.broadcast(k), key, "left_semi")
 
 
@@ -452,11 +602,14 @@ def erase_rows(
     if not cand:
         return _versions(base)[-1]
 
-    # 2. exact affected files: scan candidates ONLY; collect is bounded by
-    # the file count, never by rows
+    # 2. exact affected files: scan candidates ONLY (key column alone —
+    # present in every generation since the key can never be dropped);
+    # collect is bounded by the file count, never by rows
     files_dir = os.path.join(base, "files")
     cand_paths = [os.path.join(files_dir, f) for f in cand]
-    scan = spark.read.parquet(*cand_paths).withColumn("_f", F.input_file_name())
+    scan = spark.read.parquet(*cand_paths).select(
+        F.col(key), F.input_file_name().alias("_f")
+    )
     affected = {
         os.path.basename(r["_f"].removeprefix("file://").removeprefix("file:"))
         for r in scan.join(tomb, key, "left_semi").select("_f").distinct().collect()
@@ -465,33 +618,27 @@ def erase_rows(
         return _versions(base)[-1]
 
     # 3. rewrite survivors of the affected files in one distributed pass
+    # (reconciled to the current column spec — a COW rewrite of a pre-add
+    # file materializes the evolved schema, like Delta's rewrite path)
     staging = os.path.join(base, f"_staging_{uuid.uuid4().hex}")
-    survivors = spark.read.parquet(
-        *(os.path.join(files_dir, f) for f in affected)
+    survivors = _read_entries(
+        spark, base, m, [e for e in m["files"] if e["file"] in affected]
     ).join(tomb, key, "left_anti")
     survivors.write.parquet(staging)
     try:
-        new_entries = _ingest_parts(spark, base, staging, key)
+        new_entries = _ingest_parts(
+            spark, base, staging, key, m.get("schema_id", 1)
+        )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
 
     # 4. the commit: untouched entries verbatim + replacements; the
-    # manifest replace is the single visibility flip
+    # manifest replace is the single visibility flip (the epoch registry
+    # survives every commit kind: an erase or merge mid-stream must not
+    # reopen replayed appends)
     entries = [e for e in m["files"] if e["file"] not in affected] + new_entries
     v = _versions(base)[-1] + 1
-    _commit_manifest(
-        base,
-        v,
-        {
-            "key_col": m["key_col"],
-            "schema": m["schema"],
-            "files": entries,
-            "rows": sum(e["rows"] for e in entries),
-            # the epoch registry survives every commit kind: an erase or
-            # merge mid-stream must not reopen replayed appends
-            "epochs": m.get("epochs", []),
-        },
-    )
+    _commit_manifest(base, v, _carry(m, entries))
     return v
 
 
@@ -506,9 +653,16 @@ def append_rows(df: DataFrame, base: str, epoch: str | None = None) -> int:
     if epoch is not None and epoch in m.get("epochs", []):
         return _versions(base)[-1]
     staging = os.path.join(base, f"_staging_{uuid.uuid4().hex}")
+    cols = _columns_of(m)
+    if cols is not None:
+        df = df.select(
+            *[F.col(c["name"]).cast(c["type"]).alias(c["name"]) for c in cols]
+        )
     df.write.parquet(staging)
     try:
-        new_entries = _ingest_parts(df.sparkSession, base, staging, m["key_col"])
+        new_entries = _ingest_parts(
+            df.sparkSession, base, staging, m["key_col"], m.get("schema_id", 1)
+        )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     entries = m["files"] + new_entries
@@ -516,13 +670,11 @@ def append_rows(df: DataFrame, base: str, epoch: str | None = None) -> int:
     _commit_manifest(
         base,
         v,
-        {
-            "key_col": m["key_col"],
-            "schema": m["schema"],
-            "files": entries,
-            "rows": sum(e["rows"] for e in entries),
-            "epochs": m.get("epochs", []) + ([epoch] if epoch is not None else []),
-        },
+        _carry(
+            m,
+            entries,
+            m.get("epochs", []) + ([epoch] if epoch is not None else []),
+        ),
     )
     return v
 
@@ -581,7 +733,7 @@ def merge_rows(
     if cand:
         scan = spark.read.parquet(
             *(os.path.join(files_dir, f) for f in cand)
-        ).withColumn("_f", F.input_file_name())
+        ).select(F.col(key), F.input_file_name().alias("_f"))
         affected = {
             os.path.basename(
                 r["_f"].removeprefix("file://").removeprefix("file:")
@@ -593,11 +745,10 @@ def merge_rows(
         }
 
     cols = [f.name for f in StructType.fromJson(json.loads(m["schema"])).fields]
+    affected_entries = [e for e in m["files"] if e["file"] in affected]
     staging = os.path.join(base, f"_staging_{uuid.uuid4().hex}")
     if affected and order_cols:
-        table = spark.read.parquet(
-            *(os.path.join(files_dir, f) for f in affected)
-        ).alias("t")
+        table = _read_entries(spark, base, m, affected_entries).alias("t")
         src = source.select(*cols).alias("s")
         s_tuple = F.struct(*[F.col(f"s.{c}") for c in order_cols])
         t_tuple = F.struct(*[F.col(f"t.{c}") for c in order_cols])
@@ -615,15 +766,17 @@ def merge_rows(
             ]
         )
     elif affected:
-        survivors = spark.read.parquet(
-            *(os.path.join(files_dir, f) for f in affected)
-        ).join(src_keys, key, "left_anti")
+        survivors = _read_entries(spark, base, m, affected_entries).join(
+            src_keys, key, "left_anti"
+        )
         out = survivors.unionByName(source.select(*survivors.columns))
     else:
         out = source.select(*cols)
     out.write.parquet(staging)
     try:
-        new_entries = _ingest_parts(spark, base, staging, key)
+        new_entries = _ingest_parts(
+            spark, base, staging, key, m.get("schema_id", 1)
+        )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
 
@@ -632,13 +785,11 @@ def merge_rows(
     _commit_manifest(
         base,
         v,
-        {
-            "key_col": key,
-            "schema": m["schema"],
-            "files": entries,
-            "rows": sum(e["rows"] for e in entries),
-            "epochs": m.get("epochs", []) + ([epoch] if epoch is not None else []),
-        },
+        _carry(
+            m,
+            entries,
+            m.get("epochs", []) + ([epoch] if epoch is not None else []),
+        ),
     )
     return v
 
@@ -669,21 +820,13 @@ def compact_snapshot(
     staging = os.path.join(base, f"_staging_{uuid.uuid4().hex}")
     df.repartitionByRange(n_files, F.col(m["key_col"])).write.parquet(staging)
     try:
-        entries = _ingest_parts(spark, base, staging, m["key_col"])
+        entries = _ingest_parts(
+            spark, base, staging, m["key_col"], m.get("schema_id", 1)
+        )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     v = _versions(base)[-1] + 1
-    _commit_manifest(
-        base,
-        v,
-        {
-            "key_col": m["key_col"],
-            "schema": m["schema"],
-            "files": entries,
-            "rows": sum(e["rows"] for e in entries),
-            "epochs": m.get("epochs", []),
-        },
-    )
+    _commit_manifest(base, v, _carry(m, entries))
     return v
 
 

@@ -562,3 +562,62 @@ def test_erase_key_mismatch_raises(spark, tmp_path):
         erase_rows(
             spark, base, spark.createDataFrame([(10,)], "other long"), "other"
         )
+
+
+def test_schema_evolution_metadata_only_and_non_resurrection(spark, tmp_path):
+    """ADD/DROP are metadata-only commits (identical file list, zero bytes
+    rewritten); added columns backfill their default on pre-add files;
+    DROP + re-ADD of a name can never resurrect old bytes (per-file write
+    generations vs the column's `since` — the field-id guarantee); a COW
+    rewrite materializes the current spec; the key cannot be dropped."""
+    from bridge_analytics_template_spark.sources.manifest_table import (
+        append_rows,
+        evolve_schema,
+    )
+
+    base = str(tmp_path / "t")
+    df = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v")
+    publish_snapshot(df, base, "k", n_files=4)
+    files_before = [e["file"] for e in read_manifest(base)["files"]]
+
+    evolve_schema(base, add=[("tag", "string", "LEGACY")])
+    m = read_manifest(base)
+    assert [e["file"] for e in m["files"]] == files_before  # metadata-only
+    s = read_snapshot(spark, base)
+    assert s.columns == ["k", "v", "tag"]
+    assert s.filter(F.col("tag") == "LEGACY").count() == 100
+
+    append_rows(
+        spark.createDataFrame(
+            [(1000 + i, 7, "NEW") for i in range(10)], "k long, v long, tag string"
+        ),
+        base,
+        epoch="a1",
+    )
+    # time travel: the pre-evolve snapshot still reads the original shape
+    assert read_snapshot(spark, base, 1).columns == ["k", "v"]
+
+    evolve_schema(base, drop=["v"])
+    assert read_snapshot(spark, base).columns == ["k", "tag"]
+    evolve_schema(base, add=[("v", "bigint", 0)])
+    s = read_snapshot(spark, base)
+    assert s.agg(F.max("v")).first()[0] == 0  # old bytes must NOT resurrect
+
+    # a COW rewrite materializes the current spec for the rewritten files
+    # (erase a PARTIAL file range so at least one file is rewritten, not
+    # just dropped)
+    erase_rows(
+        spark, base, spark.createDataFrame([(k,) for k in range(30)], "k long"), "k"
+    )
+    s = read_snapshot(spark, base)
+    assert s.count() == 80 and s.agg(F.max("v")).first()[0] == 0
+    m = read_manifest(base)
+    sid = m["schema_id"]
+    assert any(e["schema_id"] == sid for e in m["files"])  # rewritten files
+
+    with pytest.raises(ValueError, match="cannot drop the table key"):
+        evolve_schema(base, drop=["k"])
+    with pytest.raises(ValueError, match="already exists"):
+        evolve_schema(base, add=[("tag", "string", None)])
+    with pytest.raises(ValueError, match="unknown column"):
+        evolve_schema(base, drop=["nope"])
