@@ -402,18 +402,28 @@ def _carry(m: dict, files: list[dict], epochs: list[str] | None = None) -> dict:
     if _columns_of(m) is not None:
         out["schema_id"] = m.get("schema_id", 1)
         out["columns"] = m["columns"]
+    if m.get("stats_cols"):
+        out["stats_cols"] = m["stats_cols"]
     return out
 
 
 def _ingest_parts(
-    spark: SparkSession, base: str, staging: str, key_col: str, schema_id: int = 1
+    spark: SparkSession,
+    base: str,
+    staging: str,
+    key_col: str,
+    schema_id: int = 1,
+    stats_cols: list[str] | None = None,
 ) -> list[dict]:
     """Move a staged parquet write's parts into ``files/`` under fresh
     content-addressed names and return their manifest entries. Stats come
     from ONE re-read of the staged parts grouped by file (column-pruned to
-    the key — bounded metadata out, |files| rows); at real scale the same
-    numbers come free from write-time observed metrics, the re-read keeps
-    this implementation honest and simple."""
+    the key + declared stats columns — bounded metadata out, |files| rows);
+    at real scale the same numbers come free from write-time observed
+    metrics, the re-read keeps this implementation honest and simple.
+    ``stats_cols`` adds per-file [min, max] envelopes for NON-key columns
+    to each entry (Iceberg-style column stats — the data-skipping input
+    for predicates the key bounds can't serve)."""
     parts = [
         f
         for f in os.listdir(staging)
@@ -421,6 +431,10 @@ def _ingest_parts(
     ]
     if not parts:
         return []
+    extra = []
+    for c in stats_cols or []:
+        extra.append(F.min(c).alias(f"_lo_{c}"))
+        extra.append(F.max(c).alias(f"_hi_{c}"))
     stats = {
         os.path.basename(
             r["file"].removeprefix("file://").removeprefix("file:")
@@ -431,6 +445,7 @@ def _ingest_parts(
             F.count(F.lit(1)).alias("rows"),
             F.min(key_col).alias("lo"),
             F.max(key_col).alias("hi"),
+            *extra,
         )
         .collect()
     }
@@ -449,50 +464,72 @@ def _ingest_parts(
         final = f"part-{uuid.uuid4().hex}.parquet"
         os.rename(os.path.join(staging, p), os.path.join(files_dir, final))
         s = stats[p]
-        entries.append(
-            {
-                "file": final,
-                "rows": s["rows"],
-                "lo": s["lo"],
-                "hi": s["hi"],
-                "bloom": blooms.get(p),
-                "bloom_m": m_bits if p in blooms else None,
-                "schema_id": schema_id,
+        entry = {
+            "file": final,
+            "rows": s["rows"],
+            "lo": s["lo"],
+            "hi": s["hi"],
+            "bloom": blooms.get(p),
+            "bloom_m": m_bits if p in blooms else None,
+            "schema_id": schema_id,
+        }
+        if stats_cols:
+            entry["stats"] = {
+                c: [s[f"_lo_{c}"], s[f"_hi_{c}"]] for c in stats_cols
             }
-        )
+        entries.append(entry)
     return entries
 
 
 def publish_snapshot(
-    df: DataFrame, base: str, key_col: str, n_files: int | None = None
+    df: DataFrame,
+    base: str,
+    key_col: str,
+    n_files: int | None = None,
+    stats_cols: list[str] | None = None,
+    cluster_expr=None,
 ) -> int:
     """Publish ``df`` as a full new snapshot; returns its version. When
-    ``n_files`` is given the write is RANGE-CLUSTERED on the key first —
-    tight per-file bounds are what make erase-time file pruning selective
-    (same layout argument as operators/zorder.py)."""
+    ``n_files`` is given the write is RANGE-CLUSTERED first — on
+    ``cluster_expr`` when provided (e.g. a z-order key over two dimensions,
+    operators/zorder.py::zorder_key), else on the key — tight per-file
+    envelopes are what make file pruning selective. ``stats_cols`` declares
+    NON-key columns whose per-file [min, max] envelopes go into every
+    manifest entry (here and on every later rewrite): the data-skipping
+    input for ``scan_pruned`` predicates the key bounds can't serve."""
     os.makedirs(base, exist_ok=True)
     staging = os.path.join(base, f"_staging_{uuid.uuid4().hex}")
-    out = df.repartitionByRange(n_files, F.col(key_col)) if n_files else df
+    if n_files:
+        ckey = cluster_expr if cluster_expr is not None else F.col(key_col)
+        out = (
+            df.withColumn("_ck", ckey)
+            .repartitionByRange(n_files, F.col("_ck"))
+            .sortWithinPartitions("_ck")
+            .drop("_ck")
+        )
+    else:
+        out = df
     out.write.parquet(staging)
     try:
-        entries = _ingest_parts(df.sparkSession, base, staging, key_col)
+        entries = _ingest_parts(
+            df.sparkSession, base, staging, key_col, 1, stats_cols
+        )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     vs = _versions(base)
     v = (vs[-1] + 1) if vs else 1
-    _commit_manifest(
-        base,
-        v,
-        {
-            "key_col": key_col,
-            "schema": df.schema.json(),
-            "schema_id": 1,
-            "columns": _spec_from_schema(df.schema, 1),
-            "files": entries,
-            "rows": sum(e["rows"] for e in entries),
-            "epochs": [],
-        },
-    )
+    manifest = {
+        "key_col": key_col,
+        "schema": df.schema.json(),
+        "schema_id": 1,
+        "columns": _spec_from_schema(df.schema, 1),
+        "files": entries,
+        "rows": sum(e["rows"] for e in entries),
+        "epochs": [],
+    }
+    if stats_cols:
+        manifest["stats_cols"] = stats_cols
+    _commit_manifest(base, v, manifest)
     return v
 
 
@@ -627,7 +664,8 @@ def erase_rows(
     survivors.write.parquet(staging)
     try:
         new_entries = _ingest_parts(
-            spark, base, staging, key, m.get("schema_id", 1)
+            spark, base, staging, key, m.get("schema_id", 1),
+            m.get("stats_cols"),
         )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
@@ -661,7 +699,8 @@ def append_rows(df: DataFrame, base: str, epoch: str | None = None) -> int:
     df.write.parquet(staging)
     try:
         new_entries = _ingest_parts(
-            df.sparkSession, base, staging, m["key_col"], m.get("schema_id", 1)
+            df.sparkSession, base, staging, m["key_col"],
+            m.get("schema_id", 1), m.get("stats_cols"),
         )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
@@ -775,7 +814,8 @@ def merge_rows(
     out.write.parquet(staging)
     try:
         new_entries = _ingest_parts(
-            spark, base, staging, key, m.get("schema_id", 1)
+            spark, base, staging, key, m.get("schema_id", 1),
+            m.get("stats_cols"),
         )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
@@ -821,7 +861,8 @@ def compact_snapshot(
     df.repartitionByRange(n_files, F.col(m["key_col"])).write.parquet(staging)
     try:
         entries = _ingest_parts(
-            spark, base, staging, m["key_col"], m.get("schema_id", 1)
+            spark, base, staging, m["key_col"], m.get("schema_id", 1),
+            m.get("stats_cols"),
         )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
@@ -862,3 +903,46 @@ def vacuum(base: str, keep_versions: int = 1) -> list[str]:
             os.remove(os.path.join(base, d))
             removed.append(d)
     return removed
+
+
+def scan_pruned(
+    spark: SparkSession, base: str, ranges: dict[str, tuple]
+) -> DataFrame:
+    """DATA-SKIPPING scan: read only files whose recorded envelopes can
+    intersect every ``col -> (lo, hi)`` range (either bound may be None =
+    open). The key column prunes on the entry's [lo, hi] bounds; any
+    column declared in ``publish_snapshot(stats_cols=...)`` prunes on its
+    per-file stats envelope; columns without stats never prune (sound).
+    The pruning pass is a driver-side sweep of manifest METADATA —
+    O(|files| x |ranges|), no data touched — and the survivors come back
+    reconciled to the current column spec; the caller applies the exact
+    predicate to the returned rows (skipping is containment-based, so a
+    kept file may still hold non-matching rows).
+
+    Layout matters: with a z-order clustered publish
+    (cluster_expr=operators/zorder.py::zorder_key(x, y)) each file owns a
+    contiguous z-range, i.e. a bounded rectangle union in (x, y) space —
+    so BOTH dimensions' envelopes are tight and a 2-D box predicate
+    prunes on either column; a single-column range clustering serves only
+    its leading column."""
+    m = read_manifest(base)
+    key = m["key_col"]
+    keep = []
+    for e in m["files"]:
+        ok = True
+        for c, (lo, hi) in ranges.items():
+            if c == key:
+                flo, fhi = e["lo"], e["hi"]
+            else:
+                st = (e.get("stats") or {}).get(c)
+                if st is None:
+                    continue
+                flo, fhi = st
+            if flo is None or fhi is None:
+                continue
+            if (lo is not None and fhi < lo) or (hi is not None and flo > hi):
+                ok = False
+                break
+        if ok:
+            keep.append(e)
+    return _read_entries(spark, base, m, keep)

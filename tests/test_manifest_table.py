@@ -621,3 +621,74 @@ def test_schema_evolution_metadata_only_and_non_resurrection(spark, tmp_path):
         evolve_schema(base, add=[("tag", "string", None)])
     with pytest.raises(ValueError, match="unknown column"):
         evolve_schema(base, drop=["nope"])
+
+
+def test_zorder_stats_prune_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order clustered publish with two-column stats envelopes: a
+    single-dimension probe on EITHER column must prune files from
+    manifest metadata, and scan_pruned must remain sound (every matching
+    row survives). A key-range-clustered layout over the same data serves
+    only its leading column — the second dimension's probe keeps all
+    files."""
+    from bridge_analytics_template_spark.operators.zorder import zorder_key
+    from bridge_analytics_template_spark.sources.manifest_table import (
+        scan_pruned,
+    )
+
+    e = load(spark, sf_dir, "events")
+    mu, me = e.agg(F.max("user_id"), F.max("event_id")).first()
+
+    zbase = str(tmp_path / "z")
+    publish_snapshot(
+        e,
+        zbase,
+        "event_id",
+        n_files=8,
+        stats_cols=["user_id"],
+        # dimensions normalized to a common bit width — a raw interleave
+        # of unequal domains gives the narrow column no locality
+        cluster_expr=zorder_key(
+            (F.col("user_id") * 8192 / (mu + 1)).cast("long"),
+            (F.col("event_id") * 8192 / (me + 1)).cast("long"),
+            bits=13,
+        ),
+    )
+    rbase = str(tmp_path / "r")
+    publish_snapshot(
+        e, rbase, "event_id", n_files=8, stats_cols=["user_id"]
+    )  # range-clustered on the key (event_id) only
+
+    def n_files(base, ranges):
+        m = read_manifest(base)
+        kept = scan_pruned(spark, base, ranges)
+        # count by re-pruning driver-side: file count == distinct input files
+        return kept.select(F.input_file_name()).distinct().count(), len(
+            m["files"]
+        )
+
+    # user-only probe: z-order prunes, event_id-range layout cannot
+    u_rng = {"user_id": (0, mu // 8)}
+    zk, zt = n_files(zbase, u_rng)
+    rk, rt = n_files(rbase, u_rng)
+    assert zk < zt, (zk, zt)
+    assert rk == rt, (rk, rt)
+    # event-only probe: both layouts prune (z owns contiguous z-ranges;
+    # range layout is clustered exactly on event_id)
+    e_rng = {"event_id": (0, me // 8)}
+    zk2, zt2 = n_files(zbase, e_rng)
+    rk2, rt2 = n_files(rbase, e_rng)
+    assert zk2 < zt2 and rk2 < rt2
+
+    # soundness: pruned scan + exact filter == plain filter, both layouts
+    want = e.filter(
+        (F.col("user_id") <= mu // 8) & (F.col("event_id") <= me // 8)
+    ).count()
+    for base in (zbase, rbase):
+        got = (
+            scan_pruned(
+                spark, base, {"user_id": (0, mu // 8), "event_id": (0, me // 8)}
+            )
+            .filter((F.col("user_id") <= mu // 8) & (F.col("event_id") <= me // 8))
+            .count()
+        )
+        assert got == want
