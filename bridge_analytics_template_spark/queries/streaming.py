@@ -1451,3 +1451,85 @@ def t_stream_table_upsert(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "t_stream_drawdown",
+    sql="""
+    WITH q AS (
+      SELECT user_id, event_id, ts, CAST(floor(value * 100) AS BIGINT) AS vq,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    c AS (
+      SELECT user_id, rn,
+             SUM(vq) OVER (PARTITION BY user_id ORDER BY rn
+                           ROWS UNBOUNDED PRECEDING) AS cum
+      FROM q),
+    d AS (
+      SELECT user_id, rn, cum,
+             MAX(cum) OVER (PARTITION BY user_id ORDER BY rn
+                            ROWS UNBOUNDED PRECEDING) AS runmax
+      FROM c)
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(max_by(cum, rn) AS BIGINT) AS end_cents,
+           CAST(MAX(cum) AS BIGINT) AS peak_cents,
+           CAST(MAX(runmax - cum) AS BIGINT) AS max_drawdown_cents
+    FROM d GROUP BY user_id ORDER BY user_id
+    """,
+)
+def t_stream_drawdown(spark, sf_dir):
+    """T-custom, ORACLED streaming execution: per-user MAX DRAWDOWN via
+    applyInPandasWithState (streaming/stateful.py::drawdown_stream) — the
+    first ORDER-DEPENDENT member of the stateful tier (everything else
+    there is deliberately lattice/monotone). The statistic folds a running
+    cents total, its running peak, and the max gap; that fold only makes
+    sense over a TIME-ORDERED log, so the fixture streams as four
+    event-time-contiguous shards (ntile over (ts, event_id) — the order a
+    replayed commit log or a Kafka partition actually delivers), one
+    micro-batch each, with each batch's rows sorted per key before the
+    fold. State is four longs per user — |users|-proportional. Exact
+    integer-cents arithmetic end to end (same quantization as the batch
+    twin ts_drawdown), so the genuinely-streaming run is value-exact
+    against the batch window replay; the final view is reconstructed from
+    the update-mode sink by max_by on the strictly-increasing per-key
+    event count."""
+    from ..catalog import index_scratch_dir
+    from ..streaming.ingest import _split_shards
+    from ..streaming.stateful import drawdown_stream
+
+    run = index_scratch_dir(spark, sf_dir, "stream_drawdown", "events.parquet")
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("tsu"),
+        F.floor(F.col("value") * 100).cast("long").alias("vq"),
+    )
+    if not os.path.exists(os.path.join(run, "in")):
+        w = Window.orderBy("tsu", "event_id")
+        # materialize the time-quartile shard id (a window expression can't
+        # live inside _split_shards' filter)
+        sharded = ev.withColumn("_shard", F.ntile(4).over(w) - 1)
+        _split_shards(sharded, run, 4, "event_id", shard_key=F.col("_shard"))
+    src = (
+        spark.readStream.schema(
+            "user_id long, event_id long, tsu long, vq long, _shard long"
+        )
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(os.path.join(run, "in"))
+        .drop("_shard")
+    )
+    out = run_to_memory(drawdown_stream(src), "update")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.expr("max_by(end_cents, n_events)").alias("end_cents"),
+            F.expr("max_by(peak_cents, n_events)").alias("peak_cents"),
+            F.expr("max_by(max_drawdown_cents, n_events)").alias(
+                "max_drawdown_cents"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -405,3 +405,65 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# --- order-DEPENDENT sequential state: streaming max drawdown ---------------
+#
+# Every other operator in this module is deliberately order-free (lattice /
+# monotone), because generic micro-batches carry no event-time order. Max
+# drawdown is the canonical ORDER-DEPENDENT statistic: it folds a running
+# total, its running peak, and the max gap — state that only makes sense
+# when each key's rows arrive in event-time order. The streaming form is
+# therefore defined over a TIME-ORDERED log (micro-batch n+1 holds only
+# events at or after batch n's — what a replayed commit log / per-partition
+# Kafka order gives you), with each batch's rows sorted per key before the
+# fold. Arithmetic is exact integer cents end to end (floor(value*100) —
+# the same quantization as the batch twin queries/stats.py::ts_drawdown),
+# so the streaming run is value-exact against the batch window replay.
+
+DD_OUTPUT_SCHEMA = (
+    "user_id long, n_events long, end_cents long, peak_cents long, "
+    "max_drawdown_cents long"
+)
+DD_STATE_SCHEMA = "cum long, peak long, dd long, n long"
+
+_PEAK_SEED = -(2**62)  # below any reachable running total
+
+
+def _update_drawdown(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    cum, peak, dd, n = state.get if state.exists else (0, _PEAK_SEED, 0, 0)
+    pdf = pd.concat(list(batches)).sort_values(["tsu", "event_id"])
+    vals = pdf["vq"].to_numpy(dtype="int64")
+    cums = cum + np.cumsum(vals)
+    peaks = np.maximum.accumulate(np.concatenate(([peak], cums)))[1:]
+    dd = max(int(dd), int((peaks - cums).max()))
+    cum, peak, n = int(cums[-1]), int(peaks[-1]), n + len(vals)
+    state.update((cum, peak, dd, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "end_cents": [cum],
+            "peak_cents": [peak],
+            "max_drawdown_cents": [dd],
+        }
+    )
+
+
+def drawdown_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-user max drawdown over (tsu, event_id)-ordered rows
+    with columns (user_id, event_id, tsu, vq). State is four longs per
+    key — |users|-proportional, never |events|."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_drawdown,
+        outputStructType=DD_OUTPUT_SCHEMA,
+        stateStructType=DD_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -495,3 +495,98 @@ def test_value_histogram_stream_matches_batch(spark, sf_dir):
     # streamed-only keys are the explicitly-emitted empty bins
     for key in set(streamed) - set(batch):
         assert streamed[key] == 0, key
+
+
+def test_drawdown_kernel_cross_batch_state():
+    """The drawdown fold carries (cum, peak, dd, n) across batches: a peak
+    in batch 1 and the trough in batch 2 must produce the cross-batch
+    drawdown, and within-batch rows are sorted by (tsu, event_id) before
+    the fold. Kernel-level check via a fake GroupState — no Spark."""
+    import pandas as pd
+
+    from bridge_analytics_template_spark.streaming.stateful import (
+        _update_drawdown,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    st = FakeState()
+
+    def run(rows):  # rows: list of (tsu, event_id, vq)
+        pdf = pd.DataFrame(rows, columns=["tsu", "event_id", "vq"])
+        return list(_update_drawdown((7,), iter([pdf]), st))[0]
+
+    # batch 1 deliberately UNSORTED: rows (t=2, +50), (t=1, +100) ->
+    # ordered series +100, +50 -> cum 100, 150; peak 150; dd 0
+    out1 = run([(2, 2, 50), (1, 1, 100)])
+    assert out1["end_cents"][0] == 150 and out1["peak_cents"][0] == 150
+    assert out1["max_drawdown_cents"][0] == 0
+    # batch 2: -120, +30 -> cum 30, 60; peak stays 150; dd = 150-30 = 120
+    out2 = run([(3, 3, -120), (4, 4, 30)])
+    assert out2["end_cents"][0] == 60
+    assert out2["peak_cents"][0] == 150
+    assert out2["max_drawdown_cents"][0] == 120
+    assert out2["n_events"][0] == 4
+
+
+def test_drawdown_stream_matches_batch(spark, sf_dir):
+    """The genuinely-streaming drawdown over time-ordered shards equals
+    the batch window replay (the same duel the registered oracle runs;
+    multi-batch execution is forced by the four maxFilesPerTrigger=1
+    shards, cross-batch state by the kernel test above)."""
+    from bridge_analytics_template_spark.queries import QUERIES
+
+    got = {
+        r["user_id"]: (
+            r["n_events"],
+            r["end_cents"],
+            r["peak_cents"],
+            r["max_drawdown_cents"],
+        )
+        for r in QUERIES["t_stream_drawdown"](spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    q = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("vq"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = q.select("user_id", "rn", F.sum("vq").over(w).alias("cum"))
+    d = c.withColumn("runmax", F.max("cum").over(w))
+    want = {
+        r["user_id"]: (
+            r["n"],
+            r["end_cents"],
+            r["peak_cents"],
+            r["dd"],
+        )
+        for r in d.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("max_by(cum, rn)").cast("long").alias("end_cents"),
+            F.max("cum").cast("long").alias("peak_cents"),
+            F.max(F.col("runmax") - F.col("cum")).cast("long").alias("dd"),
+        )
+        .collect()
+    }
+    assert got == want
