@@ -1338,6 +1338,42 @@ def s_table_merge_upsert(spark, sf_dir):
     )
 
 
+def _cdf_orders_base(spark, sf_dir):
+    """Build (once per corpus+session) the DML-exercised orders table the
+    CDF and HISTORY queries read: v1 publish -> v2 merge (update wave +
+    late-key inserts) -> v3 erase (tombstoned customers' orders, resolved
+    to ORDER keys because pruning metadata lives on the published key)."""
+    from ..catalog import index_scratch_dir
+    from ..sources.manifest_table import (
+        _versions,
+        erase_rows,
+        merge_rows,
+        publish_snapshot,
+        read_snapshot,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    base = index_scratch_dir(spark, sf_dir, "mtable_cdf_orders", "orders.parquet")
+    if not _versions(base):
+        publish_snapshot(o, base, "o_orderkey", n_files=8)
+        upd = o.filter(F.col("o_orderkey") % 100 == 7).withColumn(
+            "o_orderpriority", F.lit("U-MERGED")
+        )
+        ins = (
+            o.filter(F.col("o_orderkey") % 100 == 13)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(1000000000))
+            .withColumn("o_orderpriority", F.lit("I-MERGED"))
+        )
+        merge_rows(spark, base, upd.unionByName(ins))
+        tomb_keys = (
+            read_snapshot(spark, base)
+            .filter(F.col("o_custkey") % 37 == 0)
+            .select("o_orderkey")
+        )
+        erase_rows(spark, base, tomb_keys, "o_orderkey")
+    return base
+
+
 @query(
     "s_table_changes",
     sql="""
@@ -1384,37 +1420,9 @@ def s_table_changes(spark, sf_dir):
     under EXCEPT ALL (multiplicity included). Verified by per-change-type
     row counts + exact key checksums against a relational replay of the
     same DML in DuckDB."""
-    from ..catalog import index_scratch_dir
-    from ..sources.manifest_table import (
-        _versions,
-        erase_rows,
-        merge_rows,
-        publish_snapshot,
-        read_changes,
-        read_snapshot,
-    )
+    from ..sources.manifest_table import read_changes
 
-    o = load(spark, sf_dir, "orders")
-    base = index_scratch_dir(spark, sf_dir, "mtable_cdf_orders", "orders.parquet")
-    if not _versions(base):
-        publish_snapshot(o, base, "o_orderkey", n_files=8)
-        upd = o.filter(F.col("o_orderkey") % 100 == 7).withColumn(
-            "o_orderpriority", F.lit("U-MERGED")
-        )
-        ins = (
-            o.filter(F.col("o_orderkey") % 100 == 13)
-            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(1000000000))
-            .withColumn("o_orderpriority", F.lit("I-MERGED"))
-        )
-        merge_rows(spark, base, upd.unionByName(ins))
-        # the erase is keyed on the PUBLISHED key: resolve the customer
-        # tombstones to order keys from the pre-erase snapshot
-        tomb_keys = (
-            read_snapshot(spark, base)
-            .filter(F.col("o_custkey") % 37 == 0)
-            .select("o_orderkey")
-        )
-        erase_rows(spark, base, tomb_keys, "o_orderkey")
+    base = _cdf_orders_base(spark, sf_dir)
     return (
         read_changes(spark, base, 1)
         .groupBy(F.col("_change_type").alias("change_type"))
@@ -1630,4 +1638,54 @@ def s_table_zorder_scan(spark, sf_dir):
         F.sum("event_id").alias("id_sum"),
         F.sum("user_id").alias("user_sum"),
         F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@query(
+    "s_table_history",
+    sql="""
+    WITH upd AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             'U-MERGED' AS o_orderpriority
+      FROM orders WHERE o_orderkey % 100 = 7),
+    ins AS (
+      SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, 'I-MERGED' AS o_orderpriority
+      FROM orders WHERE o_orderkey % 100 = 13),
+    merged AS (
+      SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM ins),
+    final AS (SELECT * FROM merged WHERE o_custkey % 37 <> 0)
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS version, 'publish' AS op,
+             (SELECT COUNT(*) FROM orders) AS n_rows
+      UNION ALL
+      SELECT 2, 'merge', (SELECT COUNT(*) FROM merged)
+      UNION ALL
+      SELECT 3, 'erase', (SELECT COUNT(*) FROM final))
+    ORDER BY version
+    """,
+)
+def s_table_history(spark, sf_dir):
+    """S10i: DESCRIBE HISTORY — the table's audit trail
+    (sources/manifest_table.py::table_history): one row per retained
+    snapshot with the operation kind every commit is stamped with
+    (publish/append/erase/merge/compact/evolve), its wall-clock, and
+    row/file counts, all from manifest METADATA (no data file opened).
+    This is the compliance surface a governed lake queries — when was the
+    deletion request executed, what did each commit change — and the
+    index timestamp time-travel resolves against
+    (version_as_of/read_snapshot; pinned in tests). The oracle replays
+    the same publish -> merge -> erase DML relationally and checks the
+    per-version operation labels and row counts exactly (commit
+    wall-clocks are real and therefore excluded from the compared
+    columns)."""
+    from ..sources.manifest_table import table_history
+
+    base = _cdf_orders_base(spark, sf_dir)
+    return (
+        table_history(spark, base)
+        .select("version", "op", "n_rows")
+        .orderBy("version")
     )

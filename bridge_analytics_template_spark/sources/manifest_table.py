@@ -103,14 +103,23 @@ class CommitConflict(Exception):
     state and retry the operation (optimistic concurrency)."""
 
 
-def _commit_manifest(base: str, version: int, manifest: dict) -> None:
+def _commit_manifest(
+    base: str, version: int, manifest: dict, op: str = "commit"
+) -> None:
     """Atomic compare-and-swap commit: the manifest for ``version`` is
     created EXCLUSIVELY (write tmp, then ``os.link`` — link fails if the
     target exists), so two writers that both read snapshot N and try to
     commit N+1 cannot both win; the loser gets :class:`CommitConflict`
     and must re-read + retry. This is the version-file CAS every
     manifest-log table format builds its isolation on (on object stores
-    the same contract comes from if-none-match puts)."""
+    the same contract comes from if-none-match puts).
+
+    Every commit is stamped with its operation kind and wall-clock time —
+    the audit trail ``table_history`` surfaces (DESCRIBE HISTORY) and the
+    index ``read_snapshot(as_of=...)`` time-travels on."""
+    import time
+
+    manifest = {**manifest, "op": op, "committed_at": time.time()}
     tmp = _manifest_path(base, version) + f".tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
@@ -258,6 +267,7 @@ def evolve_schema(
             "rows": m["rows"],
             "epochs": m.get("epochs", []),
         },
+        op="evolve",
     )
     return v
 
@@ -529,7 +539,7 @@ def publish_snapshot(
     }
     if stats_cols:
         manifest["stats_cols"] = stats_cols
-    _commit_manifest(base, v, manifest)
+    _commit_manifest(base, v, manifest, op="publish")
     return v
 
 
@@ -676,7 +686,7 @@ def erase_rows(
     # reopen replayed appends)
     entries = [e for e in m["files"] if e["file"] not in affected] + new_entries
     v = _versions(base)[-1] + 1
-    _commit_manifest(base, v, _carry(m, entries))
+    _commit_manifest(base, v, _carry(m, entries), op="erase")
     return v
 
 
@@ -714,6 +724,7 @@ def append_rows(df: DataFrame, base: str, epoch: str | None = None) -> int:
             entries,
             m.get("epochs", []) + ([epoch] if epoch is not None else []),
         ),
+        op="append",
     )
     return v
 
@@ -830,6 +841,7 @@ def merge_rows(
             entries,
             m.get("epochs", []) + ([epoch] if epoch is not None else []),
         ),
+        op="merge",
     )
     return v
 
@@ -867,7 +879,7 @@ def compact_snapshot(
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     v = _versions(base)[-1] + 1
-    _commit_manifest(base, v, _carry(m, entries))
+    _commit_manifest(base, v, _carry(m, entries), op="compact")
     return v
 
 
@@ -946,3 +958,46 @@ def scan_pruned(
         if ok:
             keep.append(e)
     return _read_entries(spark, base, m, keep)
+
+
+def table_history(spark: SparkSession, base: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per retained snapshot — version,
+    operation kind, commit wall-clock, row/file counts, schema generation.
+    Pure manifest metadata (no data file is opened); after a vacuum only
+    the retained versions remain, which is exactly the auditable window."""
+    rows = []
+    for v in _versions(base):
+        m = read_manifest(base, v)
+        rows.append(
+            (
+                v,
+                m.get("op", "commit"),
+                m.get("committed_at"),
+                m["rows"],
+                len(m["files"]),
+                m.get("schema_id", 1),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version long, op string, committed_at double, n_rows long, "
+        "n_files long, schema_id long",
+    )
+
+
+def version_as_of(base: str, ts: float) -> int:
+    """TIME TRAVEL by timestamp: the latest retained version committed at
+    or before ``ts`` (epoch seconds) — pass the result to
+    ``read_snapshot``. Raises if ``ts`` predates the oldest retained
+    commit (vacuum may have dropped the version that was current then —
+    answering with a LATER snapshot would be silently wrong)."""
+    best = None
+    for v in _versions(base):
+        at = read_manifest(base, v).get("committed_at")
+        if at is not None and at <= ts:
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"no retained snapshot at or before ts={ts} under {base}"
+        )
+    return best

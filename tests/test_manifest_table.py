@@ -280,11 +280,11 @@ def test_commit_conflict_cas(spark, tmp_path):
 
     real_commit = mt._commit_manifest
 
-    def racing_commit(b, version, manifest):
+    def racing_commit(b, version, manifest, op="commit"):
         # the other writer wins first, then the original commit runs
         if not os.path.exists(mt._manifest_path(b, version)):
             real_commit(b, version, {**manifest, "rows": -1, "files": manifest["files"]})
-        real_commit(b, version, manifest)
+        real_commit(b, version, manifest, op)
 
     tomb = spark.range(10).select(F.col("id").alias("k"))
     import pytest as _pytest
@@ -692,3 +692,53 @@ def test_zorder_stats_prune_both_dimensions(spark, sf_dir, tmp_path):
             .count()
         )
         assert got == want
+
+
+def test_history_ops_and_timestamp_time_travel(spark, tmp_path):
+    """Every commit is stamped with its operation kind and wall-clock;
+    table_history surfaces them (metadata only), and version_as_of
+    resolves a timestamp to the snapshot that was current then — raising
+    for timestamps before the oldest retained commit instead of silently
+    answering with a later snapshot."""
+    from bridge_analytics_template_spark.sources.manifest_table import (
+        append_rows,
+        evolve_schema,
+        merge_rows,
+        table_history,
+        version_as_of,
+    )
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "k long, v long")
+
+    base = str(tmp_path / "t")
+    publish_snapshot(df_of([(i, i) for i in range(40)]), base, "k", n_files=2)
+    append_rows(df_of([(100, 1)]), base, epoch="e1")
+    merge_rows(spark, base, df_of([(0, 99)]))
+    erase_rows(
+        spark, base, spark.createDataFrame([(1,)], "k long"), "k"
+    )
+    evolve_schema(base, add=[("tag", "string", None)])
+
+    h = {r["version"]: r for r in table_history(spark, base).collect()}
+    assert [h[v]["op"] for v in sorted(h)] == [
+        "publish",
+        "append",
+        "merge",
+        "erase",
+        "evolve",
+    ]
+    assert h[1]["n_rows"] == 40 and h[2]["n_rows"] == 41
+    assert h[4]["n_rows"] == 40  # one row erased
+    ats = [h[v]["committed_at"] for v in sorted(h)]
+    assert all(a is not None for a in ats) and ats == sorted(ats)
+
+    # timestamp time travel: just after v2's commit resolves to v2
+    assert version_as_of(base, h[2]["committed_at"]) == 2
+    assert version_as_of(base, ats[-1] + 1.0) == 5
+    with pytest.raises(FileNotFoundError):
+        version_as_of(base, ats[0] - 1.0)
+    # a vacuumed version is no longer resolvable
+    vacuum(base, keep_versions=1)
+    with pytest.raises(FileNotFoundError):
+        version_as_of(base, h[2]["committed_at"])
