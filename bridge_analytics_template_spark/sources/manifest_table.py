@@ -883,15 +883,85 @@ def compact_snapshot(
     return v
 
 
+def retry_on_conflict(op, retries: int = 5):
+    """Optimistic-concurrency driver: run ``op`` (a zero-arg closure over
+    one DML call — erase_rows/append_rows/merge_rows/compact_snapshot),
+    retrying on :class:`CommitConflict`. Safe because every DML function
+    re-reads the CURRENT manifest at entry, so a retry replans against
+    the winner's snapshot rather than replaying a stale one; a conflicted
+    attempt's already-ingested parts become orphans vacuum collects (the
+    same crash-orphan class the commit protocol already tolerates)."""
+    for attempt in range(retries):
+        try:
+            return op()
+        except CommitConflict:
+            if attempt == retries - 1:
+                raise
+
+
+# --- Snapshot tags ------------------------------------------------------------
+
+_TAGS = "tags.json"
+
+
+def tag_snapshot(base: str, name: str, version: int | None = None) -> int:
+    """Pin a named TAG to a snapshot (default: the current one) — the
+    provenance primitive a training pipeline needs: 'model X trained on
+    tag run-2026-08'. Tagged snapshots are excluded from vacuum's
+    retention sweep, so the exact bytes a model saw stay reproducible
+    until the tag is deleted (``untag_snapshot``), however many newer
+    versions land. Tag updates are last-write-wins via atomic replace
+    (tags are operator-issued, not racing writers). Returns the tagged
+    version."""
+    vs = _versions(base)
+    v = version if version is not None else vs[-1]
+    if v not in vs:
+        raise FileNotFoundError(f"snapshot v={v} not in {vs}")
+    tags = read_tags(base)
+    tags[name] = v
+    tmp = os.path.join(base, f"{_TAGS}.tmp.{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(tags, fh)
+    os.replace(tmp, os.path.join(base, _TAGS))
+    return v
+
+
+def untag_snapshot(base: str, name: str) -> None:
+    tags = read_tags(base)
+    tags.pop(name, None)
+    tmp = os.path.join(base, f"{_TAGS}.tmp.{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(tags, fh)
+    os.replace(tmp, os.path.join(base, _TAGS))
+
+
+def read_tags(base: str) -> dict[str, int]:
+    try:
+        with open(os.path.join(base, _TAGS)) as fh:
+            return {k: int(v) for k, v in json.load(fh).items()}
+    except FileNotFoundError:
+        return {}
+
+
+def resolve_tag(base: str, name: str) -> int:
+    """The version a tag points at — pass to ``read_snapshot``."""
+    tags = read_tags(base)
+    if name not in tags:
+        raise FileNotFoundError(f"no tag {name!r} under {base} (have {sorted(tags)})")
+    return tags[name]
+
+
 def vacuum(base: str, keep_versions: int = 1) -> list[str]:
     """Physically drop everything no KEPT snapshot references: old
     manifests beyond the retention, their exclusive data files, and any
     orphan parts from crashed commits or staging. Until vacuum runs, every
     retained snapshot stays readable — the audit window between logical
-    deletion (erase_rows commit) and physical destruction. Returns the
-    deleted file names."""
+    deletion (erase_rows commit) and physical destruction. TAGGED
+    snapshots are always kept (reproducibility pins outrank retention).
+    Returns the deleted file names."""
     vs = _versions(base)
     keep = vs[-keep_versions:] if keep_versions > 0 else []
+    keep = sorted(set(keep) | (set(read_tags(base).values()) & set(vs)))
     referenced: set[str] = set()
     for v in keep:
         referenced.update(e["file"] for e in read_manifest(base, v)["files"])

@@ -430,6 +430,7 @@ def stream_append_table(
     key_col: str,
     n_shards: int = 4,
     id_col: str | None = None,
+    max_files: int = 32,
 ) -> None:
     """Stream ``src`` into a manifest-versioned table
     (sources/manifest_table.py) with EXACTLY-ONCE appends — the streaming
@@ -440,11 +441,21 @@ def stream_append_table(
     table is born as an empty v=1 snapshot carrying the schema; the same
     completion-marker/checkpoint-resume discipline as the ingest
     pipelines applies (a crashed run resumes remaining shards; it never
-    rewrites what an earlier epoch committed)."""
+    rewrites what an earlier epoch committed).
+
+    Small-files policy ON BY DEFAULT (the same argument as the dedup
+    pipelines' maybe_compact): an append sink mints one file per epoch
+    forever; when the snapshot exceeds ``max_files`` the batch commits a
+    transactional OPTIMIZE right after its append — content-identical by
+    construction, so the exactly-once accounting is untouched (a replayed
+    batch is still recognized by its epoch; compaction is its own
+    commit)."""
     from ..sources.manifest_table import (
         _versions,
         append_rows,
+        compact_snapshot,
         publish_snapshot,
+        read_manifest,
     )
 
     done = os.path.join(run_dir, "done")
@@ -463,6 +474,8 @@ def stream_append_table(
         if batch_df.isEmpty():
             return
         append_rows(batch_df, base, epoch=f"e{epoch_id}")
+        if max_files and len(read_manifest(base)["files"]) > max_files:
+            compact_snapshot(spark, base)
 
     _run_available_now(spark, run_dir, ingest, schema)
     open(done, "w").close()

@@ -742,3 +742,105 @@ def test_history_ops_and_timestamp_time_travel(spark, tmp_path):
     vacuum(base, keep_versions=1)
     with pytest.raises(FileNotFoundError):
         version_as_of(base, h[2]["committed_at"])
+
+
+def test_tags_pin_snapshots_through_vacuum(spark, tmp_path):
+    """A tagged snapshot survives vacuum retention (reproducibility pins
+    outrank keep_versions); untagging releases it; resolve_tag reads the
+    pinned bytes back exactly."""
+    from bridge_analytics_template_spark.sources.manifest_table import (
+        append_rows,
+        read_tags,
+        resolve_tag,
+        tag_snapshot,
+        untag_snapshot,
+    )
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "k long, v long")
+
+    base = str(tmp_path / "t")
+    publish_snapshot(df_of([(i, i) for i in range(20)]), base, "k")
+    assert tag_snapshot(base, "train-run") == 1
+    append_rows(df_of([(100, 1)]), base, epoch="e1")
+    append_rows(df_of([(101, 1)]), base, epoch="e2")
+
+    vacuum(base, keep_versions=1)
+    # the tagged v1 is still fully readable; untagged v2 is gone
+    assert read_snapshot(spark, base, resolve_tag(base, "train-run")).count() == 20
+    with pytest.raises(FileNotFoundError):
+        read_manifest(base, 2)
+    assert read_tags(base) == {"train-run": 1}
+
+    untag_snapshot(base, "train-run")
+    vacuum(base, keep_versions=1)
+    with pytest.raises(FileNotFoundError):
+        read_manifest(base, 1)
+    assert read_snapshot(spark, base).count() == 22
+
+    with pytest.raises(FileNotFoundError):
+        resolve_tag(base, "nope")
+    with pytest.raises(FileNotFoundError):
+        tag_snapshot(base, "x", version=99)
+
+
+def test_retry_on_conflict_replans_against_winner(spark, tmp_path, monkeypatch):
+    """retry_on_conflict re-runs the DML closure after a CommitConflict;
+    because the DML re-reads the manifest at entry, the retry lands on
+    top of the concurrent winner's snapshot (both writes survive)."""
+    import bridge_analytics_template_spark.sources.manifest_table as mt
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "k long, v long")
+
+    base = str(tmp_path / "t")
+    publish_snapshot(df_of([(i, i) for i in range(10)]), base, "k")
+
+    real_commit = mt._commit_manifest
+    raced = {"done": False}
+
+    def racing_commit(b, version, manifest, op="commit"):
+        if not raced["done"]:
+            # a concurrent writer sneaks in an append and wins v2
+            raced["done"] = True
+            mt.append_rows(df_of([(500, 5)]), b, epoch="race")
+        real_commit(b, version, manifest, op)
+
+    monkeypatch.setattr(mt, "_commit_manifest", racing_commit)
+    v = mt.retry_on_conflict(
+        lambda: mt.merge_rows(spark, base, df_of([(0, 99), (600, 6)]))
+    )
+    monkeypatch.setattr(mt, "_commit_manifest", real_commit)
+    assert v == 3  # loser retried on top of the winner's v2
+    got = {r["k"]: r["v"] for r in read_snapshot(spark, base).collect()}
+    assert got[500] == 5 and got[0] == 99 and got[600] == 6
+    assert len(got) == 12
+
+
+def test_stream_append_auto_compaction_bounds_files(spark, sf_dir, tmp_path):
+    """The streaming append sink's small-files policy: with max_files=2
+    the table compacts mid-stream (history shows compact commits between
+    appends), the file count stays bounded, and the final content still
+    equals the batch source exactly — compaction is content-identical so
+    exactly-once accounting is untouched."""
+    from bridge_analytics_template_spark.sources.manifest_table import (
+        table_history,
+    )
+    from bridge_analytics_template_spark.streaming.ingest import (
+        stream_append_table,
+    )
+
+    e = load(spark, sf_dir, "events").limit(2000)
+    run = str(tmp_path / "run")
+    base = str(tmp_path / "run" / "table")
+    stream_append_table(
+        spark, e, run, base, key_col="event_id", n_shards=6, max_files=2
+    )
+    ops = [r["op"] for r in table_history(spark, base).collect()]
+    assert "compact" in ops
+    idx = ops.index("compact")
+    assert "append" in ops[idx + 1 :]  # compacted MID-stream, then kept appending
+    assert len(read_manifest(base)["files"]) <= 3
+    got = sorted(r["event_id"] for r in read_snapshot(spark, base).collect())
+    want = sorted(r["event_id"] for r in e.collect())
+    assert got == want
