@@ -844,3 +844,121 @@ def test_stream_append_auto_compaction_bounds_files(spark, sf_dir, tmp_path):
     got = sorted(r["event_id"] for r in read_snapshot(spark, base).collect())
     want = sorted(r["event_id"] for r in e.collect())
     assert got == want
+
+
+def test_model_based_dml_with_evolution_and_change_feed(spark, tmp_path):
+    """Extended model-based fuzz over the FULL table surface: random
+    append/erase/merge/evolve-add/evolve-drop/compact sequences against
+    an in-memory model that tracks per-column add-generations, asserting
+    after every step (a) the latest snapshot equals the model exactly
+    under the CURRENT column spec, and (b) the APPLY-FEED identity:
+    read_changes from a remembered earlier version transforms that
+    version's (generation-projected) rows into the current rows —
+    insert/delete feeds stay consistent across arbitrary evolve/compact
+    interleavings."""
+    import random
+
+    from bridge_analytics_template_spark.sources.manifest_table import (
+        append_rows,
+        compact_snapshot,
+        evolve_schema,
+        merge_rows,
+        read_changes,
+    )
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        base = str(tmp_path / f"t{seed}")
+        # spec: list of (name, type, default, since_version); k is the key
+        spec = [("k", "long", None, 1), ("v", "long", None, 1)]
+        model: dict[int, dict] = {i: {"k": i, "v": i * 11} for i in range(0, 120, 2)}
+
+        def df_of(rows_list):
+            names = [c[0] for c in spec]
+            ddl = ", ".join(f"{c[0]} {c[1]}" for c in spec)
+            return spark.createDataFrame(
+                [tuple(r[n] for n in names) for r in rows_list], ddl
+            )
+
+        def fresh_row(k):
+            r = {"k": k}
+            for name, _t, default, _s in spec[1:]:
+                r[name] = k * 7 if _t == "long" else f"s{k}"
+            return r
+
+        cur_v = publish_snapshot(df_of(list(model.values())), base, "k", n_files=4)
+        prev_v = cur_v
+        prev_model = {k: dict(r) for k, r in model.items()}
+        epoch = 0
+        extra_col = 0
+        for step in range(12):
+            op = rng.choice(
+                ["append", "erase", "merge", "evolve_add", "evolve_drop", "compact"]
+            )
+            if op == "append":
+                new = [fresh_row(k) for k in rng.sample(range(1000, 2000), 8) if k not in model]
+                epoch += 1
+                cur_v = append_rows(df_of(new), base, epoch=f"s{seed}e{epoch}")
+                model.update({r["k"]: r for r in new})
+            elif op == "erase":
+                keys = rng.sample(sorted(model), min(10, len(model)))
+                cur_v = erase_rows(
+                    spark, base,
+                    spark.createDataFrame([(k,) for k in keys], "k long"), "k",
+                )
+                for k in keys:
+                    model.pop(k, None)
+            elif op == "merge":
+                upd = [dict(model[k], v=k * 19) if "v" in model[k] else dict(model[k])
+                       for k in rng.sample(sorted(model), min(6, len(model)))]
+                ins = [fresh_row(k) for k in rng.sample(range(5000, 6000), 3)]
+                cur_v = merge_rows(spark, base, df_of(upd + ins))
+                model.update({r["k"]: r for r in upd + ins})
+            elif op == "evolve_add":
+                extra_col += 1
+                name, default = f"c{extra_col}", extra_col * 100
+                cur_v = evolve_schema(base, add=[(name, "long", default)])
+                spec.append((name, "long", default, cur_v))
+                for r in model.values():
+                    r[name] = default
+            elif op == "evolve_drop":
+                droppable = [c[0] for c in spec if c[0] not in ("k",)]
+                if len(droppable) <= 1:
+                    continue  # keep at least one value column
+                name = rng.choice([c for c in droppable if c != "v"] or droppable)
+                cur_v = evolve_schema(base, drop=[name])
+                spec[:] = [c for c in spec if c[0] != name]
+                for r in model.values():
+                    r.pop(name, None)
+            else:
+                cur_v = compact_snapshot(spark, base, target_file_bytes=1 << 30)
+
+            names = [c[0] for c in spec]
+            got = {
+                r["k"]: {n: r[n] for n in names}
+                for r in read_snapshot(spark, base).collect()
+            }
+            assert got == model, f"seed {seed} step {step} ({op}) diverged"
+
+            # apply-feed identity vs the remembered version: project the
+            # remembered rows to the CURRENT spec (a column added after
+            # prev_v shows its default for prev rows; dropped ones vanish)
+            def proj(r):
+                return tuple(
+                    r.get(n) if s <= prev_v else d
+                    for n, _t, d, s in spec
+                )
+
+            prev_rows = {proj(r) for r in prev_model.values()}
+            cur_rows = {tuple(r[n] for n in names) for r in model.values()}
+            ch = read_changes(spark, base, prev_v, cur_v).collect()
+            ins_rows = {tuple(r[n] for n in names) for r in ch if r["_change_type"] == "insert"}
+            del_rows = {tuple(r[n] for n in names) for r in ch if r["_change_type"] == "delete"}
+            assert (prev_rows | ins_rows) - del_rows == cur_rows, (
+                f"seed {seed} step {step} ({op}): apply-feed identity broke"
+            )
+            assert not (ins_rows & del_rows)
+            # re-baseline every few steps so spans stay multi-op but bounded
+            if step % 4 == 3:
+                prev_v = cur_v
+                prev_model = {k: dict(r) for k, r in model.items()}
