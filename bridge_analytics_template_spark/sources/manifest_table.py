@@ -951,17 +951,34 @@ def resolve_tag(base: str, name: str) -> int:
     return tags[name]
 
 
-def vacuum(base: str, keep_versions: int = 1) -> list[str]:
+def vacuum(
+    base: str, keep_versions: int = 1, retain_seconds: float | None = None
+) -> list[str]:
     """Physically drop everything no KEPT snapshot references: old
     manifests beyond the retention, their exclusive data files, and any
     orphan parts from crashed commits or staging. Until vacuum runs, every
     retained snapshot stays readable — the audit window between logical
     deletion (erase_rows commit) and physical destruction. TAGGED
-    snapshots are always kept (reproducibility pins outrank retention).
-    Returns the deleted file names."""
+    snapshots are always kept (reproducibility pins outrank retention),
+    and ``retain_seconds`` additionally keeps every snapshot committed
+    within that window (the time-based retention SLA real formats express
+    as RETAIN n HOURS — timestamp time travel stays answerable across the
+    whole window). Returns the deleted file names."""
+    import time
+
     vs = _versions(base)
     keep = vs[-keep_versions:] if keep_versions > 0 else []
     keep = sorted(set(keep) | (set(read_tags(base).values()) & set(vs)))
+    if retain_seconds is not None:
+        horizon = time.time() - retain_seconds
+        keep = sorted(
+            set(keep)
+            | {
+                v
+                for v in vs
+                if (read_manifest(base, v).get("committed_at") or 0) >= horizon
+            }
+        )
     referenced: set[str] = set()
     for v in keep:
         referenced.update(e["file"] for e in read_manifest(base, v)["files"])

@@ -962,3 +962,46 @@ def test_model_based_dml_with_evolution_and_change_feed(spark, tmp_path):
             if step % 4 == 3:
                 prev_v = cur_v
                 prev_model = {k: dict(r) for k, r in model.items()}
+
+
+def test_epoch_replay_survives_interleaved_erase_and_age_retention(
+    spark, tmp_path
+):
+    """(a) The epoch registry survives interleaved commit kinds: an
+    append epoch already recorded stays a no-op even after an erase and a
+    merge landed in between (the foreachBatch crash-replay window can
+    reopen arbitrarily late). (b) vacuum(retain_seconds=...) keeps every
+    snapshot inside the time window even past keep_versions — the
+    RETAIN-n-HOURS contract timestamp time travel depends on."""
+    from bridge_analytics_template_spark.sources.manifest_table import (
+        append_rows,
+        merge_rows,
+        read_tags,
+    )
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "k long, v long")
+
+    base = str(tmp_path / "t")
+    publish_snapshot(df_of([(i, i) for i in range(30)]), base, "k")
+    v2 = append_rows(df_of([(100, 1), (101, 1)]), base, epoch="e1")
+    erase_rows(spark, base, spark.createDataFrame([(100,)], "k long"), "k")
+    merge_rows(spark, base, df_of([(0, 99)]))
+    head = read_manifest(base)
+    assert "e1" in head["epochs"]
+    # the late replay: must be a recognized no-op, not a re-append
+    assert append_rows(df_of([(100, 1), (101, 1)]), base, epoch="e1") == 4
+    assert read_manifest(base) == head
+    assert read_snapshot(spark, base).filter(F.col("k") == 100).count() == 0
+
+    # age-based retention: everything just committed is inside the window,
+    # so keep_versions=1 alone would drop v1..v3 but retain_seconds keeps
+    # them (and time travel to v2 still answers)
+    removed = vacuum(base, keep_versions=1, retain_seconds=3600)
+    assert all(not r.startswith("v=") for r in removed)
+    assert read_manifest(base, v2)["rows"] == 32
+    # a zero-second window falls back to keep_versions + tags
+    vacuum(base, keep_versions=1, retain_seconds=0)
+    with pytest.raises(FileNotFoundError):
+        read_manifest(base, v2)
+    assert read_tags(base) == {}
