@@ -1352,8 +1352,17 @@ def _cdf_orders_base(spark, sf_dir):
         read_snapshot,
     )
 
+    import shutil
+
     o = load(spark, sf_dir, "orders")
     base = index_scratch_dir(spark, sf_dir, "mtable_cdf_orders", "orders.parquet")
+    # multi-commit build: the bare _versions guard would mistake a torn
+    # build (crash between commits) for a complete one; the done marker
+    # is written only after the last commit, and a markerless partial
+    # table is rebuilt from scratch
+    done = base + ".done"
+    if _versions(base) and not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
     if not _versions(base):
         publish_snapshot(o, base, "o_orderkey", n_files=8)
         upd = o.filter(F.col("o_orderkey") % 100 == 7).withColumn(
@@ -1371,6 +1380,7 @@ def _cdf_orders_base(spark, sf_dir):
             .select("o_orderkey")
         )
         erase_rows(spark, base, tomb_keys, "o_orderkey")
+        open(done, "w").close()
     return base
 
 
@@ -1530,8 +1540,15 @@ def s_table_schema_evolution(spark, sf_dir):
         read_snapshot,
     )
 
+    import shutil
+
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
     base = index_scratch_dir(spark, sf_dir, "mtable_evolve_orders", "orders.parquet")
+    # six-commit build: done marker distinguishes complete from torn
+    # (see _cdf_orders_base)
+    done = base + ".done"
+    if _versions(base) and not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
     if not _versions(base):
         publish_snapshot(o, base, "o_orderkey", n_files=8)
         evolve_schema(base, add=[("o_channel", "string", "LEGACY")])
@@ -1549,6 +1566,7 @@ def s_table_schema_evolution(spark, sf_dir):
             .withColumn("o_channel", F.lit("APP"))
         )
         append_rows(app, base, epoch="app")
+        open(done, "w").close()
     return (
         read_snapshot(spark, base)
         .groupBy("o_channel")

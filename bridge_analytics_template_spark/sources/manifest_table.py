@@ -255,20 +255,21 @@ def evolve_schema(
             {"name": name, "type": typ, "since": sid, "default": default}
         )
     v = _versions(base)[-1] + 1
-    _commit_manifest(
-        base,
-        v,
-        {
-            "key_col": m["key_col"],
-            "schema": _schema_from_spec(columns).json(),
-            "schema_id": sid,
-            "columns": columns,
-            "files": m["files"],
-            "rows": m["rows"],
-            "epochs": m.get("epochs", []),
-        },
-        op="evolve",
-    )
+    manifest = {
+        "key_col": m["key_col"],
+        "schema": _schema_from_spec(columns).json(),
+        "schema_id": sid,
+        "columns": columns,
+        "files": m["files"],
+        "rows": m["rows"],
+        "epochs": m.get("epochs", []),
+    }
+    # declared stats columns survive the evolve (minus any just dropped —
+    # their envelopes would be unreconstructable without a rewrite)
+    kept_stats = [c for c in m.get("stats_cols", []) if c not in set(drop or [])]
+    if kept_stats:
+        manifest["stats_cols"] = kept_stats
+    _commit_manifest(base, v, manifest, op="evolve")
     return v
 
 
@@ -284,12 +285,20 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1)).bit_length()
 
 
-def _bloom_positions(key, m):
-    """The k probe positions of ``key`` in an ``m``-bit bloom, as JVM
-    columns — build and probe MUST share this exact expression (seeded by
-    mixing a literal into xxhash64's input)."""
+def _bloom_position_sql(key_sql: str, i: int, m_sql: str) -> str:
+    """Probe position i of a key in an m-bit bloom, as a SQL fragment —
+    the ONE definition both the build aggregation and the candidate-file
+    probe compile from, so the two can never drift (seeded by mixing a
+    literal into xxhash64's input; the key expression must already be
+    cast to the table key's physical type — xxhash64 is
+    type-width-sensitive)."""
+    return f"pmod(xxhash64({key_sql}, {i}), {m_sql})"
+
+
+def _bloom_positions(key_sql: str, m: int):
+    """The k probe positions as JVM columns (build side)."""
     return [
-        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m).cast("long"))
+        F.expr(_bloom_position_sql(key_sql, i, str(m)))
         for i in range(_BLOOM_K)
     ]
 
@@ -311,7 +320,7 @@ def _bloom_build(
         F.input_file_name().alias("_f"), F.col(key_col).alias("_k")
     )
     words = (
-        df.select("_f", F.explode(F.array(*_bloom_positions(F.col("_k"), m))).alias("_p"))
+        df.select("_f", F.explode(F.array(*_bloom_positions("_k", m))).alias("_p"))
         .groupBy("_f", (F.col("_p") / 64).cast("long").alias("_w"))
         .agg(
             F.expr(
@@ -358,7 +367,16 @@ def _candidate_files(
     entries = m["files"]
     if not entries:
         return []
-    k = keys.select(F.col(keys.columns[0]).alias(key)).distinct()
+    # cast the probe keys to the table key's PHYSICAL type: xxhash64 is
+    # type-width-sensitive (hash of INT 5 != hash of BIGINT 5), so an
+    # int-typed tombstone column probed against a bigint-built bloom
+    # would silently rule out every file that truly holds the key —
+    # bounds alone tolerated the mismatch via numeric coercion, blooms
+    # must not reintroduce it
+    key_type = StructType.fromJson(json.loads(m["schema"]))[key].dataType
+    k = keys.select(
+        F.col(keys.columns[0]).cast(key_type).alias(key)
+    ).distinct()
     have_bloom = any(e.get("bloom") for e in entries)
     if have_bloom:
         stats = spark.createDataFrame(
@@ -375,13 +393,17 @@ def _candidate_files(
         )
     cond = (F.col(key) >= F.col("lo")) & (F.col(key) <= F.col("hi"))
     if have_bloom:
+        # probe positions come from the SAME SQL fragment builder as the
+        # build side (_bloom_position_sql) — the two must never drift
         bit_checks = [
             F.expr(
-                f"(shiftright(element_at(_bm, CAST(pmod(xxhash64({key}, {i}), _m) "
-                f"DIV 64 AS INT) + 1), CAST(pmod(xxhash64({key}, {i}), _m) % 64 "
-                "AS INT)) & 1) = 1"
+                f"(shiftright(element_at(_bm, CAST({pos} DIV 64 AS INT) + 1), "
+                f"CAST({pos} % 64 AS INT)) & 1) = 1"
             )
-            for i in range(_BLOOM_K)
+            for pos in (
+                _bloom_position_sql(f"`{key}`", i, "_m")
+                for i in range(_BLOOM_K)
+            )
         ]
         maybe = bit_checks[0]
         for c in bit_checks[1:]:
@@ -586,10 +608,13 @@ def read_changes(
     def scan(names: set[str]) -> DataFrame:
         # both sides reconcile to the TO-snapshot's column spec (each
         # entry's own write generation decides bytes-vs-default), so a
-        # span crossing an evolve_schema diffs in one consistent shape
+        # span crossing an evolve_schema diffs in one consistent shape.
+        # persist(): each side feeds BOTH exceptAll branches — without it
+        # every changed file is scanned twice (the caller's clearCache
+        # hygiene reclaims the storage; lifetime spans the returned plan)
         return _read_entries(
             spark, base, m_to, [by_name[n] for n in sorted(names)]
-        )
+        ).persist()
 
     added = scan(to_files - from_files)
     removed = scan(from_files - to_files)
@@ -798,23 +823,27 @@ def merge_rows(
     affected_entries = [e for e in m["files"] if e["file"] in affected]
     staging = os.path.join(base, f"_staging_{uuid.uuid4().hex}")
     if affected and order_cols:
-        table = _read_entries(spark, base, m, affected_entries).alias("t")
-        src = source.select(*cols).alias("s")
-        s_tuple = F.struct(*[F.col(f"s.{c}") for c in order_cols])
-        t_tuple = F.struct(*[F.col(f"t.{c}") for c in order_cols])
-        src_wins = F.col(f"t.{key}").isNull() | (
-            F.col(f"s.{key}").isNotNull() & (s_tuple > t_tuple)
+        # winner set per KEY, not per table row: the table may legally
+        # hold several rows for a key (append never dedupes), and a
+        # full-outer row-level compare would fan the single winning
+        # source row out once per table copy. A source row wins its key
+        # when it beats the key's MAX table tuple; winning keys have all
+        # their table copies replaced by the one source row, losing /
+        # absent-from-source keys keep every copy.
+        table = _read_entries(spark, base, m, affected_entries)
+        t_max = table.groupBy(key).agg(
+            F.max(F.struct(*[F.col(c) for c in order_cols])).alias("_t")
+        )
+        src = source.select(*cols)
+        s_tuple = F.struct(*[F.col(c) for c in order_cols])
+        winners = (
+            src.join(t_max, key, "left")
+            .filter(F.col("_t").isNull() | (s_tuple > F.col("_t")))
+            .drop("_t")
         )
         out = table.join(
-            src, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer"
-        ).select(
-            *[
-                F.when(src_wins, F.col(f"s.{c}"))
-                .otherwise(F.col(f"t.{c}"))
-                .alias(c)
-                for c in cols
-            ]
-        )
+            winners.select(key).distinct(), key, "left_anti"
+        ).unionByName(winners)
     elif affected:
         survivors = _read_entries(spark, base, m, affected_entries).join(
             src_keys, key, "left_anti"
@@ -919,16 +948,17 @@ def tag_snapshot(base: str, name: str, version: int | None = None) -> int:
         raise FileNotFoundError(f"snapshot v={v} not in {vs}")
     tags = read_tags(base)
     tags[name] = v
-    tmp = os.path.join(base, f"{_TAGS}.tmp.{uuid.uuid4().hex}")
-    with open(tmp, "w") as fh:
-        json.dump(tags, fh)
-    os.replace(tmp, os.path.join(base, _TAGS))
+    _write_tags(base, tags)
     return v
 
 
 def untag_snapshot(base: str, name: str) -> None:
     tags = read_tags(base)
     tags.pop(name, None)
+    _write_tags(base, tags)
+
+
+def _write_tags(base: str, tags: dict[str, int]) -> None:
     tmp = os.path.join(base, f"{_TAGS}.tmp.{uuid.uuid4().hex}")
     with open(tmp, "w") as fh:
         json.dump(tags, fh)

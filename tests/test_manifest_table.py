@@ -1005,3 +1005,92 @@ def test_epoch_replay_survives_interleaved_erase_and_age_retention(
     with pytest.raises(FileNotFoundError):
         read_manifest(base, v2)
     assert read_tags(base) == {}
+
+
+def test_merge_lww_duplicate_key_table_no_fanout(spark, tmp_path):
+    """The table legally holds several rows per key (append never
+    dedupes). A conditional merge whose source wins such a key must
+    replace ALL the key's copies with exactly ONE source row — never fan
+    the winner out once per copy; a losing source leaves every copy."""
+    from bridge_analytics_template_spark.sources.manifest_table import (
+        append_rows,
+        merge_rows,
+    )
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "k long, ver long, val string")
+
+    base = str(tmp_path / "t")
+    publish_snapshot(df_of([(5, 1, "a"), (6, 1, "x")]), base, "k")
+    append_rows(df_of([(5, 2, "b"), (5, 3, "c")]), base, epoch="dup")
+    assert read_snapshot(spark, base).filter(F.col("k") == 5).count() == 3
+
+    # source beats the key's MAX table tuple -> one row survives
+    merge_rows(spark, base, df_of([(5, 9, "win")]), order_cols=["ver"], epoch="w")
+    got = [
+        (r["ver"], r["val"])
+        for r in read_snapshot(spark, base).filter(F.col("k") == 5).collect()
+    ]
+    assert got == [(9, "win")]
+    # a losing source (below the max) leaves the single winner intact
+    merge_rows(spark, base, df_of([(5, 4, "stale")]), order_cols=["ver"], epoch="l")
+    got = [
+        (r["ver"], r["val"])
+        for r in read_snapshot(spark, base).filter(F.col("k") == 5).collect()
+    ]
+    assert got == [(9, "win")]
+    # untouched key keeps its copy
+    assert read_snapshot(spark, base).filter(F.col("k") == 6).count() == 1
+
+
+def test_bloom_probe_casts_key_type(spark, tmp_path):
+    """xxhash64 is type-width-sensitive: probing a bigint-built bloom
+    with an INT-typed tombstone column must still find the files (the
+    probe casts to the table key's physical type) — otherwise erase and
+    lookup would silently miss rows."""
+    from bridge_analytics_template_spark.sources.manifest_table import (
+        lookup_rows,
+    )
+
+    base = str(tmp_path / "t")
+    df = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
+    publish_snapshot(df.repartition(4, F.col("v")), base, "k")  # hash layout
+
+    int_keys = spark.createDataFrame([(7,), (500,)], "k int")
+    got = sorted(r["k"] for r in lookup_rows(spark, base, int_keys).collect())
+    assert got == [7, 500]
+    v2 = erase_rows(spark, base, int_keys, "k")
+    assert read_snapshot(spark, base, v2).filter(
+        F.col("k").isin([7, 500])
+    ).count() == 0
+    assert read_manifest(base, v2)["rows"] == 998
+
+
+def test_evolve_preserves_stats_cols(spark, tmp_path):
+    """evolve_schema must carry the declared stats columns forward (minus
+    any just dropped) so rewrites keep recording envelopes and
+    scan_pruned keeps pruning after an ALTER TABLE."""
+    from bridge_analytics_template_spark.sources.manifest_table import (
+        append_rows,
+        evolve_schema,
+    )
+
+    base = str(tmp_path / "t")
+    df = spark.range(0, 400).selectExpr("id AS k", "id * 2 AS v", "id % 7 AS w")
+    publish_snapshot(df, base, "k", n_files=4, stats_cols=["v", "w"])
+    evolve_schema(base, add=[("tag", "string", "L")])
+    assert read_manifest(base)["stats_cols"] == ["v", "w"]
+    append_rows(
+        spark.range(1000, 1100).selectExpr(
+            "id AS k", "id * 2 AS v", "id % 7 AS w", "'N' AS tag"
+        ),
+        base,
+        epoch="e1",
+    )
+    new_entries = [
+        e for e in read_manifest(base)["files"] if e.get("stats")
+    ]
+    assert all("v" in e["stats"] for e in new_entries)
+    # dropping a stats column removes just that envelope declaration
+    evolve_schema(base, drop=["w"])
+    assert read_manifest(base)["stats_cols"] == ["v"]
