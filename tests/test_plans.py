@@ -706,8 +706,16 @@ def test_scale_sweep_ratio_gate_drift_vs_regression():
     assert not is_over(40, abs_budget=150, ratio_budget=10, sentinel=5)
     # 1.5x box drift: BOTH inflate -> ratio unchanged -> pass
     assert not is_over(60, abs_budget=150, ratio_budget=10, sentinel=7.5)
-    # 3x regression of the query alone -> ratio trips -> caught
+    # 3x regression of the query alone -> ratio trips AND wall above the
+    # historical pin (abs/2 = 75) -> caught
     assert is_over(120, abs_budget=150, ratio_budget=10, sentinel=5)
+    # FAST-box false alarm (the measured r9 case): uncontended window runs
+    # the sentinel 6x faster than calibration while the query's wall stays
+    # AT its historical measurement -> ratio trips but wall is consistent
+    # with history (under the 0.55 x abs pin-plus-grace) -> NOT a regression
+    assert not is_over(40, abs_budget=150, ratio_budget=10, sentinel=0.85)
+    # same fast box, genuine blowup past the historical pin -> caught
+    assert is_over(90, abs_budget=150, ratio_budget=10, sentinel=0.85)
     # ratio fine but catastrophic absolute blowout (sentinel broken large)
     assert is_over(200, abs_budget=150, ratio_budget=10, sentinel=50)
     # legacy entry (no ratio): absolute gates alone
