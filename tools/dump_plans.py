@@ -68,6 +68,9 @@ SHOW = [
     ("llm_dedup_incremental_lsh", "r7: incremental near-dedup vs stored MinHash index — new batch signed in-row, band join against the stored band table, exact verify against stored shingle arrays (snapshot text never read)"),
     ("llm_bm25_indexed", "r7: BM25 probe of a stored inverted index — bucket filter prunes postings/df partitions, broadcast probe terms, stats from meta (no corpus aggregate)"),
     ("emb_hard_negatives", "r7: hard-negative mining — GEMM partial top-k with the dup-ceiling masked INSIDE the kernel, exact global top-k over batch survivors"),
+    ("s_table_changes", "r9s2: change data feed — only the span's rewritten files scanned (manifest file-set diff), each side persisted once (InMemoryTableScan×2) feeding both EXCEPT ALL directions"),
+    ("s_table_point_lookup", "r9s2: bloom-pruned point lookup — candidate files resolved from manifest metadata (bounds + per-file key blooms), surviving scan semi-joined against the broadcast key set"),
+    ("s_table_zorder_scan", "r9s2: 2-D data skipping — z-clustered files pruned driver-side from per-file stats envelopes; the scan only lists surviving files, exact predicate re-applied"),
 ]
 
 SF = "/root/testdata/sf0.01"
