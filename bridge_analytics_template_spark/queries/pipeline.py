@@ -1488,6 +1488,48 @@ def s_table_point_lookup(spark, sf_dir):
     )
 
 
+def _evolved_orders_base(spark, sf_dir):
+    """Build (once per corpus+session, done-marker-atomic) the
+    schema-evolved orders table the evolution and connector queries read:
+    publish (o_orderkey, o_custkey, o_totalprice) -> ADD o_channel default
+    'LEGACY' -> append WEB wave (+2e9 keys) -> DROP o_totalprice -> re-ADD
+    o_totalprice default 0.0 -> append APP wave (+4e9 keys, real prices)."""
+    import shutil
+
+    from ..catalog import index_scratch_dir
+    from ..sources.manifest_table import (
+        _versions,
+        append_rows,
+        evolve_schema,
+        publish_snapshot,
+    )
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    base = index_scratch_dir(spark, sf_dir, "mtable_evolve_orders", "orders.parquet")
+    done = base + ".done"
+    if _versions(base) and not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+    if not _versions(base):
+        publish_snapshot(o, base, "o_orderkey", n_files=8)
+        evolve_schema(base, add=[("o_channel", "string", "LEGACY")])
+        web = (
+            o.filter(F.col("o_orderkey") % 3 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(2000000000))
+            .withColumn("o_channel", F.lit("WEB"))
+        )
+        append_rows(web, base, epoch="web")
+        evolve_schema(base, drop=["o_totalprice"])
+        evolve_schema(base, add=[("o_totalprice", "double", 0.0)])
+        app = (
+            o.filter(F.col("o_orderkey") % 5 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(4000000000))
+            .withColumn("o_channel", F.lit("APP"))
+        )
+        append_rows(app, base, epoch="app")
+        open(done, "w").close()
+    return base
+
+
 @query(
     "s_table_schema_evolution",
     sql="""
@@ -1530,43 +1572,10 @@ def s_table_schema_evolution(spark, sf_dir):
     integer-cent checksums against a relational replay. Metadata-only-ness
     (identical file list across the evolve commits) and rewrite
     materialization are pinned in tests/test_manifest_table.py."""
-    from ..catalog import index_scratch_dir
     from ..functions.numeric import money_units
-    from ..sources.manifest_table import (
-        _versions,
-        append_rows,
-        evolve_schema,
-        publish_snapshot,
-        read_snapshot,
-    )
+    from ..sources.manifest_table import read_snapshot
 
-    import shutil
-
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-    base = index_scratch_dir(spark, sf_dir, "mtable_evolve_orders", "orders.parquet")
-    # six-commit build: done marker distinguishes complete from torn
-    # (see _cdf_orders_base)
-    done = base + ".done"
-    if _versions(base) and not os.path.exists(done):
-        shutil.rmtree(base, ignore_errors=True)
-    if not _versions(base):
-        publish_snapshot(o, base, "o_orderkey", n_files=8)
-        evolve_schema(base, add=[("o_channel", "string", "LEGACY")])
-        web = (
-            o.filter(F.col("o_orderkey") % 3 == 0)
-            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(2000000000))
-            .withColumn("o_channel", F.lit("WEB"))
-        )
-        append_rows(web, base, epoch="web")
-        evolve_schema(base, drop=["o_totalprice"])
-        evolve_schema(base, add=[("o_totalprice", "double", 0.0)])
-        app = (
-            o.filter(F.col("o_orderkey") % 5 == 0)
-            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(4000000000))
-            .withColumn("o_channel", F.lit("APP"))
-        )
-        append_rows(app, base, epoch="app")
-        open(done, "w").close()
+    base = _evolved_orders_base(spark, sf_dir)
     return (
         read_snapshot(spark, base)
         .groupBy("o_channel")
@@ -1706,4 +1715,61 @@ def s_table_history(spark, sf_dir):
         table_history(spark, base)
         .select("version", "op", "n_rows")
         .orderBy("version")
+    )
+
+
+@query(
+    "s_table_connector_read",
+    sql="""
+    WITH web AS (
+      SELECT o_orderkey + 2000000000 AS o_orderkey, o_custkey,
+             'WEB' AS o_channel, 0.0 AS price
+      FROM orders WHERE o_orderkey % 3 = 0),
+    app AS (
+      SELECT o_orderkey + 4000000000, o_custkey, 'APP', o_totalprice
+      FROM orders WHERE o_orderkey % 5 = 0),
+    waves AS (SELECT * FROM web UNION ALL SELECT * FROM app)
+    SELECT o_channel,
+           COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(CAST(price AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM waves GROUP BY o_channel ORDER BY o_channel
+    """,
+)
+def s_table_connector_read(spark, sf_dir):
+    """S10j: the SPARK-NATIVE READ SURFACE for the manifest table — a
+    Python DataSource (`spark.read.format("manifest_table")`,
+    sources/table_connector.py) with snapshot resolution options
+    (versionAsOf / timestampAsOf / tag), one InputPartition per data
+    file, PUSHED-FILTER file pruning (key bounds + stats envelopes from
+    manifest metadata — the key-range predicate here prunes the whole
+    original-wave file set before any task is scheduled; pruning is
+    containment-only, every filter is re-applied by Spark, so skipping
+    can never change values), and per-file GENERATION RECONCILIATION
+    (the table is the schema-EVOLVED orders timeline, so the connector
+    must apply the bytes-iff-generation>=since rule — the re-added price
+    column reads 0.0 for the WEB wave and real values for APP).
+    Value-exact against the relational replay restricted to the pushed
+    key range. Partition-pruning effectiveness, time travel, and type
+    round-trips are pinned in tests/test_table_connector.py."""
+    from ..functions.numeric import money_units
+    from ..sources.table_connector import register
+
+    base = _evolved_orders_base(spark, sf_dir)
+    register(spark)
+    r = (
+        spark.read.format("manifest_table")
+        .option("path", base)
+        .load()
+        .filter(F.col("o_orderkey") >= 2000000000)
+    )
+    return (
+        r.groupBy("o_channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum(money_units("o_totalprice")).alias("price_cents"),
+        )
+        .orderBy("o_channel")
     )
