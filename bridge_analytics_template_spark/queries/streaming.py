@@ -1533,3 +1533,75 @@ def t_stream_drawdown(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "t_stream_table_cdf",
+    sql="""
+    WITH upd AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             'U-MERGED' AS o_orderpriority
+      FROM orders WHERE o_orderkey % 100 = 7),
+    ins AS (
+      SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, 'I-MERGED' AS o_orderpriority
+      FROM orders WHERE o_orderkey % 100 = 13),
+    merged AS (
+      SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM ins),
+    ins_rows AS (SELECT * FROM merged EXCEPT ALL SELECT * FROM orders),
+    del_rows AS (
+      SELECT * FROM orders EXCEPT ALL SELECT * FROM merged
+      UNION ALL
+      SELECT * FROM merged WHERE o_custkey % 37 = 0)
+    SELECT * FROM (
+      SELECT 'delete' AS change_type, COUNT(*) AS n_rows,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+             CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+      FROM del_rows
+      UNION ALL
+      SELECT 'insert', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+             CAST(SUM(o_custkey) AS BIGINT)
+      FROM ins_rows)
+    ORDER BY change_type
+    """,
+)
+def t_stream_table_cdf(spark, sf_dir):
+    """T-custom, ORACLED streaming execution: the manifest table as a
+    STREAMING SOURCE — `spark.readStream.format("manifest_table_changes")`
+    (sources/table_connector.py) emits one micro-batch per COMMIT with the
+    row-level insert/delete delta of that version transition (update =
+    delete+insert pair), which is how a downstream pipeline subscribes to
+    a governed table incrementally instead of rescanning it. Offsets ARE
+    version numbers over immutable files, so replay (readBetweenOffsets)
+    is exact by construction; evolve and compaction commits short-circuit
+    to empty deltas off the manifest's op stamp. The table is the shared
+    publish -> merge -> erase DML (_cdf_orders_base). Per-commit streaming
+    is the full EVENT LOG, deliberately richer than the span-compacted
+    batch feed (s_table_changes): rows the merge inserted that the very
+    next commit erased appear here as their insert+delete pair (a span
+    diff cancels them) — the oracle therefore replays commit by commit
+    (merge delta + erase delta), putting the event-log semantics itself
+    under the hash gate. Per-commit batching, span replay, and schema
+    fixing across evolves are pinned in tests/test_table_connector.py."""
+    from ..sources.table_connector import register_changes
+    from .pipeline import _cdf_orders_base
+
+    base = _cdf_orders_base(spark, sf_dir)
+    register_changes(spark)
+    s = (
+        spark.readStream.format("manifest_table_changes")
+        .option("path", base)
+        .load()
+    )
+    out = run_to_memory(s, "append")
+    return (
+        out.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum("o_custkey").alias("cust_sum"),
+        )
+        .orderBy("change_type")
+    )

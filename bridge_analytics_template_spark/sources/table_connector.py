@@ -50,11 +50,13 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 from .manifest_table import (
     _columns_of,
     _spec_from_schema,
+    _versions,
     read_manifest,
     resolve_tag,
     version_as_of,
@@ -184,23 +186,32 @@ class _ManifestReader(DataSourceReader):
         return out or [_FilePartition("", 1)]
 
     def read(self, partition: _FilePartition):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
         if not partition.path:
             return
-        t = pq.read_table(partition.path)
-        n = t.num_rows
-        arrays, names = [], []
-        for c in self._spec:
-            names.append(c["name"])
-            typ = _arrow_type(c["type"])
-            if c["name"] in t.column_names and partition.schema_id >= c["since"]:
-                arrays.append(t.column(c["name"]).cast(typ))
-            else:
-                arrays.append(pa.array([c["default"]] * n, type=typ))
-        for batch in pa.table(arrays, names=names).to_batches():
-            yield batch
+        yield from _reconciled_table(
+            partition.path, self._spec, partition.schema_id
+        ).to_batches()
+
+
+def _reconciled_table(path: str, spec: list[dict], schema_id: int):
+    """One data file as a pyarrow Table projected to the snapshot's column
+    spec under the generation rule (bytes iff file generation >= column
+    ``since``, else the default) — identical semantics to
+    ``manifest_table._read_entries``, pyarrow-side."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    n = t.num_rows
+    arrays, names = [], []
+    for c in spec:
+        names.append(c["name"])
+        typ = _arrow_type(c["type"])
+        if c["name"] in t.column_names and schema_id >= c["since"]:
+            arrays.append(t.column(c["name"]).cast(typ))
+        else:
+            arrays.append(pa.array([c["default"]] * n, type=typ))
+    return pa.table(arrays, names=names)
 
 
 def _arrow_type(spark_type: str):
@@ -247,3 +258,114 @@ def register(spark) -> None:
     travel together)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ManifestTableDataSource)
+
+
+# --- Streaming CHANGE DATA FEED source ----------------------------------------
+#
+# The table as a STREAMING SOURCE: `spark.readStream.format(
+# "manifest_table_changes").option("path", base)` emits one micro-batch per
+# COMMIT — the row-level insert/delete feed of that version transition
+# (update = delete+insert pair, same contract as manifest_table.read_changes)
+# — which is how a downstream pipeline subscribes to a governed table
+# incrementally instead of rescanning it (Delta's CDF streaming read, here on
+# our manifest layout). Offsets ARE version numbers, so replay
+# (readBetweenOffsets) is exact by construction: the files of both versions
+# are immutable.
+#
+# The simple-reader API materializes each batch driver-side, which is the
+# right price for change feeds (a commit's delta is bounded by the files it
+# rewrote, not by table size); a table whose single commits rewrite
+# petabytes would use the partition-based stream reader with the same
+# version offsets. Commit kinds short-circuit from the manifest's op stamp:
+# evolve touches no files and compaction is content-identical (pinned by
+# test), so both emit empty batches; appends emit pure inserts without a
+# diff pass.
+
+
+class _CDFStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, base: str, starting_version: int):
+        self._base = base
+        self._start = starting_version
+        # the stream's schema is FIXED at start (the latest spec, matching
+        # DataSource.schema()); every span reconciles to it — old-version
+        # files project later-added columns as their defaults through the
+        # generation rule, so row width always matches the source schema
+        self._fixed_spec = _spec_of(read_manifest(base))
+
+    def initialOffset(self):
+        return {"v": self._start}
+
+    def _rows_for_span(self, a: int, b: int):
+        """Insert/delete rows for the version span a -> b (exclusive of a,
+        inclusive of b), computed pyarrow-side: multiset difference of the
+        span's added-files rows vs removed-files rows, both reconciled to
+        the stream's fixed column spec."""
+        from collections import Counter
+
+        m_from = read_manifest(self._base, a)
+        m_to = read_manifest(self._base, b)
+        spec = self._fixed_spec
+        from_files = {e["file"]: e for e in m_from["files"]}
+        to_files = {e["file"]: e for e in m_to["files"]}
+
+        def rows(entries):
+            c: Counter = Counter()
+            for e in entries:
+                t = _reconciled_table(
+                    os.path.join(self._base, "files", e["file"]),
+                    spec,
+                    e.get("schema_id", 1),
+                )
+                for row in zip(*(t.column(i).to_pylist() for i in range(t.num_columns))):
+                    c[row] += 1
+            return c
+
+        added = rows([e for f, e in to_files.items() if f not in from_files])
+        removed = rows([e for f, e in from_files.items() if f not in to_files])
+        out = []
+        ins = added - removed
+        dels = removed - added
+        for row, k in ins.items():
+            out.extend([row + ("insert",)] * k)
+        for row, k in dels.items():
+            out.extend([row + ("delete",)] * k)
+        return iter(out)
+
+    def read(self, start: dict):
+        head = _versions(self._base)[-1]
+        a = start["v"]
+        if a >= head:
+            return iter([]), {"v": a}
+        b = a + 1  # ONE commit per micro-batch
+        op = read_manifest(self._base, b).get("op", "commit")
+        if op in ("evolve", "compact"):
+            # no file change / content-identical rewrite: empty delta
+            return iter([]), {"v": b}
+        return self._rows_for_span(a, b), {"v": b}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        if start["v"] >= end["v"]:
+            return iter([])
+        return self._rows_for_span(start["v"], end["v"])
+
+
+class ManifestTableChangesDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_table_changes"
+
+    def schema(self) -> str:
+        base = self.options["path"]
+        m = read_manifest(base)
+        cols = ", ".join(f"`{c['name']}` {c['type']}" for c in _spec_of(m))
+        return f"{cols}, `_change_type` string"
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _CDFStreamReader(
+            self.options["path"],
+            int(self.options.get("startingversion", 1)),
+        )
+
+
+def register_changes(spark) -> None:
+    spark.dataSource.register(ManifestTableChangesDataSource)

@@ -17,6 +17,7 @@ from pyspark.sql.datasource import (
 from bridge_analytics_template_spark.sources import table_connector as tc
 from bridge_analytics_template_spark.sources.manifest_table import (
     append_rows,
+    erase_rows,
     evolve_schema,
     publish_snapshot,
     read_manifest,
@@ -128,3 +129,65 @@ def test_connector_pushdown_prunes_partitions(spark, table):
         .count()
     )
     assert got == want > 0
+
+
+def test_cdf_stream_per_commit_batches_and_replay(spark, tmp_path):
+    """The CDF stream source: one batch per commit (reader-level drive),
+    evolve/compact short-circuit to empty deltas, rows always match the
+    FIXED stream schema even for pre-evolve spans, replay
+    (readBetweenOffsets) equals the live pass, and the streamed event log
+    is the per-commit union — including insert+delete pairs for rows that
+    lived exactly one commit, which a whole-span diff would cancel."""
+    from bridge_analytics_template_spark.sources.manifest_table import (
+        compact_snapshot,
+        merge_rows,
+    )
+
+    base = str(tmp_path / "t")
+    df = spark.range(0, 200).selectExpr("id AS k", "id * 2 AS v")
+    publish_snapshot(df, base, "k", n_files=4)                       # v1
+    append_rows(
+        spark.createDataFrame([(500, 1)], "k long, v long"), base, epoch="e1"
+    )                                                                # v2
+    erase_rows(spark, base, spark.createDataFrame([(500,)], "k long"), "k")  # v3
+    evolve_schema(base, add=[("tag", "string", "L")])                # v4
+    merge_rows(
+        spark,
+        base,
+        spark.createDataFrame([(0, 99, "U")], "k long, v long, tag string"),
+    )                                                                # v5
+    compact_snapshot(spark, base, target_file_bytes=1 << 30)         # v6
+
+    r = tc._CDFStreamReader(base, 1)
+    batches = []
+    off = r.initialOffset()
+    while True:
+        rows, noff = r.read(off)
+        rows = sorted(rows)
+        if noff == off:
+            break
+        batches.append((noff["v"], rows))
+        off = noff
+    assert [v for v, _ in batches] == [2, 3, 4, 5, 6]
+    # every row is 4 columns wide (fixed post-evolve schema) + change type
+    assert all(len(row) == 4 for _, rs in batches for row in rs)
+    # v2: the appended row inserts with the evolved column's DEFAULT
+    assert batches[0][1] == [(500, 1, "L", "insert")]
+    # v3: the one-commit-lived row deletes — the event log keeps the pair
+    assert batches[1][1] == [(500, 1, "L", "delete")]
+    # v4 evolve and v6 compact: empty deltas
+    assert batches[2][1] == [] and batches[4][1] == []
+    # v5 merge: delete old + insert new for key 0
+    assert batches[3][1] == [(0, 0, "L", "delete"), (0, 99, "U", "insert")]
+
+    # replay any span == the union of its live per-commit batches
+    replay = sorted(r.readBetweenOffsets({"v": 1}, {"v": 5}))
+    live = sorted(
+        row for v, rs in batches if v <= 5 for row in rs
+    )
+    # note: replay is the SPAN diff, so the (500,...) insert+delete pair
+    # cancels; everything else must match
+    live_compacted = [
+        row for row in live if row[0] != 500
+    ]
+    assert replay == sorted(live_compacted)
