@@ -191,3 +191,72 @@ def test_cdf_stream_per_commit_batches_and_replay(spark, tmp_path):
         row for row in live if row[0] != 500
     ]
     assert replay == sorted(live_compacted)
+
+
+def test_cdf_replication_loop(spark, tmp_path):
+    """The composition the CDF contract exists for: a downstream REPLICA
+    kept in sync by subscribing to the change feed — stream the source
+    table's per-commit deltas and apply each batch to a second manifest
+    table (deletes erase by key, inserts append, epoch-tagged for
+    exactly-once). After draining, the replica must equal the source head
+    row-for-row, without ever rescanning the source."""
+    from bridge_analytics_template_spark.sources.manifest_table import (
+        merge_rows,
+        read_manifest as rm,
+    )
+    from bridge_analytics_template_spark.streaming.ingest import (
+        _run_available_now,  # noqa: F401  (pattern reference)
+    )
+
+    src_base = str(tmp_path / "src")
+    dst_base = str(tmp_path / "dst")
+    df = spark.range(0, 300).selectExpr("id AS k", "id * 2 AS v")
+    publish_snapshot(df, src_base, "k", n_files=4)
+    append_rows(
+        spark.createDataFrame([(1000 + i, 1) for i in range(7)], "k long, v long"),
+        src_base,
+        epoch="e1",
+    )
+    erase_rows(
+        spark, src_base, spark.createDataFrame([(k,) for k in range(0, 30)], "k long"), "k"
+    )
+    merge_rows(spark, src_base, spark.createDataFrame([(5, 999), (2000, 1)], "k long, v long"))
+
+    # bootstrap an empty replica, then apply the feed batch by batch
+    publish_snapshot(
+        spark.createDataFrame([], "k long, v long"), dst_base, "k"
+    )
+    tc.register_changes(spark)
+    feed = (
+        spark.readStream.format("manifest_table_changes")
+        .option("path", src_base)
+        .load()
+    )
+
+    def apply_batch(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        dels = batch_df.filter(F.col("_change_type") == "delete").select("k")
+        ins = batch_df.filter(F.col("_change_type") == "insert").drop("_change_type")
+        if dels.count():
+            erase_rows(spark, dst_base, dels, "k")
+        if ins.count():
+            append_rows(ins, dst_base, epoch=f"cdc{epoch_id}")
+
+    q = (
+        feed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        (r["k"], r["v"]) for r in read_snapshot(spark, dst_base).collect()
+    )
+    want = sorted(
+        (r["k"], r["v"]) for r in read_snapshot(spark, src_base).collect()
+    )
+    assert got == want and len(got) == 279
+    # and the replica's history shows the applied commits, not a rescan
+    assert rm(dst_base)["rows"] == 279
