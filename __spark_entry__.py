@@ -30,5 +30,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query; omitted keys are checked
-    rows-only (non-SQL-expressible ops)."""
-    return dict(ORACLES)
+    rows-only (non-SQL-expressible ops).
+
+    Entries registered as callables are LAZY oracle generators — resolved
+    here, at the moment the gate asks for them. Generators re-derive the
+    expected answer from the fixture with an independent single-node
+    reference implementation (pure-Python hashes, numpy ANN/k-means — see
+    bridge_analytics_template_spark/oracles/) and emit it as a VALUES
+    query, so iterative / hash-seeded operators whose semantics plain SQL
+    cannot express still land under the exact value-hash gate. A generator
+    that fails (e.g. fixture dir missing) degrades that query to rows-only
+    instead of breaking every other oracle."""
+    out: dict[str, str] = {}
+    for k, v in ORACLES.items():
+        if callable(v):
+            try:
+                out[k] = v()
+            except Exception:  # degrade to rows-only, keep the rest intact
+                continue
+        else:
+            out[k] = v
+    return out

@@ -1991,15 +1991,20 @@ def llm_scene_cuts(spark, sf_dir):
     )
 
 
-@query("llm_compression_ratio")  # rows-only: zlib is not SQL-expressible
+from ..oracles.scalars import compression_oracle
+
+
+@query("llm_compression_ratio", sql=compression_oracle)
 def llm_compression_ratio(spark, sf_dir):
     """L4+: compression-ratio quality signal — zlib-compressed bytes over
     raw bytes per document, the cheap entropy proxy corpus filters use to
     drop boilerplate/template spam (highly repetitive text compresses far
     below ~0.4) and binary-ish junk (ratio ≈ 1). DEFLATE at a fixed level
     is bit-deterministic for fixed input, so the per-doc ratio is stable
-    across engines and reruns; pinned against direct zlib in
-    tests/test_llm_ops.py (no SQL oracle — DuckDB has no zlib). One
+    across engines and reruns. ORACLED (r10, was rows-only): DuckDB has no
+    zlib, so the oracle is GENERATED — a direct local zlib pass over the
+    fixture (oracles/scalars.py) emitted as a VALUES query, checking the
+    distributed mapInPandas plumbing against the single-node answer. One
     mapInPandas projection, no shuffle; ratio_pct is an exact integer
     (bytes*100 // bytes)."""
     import pandas as pd

@@ -15,7 +15,10 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
+# str, or a LAZY generator () -> str for oracles derived from a reference
+# computation over the fixture (resolved by __spark_entry__.oracle_sql();
+# see bridge_analytics_template_spark/oracles/).
+ORACLES: dict[str, str | Callable[[], str]] = {}
 
 try:
     from py4j.protocol import Py4JError as _Py4JError

@@ -295,10 +295,19 @@ def f_hash(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@query("f_hash_xxhash")  # rows-only: xxhash64 seed/impl is Spark-specific
+from ..oracles.scalars import xxhash_oracle
+
+
+@query("f_hash_xxhash", sql=xxhash_oracle)
 def f_hash_xxhash(spark, sf_dir):
-    """F9: xxhash64 + 64-bit identity hashing — the cheap JVM-side hash used
-    by the MinHash/SimHash band ops (no DuckDB equivalent; rows-only)."""
+    """F9: xxhash64 + murmur3 hashing — the cheap JVM-side hashes the
+    MinHash/SimHash band ops and hash-rank seeding build on. ORACLED (r10,
+    was rows-only): DuckDB has no xxhash64, so the oracle is GENERATED — a
+    pure-Python re-implementation of both public algorithms
+    (oracles/hashes.py, written from the XXH64 / Murmur3_x86_32 specs,
+    pinned against the engine for every length class in
+    tests/test_oracle_hashes.py) re-derives every doc's hashes and emits
+    them as a VALUES query."""
     d = load(spark, sf_dir, "documents")
     return d.select(
         "doc_id",

@@ -1550,7 +1550,13 @@ def t_stream_drawdown(spark, sf_dir):
       SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
       UNION ALL SELECT * FROM upd
       UNION ALL SELECT * FROM ins),
-    ins_rows AS (SELECT * FROM merged EXCEPT ALL SELECT * FROM orders),
+    ins_rows AS (
+      -- the BOOTSTRAP batch: the v1 publish arrives as pure inserts
+      -- (startingversion defaults to 0 = before the initial publish) ...
+      SELECT * FROM orders
+      UNION ALL
+      -- ... plus the merge commit's event-log inserts
+      (SELECT * FROM merged EXCEPT ALL SELECT * FROM orders)),
     del_rows AS (
       SELECT * FROM orders EXCEPT ALL SELECT * FROM merged
       UNION ALL
@@ -1583,7 +1589,11 @@ def t_stream_table_cdf(spark, sf_dir):
     next commit erased appear here as their insert+delete pair (a span
     diff cancels them) — the oracle therefore replays commit by commit
     (merge delta + erase delta), putting the event-log semantics itself
-    under the hash gate. Per-commit batching, span replay, and schema
+    under the hash gate. The stream starts BEFORE the initial publish
+    (startingversion defaults to 0), so the first micro-batch is the v1
+    snapshot as pure inserts — the bootstrap contract a feed-built
+    replica depends on (tests/test_table_connector.py::
+    test_cdf_replication_loop). Per-commit batching, span replay, and schema
     fixing across evolves are pinned in tests/test_table_connector.py."""
     from ..sources.table_connector import register_changes
     from .pipeline import _cdf_orders_base

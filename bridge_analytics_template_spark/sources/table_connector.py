@@ -302,7 +302,13 @@ class _CDFStreamReader(SimpleDataSourceStreamReader):
         the stream's fixed column spec."""
         from collections import Counter
 
-        m_from = read_manifest(self._base, a)
+        # Version 0 is the empty table BEFORE the initial publish — no
+        # manifest file exists for it, so a span that starts below the
+        # first committed version diffs against an empty file set. This is
+        # what makes a feed-bootstrapped replica receive the v1 snapshot
+        # as pure inserts instead of silently losing the base table.
+        first = _versions(self._base)[0]
+        m_from = {"files": []} if a < first else read_manifest(self._base, a)
         m_to = read_manifest(self._base, b)
         spec = self._fixed_spec
         from_files = {e["file"]: e for e in m_from["files"]}
@@ -363,7 +369,7 @@ class ManifestTableChangesDataSource(DataSource):
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         return _CDFStreamReader(
             self.options["path"],
-            int(self.options.get("startingversion", 1)),
+            int(self.options.get("startingversion", 0)),
         )
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 import argparse
 import decimal
 import math
+import os
 import sys
 import time
 import traceback
@@ -177,6 +178,11 @@ def main() -> int:
     )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+    # Lazy oracle generators (bridge_analytics_template_spark/oracles/)
+    # re-derive expected answers from the fixture — point them at the SAME
+    # corpus this run checks against (the driver leaves this unset and the
+    # generators default to its documented gate corpus, sf0.01).
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = args.sf
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
