@@ -14,6 +14,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from ..caching import track
 from ..catalog import load, register_views, scratch_path
 from ..functions.text import (
     STOPWORDS,
@@ -620,27 +621,139 @@ def llm_dedup_clusters_lsh(spark, sf_dir):
     )
 
 
-@query("graph_pagerank")  # rows-only: iterative fixpoint, not SQL-expressible
-def graph_pagerank(spark, sf_dir):
-    """Iterative PageRank (operators/pagerank.py) over the event hand-off
-    graph: an arc from each event's user to the next event's user in
-    event_id order (parallel arcs keep their multiplicity — random-surfer
-    weights). 10 fixed iterations, damping 0.85; exact per-node agreement
-    with a numpy reference is pinned in tests/test_graph.py. Ranks are
-    floats from an iterative sum, hence rows-only here."""
-    from ..operators.pagerank import pagerank
+_PRF_ITERS = 10
+_PRF_SCALE = 10**12  # rank mass in 1e-12 units of 1.0; 17x product « 2^63
 
+
+def _pagerank_full_oracle_sql() -> str:
+    """Unrolled integer PageRank WITH uniform dangling-mass
+    redistribution — the full semantics of operators/pagerank.py, in
+    exact fixed-point: r0 = SCALE//n; contrib = r // out_deg per arc;
+    r' = (3*SCALE)//(20*n) + (17*(Σcontrib + dangling_sum//n))//20
+    (0.15/0.85 as exact 3/20 and 17/20 rationals)."""
+    parts = [
+        f"""
+    WITH arcs AS MATERIALIZED (
+      SELECT e.user_id AS src, n.user_id AS dst
+      FROM events e JOIN events n ON n.event_id = e.event_id + 1
+      WHERE n.user_id <> e.user_id),
+    deg AS MATERIALIZED (SELECT src, COUNT(*) AS n FROM arcs GROUP BY src),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT node FROM (SELECT src AS node FROM arcs
+                                 UNION ALL SELECT dst FROM arcs)),
+    nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS MATERIALIZED (SELECT node, CAST({_PRF_SCALE} AS BIGINT) // nn.n AS r
+           FROM nodes CROSS JOIN nn)"""
+    ]
+    for k in range(1, _PRF_ITERS + 1):
+        parts.append(
+            f""",
+    c{k} AS (
+      SELECT a.dst AS node, SUM(r.r // d.n) AS s
+      FROM arcs a JOIN deg d ON a.src = d.src JOIN r{k - 1} r ON r.node = a.src
+      GROUP BY a.dst),
+    g{k} AS (
+      SELECT COALESCE(SUM(r.r), 0) AS dm
+      FROM r{k - 1} r LEFT JOIN deg d ON r.node = d.src WHERE d.src IS NULL),
+    r{k} AS MATERIALIZED (
+      SELECT n.node,
+             ((3 * CAST({_PRF_SCALE} AS BIGINT)) // (20 * nn.n))
+               + ((17 * (COALESCE(c.s, 0) + (g.dm // nn.n))) // 20) AS r
+      FROM nodes n CROSS JOIN nn CROSS JOIN g{k} g
+      LEFT JOIN c{k} c ON c.node = n.node)"""
+        )
+    parts.append(
+        f"\n    SELECT node, CAST(r AS BIGINT) AS rank_e12 FROM r{_PRF_ITERS} ORDER BY node"
+    )
+    return "".join(parts)
+
+
+@query("graph_pagerank", sql=_pagerank_full_oracle_sql)
+def graph_pagerank(spark, sf_dir):
+    """Iterative PageRank over the event hand-off graph: an arc from each
+    event's user to the next event's user in event_id order (parallel arcs
+    keep their multiplicity — random-surfer weights). {10} fixed
+    iterations, damping 0.85, WITH uniform dangling-mass redistribution —
+    the full semantics of operators/pagerank.py (whose float form stays
+    the library API, pinned exactly against a numpy reference in
+    tests/test_graph.py).
+
+    ORACLED (r10, was rows-only): ranks are held as int64 fixed-point
+    (1e-12 units of total mass) so every step — per-arc contribution
+    r DIV out_deg, damping as exact 3/20 + 17/20 rationals, dangling
+    share dangling_sum DIV n — is integer-deterministic and agrees
+    bit-for-bit with the oracle's unrolled CTE stages. Same loop shape as
+    the float operator: arcs+degree persisted and src-partitioned once,
+    dangling mass from a flag-filtered aggregate of the rank vector (no
+    per-iteration anti-join), one dst-keyed re-aggregation per iteration,
+    localCheckpoint every 4 rounds to cap lineage depth.
+
+    event_id is dense-sequential, so "next event" is an equi-join on id+1
+    — a co-partitioned shuffle join, NOT a global-order window (which
+    would funnel 100 TB through one partition)."""
     e = load(spark, sf_dir, "events").select("event_id", "user_id")
-    # event_id is dense-sequential, so "next event" is an equi-join on
-    # id+1 — a co-partitioned shuffle join, NOT a global-order window
-    # (which would funnel 100 TB through one partition).
     nxt = e.select((F.col("event_id") - 1).alias("event_id"), F.col("user_id").alias("next_user"))
     arcs = (
         e.join(nxt, "event_id")
         .where(F.col("next_user") != F.col("user_id"))
         .select(F.col("user_id").alias("src"), F.col("next_user").alias("dst"))
     )
-    return pagerank(arcs, iterations=10).orderBy("node")
+    deg = arcs.groupBy("src").agg(F.count(F.lit(1)).alias("n_out"))
+    arcs_deg = track(arcs.join(deg, "src").repartition("src").persist())
+    nodes = track(
+        arcs.select(F.col("src").alias("node"))
+        .unionByName(arcs.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # one scalar job, parameterizes the exact rationals
+    base = (3 * _PRF_SCALE) // (20 * n)
+    # Same width adaptation as operators/pagerank.py: every iteration
+    # shuffles the rank vector, and a session-wide 32-way shuffle of a
+    # small vector is pure stage overhead; a 100 TB graph still gets full
+    # width. The loop materializes inside the adapted scope (eager
+    # localCheckpoint at the last iteration), so restoring the conf after
+    # cannot re-plan the checkpointed stages.
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(1, min(int(prev_width), n // 25_000 + 1))),
+    )
+    flagged = nodes.join(
+        deg.select(F.col("src").alias("node"), F.lit(True).alias("has_out")),
+        "node",
+        "left",
+    ).select("node", F.coalesce("has_out", F.lit(False)).alias("has_out"))
+    try:
+        ranks = flagged.select(
+            "node", F.lit(_PRF_SCALE // n).cast("long").alias("r"), "has_out"
+        )
+        for i in range(_PRF_ITERS):
+            contrib = (
+                arcs_deg.join(ranks.select(F.col("node").alias("src"), "r"), "src")
+                .select("dst", F.expr("r div n_out").alias("c"))
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("c").alias("s"))
+            )
+            dangling = ranks.where(~F.col("has_out")).agg(
+                F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm")
+            )
+            ranks = (
+                flagged.join(contrib, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    F.expr(
+                        f"{base} + (17 * (coalesce(s, 0) + (dm div {n}))) div 20"
+                    ).alias("r"),
+                    "has_out",
+                )
+            )
+            if (i + 1) % 4 == 0 or i == _PRF_ITERS - 1:
+                ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+    return ranks.select("node", F.col("r").alias("rank_e12")).orderBy("node")
 
 
 from ..operators.zorder import zorder_key, zorder_sql  # noqa: E402
