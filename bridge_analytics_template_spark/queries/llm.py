@@ -122,7 +122,10 @@ def llm_dedup_minhash(spark, sf_dir):
     return minhash_near_dups(d, min_jaccard=0.5).orderBy("doc_a", "doc_b")
 
 
-@query("llm_dedup_simhash")  # rows-only
+from ..oracles.text_refs import simhash_pairs_oracle
+
+
+@query("llm_dedup_simhash", sql=simhash_pairs_oracle)
 def llm_dedup_simhash(spark, sf_dir):
     """L2b: SimHash-64 near-dups via banded Hamming join (≤3 bits)."""
     return simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=3).orderBy(
@@ -268,7 +271,19 @@ def emb_hard_negatives(spark, sf_dir):
     )
 
 
-@query("llm_knn_pq")  # rows-only: approximate by design (quantized scores)
+from ..oracles.embeddings import (
+    ivf_erasure_oracle,
+    ivf_oracle,
+    ivfpq_oracle,
+    lsh_oracle,
+    pq_oracle,
+    recall_report_oracle,
+    semdedup_oracle,
+    cluster_topics_oracle,
+)
+
+
+@query("llm_knn_pq", sql=pq_oracle)
 def llm_knn_pq(spark, sf_dir):
     """L3d: product-quantization ANN (llm/pq.py) — the memory-bound scale
     path: 16 subspace codebooks compress each embedding to 16 one-byte
@@ -284,7 +299,7 @@ def llm_knn_pq(spark, sf_dir):
     )
 
 
-@query("llm_knn_ivfpq")  # rows-only: approximate by design (pruned + quantized)
+@query("llm_knn_ivfpq", sql=ivfpq_oracle)
 def llm_knn_ivfpq(spark, sf_dir):
     """L3e: IVF-PQ ANN (llm/pq.py::ivfpq_knn) — the composite billion-scale
     index: coarse inverted lists prune candidates (nprobe/n_centroids),
@@ -300,7 +315,7 @@ def llm_knn_ivfpq(spark, sf_dir):
     )
 
 
-@query("llm_knn_lsh")  # rows-only: approximate by design
+@query("llm_knn_lsh", sql=lsh_oracle)
 def llm_knn_lsh(spark, sf_dir):
     """L3b: sign-bucket LSH top-k (multi-probe radius 1) — the scale path;
     recall vs brute force asserted in tests/test_llm_ops.py."""
@@ -322,7 +337,7 @@ def _ann_index_dir(spark, sf_dir, kind):
     return index_scratch_dir(spark, sf_dir, f"ann_index_{kind}", "embeddings.parquet")
 
 
-@query("emb_ivf_index_probe")  # rows-only: approximate by design (pruned)
+@query("emb_ivf_index_probe", sql=ivf_oracle)
 def emb_ivf_index_probe(spark, sf_dir):
     """L3f: probe a PERSISTED IVF index (llm/ann_index.py) — built once to
     parquet inverted lists partitioned by centroid_id + a meta.json
@@ -346,7 +361,7 @@ def emb_ivf_index_probe(spark, sf_dir):
     )
 
 
-@query("emb_ivfpq_index_probe")  # rows-only: approximate by design (pruned+quantized)
+@query("emb_ivfpq_index_probe", sql=ivfpq_oracle)
 def emb_ivfpq_index_probe(spark, sf_dir):
     """L3g: probe a PERSISTED IVF-PQ index — m-byte residual codes in
     centroid-partitioned parquet (~32x smaller than the vectors), coarse
@@ -758,7 +773,7 @@ def llm_simjoin_prefix(spark, sf_dir):
     )
 
 
-@query("llm_semdedup")
+@query("llm_semdedup", sql=semdedup_oracle)
 def llm_semdedup(spark, sf_dir):
     """Semantic dedup (SemDeDup, Abbas et al. 2023): k-means shards the
     embedding space, one applyInPandas GEMM block per cluster marks
@@ -783,7 +798,7 @@ def llm_semdedup(spark, sf_dir):
 # the 10x replica (71.5 s vs 9.8 s, judged r5); use llm_dedup_minhash.
 
 
-@query("llm_cluster_topics")
+@query("llm_cluster_topics", sql=cluster_topics_oracle)
 def llm_cluster_topics(spark, sf_dir):
     """Corpus topic discovery: k-means the embedding space, then surface
     each cluster's top-3 terms by frequency (len≥4 tokens, deterministic
@@ -1018,7 +1033,7 @@ def llm_dedup_incremental(spark, sf_dir):
     )
 
 
-@query("llm_ann_recall_report")  # rows-only: scores ANN paths against brute force
+@query("llm_ann_recall_report", sql=recall_report_oracle)
 def llm_ann_recall_report(spark, sf_dir):
     """ANN quality harness: recall@5 of every approximate similarity path
     (sign-LSH multiprobe, IVF, product quantization) against the exact
@@ -1472,7 +1487,7 @@ def llm_bm25_erasure(spark, sf_dir):
     return probe_bm25_index(spark, path, probe, k=10)
 
 
-@query("emb_ann_index_erasure")  # rows-only: ANN tier, approximate by design
+@query("emb_ann_index_erasure", sql=ivf_erasure_oracle)
 def emb_ann_index_erasure(spark, sf_dir):
     """Erasure against the PERSISTED IVF index: index all embeddings,
     tombstone vec_id % 4 == 0, probe — an erased vector can never be

@@ -785,12 +785,18 @@ def f_zorder(spark, sf_dir):
     ).orderBy("l_orderkey", "l_linenumber")
 
 
-@query("emb_kmeans")  # rows-only: iterative fixpoint, not SQL-expressible
+from ..oracles.embeddings import kmeans_oracle
+
+
+@query("emb_kmeans", sql=kmeans_oracle)
 def emb_kmeans(spark, sf_dir):
     """Lloyd's k-means over the embeddings table (llm/kmeans.py): 5
     deterministic iterations from hash-rank seeds, one GEMM pass + tiny
-    partial-sum collect per iteration, zero shuffles. Exact agreement with
-    a global numpy reference is pinned in tests/test_kmeans.py."""
+    partial-sum collect per iteration, zero shuffles. ORACLED (r10, was
+    rows-only): the gate compares against a from-scratch numpy reference
+    run (oracles/embeddings.py — hash-rank seeds via the pure-Python
+    xxhash64, full-matrix Lloyd's) emitted as a VALUES oracle; the same
+    reference also backs tests/test_kmeans.py."""
     from ..llm.kmeans import kmeans_assign
 
     e = load(spark, sf_dir, "embeddings")

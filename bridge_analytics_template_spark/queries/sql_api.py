@@ -150,7 +150,10 @@ def merge_upsert_cdc(spark, sf_dir):
     return merge_upsert(target, updates.unionByName(inserts), ["c_custkey"]).orderBy("c_custkey")
 
 
-@query("llm_knn_ivf")  # rows-only: approximate by design
+from ..oracles.embeddings import ivf_oracle
+
+
+@query("llm_knn_ivf", sql=ivf_oracle)
 def llm_knn_ivf(spark, sf_dir):
     """L3c: IVF approximate top-k — coarse-quantize to 16 deterministic
     centroids, probe the 4 nearest lists per query (planted-neighbor

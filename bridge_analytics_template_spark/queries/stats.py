@@ -962,21 +962,36 @@ def emb_covariance(spark, sf_dir):
     return covariance_moments(e).orderBy("dim_i", "dim_j")
 
 
-@query("emb_pca_project")  # rows-only: eigenvector basis (driver-side eigh)
+from ..oracles.embeddings import pca_project_oracle
+
+
+@query("emb_pca_project", sql=pca_project_oracle)
 def emb_pca_project(spark, sf_dir):
     """PCA projection of a sample of embeddings onto the top-8 principal
     components (operators/pca.py::pca_project): exact distributed moments
     -> driver eigh on the d×d matrix (bounded metadata) -> broadcast GEMM
     projection pass. Deterministic up to the documented sign convention
-    (largest-|coordinate| positive); pinned against a numpy full-matrix
-    reference in tests/test_pca.py, rows-only for the driver gate
-    (eigen basis is not SQL-expressible)."""
-    from ..operators.pca import pca_project
+    (largest-|coordinate| positive).
+
+    ORACLED (r10, was rows-only): the hashed surface is the projection
+    quantized to the 2^-20 grid — the co-moments are exact integers on
+    any combine order (quantize-then-sum), the eigh runs on the identical
+    double matrix in the same process as the reference generator
+    (oracles/embeddings.py), and the grid quantum is ~1e7x the GEMM
+    batch-shape noise floor, so the int64 scores are stable. The raw
+    double projection stays available via operators/pca.py
+    (tests/test_pca.py pins it against the full-matrix numpy run)."""
+    from ..operators.pca import QSCALE, pca_project
 
     e = load(spark, sf_dir, "embeddings")
     return (
         pca_project(e)
         .filter(F.col("vec_id") % 25 == 0)
+        .select(
+            "vec_id",
+            "component",
+            F.floor(F.col("score") * QSCALE).cast("long").alias("score_q"),
+        )
         .orderBy("vec_id", "component")
     )
 

@@ -223,12 +223,18 @@ def train_row_ids(spark, sf_dir):
     return assign_contiguous_ids(d, "doc_id").orderBy("doc_id")
 
 
-@query("train_bpe_merges")  # rows-only: iterative trainer, not SQL-expressible
+from ..oracles.text_refs import bpe_merges_oracle
+
+
+@query("train_bpe_merges", sql=bpe_merges_oracle)
 def train_bpe_merges(spark, sf_dir):
     """BPE tokenizer training (llm/bpe.py): 8 merge rounds on the corpus
     word-frequency table. One corpus-sized aggregate, then every round is
-    vocabulary-sized; merge choices + counts match a pure-Python reference
-    exactly (tests/test_bpe.py). Returned as (rank, sym_a, sym_b, cnt)."""
+    vocabulary-sized. ORACLED (r10, was rows-only): the gate compares
+    merge choices AND pair counts against a from-scratch pure-Python
+    trainer over the same corpus (oracles/text_refs.py — the reference
+    tests/test_bpe.py also pins), emitted as a VALUES oracle. Returned as
+    (rank, sym_a, sym_b, cnt)."""
     from ..llm.bpe import train_bpe
 
     merges = train_bpe(load(spark, sf_dir, "documents"), n_merges=8)
