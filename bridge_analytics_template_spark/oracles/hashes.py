@@ -102,6 +102,15 @@ def xxhash64_long(value: int, seed: int = 42) -> int:
     return _to_signed64(_fmix64(h))
 
 
+def xxhash64_int(value: int, seed: int = 42) -> int:
+    """Spark's fixed-width path for an INT: XXH64 of its 4 LE bytes."""
+    seed &= _M64
+    h = (seed + _P64_5 + 4) & _M64
+    h ^= ((value & _M32) * _P64_1) & _M64
+    h = (_rotl64(h, 23) * _P64_2 + _P64_3) & _M64
+    return _to_signed64(_fmix64(h))
+
+
 def xxhash64_str(s: str, seed: int = 42) -> int:
     return xxhash64_bytes(s.encode("utf-8"), seed)
 

@@ -1892,3 +1892,95 @@ def s_table_connector_read(spark, sf_dir):
         )
         .orderBy("o_channel")
     )
+
+
+def _native_write_base(spark, sf_dir):
+    """Build (once per corpus+session) a manifest table entirely through
+    the NATIVE WRITE connector: wave-1 CREATE, wave-2 epoch-tagged append
+    REPLAYED to exercise exactly-once, wave-3 append with rewritten
+    priority. Done-marker guards the multi-commit build against torn
+    states (same pattern as _cdf_orders_base)."""
+    import shutil
+
+    from ..catalog import index_scratch_dir
+    from ..sources.manifest_table import _versions
+    from ..sources.table_connector import register
+
+    o = load(spark, sf_dir, "orders")
+    base = index_scratch_dir(spark, sf_dir, "mtable_native_write", "orders.parquet")
+    done = base + ".done"
+    if _versions(base) and not os.path.exists(done):
+        shutil.rmtree(base, ignore_errors=True)
+    if not _versions(base):
+        register(spark)
+        w1 = o.filter(F.col("o_orderkey") % 4 == 1).repartition(4)
+        (
+            w1.write.format("manifest_table")
+            .option("key", "o_orderkey")
+            .option("statscols", "o_totalprice")
+            .mode("append")
+            .save(base)
+        )
+        w2 = o.filter(F.col("o_orderkey") % 4 == 2)
+        for _ in range(2):  # second save REPLAYS epoch w2 -> must no-op
+            (
+                w2.write.format("manifest_table")
+                .option("epoch", "w2")
+                .mode("append")
+                .save(base)
+            )
+        w3 = o.filter(F.col("o_orderkey") % 4 == 3).withColumn(
+            "o_orderpriority", F.lit("NATIVE-W3")
+        )
+        w3.write.format("manifest_table").option("epoch", "w3").mode("append").save(base)
+        open(done, "w").close()
+    return base
+
+
+@query(
+    "s_table_connector_write",
+    sql="""
+    WITH w AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CASE WHEN o_orderkey % 4 = 3 THEN 'NATIVE-W3'
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders WHERE o_orderkey % 4 IN (1, 2, 3))
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM w GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def s_table_connector_write(spark, sf_dir):
+    """S10k: the SPARK-NATIVE WRITE SURFACE for the manifest table —
+    ``df.write.format("manifest_table")`` (sources/table_connector.py
+    _ManifestWriter): a Python DataSourceArrowWriter whose tasks stage
+    parquet parts and compute entry metadata (rows, key bounds, declared
+    stats envelopes, per-file bloom via the spec-pinned pure-Python
+    XXH64 — bit-identical to the SQL build, pinned in
+    tests/test_table_connector.py) at WRITE time, and whose driver commit
+    CAS-publishes the next manifest version. The table here is built
+    create -> epoch append -> REPLAYED epoch append (must no-op:
+    exactly-once) -> second append, then read back through the read
+    connector and checked value-exact against the relational replay where
+    each wave appears exactly once. Two-phase-commit abort and bloom
+    parity are pinned in tests/test_table_connector.py."""
+    from ..functions.numeric import money_units
+    from ..sources.table_connector import register
+
+    base = _native_write_base(spark, sf_dir)
+    register(spark)
+    r = spark.read.format("manifest_table").option("path", base).load()
+    return (
+        r.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum("o_custkey").alias("cust_sum"),
+            F.sum(money_units("o_totalprice")).alias("price_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -38,10 +38,13 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     GreaterThan,
@@ -51,6 +54,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from .manifest_table import (
@@ -238,6 +242,222 @@ def _arrow_type(spark_type: str):
     return m[spark_type]
 
 
+# --- Native WRITE path --------------------------------------------------------
+#
+# ``df.write.format("manifest_table")`` — the declarative sink completing the
+# Delta/Iceberg-style UX next to the read connector (reference analog: the
+# declarative sink setup, /root/reference/src/copy_from_template.py:316-327).
+# Two-phase commit on the library's manifest protocol:
+#
+#   1. Each write TASK streams its Arrow batches into one parquet part under
+#      a staging dir and returns a commit message carrying the entry
+#      metadata — rows, key [lo, hi], declared-column stats, and the per-file
+#      bloom bitmap, all computed AT WRITE TIME from the bytes in hand (the
+#      production shape _ingest_parts' re-read stands in for; the bitmap uses
+#      the same pmod(xxhash64(key, i), m) probes via the spec-pinned
+#      pure-Python XXH64, oracles/hashes.py, so probe-side candidate_files
+#      reads it unchanged).
+#   2. ``commit`` (driver) moves parts to content-addressed names under
+#      files/ and CAS-commits the next manifest version — append unions with
+#      the current file list, overwrite replaces it; an ``epoch`` option makes
+#      the append idempotent under replay (retried batches no-op), and a lost
+#      CAS race re-reads and retries against the new head. ``abort`` removes
+#      the staging dir; files moved by a crashed commit stay invisible
+#      (nothing references them until the manifest lands) and are vacuum's
+#      business — identical orphan semantics to the library write paths.
+#
+# A first write to an empty path CREATES the table (requires the ``key``
+# option; optional ``statscols`` declares per-file stat envelopes).
+
+
+@dataclass
+class _WriteMessage(WriterCommitMessage):
+    file: str | None
+    rows: int
+    lo: object
+    hi: object
+    stats: dict | None
+    bloom: str | None
+    bloom_m: int | None
+
+
+def _json_safe(v):
+    """lo/hi must survive the JSON manifest; non-JSON key types degrade to
+    no-bounds (None = never pruned) rather than corrupt the manifest."""
+    return v if isinstance(v, (int, float, str, type(None))) else None
+
+
+def _bloom_bitmap(keys, key_type: str) -> tuple[str | None, int | None]:
+    """Per-file bloom over the key column, bit-identical to the SQL build
+    (manifest_table._bloom_build): position i = pmod(xxhash64(key, i), m),
+    words packed little-endian. Python's ``%`` IS pmod for positive m."""
+    from ..oracles.hashes import xxhash64_int, xxhash64_long, xxhash64_str
+
+    hasher = {
+        "bigint": xxhash64_long,
+        "long": xxhash64_long,
+        "int": xxhash64_int,
+        "integer": xxhash64_int,
+        "string": xxhash64_str,
+    }.get(key_type)
+    if hasher is None:
+        return None, None  # no bloom -> file always MIGHT match (back-compat)
+    from .manifest_table import _BLOOM_K, _BLOOM_MAX_BITS, _BLOOM_MIN_BITS, _next_pow2
+
+    m = min(_BLOOM_MAX_BITS, max(_BLOOM_MIN_BITS, _next_pow2(10 * len(keys))))
+    buf = bytearray(m // 8)
+    for k in keys:
+        # a NULL child leaves the running seed unchanged in Spark's hash
+        # chain, so xxhash64(NULL, i) == xxhash64_int(i, 42) — match it
+        h1 = 42 if k is None else hasher(k)
+        for i in range(_BLOOM_K):
+            p = xxhash64_int(i, seed=h1) % m
+            buf[p // 8] |= 1 << (p % 8)
+    return buf.hex(), m
+
+
+class _ManifestWriter(DataSourceArrowWriter):
+    def __init__(self, options: dict, schema, overwrite: bool):
+        self._base = options["path"]
+        self._overwrite = overwrite
+        self._epoch = options.get("epoch")
+        self._schema_json = None
+        if _versions(self._base):
+            m = read_manifest(self._base)
+            self._key = m["key_col"]
+            self._spec = _spec_of(m)
+            self._schema_id = m.get("schema_id", 1)
+            self._stats_cols = m.get("stats_cols") or []
+        else:
+            key = options.get("key")
+            if not key:
+                raise ValueError(
+                    "manifest_table write to a new path needs .option('key', <col>)"
+                )
+            self._key = key
+            self._spec = _spec_from_schema(schema, 1)
+            self._schema_id = 1
+            self._stats_cols = [
+                c.strip() for c in options.get("statscols", "").split(",") if c.strip()
+            ]
+            self._schema_json = schema.json()
+        if self._key not in {c["name"] for c in self._spec}:
+            raise ValueError(f"key column {self._key!r} not in the written schema")
+        self._key_type = next(c["type"] for c in self._spec if c["name"] == self._key)
+        self._staging = os.path.join(self._base, f"_staging_{uuid.uuid4().hex}")
+        os.makedirs(self._staging, exist_ok=True)
+
+    # -- executor side ------------------------------------------------------
+    def write(self, iterator) -> _WriteMessage:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return _WriteMessage(None, 0, None, None, None, None, None)
+        t = pa.Table.from_batches(batches)
+        missing = [c["name"] for c in self._spec if c["name"] not in t.column_names]
+        if missing:
+            raise ValueError(f"manifest_table append: missing columns {missing}")
+        t = pa.table(
+            [t.column(c["name"]).cast(_arrow_type(c["type"])) for c in self._spec],
+            names=[c["name"] for c in self._spec],
+        )
+        name = f"task-{uuid.uuid4().hex}.parquet"
+        pq.write_table(t, os.path.join(self._staging, name))
+        key_arr = t.column(self._key)
+        stats = {
+            c: [
+                _json_safe(pc.min(t.column(c)).as_py()),
+                _json_safe(pc.max(t.column(c)).as_py()),
+            ]
+            for c in self._stats_cols
+        } or None
+        bloom, bloom_m = _bloom_bitmap(key_arr.to_pylist(), self._key_type)
+        return _WriteMessage(
+            name,
+            t.num_rows,
+            _json_safe(pc.min(key_arr).as_py()),
+            _json_safe(pc.max(key_arr).as_py()),
+            stats,
+            bloom,
+            bloom_m,
+        )
+
+    # -- driver side --------------------------------------------------------
+    def commit(self, messages) -> None:
+        try:
+            self._commit([m for m in messages if m is not None and m.file])
+        finally:
+            shutil.rmtree(self._staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        shutil.rmtree(self._staging, ignore_errors=True)
+
+    def _commit(self, msgs: list[_WriteMessage]) -> None:
+        from .manifest_table import CommitConflict, _carry, _commit_manifest
+
+        files_dir = os.path.join(self._base, "files")
+        os.makedirs(files_dir, exist_ok=True)
+        entries = []
+        for msg in msgs:
+            final = f"part-{uuid.uuid4().hex}.parquet"
+            os.rename(
+                os.path.join(self._staging, msg.file), os.path.join(files_dir, final)
+            )
+            e = {
+                "file": final,
+                "rows": msg.rows,
+                "lo": msg.lo,
+                "hi": msg.hi,
+                "bloom": msg.bloom,
+                "bloom_m": msg.bloom_m,
+                "schema_id": self._schema_id,
+            }
+            if msg.stats:
+                e["stats"] = msg.stats
+            entries.append(e)
+
+        last_conflict = None
+        for _ in range(5):  # CAS retry loop: entries are final, only the
+            vs = _versions(self._base)  # manifest race re-resolves
+            try:
+                if not vs:
+                    manifest = {
+                        "key_col": self._key,
+                        "schema": self._schema_json,
+                        "schema_id": 1,
+                        "columns": self._spec,
+                        "files": entries,
+                        "rows": sum(e["rows"] for e in entries),
+                        "epochs": [self._epoch] if self._epoch else [],
+                    }
+                    if self._stats_cols:
+                        manifest["stats_cols"] = self._stats_cols
+                    _commit_manifest(self._base, 1, manifest, op="publish")
+                    return
+                m = read_manifest(self._base)
+                if self._epoch and self._epoch in m.get("epochs", []):
+                    # replayed micro-batch: exactly-once means OUR files must
+                    # not land twice — drop them, keep the recorded commit
+                    for e in entries:
+                        os.remove(os.path.join(files_dir, e["file"]))
+                    return
+                files = entries if self._overwrite else m["files"] + entries
+                epochs = m.get("epochs", []) + ([self._epoch] if self._epoch else [])
+                _commit_manifest(
+                    self._base,
+                    vs[-1] + 1,
+                    _carry(m, files, epochs),
+                    op="overwrite" if self._overwrite else "append",
+                )
+                return
+            except CommitConflict as ex:
+                last_conflict = ex
+        raise last_conflict
+
+
 class ManifestTableDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -249,6 +469,9 @@ class ManifestTableDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _ManifestReader(dict(self.options))
+
+    def writer(self, schema, overwrite: bool) -> _ManifestWriter:
+        return _ManifestWriter(dict(self.options), schema, overwrite)
 
 
 def register(spark) -> None:

@@ -260,3 +260,97 @@ def test_cdf_replication_loop(spark, tmp_path):
     assert got == want and len(got) == 279
     # and the replica's history shows the applied commits, not a rescan
     assert rm(dst_base)["rows"] == 279
+
+
+def test_native_writer_roundtrip(spark, tmp_path):
+    """df.write.format("manifest_table"): first write CREATES the table
+    (key option), append unions, an epoch-tagged append is idempotent
+    under replay, overwrite replaces the file list — all through the
+    library's read path."""
+    tc.register(spark)
+    base = str(tmp_path / "native")
+    df = spark.range(0, 100).selectExpr("id AS k", "id * 3 AS v")
+    (
+        df.write.format("manifest_table")
+        .option("key", "k")
+        .option("statscols", "v")
+        .mode("append")
+        .save(base)
+    )
+    got = sorted((r["k"], r["v"]) for r in read_snapshot(spark, base).collect())
+    assert got == [(i, 3 * i) for i in range(100)]
+    m = read_manifest(base)
+    assert m["stats_cols"] == ["v"] and m["op"] == "publish"
+    assert all(e.get("stats", {}).get("v") for e in m["files"])
+
+    extra = spark.createDataFrame([(1000, 1)], "k long, v long")
+    extra.write.format("manifest_table").option("epoch", "e1").mode("append").save(base)
+    assert read_manifest(base)["rows"] == 101
+    # replayed micro-batch: same epoch -> byte-identical table, no new files
+    files_before = {e["file"] for e in read_manifest(base)["files"]}
+    extra.write.format("manifest_table").option("epoch", "e1").mode("append").save(base)
+    m2 = read_manifest(base)
+    assert m2["rows"] == 101
+    assert {e["file"] for e in m2["files"]} == files_before
+    assert read_snapshot(spark, base).count() == 101
+
+    small = spark.createDataFrame([(5, 99)], "k long, v long")
+    small.write.format("manifest_table").mode("overwrite").save(base)
+    assert [(r["k"], r["v"]) for r in read_snapshot(spark, base).collect()] == [(5, 99)]
+    assert read_manifest(base)["op"] == "overwrite"
+    # connector read == library read after the whole DML sequence
+    via_conn = spark.read.format("manifest_table").option("path", base).load()
+    assert [(r["k"], r["v"]) for r in via_conn.collect()] == [(5, 99)]
+
+
+def test_native_writer_bloom_matches_library(spark, tmp_path):
+    """The write-time bloom/bounds metadata is BIT-IDENTICAL to the
+    library's SQL-built entries for the same single-file content, and
+    drives the same candidate-file pruning."""
+    from bridge_analytics_template_spark.sources.manifest_table import (
+        _candidate_files,
+    )
+
+    tc.register(spark)
+    df = spark.range(0, 500).selectExpr("id AS k", "id AS v").coalesce(1)
+    nb, lb = str(tmp_path / "n"), str(tmp_path / "l")
+    # Python DataSources support only Append/Overwrite save modes
+    df.write.format("manifest_table").option("key", "k").mode("append").save(nb)
+    publish_snapshot(df, lb, "k")
+    en, el = read_manifest(nb)["files"], read_manifest(lb)["files"]
+    assert len(en) == 1 and len(el) == 1
+    assert en[0]["bloom"] == el[0]["bloom"]
+    assert en[0]["bloom_m"] == el[0]["bloom_m"]
+    assert (en[0]["lo"], en[0]["hi"], en[0]["rows"]) == (
+        el[0]["lo"],
+        el[0]["hi"],
+        el[0]["rows"],
+    )
+    keys = spark.createDataFrame([(3,), (499,)], "k long")
+    assert _candidate_files(spark, read_manifest(nb), keys, "k") == [en[0]["file"]]
+    # a key outside every file's range/bloom prunes everything
+    miss = spark.createDataFrame([(10**9,)], "k long")
+    assert _candidate_files(spark, read_manifest(nb), miss, "k") == []
+
+
+def test_native_writer_abort_leaves_table_intact(spark, tmp_path):
+    """Two-phase commit, phase-1 failure: a task error aborts the write —
+    the committed table (manifest, version, files/) is untouched and the
+    staging dir is gone."""
+    import os
+
+    tc.register(spark)
+    base = str(tmp_path / "abt")
+    spark.range(0, 10).selectExpr("id AS k", "id AS v").write.format(
+        "manifest_table"
+    ).option("key", "k").mode("append").save(base)
+    m0 = read_manifest(base)
+    files0 = set(os.listdir(os.path.join(base, "files")))
+    bad = spark.range(0, 10).selectExpr("id AS k").withColumn(
+        "v", F.expr("k DIV (k - 7)")  # ANSI divide-by-zero at k = 7
+    )
+    with pytest.raises(Exception):
+        bad.write.format("manifest_table").mode("append").save(base)
+    assert read_manifest(base) == m0
+    assert set(os.listdir(os.path.join(base, "files"))) == files0
+    assert not [d for d in os.listdir(base) if d.startswith("_staging_")]
