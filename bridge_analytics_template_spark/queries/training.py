@@ -21,6 +21,13 @@ from .registry import query
 
 _SQL_TOKENS = "string_split_regex(trim(lower(text)), '\\s+')"
 
+#: Vocab rows above which the encode join falls back from broadcast to a
+#: shuffle hash join: a multi-million-type vocabulary is ~100 MB+ of
+#: (token, id) pairs — past every-executor-copy territory (VERDICT r9
+#: task 5). At or under the threshold the broadcast skips shuffling the
+#: token stream entirely. tests/test_plans.py pins both plan shapes.
+VOCAB_BROADCAST_MAX_ROWS = 2_000_000
+
 
 @query(
     "train_vocab_encode",
@@ -45,10 +52,12 @@ def train_vocab_encode(spark, sf_dir):
     id sequences. Vocab ids come from range-partitioned contiguous-id
     assignment (operators/rowids.py) on the total order (-cnt, tok) — a
     corpus-scale vocabulary (millions of types) never funnels through the
-    one-task row_number window. The vocab is a broadcast-sized dim by
-    construction, so the encode join never shuffles the corpus. The id
-    sequence is emitted as JSON text (driver canon cannot hash list cells;
-    see aggregates.agg_collect_set)."""
+    one-task row_number window. The encode join broadcasts the vocab only
+    while it is genuinely broadcast-sized (the persisted aggregate's row
+    count is known before planning; above VOCAB_BROADCAST_MAX_ROWS it
+    becomes a shuffle join — correctness identical, no executor-memory
+    cliff). The id sequence is emitted as JSON text (driver canon cannot
+    hash list cells; see aggregates.agg_collect_set)."""
     from ..operators.rowids import assign_contiguous_ids
 
     d = load(spark, sf_dir, "documents")
@@ -64,12 +73,17 @@ def train_vocab_encode(spark, sf_dir):
         .withColumn("_negcnt", -F.col("cnt"))
         .persist()
     )
+    # The count materializes the persisted aggregate the id-assign reuses,
+    # so the size probe is not an extra pass over the corpus.
+    n_types = counts.count()
     vocab = assign_contiguous_ids(counts, ["_negcnt", "tok"], id_name="id").select(
         "tok", F.col("id").cast("int").alias("id")
     )
+    if n_types <= VOCAB_BROADCAST_MAX_ROWS:
+        vocab = F.broadcast(vocab)
     sample = toks.filter(F.col("doc_id") % 20 == 0)
     encoded = (
-        sample.join(F.broadcast(vocab), "tok")
+        sample.join(vocab, "tok")
         .groupBy("doc_id")
         .agg(
             F.to_json(

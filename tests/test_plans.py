@@ -723,3 +723,42 @@ def test_scale_sweep_ratio_gate_drift_vs_regression():
     assert not is_over(119, abs_budget=120)
     # no budgets at all -> never over
     assert not is_over(1e6)
+
+
+def test_vocab_encode_broadcast_guard(spark, sf_dir, monkeypatch):
+    """train_vocab_encode broadcasts the vocab only while it is
+    broadcast-sized (VERDICT r9 task 5): the default plan joins the token
+    stream against a BroadcastHashJoin / BroadcastExchange; with the
+    threshold forced to 0 the same query plans WITHOUT any broadcast of
+    the vocab (shuffle join fallback) and returns identical rows."""
+    from bridge_analytics_template_spark.queries import training
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    small = training.train_vocab_encode(spark, sf_dir)
+    assert "BroadcastExchange" in plan_of(small)
+    want = [(r["doc_id"], r["ids"]) for r in small.collect()]
+
+    monkeypatch.setattr(training, "VOCAB_BROADCAST_MAX_ROWS", 0)
+    spark.catalog.clearCache()
+    # Above the threshold the query must not FORCE a broadcast; whether a
+    # genuinely small relation still broadcasts is AQE's size-based call
+    # (which can never OOM — it measures actual bytes). Disabling the
+    # size-based thresholds isolates the hint: any surviving
+    # BroadcastExchange could only come from a forced hint.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = training.train_vocab_encode(spark, sf_dir)
+        rows = [(r["doc_id"], r["ids"]) for r in big.collect()]
+        assert "BroadcastExchange" not in plan_of(big)
+        assert rows == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)

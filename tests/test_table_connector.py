@@ -354,3 +354,57 @@ def test_native_writer_abort_leaves_table_intact(spark, tmp_path):
     assert read_manifest(base) == m0
     assert set(os.listdir(os.path.join(base, "files"))) == files0
     assert not [d for d in os.listdir(base) if d.startswith("_staging_")]
+
+
+def test_cdf_every_batching_rebuilds_head(spark, tmp_path):
+    """CDF apply-feed invariant, exhaustively over BATCHINGS: for EVERY
+    composition of the version range [0..head] into contiguous spans —
+    including spans that merge DML with evolve/compact (empty-delta)
+    commits — applying the spans' insert/delete multisets to an empty
+    table must reconstruct the head snapshot exactly. This pins that
+    span diffs compose: cancellation inside a span (a row inserted then
+    erased), schema-fixed projection across the evolve, and the
+    content-identical compaction all commute with batching."""
+    from collections import Counter
+    from itertools import combinations
+
+    from bridge_analytics_template_spark.sources.manifest_table import (
+        compact_snapshot,
+        merge_rows,
+    )
+
+    base = str(tmp_path / "spans")
+    publish_snapshot(
+        spark.range(0, 20).selectExpr("id AS k", "id * 2 AS v"), base, "k", n_files=2
+    )                                                                # v1
+    append_rows(
+        spark.createDataFrame([(100, 1), (101, 1)], "k long, v long"), base, epoch="e"
+    )                                                                # v2
+    erase_rows(spark, base, spark.createDataFrame([(100,), (3,)], "k long"), "k")  # v3
+    evolve_schema(base, add=[("tag", "string", "L")])                # v4
+    merge_rows(
+        spark, base, spark.createDataFrame([(0, 99, "U"), (200, 1, "N")],
+                                           "k long, v long, tag string")
+    )                                                                # v5
+    compact_snapshot(spark, base, target_file_bytes=1 << 30)         # v6
+
+    head = 6
+    want = Counter(
+        (r["k"], r["v"], r["tag"]) for r in read_snapshot(spark, base).collect()
+    )
+    r = tc._CDFStreamReader(base, 0)
+    # every composition of [0..head]: choose the interior cut points
+    for cuts in [
+        c for n in range(head) for c in combinations(range(1, head), n)
+    ]:
+        bounds = [0, *cuts, head]
+        state: Counter = Counter()
+        for a, b in zip(bounds, bounds[1:]):
+            for row in r.readBetweenOffsets({"v": a}, {"v": b}):
+                *vals, change = row
+                if change == "insert":
+                    state[tuple(vals)] += 1
+                else:
+                    state[tuple(vals)] -= 1
+        state = +state  # drop zero entries
+        assert state == want, f"batching {bounds} diverged"
