@@ -55,7 +55,11 @@ def test_pagerank_query_against_numpy(spark, sf_dir):
     """The full graph_pagerank query on real sf0.001 events vs numpy."""
     from bridge_analytics_template_spark.queries.pipeline import graph_pagerank
 
-    got = {r["node"]: r["rank"] for r in graph_pagerank(spark, sf_dir).collect()}
+    # The query emits int64 fixed-point ranks (1e-12 units of total mass,
+    # the r10 oracle contract); rescale to floats for the numpy comparison.
+    got = {
+        r["node"]: r["rank_e12"] / 1e12 for r in graph_pagerank(spark, sf_dir).collect()
+    }
     ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
     ev = ev.sort_values("event_id")
     u = ev["user_id"].to_numpy()
