@@ -190,7 +190,7 @@ def test_auto_window_rotation_rules(tmp_path):
     assert _auto_window(ledger_glob=str(tmp_path / "CORRECTNESS_r*.json"), min_ledgers=4) is None
 
 
-def test_auto_window_stale_rotation(tmp_path):
+def test_auto_window_stale_rotation(tmp_path, monkeypatch):
     """Once every name has an official row, the window re-certifies STALE
     greens oldest-official-round first (oracled before rows-only on round
     ties) — VERDICT r8 task 3."""
@@ -203,12 +203,17 @@ def test_auto_window_stale_rotation(tmp_path):
     # Everything checked green in r3 except: two names last checked in r1
     # (one oracled, one rows-only) and one in r2. No failures, no upgrades,
     # no never-checked -> the window is flagship + pure stale rotation.
-    rows_only = [n for n in names if n not in ORACLES]
+    # Since r10 EVERY registered query carries an oracle, so the rows-only
+    # class must be SIMULATED: drop one name's oracle for this test so the
+    # oracled-before-rows-only tie-break stays covered.
     old_oracled = next(n for n in names if n in ORACLES and n != "flagship")
-    old_rows_only = rows_only[0]
     mid = next(
         n for n in names if n in ORACLES and n not in ("flagship", old_oracled)
     )
+    old_rows_only = next(
+        n for n in names if n in ORACLES and n not in ("flagship", old_oracled, mid)
+    )
+    monkeypatch.delitem(ORACLES, old_rows_only)
     ro_row = {"rows_match": True, "hash_match": None, "err": "no_oracle"}
     (tmp_path / "CORRECTNESS_r1.json").write_text(
         json.dumps({old_oracled: green, old_rows_only: ro_row})
