@@ -43,16 +43,68 @@ def token_count(col: Column | str) -> Column:
 
 def word_shingles(tokens: Column, n: int) -> Column:
     """Word n-gram shingles from a token array, via higher-order functions:
-    ``transform(sequence(1, len-n+1), i -> concat_ws(' ', slice(t, i, n)))``.
+    ``transform(sequence(1, len-n+1), i -> concat(t[i], ' ', t[i+1], ...))``.
     Empty result when the document has fewer than ``n`` tokens.
+
+    The gram is built from ``n`` ``element_at`` lookups concatenated with
+    literal spaces, NOT ``concat_ws(' ', slice(t, i, n))``: the slice form
+    allocates an n-element array per gram inside the (interpreted) lambda
+    and ran ~9x slower on the winnowing profile (r10, measured at sf0.1:
+    3.13 s → 0.34 s for the 4-gram build, byte-identical output; token
+    arrays from ``split`` never contain NULLs, so ``concat`` ==
+    ``concat_ws`` here).
+
+    CALLER NOTE: the token expression is referenced ``n + 2`` times, so
+    pass a MATERIALIZED column (select the token array first), not an
+    inline ``ws_tokens(...)`` — otherwise the tokenizer may re-run per
+    reference (the _shingle_arrays lesson).
 
     The short-doc case must be guarded BEFORE building the index sequence:
     ``sequence(1, 0)`` in Spark is the *descending* [1, 0], which would emit
     bogus shingles instead of none."""
     length = F.size(tokens)
     idx = F.sequence(F.lit(1), length - (n - 1))
-    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+
+    def gram(i: Column) -> Column:
+        parts: list[Column] = [F.element_at(tokens, i)]
+        for j in range(1, n):
+            parts.append(F.lit(" "))
+            parts.append(F.element_at(tokens, i + j))
+        return F.concat(*parts)
+
+    shingles = F.transform(idx, gram)
     return F.when(length >= n, shingles).otherwise(F.array().cast("array<string>"))
+
+
+def hashed_word_shingles_expr(w: int, th_col: str = "th", distinct: bool = True) -> str:
+    """SQL expression: DISTINCT hashed word *w*-grams over a token-hash
+    array column (``xxhash64`` per token), combined in-row with
+    position-dependent rotations — ``h(t_i) ^ rotl(h(t_{i+1}), 13) ^ ...``
+    — so equal word sequences map to equal longs without ever building the
+    gram STRING. UNPADDED: a doc shorter than the gram width yields an
+    empty array, exactly like :func:`word_shingles` (contrast the padded
+    form inside ``llm/dedup._shingle_arrays``, where short docs must stay
+    matchable). Joins/aggregates over these 8-byte longs replace the
+    ~(6·w)-byte gram strings; collisions are the documented 2^-64
+    llm_ngram_jaccard trade (r10: measured 3.4x on llm_decontaminate's
+    noop-isolated cost)."""
+
+    def rot(e: str, r: int) -> str:
+        r = r % 64
+        return f"(shiftleft({e}, {r}) | shiftrightunsigned({e}, {(64 - r) % 64}))"
+
+    terms = [f"element_at({th_col}, i)"] + [
+        rot(f"element_at({th_col}, i + {j})", 13 * j) for j in range(1, w)
+    ]
+    inner = (
+        f"transform(sequence(1, size({th_col}) - {w - 1}), i -> {' ^ '.join(terms)})"
+    )
+    if distinct:
+        inner = f"array_distinct({inner})"
+    return (
+        f"CASE WHEN size({th_col}) >= {w} THEN {inner} "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
 
 
 def punct_count(col: Column | str) -> Column:

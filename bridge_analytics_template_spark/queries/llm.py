@@ -459,12 +459,19 @@ def llm_fingerprint(spark, sf_dir):
     """L4c: document fingerprints — normalized-content md5 plus the
     min-hashed shingle (a 1-permutation MinHash, the rolling-hash analog)."""
     d = load(spark, sf_dir, "documents")
-    shingles = word_shingles(ws_tokens("text"), 5)
-    return d.select(
-        "doc_id",
-        normalized_fingerprint("text").alias("norm_fp"),
-        F.array_min(F.transform(shingles, F.md5)).alias("min_shingle_fp"),
-    ).orderBy("doc_id")
+    # Materialized token column: word_shingles references its input n+2
+    # times (r10 element_at form), so the tokenizer must not ride inline.
+    return (
+        d.select("doc_id", "text", ws_tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            normalized_fingerprint("text").alias("norm_fp"),
+            F.array_min(
+                F.transform(word_shingles(F.col("toks"), 5), F.md5)
+            ).alias("min_shingle_fp"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query(

@@ -61,6 +61,14 @@ def main() -> None:
     ap.add_argument("variants", nargs="+", help="query names or module:callable")
     ap.add_argument("--n", type=int, default=5, help="interleaved passes")
     ap.add_argument("--sf", default="/root/testdata/sf0.1", help="data dir to time at")
+    ap.add_argument(
+        "--action",
+        choices=("count", "noop"),
+        default="count",
+        help="timed action: count() (bench parity) or the noop sink "
+        "(optimization guide §1.4 — computes every column of every row, "
+        "immune to count()'s subtree pruning)",
+    )
     args = ap.parse_args()
 
     # label by position so duplicate specs stay DISTINCT runs — an A/A
@@ -74,15 +82,21 @@ def main() -> None:
     fns = [(lab, resolve(spec)) for lab, spec in zip(labels, args.variants)]
     spark = get_spark("ab")
 
+    def act(df):
+        if args.action == "noop":
+            df.write.format("noop").mode("overwrite").save()
+        else:
+            df.count()
+
     for _, f in fns:  # compile every plan shape before timing
-        f(spark, WARM_SF).count()
+        act(f(spark, WARM_SF))
         spark.catalog.clearCache()
 
     times: dict[str, list[float]] = {lab: [] for lab, _ in fns}
     for _ in range(args.n):
         for lab, f in fns:
             t0 = time.time()
-            f(spark, args.sf).count()
+            act(f(spark, args.sf))
             times[lab].append(round(time.time() - t0, 3))
             spark.catalog.clearCache()
 

@@ -1,0 +1,173 @@
+"""Round-10 optimization experiments, driven through tools/ab.py as
+``tools.experiments_r10:<name>`` variants. Nothing here is registered;
+winners get folded into the real query modules with their oracles intact.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from bridge_analytics_template_spark.catalog import load
+from bridge_analytics_template_spark.functions.text import ws_tokens
+
+
+def _hashed_ngrams_expr(w: int) -> str:
+    """SQL expr: DISTINCT hashed word n-grams over a token-hash array `th`
+    (xxhash64 per token, position-dependent rotations XOR-combined — the
+    _shingle_arrays hashed combination), UNPADDED: docs shorter than the
+    gram width yield an EMPTY array, exactly like word_shingles."""
+
+    def rot(e: str, r: int) -> str:
+        r = r % 64
+        return f"(shiftleft({e}, {r}) | shiftrightunsigned({e}, {(64 - r) % 64}))"
+
+    terms = ["element_at(th, i)"] + [
+        rot(f"element_at(th, i + {j})", 13 * j) for j in range(1, w)
+    ]
+    return (
+        f"CASE WHEN size(th) >= {w} THEN "
+        f"array_distinct(transform(sequence(1, size(th) - {w - 1}), i -> {' ^ '.join(terms)})) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+
+
+def decon_hashed(spark, sf_dir):
+    """llm_decontaminate with HASHED 8-grams on both sides: the join,
+    broadcast and distinct all carry 8-byte longs instead of ~50-byte gram
+    strings, and no gram string is ever materialized (token hashes are
+    rotation-combined in-row). Same result modulo xxhash64-combination
+    collisions (the documented llm_ngram_jaccard trade)."""
+    d = load(spark, sf_dir, "documents")
+    eval_pred = F.col("doc_id") % 50 == 0
+    th = (
+        d.select("doc_id", ws_tokens("text").alias("toks"))
+        .select("doc_id", F.expr("transform(toks, t -> xxhash64(t))").alias("th"))
+        .select("doc_id", F.expr(_hashed_ngrams_expr(8)).alias("gr"))
+    )
+    grams = th.select("doc_id", F.explode_outer("gr").alias("gram"))
+    eval_grams = grams.filter(eval_pred).select("gram").distinct()
+    hits = (
+        grams.filter(~eval_pred)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        d.filter(~eval_pred)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def winnow_least(spark, sf_dir):
+    """llm_winnowing with the sliding window-min spelled as least() over
+    element_at's instead of array_min(slice(...)): same interpreted-lambda
+    count, but no per-window array allocation."""
+    from bridge_analytics_template_spark.queries.advanced import _WIN_K, _WIN_W
+    from bridge_analytics_template_spark.functions.text import word_shingles
+
+    d = load(spark, sf_dir, "documents")
+    sh = word_shingles(ws_tokens("text"), _WIN_K)
+    hsdf = d.select(
+        "doc_id",
+        F.transform(sh, lambda s: F.substring(F.md5(s), 1, 16)).alias("hs"),
+    )
+    hs = F.col("hs")
+    m = F.size(hs)
+    wins = F.when(
+        m >= _WIN_W,
+        F.transform(
+            F.sequence(F.lit(1), m - (_WIN_W - 1)),
+            lambda i: F.least(*[F.element_at(hs, (i + j).cast("int")) for j in range(_WIN_W)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return hsdf.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_distinct(wins)), ",").alias("fp"),
+    ).orderBy("doc_id")
+
+
+def winnow_zip(spark, sf_dir):
+    """llm_winnowing with the sliding min as elementwise least of W shifted
+    slices (zip_with tree): W-1 interpreted lambdas per WINDOW total work,
+    but each lambda body is a single least()."""
+    from bridge_analytics_template_spark.queries.advanced import _WIN_K, _WIN_W
+    from bridge_analytics_template_spark.functions.text import word_shingles
+
+    d = load(spark, sf_dir, "documents")
+    sh = word_shingles(ws_tokens("text"), _WIN_K)
+    hsdf = d.select(
+        "doc_id",
+        F.transform(sh, lambda s: F.substring(F.md5(s), 1, 16)).alias("hs"),
+    )
+    hs = F.col("hs")
+    m = F.size(hs)
+    nwin = m - (_WIN_W - 1)
+    shifted = [F.slice(hs, j + 1, nwin) for j in range(_WIN_W)]
+    acc = shifted[0]
+    for s in shifted[1:]:
+        acc = F.zip_with(acc, s, lambda a, b: F.least(a, b))
+    wins = F.when(m >= _WIN_W, acc).otherwise(F.array().cast("array<string>"))
+    return hsdf.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_distinct(wins)), ",").alias("fp"),
+    ).orderBy("doc_id")
+
+
+def diversity_hashed(spark, sf_dir):
+    """llm_ngram_diversity over HASHED grams (multiplicity-preserving):
+    counts identical modulo 2^-64 collisions, shuffle carries longs."""
+    from bridge_analytics_template_spark.functions.text import hashed_word_shingles_expr
+
+    d = load(spark, sf_dir, "documents")
+    grams = (
+        d.select("lang", ws_tokens("text").alias("toks"))
+        .select("lang", F.expr("transform(toks, t -> xxhash64(t))").alias("th"))
+        .select(
+            "lang",
+            F.explode_outer(F.expr(hashed_word_shingles_expr(5, distinct=False))).alias("gram"),
+        )
+        .filter(F.col("gram").isNotNull())
+    )
+    n, nd = F.count(F.lit(1)), F.countDistinct("gram")
+    return (
+        grams.groupBy("lang")
+        .agg(
+            n.alias("n_grams"),
+            nd.alias("n_distinct"),
+            ((n - nd).cast("double") / n).alias("dup_fraction"),
+        )
+        .orderBy("lang")
+    )
+
+
+def novelty_window(spark, sf_dir):
+    """llm_ngram_novelty with the firsts attach as a window-min over the
+    SAME shingle-keyed exchange instead of aggregate+self-join: the shingle
+    lineage runs once and the plan drops to two exchanges."""
+    from pyspark.sql import Window
+    from bridge_analytics_template_spark.llm.dedup import _shingle_table
+
+    d = load(spark, sf_dir, "documents")
+    sh = _shingle_table(d, "text", "doc_id", 5, hashed=True)
+    tagged = sh.withColumn("first_doc", F.min("doc").over(Window.partitionBy("shingle")))
+    novel = F.count(F.when(F.col("first_doc") == F.col("doc"), 1))
+    return (
+        tagged.groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.alias("n_novel"),
+            (novel.cast("double") / F.count(F.lit(1))).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
