@@ -26,6 +26,15 @@ from pyspark.sql import functions as F
 # the bucket size with high probability — plenty for work balancing.
 _SAMPLE_PER_BUCKET = 100
 
+# One-bucket fast-path bound (r10): below this row count the boundary-sample
+# and per-bucket-count jobs cost more than the single-task sort they avoid
+# (two extra driver-blocking jobs ≈ 0.1-0.3 s of scheduling vs sorting ≤1M
+# short rows in one task, ~0.1 s). Vocabularies and per-group aggregates at
+# bench scale take the fast path; corpus-scale inputs exceed it and keep the
+# fully distributed recipe. Ids are identical on both paths (total order),
+# so the cutover is invisible to results.
+_ONE_TASK_MAX_ROWS = 1_000_000
+
 
 def _key_struct(order_cols: list[str]) -> Column:
     return F.struct(*[F.col(c) for c in order_cols])
@@ -38,7 +47,7 @@ def deterministic_bounds(
     shared by :func:`assign_contiguous_ids` and
     ``operators.prefix.partitioned_cumsum``. Empty list = one bucket
     (small inputs skip the sample job)."""
-    if n <= num_partitions * _SAMPLE_PER_BUCKET:
+    if n <= max(num_partitions * _SAMPLE_PER_BUCKET, _ONE_TASK_MAX_ROWS):
         return []
     mod = max(1, n // (num_partitions * _SAMPLE_PER_BUCKET))
     sampled = (
@@ -71,6 +80,7 @@ def assign_contiguous_ids(
     order_col: str | list[str],
     id_name: str = "row_id",
     num_partitions: int = 32,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Add ``id_name`` = 0..n-1 in ``order_col`` order, fully distributed.
 
@@ -78,13 +88,19 @@ def assign_contiguous_ids(
     columns must form a TOTAL order (unique key, no nulls) — rows with equal
     keys could straddle a bucket boundary, which would make their relative
     ids routing-dependent.
+
+    ``n_rows``: the exact input row count, when the caller already knows it
+    (e.g. just materialized a persisted aggregate with ``count()``) — skips
+    the sizing job. It feeds the adaptive sample rate and the fast-path
+    cutover only; a wrong value can cost balance, never correctness.
     """
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
 
     # Job 1: size the data (column-pruned count — the adaptive sample rate
     # needs n; a fixed rate either floods the driver at corpus scale or
-    # starves the boundaries on small data).
-    n = df.count()
+    # starves the boundaries on small data). Skipped when the caller
+    # supplies the count (r10 — one fewer driver-blocking job per build).
+    n = df.count() if n_rows is None else n_rows
     if n == 0:
         return df.withColumn(id_name, F.lit(0).cast("long")).where(F.lit(False))
 

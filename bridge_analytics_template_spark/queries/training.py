@@ -74,11 +74,13 @@ def train_vocab_encode(spark, sf_dir):
         .persist()
     )
     # The count materializes the persisted aggregate the id-assign reuses,
-    # so the size probe is not an extra pass over the corpus.
+    # so the size probe is not an extra pass over the corpus — and the
+    # known count rides into assign_contiguous_ids (r10), skipping its
+    # internal sizing job.
     n_types = counts.count()
-    vocab = assign_contiguous_ids(counts, ["_negcnt", "tok"], id_name="id").select(
-        "tok", F.col("id").cast("int").alias("id")
-    )
+    vocab = assign_contiguous_ids(
+        counts, ["_negcnt", "tok"], id_name="id", n_rows=n_types
+    ).select("tok", F.col("id").cast("int").alias("id"))
     if n_types <= VOCAB_BROADCAST_MAX_ROWS:
         vocab = F.broadcast(vocab)
     sample = toks.filter(F.col("doc_id") % 20 == 0)

@@ -171,3 +171,165 @@ def novelty_window(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---- minhash pipeline decomposition (stage-cost attribution) ----
+
+def mh_arrays(spark, sf_dir):
+    from bridge_analytics_template_spark.llm.dedup import _shingle_arrays
+
+    d = load(spark, sf_dir, "documents")
+    return _shingle_arrays(d, "text", "doc_id", 5, hashed=True)
+
+
+def mh_sigs(spark, sf_dir):
+    from bridge_analytics_template_spark.llm.dedup import (
+        _shingle_arrays,
+        minhash_signatures,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return minhash_signatures(_shingle_arrays(d, "text", "doc_id", 5, hashed=True), 64)
+
+
+def mh_cands(spark, sf_dir):
+    from bridge_analytics_template_spark.llm.dedup import (
+        _shingle_arrays,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        track,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    arrays = track(_shingle_arrays(d, "text", "doc_id", 5, hashed=True).persist())
+    return lsh_candidate_pairs(minhash_signatures(arrays, 64), 16, 64)
+
+
+def mh_bucket_pairs(spark, sf_dir):
+    """lsh_candidate_pairs via groupBy(band, band_hash) + in-row pair
+    combinations instead of the banded self-join: one exchange (the
+    group-by) + tiny-bucket in-row expansion + pair distinct, vs persist +
+    two join-side exchanges + distinct. Buckets are near-singleton except
+    for true dups, so the in-row combination lambda touches few elements."""
+    from bridge_analytics_template_spark.llm.dedup import (
+        _shingle_arrays,
+        _banded_signatures,
+        minhash_signatures,
+        jaccard_for_candidates,
+        track,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    arrays = track(_shingle_arrays(d, "text", "doc_id", 5, hashed=True).persist())
+    sigs = minhash_signatures(arrays, 64)
+    banded = _banded_signatures(sigs, 16, 64)
+    buckets = banded.groupBy("band", "band_hash").agg(
+        F.sort_array(F.collect_list("doc")).alias("docs")
+    )
+    pairs = (
+        buckets.filter(F.size("docs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(docs) - 1), i -> "
+                    "transform(sequence(i + 1, size(docs)), j -> "
+                    "struct(element_at(docs, i) AS doc_a, element_at(docs, j) AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    return jaccard_for_candidates(arrays, pairs, 0.5)
+
+
+# ---- prefix-filter (PPJoin) pipeline decomposition ----
+
+def _pp_parts(spark, sf_dir):
+    from bridge_analytics_template_spark.llm.dedup import _shingle_arrays, track
+
+    d = load(spark, sf_dir, "documents")
+    arrays = track(_shingle_arrays(d, "text", "doc_id", 5, hashed=True).persist())
+    sh = arrays.select("doc", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle"))
+    hubs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq")).filter("freq >= 2")
+    prefixes = (
+        sh.join(hubs, "shingle")
+        .select(
+            "doc", "n", "shingle",
+            F.expr("row_number() over (partition by doc order by freq, shingle)").alias("rn2"),
+            F.expr("count(1) over (partition by doc)").alias("n2"),
+        )
+        .filter(F.expr("rn2 <= n2 - ceil(0.5 * n) + 1"))
+        .select("doc", "n", "shingle")
+    )
+    return arrays, sh, hubs, prefixes
+
+
+def pp_hubs(spark, sf_dir):
+    _, _, hubs, _ = _pp_parts(spark, sf_dir)
+    return hubs
+
+
+def pp_prefixes(spark, sf_dir):
+    _, _, _, prefixes = _pp_parts(spark, sf_dir)
+    return prefixes
+
+
+def pp_cand(spark, sf_dir):
+    from bridge_analytics_template_spark.llm.dedup import track
+
+    _, _, _, prefixes = _pp_parts(spark, sf_dir)
+    prefixes = track(prefixes.persist())
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    return (
+        a.join(
+            b,
+            F.expr(
+                "a.shingle = b.shingle AND a.doc < b.doc "
+                "AND b.n >= ceil(0.5 * a.n) AND a.n >= ceil(0.5 * b.n)"
+            ),
+        )
+        .select(F.expr("a.doc").alias("doc_a"), F.expr("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def vocab_old(spark, sf_dir):
+    """Pre-r10 train_vocab_encode shape: extra sizing job inside
+    assign_contiguous_ids and the distributed-bounds path (sample +
+    per-bucket-count jobs) for the bench-scale vocabulary."""
+    from bridge_analytics_template_spark.operators import rowids
+    from bridge_analytics_template_spark.caching import track
+
+    old = rowids._ONE_TASK_MAX_ROWS
+    rowids._ONE_TASK_MAX_ROWS = 0
+    try:
+        d = load(spark, sf_dir, "documents")
+        toks = d.select("doc_id", F.posexplode_outer(ws_tokens("text")).alias("pos", "tok"))
+        counts = track(
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("_negcnt", -F.col("cnt"))
+            .persist()
+        )
+        n_types = counts.count()
+        vocab = rowids.assign_contiguous_ids(counts, ["_negcnt", "tok"], id_name="id").select(
+            "tok", F.col("id").cast("int").alias("id")
+        )
+        if n_types <= 2_000_000:
+            vocab = F.broadcast(vocab)
+        sample = toks.filter(F.col("doc_id") % 20 == 0)
+        return (
+            sample.join(vocab, "tok")
+            .groupBy("doc_id")
+            .agg(
+                F.to_json(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "id"))), lambda s: s["id"]
+                    )
+                ).alias("ids")
+            )
+            .orderBy("doc_id")
+        )
+    finally:
+        rowids._ONE_TASK_MAX_ROWS = old
