@@ -220,10 +220,14 @@ def minhash_signatures(shingle_arrays: DataFrame, num_perm: int = 64) -> DataFra
     rejects), and the signature element is ``array_min`` over the doc's
     shingles. Deterministic across runs and partitionings; at corpus scale
     the signature stage costs zero network."""
-    pre = shingle_arrays.select(
+    # selectExpr strings, not Column-API transforms: each F.* call is a
+    # py4j round trip at plan-build time and this constructor sits on the
+    # bench path — the fused string form builds the same plan with ~1/10th
+    # the driver latency (r10; the _shingle_arrays lesson applied here).
+    pre = shingle_arrays.selectExpr(
         "doc",
-        F.transform("sh", lambda s: F.xxhash64(s)).alias("h1s"),
-        F.transform("sh", lambda s: F.xxhash64(F.lit(1), s)).alias("h2s"),
+        "transform(sh, s -> xxhash64(s)) AS h1s",
+        "transform(sh, s -> xxhash64(1, s)) AS h2s",
     )
     # Permutation loop lives in DATA (sequence + transform), not in
     # unrolled codegen: 64 separate array_min(zip_with(...)) expressions
@@ -245,18 +249,21 @@ def _banded_signatures(signatures: DataFrame, bands: int, num_perm: int) -> Data
     (it would inline the 64-permutation signature into an inferred
     filter)."""
     rows_per_band = max(num_perm // bands, 1)
+    # ONE expr string for the whole band array: the Column-API spelling is
+    # bands x rows_per_band element_at calls = ~100 py4j round trips per
+    # plan build, the heaviest single build cost in the minhash pipeline
+    # (measured 0.11 s of pure driver latency per construction, r10).
+    band_exprs = ", ".join(
+        "xxhash64("
+        + ", ".join(
+            f"element_at(sig, {b * rows_per_band + r + 1})" for r in range(rows_per_band)
+        )
+        + ")"
+        for b in range(bands)
+    )
     return signatures.select(
         "doc",
-        F.posexplode_outer(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
+        F.posexplode_outer(F.expr(f"array({band_exprs})")).alias("band", "band_hash"),
     )
 
 
@@ -296,11 +303,9 @@ def lsh_candidate_pairs(
     return (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc") < F.col("b.doc")),
+            F.expr("a.band = b.band AND a.band_hash = b.band_hash AND a.doc < b.doc"),
         )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .selectExpr("a.doc AS doc_a", "b.doc AS doc_b")
         .distinct()
     )
 
@@ -317,8 +322,8 @@ def exact_jaccard_pairs(
     is given — e.g. LSH output — only those pairs are scored, which is
     what bounds the cost at corpus scale."""
     sh = track(
-        shingle_arrays.select(
-            "doc", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle")
+        shingle_arrays.selectExpr(
+            "doc", "size(sh) AS n", "explode_outer(sh) AS shingle"
         ).persist()  # read twice (both join sides); explode_outer per _shingle_table note
     )
     a = sh.alias("a")
@@ -358,25 +363,29 @@ def jaccard_for_candidates(
     proportional to |candidates|, where the inverted-index alternative
     (count pairs sharing a shingle, then filter) explodes quadratically on
     any shingle shared by many documents."""
-    sa = shingle_arrays.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = shingle_arrays.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # selectExpr/where strings for build latency (same plan, fewer py4j
+    # round trips — r10, see minhash_signatures).
+    sa = shingle_arrays.selectExpr("doc AS doc_a", "sh AS sh_a")
+    sb = shingle_arrays.selectExpr("doc AS doc_b", "sh AS sh_b")
     return (
         candidates.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select(
+        .selectExpr(
             "doc_a",
             "doc_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
-            F.size("sh_a").alias("n_a"),
-            F.size("sh_b").alias("n_b"),
+            "size(array_intersect(sh_a, sh_b)) AS n_inter",
+            "size(sh_a) AS n_a",
+            "size(sh_b) AS n_b",
         )
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            "CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard",
         )
-        .filter(F.col("jaccard") >= min_jaccard)
-        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+        .where(f"jaccard >= {min_jaccard}")
     )
 
 
@@ -642,8 +651,8 @@ def prefix_filtered_pairs(
     # harness clearCache, like every persist whose lifetime spans the
     # returned plan.
     shingle_arrays = track(shingle_arrays.persist())
-    sh = shingle_arrays.select(
-        "doc", F.size("sh").alias("n"), F.explode_outer("sh").alias("shingle")
+    sh = shingle_arrays.selectExpr(
+        "doc", "size(sh) AS n", "explode_outer(sh) AS shingle"
     )
     # Frequency-1 pruning (r5, VERDICT task 2): a token whose GLOBAL
     # frequency is 1 exists in exactly one document, so it can never index
@@ -667,16 +676,14 @@ def prefix_filtered_pairs(
     hubs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq")).filter("freq >= 2")
     prefixes = (
         sh.join(hubs, "shingle")
-        .select(
+        .selectExpr(
             "doc",
             "n",
             "shingle",
-            F.expr(
-                "row_number() over (partition by doc order by freq, shingle)"
-            ).alias("rn2"),
-            F.expr("count(1) over (partition by doc)").alias("n2"),
+            "row_number() over (partition by doc order by freq, shingle) AS rn2",
+            "count(1) over (partition by doc) AS n2",
         )
-        .filter(F.expr(f"rn2 <= n2 - ceil({min_jaccard} * n) + 1"))
+        .where(f"rn2 <= n2 - ceil({min_jaccard} * n) + 1")
         .select("doc", "n", "shingle")
     )
     if persist_index:
@@ -698,7 +705,7 @@ def prefix_filtered_pairs(
                 f"AND b.n >= ceil({t} * a.n) AND a.n >= ceil({t} * b.n)"
             ),
         )
-        .select(F.expr("a.doc").alias("doc_a"), F.expr("b.doc").alias("doc_b"))
+        .selectExpr("a.doc AS doc_a", "b.doc AS doc_b")
         .distinct()
     )
     return jaccard_for_candidates(shingle_arrays, cand, min_jaccard)

@@ -333,3 +333,78 @@ def vocab_old(spark, sf_dir):
         )
     finally:
         rowids._ONE_TASK_MAX_ROWS = old
+
+
+def _mh_old_full(spark, sf_dir):
+    """Pre-r10 minhash pipeline constructors (Column-API spellings),
+    verbatim, for build-latency and output-equality A/B."""
+    from pyspark.sql import Window
+    from bridge_analytics_template_spark.llm.dedup import _shingle_arrays, track
+
+    d = load(spark, sf_dir, "documents")
+    arrays = track(_shingle_arrays(d, "text", "doc_id", 5, hashed=True).persist())
+    pre = arrays.select(
+        "doc",
+        F.transform("sh", lambda s: F.xxhash64(s)).alias("h1s"),
+        F.transform("sh", lambda s: F.xxhash64(F.lit(1), s)).alias("h2s"),
+    )
+    sig = (
+        "transform(sequence(0, 63), i -> "
+        "array_min(zip_with(h1s, h2s, (a, b) -> "
+        "a ^ (shiftleft(b, i) | shiftrightunsigned(b, (64 - i) % 64)))))"
+    )
+    sigs = pre.select("doc", F.expr(sig).alias("sig"))
+    rows_per_band = 4
+    banded = track(
+        sigs.select(
+            "doc",
+            F.posexplode_outer(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        )
+                        for b in range(16)
+                    ]
+                )
+            ).alias("band", "band_hash"),
+        ).persist()
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = arrays.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = arrays.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "n_inter", "n_a", "n_b", "jaccard")
+    )
+
+
+def mh_old(spark, sf_dir):
+    return _mh_old_full(spark, sf_dir)
