@@ -467,6 +467,8 @@ def graph_pagerank_ppm(spark, sf_dir):
     Scale shape per iteration: one co-keyed join of the (src-partitioned,
     persisted) arc+degree relation with the rank vector and one dst-keyed
     re-aggregation — the same 1-shuffle/round loop as operators/pagerank.py."""
+    from ..operators.graph_local import pagerank_ppm_local, try_collect_arcs
+
     e = load(spark, sf_dir, "events").select("event_id", "user_id")
     nxt = e.select((F.col("event_id") - 1).alias("event_id"), F.col("user_id").alias("next_user"))
     arcs = (
@@ -474,6 +476,16 @@ def graph_pagerank_ppm(spark, sf_dir):
         .where(F.col("next_user") != F.col("user_id"))
         .select(F.col("user_id").alias("src"), F.col("next_user").alias("dst"))
     )
+    # Bounded small-graph fast path (r10): exact integer loop on the
+    # driver within the arc bound — bit-identical ranks, no per-iteration
+    # stage latency; distributed loop unchanged above it.
+    small = try_collect_arcs(arcs)
+    if small is not None:
+        import pandas as pd
+
+        node_ids, ranks_arr = pagerank_ppm_local(*small, _PR_INIT, _PR_ITERS)
+        pdf = pd.DataFrame({"node": node_ids, "rank_ppm": ranks_arr})
+        return spark.createDataFrame(pdf, "node long, rank_ppm long").orderBy("node")
     deg = arcs.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
     arcs_deg = track(arcs.join(deg, "src").repartition("src").persist())
     nodes = track(
@@ -563,6 +575,8 @@ def graph_hits_ppm(spark, sf_dir):
     as graph_pagerank_ppm. All arithmetic is integer ((raw * 1e6) // total),
     so {_HITS_ITERS} iterations agree bit-for-bit with the oracle's
     unrolled CTEs."""
+    from ..operators.graph_local import hits_ppm_local, try_collect_arcs
+
     e = load(spark, sf_dir, "events").select("event_id", "user_id")
     nxt = e.select((F.col("event_id") - 1).alias("event_id"), F.col("user_id").alias("next_user"))
     arcs = (
@@ -570,6 +584,19 @@ def graph_hits_ppm(spark, sf_dir):
         .where(F.col("next_user") != F.col("user_id"))
         .select(F.col("user_id").alias("src"), F.col("next_user").alias("dst"))
     )
+    # Bounded small-graph fast path (r10): exact integer half-steps on the
+    # driver within the arc bound (the noop probe measured 12-13 s of
+    # per-iteration stage latency at sf0.1); distributed loop unchanged
+    # above it.
+    small = try_collect_arcs(arcs)
+    if small is not None:
+        import pandas as pd
+
+        node_ids, auth_arr, hub_arr = hits_ppm_local(*small, _HITS_INIT, _HITS_ITERS)
+        pdf = pd.DataFrame({"node": node_ids, "auth_ppm": auth_arr, "hub_ppm": hub_arr})
+        return spark.createDataFrame(
+            pdf, "node long, auth_ppm long, hub_ppm long"
+        ).orderBy("node")
     arcs = track(arcs.persist())
     nodes = track(
         arcs.select(F.col("src").alias("node"))
