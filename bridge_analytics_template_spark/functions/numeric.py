@@ -134,3 +134,16 @@ def sql_hash60(expr: str) -> str:
         f" * CAST({16 ** (14 - k)} AS BIGINT)"
         for k in range(15)
     )
+
+
+def spark_hash60(expr: str) -> str:
+    """The SAME 60-bit hash as :func:`sql_hash60`, spelled for Spark's
+    evaluator: the first 15 md5 hex digits parsed as one base-16 integer
+    (``conv``) instead of 15 positional nibble terms. Bit-identical by
+    construction — both read the same 15-hex-digit prefix — and pinned by
+    tests/test_hash60.py over the fixture key space. Use this form in
+    DataFrame plans (one md5 + one conv per evaluation instead of a
+    15-term instr/substr tree, which matters most inside higher-order
+    lambdas where expressions interpret per element); keep sql_hash60 for
+    oracle SQL (DuckDB has no conv)."""
+    return f"CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT)"

@@ -559,12 +559,12 @@ def simhash(
     if hasher == "md5":
         assert bits <= 60, "md5 packing must stay positive in signed int64"
         n_nibbles = (bits + 3) // 4
-        nibble_terms = " + ".join(
-            f"shiftleft(CAST(instr('0123456789abcdef', substr(md5(tok), {k + 1}, 1)) - 1"
-            f" AS BIGINT), {4 * k})"
-            for k in range(n_nibbles)
-        )
-        tokens = tokens.withColumn("th", F.expr(f"CAST({nibble_terms} AS BIGINT)"))
+        # Little-endian nibble packing (hex digit k at bits 4k), spelled as
+        # one conv of the REVERSED hex prefix — bit-identical to the
+        # 15-term shiftleft sum the oracle uses (digit j of reverse(s)
+        # lands at 16^(j-1)), pinned by tests/test_hash60.py.
+        packed = f"conv(reverse(substr(md5(tok), 1, {n_nibbles})), 16, 10)"
+        tokens = tokens.withColumn("th", F.expr(f"CAST({packed} AS BIGINT)"))
     else:
         tokens = tokens.withColumn("th", F.xxhash64("tok"))
     # Bit masks as JVM-side shifts: 1<<63 overflows a Python->JVM literal.

@@ -1406,7 +1406,7 @@ def train_shard_manifest(spark, sf_dir):
             F.col("o_orderdate").cast("string"),
         ).alias("canon"),
     )
-    hashed = canon.select("shard_id", F.expr(f"CAST({_ROW_HASH_SQL} AS BIGINT)").alias("h"))
+    hashed = canon.select("shard_id", F.expr(f"CAST({_shash60('canon')} AS BIGINT)").alias("h"))
     return (
         hashed.groupBy("shard_id")
         .agg(
@@ -1830,6 +1830,7 @@ _KMV_K = 64
 # shard manifest, parameterized by expression.
 
 
+from ..functions.numeric import spark_hash60 as _shash60  # noqa: E402
 from ..functions.numeric import sql_hash60 as _hash60  # noqa: E402 — canonical home
 
 
@@ -1874,7 +1875,7 @@ def agg_kmv_distinct(spark, sf_dir):
         e.select(
             "event_type",
             F.expr(
-                f"CAST({_hash60('CAST(user_id AS STRING)')} AS BIGINT)"
+                f"CAST({_shash60('CAST(user_id AS STRING)')} AS BIGINT)"
             ).alias("hv"),
         )
         .distinct()
@@ -2015,9 +2016,11 @@ _CMS_W = 512  # buckets per row
 def _cms_bucket(r: int, key_expr: str, cast: str) -> str:
     """Bucket index of ``key_expr`` under hash row ``r``: the shared
     md5-nibble 60-bit hash of 'r|key', reduced mod the row width. Pure SQL
-    both engines execute identically (``cast`` = STRING or VARCHAR)."""
+    both engines execute identically (``cast`` = STRING or VARCHAR); the
+    Spark side (STRING) uses the conv spelling of the same hash."""
     salted = f"CONCAT('{r}|', CAST({key_expr} AS {cast}))"
-    return f"CAST(({_hash60(salted)}) % {_CMS_W} AS BIGINT)"
+    h = _shash60(salted) if cast == "STRING" else _hash60(salted)
+    return f"CAST(({h}) % {_CMS_W} AS BIGINT)"
 
 
 @query(
@@ -2177,7 +2180,7 @@ def agg_kmv_setops(spark, sf_dir):
             .select(F.lit("union").alias("side"), "user_id")
         )
     )
-    hv = _hash60("CAST(user_id AS STRING)")
+    hv = _shash60("CAST(user_id AS STRING)")
     h = lab.select("side", F.expr(f"CAST({hv} AS BIGINT)").alias("hv")).distinct()
     w = Window.partitionBy("side").orderBy("hv")
     ranked = h.select(
@@ -2723,7 +2726,7 @@ def llm_domain_cap(spark, sf_dir):
     running top-K instead of fully sorting fat domains — the property that
     makes the cap survive a skewed 100 TB crawl."""
     d = load(spark, sf_dir, "documents")
-    h = _dc_hash60("CONCAT('cap|', CAST(doc_id AS STRING))")
+    h = _shash60("CONCAT('cap|', CAST(doc_id AS STRING))")
     from pyspark.sql import Window as _W
 
     w = _W.partitionBy("source").orderBy(F.expr(h), "doc_id")

@@ -224,18 +224,22 @@ def llm_passage_dedup(spark, sf_dir):
     )
 
 
-def _linear_score_sql() -> str:
+def _linear_score_sql(spark_side: bool = False) -> str:
     """The shared per-token hashed-feature weight, as SQL both engines run:
     bucket = hash60(token) mod 2048, weight = (bucket * 2654435761) mod
     2003 - 1001 (a fixed pseudo-random integer weight table defined by
-    formula, so no weight vector ever crosses the engine boundary)."""
-    from ..functions.numeric import sql_hash60
+    formula, so no weight vector ever crosses the engine boundary).
+    ``spark_side`` picks the conv-based spelling of the same hash for the
+    DataFrame plan — it evaluates inside a per-token lambda, where the
+    15-term nibble tree interprets per element."""
+    from ..functions.numeric import spark_hash60, sql_hash60
 
-    h = sql_hash60("tok")
+    h = (spark_hash60 if spark_side else sql_hash60)("tok")
     return f"((({h}) % 2048) * 2654435761) % 2003 - 1001"
 
 
 _LIN_W = _linear_score_sql()
+_LIN_W_SPARK = _linear_score_sql(spark_side=True)
 
 
 @query(
@@ -266,7 +270,7 @@ def llm_linear_quality_score(spark, sf_dir):
     shuffle, zero Python, no explode; a 100 TB corpus scores in one
     embarrassingly-parallel map pass. The shared md5-nibble hash60 keeps
     the bucket assignment engine-exact."""
-    w = _LIN_W
+    w = _LIN_W_SPARK
     d = load(spark, sf_dir, "documents")
     t = d.select("doc_id", ws_tokens("text").alias("t"))
     score = F.expr(

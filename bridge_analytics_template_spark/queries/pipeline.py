@@ -1086,7 +1086,7 @@ def llm_minhash_estimate(spark, sf_dir):
     semi-join to pair members (calibration needs only verified pairs; the
     full-corpus pass is minhash_near_dups). Match counting joins the
     bounded signature table to the candidate pairs on (doc, perm)."""
-    from ..functions.numeric import sql_hash60
+    from ..functions.numeric import spark_hash60
 
     d = load(spark, sf_dir, "documents")
     arrays = _shingle_arrays(d, "text", "doc_id", 5)  # STRING shingles: md5 parity
@@ -1103,7 +1103,7 @@ def llm_minhash_estimate(spark, sf_dir):
         .unionByName(pairs.select(F.col("doc_b").alias("doc")))
         .distinct()
     )
-    mh = sql_hash60("CONCAT(CAST(p AS STRING), '|', shingle)")
+    mh = spark_hash60("CONCAT(CAST(p AS STRING), '|', shingle)")
     sig = (
         arrays.join(F.broadcast(members), "doc")
         .select("doc", F.explode("sh").alias("shingle"))

@@ -1482,7 +1482,7 @@ def q_bootstrap_ci(spark, sf_dir):
     then a 1-row finish. This is the textbook \"Poor man's bootstrap\" plan
     for a 1000-executor cluster: the per-partition partials are the only
     shuffle payload."""
-    from ..functions.numeric import sql_hash60
+    from ..functions.numeric import spark_hash60
 
     o = load(spark, sf_dir, "orders")
     base = o.select("o_orderkey", money_units("o_totalprice").alias("price_u"))
@@ -1491,7 +1491,7 @@ def q_bootstrap_ci(spark, sf_dir):
         F.sum("price_u").alias("total_u"),
     ]
     for r in range(_BOOT_B):
-        h = sql_hash60(f"CONCAT('{r}|', CAST(o_orderkey AS STRING))")
+        h = spark_hash60(f"CONCAT('{r}|', CAST(o_orderkey AS STRING))")
         inc = F.expr(f"({h}) % 2 = 0")
         aggs.append(F.sum(F.when(inc, F.col("price_u")).otherwise(F.lit(0))).alias(f"s{r}"))
         aggs.append(F.sum(F.when(inc, F.lit(1)).otherwise(F.lit(0))).alias(f"c{r}"))

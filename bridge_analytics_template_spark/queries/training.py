@@ -533,6 +533,7 @@ FROM r ORDER BY doc_id
 """
 
 from ..functions.numeric import sql_hash60 as _sql_hash60  # noqa: E402
+from ..functions.numeric import spark_hash60 as _spark_hash60  # noqa: E402
 
 
 @query(
@@ -570,7 +571,7 @@ def train_curriculum_order(spark, sf_dir):
     ).withColumn("neg_flesch", -F.col("flesch_milli"))
     ranked = assign_contiguous_ids(scored, ["neg_flesch", "doc_id"], id_name="i")
     n_tot = scored.agg(F.count(F.lit(1)).alias("n"))
-    h = _sql_hash60("CONCAT('curr|', CAST(doc_id AS STRING))")
+    h = _spark_hash60("CONCAT('curr|', CAST(doc_id AS STRING))")
     return (
         ranked.crossJoin(F.broadcast(n_tot))
         .select(

@@ -345,11 +345,11 @@ def kmv_distinct_stream(events: DataFrame, k: int = 64) -> DataFrame:
     the hash gate)."""
     from pyspark.sql import functions as F
 
-    from ..functions.numeric import sql_hash60
+    from ..functions.numeric import spark_hash60
 
     hashed = events.select(
         "event_type",
-        F.expr(f"CAST({sql_hash60('CAST(user_id AS STRING)')} AS BIGINT)").alias("h"),
+        F.expr(f"CAST({spark_hash60('CAST(user_id AS STRING)')} AS BIGINT)").alias("h"),
     )
     return hashed.groupBy("event_type").applyInPandasWithState(
         _make_kmv_update(k),

@@ -408,3 +408,166 @@ def _mh_old_full(spark, sf_dir):
 
 def mh_old(spark, sf_dir):
     return _mh_old_full(spark, sf_dir)
+
+
+def boot_flags(spark, sf_dir):
+    """q_bootstrap_ci with the 32 replica-inclusion predicates projected
+    ONCE per row before the aggregate: the current single-aggregate form
+    evaluates each replica's md5-hash predicate twice per row (inside s_r
+    AND c_r). Same one-pass scale shape, same values."""
+    from bridge_analytics_template_spark.functions.numeric import money_units, sql_hash60
+
+    o = load(spark, sf_dir, "orders")
+    flagged = o.select(
+        money_units("o_totalprice").alias("price_u"),
+        *[
+            F.expr(
+                f"({sql_hash60(f'''CONCAT('{r}|', CAST(o_orderkey AS STRING))''')}) % 2 = 0"
+            ).alias(f"i{r}")
+            for r in range(32)
+        ],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price_u").alias("total_u"),
+    ]
+    for r in range(32):
+        aggs.append(
+            F.sum(F.when(F.col(f"i{r}"), F.col("price_u")).otherwise(F.lit(0))).alias(f"s{r}")
+        )
+        aggs.append(F.sum(F.when(F.col(f"i{r}"), F.lit(1)).otherwise(F.lit(0))).alias(f"c{r}"))
+    agg = flagged.agg(*aggs)
+    means = F.sort_array(F.array(*[F.expr(f"s{r} * 100 div c{r}") for r in range(32)]))
+    return agg.select(
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.lit(32).cast("long").alias("n_replicas"),
+        F.expr("total_u * 100 div n_orders").alias("mean_centicents"),
+        means.getItem(1).alias("ci_lo_centicents"),
+        means.getItem(30).alias("ci_hi_centicents"),
+    )
+
+
+def boot_conv(spark, sf_dir):
+    """q_bootstrap_ci with the Spark-side hash60 spelled as
+    CAST(conv(substr(md5(x),1,15),16,10) AS BIGINT) — identical value to
+    the 15-term nibble packing (verified 0 mismatches over 200k keys),
+    ~1/15th the expression tree per replica."""
+    from bridge_analytics_template_spark.functions.numeric import money_units
+
+    o = load(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", money_units("o_totalprice").alias("price_u"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price_u").alias("total_u"),
+    ]
+    for r in range(32):
+        h = f"CAST(conv(substr(md5(CONCAT('{r}|', CAST(o_orderkey AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        inc = F.expr(f"({h}) % 2 = 0")
+        aggs.append(F.sum(F.when(inc, F.col("price_u")).otherwise(F.lit(0))).alias(f"s{r}"))
+        aggs.append(F.sum(F.when(inc, F.lit(1)).otherwise(F.lit(0))).alias(f"c{r}"))
+    agg = base.agg(*aggs)
+    means = F.sort_array(F.array(*[F.expr(f"s{r} * 100 div c{r}") for r in range(32)]))
+    return agg.select(
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.lit(32).cast("long").alias("n_replicas"),
+        F.expr("total_u * 100 div n_orders").alias("mean_centicents"),
+        means.getItem(1).alias("ci_lo_centicents"),
+        means.getItem(30).alias("ci_hi_centicents"),
+    )
+
+
+def _nibble60(expr: str) -> str:
+    """The pre-r10 15-term big-endian nibble packing (what sql_hash60
+    returns) — kept here as the A-side baseline for the conv swap."""
+    return " + ".join(
+        f"(instr('0123456789abcdef', substr(md5({expr}), {k + 1}, 1)) - 1)"
+        f" * CAST({16 ** (14 - k)} AS BIGINT)"
+        for k in range(15)
+    )
+
+
+def boot_old(spark, sf_dir):
+    """q_bootstrap_ci exactly as shipped before the spark_hash60 swap:
+    32 replicas x 15-term nibble hash per row."""
+    from bridge_analytics_template_spark.functions.numeric import money_units
+
+    o = load(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", money_units("o_totalprice").alias("price_u"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price_u").alias("total_u"),
+    ]
+    for r in range(32):
+        h = _nibble60(f"CONCAT('{r}|', CAST(o_orderkey AS STRING))")
+        inc = F.expr(f"({h}) % 2 = 0")
+        aggs.append(F.sum(F.when(inc, F.col("price_u")).otherwise(F.lit(0))).alias(f"s{r}"))
+        aggs.append(F.sum(F.when(inc, F.lit(1)).otherwise(F.lit(0))).alias(f"c{r}"))
+    agg = base.agg(*aggs)
+    means = F.sort_array(F.array(*[F.expr(f"s{r} * 100 div c{r}") for r in range(32)]))
+    return agg.select(
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.lit(32).cast("long").alias("n_replicas"),
+        F.expr("total_u * 100 div n_orders").alias("mean_centicents"),
+        means.getItem(1).alias("ci_lo_centicents"),
+        means.getItem(30).alias("ci_hi_centicents"),
+    )
+
+
+def linscore_old(spark, sf_dir):
+    """llm_linear_quality_score with the nibble hash inside the per-token
+    lambda (the pre-r10 form)."""
+    h = _nibble60("tok")
+    w = f"((({h}) % 2048) * 2654435761) % 2003 - 1001"
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", ws_tokens("text").alias("t"))
+    score = F.expr(
+        f"aggregate(transform(t, tok -> {w}), cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    return (
+        t.select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            F.coalesce(score, F.lit(0)).alias("score_raw"),
+        )
+        .withColumn("quality_flag", F.col("score_raw") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def simhash_md5_old(spark, sf_dir):
+    """llm_dedup_simhash_md5's signature build with the 15-term shiftleft
+    token hash (pre-r10) instead of conv(reverse(...))."""
+    from bridge_analytics_template_spark.llm.dedup import simhash_near_dups
+    from bridge_analytics_template_spark.partitioning import ensure_parallelism
+
+    d = load(spark, sf_dir, "documents")
+    tokens = ensure_parallelism(d.select(F.col("doc_id").alias("doc"), "text")).select(
+        "doc", F.explode_outer(ws_tokens(F.col("text"))).alias("tok")
+    )
+    nibble_terms = " + ".join(
+        f"shiftleft(CAST(instr('0123456789abcdef', substr(md5(tok), {k + 1}, 1)) - 1"
+        f" AS BIGINT), {4 * k})"
+        for k in range(15)
+    )
+    tokens = tokens.withColumn("th", F.expr(f"CAST({nibble_terms} AS BIGINT)"))
+
+    def mask(j: int):
+        return F.shiftleft(F.lit(1).cast("long"), j)
+
+    votes = [
+        F.sum(F.when(F.col("th").bitwiseAND(mask(j)) != 0, 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(60)
+    ]
+    agg = tokens.groupBy("doc").agg(*votes)
+    out = F.lit(0).cast("long")
+    for j in range(60):
+        out = out + F.when(F.col(f"b{j}") > 0, mask(j)).otherwise(F.lit(0).cast("long"))
+    return agg.select("doc", out.alias("simhash"))
+
+
+def simhash_md5_new(spark, sf_dir):
+    """The post-swap library path for the same signature build."""
+    from bridge_analytics_template_spark.llm.dedup import simhash
+
+    d = load(spark, sf_dir, "documents")
+    return simhash(d, bits=60, hasher="md5")
