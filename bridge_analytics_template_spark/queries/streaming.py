@@ -251,28 +251,52 @@ def t_resample_locf(spark, sf_dir):
     NULLS). Everything partitions by user_id — grid generation, join and
     fill window all co-key, so the whole query is two shuffles at any
     scale. Buckets are epoch-second integers (tz-proof); sums go
-    decimal-through."""
+    decimal-through.
+
+    Plan shape (r10): the grid is expanded FROM the observation rows — LOCF
+    the (small) observed-bucket table first, lead() to the next observed
+    bucket, then explode each row over its own gap span carrying the filled
+    value. Same rows/values as the generate-grid + left-join + window-over-
+    grid formulation (the oracle's shape), with the spans aggregate and the
+    grid<-obs join removed outright and the fill window running over
+    observed buckets only, never the dense grid."""
     e = load(spark, sf_dir, "events")
     bucket = (F.unix_timestamp("ts") / F.lit(900)).cast("long") * 900
     obs = e.groupBy(F.col("user_id"), bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_events"), dsum(dmoney("value"), "bucket_sum")
     )
-    grid = (
-        obs.groupBy("user_id")
-        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
-        .select(
-            "user_id",
-            F.explode(F.sequence("lo", "hi", F.lit(900))).alias("bucket"),
-        )
-    )
     w = Window.partitionBy("user_id").orderBy("bucket")
+    spans = obs.select(
+        "user_id",
+        "bucket",
+        "n_events",
+        # LOCF over observed buckets == last_value IGNORE NULLS over the
+        # dense grid: gap rows inherit their span head's filled value.
+        F.last("bucket_sum", ignorenulls=True).over(w).alias("filled_sum"),
+        F.lead("bucket").over(w).alias("next_bucket"),
+    )
     return (
-        grid.join(obs, ["user_id", "bucket"], "left")
+        spans.select(
+            "user_id",
+            "n_events",
+            "filled_sum",
+            F.col("bucket").alias("obs_bucket"),
+            F.explode(
+                F.sequence(
+                    "bucket",
+                    F.coalesce(F.col("next_bucket") - 900, F.col("bucket")),
+                    F.lit(900).cast("long"),
+                )
+            ).alias("bucket"),
+        )
         .select(
             "user_id",
             "bucket",
-            F.coalesce("n_events", F.lit(0)).alias("n_events"),
-            F.last("bucket_sum", ignorenulls=True).over(w).alias("filled_sum"),
+            F.when(F.col("bucket") == F.col("obs_bucket"), F.col("n_events"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_events"),
+            "filled_sum",
         )
         .orderBy("user_id", "bucket")
     )

@@ -571,3 +571,37 @@ def simhash_md5_new(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return simhash(d, bits=60, hasher="md5")
+
+
+def locf_old(spark, sf_dir):
+    """t_resample_locf as shipped before r10: generate-grid (spans agg +
+    sequence explode) + left join back to obs + last_value IGNORE NULLS
+    window over the dense grid."""
+    from pyspark.sql import Window
+
+    from bridge_analytics_template_spark.functions.numeric import dmoney, dsum
+
+    e = load(spark, sf_dir, "events")
+    bucket = (F.unix_timestamp("ts") / F.lit(900)).cast("long") * 900
+    obs = e.groupBy(F.col("user_id"), bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"), dsum(dmoney("value"), "bucket_sum")
+    )
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.lit(900))).alias("bucket"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("bucket")
+    return (
+        grid.join(obs, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            "bucket",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("bucket_sum", ignorenulls=True).over(w).alias("filled_sum"),
+        )
+        .orderBy("user_id", "bucket")
+    )
