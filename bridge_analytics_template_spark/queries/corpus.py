@@ -1106,31 +1106,72 @@ def ts_ewma_int(spark, sf_dir):
     integer cents — the inherently SEQUENTIAL per-key recurrence (each step
     floors, so no closed-form window sum exists). The class of op that
     needs applyInPandas: whole-group in/out, sequential scan inside the
-    worker, engine-side it is one co-keyed shuffle (groupBy user) with no
-    window over the corpus. Python ``//`` and DuckDB ``//`` both floor, so
-    the recurrence is bit-identical to the oracle's recursive CTE."""
+    worker, engine-side it is one co-keyed shuffle with no window over the
+    corpus. Python ``//``, numpy ``floor_divide`` and DuckDB ``//`` all
+    floor, so the recurrence is bit-identical to the oracle's recursive
+    CTE.
+
+    Shape (r10): grouped by a deterministic HASH BUCKET of user_id, not by
+    user — thousands of per-user pandas groups became a few per-core
+    batches (the grouping key only sets shuffle granularity; the
+    recurrence stays strictly per-user inside the worker). Inside each
+    batch the recurrence is vectorized ACROSS users step by step: rows
+    lex-sorted by (step-index, user), then step k is one whole-array
+    ``x_k + s_{k-1} // 2`` with searchsorted alignment — the sequential
+    dimension shrinks to max-events-per-user, the true critical path of
+    the recurrence, instead of a Python-interpreted loop over every row."""
     import pandas as pd
 
     e = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    n_buckets = max(2 * spark.sparkContext.defaultParallelism, 8)
 
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
         import numpy as np
 
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {"user_id": [], "event_id": [], "ewma_half_cents": []}
+            ).astype({"user_id": "int64", "event_id": "int64", "ewma_half_cents": "int64"})
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
         x = np.floor(pdf["value"].to_numpy() * 100).astype("int64")
-        out = []
-        s = 0
-        first = True
-        for v in x:
-            v = int(v)
-            s = v if first else v + s // 2
-            first = False
-            out.append(s)
-        pdf = pdf.assign(ewma_half_cents=out)
-        return pdf[["user_id", "event_id", "ewma_half_cents"]]
+        uid = pdf["user_id"].to_numpy()
+        n = len(uid)
+        # per-user step index (uid-sorted, so group starts are boundaries)
+        idx = np.arange(n)
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = uid[1:] != uid[:-1]
+        pos = idx - np.maximum.accumulate(np.where(new_grp, idx, 0))
+        # step blocks: rows re-sorted by (pos, user); block k holds every
+        # user's k-th event, user-sorted, so aligning block k to block k-1
+        # is one searchsorted (users at step k are a subset of step k-1)
+        order = np.lexsort((uid, pos))
+        xs, us, ps = x[order], uid[order], pos[order]
+        n_steps = int(ps[-1]) + 1
+        starts = np.searchsorted(ps, np.arange(n_steps + 1))
+        s_sorted = np.empty(n, dtype="int64")
+        prev_users = us[starts[0] : starts[1]]
+        prev_s = xs[starts[0] : starts[1]]
+        s_sorted[starts[0] : starts[1]] = prev_s
+        for k in range(1, n_steps):
+            lo, hi = starts[k], starts[k + 1]
+            j = np.searchsorted(prev_users, us[lo:hi])
+            cur = xs[lo:hi] + np.floor_divide(prev_s[j], 2)
+            s_sorted[lo:hi] = cur
+            prev_users, prev_s = us[lo:hi], cur
+        s = np.empty(n, dtype="int64")
+        s[order] = s_sorted
+        return pd.DataFrame(
+            {
+                "user_id": uid,
+                "event_id": pdf["event_id"].to_numpy(),
+                "ewma_half_cents": s,
+            }
+        )
 
     return (
-        e.groupBy("user_id")
+        e.withColumn("_bkt", F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)))
+        .groupBy("_bkt")
         .applyInPandas(ewma, schema="user_id long, event_id long, ewma_half_cents long")
         .orderBy("user_id", "event_id")
     )

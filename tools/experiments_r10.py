@@ -605,3 +605,33 @@ def locf_old(spark, sf_dir):
         )
         .orderBy("user_id", "bucket")
     )
+
+
+def ewma_old(spark, sf_dir):
+    """ts_ewma_int as shipped before r10: one applyInPandas group PER USER,
+    Python list-append loop inside each group."""
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        import numpy as np
+
+        x = np.floor(pdf["value"].to_numpy() * 100).astype("int64")
+        out = []
+        s = 0
+        first = True
+        for v in x:
+            v = int(v)
+            s = v if first else v + s // 2
+            first = False
+            out.append(s)
+        pdf = pdf.assign(ewma_half_cents=out)
+        return pdf[["user_id", "event_id", "ewma_half_cents"]]
+
+    return (
+        e.groupBy("user_id")
+        .applyInPandas(ewma, schema="user_id long, event_id long, ewma_half_cents long")
+        .orderBy("user_id", "event_id")
+    )
