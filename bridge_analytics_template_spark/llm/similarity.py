@@ -393,15 +393,17 @@ def _auto_block_size(n: int) -> int:
     return min(b, 4096)
 
 
-def _pack_blocks(vectors, id_col, vec_col, block_size, blk_name, rows_name):
+def _pack_blocks(vectors, id_col, vec_col, block_size, blk_name, rows_name, n_rows=None):
     """Contiguous block ids in id order (operators/rowids.py — range
     partition, no global window), each block packed into ONE row
     (collect_list of (id, vec): B·d doubles ≈ block_size·dim·8 bytes).
-    Shared packing stage of the blocked-GEMM joins below."""
+    Shared packing stage of the blocked-GEMM joins below. ``n_rows``: the
+    callers below always just counted the input for block sizing — passing
+    it through skips the id-assign's internal sizing job (r10)."""
     from ..operators.rowids import assign_contiguous_ids
 
     v = vectors.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v"))
-    ranked = assign_contiguous_ids(v, "vid", id_name="_rk")
+    ranked = assign_contiguous_ids(v, "vid", id_name="_rk", n_rows=n_rows)
     return (
         ranked.withColumn(blk_name, (F.col("_rk") / F.lit(block_size)).cast("long"))
         .groupBy(blk_name)
@@ -482,7 +484,7 @@ def blocked_cosine_pairs(
     if block_size is None:
         block_size = _auto_block_size(n)
     n_blocks = max(1, -(-n // block_size))
-    packed = _pack_blocks(vectors, id_col, vec_col, block_size, "_blk", "rows")
+    packed = _pack_blocks(vectors, id_col, vec_col, block_size, "_blk", "rows", n_rows=n)
     pair_index = spark.range(n_blocks).select(
         F.col("id").alias("blk_a"),
         F.explode(F.sequence(F.col("id"), F.lit(n_blocks - 1))).alias("blk_b"),
@@ -517,8 +519,8 @@ def blocked_cosine_cross_pairs(
         block_size = _auto_block_size(max(n_l, n_r))
     nb_l = max(1, -(-n_l // block_size))
     nb_r = max(1, -(-n_r // block_size))
-    a = _pack_blocks(left, id_col, vec_col, block_size, "blk_a", "rows_a")
-    b = _pack_blocks(right, id_col, vec_col, block_size, "blk_b", "rows_b")
+    a = _pack_blocks(left, id_col, vec_col, block_size, "blk_a", "rows_a", n_rows=n_l)
+    b = _pack_blocks(right, id_col, vec_col, block_size, "blk_b", "rows_b", n_rows=n_r)
     pair_index = spark.range(nb_l).select(
         F.col("id").alias("blk_a"),
         F.explode(F.sequence(F.lit(0), F.lit(nb_r - 1))).alias("blk_b"),

@@ -1014,11 +1014,13 @@ def q_decile_bins(spark, sf_dir):
         .groupBy("o_custkey")
         .agg(F.sum("cents").alias("cents"))
     )
-    ranked = assign_contiguous_ids(pc, ["cents", "o_custkey"], id_name="i")
-    n_tot = pc.agg(F.count(F.lit(1)).alias("n"))
+    # one sizing count feeds both the id-assign and the decile denominator
+    # (r10: was an internal count inside the id-assign plus a
+    # crossJoin(broadcast(count-agg)) at action time)
+    n = pc.count()
+    ranked = assign_contiguous_ids(pc, ["cents", "o_custkey"], id_name="i", n_rows=n)
     return (
-        ranked.crossJoin(F.broadcast(n_tot))
-        .select("cents", F.expr("i * 10 DIV n + 1").alias("decile"))
+        ranked.select("cents", F.expr(f"i * 10 DIV {n} + 1").alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_members"),

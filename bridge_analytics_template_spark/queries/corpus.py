@@ -901,9 +901,20 @@ def llm_bitext_mine(spark, sf_dir):
 
     _B = 1024
 
-    def packed(side: DataFrame, blk: str, rows: str) -> tuple[DataFrame, int]:
-        n = side.count()
-        ranked = assign_contiguous_ids(side, "vec_id", id_name="_rk")
+    # Both side sizes in ONE column-pruned job (r10: was one count() per
+    # side plus a second count() inside each assign_contiguous_ids — four
+    # sizing jobs for two numbers).
+    side_counts = {
+        r["par"]: r["n"]
+        for r in e.select((F.col("vec_id") % 2).alias("par"))
+        .groupBy("par")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_src, n_tgt = int(side_counts.get(0, 0)), int(side_counts.get(1, 0))
+
+    def packed(side: DataFrame, blk: str, rows: str, n: int) -> tuple[DataFrame, int]:
+        ranked = assign_contiguous_ids(side, "vec_id", id_name="_rk", n_rows=n)
         p = (
             ranked.withColumn(blk, (F.col("_rk") / F.lit(_B)).cast("long"))
             .groupBy(blk)
@@ -912,8 +923,8 @@ def llm_bitext_mine(spark, sf_dir):
         return p, max(1, -(-n // _B))
 
     src, tgt = base.filter(F.col("vec_id") % 2 == 0), base.filter(F.col("vec_id") % 2 == 1)
-    pa, na = packed(src, "blk_a", "rows_a")
-    pb, nb = packed(tgt, "blk_b", "rows_b")
+    pa, na = packed(src, "blk_a", "rows_a", n_src)
+    pb, nb = packed(tgt, "blk_b", "rows_b", n_tgt)
     pa, pb = track(pa.persist()), track(pb.persist())
     grid = spark.range(na).select(
         F.col("id").alias("blk_a"),
@@ -983,9 +994,11 @@ def llm_bitext_mine(spark, sf_dir):
     # pass 2: r(y) rides the packed target rows; per source the block-local
     # argmax of m = 2·cos − r(y) combines via max(struct) — r(x) is constant
     # per source, so csls = m − r(x) attaches after the combine.
+    # every target id appears in pass 1's partials, so the inner join keeps
+    # all n_tgt rows — the count is already known, no sizing job needed
     tgt_r = tgt.join(ry, tgt["vec_id"] == ry["y"]).select("vec_id", "v", "nn", "ry")
     pb2 = (
-        assign_contiguous_ids(tgt_r, "vec_id", id_name="_rk")
+        assign_contiguous_ids(tgt_r, "vec_id", id_name="_rk", n_rows=n_tgt)
         .withColumn("blk_b", (F.col("_rk") / F.lit(_B)).cast("long"))
         .groupBy("blk_b")
         .agg(F.collect_list(F.struct("vec_id", "v", "nn", "ry")).alias("rows_b"))

@@ -901,13 +901,23 @@ def llm_dedup_cascade(spark, sf_dir):
     any-earlier-neighbor rule, NOT survivor-chaining (that variant is
     llm_dedup_clusters)."""
     d = load(spark, sf_dir, "documents")
-    n_docs = d.count()
-    w_exact = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    k1 = d.withColumn("rn", F.row_number().over(w_exact)).filter("rn = 1").drop("rn")
-    n_k1 = k1.count()
-    w_norm = Window.partitionBy(normalized_fingerprint(F.col("text"))).orderBy("doc_id")
-    k2 = track(k1.withColumn("rn", F.row_number().over(w_norm)).filter("rn = 1").drop("rn").persist())
-    n_k2 = k2.count()
+    # r10: the three stage sizes in ONE aggregate job — |k1| is the number
+    # of distinct content hashes, and |k2| is the number of distinct
+    # normalized fingerprints over ALL docs (identical text ⇒ identical
+    # fingerprint, so each fingerprint group's k1 reps cover it exactly).
+    # Likewise k2's survivor per fingerprint group is the group's GLOBAL
+    # min doc_id (the min over md5-subgroup minima), so one window over
+    # the fingerprint replaces the chained exact→normalized windows.
+    # (Was: 3 separate count jobs + 2 chained windows + a persist.)
+    fp = normalized_fingerprint(F.col("text"))
+    sizes = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_k1"),
+        F.countDistinct(fp).alias("n_k2"),
+    ).collect()[0]
+    n_docs, n_k1, n_k2 = int(sizes["n_docs"]), int(sizes["n_k1"]), int(sizes["n_k2"])
+    w_norm = Window.partitionBy(fp).orderBy("doc_id")
+    k2 = d.withColumn("rn", F.row_number().over(w_norm)).filter("rn = 1").drop("rn")
     arrays = _shingle_arrays(k2, "text", "doc_id", 5, hashed=True)
     near = (
         exact_jaccard_pairs(arrays, min_jaccard=0.5)
@@ -915,7 +925,6 @@ def llm_dedup_cascade(spark, sf_dir):
         .distinct()
     )
     n_near = near.count()
-    k2.unpersist()  # all counts are driver-side now; the returned DF is a literal
     return spark.createDataFrame(
         [(n_docs, n_docs - n_k1, n_k1 - n_k2, n_near, n_k2 - n_near)],
         "n_docs long, n_exact_removed long, n_norm_removed long, n_neardup_removed long, n_final long",

@@ -2228,7 +2228,7 @@ def q_calibration_bins_ef(spark, sf_dir):
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
     )
     n = q.count()
-    ranked = assign_contiguous_ids(q, ["cents", "event_id"], id_name="rid")
+    ranked = assign_contiguous_ids(q, ["cents", "event_id"], id_name="rid", n_rows=n)
     return (
         ranked.select(
             F.expr(f"rid * {_CAL_EF_K} div {n}").alias("bin"), "cents", "y"
@@ -2507,12 +2507,17 @@ def q_gains_by_decile(spark, sf_dir):
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
         "event_id",
     ).withColumn("neg_vq", -F.col("vq"))
-    ranked = assign_contiguous_ids(q, ["neg_vq", "event_id"], id_name="i")
-    t = q.agg(
-        F.sum("y").alias("total_pos"), F.count(F.lit(1)).alias("n_total")
-    )
-    d = ranked.crossJoin(F.broadcast(t)).select(
-        F.expr("i * 10 DIV n_total + 1").alias("decile"), "y", "n_total", "total_pos"
+    # one bounded collect gives BOTH the id-assign's sizing count and the
+    # lift denominators (r10: was an internal count job inside the
+    # id-assign plus a crossJoin(broadcast(agg)) at action time)
+    tot = q.agg(F.sum("y").alias("total_pos"), F.count(F.lit(1)).alias("n_total")).collect()[0]
+    total_pos, n_total = int(tot["total_pos"] or 0), int(tot["n_total"])
+    ranked = assign_contiguous_ids(q, ["neg_vq", "event_id"], id_name="i", n_rows=n_total)
+    d = ranked.select(
+        F.expr(f"i * 10 DIV {n_total} + 1").alias("decile"),
+        "y",
+        F.lit(n_total).alias("n_total"),
+        F.lit(total_pos).alias("total_pos"),
     )
     return (
         d.groupBy("decile", "n_total", "total_pos")

@@ -569,11 +569,14 @@ def train_curriculum_order(spark, sf_dir):
             F.lit(206835) - F.expr("1015 * w div s") - F.expr("84600 * y div w")
         ).cast("long").alias("flesch_milli"),
     ).withColumn("neg_flesch", -F.col("flesch_milli"))
-    ranked = assign_contiguous_ids(scored, ["neg_flesch", "doc_id"], id_name="i")
-    n_tot = scored.agg(F.count(F.lit(1)).alias("n"))
+    # one sizing count feeds both the id-assign and the phase denominator
+    # (r10: was an internal count inside the id-assign plus a
+    # crossJoin(broadcast(count-agg)) at action time)
+    n = scored.count()
+    ranked = assign_contiguous_ids(scored, ["neg_flesch", "doc_id"], id_name="i", n_rows=n)
     h = _spark_hash60("CONCAT('curr|', CAST(doc_id AS STRING))")
     return (
-        ranked.crossJoin(F.broadcast(n_tot))
+        ranked.withColumn("n", F.lit(n))
         .select(
             "doc_id",
             "flesch_milli",

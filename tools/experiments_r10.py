@@ -635,3 +635,205 @@ def ewma_old(spark, sf_dir):
         .applyInPandas(ewma, schema="user_id long, event_id long, ewma_half_cents long")
         .orderBy("user_id", "event_id")
     )
+
+
+def boot_flags_conv(spark, sf_dir):
+    """q_bootstrap_ci with the conv hash AND the 32 inclusion flags
+    projected once per row before the aggregate (the shipped form
+    evaluates each replica's hash twice: inside s_r and inside c_r)."""
+    from bridge_analytics_template_spark.functions.numeric import money_units, spark_hash60
+
+    o = load(spark, sf_dir, "orders")
+    flagged = o.select(
+        money_units("o_totalprice").alias("price_u"),
+        *[
+            F.expr(
+                f"({spark_hash60(f'''CONCAT('{r}|', CAST(o_orderkey AS STRING))''')}) % 2 = 0"
+            ).alias(f"i{r}")
+            for r in range(32)
+        ],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price_u").alias("total_u"),
+    ]
+    for r in range(32):
+        aggs.append(
+            F.sum(F.when(F.col(f"i{r}"), F.col("price_u")).otherwise(F.lit(0))).alias(f"s{r}")
+        )
+        aggs.append(F.sum(F.when(F.col(f"i{r}"), F.lit(1)).otherwise(F.lit(0))).alias(f"c{r}"))
+    agg = flagged.agg(*aggs)
+    means = F.sort_array(F.array(*[F.expr(f"s{r} * 100 div c{r}") for r in range(32)]))
+    return agg.select(
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.lit(32).cast("long").alias("n_replicas"),
+        F.expr("total_u * 100 div n_orders").alias("mean_centicents"),
+        means.getItem(1).alias("ci_lo_centicents"),
+        means.getItem(30).alias("ci_hi_centicents"),
+    )
+
+
+def bitext_old(spark, sf_dir):
+    """llm_bitext_mine as shipped before the r10 sizing-job reduction."""
+    from bridge_analytics_template_spark.queries.corpus import _MMR_Q, track
+    from pyspark.sql import DataFrame
+    import numpy as np
+    import pandas as pd
+
+    from bridge_analytics_template_spark.operators.rowids import assign_contiguous_ids
+
+    e = load(spark, sf_dir, "embeddings")
+    qv = F.transform("embedding", lambda v: F.floor(v.cast("double") * _MMR_Q).cast("long"))
+    nn = F.aggregate(
+        F.transform("v", lambda v: v * v), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    base = e.select("vec_id", qv.alias("v")).select("vec_id", "v", nn.alias("nn"))
+
+    _B = 1024
+
+    def packed(side: DataFrame, blk: str, rows: str) -> tuple[DataFrame, int]:
+        n = side.count()
+        ranked = assign_contiguous_ids(side, "vec_id", id_name="_rk")
+        p = (
+            ranked.withColumn(blk, (F.col("_rk") / F.lit(_B)).cast("long"))
+            .groupBy(blk)
+            .agg(F.collect_list(F.struct("vec_id", "v", "nn")).alias(rows))
+        )
+        return p, max(1, -(-n // _B))
+
+    src, tgt = base.filter(F.col("vec_id") % 2 == 0), base.filter(F.col("vec_id") % 2 == 1)
+    pa, na = packed(src, "blk_a", "rows_a")
+    pb, nb = packed(tgt, "blk_b", "rows_b")
+    pa, pb = track(pa.persist()), track(pb.persist())
+    grid = spark.range(na).select(
+        F.col("id").alias("blk_a"),
+        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("blk_b"),
+    )
+    joined = pa.join(F.broadcast(grid), "blk_a").join(pb, "blk_b")
+
+    def unpack(cell, extra=None):
+        ids = np.array([r["vec_id"] for r in cell], dtype=np.int64)
+        m = np.array([list(r["v"]) for r in cell], dtype=np.float64)
+        rt = np.sqrt(np.array([r["nn"] for r in cell], dtype=np.float64))
+        ex = np.array([r[extra] for r in cell], dtype=np.float64) if extra else None
+        return ids, m, rt, ex
+
+    def unpack_memo(cache: dict, key, cell, extra=None):
+        # a task sees each packed block once per BLOCK PAIR — memoizing the
+        # struct-list → numpy conversion by block id cuts the dominant
+        # per-pair constant (measured at 100x: unpack, not GEMM, ruled)
+        hit = cache.get(key)
+        if hit is None:
+            if len(cache) >= 512:  # bound worker memory on huge grids
+                cache.clear()
+            hit = cache[key] = unpack(cell, extra)
+        return hit
+
+    def top2(cos: "np.ndarray") -> "np.ndarray":
+        # two largest per row, UNORDERED — np.partition is O(cols) per row
+        # vs the O(cols log cols) full sort that dominated the first 100x
+        # run; order is irrelevant because the downstream combine re-sorts
+        # the unioned partials
+        if cos.shape[1] < 2:
+            return cos
+        return -np.partition(-cos, kth=1, axis=1)[:, :2]
+
+    def top2_partials(batches):
+        # pass 1: per block pair, each side's two largest cos values —
+        # a semilattice partial (global top-2 = top-2 of unioned partials)
+        cache: dict = {}
+        for pdf in batches:
+            for ba, bb, ra, rb in zip(pdf["blk_a"], pdf["blk_b"], pdf["rows_a"], pdf["rows_b"]):
+                ia, ma, rta, _ = unpack_memo(cache, ("a", int(ba)), ra)
+                ib, mb, rtb, _ = unpack_memo(cache, ("b", int(bb)), rb)
+                cos = (ma @ mb.T) / (rta[:, None] * rtb[None, :])
+                xa = top2(cos)
+                xb = top2(np.ascontiguousarray(cos.T))
+                k_a, k_b = xa.shape[1], xb.shape[1]
+                yield pd.DataFrame(
+                    {
+                        "side": ["x"] * (len(ia) * k_a) + ["y"] * (len(ib) * k_b),
+                        "id": np.concatenate([ia.repeat(k_a), ib.repeat(k_b)]),
+                        "c": np.concatenate([xa.ravel(), xb.ravel()]),
+                    }
+                )
+
+    partials = joined.mapInPandas(top2_partials, schema="side string, id long, c double")
+    # distinct name from the numpy `top2` helper above: the closure only
+    # works because the UDF is pickled at the mapInPandas() call site —
+    # rebinding the same name to a Column would break under any
+    # deferred-serialization path (e.g. Spark Connect)
+    top2_col = F.slice(F.sort_array(F.collect_list("c"), asc=False), 1, 2)
+    means = partials.groupBy("side", "id").agg(
+        ((F.element_at(top2_col, 1) + F.element_at(top2_col, 2)) / 2).alias("r")
+    )
+    rx = means.filter(F.col("side") == "x").select(F.col("id").alias("x"), F.col("r").alias("rx"))
+    ry = means.filter(F.col("side") == "y").select(F.col("id").alias("y"), F.col("r").alias("ry"))
+
+    # pass 2: r(y) rides the packed target rows; per source the block-local
+    # argmax of m = 2·cos − r(y) combines via max(struct) — r(x) is constant
+    # per source, so csls = m − r(x) attaches after the combine.
+    tgt_r = tgt.join(ry, tgt["vec_id"] == ry["y"]).select("vec_id", "v", "nn", "ry")
+    pb2 = (
+        assign_contiguous_ids(tgt_r, "vec_id", id_name="_rk")
+        .withColumn("blk_b", (F.col("_rk") / F.lit(_B)).cast("long"))
+        .groupBy("blk_b")
+        .agg(F.collect_list(F.struct("vec_id", "v", "nn", "ry")).alias("rows_b"))
+    )
+    joined2 = pa.join(F.broadcast(grid), "blk_a").join(pb2, "blk_b")
+
+    def best_margin(batches):
+        cache: dict = {}
+        for pdf in batches:
+            for ba, bb, ra, rb in zip(pdf["blk_a"], pdf["blk_b"], pdf["rows_a"], pdf["rows_b"]):
+                ia, ma, rta, _ = unpack_memo(cache, ("a", int(ba)), ra)
+                ib, mb, rtb, ryv = unpack_memo(cache, ("b", int(bb)), rb, extra="ry")
+                cos = (ma @ mb.T) / (rta[:, None] * rtb[None, :])
+                m = cos + cos - ryv[None, :]
+                mx = m.max(axis=1)
+                # tie → lowest target id, same as the oracle's (csls, -y) struct
+                best_y = np.where(m == mx[:, None], ib[None, :], np.iinfo(np.int64).max).min(axis=1)
+                yield pd.DataFrame({"x": ia, "m": mx, "y": best_y})
+
+    block_best = joined2.mapInPandas(best_margin, schema="x long, m double, y long")
+    best = block_best.groupBy("x").agg(
+        F.max(F.struct(F.col("m").alias("c"), (-F.col("y")).alias("nid"))).alias("b")
+    )
+    return (
+        best.join(rx, "x")
+        .select(
+            F.col("x").alias("src_id"),
+            (-F.col("b.nid")).alias("tgt_id"),
+            (F.col("b.c") - F.col("rx")).alias("csls"),
+            ((F.col("b.c") - F.col("rx")) > 0).alias("mined"),
+        )
+        .orderBy("src_id")
+    )
+
+
+
+def cascade_old(spark, sf_dir):
+    """llm_dedup_cascade as shipped before r10: three sequential count
+    jobs (docs, k1, k2) + two chained dedup windows + a persist."""
+    from pyspark.sql import Window
+
+    from bridge_analytics_template_spark.functions.text import normalized_fingerprint
+    from bridge_analytics_template_spark.llm.dedup import exact_jaccard_pairs
+    from bridge_analytics_template_spark.queries.llm import _shingle_arrays, track
+
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()
+    w_exact = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    k1 = d.withColumn("rn", F.row_number().over(w_exact)).filter("rn = 1").drop("rn")
+    n_k1 = k1.count()
+    w_norm = Window.partitionBy(normalized_fingerprint(F.col("text"))).orderBy("doc_id")
+    k2 = track(k1.withColumn("rn", F.row_number().over(w_norm)).filter("rn = 1").drop("rn").persist())
+    n_k2 = k2.count()
+    arrays = _shingle_arrays(k2, "text", "doc_id", 5, hashed=True)
+    near = exact_jaccard_pairs(arrays, min_jaccard=0.5).select("doc_b").distinct()
+    n_near = near.count()
+    k2.unpersist()
+    return spark.createDataFrame(
+        [(n_docs, n_docs - n_k1, n_k1 - n_k2, n_near, n_k2 - n_near)],
+        "n_docs long, n_exact_removed long, n_norm_removed long, n_neardup_removed long, n_final long",
+    )
