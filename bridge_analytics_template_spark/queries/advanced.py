@@ -577,10 +577,16 @@ def llm_winnowing(spark, sf_dir):
             lambda i: F.array_min(F.slice(hs, i, _WIN_W)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return hsdf.select(
+    fps = hsdf.select(
         "doc_id",
         F.array_join(F.array_sort(F.array_distinct(wins)), ",").alias("fp"),
-    ).orderBy("doc_id")
+    )
+    # Persist before the output ORDER BY: the subtree is map-only, so the
+    # range partitioner's bounds-sampling pass otherwise re-runs the whole
+    # winnowing expression over every row a second time.
+    from ..caching import track
+
+    return track(fps.persist()).orderBy("doc_id")
 
 
 # --- Cohort lifetime value -------------------------------------------------

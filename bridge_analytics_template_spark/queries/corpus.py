@@ -1182,12 +1182,17 @@ def ts_ewma_int(spark, sf_dir):
             }
         )
 
-    return (
+    out = (
         e.withColumn("_bkt", F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)))
         .groupBy("_bkt")
         .applyInPandas(ewma, schema="user_id long, event_id long, ewma_half_cents long")
-        .orderBy("user_id", "event_id")
     )
+    # Persist before the output ORDER BY: the range partitioner's
+    # bounds-sampling pass otherwise re-executes the whole Python
+    # recurrence pass a second time (sign-stable interleaved A/B).
+    from ..caching import track
+
+    return track(out.persist()).orderBy("user_id", "event_id")
 
 
 # --- k-anonymity preflight ---------------------------------------------------

@@ -127,7 +127,11 @@ from ..oracles.text_refs import simhash_pairs_oracle
 
 @query("llm_dedup_simhash", sql=simhash_pairs_oracle)
 def llm_dedup_simhash(spark, sf_dir):
-    """L2b: SimHash-64 near-dups via banded Hamming join (≤3 bits)."""
+    """L2b: SimHash-64 near-dups via banded Hamming join (≤3 bits).
+    (r10: persist-before-sort was MEASURED here and kept OFF — the pair
+    set sits just above its distinct's shuffle, so the range sampler
+    re-reads shuffle output, and the persist only added cache cost:
+    interleaved A/B 4/5 passes slower.)"""
     return simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=3).orderBy(
         "doc_a", "doc_b"
     )

@@ -275,7 +275,7 @@ def t_resample_locf(spark, sf_dir):
         F.last("bucket_sum", ignorenulls=True).over(w).alias("filled_sum"),
         F.lead("bucket").over(w).alias("next_bucket"),
     )
-    return (
+    dense = (
         spans.select(
             "user_id",
             "n_events",
@@ -298,8 +298,13 @@ def t_resample_locf(spark, sf_dir):
             .alias("n_events"),
             "filled_sum",
         )
-        .orderBy("user_id", "bucket")
     )
+    # Persist before the output ORDER BY: the range partitioner's
+    # bounds-sampling pass otherwise re-executes the agg+window+explode
+    # subtree a second time (sign-stable interleaved A/B).
+    from ..caching import track
+
+    return track(dense.persist()).orderBy("user_id", "bucket")
 
 
 @query(

@@ -837,3 +837,164 @@ def cascade_old(spark, sf_dir):
         [(n_docs, n_docs - n_k1, n_k1 - n_k2, n_near, n_k2 - n_near)],
         "n_docs long, n_exact_removed long, n_norm_removed long, n_neardup_removed long, n_final long",
     )
+
+
+def ewma_r10_nopersist(spark, sf_dir):
+    """ts_ewma_int exactly as committed mid-r10 (vectorized, no persist
+    before the output sort)."""
+
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    n_buckets = max(2 * spark.sparkContext.defaultParallelism, 8)
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {"user_id": [], "event_id": [], "ewma_half_cents": []}
+            ).astype({"user_id": "int64", "event_id": "int64", "ewma_half_cents": "int64"})
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+        x = np.floor(pdf["value"].to_numpy() * 100).astype("int64")
+        uid = pdf["user_id"].to_numpy()
+        n = len(uid)
+        # per-user step index (uid-sorted, so group starts are boundaries)
+        idx = np.arange(n)
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = uid[1:] != uid[:-1]
+        pos = idx - np.maximum.accumulate(np.where(new_grp, idx, 0))
+        # step blocks: rows re-sorted by (pos, user); block k holds every
+        # user's k-th event, user-sorted, so aligning block k to block k-1
+        # is one searchsorted (users at step k are a subset of step k-1)
+        order = np.lexsort((uid, pos))
+        xs, us, ps = x[order], uid[order], pos[order]
+        n_steps = int(ps[-1]) + 1
+        starts = np.searchsorted(ps, np.arange(n_steps + 1))
+        s_sorted = np.empty(n, dtype="int64")
+        prev_users = us[starts[0] : starts[1]]
+        prev_s = xs[starts[0] : starts[1]]
+        s_sorted[starts[0] : starts[1]] = prev_s
+        for k in range(1, n_steps):
+            lo, hi = starts[k], starts[k + 1]
+            j = np.searchsorted(prev_users, us[lo:hi])
+            cur = xs[lo:hi] + np.floor_divide(prev_s[j], 2)
+            s_sorted[lo:hi] = cur
+            prev_users, prev_s = us[lo:hi], cur
+        s = np.empty(n, dtype="int64")
+        s[order] = s_sorted
+        return pd.DataFrame(
+            {
+                "user_id": uid,
+                "event_id": pdf["event_id"].to_numpy(),
+                "ewma_half_cents": s,
+            }
+        )
+
+    return (
+        e.withColumn("_bkt", F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)))
+        .groupBy("_bkt")
+        .applyInPandas(ewma, schema="user_id long, event_id long, ewma_half_cents long")
+        .orderBy("user_id", "event_id")
+    )
+
+
+
+def locf_r10_nopersist(spark, sf_dir):
+    """t_resample_locf exactly as committed mid-r10 (span expansion, no
+    persist before the output sort)."""
+    from pyspark.sql import Window
+
+    from bridge_analytics_template_spark.functions.numeric import dmoney, dsum
+
+    e = load(spark, sf_dir, "events")
+    bucket = (F.unix_timestamp("ts") / F.lit(900)).cast("long") * 900
+    obs = e.groupBy(F.col("user_id"), bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"), dsum(dmoney("value"), "bucket_sum")
+    )
+    w = Window.partitionBy("user_id").orderBy("bucket")
+    spans = obs.select(
+        "user_id",
+        "bucket",
+        "n_events",
+        # LOCF over observed buckets == last_value IGNORE NULLS over the
+        # dense grid: gap rows inherit their span head's filled value.
+        F.last("bucket_sum", ignorenulls=True).over(w).alias("filled_sum"),
+        F.lead("bucket").over(w).alias("next_bucket"),
+    )
+    return (
+        spans.select(
+            "user_id",
+            "n_events",
+            "filled_sum",
+            F.col("bucket").alias("obs_bucket"),
+            F.explode(
+                F.sequence(
+                    "bucket",
+                    F.coalesce(F.col("next_bucket") - 900, F.col("bucket")),
+                    F.lit(900).cast("long"),
+                )
+            ).alias("bucket"),
+        )
+        .select(
+            "user_id",
+            "bucket",
+            F.when(F.col("bucket") == F.col("obs_bucket"), F.col("n_events"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_events"),
+            "filled_sum",
+        )
+        .orderBy("user_id", "bucket")
+    )
+
+
+
+from bridge_analytics_template_spark.queries.advanced import _WIN_K, _WIN_W  # noqa: E402
+from bridge_analytics_template_spark.functions.text import word_shingles  # noqa: E402
+
+
+def winnow_nopersist(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003, the
+    MOSS scheme): hash every k-word shingle, slide a w-hash window, keep
+    each window's minimum — guarantees any shared run of >= k+w-1 words
+    between two documents shares a fingerprint, at ~2/(w+1) selection
+    density. All in-row higher-order functions (zero shuffle until the
+    final sort); fingerprints emit as canonical sorted text for the
+    driver's scalar canon."""
+    d = load(spark, sf_dir, "documents")
+    # Materialize the token array, then the hash array, as named columns:
+    # referencing a raw expression inside a window lambda would re-evaluate
+    # the whole shingle+md5 tree once per window — O(n^2) md5 calls per
+    # document (measured ~100x on this fixture) — and the element_at-based
+    # word_shingles references its token input n+2 times (r10).
+    hsdf = d.select("doc_id", ws_tokens("text").alias("toks")).select(
+        "doc_id",
+        F.transform(
+            word_shingles(F.col("toks"), _WIN_K), lambda s: F.substring(F.md5(s), 1, 16)
+        ).alias("hs"),
+    )
+    hs = F.col("hs")
+    m = F.size(hs)
+    wins = F.when(
+        m >= _WIN_W,
+        F.transform(
+            F.sequence(F.lit(1), m - (_WIN_W - 1)),
+            lambda i: F.array_min(F.slice(hs, i, _WIN_W)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return hsdf.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_distinct(wins)), ",").alias("fp"),
+    ).orderBy("doc_id")
+
+
+
+def simhash_nopersist(spark, sf_dir):
+    """llm_dedup_simhash without the r10 persist-before-sort."""
+    from bridge_analytics_template_spark.llm.dedup import simhash_near_dups
+
+    return simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=3).orderBy(
+        "doc_a", "doc_b"
+    )
