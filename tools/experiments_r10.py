@@ -998,3 +998,37 @@ def simhash_nopersist(spark, sf_dir):
     return simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=3).orderBy(
         "doc_a", "doc_b"
     )
+
+
+def recall_report_old(spark, sf_dir):
+    """llm_ann_recall_report as shipped before r10 (brute subtree
+    duplicated per method: 4 hits joins + 4 n_brute aggregates)."""
+    from bridge_analytics_template_spark.llm.pq import ivfpq_knn, pq_knn
+    from bridge_analytics_template_spark.llm.similarity import ivf_knn, knn_bruteforce_np, knn_lsh
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    brute = knn_bruteforce_np(q, e, k=5).select("query_id", "neighbor_id")
+    methods = {
+        "lsh": knn_lsh(q, e, k=5),
+        "ivf": ivf_knn(q, e, k=5),
+        "pq": pq_knn(q, e, k=5),
+        "ivfpq": ivfpq_knn(q, e, k=5),
+    }
+    reports = []
+    for name, df in methods.items():
+        hits = brute.join(df.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        reports.append(
+            brute.agg(F.count(F.lit(1)).alias("n_brute"))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+            .select(
+                F.lit(name).alias("method"),
+                "n_brute",
+                "n_hits",
+                (F.col("n_hits").cast("double") / F.col("n_brute")).alias("recall_at_5"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("method")
