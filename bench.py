@@ -82,14 +82,45 @@ def main() -> None:
             spark.catalog.clearCache()
     times = {k: min(v) for k, v in passes.items()}
     total = round(sum(times.values()), 3)
+
+    # --- r11 ADDITIVE instrumentation (VERDICT r10 next-round #2/#3) -----
+    # The count() action lets Catalyst prune side-effect-free subtrees
+    # (left-join elimination, unreferenced sorts), so several queries'
+    # count-based seconds understate true cost (decontaminate 0.3 s count
+    # vs 4.2 s noop, r10 probe) AND every count-based number at sf0.1 is
+    # overhead-bound, so 8-core ≈ 32-core and core-scaling is invisible.
+    # Fix, additions only: a second timed sweep through the SAME queries
+    # under the noop sink (guide §1.4 — computes every column of every
+    # row), reported as extra "noop:<name>" entries in `queries` (the
+    # contract allows ADDING entries) plus a top-level "noop" map. The
+    # original 20 count-based entries, their passes, and "value" keep
+    # byte-identical semantics for cross-round comparison. "cpus" echoes
+    # the resolved local[n] so the scaling evidence is self-describing.
+    noop_passes: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _pass in range(2):
+        for name in HEADLINE:
+            spark.sparkContext.setJobDescription(f"noop:{name}")
+            t0 = time.time()
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            noop_passes[name].append(round(time.time() - t0, 3))
+            spark.sparkContext.setJobDescription(None)
+            spark.catalog.clearCache()
+    noop_times = {k: min(v) for k, v in noop_passes.items()}
+
+    queries_out = dict(times)
+    queries_out.update({f"noop:{k}": v for k, v in noop_times.items()})
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_time",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
+                "cpus": spark.sparkContext.defaultParallelism,
+                "queries": queries_out,
                 "passes": passes,
+                "noop": noop_times,
+                "noop_passes": noop_passes,
                 "sf": sf,
             }
         )

@@ -50,9 +50,15 @@ def word_shingles(tokens: Column, n: int) -> Column:
     literal spaces, NOT ``concat_ws(' ', slice(t, i, n))``: the slice form
     allocates an n-element array per gram inside the (interpreted) lambda
     and ran ~9x slower on the winnowing profile (r10, measured at sf0.1:
-    3.13 s → 0.34 s for the 4-gram build, byte-identical output; token
-    arrays from ``split`` never contain NULLs, so ``concat`` ==
-    ``concat_ws`` here).
+    3.13 s → 0.34 s for the 4-gram build, byte-identical output).
+
+    PRECONDITION (ADVICE r10): the token array must be NULL-FREE —
+    ``concat`` yields a NULL gram if ANY element is NULL, where the old
+    ``concat_ws`` skipped NULLs. Every caller in this repo feeds
+    ``split()``-produced arrays, which never contain NULLs; a caller
+    with a hand-built array must filter NULL tokens first (do NOT paper
+    over it with coalesce here — a silent empty-string token would
+    corrupt gram identity).
 
     CALLER NOTE: the token expression is referenced ``n + 2`` times, so
     pass a MATERIALIZED column (select the token array first), not an

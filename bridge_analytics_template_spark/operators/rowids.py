@@ -91,16 +91,21 @@ def assign_contiguous_ids(
 
     ``n_rows``: the exact input row count, when the caller already knows it
     (e.g. just materialized a persisted aggregate with ``count()``) — skips
-    the sizing job. It feeds the adaptive sample rate and the fast-path
-    cutover only; a wrong value can cost balance, never correctness.
+    the sizing job. A wrong POSITIVE value only skews the sample rate and
+    bucket balance, never the ids (the routing and local indexing are pure
+    row functions). ``n_rows <= 0`` is treated as UNKNOWN and falls back to
+    counting (r11, ADVICE): 0 used to short-circuit into the empty-input
+    early return and silently drop every row of a non-empty frame.
     """
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
 
     # Job 1: size the data (column-pruned count — the adaptive sample rate
     # needs n; a fixed rate either floods the driver at corpus scale or
     # starves the boundaries on small data). Skipped when the caller
-    # supplies the count (r10 — one fewer driver-blocking job per build).
-    n = df.count() if n_rows is None else n_rows
+    # supplies a positive count (r10 — one fewer driver-blocking job per
+    # build); <= 0 means "unknown", count it (never trust 0 from a caller
+    # whose frame may be non-empty).
+    n = df.count() if n_rows is None or n_rows <= 0 else n_rows
     if n == 0:
         return df.withColumn(id_name, F.lit(0).cast("long")).where(F.lit(False))
 

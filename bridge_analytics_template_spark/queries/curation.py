@@ -69,7 +69,17 @@ def llm_decontaminate(spark, sf_dir):
     gram instead of ~50. Same result modulo the documented 2^-64
     llm_ngram_jaccard collision trade (the string-gram oracle still
     value-checks every row); measured 3.4x on the noop-isolated cost,
-    sign-stable interleaved A/B."""
+    sign-stable interleaved A/B.
+
+    CORPUS-SIZE CEILING of the 64-bit gram hash (ADVICE r10): the 2^-64
+    figure is PER PAIR; across the whole join the birthday bound makes a
+    collision likely once distinct (eval-gram x train-gram) pairs approach
+    ~2^32 of each, i.e. a few billion distinct 8-grams per side. Within
+    that bound a collision costs one false 'contaminated' flag (a dropped
+    training doc — conservative, never a leak). Beyond it, widen the gram
+    key to two independent 64-bit lanes (e.g. xxhash64 of the gram under
+    two salts) before trusting the flags; the string-gram oracle gate
+    catches any collision at test scale."""
     d = load(spark, sf_dir, "documents")
     eval_pred = F.col("doc_id") % 50 == 0
     grams = (

@@ -2509,7 +2509,12 @@ def q_gains_by_decile(spark, sf_dir):
     ).withColumn("neg_vq", -F.col("vq"))
     # one bounded collect gives BOTH the id-assign's sizing count and the
     # lift denominators (r10: was an internal count job inside the
-    # id-assign plus a crossJoin(broadcast(agg)) at action time)
+    # id-assign plus a crossJoin(broadcast(agg)) at action time).
+    # BUILD-TIME LITERAL: the denominators are folded in at plan-build
+    # time, per the registry's build-then-execute contract (every
+    # invocation rebuilds the plan from the live input). A consumer that
+    # builds this DataFrame once and executes it later against CHANGED
+    # data would see stale denominators — rebuild after data changes.
     tot = q.agg(F.sum("y").alias("total_pos"), F.count(F.lit(1)).alias("n_total")).collect()[0]
     total_pos, n_total = int(tot["total_pos"] or 0), int(tot["n_total"])
     ranked = assign_contiguous_ids(q, ["neg_vq", "event_id"], id_name="i", n_rows=n_total)

@@ -571,7 +571,11 @@ def train_curriculum_order(spark, sf_dir):
     ).withColumn("neg_flesch", -F.col("flesch_milli"))
     # one sizing count feeds both the id-assign and the phase denominator
     # (r10: was an internal count inside the id-assign plus a
-    # crossJoin(broadcast(count-agg)) at action time)
+    # crossJoin(broadcast(count-agg)) at action time).
+    # BUILD-TIME LITERAL: `n` is folded into the plan at build time, per
+    # the registry's build-then-execute contract (every invocation rebuilds
+    # from the live input). Build-once-execute-later against CHANGED data
+    # would see a stale denominator — rebuild after data changes.
     n = scored.count()
     ranked = assign_contiguous_ids(scored, ["neg_flesch", "doc_id"], id_name="i", n_rows=n)
     h = _spark_hash60("CONCAT('curr|', CAST(doc_id AS STRING))")
