@@ -1062,35 +1062,70 @@ def llm_ann_recall_report(spark, sf_dir):
     Deterministic (every path is seeded/tie-broken): emits exact hit
     counts and ONE division per method. Rows-only by nature (the ANN
     paths have no SQL equivalent); the per-method planted-recall
-    guarantees live in tests/test_llm_ops.py."""
+    guarantees live in tests/test_llm_ops.py.
+
+    r11 (guide §2.6 overlap independent jobs): the five method pipelines
+    are built AND their bounded top-k results materialized on a driver
+    thread pool — serially, the trainers' collect jobs (probe set,
+    hash-ordered samples, centroids) plus the five pipelines' stage
+    chains ran back to back (measured per-method exec 0.3-1.0 s each at
+    sf0.1, summing despite AQE, because each chain is depth-sequential),
+    so the report's wall was the SUM of five pipelines. Concurrent
+    driver-thread jobs back-fill each other's stage tails (FIFO
+    scheduling), so the wall becomes roughly the longest pipeline.
+
+    Materializing the k-results on the driver is within the query's own
+    precondition: the probe set is ALREADY driver-collected by every
+    brute/PQ path ("a probe set small enough to broadcast is the
+    precondition for ANY brute-force path"), and each method's result is
+    exactly |Q|·k rows — five small fetches, recomputed from parquet on
+    every invocation (nothing cached across runs). The exact hit counts
+    are then set intersections over (query_id, neighbor_id) int pairs,
+    and recall is the same single IEEE double division the Spark
+    expression performed — values bit-identical to the join+aggregate
+    form (equivalence pinned by tests/test_recall_report_threaded.py).
+    Results are thread-order-independent: every trainer's inputs are
+    deterministic (hash-ordered samples), and the report is assembled in
+    a fixed method order after all futures join."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..llm.pq import ivfpq_knn, pq_knn
     from ..llm.similarity import ivf_knn
 
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 50 == 0)
-    brute = knn_bruteforce_np(q, e, k=5).select("query_id", "neighbor_id")
-    methods = {
-        "lsh": knn_lsh(q, e, k=5),
-        "ivf": ivf_knn(q, e, k=5),
-        "pq": pq_knn(q, e, k=5),
-        "ivfpq": ivfpq_knn(q, e, k=5),
+    builders = {
+        "brute": lambda: knn_bruteforce_np(q, e, k=5),
+        "lsh": lambda: knn_lsh(q, e, k=5),
+        "ivf": lambda: ivf_knn(q, e, k=5),
+        "pq": lambda: pq_knn(q, e, k=5),
+        "ivfpq": lambda: ivfpq_knn(q, e, k=5),
     }
-    reports = []
-    for name, df in methods.items():
-        hits = brute.join(df.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
-        reports.append(
-            brute.agg(F.count(F.lit(1)).alias("n_brute"))
-            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
-            .select(
-                F.lit(name).alias("method"),
-                "n_brute",
-                "n_hits",
-                (F.col("n_hits").cast("double") / F.col("n_brute")).alias("recall_at_5"),
-            )
+
+    def run(fn):
+        # build the pipeline and fetch its |Q|·k id pairs in THIS thread,
+        # so the five jobs overlap; Arrow fetch (toPandas) of two int64
+        # columns, same as the graph fast-path probe.
+        pdf = fn().select("query_id", "neighbor_id").toPandas()
+        return set(zip(pdf["query_id"].tolist(), pdf["neighbor_id"].tolist()))
+
+    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+        futures = {name: pool.submit(run, fn) for name, fn in builders.items()}
+        pairs = {name: f.result() for name, f in futures.items()}
+    brute_pairs = pairs["brute"]
+    n_brute = len(brute_pairs)
+    rows = [
+        (
+            name,
+            n_brute,
+            len(brute_pairs & pairs[name]),
+            float(len(brute_pairs & pairs[name])) / n_brute,
         )
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionByName(r)
+        for name in ("lsh", "ivf", "pq", "ivfpq")
+    ]
+    out = spark.createDataFrame(
+        rows, "method string, n_brute bigint, n_hits bigint, recall_at_5 double"
+    )
     return out.orderBy("method")
 
 
