@@ -449,13 +449,19 @@ def connected_components(
     # path for corpus-scale edge sets.
     #
     # ONE action decides the path AND fetches the data (r5): a
-    # limit(threshold+1) collect materializes the persisted edges and
+    # limit(threshold+1) fetch materializes the persisted edges and
     # returns them if they fit — the previous count()-then-collect() pair
     # paid a second job for the same rows. An over-threshold graph wastes
     # only the bounded ~32 MB probe before taking the distributed path.
-    probe = und.limit(small_graph_edges + 1).collect()
+    # Arrow fetch (toPandas), not collect() (r11, same ADVICE as the
+    # graph_local arc probe): 2M pyspark Rows cost ~100+ B each of Python
+    # object overhead — hundreds of MB transient near the bound — while
+    # the Arrow path is two contiguous int64 buffers matching the stated
+    # ~32 MB budget.
+    probe = und.limit(small_graph_edges + 1).toPandas()
     if len(probe) <= small_graph_edges:  # both orientations: ≤1M input pairs
-        pairs = probe
+        us = probe["u"].tolist()
+        vs = probe["v"].tolist()
         parent: dict = {}
 
         def find(x):
@@ -466,14 +472,15 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in pairs:
-            ra, rb = find(r["u"]), find(r["v"])
+        for ua, vb in zip(us, vs):
+            ra, rb = find(ua), find(vb)
             if ra != rb:
                 # union by min: smaller id becomes the root
                 if rb < ra:
                     ra, rb = rb, ra
                 parent[rb] = ra
-        nodes = {x for r in pairs for x in (r["u"], r["v"])}
+        nodes = set(us)
+        nodes.update(vs)
         out = [(x, find(x)) for x in sorted(nodes)]
         und.unpersist()
         spark = edges.sparkSession

@@ -1481,11 +1481,22 @@ def q_bootstrap_ci(spark, sf_dir):
     partial aggregates (map-side combine; no explode, no 32x scan blowup),
     then a 1-row finish. This is the textbook \"Poor man's bootstrap\" plan
     for a 1000-executor cluster: the per-partition partials are the only
-    shuffle payload."""
+    shuffle payload.
+
+    r11: the projected (key, price) rows are WIDENED before the partial
+    aggregate (ensure_parallelism — a no-op on a real multi-file corpus):
+    the fixture is one single-row-group parquet file, so the 32 md5
+    evaluations per row all ran in ONE task (guide §2.5 "input skew: one
+    huge unsplittable file — repartition immediately after the read").
+    Integer partial sums are order-independent, so results are
+    bit-identical; the shuffle moves 16 bytes/row."""
     from ..functions.numeric import spark_hash60
+    from ..partitioning import ensure_parallelism
 
     o = load(spark, sf_dir, "orders")
-    base = o.select("o_orderkey", money_units("o_totalprice").alias("price_u"))
+    base = ensure_parallelism(
+        o.select("o_orderkey", money_units("o_totalprice").alias("price_u"))
+    )
     aggs = [
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("price_u").alias("total_u"),
