@@ -556,13 +556,20 @@ def llm_winnowing(spark, sf_dir):
     density. All in-row higher-order functions (zero shuffle until the
     final sort); fingerprints emit as canonical sorted text for the
     driver's scalar canon."""
+    from ..partitioning import ensure_parallelism
+
     d = load(spark, sf_dir, "documents")
     # Materialize the token array, then the hash array, as named columns:
     # referencing a raw expression inside a window lambda would re-evaluate
     # the whole shingle+md5 tree once per window — O(n^2) md5 calls per
     # document (measured ~100x on this fixture) — and the element_at-based
     # word_shingles references its token input n+2 times (r10).
-    hsdf = d.select("doc_id", ws_tokens("text").alias("toks")).select(
+    # r11: widen the scan first (no-op on a multi-file corpus): the fixture
+    # is one single-row-group file, so the md5-per-shingle winnowing pass
+    # ran in ONE task (guide §2.5). Per-row op — values unchanged.
+    hsdf = ensure_parallelism(d.select("doc_id", "text")).select(
+        "doc_id", ws_tokens("text").alias("toks")
+    ).select(
         "doc_id",
         F.transform(
             word_shingles(F.col("toks"), _WIN_K), lambda s: F.substring(F.md5(s), 1, 16)

@@ -795,7 +795,14 @@ def llm_semantic_decontaminate(spark, sf_dir):
             F.col("vec_id").alias("eval_id"), F.col("v").alias("qv"), F.col("nn").alias("qnn")
         )
     )
-    train = base.filter(F.col("vec_id") % 50 != 0)
+    # r11: widen the train side first (no-op on a multi-file corpus): the
+    # fixture is one single-row-group file, so the |train|·|eval|
+    # interpreted 64-dim cosine folds all ran in ONE task (guide §2.5).
+    # The broadcast join and the per-train-row argmax aggregate are
+    # unchanged — per-row work, values identical.
+    from ..partitioning import ensure_parallelism
+
+    train = ensure_parallelism(base.filter(F.col("vec_id") % 50 != 0))
     dot = F.aggregate(
         F.zip_with("v", "qv", lambda a, b: a * b),
         F.lit(0).cast("long"),

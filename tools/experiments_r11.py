@@ -45,6 +45,83 @@ def bootstrap_narrow_scan(spark, sf_dir):
     )
 
 
+def winnowing_narrow_scan(spark, sf_dir):
+    """r10 llm_winnowing: winnowing fingerprints evaluated directly over
+    the single-file scan — one task does every md5+window-min."""
+    from pyspark.sql import functions as FF
+
+    from bridge_analytics_template_spark.caching import track
+    from bridge_analytics_template_spark.functions.text import word_shingles, ws_tokens
+    from bridge_analytics_template_spark.queries.advanced import _WIN_K, _WIN_W
+
+    d = load(spark, sf_dir, "documents")
+    hsdf = d.select("doc_id", ws_tokens("text").alias("toks")).select(
+        "doc_id",
+        FF.transform(
+            word_shingles(FF.col("toks"), _WIN_K), lambda s: FF.substring(FF.md5(s), 1, 16)
+        ).alias("hs"),
+    )
+    hs = FF.col("hs")
+    m = FF.size(hs)
+    wins = FF.when(
+        m >= _WIN_W,
+        FF.transform(
+            FF.sequence(FF.lit(1), m - (_WIN_W - 1)),
+            lambda i: FF.array_min(FF.slice(hs, i, _WIN_W)),
+        ),
+    ).otherwise(FF.array().cast("array<string>"))
+    fps = hsdf.select(
+        "doc_id",
+        FF.array_join(FF.array_sort(FF.array_distinct(wins)), ",").alias("fp"),
+    )
+    return track(fps.persist()).orderBy("doc_id")
+
+
+def semantic_decontaminate_narrow_scan(spark, sf_dir):
+    """r10 llm_semantic_decontaminate: the train×eval cosine folds
+    evaluated directly over the single-file scan — one task."""
+    from bridge_analytics_template_spark.queries.corpus import _MMR_Q, _SEM_TAU
+
+    e = load(spark, sf_dir, "embeddings")
+    qv = F.transform("embedding", lambda x: F.floor(x.cast("double") * _MMR_Q).cast("long"))
+    nn = F.aggregate(
+        F.transform("v", lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    base = e.select("vec_id", qv.alias("v")).select("vec_id", "v", nn.alias("nn"))
+    evals = (
+        base.filter(F.col("vec_id") % 50 == 0)
+        .select(
+            F.col("vec_id").alias("eval_id"), F.col("v").alias("qv"), F.col("nn").alias("qnn")
+        )
+    )
+    train = base.filter(F.col("vec_id") % 50 != 0)
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sims = train.join(F.broadcast(evals)).select(
+        "vec_id",
+        "eval_id",
+        (
+            dot.cast("double")
+            / (F.sqrt(F.col("nn").cast("double")) * F.sqrt(F.col("qnn").cast("double")))
+        ).alias("cos"),
+    )
+    best = sims.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos").alias("c"), (-F.col("eval_id")).alias("nid"))).alias("b")
+    )
+    return (
+        best.select(
+            "vec_id",
+            (-F.col("b.nid")).alias("best_eval_id"),
+            F.col("b.c").alias("max_cos"),
+            (F.col("b.c") >= _SEM_TAU).alias("contaminated"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def recall_report_serial(spark, sf_dir):
     """r10 llm_ann_recall_report: the five method pipelines built
     sequentially — each trainer's driver-blocking collect jobs (probe set,
