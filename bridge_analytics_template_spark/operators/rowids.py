@@ -91,21 +91,29 @@ def assign_contiguous_ids(
 
     ``n_rows``: the exact input row count, when the caller already knows it
     (e.g. just materialized a persisted aggregate with ``count()``) — skips
-    the sizing job. A wrong POSITIVE value only skews the sample rate and
+    the sizing work. A wrong POSITIVE value only skews the sample rate and
     bucket balance, never the ids (the routing and local indexing are pure
-    row functions). ``n_rows <= 0`` is treated as UNKNOWN and falls back to
-    counting (r11, ADVICE): 0 used to short-circuit into the empty-input
-    early return and silently drop every row of a non-empty frame.
+    row functions). ``n_rows <= 0`` is treated as UNKNOWN (r11, ADVICE): 0
+    used to short-circuit into the empty-input early return and silently
+    drop every row of a non-empty frame.
+
+    When unknown, n comes from the parquet-footer row count of the plan's
+    leaves (estimated_scan_rows — no job; an UPPER bound for any
+    non-expanding plan, and n never affects the ids themselves), falling
+    back to one column-pruned ``count()`` job when leaves aren't
+    stat-able. A caller whose plan EXPANDS rows well past its scan (a
+    large explode) should pass ``n_rows`` so the one-bucket cutover isn't
+    taken on an under-estimate.
     """
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
 
-    # Job 1: size the data (column-pruned count — the adaptive sample rate
-    # needs n; a fixed rate either floods the driver at corpus scale or
-    # starves the boundaries on small data). Skipped when the caller
-    # supplies a positive count (r10 — one fewer driver-blocking job per
-    # build); <= 0 means "unknown", count it (never trust 0 from a caller
-    # whose frame may be non-empty).
-    n = df.count() if n_rows is None or n_rows <= 0 else n_rows
+    if n_rows is not None and n_rows > 0:
+        n = n_rows
+    else:
+        from ..partitioning import estimated_scan_rows
+
+        est = estimated_scan_rows(df)
+        n = est if est is not None else df.count()
     if n == 0:
         return df.withColumn(id_name, F.lit(0).cast("long")).where(F.lit(False))
 

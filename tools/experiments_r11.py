@@ -45,6 +45,110 @@ def bootstrap_narrow_scan(spark, sf_dir):
     )
 
 
+def _cumsum_count_sized(df, order_cols, value_col, cum_name="cum", total_name=None,
+                        num_partitions=32):
+    """r10 partitioned_cumsum: exact count() sizing job + unconditional
+    per-bucket sums job (two driver-blocking actions per build)."""
+    from bridge_analytics_template_spark.operators.rowids import (
+        bucket_expression,
+        deterministic_bounds,
+    )
+
+    n = df.count()
+    if n == 0:
+        out = df.withColumn(cum_name, F.col(value_col))
+        if total_name is not None:
+            out = out.withColumn(total_name, F.col(value_col))
+        return out.where(F.lit(False))
+    bounds = deterministic_bounds(df, order_cols, num_partitions, n)
+    bucket_expr = bucket_expression(df, order_cols, bounds)
+    sums = (
+        df.select(bucket_expr.alias("_bkt"), F.col(value_col))
+        .groupBy("_bkt")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    )
+    by_bkt = {r["_bkt"]: r["s"] for r in sums}
+    offsets, acc = {}, 0
+    for bkt in sorted(by_bkt):
+        offsets[bkt] = acc
+        acc += by_bkt[bkt] or 0
+    total = acc
+    spark = df.sparkSession
+    b_offsets = spark.sparkContext.broadcast(offsets)
+    out = df.withColumn(cum_name, F.col(value_col))
+    if total_name is not None:
+        out = out.withColumn(total_name, F.col(value_col))
+    out_schema = out.schema
+
+    def add_cumsum(pdf_iter):
+        run: dict = {}
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            res = pdf.drop(columns=["_bkt"])
+            grouped = pdf[value_col].groupby(pdf["_bkt"]).cumsum()
+            base = pdf["_bkt"].map(lambda b: b_offsets.value.get(int(b), 0) + run.get(int(b), 0))
+            res[cum_name] = grouped + base
+            if total_name is not None:
+                res[total_name] = total
+            for bkt, s in pdf.groupby("_bkt")[value_col].sum().items():
+                run[int(bkt)] = run.get(int(bkt), 0) + s
+            yield res
+
+    routed = (
+        df.withColumn("_bkt", bucket_expr)
+        .repartition(max(1, num_partitions), "_bkt")
+        .sortWithinPartitions("_bkt", *order_cols)
+    )
+    return routed.mapInPandas(add_cumsum, schema=out_schema)
+
+
+def curation_e2e_count_sizing(spark, sf_dir):
+    """r10 pipeline_curation_e2e: the budget cumsum sized by an exact
+    count() job plus the sums job — each re-executing the full
+    filter+segment-dedup+join lineage at plan build."""
+    from bridge_analytics_template_spark.queries.corpus import _E2E_QT, _segment_dedup
+
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "text",
+        F.expr(
+            "(length(text) - length(regexp_replace(text, '[A-Za-z]', ''))) * 1000000"
+            " DIV greatest(length(text), 1)"
+        ).alias("score_ppm"),
+    )
+    kept = scored.filter(F.col("score_ppm") >= _E2E_QT)
+    seg = _segment_dedup(kept.select("doc_id", "text"))
+    tok = (
+        kept.select("doc_id", "score_ppm")
+        .join(seg.select("doc_id", "kept_text"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "score_ppm",
+            F.when(
+                F.col("kept_text").isNull() | (F.col("kept_text") == ""), F.lit(0).cast("long")
+            )
+            .otherwise(F.size(F.split("kept_text", " ")).cast("long"))
+            .alias("n_tok"),
+        )
+        .withColumn("neg_score", -F.col("score_ppm"))
+    )
+    c = _cumsum_count_sized(
+        tok,
+        order_cols=["neg_score", "doc_id"],
+        value_col="n_tok",
+        cum_name="cum_tokens",
+        total_name="total_tokens",
+    )
+    return (
+        c.filter(F.col("cum_tokens") * 2 <= F.col("total_tokens"))
+        .select("doc_id", "score_ppm", "n_tok", "cum_tokens")
+        .orderBy(F.desc("score_ppm"), "doc_id")
+    )
+
+
 def winnowing_narrow_scan(spark, sf_dir):
     """r10 llm_winnowing: winnowing fingerprints evaluated directly over
     the single-file scan — one task does every md5+window-min."""
