@@ -914,12 +914,6 @@ def llm_dedup_cascade(spark, sf_dir):
     # the fingerprint replaces the chained exact→normalized windows.
     # (Was: 3 separate count jobs + 2 chained windows + a persist.)
     fp = normalized_fingerprint(F.col("text"))
-    sizes = d.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct(F.md5("text")).alias("n_k1"),
-        F.countDistinct(fp).alias("n_k2"),
-    ).collect()[0]
-    n_docs, n_k1, n_k2 = int(sizes["n_docs"]), int(sizes["n_k1"]), int(sizes["n_k2"])
     w_norm = Window.partitionBy(fp).orderBy("doc_id")
     k2 = d.withColumn("rn", F.row_number().over(w_norm)).filter("rn = 1").drop("rn")
     arrays = _shingle_arrays(k2, "text", "doc_id", 5, hashed=True)
@@ -928,7 +922,23 @@ def llm_dedup_cascade(spark, sf_dir):
         .select("doc_b")
         .distinct()
     )
-    n_near = near.count()
+    # The sizes aggregate and the near-dup count are INDEPENDENT actions —
+    # run them on two driver threads so the cheap aggregate back-fills the
+    # near-dup job's stage tail instead of queueing behind it (r11, guide
+    # §2.6; the near-dup pipeline is ~2x the aggregate's wall).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_sizes = pool.submit(
+            lambda: d.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.countDistinct(F.md5("text")).alias("n_k1"),
+                F.countDistinct(fp).alias("n_k2"),
+            ).collect()[0]
+        )
+        f_near = pool.submit(near.count)
+        sizes, n_near = f_sizes.result(), f_near.result()
+    n_docs, n_k1, n_k2 = int(sizes["n_docs"]), int(sizes["n_k1"]), int(sizes["n_k2"])
     return spark.createDataFrame(
         [(n_docs, n_docs - n_k1, n_k1 - n_k2, n_near, n_k2 - n_near)],
         "n_docs long, n_exact_removed long, n_norm_removed long, n_neardup_removed long, n_final long",

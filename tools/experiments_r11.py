@@ -45,6 +45,33 @@ def bootstrap_narrow_scan(spark, sf_dir):
     )
 
 
+def dedup_cascade_serial_actions(spark, sf_dir):
+    """r10 llm_dedup_cascade: the sizes aggregate and the near-dup count
+    run back to back as two serial driver-blocking actions."""
+    from pyspark.sql import Window
+
+    from bridge_analytics_template_spark.functions.text import normalized_fingerprint
+    from bridge_analytics_template_spark.llm.dedup import _shingle_arrays, exact_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    fp = normalized_fingerprint(F.col("text"))
+    sizes = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_k1"),
+        F.countDistinct(fp).alias("n_k2"),
+    ).collect()[0]
+    n_docs, n_k1, n_k2 = int(sizes["n_docs"]), int(sizes["n_k1"]), int(sizes["n_k2"])
+    w_norm = Window.partitionBy(fp).orderBy("doc_id")
+    k2 = d.withColumn("rn", F.row_number().over(w_norm)).filter("rn = 1").drop("rn")
+    arrays = _shingle_arrays(k2, "text", "doc_id", 5, hashed=True)
+    near = exact_jaccard_pairs(arrays, min_jaccard=0.5).select("doc_b").distinct()
+    n_near = near.count()
+    return spark.createDataFrame(
+        [(n_docs, n_docs - n_k1, n_k1 - n_k2, n_near, n_k2 - n_near)],
+        "n_docs long, n_exact_removed long, n_norm_removed long, n_neardup_removed long, n_final long",
+    )
+
+
 def _cumsum_count_sized(df, order_cols, value_col, cum_name="cum", total_name=None,
                         num_partitions=32):
     """r10 partitioned_cumsum: exact count() sizing job + unconditional
