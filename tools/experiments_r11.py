@@ -286,3 +286,155 @@ def recall_report_serial(spark, sf_dir):
     for r in reports[1:]:
         out = out.unionByName(r)
     return out.orderBy("method")
+
+
+def bitext_mine_blockjoin(spark, sf_dir):
+    """r11 EXPERIMENT, measured a WASH and NOT shipped: pass 2 attaches
+    r(y) to the already-packed target blocks by a block-id join (shuffling
+    only (y, ry) pairs) instead of re-joining ry to the target rows and
+    repacking via assign_contiguous_ids. At corpus scale the shipped form
+    moves the vector payload through one extra join+repack, so this shape
+    should win on bytes (guide §8) — but at every measurable SF here it is
+    latency-bound and interleaved A/B came out a wash with flipping signs
+    (sf0.1 noop: new 3.713 vs old 3.554 min, 3/5 slower; 10x replica run 1
+    new 12.31 vs 13.64, run 2 new 7.56 vs 6.13). Kept for a future round
+    with a fixture large enough to expose the byte difference; subtract()
+    both ways empty at sf0.001/0.01/0.1."""
+    import numpy as np
+    import pandas as pd
+
+    from bridge_analytics_template_spark.caching import track
+    from bridge_analytics_template_spark.operators.rowids import assign_contiguous_ids
+    from bridge_analytics_template_spark.queries.corpus import _MMR_Q
+
+    e = load(spark, sf_dir, "embeddings")
+    qv = F.transform("embedding", lambda v: F.floor(v.cast("double") * _MMR_Q).cast("long"))
+    nn = F.aggregate(
+        F.transform("v", lambda v: v * v), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    base = e.select("vec_id", qv.alias("v")).select("vec_id", "v", nn.alias("nn"))
+    _B = 1024
+    side_counts = {
+        r["par"]: r["n"]
+        for r in e.select((F.col("vec_id") % 2).alias("par"))
+        .groupBy("par")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_src, n_tgt = int(side_counts.get(0, 0)), int(side_counts.get(1, 0))
+
+    def packed(side, blk, rows, n):
+        ranked = assign_contiguous_ids(side, "vec_id", id_name="_rk", n_rows=n)
+        p = (
+            ranked.withColumn(blk, (F.col("_rk") / F.lit(_B)).cast("long"))
+            .groupBy(blk)
+            .agg(F.collect_list(F.struct("vec_id", "v", "nn")).alias(rows))
+        )
+        return p, max(1, -(-n // _B))
+
+    src, tgt = base.filter(F.col("vec_id") % 2 == 0), base.filter(F.col("vec_id") % 2 == 1)
+    pa, na = packed(src, "blk_a", "rows_a", n_src)
+    pb, nb = packed(tgt, "blk_b", "rows_b", n_tgt)
+    pa, pb = track(pa.persist()), track(pb.persist())
+    grid = spark.range(na).select(
+        F.col("id").alias("blk_a"),
+        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("blk_b"),
+    )
+    joined = pa.join(F.broadcast(grid), "blk_a").join(pb, "blk_b")
+
+    def unpack(cell):
+        ids = np.array([r["vec_id"] for r in cell], dtype=np.int64)
+        m = np.array([list(r["v"]) for r in cell], dtype=np.float64)
+        rt = np.sqrt(np.array([r["nn"] for r in cell], dtype=np.float64))
+        return ids, m, rt
+
+    def unpack_memo(cache, key, cell):
+        hit = cache.get(key)
+        if hit is None:
+            if len(cache) >= 512:
+                cache.clear()
+            hit = cache[key] = unpack(cell)
+        return hit
+
+    def top2(cos):
+        if cos.shape[1] < 2:
+            return cos
+        return -np.partition(-cos, kth=1, axis=1)[:, :2]
+
+    def top2_partials(batches):
+        cache: dict = {}
+        for pdf in batches:
+            for ba, bb, ra, rb in zip(pdf["blk_a"], pdf["blk_b"], pdf["rows_a"], pdf["rows_b"]):
+                ia, ma, rta = unpack_memo(cache, ("a", int(ba)), ra)
+                ib, mb, rtb = unpack_memo(cache, ("b", int(bb)), rb)
+                cos = (ma @ mb.T) / (rta[:, None] * rtb[None, :])
+                xa = top2(cos)
+                xb = top2(np.ascontiguousarray(cos.T))
+                k_a, k_b = xa.shape[1], xb.shape[1]
+                yield pd.DataFrame(
+                    {
+                        "side": ["x"] * (len(ia) * k_a) + ["y"] * (len(ib) * k_b),
+                        "blk": np.concatenate(
+                            [
+                                np.full(len(ia) * k_a, int(ba), dtype=np.int64),
+                                np.full(len(ib) * k_b, int(bb), dtype=np.int64),
+                            ]
+                        ),
+                        "id": np.concatenate([ia.repeat(k_a), ib.repeat(k_b)]),
+                        "c": np.concatenate([xa.ravel(), xb.ravel()]),
+                    }
+                )
+
+    partials = joined.mapInPandas(
+        top2_partials, schema="side string, blk long, id long, c double"
+    )
+    top2_col = F.slice(F.sort_array(F.collect_list("c"), asc=False), 1, 2)
+    means = partials.groupBy("side", "blk", "id").agg(
+        ((F.element_at(top2_col, 1) + F.element_at(top2_col, 2)) / 2).alias("r")
+    )
+    rx = means.filter(F.col("side") == "x").select(F.col("id").alias("x"), F.col("r").alias("rx"))
+    ry_b = (
+        means.filter(F.col("side") == "y")
+        .groupBy(F.col("blk").alias("blk_b"))
+        .agg(F.collect_list(F.struct(F.col("id").alias("y"), F.col("r").alias("ry"))).alias("rys"))
+    )
+    pb2 = pb.join(ry_b, "blk_b")
+    joined2 = pb2.join(F.broadcast(grid), "blk_b").join(pa, "blk_a")
+
+    def best_margin(batches):
+        cache: dict = {}
+        for pdf in batches:
+            for ba, bb, ra, rb, rys in zip(
+                pdf["blk_a"], pdf["blk_b"], pdf["rows_a"], pdf["rows_b"], pdf["rys"]
+            ):
+                ia, ma, rta = unpack_memo(cache, ("a", int(ba)), ra)
+                ib, mb, rtb = unpack_memo(cache, ("b", int(bb)), rb)
+                key = ("ry", int(bb))
+                ryv = cache.get(key)
+                if ryv is None:
+                    yids = np.array([r["y"] for r in rys], dtype=np.int64)
+                    rvals = np.array([r["ry"] for r in rys], dtype=np.float64)
+                    order = np.argsort(yids)
+                    if len(cache) >= 512:
+                        cache.clear()
+                    ryv = cache[key] = rvals[order][np.searchsorted(yids[order], ib)]
+                cos = (ma @ mb.T) / (rta[:, None] * rtb[None, :])
+                m = cos + cos - ryv[None, :]
+                mx = m.max(axis=1)
+                best_y = np.where(m == mx[:, None], ib[None, :], np.iinfo(np.int64).max).min(axis=1)
+                yield pd.DataFrame({"x": ia, "m": mx, "y": best_y})
+
+    block_best = joined2.mapInPandas(best_margin, schema="x long, m double, y long")
+    best = block_best.groupBy("x").agg(
+        F.max(F.struct(F.col("m").alias("c"), (-F.col("y")).alias("nid"))).alias("b")
+    )
+    return (
+        best.join(rx, "x")
+        .select(
+            F.col("x").alias("src_id"),
+            (-F.col("b.nid")).alias("tgt_id"),
+            (F.col("b.c") - F.col("rx")).alias("csls"),
+            ((F.col("b.c") - F.col("rx")) > 0).alias("mined"),
+        )
+        .orderBy("src_id")
+    )
