@@ -288,6 +288,50 @@ def recall_report_serial(spark, sf_dir):
     return out.orderBy("method")
 
 
+def vocab_encode_narrow_scan(spark, sf_dir):
+    """r11 NEGATIVE RESULT — this is the SHIPPED (narrow-scan) form, kept
+    so the widened experiment stays reproducible: adding
+    ensure_parallelism before tokenize+posexplode was SLOWER sign-stable
+    5/5 under the bench's count action (widened min 1.157 vs narrow
+    0.910 s at sf0.1) — the round-robin exchange of the full text payload
+    costs more than the single-task tokenization it parallelizes at this
+    corpus size, and the vocab aggregate's own exchange already spreads
+    everything downstream. Revisit only with a fixture whose tokenize
+    pass dominates the added shuffle."""
+    from bridge_analytics_template_spark.caching import track
+    from bridge_analytics_template_spark.functions.text import ws_tokens
+    from bridge_analytics_template_spark.operators.rowids import assign_contiguous_ids
+    from bridge_analytics_template_spark.queries.training import VOCAB_BROADCAST_MAX_ROWS
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.posexplode_outer(ws_tokens("text")).alias("pos", "tok"))
+    counts = track(
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("_negcnt", -F.col("cnt"))
+        .persist()
+    )
+    n_types = counts.count()
+    vocab = assign_contiguous_ids(
+        counts, ["_negcnt", "tok"], id_name="id", n_rows=n_types
+    ).select("tok", F.col("id").cast("int").alias("id"))
+    if n_types <= VOCAB_BROADCAST_MAX_ROWS:
+        vocab = F.broadcast(vocab)
+    sample = toks.filter(F.col("doc_id") % 20 == 0)
+    encoded = (
+        sample.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.to_json(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "id"))), lambda s: s["id"]
+                )
+            ).alias("ids")
+        )
+    )
+    return encoded.orderBy("doc_id")
+
+
 def bitext_mine_blockjoin(spark, sf_dir):
     """r11 EXPERIMENT, measured a WASH and NOT shipped: pass 2 attaches
     r(y) to the already-packed target blocks by a block-id join (shuffling
