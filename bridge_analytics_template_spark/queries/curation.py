@@ -80,10 +80,17 @@ def llm_decontaminate(spark, sf_dir):
     key to two independent 64-bit lanes (e.g. xxhash64 of the gram under
     two salts) before trusting the flags; the string-gram oracle gate
     catches any collision at test scale."""
+    from ..partitioning import ensure_parallelism
+
     d = load(spark, sf_dir, "documents")
     eval_pred = F.col("doc_id") % 50 == 0
+    # r11: widen the scan before the tokenize+hash gram build (no-op on a
+    # multi-file corpus): the fixture is one single-row-group file, so the
+    # per-doc gram construction ran in ONE task (guide §2.5). Per-row op
+    # feeding aggregates/joins — values identical.
     grams = (
-        d.select("doc_id", ws_tokens("text").alias("toks"))
+        ensure_parallelism(d.select("doc_id", "text"))
+        .select("doc_id", ws_tokens("text").alias("toks"))
         .select("doc_id", F.expr("transform(toks, t -> xxhash64(t))").alias("th"))
         .select("doc_id", F.explode_outer(F.expr(hashed_word_shingles_expr(8))).alias("gram"))
     )

@@ -176,6 +176,41 @@ def curation_e2e_count_sizing(spark, sf_dir):
     )
 
 
+def decontaminate_narrow_scan(spark, sf_dir):
+    """r10 llm_decontaminate: the tokenize+hash gram build evaluated
+    directly over the single-file scan — one task builds every gram."""
+    from bridge_analytics_template_spark.functions.text import (
+        hashed_word_shingles_expr,
+        ws_tokens,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    eval_pred = F.col("doc_id") % 50 == 0
+    grams = (
+        d.select("doc_id", ws_tokens("text").alias("toks"))
+        .select("doc_id", F.expr("transform(toks, t -> xxhash64(t))").alias("th"))
+        .select("doc_id", F.explode_outer(F.expr(hashed_word_shingles_expr(8))).alias("gram"))
+    )
+    eval_grams = grams.filter(eval_pred).select("gram").distinct()
+    hits = (
+        grams.filter(~eval_pred)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        d.filter(~eval_pred)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def winnowing_narrow_scan(spark, sf_dir):
     """r10 llm_winnowing: winnowing fingerprints evaluated directly over
     the single-file scan — one task does every md5+window-min."""
