@@ -54,6 +54,12 @@ def main() -> None:
     # long-running cluster job sees.
     for name in HEADLINE:
         QUERIES[name](spark, "/root/testdata/sf0.001").count()
+        # r11: also warm the noop-write path per plan shape — the added
+        # noop:<name> sweep below otherwise times the sink's codegen JIT
+        # on its first pass (measured ~1 s floors on trivial queries).
+        QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
     spark.catalog.clearCache()
 
     # Two full passes over the suite, 2 reps each, per-query min across all

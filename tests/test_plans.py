@@ -313,9 +313,14 @@ def test_advanced_ops_plan_shapes(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_gini_revenue")
     assert "Window [" not in plan
 
-    # winnowing: in-row pipeline — no shuffle before the output sort.
+    # winnowing: in-row pipeline — the only exchanges are the r11
+    # round-robin scan widen (the fixture is one single-row-group file, so
+    # the md5+window-min pass otherwise runs in ONE task) and the final
+    # orderBy range exchange; no HASH shuffle anywhere (nothing is keyed).
     plan = plan_of(spark, sf_dir, "llm_winnowing")
-    assert plan.count("Exchange") <= 1  # only the final orderBy range exchange
+    assert plan.count("Exchange") <= 2
+    assert "Exchange hashpartitioning" not in plan
+    assert "RoundRobinPartitioning" in plan
 
 
 def test_shuffled_hash_join_chosen(spark, sf_dir):
