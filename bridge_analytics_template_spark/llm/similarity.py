@@ -478,9 +478,19 @@ def blocked_cosine_pairs(
     instead of per-pair interpreted folds. Block ids ascend with the vector
     id, so blk_a ≤ blk_b plus an elementwise id_a < id_b mask yields each
     unordered pair exactly once.
+
+    Sizing (r11): ``n`` feeds the block size, the grid bound and the
+    id-assign balance — never the pair set (an OVER-estimate only adds
+    empty grid rows the inner block join drops) — so it comes from the
+    parquet-footer row count (no job) and falls back to ``count()`` when
+    leaves aren't stat-able.
     """
+    from ..partitioning import estimated_scan_rows
+
     spark = vectors.sparkSession
-    n = vectors.count()
+    n = estimated_scan_rows(vectors)
+    if n is None:
+        n = vectors.count()
     if block_size is None:
         block_size = _auto_block_size(n)
     n_blocks = max(1, -(-n // block_size))
@@ -511,9 +521,20 @@ def blocked_cosine_cross_pairs(
     block meets every right block exactly once) and no id-ordering mask —
     the two relations are disjoint by contract, so (id_l, id_r) already
     names each cross pair once. Shuffle volume is (n_l·n_r/B)·d, never
-    n_l·n_r rows."""
+    n_l·n_r rows.
+
+    Sizing (r11): footer row counts like :func:`blocked_cosine_pairs` —
+    for filtered sides the footer count is an UPPER bound (the whole
+    file), which only costs empty grid rows and a possibly one-step-larger
+    block size; the pair set is invariant."""
+    from ..partitioning import estimated_scan_rows
+
     spark = left.sparkSession
-    n_l, n_r = left.count(), right.count()
+    n_l, n_r = estimated_scan_rows(left), estimated_scan_rows(right)
+    if n_l is None:
+        n_l = left.count()
+    if n_r is None:
+        n_r = right.count()
     if block_size is None:
         # size to the LARGER side — it dominates both shuffle and flops
         block_size = _auto_block_size(max(n_l, n_r))
